@@ -1,0 +1,82 @@
+"""Fixture IO — parquet tables standing in for MongoDB (source) and
+ClickHouse (sink) per the driver contract (TESTDATA.md).
+
+The reference reads BSON documents from a MongoDB change stream / find
+cursor (/root/reference/src/main.rs:320, historical_data/src/main.rs:362)
+and writes to ClickHouse over native TCP. Here the same roles are played by
+parquet: ``spark.read.parquet`` is a DataSource-V2 scan with predicate
+pushdown + column pruning, which is exactly the Spark-idiomatic analogue of
+the reference pushing ``$gte/$lte`` filters into mongod.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_range: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Load a fixture table. ``ts_range=(lo, hi)`` applies an inclusive
+    range predicate on ``events.ts`` — evaluated on the raw epoch-nanos
+    column so it reaches the parquet scan as a pushed filter (row-group
+    min/max pruning). Filtering after the ns→µs conversion would wrap the
+    column in an expression Catalyst cannot push down — at 100 TB that is
+    the difference between pruning and a full scan."""
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # events.ts is parquet TIMESTAMP(NANOS), surfaced as epoch-nanos via
+        # spark.sql.legacy.parquet.nanosAsLong; truncate to µs exactly like
+        # DuckDB does when reading the same file.
+        if ts_range is not None:
+            lo, hi = ts_range
+            # Inclusive µs-truncated bounds in nanos: ts DIV 1000 ∈
+            # [µs(lo), µs(hi)] ⟺ ts ∈ [µs(lo)*1000, µs(hi)*1000 + 999].
+            df = df.filter(
+                F.col("ts").between(
+                    F.unix_micros(F.lit(lo).cast("timestamp")) * 1000,
+                    F.unix_micros(F.lit(hi).cast("timestamp")) * 1000 + 999,
+                )
+            )
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif ts_range is not None:
+        df = df.filter(F.col("ts").between(*ts_range))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (mirrors the DuckDB
+    oracle, which pre-registers views of the same names)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

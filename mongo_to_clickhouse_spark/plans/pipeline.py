@@ -1,0 +1,159 @@
+"""The reference's end-to-end dataflow as ONE declarative DataFrame plan.
+
+Reference lifecycle (/root/reference/src/main.rs:353-443, SURVEY §3.1):
+
+    change-stream event → extract (_id, statement, timestamp)
+      → skip rows missing required fields (warn, not error)
+      → anonymize actor identity (salted sha256, written back into doc)
+      → serialize statement to JSON
+      → route to main / opt-out table by hash-set membership
+      → bulk INSERT (id, statement, created_at, timestamp)
+
+Spark shape: every step is a Catalyst-visible transformation — the scan is
+a pushed-down parquet read, the skip rules are filters, the anonymize chain
+is codegen'd built-ins, and the opt-out routing is a broadcast left-anti /
+left-semi hash join against a deduplicated dimension. The whole reference
+dataflow is shuffle-free except the dimension dedup (hash partition by
+email), exactly as SURVEY §3.3 prescribes.
+
+Scale posture (100 TB): the fact side streams through narrow
+transformations (no shuffle); the only wide operations are (a) the tiny
+dimension's groupBy (≪ broadcast threshold) and (b) the broadcast itself.
+At 1000 executors this plan reads partition-pruned parquet, applies fused
+map stages, and exchanges only the dim — the optimal physical strategy.
+
+Fixture mapping (FIXTURES.md): ``events`` plays the Mongo ``statements``
+collection (`event_id`↔`_id`, `ts`↔`timestamp`, `props`↔`statement`) and
+``customer`` supplies actor names via ``user_id = c_custkey``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mongo_to_clickhouse_spark.functions.scalars import (
+    FIXTURE_SALT,
+    FIXTURE_TENANT,
+    email_localpart,
+    objectid_hex,
+    sha256_anonymize,
+    timestamp_format,
+)
+
+# Deterministic fixture rule: every 5th customer has opted out
+# (FIXTURES.md "Opt-out dimension" — derived, not a driver table).
+OPTOUT_MODULUS = 5
+VERSION_MODULUS = 3
+
+
+def optout_dim(customer: DataFrame) -> DataFrame:
+    """Derive the ``default.moodle_ids(email, hashed_moodle_id, version)``
+    dimension (/root/reference/src/main.rs:774) deterministically from
+    ``customer``: every ``OPTOUT_MODULUS``-th customer, with 1-3 versioned
+    rows per email so latest-version dedup is exercised."""
+    versions = customer.sparkSession.range(1, VERSION_MODULUS + 1).select(
+        F.col("id").cast("int").alias("version")
+    )
+    email = F.lower(F.col("c_name"))
+    return (
+        customer.filter(F.col("c_custkey") % OPTOUT_MODULUS == 0)
+        .crossJoin(F.broadcast(versions))
+        .filter(F.col("version") <= (F.col("c_custkey") % VERSION_MODULUS) + 1)
+        .select(
+            email.alias("email"),
+            sha256_anonymize(email).alias("hashed_moodle_id"),
+            F.col("version"),
+        )
+    )
+
+
+def optout_active(dim: DataFrame) -> DataFrame:
+    """Latest-version row per email — the reference's only real relational
+    query (``(email, version) IN (SELECT email, MAX(version) ... GROUP BY
+    email)``, /root/reference/src/main.rs:774), expressed as a window argmax.
+    The dim is small; the shuffle is negligible and the result broadcasts."""
+    w = Window.partitionBy("email").orderBy(F.col("version").desc())
+    return (
+        dim.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def statements_from_events(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Shape ``events`` into the Mongo statement collection: attach an actor
+    name by joining ``customer`` (broadcast — dimension ≪ fact)."""
+    actor = customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.lower(F.col("c_name")).alias("actor_name"),
+    )
+    return events.join(F.broadcast(actor), "user_id", "inner")
+
+
+def anonymized_statements(
+    statements: DataFrame,
+    salt: str = FIXTURE_SALT,
+    tenant: str = FIXTURE_TENANT,
+) -> DataFrame:
+    """Extract + validate + anonymize, mirroring the reference event loop
+    (/root/reference/src/main.rs:362-404):
+
+    - required-field skips (src/main.rs:377-397) → null filters
+    - empty localpart skip (src/main.rs:633-634) → length filter
+    - hash written back into the statement (src/main.rs:643) → the output
+      ``statement`` JSON embeds ``hashed_value``, not the original name.
+    """
+    valid = statements.filter(
+        F.col("event_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("props").isNotNull()
+        & F.col("actor_name").isNotNull()
+        & (F.length(email_localpart(F.col("actor_name"))) > 0)
+    )
+    hashed = valid.withColumn(
+        "hashed_value", sha256_anonymize(F.col("actor_name"), salt, tenant)
+    )
+    # Write-back: the serialized statement carries the hash as the actor
+    # account name (anonymize_statement inserts the hash before
+    # serialization, src/main.rs:643 + 382).
+    statement_json = F.to_json(
+        F.struct(
+            F.struct(
+                F.struct(F.col("hashed_value").alias("name")).alias("account")
+            ).alias("actor"),
+            F.col("event_type").alias("verb"),
+            F.col("props").alias("object"),
+        )
+    )
+    return hashed.select(
+        objectid_hex(F.col("event_id")).alias("id"),
+        statement_json.alias("statement"),
+        timestamp_format(F.col("ts")).alias("timestamp"),
+        F.col("hashed_value"),
+    )
+
+
+def route_split(anonymized: DataFrame, active_dim: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Dual-table routing (/root/reference/src/main.rs:874-913): rows whose
+    hash is in the opt-out set → opt-out table (left-semi); the rest → main
+    (left-anti). Both joins broadcast the dim — the Spark analogue of the
+    reference sharing its ``HashSet`` behind an ``Arc<RwLock>``."""
+    dim = F.broadcast(
+        active_dim.select(F.col("hashed_moodle_id").alias("hashed_value"))
+    )
+    main = anonymized.join(dim, "hashed_value", "left_anti")
+    optout = anonymized.join(dim, "hashed_value", "left_semi")
+    return main, optout
+
+
+def cdc_transform(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Flagship query: the full live-pipeline transform → main-table rows.
+    Exercises scan, filters, scalar chain, window dedup, and broadcast
+    anti-join (≥80% of the reference's semantic surface, SURVEY §7.2)."""
+    statements = statements_from_events(events, customer)
+    anonymized = anonymized_statements(statements)
+    active = optout_active(optout_dim(customer))
+    main, _ = route_split(anonymized, active)
+    return main

@@ -1,0 +1,587 @@
+"""Core reference-surface queries (SURVEY §2.1-2.7) with DuckDB oracles.
+
+Each entry: ``ID -> (spark_fn, oracle_sql | None)`` where ``spark_fn(spark,
+sf_dir) -> DataFrame``. Column names are aliased identically on both sides
+(the driver sorts columns by name before value-hashing).
+
+Determinism rules used throughout (SURVEY §5 "oracle quirks"):
+- timestamps are formatted to strings (fixture ``events.ts`` is ns-precision
+  parquet, truncated to µs by Spark and DuckDB alike; ms-strings match).
+- double AGGREGATES are computed on DECIMAL-cast inputs so both engines do
+  exact decimal arithmetic (summation order can differ at scale; raw-column
+  doubles need no treatment).
+- every computed column is aliased on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mongo_to_clickhouse_spark.io import load_table
+from mongo_to_clickhouse_spark.functions.scalars import (
+    email_localpart,
+    objectid_hex,
+    regex_escape_statement,
+    sha256_anonymize,
+    timestamp_format,
+)
+from mongo_to_clickhouse_spark.plans.pipeline import (
+    anonymized_statements,
+    cdc_transform,
+    optout_active,
+    optout_dim,
+    route_split,
+    statements_from_events,
+)
+
+# Shared fixture-range constants
+TS_LO = "2024-01-05 00:00:00"
+TS_HI = "2024-01-20 00:00:00"
+
+# ---------------------------------------------------------------------------
+# Reusable DuckDB SQL fragments mirroring plans/pipeline.py exactly.
+# ---------------------------------------------------------------------------
+
+DIM_SQL = """
+    SELECT lower(c_name) AS email,
+           sha256('fixture-salt' || 't1' || split_part(lower(c_name), '@', 1))
+               AS hashed_moodle_id,
+           v.version AS version
+    FROM customer
+    CROSS JOIN (VALUES (1), (2), (3)) AS v(version)
+    WHERE c_custkey % 5 = 0 AND v.version <= (c_custkey % 3) + 1
+"""
+
+ACTIVE_DIM_SQL = f"""
+    SELECT email, hashed_moodle_id, version FROM (
+        SELECT *, row_number() OVER (PARTITION BY email ORDER BY version DESC) AS __rn
+        FROM ({DIM_SQL})
+    ) WHERE __rn = 1
+"""
+
+STMTS_SQL = """
+    SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props,
+           lower(c.c_name) AS actor_name
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+ANON_SQL = f"""
+    SELECT printf('%024x', event_id) AS id,
+           to_json(struct_pack(
+               actor := struct_pack(account := struct_pack(name := hashed_value)),
+               verb := event_type,
+               object := props)) AS statement,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS "timestamp",
+           hashed_value
+    FROM (
+        SELECT s.*,
+               sha256('fixture-salt' || 't1' || split_part(actor_name, '@', 1))
+                   AS hashed_value
+        FROM ({STMTS_SQL}) s
+        WHERE event_id IS NOT NULL AND ts IS NOT NULL AND props IS NOT NULL
+          AND actor_name IS NOT NULL
+          AND length(split_part(actor_name, '@', 1)) > 0
+    )
+"""
+
+
+def _dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return optout_dim(load_table(spark, sf_dir, "customer"))
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / sources / sinks
+# ---------------------------------------------------------------------------
+
+def source_batch_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor scan with pushed-down range filter
+    (historical_data/src/main.rs:362-377): parquet scan + Catalyst pushdown
+    (the range predicate lands on the raw nanos column → row-group pruning)."""
+    ev = load_table(spark, sf_dir, "events", ts_range=(TS_LO, TS_HI))
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            "value",
+            timestamp_format(F.col("ts")).alias("ts_ms"),
+        )
+    )
+
+
+SOURCE_BATCH_SCAN_SQL = f"""
+    SELECT event_id, event_type, value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS ts_ms
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '{TS_LO}' AND TIMESTAMP '{TS_HI}'
+"""
+
+
+def source_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_documents(filter) (historical_data/src/main.rs:356-360)."""
+    ev = load_table(spark, sf_dir, "events", ts_range=(TS_LO, TS_HI))
+    return ev.agg(F.count("*").alias("n_docs"))
+
+
+SOURCE_COUNT_SQL = f"""
+    SELECT count(*) AS n_docs FROM events
+    WHERE ts BETWEEN TIMESTAMP '{TS_LO}' AND TIMESTAMP '{TS_HI}'
+"""
+
+
+def source_dim_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The opt-out dimension load (/root/reference/src/main.rs:771-793):
+    latest-version row per email."""
+    return optout_active(_dim(spark, sf_dir))
+
+
+def sink_clickhouse_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output relation of the bulk INSERT (id, statement, timestamp,
+    hashed_value) (/root/reference/src/main.rs:890-900). ``created_at`` is
+    sink-side now() — non-deterministic, excluded from the compared shape."""
+    return cdc_transform(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )
+
+
+SINK_CLICKHOUSE_INSERT_SQL = f"""
+    SELECT a.* FROM ({ANON_SQL}) a
+    ANTI JOIN ({ACTIVE_DIM_SQL}) d ON a.hashed_value = d.hashed_moodle_id
+"""
+
+
+def sink_dual_table_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-table fanout (/root/reference/src/main.rs:874-913) as one
+    relation with a ``route`` column (main | opt_out)."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    anon = anonymized_statements(statements_from_events(events, customer))
+    main, optout = route_split(anon, optout_active(optout_dim(customer)))
+    return main.withColumn("route", F.lit("main")).unionByName(
+        optout.withColumn("route", F.lit("opt_out"))
+    )
+
+
+SINK_DUAL_TABLE_SPLIT_SQL = f"""
+    WITH anon AS ({ANON_SQL}), dim AS ({ACTIVE_DIM_SQL})
+    SELECT a.*, 'main' AS route FROM anon a
+    ANTI JOIN dim d ON a.hashed_value = d.hashed_moodle_id
+    UNION ALL
+    SELECT a.*, 'opt_out' AS route FROM anon a
+    SEMI JOIN dim d ON a.hashed_value = d.hashed_moodle_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+def project_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract (_id→hex, statement, timestamp) from the dynamic document
+    (/root/reference/src/main.rs:362-397)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        objectid_hex(F.col("event_id")).alias("id"),
+        F.col("props").alias("statement"),
+        timestamp_format(F.col("ts")).alias("ts_ms"),
+    )
+
+
+PROJECT_EXTRACT_FIELDS_SQL = """
+    SELECT printf('%024x', event_id) AS id,
+           props AS statement,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS ts_ms
+    FROM events
+"""
+
+
+def filter_required_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warn-and-skip on missing required fields
+    (/root/reference/src/main.rs:377-397, 445-453) → null/empty filters."""
+    stmts = statements_from_events(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )
+    return stmts.filter(
+        F.col("event_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("props").isNotNull()
+        & F.col("actor_name").isNotNull()
+        & (F.length(email_localpart(F.col("actor_name"))) > 0)
+    ).select("event_id", "user_id", "actor_name")
+
+
+FILTER_REQUIRED_FIELDS_SQL = f"""
+    SELECT event_id, user_id, actor_name FROM ({STMTS_SQL})
+    WHERE event_id IS NOT NULL AND ts IS NOT NULL AND props IS NOT NULL
+      AND actor_name IS NOT NULL
+      AND length(split_part(actor_name, '@', 1)) > 0
+"""
+
+
+def filter_timestamp_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$gte/$lte range pushed to the source
+    (historical_data/src/main.rs:349-354)."""
+    ev = load_table(spark, sf_dir, "events", ts_range=(TS_LO, TS_HI))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        timestamp_format(F.col("ts")).alias("ts_ms"),
+    )
+
+
+FILTER_TIMESTAMP_RANGE_SQL = f"""
+    SELECT event_id, user_id, event_type, value, props,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS ts_ms
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '{TS_LO}' AND TIMESTAMP '{TS_HI}'
+"""
+
+
+def predicate_optout_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row opt-out membership flag (/root/reference/src/main.rs:852):
+    broadcast left join → boolean, instead of a driver-side HashSet."""
+    anon = anonymized_statements(
+        statements_from_events(
+            load_table(spark, sf_dir, "events"),
+            load_table(spark, sf_dir, "customer"),
+        )
+    )
+    dim = optout_active(_dim(spark, sf_dir)).select(
+        F.col("hashed_moodle_id").alias("hashed_value"), F.lit(True).alias("__hit")
+    )
+    return anon.join(F.broadcast(dim), "hashed_value", "left").select(
+        "id", F.coalesce(F.col("__hit"), F.lit(False)).alias("is_opt_out")
+    )
+
+
+PREDICATE_OPTOUT_MEMBERSHIP_SQL = f"""
+    WITH anon AS ({ANON_SQL}), dim AS ({ACTIVE_DIM_SQL})
+    SELECT a.id,
+           (d.hashed_moodle_id IS NOT NULL) AS is_opt_out
+    FROM anon a LEFT JOIN dim d ON a.hashed_value = d.hashed_moodle_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+def routing_optout_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows whose hash IS in the opt-out set → broadcast left-semi join
+    (/root/reference/src/main.rs:876-882)."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    anon = anonymized_statements(statements_from_events(events, customer))
+    _, optout = route_split(anon, optout_active(optout_dim(customer)))
+    return optout
+
+
+ROUTING_OPTOUT_SEMI_JOIN_SQL = f"""
+    SELECT a.* FROM ({ANON_SQL}) a
+    SEMI JOIN ({ACTIVE_DIM_SQL}) d ON a.hashed_value = d.hashed_moodle_id
+"""
+
+
+def routing_optout_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows whose hash is NOT in the set → broadcast left-anti join."""
+    return sink_clickhouse_insert(spark, sf_dir)
+
+
+def join_tuple_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(email, version) IN (SELECT email, MAX(version) ... GROUP BY email)
+    (/root/reference/src/main.rs:774) — Catalyst rewrites to LeftSemi."""
+    _dim(spark, sf_dir).createOrReplaceTempView("moodle_ids")
+    return spark.sql(
+        """
+        SELECT email, hashed_moodle_id, version FROM moodle_ids
+        WHERE (email, version) IN
+              (SELECT email, MAX(version) FROM moodle_ids GROUP BY email)
+        """
+    )
+
+
+# DuckDB lacks tuple-IN-subquery; the equivalent relational form is a semi
+# join on the aggregated subquery (the same rewrite Catalyst applies).
+JOIN_TUPLE_IN_SUBQUERY_SQL = f"""
+    WITH moodle_ids AS ({DIM_SQL})
+    SELECT m.email, m.hashed_moodle_id, m.version FROM moodle_ids m
+    SEMI JOIN (SELECT email, MAX(version) AS mv FROM moodle_ids GROUP BY email) g
+      ON m.email = g.email AND m.version = g.mv
+"""
+
+
+def join_fact_dim_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema equi joins (extension ID per SURVEY §2.3): revenue per
+    nation, lineitem ⨝ orders ⨝ customer ⨝ nation. Dimensions broadcast;
+    the fact side aggregates map-side before the final exchange."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            # round() is HALF_UP in both Spark and DuckDB (their decimal
+            # CASTs disagree on ties: half-up vs half-even).
+            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+JOIN_FACT_DIM_EQUI_SQL = """
+    SELECT n_name,
+           round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))),
+                 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations / §2.5 windows
+# ---------------------------------------------------------------------------
+
+def agg_max_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT email, MAX(version) ... GROUP BY email
+    (/root/reference/src/main.rs:774)."""
+    return _dim(spark, sf_dir).groupBy("email").agg(
+        F.max("version").alias("max_version")
+    )
+
+
+AGG_MAX_PER_GROUP_SQL = f"""
+    SELECT email, MAX(version) AS max_version FROM ({DIM_SQL}) GROUP BY email
+"""
+
+
+def dedup_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-version-per-key argmax — window row_number implementation
+    (the Spark-idiomatic form of the reference's tuple-IN subquery)."""
+    return optout_active(_dim(spark, sf_dir))
+
+
+DEDUP_LATEST_VERSION_SQL = ACTIVE_DIM_SQL
+SOURCE_DIM_QUERY_SQL = ACTIVE_DIM_SQL
+
+
+def agg_count_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count per key (progress accounting analogue,
+    historical_data/src/main.rs:356-360)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+AGG_COUNT_BY_KEY_SQL = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+
+
+# ---------------------------------------------------------------------------
+# §2.7 scalar functions
+# ---------------------------------------------------------------------------
+
+def scalar_email_localpart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity extraction (/root/reference/src/main.rs:627-631). Fixture
+    emails are synthesized with an '@domain' so the split is exercised."""
+    cust = load_table(spark, sf_dir, "customer")
+    email = F.concat(F.lower(F.col("c_name")), F.lit("@example.com"))
+    return cust.select(
+        F.col("c_custkey"),
+        email.alias("email"),
+        email_localpart(email).alias("localpart"),
+    )
+
+
+SCALAR_EMAIL_LOCALPART_SQL = """
+    SELECT c_custkey,
+           lower(c_name) || '@example.com' AS email,
+           split_part(lower(c_name) || '@example.com', '@', 1) AS localpart
+    FROM customer
+"""
+
+
+def scalar_sha256_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hex(sha256(salt ‖ tenant ‖ localpart))
+    (/root/reference/src/main.rs:636-641)."""
+    cust = load_table(spark, sf_dir, "customer")
+    email = F.concat(F.lower(F.col("c_name")), F.lit("@example.com"))
+    return cust.select(
+        F.col("c_custkey"), sha256_anonymize(email).alias("hashed_value")
+    )
+
+
+SCALAR_SHA256_ANONYMIZE_SQL = """
+    SELECT c_custkey,
+           sha256('fixture-salt' || 't1'
+                  || split_part(lower(c_name) || '@example.com', '@', 1))
+               AS hashed_value
+    FROM customer
+"""
+
+
+def scalar_regex_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """process_statement escaping (/root/reference/src/main.rs:647-672) over
+    JSON props plus synthesized backslash runs of length event_id % 5."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = F.concat(
+        F.lit('"'),
+        F.col("props"),
+        F.expr("repeat('\\\\', CAST(event_id % 5 AS INT))"),
+        F.lit('"'),
+    )
+    return ev.select(
+        F.col("event_id"),
+        raw.alias("raw"),
+        regex_escape_statement(raw).alias("escaped"),
+    )
+
+
+SCALAR_REGEX_ESCAPE_SQL = r"""
+    WITH raw_t AS (
+        SELECT event_id,
+               '"' || props || repeat('\', CAST(event_id % 5 AS INT)) || '"' AS raw
+        FROM events
+    )
+    SELECT event_id, raw,
+           replace(
+             replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(raw, '\\{2}', '\\\\\\\\', 'g'),
+                       '\\(?:\\\\)*', '\\\\', 'g'),
+                     '\\{4,}', '\\\\\\\\', 'g'),
+                   '^"+', '', 'g'),
+                 '"+$', '', 'g'),
+               '\' || chr(39), '\\' || chr(39)),
+             chr(39), '\' || chr(39)) AS escaped
+    FROM raw_t
+"""
+
+
+def scalar_json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """document → JSON string (/root/reference/src/main.rs:382)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id"),
+        F.to_json(F.struct(F.col("event_id"), F.col("event_type"))).alias("doc_json"),
+    )
+
+
+SCALAR_JSON_SERIALIZE_SQL = """
+    SELECT event_id,
+           to_json(struct_pack(event_id := event_id, event_type := event_type))
+               AS doc_json
+    FROM events
+"""
+
+
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction over the props column (extension ID)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id"),
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+    )
+
+
+SCALAR_JSON_EXTRACT_SQL = """
+    SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events
+"""
+
+
+def scalar_timestamp_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """epoch-millis → '%Y-%m-%d %H:%M:%S%.3f' string
+    (/root/reference/src/main.rs:857-862), UTC session timezone."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id"), timestamp_format(F.col("ts")).alias("ts_ms")
+    )
+
+
+SCALAR_TIMESTAMP_FORMAT_SQL = """
+    SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS ts_ms FROM events
+"""
+
+
+def scalar_objectid_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ObjectId → 24-char hex (/root/reference/src/main.rs:367)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id"), objectid_hex(F.col("event_id")).alias("id_hex")
+    )
+
+
+SCALAR_OBJECTID_HEX_SQL = """
+    SELECT event_id, printf('%024x', event_id) AS id_hex FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple] = {
+    "source_batch_scan": (source_batch_scan, SOURCE_BATCH_SCAN_SQL),
+    "source_count": (source_count, SOURCE_COUNT_SQL),
+    "source_dim_query": (source_dim_query, SOURCE_DIM_QUERY_SQL),
+    "sink_clickhouse_insert": (sink_clickhouse_insert, SINK_CLICKHOUSE_INSERT_SQL),
+    "sink_dual_table_split": (sink_dual_table_split, SINK_DUAL_TABLE_SPLIT_SQL),
+    "project_extract_fields": (project_extract_fields, PROJECT_EXTRACT_FIELDS_SQL),
+    "filter_required_fields": (filter_required_fields, FILTER_REQUIRED_FIELDS_SQL),
+    "filter_timestamp_range": (filter_timestamp_range, FILTER_TIMESTAMP_RANGE_SQL),
+    "predicate_optout_membership": (
+        predicate_optout_membership,
+        PREDICATE_OPTOUT_MEMBERSHIP_SQL,
+    ),
+    "routing_optout_semi_join": (
+        routing_optout_semi_join,
+        ROUTING_OPTOUT_SEMI_JOIN_SQL,
+    ),
+    "routing_optout_anti_join": (
+        routing_optout_anti_join,
+        SINK_CLICKHOUSE_INSERT_SQL,
+    ),
+    "join_tuple_in_subquery": (join_tuple_in_subquery, JOIN_TUPLE_IN_SUBQUERY_SQL),
+    "join_fact_dim_equi": (join_fact_dim_equi, JOIN_FACT_DIM_EQUI_SQL),
+    "agg_max_per_group": (agg_max_per_group, AGG_MAX_PER_GROUP_SQL),
+    "dedup_latest_version": (dedup_latest_version, DEDUP_LATEST_VERSION_SQL),
+    "agg_count_by_key": (agg_count_by_key, AGG_COUNT_BY_KEY_SQL),
+    "scalar_email_localpart": (scalar_email_localpart, SCALAR_EMAIL_LOCALPART_SQL),
+    "scalar_sha256_anonymize": (
+        scalar_sha256_anonymize,
+        SCALAR_SHA256_ANONYMIZE_SQL,
+    ),
+    "scalar_regex_escape": (scalar_regex_escape, SCALAR_REGEX_ESCAPE_SQL),
+    "scalar_json_serialize": (scalar_json_serialize, SCALAR_JSON_SERIALIZE_SQL),
+    "scalar_json_extract": (scalar_json_extract, SCALAR_JSON_EXTRACT_SQL),
+    "scalar_timestamp_format": (
+        scalar_timestamp_format,
+        SCALAR_TIMESTAMP_FORMAT_SQL,
+    ),
+    "scalar_objectid_hex": (scalar_objectid_hex, SCALAR_OBJECTID_HEX_SQL),
+}

@@ -1,0 +1,86 @@
+"""Local replica of the driver's correctness gate: run each declared query
+on Spark AND its DuckDB oracle on the same parquet, compare row count,
+column names, and order-insensitive values.
+
+Comparison is strict (exact value equality after canonical stringification)
+— stricter than any plausible hash the driver uses, so passing here implies
+passing there.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from decimal import Decimal
+
+import duckdb
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _canon(v):
+    """Canonical, engine-agnostic value representation."""
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, Decimal):
+        return str(v.normalize())
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return str(v)
+
+
+def rows_key(cols, rows):
+    """Sort columns by name (like the driver), canonicalize, sort rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+def compare(spark_df, con, sql: str) -> list[str]:
+    """Return a list of mismatch descriptions (empty = parity)."""
+    problems: list[str] = []
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    s_cols = [c for c in spark_df.columns]
+    d_rel = con.sql(sql)
+    d_cols = list(d_rel.columns)
+    d_rows = d_rel.fetchall()
+
+    if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in d_cols):
+        problems.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        return problems
+    if len(s_rows) != len(d_rows):
+        problems.append(f"row count differs: spark={len(s_rows)} duck={len(d_rows)}")
+
+    sk = rows_key([c.lower() for c in s_cols], s_rows)
+    dk = rows_key([c.lower() for c in d_cols], d_rows)
+    if sk != dk:
+        diff_s = [r for r in sk if r not in set(map(tuple, dk))][:3]
+        diff_d = [r for r in dk if r not in set(map(tuple, sk))][:3]
+        problems.append(
+            f"values differ; spark-only sample={diff_s} duck-only sample={diff_d}"
+        )
+    return problems
