@@ -1,0 +1,307 @@
+"""Relational extension operators (SURVEY §2.4-2.6 extension IDs).
+
+The reference has no ORDER BY / LIMIT / set ops / distinct aggs / window
+surface beyond the latest-version dedup; these are the declared extensions,
+all built-in in Spark. Determinism: decimal-cast inputs for double
+aggregates, unique-key tiebreaks for every ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mongo_to_clickhouse_spark.io import load_table
+
+_DEC = "decimal(18,2)"
+
+
+def _q(c: str) -> F.Column:
+    return F.col(c).cast(_DEC)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 — the headline aggregation (bench driver at sf0.1)
+# ---------------------------------------------------------------------------
+
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape over the lineitem fixture: 2 group keys, 8 aggregates.
+    All-decimal arithmetic for engine-exact parity; one shuffle, map-side
+    partial aggregation (check: HashAggregate(partial) under the scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _q("l_extendedprice") * (F.lit(1).cast(_DEC) - _q("l_discount"))
+    charge = disc_price * (F.lit(1).cast(_DEC) + _q("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_q("l_quantity")), 2).alias("sum_qty"),
+            F.round(F.sum(_q("l_extendedprice")), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.sum(_q("l_quantity")) / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(_q("l_extendedprice")) / F.count("*"), 6).alias("avg_price"),
+            F.round(F.sum(_q("l_discount")) / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+TPCH_Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           round(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS sum_qty,
+           round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS sum_base_price,
+           round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2)
+               AS sum_disc_price,
+           round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                     * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))), 2)
+               AS sum_charge,
+           round(SUM(CAST(l_quantity AS DECIMAL(18,2))) / COUNT(*), 6) AS avg_qty,
+           round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / COUNT(*), 6) AS avg_price,
+           round(SUM(CAST(l_discount AS DECIMAL(18,2))) / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 extension aggregates
+# ---------------------------------------------------------------------------
+
+def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+AGG_DISTINCT_COUNT_SQL = """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate. Estimators differ across engines, so
+    the oracle checks the ESTIMATE'S CONTRACT (within 5% of exact), not the
+    raw sketch value: both sides emit ok=true rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+            F.countDistinct("l_partkey").alias("exact"),
+        )
+        .select(
+            "l_returnflag",
+            (F.abs(F.col("approx") - F.col("exact")) / F.col("exact") < 0.05).alias(
+                "within_5pct"
+            ),
+        )
+    )
+
+
+AGG_APPROX_DISTINCT_SQL = """
+    SELECT l_returnflag,
+           abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+               / COUNT(DISTINCT l_partkey) < 0.05 AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(returnflag, linestatus) — subtotals + grand total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(_q("l_quantity")), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+AGG_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           round(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (continuous) per group, rounded for
+    cross-engine float stability."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+    )
+
+
+AGG_PERCENTILE_SQL = """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows
+# ---------------------------------------------------------------------------
+
+def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per market segment by totalprice (unique-key tiebreak).
+    Spark plans this as WindowGroupLimit — per-partition top-k heaps, no
+    full sort of each group (the scale path for top-k per group)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+WINDOW_RANK_TOPK_SQL = """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rk <= 3
+"""
+
+
+def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per user over event time (rows unbounded-preceding →
+    current). Decimal-cast so the cumulative sum is engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(_q("value")).over(w).alias("running_value"),
+    )
+
+
+WINDOW_RUNNING_AGG_SQL = """
+    SELECT event_id, user_id,
+           SUM(CAST(value AS DECIMAL(18,2)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running_value
+    FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sort / limit / set ops
+# ---------------------------------------------------------------------------
+
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 by extendedprice — Spark plans TakeOrderedAndProject
+    (per-partition heaps + driver merge, no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(10)
+    )
+
+
+SORT_LIMIT_TOPK_SQL = """
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10
+"""
+
+
+def setop_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (dedup) of customer and supplier nation keys."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+SETOP_UNION_DEDUP_SQL = """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations present among both customers and suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+SETOP_INTERSECT_SQL = """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: nations with customers but no high-balance suppliers
+    (supplier side filtered so the difference is non-empty at every sf)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 8000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.subtract(s)
+
+
+SETOP_EXCEPT_SQL = """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 8000
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "tpch_q1_pricing_summary": (tpch_q1_pricing_summary, TPCH_Q1_SQL),
+    "agg_distinct_count": (agg_distinct_count, AGG_DISTINCT_COUNT_SQL),
+    "agg_approx_distinct": (agg_approx_distinct, AGG_APPROX_DISTINCT_SQL),
+    "agg_grouping_sets": (agg_grouping_sets, AGG_GROUPING_SETS_SQL),
+    "agg_percentile": (agg_percentile, AGG_PERCENTILE_SQL),
+    "window_rank_topk_per_group": (window_rank_topk_per_group, WINDOW_RANK_TOPK_SQL),
+    "window_running_agg": (window_running_agg, WINDOW_RUNNING_AGG_SQL),
+    "sort_limit_topk": (sort_limit_topk, SORT_LIMIT_TOPK_SQL),
+    "setop_union_dedup": (setop_union_dedup, SETOP_UNION_DEDUP_SQL),
+    "setop_intersect": (setop_intersect, SETOP_INTERSECT_SQL),
+    "setop_except": (setop_except, SETOP_EXCEPT_SQL),
+}
