@@ -8,9 +8,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mongo_to_clickhouse_spark.queries import core, relational_ext
+from mongo_to_clickhouse_spark.queries import core, relational_ext, textops
 
-_MODULES = [core, relational_ext]
+_MODULES = [core, relational_ext, textops]
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

@@ -1,0 +1,244 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline surface (language ID, quality scoring, token
+counting, fingerprinting, exact dedup). All pure column expressions
+(JVM-side, codegen'd); shuffles only where aggregation demands it.
+
+Scale posture: every per-document computation here is a narrow map —
+at 100 TB these stream through executors with zero exchange; only the
+groupBys (wordcount, lang stats, dedup) shuffle, each on a key with
+bounded cardinality (vocab / lang / content-hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongo_to_clickhouse_spark.io import load_table
+
+# Marker-token profiles for the language-ID heuristic: hit counts per
+# profile are the unigram analogue of n-gram language profiles
+# (Cavnar-Trenkle); deterministic and oracle-mirrorable.
+LANG_MARKERS = {
+    "query_heavy": ("query", "filter", "join", "scan"),
+    "storage_heavy": ("table", "column", "row", "key"),
+    "stream_heavy": ("stream", "window", "batch", "spark"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def _tokens(col):
+    return F.split(col, " ")
+
+
+def text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenize + explode + count — the classic wordcount.
+    Map-side partial aggregation bounds the shuffle by vocabulary size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+TEXT_TOKENIZE_WORDCOUNT_SQL = """
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+"""
+
+
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum(F.col("n_chars").cast("decimal(18,2)")) / F.count("*"), 4).alias(
+            "avg_chars"
+        ),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+TEXT_LANG_STATS_SQL = """
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           round(SUM(CAST(n_chars AS DECIMAL(18,2))) / COUNT(*), 4) AS avg_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+"""
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and BPE-ish regex word
+    pieces (``[a-z0-9]+``) — the pretraining-pipeline token accounting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)).alias(
+            "re_tokens"
+        ),
+    )
+
+
+TEXT_TOKEN_COUNT_SQL = """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z0-9]+', 0)) AS re_tokens
+    FROM documents
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: token count, mean token length,
+    stopword ratio, lexical diversity — the standard cheap pretraining
+    filters (C4/Gopher-style rules on fixture-appropriate features)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    distinct_n = F.size(F.array_distinct(toks))
+    mean_len = (F.length(F.col("text")) - (n - 1)) / n  # chars minus spaces
+    stop_ratio = stop_hits / n
+    diversity = distinct_n / n
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(mean_len, 4).alias("mean_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(diversity, 4).alias("lexical_diversity"),
+        (
+            (n >= 10) & (stop_ratio < 0.5) & (diversity > 0.2)
+        ).alias("passes_quality"),
+    )
+
+
+TEXT_QUALITY_SCORE_SQL = f"""
+    SELECT doc_id,
+           n_tokens,
+           round(mean_token_len, 4) AS mean_token_len,
+           round(stop_ratio, 4) AS stopword_ratio,
+           round(diversity, 4) AS lexical_diversity,
+           (n_tokens >= 10 AND stop_ratio < 0.5 AND diversity > 0.2)
+               AS passes_quality
+    FROM (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               (length(text) - (len(toks) - 1)) / len(toks) AS mean_token_len,
+               len(list_filter(toks, t -> t IN {STOPWORDS!r}))::DOUBLE / len(toks)
+                   AS stop_ratio,
+               len(list_distinct(toks))::DOUBLE / len(toks) AS diversity
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    )
+"""
+
+
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by marker-token profile scoring (unigram profile hits,
+    argmax with deterministic tiebreak) — the n-gram-profile classifier
+    shape on the fixture's synthetic vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    def _hits(markers):
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = [
+        _hits(markers).alias(f"s_{name}") for name, markers in LANG_MARKERS.items()
+    ]
+    scored = docs.select("doc_id", "lang", *scores)
+    names = list(LANG_MARKERS)
+    # argmax with name-order tiebreak: greatest(structs) trick
+    best = F.greatest(
+        *[
+            F.struct(
+                F.col(f"s_{n}").alias("score"),
+                # invert name rank so ties resolve to the FIRST profile
+                F.lit(len(names) - i).alias("rank"),
+                F.lit(n).alias("name"),
+            )
+            for i, n in enumerate(names)
+        ]
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        *[F.col(f"s_{n}") for n in names],
+        best["name"].alias("predicted_profile"),
+    )
+
+
+_SCORE_SQL = ",\n               ".join(
+    f"len(list_filter(toks, t -> t IN {markers!r})) AS s_{name}"
+    for name, markers in LANG_MARKERS.items()
+)
+_NAMES = list(LANG_MARKERS)
+_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN s_{n} >= greatest({', '.join('s_' + m for m in _NAMES)}) THEN '{n}'"
+        for n in _NAMES
+    )
+    + " END"
+)
+
+TEXT_LANGID_NGRAM_SQL = f"""
+    SELECT doc_id, lang, {', '.join('s_' + n for n in _NAMES)},
+           {_CASE_SQL} AS predicted_profile
+    FROM (
+        SELECT doc_id, lang,
+               {_SCORE_SQL}
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+    )
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint: md5 over the sorted distinct token
+    set — order/duplication-insensitive content identity (the cheap
+    fingerprint tier below MinHash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens(F.col("text")))))
+    return docs.select("doc_id", F.md5(canon).alias("fingerprint"))
+
+
+TEXT_FINGERPRINT_SQL = """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fingerprint
+    FROM documents
+"""
+
+
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: groupBy(sha256(text)) keeping the
+    smallest doc_id (deterministic keeper) + duplicate count. One shuffle
+    on the hash — uniformly distributed, skew-free at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2(F.col("text"), 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_HASH_SQL = """
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "text_tokenize_wordcount": (text_tokenize_wordcount, TEXT_TOKENIZE_WORDCOUNT_SQL),
+    "text_lang_stats": (text_lang_stats, TEXT_LANG_STATS_SQL),
+    "text_token_count": (text_token_count, TEXT_TOKEN_COUNT_SQL),
+    "text_quality_score": (text_quality_score, TEXT_QUALITY_SCORE_SQL),
+    "text_langid_ngram": (text_langid_ngram, TEXT_LANGID_NGRAM_SQL),
+    "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
+    "dedup_exact_hash": (dedup_exact_hash, DEDUP_EXACT_HASH_SQL),
+}
