@@ -1,0 +1,387 @@
+"""Similarity search + embedding dedup over the ``embeddings`` table.
+
+Four tiers, all oracle-checked (centroids and hyperplanes are
+deterministic, so even the "approximate" variants are exactly mirrorable
+in DuckDB SQL):
+
+- ``sim_cosine_topk``      — brute-force top-k (the correctness baseline)
+- ``sim_ann_lsh``          — random-hyperplane LSH with banding (OR-amplified)
+- ``sim_ann_ivf``          — inverted-file: nearest-centroid partitioning
+- ``dedup_embedding_cosine`` — blocked near-duplicate pair detection
+
+Scale posture (100 TB): brute force is probe-broadcast × candidate-scan —
+linear per probe, fine for small probe sets; LSH banding turns the
+quadratic pair space into an equi-join on (band, signature) — the same
+banding trick MinHash uses for text; IVF prunes to one centroid's list
+(shuffle on cent_id, then local top-k). Norms are computed once per table,
+never per pair. Top-k uses rank-limit windows → Spark's WindowGroupLimit
+(per-partition heaps before the exchange).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mongo_to_clickhouse_spark.functions.vectors import cosine_with_norms, dot, norm
+from mongo_to_clickhouse_spark.io import load_table
+
+N_PROBES = 10          # probe set: vec_id < N_PROBES
+TOPK = 5
+NEAR_DUP_THRESHOLD = 0.38   # fixture vectors are random (max intra-label
+                            # cosine ≈ 0.47) — threshold chosen to yield pairs
+CENTROID_MODULUS = 50  # IVF centroids: every 50th vector
+N_PLANES = 8           # LSH: 8 hyperplanes → 2 bands × 4 bits
+LSH_BANDS = 2
+_DIM = 64
+
+# Deterministic hyperplanes, rounded so the identical literals parse to the
+# identical doubles in both engines.
+_PLANES: list[list[float]] = [
+    [round(float(v), 4) for v in row]
+    for row in np.random.RandomState(42).standard_normal((N_PLANES, _DIM))
+]
+
+
+def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.withColumn("nrm", norm(F.col("embedding")))
+
+
+_NORM_SQL = (
+    "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))"
+)
+
+
+def _pair_cosine_sql(a: str = "a", b: str = "b") -> str:
+    return (
+        f"list_dot_product(CAST({a}.embedding AS DOUBLE[]), "
+        f"CAST({b}.embedding AS DOUBLE[])) / ({a}.nrm * {b}.nrm)"
+    )
+
+
+_EMB_NORM_CTE = f"SELECT vec_id, label, embedding, {_NORM_SQL} AS nrm FROM embeddings"
+
+
+# ---------------------------------------------------------------------------
+# brute-force top-k
+# ---------------------------------------------------------------------------
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for each probe vector. Probe side is
+    broadcast; candidates stream; rank-limit window → per-partition heap."""
+    emb = _emb_with_norm(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("nrm").alias("p_nrm"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    sim = F.round(
+        cosine_with_norms(
+            F.col("p_emb"), F.col("c_emb"), F.col("p_nrm"), F.col("c_nrm")
+        ),
+        6,
+    )
+    pairs = (
+        F.broadcast(probes)
+        .crossJoin(cands)
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+    )
+
+
+SIM_COSINE_TOPK_SQL = f"""
+    WITH e AS ({_EMB_NORM_CTE})
+    SELECT probe_id, neighbor_id, sim, rank FROM (
+        SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+               round({_pair_cosine_sql()}, 6) AS sim,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY round({_pair_cosine_sql()}, 6) DESC, b.vec_id) AS rank
+        FROM e a JOIN e b ON a.vec_id < {N_PROBES} AND a.vec_id <> b.vec_id
+    ) WHERE rank <= {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplanes, banded)
+# ---------------------------------------------------------------------------
+
+def _plane_lit(plane: list[float]):
+    return F.array(*[F.lit(v) for v in plane])
+
+
+def _lsh_bands(emb_col) -> list:
+    """Band values: 4 sign bits per band packed into an int."""
+    bits = [
+        (dot(emb_col, _plane_lit(p)) >= 0).cast("int") for p in _PLANES
+    ]
+    per_band = N_PLANES // LSH_BANDS
+    bands = []
+    for b in range(LSH_BANDS):
+        val = F.lit(0)
+        for i in range(per_band):
+            val = val * 2 + bits[b * per_band + i]
+        bands.append(val)
+    return bands
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH: vectors bucketed by sign
+    signatures in 2 bands (OR-amplification); candidates = any shared
+    (band, signature) bucket; exact cosine re-ranks the candidates.
+
+    The banding join is the scale path: candidate generation is an
+    equi-join on (band_idx, band_val) — no quadratic pair space."""
+    emb = _emb_with_norm(spark, sf_dir)
+    bands = _lsh_bands(F.col("embedding"))
+    banded = emb.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band_idx"), b.alias("band_val"))
+                    for i, b in enumerate(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("vec_id", "embedding", "nrm", "band.band_idx", "band.band_val")
+
+    probes = banded.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("nrm").alias("p_nrm"),
+        "band_idx",
+        "band_val",
+    )
+    cands = banded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+        "band_idx",
+        "band_val",
+    )
+    pairs = (
+        probes.join(cands, ["band_idx", "band_val"])
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(
+                cosine_with_norms(
+                    F.col("p_emb"), F.col("c_emb"), F.col("p_nrm"), F.col("c_nrm")
+                ),
+                6,
+            ).alias("sim"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def _band_sql(table_alias: str) -> str:
+    """SQL emitting (vec_id, embedding, nrm, band_idx, band_val) rows —
+    the same literal hyperplanes as the Spark plan."""
+    per_band = N_PLANES // LSH_BANDS
+    selects = []
+    for b in range(LSH_BANDS):
+        terms = []
+        for i in range(per_band):
+            plane = _PLANES[b * per_band + i]
+            lit = "[" + ", ".join(str(v) for v in plane) + "]::DOUBLE[]"
+            bit = (
+                f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {lit})"
+                f" >= 0 THEN 1 ELSE 0 END)"
+            )
+            terms.append(f"{bit} * {2 ** (per_band - 1 - i)}")
+        selects.append(
+            f"SELECT vec_id, embedding, nrm, {b} AS band_idx, "
+            f"({' + '.join(terms)}) AS band_val FROM {table_alias}"
+        )
+    return " UNION ALL ".join(selects)
+
+
+SIM_ANN_LSH_SQL = f"""
+    WITH e AS ({_EMB_NORM_CTE}),
+         banded AS ({_band_sql('e')})
+    SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+           round(list_dot_product(CAST(p.embedding AS DOUBLE[]),
+                                  CAST(c.embedding AS DOUBLE[]))
+                 / (p.nrm * c.nrm), 6) AS sim
+    FROM banded p
+    JOIN banded c ON p.band_idx = c.band_idx AND p.band_val = c.band_val
+    WHERE p.vec_id < {N_PROBES} AND p.vec_id <> c.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted file via nearest centroid)
+# ---------------------------------------------------------------------------
+
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat: deterministic centroids (every ``CENTROID_MODULUS``-th
+    vector), every vector assigned to its max-cosine centroid, probes
+    search only their own centroid's inverted list. Assignment is a
+    broadcast join vs the tiny centroid set + rank-1 window; the search is
+    an equi-join on cent_id — shuffle bounded by list sizes."""
+    emb = _emb_with_norm(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") % CENTROID_MODULUS == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_emb"),
+        F.col("nrm").alias("cent_nrm"),
+    )
+    sim_to_cent = F.round(
+        cosine_with_norms(
+            F.col("embedding"), F.col("cent_emb"), F.col("nrm"), F.col("cent_nrm")
+        ),
+        6,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_sim").desc(), F.col("cent_id")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            "cent_id",
+            sim_to_cent.alias("cent_sim"),
+        )
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "embedding", "nrm", "cent_id")
+    )
+    probes = assigned.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("nrm").alias("p_nrm"),
+        "cent_id",
+    )
+    cands = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+        "cent_id",
+    )
+    sim = F.round(
+        cosine_with_norms(
+            F.col("p_emb"), F.col("c_emb"), F.col("p_nrm"), F.col("c_nrm")
+        ),
+        6,
+    )
+    pairs = (
+        probes.join(cands, "cent_id")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOPK
+    )
+
+
+SIM_ANN_IVF_SQL = f"""
+    WITH e AS ({_EMB_NORM_CTE}),
+    cents AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
+        FROM e WHERE vec_id % {CENTROID_MODULUS} = 0
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, nrm, cent_id FROM (
+            SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                       CAST(c.cent_emb AS DOUBLE[]))
+                                      / (e.nrm * c.cent_nrm), 6) DESC,
+                                c.cent_id) AS __rn
+            FROM e CROSS JOIN cents c
+        ) WHERE __rn = 1
+    )
+    SELECT probe_id, neighbor_id, sim, rank FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(CAST(p.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[]))
+                     / (p.nrm * c.nrm), 6) AS sim,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY round(list_dot_product(CAST(p.embedding AS DOUBLE[]),
+                                                   CAST(c.embedding AS DOUBLE[]))
+                                  / (p.nrm * c.nrm), 6) DESC,
+                            c.vec_id) AS rank
+        FROM assigned p
+        JOIN assigned c ON p.cent_id = c.cent_id AND p.vec_id <> c.vec_id
+        WHERE p.vec_id < {N_PROBES}
+    ) WHERE rank <= {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: label-blocked (a real pipeline blocks on a
+    cluster/bucket key to avoid the quadratic pair space), cosine above
+    threshold, a<b canonical orientation."""
+    emb = _emb_with_norm(spark, sf_dir)
+    a = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    sim = F.round(
+        cosine_with_norms(
+            F.col("a_emb"), F.col("b_emb"), F.col("a_nrm"), F.col("b_nrm")
+        ),
+        6,
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("label", "a_id", "b_id", sim.alias("sim"))
+        .filter(F.col("sim") >= NEAR_DUP_THRESHOLD)
+    )
+
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+    WITH e AS ({_EMB_NORM_CTE})
+    SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+           round({_pair_cosine_sql()}, 6) AS sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_pair_cosine_sql()}, 6) >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_TOPK_SQL),
+    "sim_ann_lsh": (sim_ann_lsh, SIM_ANN_LSH_SQL),
+    "sim_ann_ivf": (sim_ann_ivf, SIM_ANN_IVF_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
+}
