@@ -8,9 +8,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mongo_to_clickhouse_spark.queries import core, relational_ext, textops, vectorops
+from mongo_to_clickhouse_spark.queries import (
+    core,
+    relational_ext,
+    streamops,
+    textops,
+    vectorops,
+)
 
-_MODULES = [core, relational_ext, textops, vectorops]
+_MODULES = [core, relational_ext, streamops, textops, vectorops]
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

@@ -1,0 +1,229 @@
+"""Event-time windowing + streaming-runtime operators over ``events``.
+
+The reference has NO event-time semantics (its only time is the 5-second
+flush timer, SURVEY §2.8); these are the declared extensions. The window
+aggregations are checked in batch mode (same ``window()`` /
+``session_window()`` expressions Structured Streaming executes
+incrementally — one logical plan, two execution modes); the rows-only IDs
+actually run a streaming query (availableNow) through the foreachBatch
+dual-write pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongo_to_clickhouse_spark.io import load_table
+
+_DEC = "decimal(18,2)"
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_DUCK_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+def stream_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type: count + decimal sum.
+    ``F.window`` is the same operator a streaming query runs incrementally;
+    in batch it is a plain bucketing groupBy (one shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast(_DEC)), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+STREAM_TUMBLING_SQL = f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_DUCK_FMT}') AS window_start,
+           event_type, COUNT(*) AS n,
+           round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS total_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+def stream_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes — every event contributes to
+    2 overlapping windows."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            F.date_format("w.end", _TS_FMT).alias("window_end"),
+            "n",
+        )
+    )
+
+
+STREAM_SLIDING_SQL = f"""
+    SELECT strftime(ws, '{_DUCK_FMT}') AS window_start,
+           strftime(ws + INTERVAL '1 hour', '{_DUCK_FMT}') AS window_end,
+           COUNT(*) AS n
+    FROM (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS ws
+        FROM events CROSS JOIN (VALUES (0), (1)) AS s(k)
+    )
+    GROUP BY ws
+"""
+
+
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 6-hour inactivity gap.
+    ``session_window`` is Spark's native sessionization operator (merging
+    state in streaming, sort-based in batch); the oracle is the classic
+    gaps-and-islands rewrite."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast(_DEC)), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT).alias("session_start"),
+            F.date_format("w.end", _TS_FMT).alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+STREAM_SESSION_SQL = f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL '6 hours'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_DUCK_FMT}') AS session_start,
+           strftime(MAX(ts) + INTERVAL '6 hours', '{_DUCK_FMT}') AS session_end,
+           COUNT(*) AS n_events,
+           round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS session_value
+    FROM sessions GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only: true streaming runtime (availableNow) — no SQL equivalent
+# ---------------------------------------------------------------------------
+
+def _stage_stream_source(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Stage the events parquet as a streaming source dir + fresh workdir."""
+    work = tempfile.mkdtemp(prefix=f"stream-{uuid.uuid4().hex[:8]}-")
+    src = os.path.join(work, "source")
+    os.makedirs(src)
+    import shutil
+
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
+    return src, work
+
+
+def stream_pipeline_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full streaming CDC pipeline end-to-end: readStream → anonymize →
+    foreachBatch dual-write → read the main sink back."""
+    from mongo_to_clickhouse_spark.config import TenantConfig
+    from mongo_to_clickhouse_spark.streaming.pipeline import run_tenant_stream
+
+    src, work = _stage_stream_source(spark, sf_dir)
+    tenant = TenantConfig(
+        name="q",
+        source_path=src,
+        sink_main_path=os.path.join(work, "main"),
+        sink_optout_path=os.path.join(work, "optout"),
+        checkpoint_path=os.path.join(work, "ckpt"),
+        dlq_path=os.path.join(work, "dlq"),
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    q = run_tenant_stream(spark, tenant, customer, available_now=True)
+    q.awaitTermination(300)
+    return spark.read.parquet(tenant.sink_main_path).drop("created_at", "batch_id")
+
+
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window count with a 10-minute watermark — the
+    late-data-drop configuration (append mode only emits finalized
+    windows)."""
+    from mongo_to_clickhouse_spark.streaming.pipeline import EVENTS_SCHEMA
+
+    src, _ = _stage_stream_source(spark, sf_dir)
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(src)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def stream_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once-per-key via ``dropDuplicates`` with watermark
+    state expiry — first event per (user_id, event_type)."""
+    from mongo_to_clickhouse_spark.streaming.pipeline import EVENTS_SCHEMA
+
+    src, _ = _stage_stream_source(spark, sf_dir)
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(src)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("event_id", "user_id", "event_type")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+QUERIES: dict[str, tuple] = {
+    "stream_tumbling_window_agg": (stream_tumbling_window_agg, STREAM_TUMBLING_SQL),
+    "stream_sliding_window_agg": (stream_sliding_window_agg, STREAM_SLIDING_SQL),
+    "stream_session_window": (stream_session_window, STREAM_SESSION_SQL),
+    "stream_pipeline_cdc": (stream_pipeline_cdc, None),
+    "stream_watermark_late_drop": (stream_watermark_late_drop, None),
+    "stream_dedup_by_key": (stream_dedup_by_key, None),
+}
