@@ -1,0 +1,78 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Each query is fully materialized via a noop write (forces every column
+through the physical plan — ``count()`` would let Spark prune the
+projections). The session is warmed once; per-query time excludes JVM
+startup, matching how a resident engine would serve queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mongo_to_clickhouse_spark.session import get_spark
+from mongo_to_clickhouse_spark import queries as registry
+
+HEADLINE = [
+    # the reference's own surface
+    "sink_clickhouse_insert",      # full CDC transform (flagship)
+    "sink_dual_table_split",
+    "dedup_latest_version",
+    "filter_timestamp_range",
+    # relational / analytical
+    "tpch_q1_pricing_summary",
+    "join_fact_dim_equi",
+    "window_rank_topk_per_group",
+    "agg_distinct_count",
+    "sort_limit_topk",
+    # event-time windows
+    "stream_tumbling_window_agg",
+    "stream_session_window",
+    # training-data pipeline
+    "dedup_exact_hash",
+    "text_tokenize_wordcount",
+    "text_quality_score",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="bench")
+
+    reg = registry.registry()
+    # warm the session (JVM codegen, file listing) with a trivial action
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for qid in HEADLINE:
+        fn, _ = reg[qid]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[qid] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
