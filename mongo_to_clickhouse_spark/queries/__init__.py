@@ -11,13 +11,22 @@ from pyspark.sql import DataFrame, SparkSession
 from mongo_to_clickhouse_spark.queries import (
     core,
     dedupops,
+    pipelineops,
     relational_ext,
     streamops,
     textops,
     vectorops,
 )
 
-_MODULES = [core, dedupops, relational_ext, streamops, textops, vectorops]
+_MODULES = [
+    core,
+    dedupops,
+    pipelineops,
+    relational_ext,
+    streamops,
+    textops,
+    vectorops,
+]
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
