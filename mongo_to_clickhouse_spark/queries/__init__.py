@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from mongo_to_clickhouse_spark.queries import (
     core,
     dedupops,
+    joinops,
     pipelineops,
     relational_ext,
     streamops,
@@ -21,6 +22,7 @@ from mongo_to_clickhouse_spark.queries import (
 _MODULES = [
     core,
     dedupops,
+    joinops,
     pipelineops,
     relational_ext,
     streamops,

@@ -1,0 +1,180 @@
+"""Join-shape extensions: as-of join, pivot/unpivot, full-outer.
+
+``join_asof`` is the one operator here Spark genuinely lacks; the
+implementation is the scale-correct distributed form — union the probe and
+reference sides, one window pass per key, no range cross-join:
+
+    probe(user, ts) ∪ ref(user, ts, payload)
+      → window partitionBy(user) orderBy(ts, side)        [one shuffle]
+      → last_value(payload, ignorenulls) up to current row
+      → keep probe rows
+
+This is O(n log n) per key with a single hash exchange — versus the naive
+range-join (quadratic) or per-group ``pd.merge_asof`` (Python). The oracle
+is DuckDB's native ASOF LEFT JOIN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mongo_to_clickhouse_spark.io import load_table
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each event: the customer's most recent order at-or-before the
+    event time (events.user_id = orders.o_custkey, o_orderdate <= ts)."""
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+
+    # Deduplicate the reference side per (key, time): latest orderkey wins
+    # (ASOF is ambiguous under build-side ties in both engines otherwise).
+    w_tie = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    ref = (
+        orders.withColumn("__rn", F.row_number().over(w_tie))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("t"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    probe = events.select(
+        "user_id", F.col("ts").alias("t"), "event_id"
+    )
+    unioned = probe.select(
+        "user_id",
+        "t",
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(1).alias("side"),  # probes sort AFTER refs at equal t (>=)
+    ).unionByName(
+        ref.select(
+            "user_id",
+            "t",
+            F.lit(None).cast("long").alias("event_id"),
+            "o_orderkey",
+            "o_totalprice",
+            F.lit(0).alias("side"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn(
+            "matched_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "matched_totalprice", F.last("o_totalprice", ignorenulls=True).over(w)
+        )
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+            "matched_orderkey",
+            "matched_totalprice",
+        )
+    )
+
+
+JOIN_ASOF_SQL = """
+    WITH ref AS (
+        SELECT o_custkey AS user_id, o_orderdate AS t, o_orderkey, o_totalprice
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                         ORDER BY o_orderkey DESC) AS __rn
+            FROM orders
+        ) WHERE __rn = 1
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           r.o_orderkey AS matched_orderkey,
+           r.o_totalprice AS matched_totalprice
+    FROM events e
+    ASOF LEFT JOIN ref r ON e.user_id = r.user_id AND e.ts >= r.t
+"""
+
+
+def pivot_wide_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot l_linestatus into wide sum columns per returnflag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2))
+        .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
+    )
+
+
+PIVOT_WIDE_AGG_SQL = """
+    SELECT l_returnflag,
+           round(SUM(CASE WHEN l_linestatus = 'O'
+                          THEN CAST(l_quantity AS DECIMAL(18,2)) END), 2) AS qty_open,
+           round(SUM(CASE WHEN l_linestatus = 'F'
+                          THEN CAST(l_quantity AS DECIMAL(18,2)) END), 2) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot part attributes to (p_partkey, attr, val) long form."""
+    part = load_table(spark, sf_dir, "part")
+    return part.selectExpr(
+        "p_partkey",
+        "stack(2, 'size', CAST(p_size AS DOUBLE), "
+        "'retailprice', CAST(p_retailprice AS DOUBLE)) AS (attr, val)",
+    )
+
+
+UNPIVOT_LONG_SQL = """
+    SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS attr, CAST(p_retailprice AS DOUBLE) FROM part
+"""
+
+
+def join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: even-keyed customers vs per-customer order counts —
+    both dangling sides survive with nulls."""
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 2 == 0
+    ).select("c_custkey", "c_name")
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return customer.join(
+        counts, customer.c_custkey == counts.o_custkey, "full_outer"
+    ).select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+        "c_name",
+        "n_orders",
+    )
+
+
+JOIN_OUTER_FULL_SQL = """
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey, c.c_name, o.n_orders
+    FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0) c
+    FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+                     FROM orders GROUP BY o_custkey) o
+      ON c.c_custkey = o.o_custkey
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "join_asof": (join_asof, JOIN_ASOF_SQL),
+    "pivot_wide_agg": (pivot_wide_agg, PIVOT_WIDE_AGG_SQL),
+    "unpivot_long": (unpivot_long, UNPIVOT_LONG_SQL),
+    "join_outer_full": (join_outer_full, JOIN_OUTER_FULL_SQL),
+}

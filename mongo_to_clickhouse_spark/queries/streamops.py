@@ -219,8 +219,34 @@ def stream_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    totals maintained in the state store across micro-batches."""
+    from mongo_to_clickhouse_spark.streaming.pipeline import EVENTS_SCHEMA
+    from mongo_to_clickhouse_spark.streaming.stateful import running_user_totals
+
+    src, _ = _stage_stream_source(spark, sf_dir)
+    name = f"st_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(src)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 QUERIES: dict[str, tuple] = {
     "stream_tumbling_window_agg": (stream_tumbling_window_agg, STREAM_TUMBLING_SQL),
+    "stream_stateful_running_agg": (stream_stateful_running_agg, None),
     "stream_sliding_window_agg": (stream_sliding_window_agg, STREAM_SLIDING_SQL),
     "stream_session_window": (stream_session_window, STREAM_SESSION_SQL),
     "stream_pipeline_cdc": (stream_pipeline_cdc, None),

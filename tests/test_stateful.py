@@ -1,0 +1,76 @@
+"""applyInPandasWithState: state must persist ACROSS micro-batches —
+verified by splitting the source into multiple files with
+maxFilesPerTrigger=1 and checking the final totals equal the batch
+groupBy."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from mongo_to_clickhouse_spark.io import load_table
+from mongo_to_clickhouse_spark.streaming.pipeline import EVENTS_SCHEMA
+from mongo_to_clickhouse_spark.streaming.stateful import running_user_totals
+
+SRC = "/root/testdata/sf0.001"
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "source")
+    os.makedirs(src)
+    table = pq.read_table(os.path.join(SRC, "events.parquet"))
+    n = table.num_rows
+    for i in range(3):
+        pq.write_table(
+            table.slice(i * n // 3, (i + 1) * n // 3 - i * n // 3),
+            os.path.join(src, f"p{i}.parquet"),
+        )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("state_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # latest emission per user == batch ground truth
+    out = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY n_events DESC) AS rn
+            FROM state_out
+        ) WHERE rn = 1
+        """
+    )
+    truth = (
+        load_table(spark, SRC, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in out.collect()}
+    exp = {r["user_id"]: (r["n_events"], r["total_value"]) for r in truth.collect()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0]
+        assert abs(got[k][1] - exp[k][1]) < 0.05
+    # state really crossed micro-batches: some user must have been emitted
+    # in more than one batch with growing counts
+    multi = spark.sql(
+        "SELECT user_id, COUNT(*) AS c FROM state_out GROUP BY user_id HAVING c > 1"
+    )
+    assert multi.count() > 0
