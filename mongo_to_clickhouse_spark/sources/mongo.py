@@ -1,0 +1,79 @@
+"""MongoDB source — production path for the reference's two read modes.
+
+The reference tails a change stream (/root/reference/src/main.rs:320) and
+runs filtered ``find`` cursors (historical_data/src/main.rs:362-365). On
+Spark both map to the MongoDB Spark Connector v10+ (``format("mongodb")``),
+which pushes aggregation pipelines down to mongod (the same $match
+pushdown the reference builds by hand) and exposes the change stream as a
+micro-batch streaming source with checkpointable offsets (replacing the
+hand-rolled RocksDB resume tokens).
+
+The connector jar is not in this container, so these builders raise a
+clear error at call time unless the jar is on the classpath; everything
+else in the engine consumes plain DataFrames and does not care which
+source produced them (fixtures use parquet).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _require_connector(spark: SparkSession) -> None:
+    try:
+        spark._jvm.com.mongodb.spark.sql.connector.MongoTableProvider  # noqa: B018
+    except Exception as exc:  # noqa: BLE001
+        raise RuntimeError(
+            "MongoDB Spark Connector not on the classpath; add "
+            "org.mongodb.spark:mongo-spark-connector (v10+) via "
+            "spark.jars.packages, or read fixtures with io.load_table"
+        ) from exc
+
+
+def read_collection(
+    spark: SparkSession,
+    uri: str,
+    database: str,
+    collection: str,
+    ts_field: str | None = None,
+    ts_range: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Batch scan with optional server-side timestamp-range pushdown — the
+    historical binary's ``find({ts: {$gte, $lte}})``
+    (historical_data/src/main.rs:349-365)."""
+    _require_connector(spark)
+    reader = (
+        spark.read.format("mongodb")
+        .option("connection.uri", uri)
+        .option("database", database)
+        .option("collection", collection)
+    )
+    if ts_field and ts_range:
+        lo, hi = ts_range
+        pipeline = [
+            {"$match": {ts_field: {"$gte": {"$date": lo}, "$lte": {"$date": hi}}}}
+        ]
+        reader = reader.option("aggregation.pipeline", json.dumps(pipeline))
+    return reader.load()
+
+
+def read_change_stream(
+    spark: SparkSession,
+    uri: str,
+    database: str,
+    collection: str,
+) -> DataFrame:
+    """Change-stream micro-batch source (full-document lookup), the live
+    binary's ``collection.watch`` (/root/reference/src/main.rs:313-360).
+    Resume/checkpointing comes from the query's ``checkpointLocation``."""
+    _require_connector(spark)
+    return (
+        spark.readStream.format("mongodb")
+        .option("connection.uri", uri)
+        .option("database", database)
+        .option("collection", collection)
+        .option("change.stream.publish.full.document.only", "true")
+        .load()
+    )
