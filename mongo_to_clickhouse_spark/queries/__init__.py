@@ -16,6 +16,7 @@ from mongo_to_clickhouse_spark.queries import (
     relational_ext,
     streamops,
     textops,
+    tpch,
     vectorops,
 )
 
@@ -27,6 +28,7 @@ _MODULES = [
     relational_ext,
     streamops,
     textops,
+    tpch,
     vectorops,
 ]
 

@@ -244,9 +244,50 @@ def stream_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_dlq_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ end-to-end: run the pipeline against a failing sink (every batch
+    lands in the dead-letter queue), then replay with the sink recovered —
+    returns the drained main-table rows (src/main.rs:918-1017 semantics)."""
+    from mongo_to_clickhouse_spark.config import TenantConfig
+    from mongo_to_clickhouse_spark.plans.pipeline import optout_active, optout_dim
+    from mongo_to_clickhouse_spark.sinks.dlq import retry_failed_batches
+    from mongo_to_clickhouse_spark.streaming.pipeline import run_tenant_stream
+
+    src, work = _stage_stream_source(spark, sf_dir)
+    tenant = TenantConfig(
+        name="dlq",
+        source_path=src,
+        sink_main_path=os.path.join(work, "main"),
+        sink_optout_path=os.path.join(work, "optout"),
+        checkpoint_path=os.path.join(work, "ckpt"),
+        dlq_path=os.path.join(work, "dlq"),
+    )
+    customer = load_table(spark, sf_dir, "customer")
+
+    def sink_down(df, batch_id):
+        raise RuntimeError("sink down")
+
+    q = run_tenant_stream(
+        spark, tenant, customer, available_now=True, fail_injector=sink_down
+    )
+    q.awaitTermination(300)
+    active = optout_active(optout_dim(customer))
+    retry_failed_batches(spark, tenant, active)  # sink recovered
+    return spark.read.parquet(tenant.sink_main_path).drop("created_at", "batch_id")
+
+
+def scalar_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink-side now() for created_at (/root/reference/src/main.rs:864-866)
+    — non-deterministic, so rows-only: the driver checks shape/rows."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", F.current_timestamp().alias("created_at"))
+
+
 QUERIES: dict[str, tuple] = {
     "stream_tumbling_window_agg": (stream_tumbling_window_agg, STREAM_TUMBLING_SQL),
     "stream_stateful_running_agg": (stream_stateful_running_agg, None),
+    "stream_dlq_retry": (stream_dlq_retry, None),
+    "scalar_now": (scalar_now, None),
     "stream_sliding_window_agg": (stream_sliding_window_agg, STREAM_SLIDING_SQL),
     "stream_session_window": (stream_session_window, STREAM_SESSION_SQL),
     "stream_pipeline_cdc": (stream_pipeline_cdc, None),
