@@ -28,7 +28,10 @@ HEADLINE = [
     "filter_timestamp_range",
     # relational / analytical
     "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
     "join_fact_dim_equi",
+    "join_asof",
     "window_rank_topk_per_group",
     "agg_distinct_count",
     "sort_limit_topk",
@@ -37,6 +40,7 @@ HEADLINE = [
     "stream_session_window",
     # training-data pipeline
     "dedup_exact_hash",
+    "dedup_minhash_lsh_pairs",
     "text_tokenize_wordcount",
     "text_quality_score",
     "sim_cosine_topk",

@@ -172,8 +172,43 @@ JOIN_OUTER_FULL_SQL = """
 """
 
 
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join on a pathologically skewed key (event_type: ~5 hot
+    values over the whole fact table) — semantics identical to the plain
+    join, which is exactly what the oracle verifies. Demonstrates the
+    100 TB skew-mitigation pattern alongside AQE skew-join."""
+    from mongo_to_clickhouse_spark.operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    weights = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("type_freq"))
+    )
+    joined = salted_join(events, weights, "event_type", salt_factor=8)
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.max("type_freq").alias("type_freq"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).alias("total_value"),
+    )
+
+
+JOIN_SKEW_SALTED_SQL = """
+    WITH weights AS (
+        SELECT event_type, COUNT(*) AS type_freq FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, COUNT(*) AS n, MAX(w.type_freq) AS type_freq,
+           round(SUM(CAST(e.value AS DECIMAL(18,2))), 2) AS total_value
+    FROM events e JOIN weights w ON e.event_type = w.event_type
+    GROUP BY e.event_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "join_asof": (join_asof, JOIN_ASOF_SQL),
+    "join_skew_salted": (join_skew_salted, JOIN_SKEW_SALTED_SQL),
     "pivot_wide_agg": (pivot_wide_agg, PIVOT_WIDE_AGG_SQL),
     "unpivot_long": (unpivot_long, UNPIVOT_LONG_SQL),
     "join_outer_full": (join_outer_full, JOIN_OUTER_FULL_SQL),
