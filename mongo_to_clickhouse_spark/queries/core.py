@@ -541,6 +541,61 @@ SCALAR_OBJECTID_HEX_SQL = """
 """
 
 
+def scalar_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime decomposition over event time (year/month/day/hour/minute +
+    epoch seconds) — UTC session timezone throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.unix_timestamp("ts").alias("epoch_sec"),
+    )
+
+
+SCALAR_DATE_PARTS_SQL = """
+    SELECT event_id,
+           CAST(year(ts) AS INT) AS y,
+           CAST(month(ts) AS INT) AS mo,
+           CAST(day(ts) AS INT) AS d,
+           CAST(hour(ts) AS INT) AS h,
+           CAST(minute(ts) AS INT) AS mi,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_sec
+    FROM events
+"""
+
+
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling surface: coalesce, nullif, null-safe equality — the
+    row-skip rules of the reference expressed as first-class operators."""
+    ev = load_table(spark, sf_dir, "events")
+    maybe_null = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+        F.col("event_type")
+    )
+    return ev.select(
+        "event_id",
+        maybe_null.alias("maybe_type"),
+        F.coalesce(maybe_null, F.lit("unknown")).alias("type_or_default"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("non_error_type"),
+        maybe_null.eqNullSafe(F.col("event_type")).alias("null_safe_eq"),
+    )
+
+
+SCALAR_NULL_SEMANTICS_SQL = """
+    SELECT event_id,
+           CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS maybe_type,
+           COALESCE(CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END,
+                    'unknown') AS type_or_default,
+           NULLIF(event_type, 'error') AS non_error_type,
+           (CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END
+            IS NOT DISTINCT FROM event_type) AS null_safe_eq
+    FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -584,4 +639,6 @@ QUERIES: dict[str, tuple] = {
         SCALAR_TIMESTAMP_FORMAT_SQL,
     ),
     "scalar_objectid_hex": (scalar_objectid_hex, SCALAR_OBJECTID_HEX_SQL),
+    "scalar_date_parts": (scalar_date_parts, SCALAR_DATE_PARTS_SQL),
+    "scalar_null_semantics": (scalar_null_semantics, SCALAR_NULL_SEMANTICS_SQL),
 }
