@@ -71,6 +71,10 @@ def main() -> None:
         timings[qid] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # Flagship throughput in the reference's own unit (docs/s; its design
+    # envelope is 5-10k docs/s sustained per tenant — BASELINE.md).
+    n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    docs_per_sec = round(n_events / max(timings["sink_clickhouse_insert"], 1e-9))
     print(
         json.dumps(
             {
@@ -79,6 +83,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "flagship_docs_per_sec": docs_per_sec,
             }
         )
     )
