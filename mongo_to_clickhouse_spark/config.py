@@ -24,6 +24,8 @@ class TenantConfig:
     encryption_salt: str = "fixture-salt"
     batch_size: int = 10_000         # reference MAX_BATCH_SIZE, src/main.rs:39
     flush_seconds: int = 5           # reference flush timeout, src/main.rs:407
+    max_retries: int = 5             # reference MAX_RETRIES, src/main.rs:40
+    initial_retry_delay_sec: float = 1.0  # src/main.rs:41 (ms → sec)
 
 
 @dataclass(frozen=True)

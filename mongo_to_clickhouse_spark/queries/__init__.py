@@ -15,6 +15,7 @@ from mongo_to_clickhouse_spark.queries import (
     pipelineops,
     relational_ext,
     streamops,
+    streamruntime,
     textops,
     tpch,
     vectorops,
@@ -27,6 +28,7 @@ _MODULES = [
     pipelineops,
     relational_ext,
     streamops,
+    streamruntime,
     textops,
     tpch,
     vectorops,

@@ -261,6 +261,7 @@ def stream_dlq_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink_optout_path=os.path.join(work, "optout"),
         checkpoint_path=os.path.join(work, "ckpt"),
         dlq_path=os.path.join(work, "dlq"),
+        max_retries=1,  # go straight to the DLQ; replay is the point here
     )
     customer = load_table(spark, sf_dir, "customer")
 
@@ -286,7 +287,7 @@ def scalar_now(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, tuple] = {
     "stream_tumbling_window_agg": (stream_tumbling_window_agg, STREAM_TUMBLING_SQL),
     "stream_stateful_running_agg": (stream_stateful_running_agg, None),
-    "stream_dlq_retry": (stream_dlq_retry, None),
+    "stream_dlq_retry_loop": (stream_dlq_retry, None),
     "scalar_now": (scalar_now, None),
     "stream_sliding_window_agg": (stream_sliding_window_agg, STREAM_SLIDING_SQL),
     "stream_session_window": (stream_session_window, STREAM_SESSION_SQL),

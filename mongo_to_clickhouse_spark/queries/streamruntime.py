@@ -1,0 +1,275 @@
+"""Runtime-behavior query entries matching SURVEY §2's exact IDs for the
+reference's streaming machinery (§2.1 + §2.8). Each runs the REAL
+Structured-Streaming pipeline (availableNow) and returns a small relation
+describing the observed behavior — rows-only checks by nature (SQL cannot
+express "a checkpoint survived a restart").
+
+These complement the pytest suite (tests/test_streaming*.py), which pins
+the same behaviors with assertions; here they are driver-visible.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from mongo_to_clickhouse_spark.config import TenantConfig
+from mongo_to_clickhouse_spark.io import load_table, table_path
+from mongo_to_clickhouse_spark.plans.pipeline import optout_active, optout_dim
+from mongo_to_clickhouse_spark.streaming.pipeline import run_tenant_stream
+
+
+def _work(name: str) -> str:
+    return tempfile.mkdtemp(prefix=f"{name}-{uuid.uuid4().hex[:8]}-")
+
+
+def _tenant(work: str, name: str, source: str) -> TenantConfig:
+    return TenantConfig(
+        name=name,
+        source_path=source,
+        sink_main_path=os.path.join(work, "main"),
+        sink_optout_path=os.path.join(work, "optout"),
+        checkpoint_path=os.path.join(work, "ckpt"),
+        dlq_path=os.path.join(work, "dlq"),
+        max_retries=2,
+        initial_retry_delay_sec=0.01,
+    )
+
+
+def _stage_split(sf_dir: str, dest: str, parts: int) -> None:
+    os.makedirs(dest, exist_ok=True)
+    table = pq.read_table(table_path(sf_dir, "events"))
+    n = table.num_rows
+    for i in range(parts):
+        lo, hi = i * n // parts, (i + 1) * n // parts
+        pq.write_table(table.slice(lo, hi - lo), os.path.join(dest, f"p{i}.parquet"))
+
+
+def _drain(spark: SparkSession, tenant: TenantConfig, customer) -> None:
+    q = run_tenant_stream(spark, tenant, customer, available_now=True)
+    q.awaitTermination(300)
+
+
+def _batch_counts(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.read.parquet(path)
+        .groupBy("batch_id")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("batch_id")
+    )
+
+
+def source_changestream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-stream tail (readStream micro-batch source standing in for
+    collection.watch, src/main.rs:313-360): drain the stream, return the
+    replicated rows."""
+    work = _work("cs")
+    src = os.path.join(work, "source")
+    os.makedirs(src)
+    shutil.copy(table_path(sf_dir, "events"), src)
+    tenant = _tenant(work, "cs", src)
+    _drain(spark, tenant, load_table(spark, sf_dir, "customer"))
+    return spark.read.parquet(tenant.sink_main_path).drop("created_at", "batch_id")
+
+
+def checkpoint_resume_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume-token semantics (src/main.rs:427-439): drain file 1, then
+    restart from the SAME checkpoint with file 2 present — only new data
+    processed, nothing duplicated. Returns per-batch row counts (2 batches,
+    disjoint, summing to the full join cardinality)."""
+    work = _work("ck")
+    src = os.path.join(work, "source")
+    _stage_split(sf_dir, src, 1)
+    # hold back the second half until after the first drain
+    table = pq.read_table(table_path(sf_dir, "events"))
+    n = table.num_rows
+    pq.write_table(table.slice(0, n // 2), os.path.join(src, "p0.parquet"))
+    tenant = _tenant(work, "ck", src)
+    customer = load_table(spark, sf_dir, "customer")
+    _drain(spark, tenant, customer)
+    pq.write_table(table.slice(n // 2), os.path.join(src, "p1.parquet"))
+    _drain(spark, tenant, customer)  # same checkpoint → resumes
+    return _batch_counts(spark, tenant.sink_main_path)
+
+
+def sink_dlq_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ capture (src/main.rs:918-939): sink down → the serialized batch
+    lands in the dead-letter table keyed by (tenant, batch_id). Returns the
+    queued batches."""
+    work = _work("dlqlog")
+    src = os.path.join(work, "source")
+    os.makedirs(src)
+    shutil.copy(table_path(sf_dir, "events"), src)
+    tenant = _tenant(work, "dlqlog", src)
+
+    def sink_down(df, batch_id):
+        raise RuntimeError("sink down")
+
+    q = run_tenant_stream(
+        spark,
+        tenant,
+        load_table(spark, sf_dir, "customer"),
+        available_now=True,
+        fail_injector=sink_down,
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(tenant.dlq_path)
+        .groupBy("tenant", "batch_id")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+def metric_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput metric (docs/sec — the reference's adaptive-batch input,
+    src/main.rs:214-228): Spark's per-query progress counters, surfaced as
+    a relation."""
+    work = _work("tp")
+    src = os.path.join(work, "source")
+    os.makedirs(src)
+    shutil.copy(table_path(sf_dir, "events"), src)
+    tenant = _tenant(work, "tp", src)
+    q = run_tenant_stream(
+        spark, tenant, load_table(spark, sf_dir, "customer"), available_now=True
+    )
+    q.awaitTermination(300)
+    rows = [
+        Row(
+            batch_id=int(p["batchId"]),
+            num_input_rows=int(p["numInputRows"]),
+            processed_rows_per_second=float(p["processedRowsPerSecond"]),
+        )
+        for p in (q.recentProgress or [])
+        if p.get("numInputRows", 0) > 0
+    ]
+    return spark.createDataFrame(
+        rows or [Row(batch_id=0, num_input_rows=0, processed_rows_per_second=0.0)]
+    )
+
+
+def stream_microbatch_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch assembly (count/timeout flush, src/main.rs:405-443):
+    2 staged files × maxFilesPerTrigger=1 → 2 complete micro-batches.
+    Returns per-batch row counts."""
+    work = _work("mb")
+    src = os.path.join(work, "source")
+    _stage_split(sf_dir, src, 2)
+    tenant = _tenant(work, "mb", src)
+    _drain(spark, tenant, load_table(spark, sf_dir, "customer"))
+    return _batch_counts(spark, tenant.sink_main_path)
+
+
+def stream_retry_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-backoff insert retry (5 attempts, doubling delay,
+    src/main.rs:39-42, 692-743): a sink that fails twice then recovers —
+    the batch lands WITHOUT touching the DLQ. Returns (attempts_used,
+    rows_written, dlq_rows)."""
+    from mongo_to_clickhouse_spark.plans.pipeline import (
+        anonymized_statements,
+        statements_from_events,
+    )
+    from mongo_to_clickhouse_spark.sinks.writers import insert_batch
+
+    work = _work("rb")
+    tenant = _tenant(work, "rb", work)
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    anon = anonymized_statements(statements_from_events(events, customer))
+    active = optout_active(optout_dim(customer))
+
+    failures = {"left": 2}
+
+    def flaky(df, batch_id):
+        if failures["left"] > 0:
+            failures["left"] -= 1
+            raise RuntimeError("transient sink error")
+
+    attempts = insert_batch(
+        anon, 0, tenant, active, flaky, max_retries=5, initial_delay_sec=0.01
+    )
+    written = spark.read.parquet(tenant.sink_main_path).count()
+    dlq_rows = (
+        spark.read.parquet(tenant.dlq_path).count()
+        if os.path.isdir(tenant.dlq_path)
+        else 0
+    )
+    return spark.createDataFrame(
+        [Row(attempts_used=attempts, rows_written=written, dlq_rows=dlq_rows)]
+    )
+
+
+def stream_multitenant_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tenant pipeline fanout (one query per tenant, shared session —
+    src/main.rs:240-262). Returns per-tenant sink counts (identical)."""
+    from mongo_to_clickhouse_spark.streaming.pipeline import run_multi_tenant
+
+    customer = load_table(spark, sf_dir, "customer")
+    tenants = []
+    for name in ("fan_a", "fan_b"):
+        work = _work(name)
+        src = os.path.join(work, "source")
+        os.makedirs(src)
+        shutil.copy(table_path(sf_dir, "events"), src)
+        tenants.append(_tenant(work, name, src))
+    queries = run_multi_tenant(spark, tenants, customer, available_now=True)
+    for q in queries:
+        q.awaitTermination(300)
+    rows = [
+        Row(tenant=t.name, n_rows=spark.read.parquet(t.sink_main_path).count())
+        for t in tenants
+    ]
+    return spark.createDataFrame(rows)
+
+
+def stream_cache_invalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-out cache refresh semantics (TCP 'invalidate', src/main.rs
+    :800-822, 1019-1056): unnecessary side channel on Spark — the dim is
+    re-derived inside EVERY foreachBatch. Demonstrated by recording the
+    dim row count observed per micro-batch (2 batches → 2 observations)."""
+    from mongo_to_clickhouse_spark.sinks.writers import dual_write_batch
+
+    work = _work("inv")
+    src = os.path.join(work, "source")
+    _stage_split(sf_dir, src, 2)
+    tenant = _tenant(work, "inv", src)
+    customer = load_table(spark, sf_dir, "customer")
+    obs_path = os.path.join(work, "observed")
+
+    from mongo_to_clickhouse_spark.streaming.pipeline import streaming_statements
+
+    anon = streaming_statements(spark, src, customer)
+
+    def _batch(df, batch_id):
+        active = optout_active(optout_dim(customer))  # fresh read, per batch
+        n_dim = active.count()
+        spark.createDataFrame([Row(batch_id=batch_id, dim_rows=n_dim)]).write.mode(
+            "append"
+        ).parquet(obs_path)
+        dual_write_batch(df, batch_id, tenant, active)
+
+    q = (
+        anon.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", tenant.checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(obs_path).orderBy("batch_id")
+
+
+QUERIES: dict[str, tuple] = {
+    "source_changestream": (source_changestream, None),
+    "checkpoint_resume_token": (checkpoint_resume_token, None),
+    "sink_dlq_log": (sink_dlq_log, None),
+    "metric_throughput": (metric_throughput, None),
+    "stream_microbatch_assembly": (stream_microbatch_assembly, None),
+    "stream_retry_backoff": (stream_retry_backoff, None),
+    "stream_multitenant_fanout": (stream_multitenant_fanout, None),
+    "stream_cache_invalidate": (stream_cache_invalidate, None),
+}

@@ -57,7 +57,14 @@ def retry_failed_batches(
     for bid in sorted(batch_ids):
         rows = dlq.filter(F.col("batch_id") == bid).drop("tenant", "batch_id")
         try:
-            insert_batch(rows, int(bid), tenant, active_dim, fail_injector)
+            insert_batch(
+                rows,
+                int(bid),
+                tenant,
+                active_dim,
+                fail_injector,
+                max_retries=1,  # the 60s loop is the retry cadence here
+            )
         except Exception:  # noqa: BLE001 — still failing: keep queued
             continue
         _drop_partition(tenant, int(bid))

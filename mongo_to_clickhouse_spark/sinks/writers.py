@@ -24,6 +24,7 @@ SURVEY §7.4 item 1.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -31,6 +32,12 @@ from pyspark.sql import functions as F
 from mongo_to_clickhouse_spark.config import TenantConfig
 from mongo_to_clickhouse_spark.sinks import dlq as dlq_mod
 from mongo_to_clickhouse_spark.plans.pipeline import route_split
+
+# Reference retry policy (src/main.rs:40-41, 736-740): 5 attempts,
+# 1000 ms initial delay, exponential doubling. The delay is configurable so
+# tests don't sleep.
+MAX_RETRIES = 5
+INITIAL_RETRY_DELAY_SEC = 1.0
 
 
 def _write(df: DataFrame, base: str, batch_id: int) -> None:
@@ -46,18 +53,32 @@ def insert_batch(
     tenant: TenantConfig,
     active_dim: DataFrame,
     fail_injector=None,
-) -> None:
-    """Route rows by opt-out membership and write both sinks. Raises on
-    sink failure (the historical binary's propagating semantics).
+    max_retries: int = MAX_RETRIES,
+    initial_delay_sec: float = INITIAL_RETRY_DELAY_SEC,
+) -> int:
+    """Route rows by opt-out membership and write both sinks, retrying with
+    exponential backoff (attempts ≤ ``max_retries``, delay doubling from
+    ``initial_delay_sec`` — the reference's per-chunk policy,
+    src/main.rs:692-743). Raises after exhausting retries (the historical
+    binary's propagating semantics). Returns the number of attempts used.
 
     ``fail_injector(batch_df, batch_id)`` is a test hook that may raise to
-    simulate sink unavailability (the reference's retry/DLQ path,
-    src/main.rs:692-743)."""
+    simulate sink unavailability."""
     main, optout = route_split(batch_df, active_dim)
-    if fail_injector is not None:
-        fail_injector(batch_df, batch_id)
-    _write(main, tenant.sink_main_path, batch_id)
-    _write(optout, tenant.sink_optout_path, batch_id)
+    delay = initial_delay_sec
+    for attempt in range(1, max_retries + 1):
+        try:
+            if fail_injector is not None:
+                fail_injector(batch_df, batch_id)
+            _write(main, tenant.sink_main_path, batch_id)
+            _write(optout, tenant.sink_optout_path, batch_id)
+            return attempt
+        except Exception:  # noqa: BLE001
+            if attempt == max_retries:
+                raise
+            time.sleep(delay)
+            delay *= 2
+    raise AssertionError("unreachable")
 
 
 def dual_write_batch(
@@ -67,9 +88,18 @@ def dual_write_batch(
     active_dim: DataFrame,
     fail_injector=None,
 ) -> None:
-    """foreachBatch body: ``insert_batch``, with any failure captured to the
-    tenant's DLQ (the stream keeps running; the replay job drains later)."""
+    """foreachBatch body: ``insert_batch``, with any failure (after the
+    retry budget) captured to the tenant's DLQ (the stream keeps running;
+    the replay job drains later)."""
     try:
-        insert_batch(batch_df, batch_id, tenant, active_dim, fail_injector)
+        insert_batch(
+            batch_df,
+            batch_id,
+            tenant,
+            active_dim,
+            fail_injector,
+            max_retries=tenant.max_retries,
+            initial_delay_sec=tenant.initial_retry_delay_sec,
+        )
     except Exception:  # noqa: BLE001 — any sink error → DLQ, then continue
         dlq_mod.append_failed_batch(batch_df, batch_id, tenant)

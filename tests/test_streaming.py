@@ -36,6 +36,8 @@ def _tenant(tmp, name="t1", source=None) -> TenantConfig:
         sink_optout_path=os.path.join(base, "optout"),
         checkpoint_path=os.path.join(base, "checkpoint"),
         dlq_path=os.path.join(base, "dlq"),
+        max_retries=2,
+        initial_retry_delay_sec=0.01,
     )
 
 

@@ -27,6 +27,8 @@ def _tenant(tmp, name="live") -> TenantConfig:
         checkpoint_path=os.path.join(base, "checkpoint"),
         dlq_path=os.path.join(base, "dlq"),
         flush_seconds=1,
+        max_retries=2,
+        initial_retry_delay_sec=0.01,
     )
 
 
