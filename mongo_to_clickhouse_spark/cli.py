@@ -40,14 +40,32 @@ def _find_tenant(cfg: AppConfig, name: str) -> TenantConfig:
     raise SystemExit(f"unknown tenant {name!r}; known: {[t.name for t in cfg.tenants]}")
 
 
+def _effective_source(t: TenantConfig) -> str:
+    """If source_path is a whole fixture directory (contains the other
+    tables), narrow the stream to the events files — otherwise streaming
+    would ingest customer/lineitem/... through the events schema as
+    null-filled garbage rows."""
+    import os
+
+    if os.path.isfile(os.path.join(t.source_path, "customer.parquet")):
+        return os.path.join(t.source_path, "events*.parquet")
+    return t.source_path
+
+
 def cmd_live(cfg_path: str) -> int:
+    import dataclasses
+
     from mongo_to_clickhouse_spark.io import load_table
     from mongo_to_clickhouse_spark.streaming.pipeline import run_multi_tenant
 
     cfg = load_config(cfg_path)
     spark = get_spark(app_name="mongo-to-clickhouse-live")
     customer = load_table(spark, _sf_dir_of(cfg), "customer")
-    queries = run_multi_tenant(spark, cfg.tenants, customer, available_now=False)
+    tenants = [
+        dataclasses.replace(t, source_path=_effective_source(t))
+        for t in cfg.tenants
+    ]
+    queries = run_multi_tenant(spark, tenants, customer, available_now=False)
     print(f"started {len(queries)} tenant stream(s); Ctrl-C to stop")
     try:
         for q in queries:
@@ -73,10 +91,15 @@ def cmd_backfill(cfg_path: str, tenant: str, start: str, end: str) -> int:
 
 
 def _sf_dir_of(cfg: AppConfig) -> str:
-    # fixture mode: tenants' source_path points at a testdata dir
+    """Directory holding the dimension fixtures: explicit ``fixtures_path``
+    wins; otherwise source_path (fixture mode points it at a testdata
+    dir)."""
     import os
 
-    src = cfg.tenants[0].source_path
+    t = cfg.tenants[0]
+    if t.fixtures_path:
+        return t.fixtures_path
+    src = t.source_path
     return src if os.path.isdir(src) else os.path.dirname(src)
 
 

@@ -21,6 +21,9 @@ class TenantConfig:
     sink_optout_path: str            # stand-in for db.table_opt_out
     checkpoint_path: str
     dlq_path: str
+    # Directory holding the dimension fixtures (customer.parquet etc.);
+    # defaults to source_path when that is itself a fixture directory.
+    fixtures_path: str | None = None
     encryption_salt: str = "fixture-salt"
     batch_size: int = 10_000         # reference MAX_BATCH_SIZE, src/main.rs:39
     flush_seconds: int = 5           # reference flush timeout, src/main.rs:407

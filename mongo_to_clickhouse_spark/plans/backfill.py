@@ -92,7 +92,14 @@ def run_backfill(
     )
     anon = anonymized_statements(observed)
     active = optout_active(optout_dim(customer))
-    insert_batch(anon, 0, tenant, active)
+    insert_batch(
+        anon,
+        0,
+        tenant,
+        active,
+        max_retries=tenant.max_retries,
+        initial_delay_sec=tenant.initial_retry_delay_sec,
+    )
 
     metrics = obs.get
     scanned = metrics["scanned"] or 0

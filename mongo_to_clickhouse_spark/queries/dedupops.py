@@ -265,20 +265,22 @@ def _simhash_sql(dialect: str, what: str, toks_from: str | None = None) -> str:
     """
     if what == "hashes":
         return sql + "SELECT * FROM hashes"
-    # pairs: band-blocked (upper/lower 16 bits) hamming-distance join
+    # pairs: band-blocked hamming join. 4 bands × 8 bits: by pigeonhole,
+    # hamming ≤ 3 leaves at least one band untouched, so recall is
+    # GUARANTEED for the threshold (2) — 2 bands would only guarantee ≤ 1.
     if dialect == "spark":
-        upper = "shiftright(simhash, 16)"
+        shift = lambda j: f"shiftright(simhash, {j})"  # noqa: E731
         hamming = "bit_count(a.simhash ^ b.simhash)"
     else:
-        upper = "(simhash >> 16)"
+        shift = lambda j: f"(simhash >> {j})"  # noqa: E731
         hamming = "bit_count(xor(a.simhash, b.simhash))"
-    lower = "(simhash & 65535)"
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band_idx, "
+        f"({shift(8 * i)} & 255) AS band_val FROM hashes"
+        for i in range(4)
+    )
     return sql + f""",
-        banded AS (
-            SELECT doc_id, simhash, 0 AS band_idx, {upper} AS band_val FROM hashes
-            UNION ALL
-            SELECT doc_id, simhash, 1 AS band_idx, {lower} AS band_val FROM hashes
-        )
+        banded AS ({band_rows})
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
                {hamming} AS hamming
         FROM banded a JOIN banded b
@@ -311,9 +313,9 @@ DEDUP_SIMHASH_SQL = _simhash_sql("duck", "hashes")
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 2-band blocking (upper/lower 16 bits — a
-    pigeonhole screen: hamming ≤ 2 implies one band is untouched) + exact
-    hamming verify."""
+    """SimHash near-dup pairs: 4×8-bit band blocking (pigeonhole: hamming
+    ≤ 3 leaves one band untouched, so recall is guaranteed at the
+    threshold) + exact hamming verify."""
     view = _toks_view(spark, sf_dir)
     return spark.sql(_simhash_sql("spark", "pairs", toks_from=view))
 

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mongo_to_clickhouse_spark.io import load_table
+from mongo_to_clickhouse_spark.streaming.util import await_drained
 
 _DEC = "decimal(18,2)"
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -131,13 +132,9 @@ STREAM_SESSION_SQL = f"""
 
 def _stage_stream_source(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Stage the events parquet as a streaming source dir + fresh workdir."""
-    work = tempfile.mkdtemp(prefix=f"stream-{uuid.uuid4().hex[:8]}-")
-    src = os.path.join(work, "source")
-    os.makedirs(src)
-    import shutil
+    from mongo_to_clickhouse_spark.streaming.util import stage_events_source
 
-    shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
-    return src, work
+    return stage_events_source(sf_dir, parts=1, prefix="stream")
 
 
 def stream_pipeline_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,7 +154,7 @@ def stream_pipeline_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     customer = load_table(spark, sf_dir, "customer")
     q = run_tenant_stream(spark, tenant, customer, available_now=True)
-    q.awaitTermination(300)
+    await_drained(q)
     return spark.read.parquet(tenant.sink_main_path).drop("created_at", "batch_id")
 
 
@@ -189,7 +186,7 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_drained(q)
     return spark.table(name)
 
 
@@ -215,7 +212,7 @@ def stream_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_drained(q)
     return spark.table(name)
 
 
@@ -240,7 +237,7 @@ def stream_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_drained(q)
     return spark.table(name)
 
 
@@ -271,7 +268,7 @@ def stream_dlq_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = run_tenant_stream(
         spark, tenant, customer, available_now=True, fail_injector=sink_down
     )
-    q.awaitTermination(300)
+    await_drained(q)
     active = optout_active(optout_dim(customer))
     retry_failed_batches(spark, tenant, active)  # sink recovered
     return spark.read.parquet(tenant.sink_main_path).drop("created_at", "batch_id")

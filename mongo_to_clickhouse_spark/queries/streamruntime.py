@@ -11,9 +11,6 @@ the same behaviors with assertions; here they are driver-visible.
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
-import uuid
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, Row, SparkSession
@@ -23,10 +20,10 @@ from mongo_to_clickhouse_spark.config import TenantConfig
 from mongo_to_clickhouse_spark.io import load_table, table_path
 from mongo_to_clickhouse_spark.plans.pipeline import optout_active, optout_dim
 from mongo_to_clickhouse_spark.streaming.pipeline import run_tenant_stream
-
-
-def _work(name: str) -> str:
-    return tempfile.mkdtemp(prefix=f"{name}-{uuid.uuid4().hex[:8]}-")
+from mongo_to_clickhouse_spark.streaming.util import (
+    await_drained,
+    stage_events_source,
+)
 
 
 def _tenant(work: str, name: str, source: str) -> TenantConfig:
@@ -42,18 +39,9 @@ def _tenant(work: str, name: str, source: str) -> TenantConfig:
     )
 
 
-def _stage_split(sf_dir: str, dest: str, parts: int) -> None:
-    os.makedirs(dest, exist_ok=True)
-    table = pq.read_table(table_path(sf_dir, "events"))
-    n = table.num_rows
-    for i in range(parts):
-        lo, hi = i * n // parts, (i + 1) * n // parts
-        pq.write_table(table.slice(lo, hi - lo), os.path.join(dest, f"p{i}.parquet"))
-
-
 def _drain(spark: SparkSession, tenant: TenantConfig, customer) -> None:
     q = run_tenant_stream(spark, tenant, customer, available_now=True)
-    q.awaitTermination(300)
+    await_drained(q)
 
 
 def _batch_counts(spark: SparkSession, path: str) -> DataFrame:
@@ -69,10 +57,7 @@ def source_changestream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-stream tail (readStream micro-batch source standing in for
     collection.watch, src/main.rs:313-360): drain the stream, return the
     replicated rows."""
-    work = _work("cs")
-    src = os.path.join(work, "source")
-    os.makedirs(src)
-    shutil.copy(table_path(sf_dir, "events"), src)
+    src, work = stage_events_source(sf_dir, prefix="cs")
     tenant = _tenant(work, "cs", src)
     _drain(spark, tenant, load_table(spark, sf_dir, "customer"))
     return spark.read.parquet(tenant.sink_main_path).drop("created_at", "batch_id")
@@ -83,10 +68,12 @@ def checkpoint_resume_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     restart from the SAME checkpoint with file 2 present — only new data
     processed, nothing duplicated. Returns per-batch row counts (2 batches,
     disjoint, summing to the full join cardinality)."""
-    work = _work("ck")
+    import tempfile, uuid
+
+    work = tempfile.mkdtemp(prefix=f"ck-{uuid.uuid4().hex[:8]}-")
     src = os.path.join(work, "source")
-    _stage_split(sf_dir, src, 1)
-    # hold back the second half until after the first drain
+    os.makedirs(src)
+    # stage only the first half; the second half arrives after the first drain
     table = pq.read_table(table_path(sf_dir, "events"))
     n = table.num_rows
     pq.write_table(table.slice(0, n // 2), os.path.join(src, "p0.parquet"))
@@ -102,10 +89,7 @@ def sink_dlq_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DLQ capture (src/main.rs:918-939): sink down → the serialized batch
     lands in the dead-letter table keyed by (tenant, batch_id). Returns the
     queued batches."""
-    work = _work("dlqlog")
-    src = os.path.join(work, "source")
-    os.makedirs(src)
-    shutil.copy(table_path(sf_dir, "events"), src)
+    src, work = stage_events_source(sf_dir, prefix="dlqlog")
     tenant = _tenant(work, "dlqlog", src)
 
     def sink_down(df, batch_id):
@@ -118,7 +102,7 @@ def sink_dlq_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         available_now=True,
         fail_injector=sink_down,
     )
-    q.awaitTermination(300)
+    await_drained(q)
     return (
         spark.read.parquet(tenant.dlq_path)
         .groupBy("tenant", "batch_id")
@@ -130,15 +114,12 @@ def metric_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Throughput metric (docs/sec — the reference's adaptive-batch input,
     src/main.rs:214-228): Spark's per-query progress counters, surfaced as
     a relation."""
-    work = _work("tp")
-    src = os.path.join(work, "source")
-    os.makedirs(src)
-    shutil.copy(table_path(sf_dir, "events"), src)
+    src, work = stage_events_source(sf_dir, prefix="tp")
     tenant = _tenant(work, "tp", src)
     q = run_tenant_stream(
         spark, tenant, load_table(spark, sf_dir, "customer"), available_now=True
     )
-    q.awaitTermination(300)
+    await_drained(q)
     rows = [
         Row(
             batch_id=int(p["batchId"]),
@@ -157,9 +138,7 @@ def stream_microbatch_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Micro-batch assembly (count/timeout flush, src/main.rs:405-443):
     2 staged files × maxFilesPerTrigger=1 → 2 complete micro-batches.
     Returns per-batch row counts."""
-    work = _work("mb")
-    src = os.path.join(work, "source")
-    _stage_split(sf_dir, src, 2)
+    src, work = stage_events_source(sf_dir, parts=2, prefix="mb")
     tenant = _tenant(work, "mb", src)
     _drain(spark, tenant, load_table(spark, sf_dir, "customer"))
     return _batch_counts(spark, tenant.sink_main_path)
@@ -176,7 +155,9 @@ def stream_retry_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from mongo_to_clickhouse_spark.sinks.writers import insert_batch
 
-    work = _work("rb")
+    import tempfile, uuid
+
+    work = tempfile.mkdtemp(prefix=f"rb-{uuid.uuid4().hex[:8]}-")
     tenant = _tenant(work, "rb", work)
     events = load_table(spark, sf_dir, "events")
     customer = load_table(spark, sf_dir, "customer")
@@ -212,14 +193,11 @@ def stream_multitenant_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     tenants = []
     for name in ("fan_a", "fan_b"):
-        work = _work(name)
-        src = os.path.join(work, "source")
-        os.makedirs(src)
-        shutil.copy(table_path(sf_dir, "events"), src)
+        src, work = stage_events_source(sf_dir, prefix=name)
         tenants.append(_tenant(work, name, src))
     queries = run_multi_tenant(spark, tenants, customer, available_now=True)
     for q in queries:
-        q.awaitTermination(300)
+        await_drained(q)
     rows = [
         Row(tenant=t.name, n_rows=spark.read.parquet(t.sink_main_path).count())
         for t in tenants
@@ -234,9 +212,7 @@ def stream_cache_invalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim row count observed per micro-batch (2 batches → 2 observations)."""
     from mongo_to_clickhouse_spark.sinks.writers import dual_write_batch
 
-    work = _work("inv")
-    src = os.path.join(work, "source")
-    _stage_split(sf_dir, src, 2)
+    src, work = stage_events_source(sf_dir, parts=2, prefix="inv")
     tenant = _tenant(work, "inv", src)
     customer = load_table(spark, sf_dir, "customer")
     obs_path = os.path.join(work, "observed")
@@ -259,7 +235,7 @@ def stream_cache_invalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_drained(q)
     return spark.read.parquet(obs_path).orderBy("batch_id")
 
 

@@ -23,16 +23,21 @@ from pyspark.sql import functions as F
 from mongo_to_clickhouse_spark.config import TenantConfig
 
 
+def _partition_path(tenant: TenantConfig, batch_id: int) -> str:
+    return os.path.join(
+        tenant.dlq_path, f"tenant={tenant.name}", f"batch_id={batch_id}"
+    )
+
+
 def append_failed_batch(
     batch_df: DataFrame, batch_id: int, tenant: TenantConfig
 ) -> None:
-    (
-        batch_df.withColumn("tenant", F.lit(tenant.name))
-        .withColumn("batch_id", F.lit(batch_id))
-        .write.mode("append")
-        .partitionBy("tenant", "batch_id")
-        .parquet(tenant.dlq_path)
-    )
+    """Queue a failed batch, idempotently: the write targets the
+    (tenant, batch_id) partition directory directly with overwrite, so a
+    batch that fails repeatedly (e.g. replayed after checkpoint loss while
+    the sink is still down) is queued exactly once — an appending write
+    would double the rows and break the effectively-once sink contract."""
+    batch_df.write.mode("overwrite").parquet(_partition_path(tenant, batch_id))
 
 
 def retry_failed_batches(
@@ -75,8 +80,6 @@ def retry_failed_batches(
 def _drop_partition(tenant: TenantConfig, batch_id: int) -> None:
     import shutil
 
-    part = os.path.join(
-        tenant.dlq_path, f"tenant={tenant.name}", f"batch_id={batch_id}"
-    )
+    part = _partition_path(tenant, batch_id)
     if os.path.isdir(part):
         shutil.rmtree(part)

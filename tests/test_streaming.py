@@ -118,6 +118,77 @@ def test_dlq_capture_and_replay(spark, tmp_path):
     assert spark.read.parquet(t.sink_optout_path).count() == optout_n
 
 
+def test_dlq_requeue_after_checkpoint_loss_is_idempotent(spark, tmp_path):
+    """Sink down, batch lands in DLQ; checkpoint wiped; Spark replays the
+    batch against the still-down sink → the DLQ must hold the batch ONCE
+    (idempotent overwrite), and recovery must produce exactly-once rows."""
+    import shutil
+
+    t = _tenant(tmp_path, name="requeue")
+    _stage_events(t.source_path)
+    customer = load_table(spark, SRC, "customer")
+
+    def always_fail(df, batch_id):
+        raise RuntimeError("sink down")
+
+    q1 = run_tenant_stream(
+        spark, t, customer, available_now=True, fail_injector=always_fail
+    )
+    q1.awaitTermination(120)
+    total, main_n, optout_n = _expected_counts(spark)
+    assert spark.read.parquet(t.dlq_path).count() == total
+
+    shutil.rmtree(t.checkpoint_path)  # token lost while sink still down
+    q2 = run_tenant_stream(
+        spark, t, customer, available_now=True, fail_injector=always_fail
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(t.dlq_path).count() == total  # once, not twice
+
+    active = optout_active(optout_dim(customer))
+    assert retry_failed_batches(spark, t, active) >= 1
+    assert spark.read.parquet(t.sink_main_path).count() == main_n
+
+
+def test_insert_retry_backoff_policy(spark, tmp_path):
+    """Transient failures are retried with doubling delay; recovery within
+    the budget never touches the DLQ; exhaustion raises."""
+    import pytest as _pytest
+
+    from mongo_to_clickhouse_spark.plans.pipeline import (
+        anonymized_statements,
+        statements_from_events,
+    )
+    from mongo_to_clickhouse_spark.sinks.writers import insert_batch
+
+    t = _tenant(tmp_path, name="retry")
+    customer = load_table(spark, SRC, "customer")
+    events = load_table(spark, SRC, "events").limit(50)
+    anon = anonymized_statements(statements_from_events(events, customer))
+    active = optout_active(optout_dim(customer))
+
+    failures = {"left": 2}
+
+    def flaky(df, batch_id):
+        if failures["left"] > 0:
+            failures["left"] -= 1
+            raise RuntimeError("transient")
+
+    attempts = insert_batch(
+        anon, 0, t, active, flaky, max_retries=5, initial_delay_sec=0.01
+    )
+    assert attempts == 3
+    assert not os.path.isdir(t.dlq_path)
+
+    def always(df, batch_id):
+        raise RuntimeError("down")
+
+    with _pytest.raises(RuntimeError, match="down"):
+        insert_batch(
+            anon, 1, t, active, always, max_retries=3, initial_delay_sec=0.01
+        )
+
+
 def test_checkpoint_resume_no_duplicates(spark, tmp_path):
     t = _tenant(tmp_path)
     os.makedirs(t.source_path, exist_ok=True)
