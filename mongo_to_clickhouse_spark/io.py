@@ -50,6 +50,9 @@ def load_table(
     the difference between pruning and a full scan."""
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
+    from mongo_to_clickhouse_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # events.ts is parquet TIMESTAMP(NANOS), surfaced as epoch-nanos via

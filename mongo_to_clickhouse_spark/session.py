@@ -25,6 +25,28 @@ def default_cpus() -> int:
         return os.cpu_count() or 4
 
 
+# Runtime-settable confs every query entry depends on, applied defensively
+# to WHATEVER session the caller provides (the driver harness builds its own
+# plain SparkSession): ns-parquet handling, deterministic UTC timestamp
+# rendering, AQE, Arrow for the Pandas-UDF paths.
+_REQUIRED_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    for k, v in _REQUIRED_RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — static conf in some deployment
+            pass
+    return spark
+
+
 def get_spark(
     app_name: str = "mongo-to-clickhouse-spark",
     cpus: int | None = None,
