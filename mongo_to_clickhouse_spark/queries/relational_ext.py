@@ -292,8 +292,92 @@ SETOP_EXCEPT_SQL = """
 """
 
 
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event deltas per user: lag/lead navigation + seconds-since-
+    previous (classic sessionization precursor)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)).alias(
+            "sec_since_prev"
+        ),
+    )
+
+
+WINDOW_LAG_LEAD_SQL = """
+    SELECT event_id, user_id,
+           lag(event_id) OVER w AS prev_event_id,
+           lead(event_id) OVER w AS next_event_id,
+           CAST(epoch(date_trunc('second', ts))
+                - epoch(date_trunc('second', lag(ts) OVER w)) AS BIGINT)
+               AS sec_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def window_ntile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranking: quartiles + dense_rank + cumulative
+    distribution of customer balances per market segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.dense_rank().over(w).alias("drank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+WINDOW_NTILE_RANK_SQL = """
+    SELECT c_custkey, c_mktsegment,
+           ntile(4) OVER w AS quartile,
+           dense_rank() OVER w AS drank,
+           round(cume_dist() OVER w, 6) AS cdist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+def subquery_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery predicate: customers above their segment's average
+    balance (correlated aggregate — Catalyst rewrites to a join)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_ssq"
+    )
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment,
+               CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+        FROM customer_ssq o
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer_ssq i
+                           WHERE i.c_mktsegment = o.c_mktsegment)
+        """
+    )
+
+
+SUBQUERY_SCALAR_AGG_SQL = """
+    SELECT c_custkey, c_mktsegment,
+           CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+    FROM customer o
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer i
+                       WHERE i.c_mktsegment = o.c_mktsegment)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "tpch_q1_pricing_summary": (tpch_q1_pricing_summary, TPCH_Q1_SQL),
+    "window_lag_lead": (window_lag_lead, WINDOW_LAG_LEAD_SQL),
+    "window_ntile_rank": (window_ntile_rank, WINDOW_NTILE_RANK_SQL),
+    "subquery_scalar_agg": (subquery_scalar_agg, SUBQUERY_SCALAR_AGG_SQL),
     "agg_distinct_count": (agg_distinct_count, AGG_DISTINCT_COUNT_SQL),
     "agg_approx_distinct": (agg_approx_distinct, AGG_APPROX_DISTINCT_SQL),
     "agg_grouping_sets": (agg_grouping_sets, AGG_GROUPING_SETS_SQL),
