@@ -78,8 +78,31 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(decode_media(media_table(docs)), stride=2)
 
 
+def pandas_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-user median/MAD in Arrow-batched
+    pandas, oracle-checked against DuckDB's quantile_cont (median is
+    order-insensitive, so the Python round-trip must match exactly)."""
+    from mongo_to_clickhouse_spark.operators.grouped import grouped_robust_stats
+
+    return grouped_robust_stats(load_table(spark, sf_dir, "events"))
+
+
+PANDAS_GROUPED_STATS_SQL = """
+    SELECT user_id, COUNT(*) AS n,
+           round(median(value), 6) AS median_value,
+           round(median(abs(value - med)), 6) AS mad
+    FROM (
+        SELECT user_id, value,
+               median(value) OVER (PARTITION BY user_id) AS med
+        FROM events
+    )
+    GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "backfill_timerange": (backfill_timerange, BACKFILL_TIMERANGE_SQL),
+    "pandas_grouped_stats": (pandas_grouped_stats, PANDAS_GROUPED_STATS_SQL),
     "multimodal_meta_extract": (multimodal_meta_extract, MULTIMODAL_META_EXTRACT_SQL),
     "multimodal_decode_stub": (multimodal_decode_stub, None),
     "multimodal_frame_sample": (multimodal_frame_sample, None),
