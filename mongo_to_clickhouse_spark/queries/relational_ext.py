@@ -40,9 +40,17 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(_q("l_extendedprice")), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.sum(_q("l_quantity")) / F.count("*"), 6).alias("avg_qty"),
-            F.round(F.sum(_q("l_extendedprice")) / F.count("*"), 6).alias("avg_price"),
-            F.round(F.sum(_q("l_discount")) / F.count("*"), 6).alias("avg_disc"),
+            # cast to double: DuckDB's decimal/count division yields DOUBLE,
+            # so match its output type exactly (values agree either way)
+            F.round(F.sum(_q("l_quantity")) / F.count("*"), 6)
+            .cast("double")
+            .alias("avg_qty"),
+            F.round(F.sum(_q("l_extendedprice")) / F.count("*"), 6)
+            .cast("double")
+            .alias("avg_price"),
+            F.round(F.sum(_q("l_discount")) / F.count("*"), 6)
+            .cast("double")
+            .alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )

@@ -56,9 +56,9 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        F.round(F.sum(F.col("n_chars").cast("decimal(18,2)")) / F.count("*"), 4).alias(
-            "avg_chars"
-        ),
+        F.round(F.sum(F.col("n_chars").cast("decimal(18,2)")) / F.count("*"), 4)
+        .cast("double")
+        .alias("avg_chars"),
         F.countDistinct("source").alias("n_sources"),
     )
 

@@ -75,6 +75,21 @@ def compare(spark_df, con, sql: str) -> list[str]:
     if len(s_rows) != len(d_rows):
         problems.append(f"row count differs: spark={len(s_rows)} duck={len(d_rows)}")
 
+    # dtype-class drift (e.g. Decimal on one side, float on the other) can
+    # break a stricter driver hash even when canonical values agree
+    def _kinds(cols, rows):
+        kinds = {}
+        for i, c in enumerate(cols):
+            v = next((r[i] for r in rows if r[i] is not None), None)
+            kinds[c.lower()] = type(v).__name__ if v is not None else None
+        return kinds
+
+    sk_kinds, dk_kinds = _kinds(s_cols, s_rows), _kinds(d_cols, d_rows)
+    for c in sk_kinds:
+        a, b = sk_kinds[c], dk_kinds.get(c)
+        if a and b and a != b and {a, b} != {"int", "bool"}:
+            problems.append(f"column {c!r} type-class differs: spark={a} duck={b}")
+
     sk = rows_key([c.lower() for c in s_cols], s_rows)
     dk = rows_key([c.lower() for c in d_cols], d_rows)
     if sk != dk:
