@@ -206,9 +206,58 @@ JOIN_SKEW_SALTED_SQL = """
 """
 
 
+def scd2_upsert_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / SCD2 emulation without a lakehouse format (the guide's
+    anti-join + union + versioning pattern): an update batch (every 10th
+    customer gets +100 balance) applied to the customer dim — touched rows
+    are closed out (is_current=false) and re-inserted as v2, untouched rows
+    pass through. At scale this is the same plan MERGE compiles to: one
+    broadcast/shuffle join + union, no row-at-a-time upserts."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("decimal(18,2)").alias("acctbal")
+    )
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", (F.col("acctbal") + F.lit(100).cast("decimal(18,2)")).alias("acctbal")
+    )
+    closed = (
+        cust.join(updates.select("c_custkey"), "c_custkey", "left_semi")
+        .select("c_custkey", "acctbal", F.lit(False).alias("is_current"),
+                F.lit(1).alias("version"))
+    )
+    untouched = (
+        cust.join(updates.select("c_custkey"), "c_custkey", "left_anti")
+        .select("c_custkey", "acctbal", F.lit(True).alias("is_current"),
+                F.lit(1).alias("version"))
+    )
+    fresh = updates.select(
+        "c_custkey", "acctbal", F.lit(True).alias("is_current"),
+        F.lit(2).alias("version")
+    )
+    return closed.unionByName(untouched).unionByName(fresh)
+
+
+SCD2_UPSERT_EMULATION_SQL = """
+    WITH cust AS (
+        SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer
+    ),
+    updates AS (
+        SELECT c_custkey, acctbal + CAST(100 AS DECIMAL(18,2)) AS acctbal
+        FROM cust WHERE c_custkey % 10 = 0
+    )
+    SELECT c.c_custkey, c.acctbal, FALSE AS is_current, 1 AS version
+    FROM cust c SEMI JOIN updates u ON c.c_custkey = u.c_custkey
+    UNION ALL
+    SELECT c.c_custkey, c.acctbal, TRUE AS is_current, 1 AS version
+    FROM cust c ANTI JOIN updates u ON c.c_custkey = u.c_custkey
+    UNION ALL
+    SELECT c_custkey, acctbal, TRUE AS is_current, 2 AS version FROM updates
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "join_asof": (join_asof, JOIN_ASOF_SQL),
     "join_skew_salted": (join_skew_salted, JOIN_SKEW_SALTED_SQL),
+    "scd2_upsert_emulation": (scd2_upsert_emulation, SCD2_UPSERT_EMULATION_SQL),
     "pivot_wide_agg": (pivot_wide_agg, PIVOT_WIDE_AGG_SQL),
     "unpivot_long": (unpivot_long, UNPIVOT_LONG_SQL),
     "join_outer_full": (join_outer_full, JOIN_OUTER_FULL_SQL),
