@@ -63,12 +63,19 @@ def main() -> None:
     for qid in HEADLINE:
         reg[qid][0](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # median of 3 timed runs per query — single-run numbers at sub-second
+    # scale are noisy (GC, OS scheduling); the median is what a resident
+    # engine actually serves
+    REPS = 3
     timings: dict[str, float] = {}
     for qid in HEADLINE:
         fn, _ = reg[qid]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[qid] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(REPS):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        timings[qid] = round(sorted(samples)[REPS // 2], 3)
 
     total = round(sum(timings.values()), 3)
     # Flagship throughput in the reference's own unit (docs/s; its design
