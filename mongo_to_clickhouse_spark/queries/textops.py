@@ -233,7 +233,71 @@ DEDUP_EXACT_HASH_SQL = """
 """
 
 
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency: top-50 word bigrams (n-gram LM statistics /
+    collocation mining). zip_with of the token array against its own tail
+    builds bigrams without a self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(50)
+    )
+
+
+TEXT_NGRAM_FREQ_SQL = """
+    SELECT bigram, COUNT(*) AS n FROM (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+    )
+    GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
+"""
+
+
+def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the token array: transform,
+    filter, aggregate (fold), sort, distinct — the Catalyst-native array
+    surface (no UDFs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.length(t)
+        ).alias("total_chars"),
+        F.element_at(F.array_sort(F.array_distinct(toks)), 1).alias("first_token"),
+        F.array_max(F.transform(toks, lambda t: F.length(t))).alias("max_token_len"),
+    )
+
+
+SCALAR_ARRAY_OPS_SQL = """
+    SELECT doc_id,
+           len(toks) AS n_toks,
+           len(list_filter(toks, t -> length(t) > 4)) AS n_long,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS INT)
+               AS total_chars,
+           list_sort(list_distinct(toks))[1] AS first_token,
+           CAST(list_max(list_transform(toks, t -> length(t))) AS INT)
+               AS max_token_len
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "text_ngram_freq": (text_ngram_freq, TEXT_NGRAM_FREQ_SQL),
+    "scalar_array_ops": (scalar_array_ops, SCALAR_ARRAY_OPS_SQL),
     "text_tokenize_wordcount": (text_tokenize_wordcount, TEXT_TOKENIZE_WORDCOUNT_SQL),
     "text_lang_stats": (text_lang_stats, TEXT_LANG_STATS_SQL),
     "text_token_count": (text_token_count, TEXT_TOKEN_COUNT_SQL),
