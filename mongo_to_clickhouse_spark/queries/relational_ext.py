@@ -125,6 +125,33 @@ AGG_APPROX_DISTINCT_SQL = """
 """
 
 
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile sketch (Greenwald-Khanna / KLL-style).
+    Sketches differ across engines, so — like agg_approx_distinct — the
+    oracle checks the estimator's CONTRACT: the approx p50 must sit within
+    1% relative error of the exact continuous quantile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (
+            F.abs(
+                F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+                - F.expr("percentile(l_extendedprice, 0.5)")
+            )
+            / F.expr("percentile(l_extendedprice, 0.5)")
+            < 0.01
+        ).alias("p50_within_1pct")
+    )
+
+
+AGG_APPROX_QUANTILE_SQL = """
+    SELECT l_returnflag,
+           abs(approx_quantile(l_extendedprice, 0.5)
+               - quantile_cont(l_extendedprice, 0.5))
+               / quantile_cont(l_extendedprice, 0.5) < 0.01 AS p50_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(returnflag, linestatus) — subtotals + grand total."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -388,6 +415,7 @@ QUERIES: dict[str, tuple] = {
     "subquery_scalar_agg": (subquery_scalar_agg, SUBQUERY_SCALAR_AGG_SQL),
     "agg_distinct_count": (agg_distinct_count, AGG_DISTINCT_COUNT_SQL),
     "agg_approx_distinct": (agg_approx_distinct, AGG_APPROX_DISTINCT_SQL),
+    "agg_approx_quantile": (agg_approx_quantile, AGG_APPROX_QUANTILE_SQL),
     "agg_grouping_sets": (agg_grouping_sets, AGG_GROUPING_SETS_SQL),
     "agg_percentile": (agg_percentile, AGG_PERCENTILE_SQL),
     "window_rank_topk_per_group": (window_rank_topk_per_group, WINDOW_RANK_TOPK_SQL),
