@@ -239,8 +239,57 @@ def stream_cache_invalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(obs_path).orderBy("batch_id")
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks + time-range condition:
+    each 'purchase' event joined to the same user's 'click' events within
+    the preceding hour. Both sides buffer state bounded by watermark +
+    range (Spark evicts rows once they can no longer match) — the
+    streaming feature class the reference has no analogue for."""
+    from mongo_to_clickhouse_spark.streaming.pipeline import EVENTS_SCHEMA
+
+    src, _work = stage_events_source(sf_dir, prefix="ssj")
+
+    def _side(types, alias):
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(src)
+            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+            .filter(F.col("event_type").isin(*types))
+            .selectExpr(
+                f"event_id AS {alias}_id",
+                "user_id",
+                f"ts AS {alias}_ts",
+            )
+            .withWatermark(f"{alias}_ts", "30 minutes")
+        )
+
+    purchases = _side(["purchase"], "purchase")
+    clicks = _side(["click", "view", "signup", "error"], "click")
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    ).select("purchase_id", "click_id", purchases.user_id.alias("user_id"))
+
+    import uuid as _uuid
+
+    name = f"ssj_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drained(q)
+    return spark.table(name)
+
+
 QUERIES: dict[str, tuple] = {
     "source_changestream": (source_changestream, None),
+    "stream_stream_join": (stream_stream_join, None),
     "checkpoint_resume_token": (checkpoint_resume_token, None),
     "sink_dlq_log": (sink_dlq_log, None),
     "metric_throughput": (metric_throughput, None),
