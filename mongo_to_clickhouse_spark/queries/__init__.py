@@ -9,6 +9,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from mongo_to_clickhouse_spark.queries import (
+    analytics,
     core,
     dedupops,
     joinops,
@@ -22,6 +23,7 @@ from mongo_to_clickhouse_spark.queries import (
 )
 
 _MODULES = [
+    analytics,
     core,
     dedupops,
     joinops,

@@ -1,0 +1,160 @@
+"""Product-analytics workloads over the events stream — the query shapes a
+learning-analytics deployment (the reference's domain) actually runs on the
+replicated data: funnels, retention cohorts, rarity scoring.
+
+All-deterministic arithmetic (counts, date buckets, integer ranks) so every
+query is exactly oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mongo_to_clickhouse_spark.io import load_table
+
+
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel per user: earliest signup, earliest subsequent
+    purchase, conversion flag + hours-to-convert."""
+    ev = load_table(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.collect_list("ts").alias("purchase_times"))
+    )
+    first_after = F.array_min(
+        F.filter(
+            F.col("purchase_times"), lambda t: t >= F.col("first_signup")
+        )
+    )
+    return (
+        signup.join(purchase, "user_id", "left")
+        .select(
+            "user_id",
+            F.date_format("first_signup", "yyyy-MM-dd HH:mm:ss").alias(
+                "first_signup"
+            ),
+            first_after.isNotNull().alias("converted"),
+            F.floor(
+                (F.unix_timestamp(first_after) - F.unix_timestamp("first_signup"))
+                / 3600
+            ).alias("hours_to_convert"),
+        )
+    )
+
+
+FUNNEL_SQL = """
+    WITH signup AS (
+        SELECT user_id, MIN(ts) AS first_signup FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+        SELECT s.user_id, s.first_signup, MIN(p.ts) AS first_purchase
+        FROM signup s LEFT JOIN events p
+          ON p.user_id = s.user_id AND p.event_type = 'purchase'
+         AND p.ts >= s.first_signup
+        GROUP BY s.user_id, s.first_signup
+    )
+    SELECT user_id,
+           strftime(first_signup, '%Y-%m-%d %H:%M:%S') AS first_signup,
+           first_purchase IS NOT NULL AS converted,
+           CAST(floor((epoch(date_trunc('second', first_purchase))
+                       - epoch(date_trunc('second', first_signup))) / 3600)
+                AS BIGINT) AS hours_to_convert
+    FROM conv
+"""
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users bucketed by first-seen day
+    (cohort), counted by day-offset of subsequent activity."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = (
+        ev.groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("active_day")
+    ).distinct()
+    return (
+        activity.join(first_day, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.datediff("active_day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+RETENTION_SQL = """
+    WITH first_day AS (
+        SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day FROM events
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort,
+           CAST(date_diff('day', f.cohort_day, a.active_day) AS INT) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS active_users
+    FROM activity a JOIN first_day f ON a.user_id = f.user_id
+    GROUP BY f.cohort_day, date_diff('day', f.cohort_day, a.active_day)
+"""
+
+
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document rarity via integer frequency ranks (a perplexity proxy
+    without float log-probs): rank every vocabulary token by corpus
+    frequency (rank 1 = most common), score each doc by its mean token
+    rank — higher = rarer vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    ranked = freq.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), F.col("tok"))
+        ),
+    )
+    return (
+        toks.join(ranked, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum("rank") / F.count("*"), 4
+            ).alias("mean_token_rank"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
+TEXT_RARITY_SQL = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    ranked AS (
+        SELECT tok, row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS rank
+        FROM toks GROUP BY tok
+    )
+    SELECT t.doc_id,
+           round(SUM(r.rank) / COUNT(*), 4) AS mean_token_rank,
+           COUNT(*) AS n_tokens
+    FROM toks t JOIN ranked r ON t.tok = r.tok
+    GROUP BY t.doc_id
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "funnel_signup_purchase": (funnel_signup_purchase, FUNNEL_SQL),
+    "retention_cohorts": (retention_cohorts, RETENTION_SQL),
+    "text_rarity_score": (text_rarity_score, TEXT_RARITY_SQL),
+}
