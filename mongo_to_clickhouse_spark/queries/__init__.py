@@ -19,6 +19,7 @@ from mongo_to_clickhouse_spark.queries import (
     streamruntime,
     textops,
     tpch,
+    tpch_ext,
     vectorops,
 )
 
@@ -33,6 +34,7 @@ _MODULES = [
     streamruntime,
     textops,
     tpch,
+    tpch_ext,
     vectorops,
 ]
 

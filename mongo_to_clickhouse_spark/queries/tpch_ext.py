@@ -1,0 +1,654 @@
+"""The remaining TPC-H query shapes (Q2/Q4/Q8/Q9/Q11/Q13/Q15/Q16/Q17/
+Q19/Q20/Q21/Q22), adapted to the fixture schema — together with tpch.py
+this gives all 22 TPC-H shapes as oracle-checked coverage.
+
+The fixtures have no ``partsupp`` table and no ``l_commitdate`` /
+``l_receiptdate`` columns, so the shapes are adapted while preserving each
+query's *relational pattern* (the thing that matters for a Spark plan):
+
+- Q2  correlated-min over a derived offer relation (lineitem as the
+      part↔supplier link)
+- Q4  EXISTS semi-join with an inequality crossing both relations
+      ("late" = shipped >60 days after order date)
+- Q8  national market share — CASE-conditional share of a two-role
+      dimension join, per year
+- Q9  profit decomposition (revenue minus cost) by nation and year
+- Q11 HAVING against a scalar subquery over the same fact table
+- Q13 distribution-of-counts via left outer join (customers with zero
+      orders kept)
+- Q15 argmax against an aggregated view (top supplier by revenue)
+- Q16 distinct-count with a NOT IN supplier blacklist
+- Q17 correlated per-part average threshold (quantity < 1/5 of part avg)
+- Q19 disjunction of conjunctive range predicates across a join
+- Q21 EXISTS + NOT EXISTS self-joins on the fact table
+- Q22 scalar-subquery threshold + anti-join against orders
+
+Scale notes: every dimension side here is broadcast-eligible (Catalyst/AQE
+decides); fact-fact self-joins (Q21) shuffle on ``l_orderkey`` which is the
+natural co-partitioning key; scalar subqueries are computed as 1-row
+aggregates and cross-joined via broadcast, never collected to the driver.
+
+Exactness notes (oracle parity): money columns are cast to DECIMAL(18,2)
+before aggregation (exact); quantity sums are integral doubles (exact up to
+2^53), so thresholds like ``5 * qty * cnt < sum_qty`` (Q17) and
+``qty > 0.3 * total`` (Q20) are computed identically by Spark and DuckDB.
+Division results are cast to double *before* rounding so both engines
+round the same IEEE value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongo_to_clickhouse_spark.io import load_table
+
+_DEC = "decimal(18,2)"
+
+
+def _rev():
+    return F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: cheapest European offer per LARGE part (correlated min).
+
+    ``lineitem`` plays the role of ``partsupp`` (the part↔supplier link);
+    the correlated ``MIN(ps_supplycost)`` subquery becomes a per-part min
+    aggregate joined back on (partkey, price) — the standard Spark rewrite
+    that Catalyst itself applies to correlated scalar subqueries.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    li = load_table(spark, sf_dir, "lineitem")
+    eur = (
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .join(eur, li.l_suppkey == eur.s_suppkey)
+        .select(
+            F.col("p_partkey").alias("part_key"),
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            F.col("l_extendedprice").cast(_DEC).alias("price"),
+        )
+    )
+    min_offer = offers.groupBy("part_key").agg(F.min("price").alias("min_price"))
+    return (
+        offers.join(min_offer, "part_key")
+        .filter(F.col("price") == F.col("min_price"))
+        .select("s_acctbal", "s_name", "n_name", "part_key", "price")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "part_key", "price"
+        )
+        .limit(100)
+    )
+
+
+TPCH_Q2_SQL = """
+    WITH offers AS (
+        SELECT l_partkey AS part_key, s_name, s_acctbal, n_name,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'LARGE'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, part_key, price
+    FROM offers o
+    WHERE price = (SELECT min(price) FROM offers i
+                   WHERE i.part_key = o.part_key)
+    ORDER BY s_acctbal DESC, n_name, s_name, part_key, price
+    LIMIT 100
+"""
+
+
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: orders in one quarter having at least one late line
+    (EXISTS with an inequality spanning both relations), counted by
+    priority. Spark form: left-semi join with a compound condition."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+TPCH_Q4_SQL = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: NATION_2's share of revenue from ASIA-resident customers,
+    per order year. The nation dim appears in two roles (customer-side
+    region filter, supplier-side share numerator)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _rev()
+    target = F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(
+        F.lit(0).cast(_DEC)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n_cust, cust.c_nationkey == F.col("cn_key"))
+        .join(region, F.col("cn_rkey") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n_supp, supp.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                (F.sum(target) * F.lit(100).cast(_DEC)) / F.sum(rev), 6
+            )
+            .cast("double")
+            .alias("mkt_share_pct")
+        )
+        .orderBy("o_year")
+    )
+
+
+TPCH_Q8_SQL = f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           round(100 * SUM(CASE WHEN n2.n_name = 'NATION_2' THEN {_REV_SQL}
+                                ELSE CAST(0 AS DECIMAL(18,2)) END)
+                 / SUM({_REV_SQL}), 6) AS mkt_share_pct
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    GROUP BY year(o_orderdate)
+    ORDER BY o_year
+"""
+
+
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit (revenue minus cost) by supplier nation and order
+    year, for ECONOMY parts. ``p_retailprice * l_quantity`` stands in for
+    the missing ``ps_supplycost * l_quantity`` cost term; both sums stay
+    in exact decimal and are subtracted before one final round."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cost = F.col("p_retailprice").cast(_DEC) * F.col("l_quantity").cast(_DEC)
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(_rev()) - F.sum(cost), 2).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+TPCH_Q9_SQL = f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           round(SUM({_REV_SQL})
+                 - SUM(CAST(p_retailprice AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2))), 2) AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year DESC
+"""
+
+
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose lineitem value exceeds 1/1000 of the global
+    total — HAVING against a scalar subquery over the same fact. The
+    scalar is a 1-row aggregate broadcast-cross-joined, never collected;
+    the comparison is ``value * 1000 > total`` so it stays in exact
+    decimal (no fractional threshold)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    val = F.sum(F.col("l_extendedprice").cast(_DEC))
+    per_part = li.groupBy("l_partkey").agg(val.alias("part_value"))
+    total = li.agg(val.alias("total_value"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") * 1000 > F.col("total_value"))
+        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+TPCH_Q11_SQL = """
+    SELECT l_partkey,
+           round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 1000 >
+           (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FROM lineitem)
+    ORDER BY part_value DESC, l_partkey
+"""
+
+
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: distribution of order counts per customer, keeping
+    zero-order customers (left outer join, count of the nullable side,
+    then a second aggregation over the counts)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+TPCH_Q13_SQL = """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: supplier(s) with the maximum revenue in one quarter —
+    argmax against an aggregated view, max delivered as a broadcast
+    1-row cross join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revs = li.groupBy("l_suppkey").agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+    mx = revs.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revs.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+TPCH_Q15_SQL = f"""
+    WITH revenue AS (
+        SELECT l_suppkey, round(SUM({_REV_SQL}), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct suppliers per (brand, type, size) bucket,
+    excluding a supplier blacklist (NOT IN → broadcast left-anti join).
+    ``lineitem`` again plays the ``partsupp`` role."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#15")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22, 25)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+TPCH_Q16_SQL = """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#15'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: revenue from lines whose quantity is below 1/5 of the
+    part's average quantity (correlated AVG, rewritten as a per-part
+    aggregate join). The threshold ``5 * qty * cnt < sum_qty`` is exact
+    integer-double arithmetic, so Spark and DuckDB agree bit-for-bit."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey")
+    )
+    stats = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("l_quantity").alias("qty_sum"), F.count("*").alias("qty_cnt")
+    )
+    return (
+        li.join(stats, li.l_partkey == stats.pk)
+        .filter(F.col("l_quantity") * 5 * F.col("qty_cnt") < F.col("qty_sum"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / 7, 2
+            ).alias("avg_yearly")
+        )
+    )
+
+
+TPCH_Q17_SQL = """
+    SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / 7, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
+    WHERE l_quantity * 5 * (SELECT count(*) FROM lineitem i
+                            WHERE i.l_partkey = l.l_partkey)
+          < (SELECT SUM(i.l_quantity) FROM lineitem i
+             WHERE i.l_partkey = l.l_partkey)
+"""
+
+
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: disjunction of conjunctive (brand, size, quantity) range
+    predicates spanning the lineitem⨝part join — the OR-of-ANDs pattern
+    Catalyst handles via common-predicate extraction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#25")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+    )
+
+
+TPCH_Q19_SQL = f"""
+    SELECT round(SUM({_REV_SQL}), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: European suppliers shipping a dominant share (>30%) of
+    some small part — nested aggregate subqueries rewritten as a pair of
+    groupBys joined on partkey. Quantity sums are exact integral doubles,
+    so the 0.3 threshold multiplies identical IEEE values in both
+    engines."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey")
+    )
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("pair_qty")
+    )
+    tot = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("l_quantity").alias("part_qty")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur = (
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name")
+    )
+    dominant = (
+        pair.join(tot, pair.l_partkey == tot.pk)
+        .filter(F.col("pair_qty") > F.lit(0.3) * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        eur.join(dominant, eur.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+TPCH_Q20_SQL = """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM (
+            SELECT l_suppkey, l_partkey, SUM(l_quantity) AS pair_qty
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_size < 10
+            GROUP BY l_suppkey, l_partkey
+        ) pair
+        JOIN (
+            SELECT l_partkey AS pk, SUM(l_quantity) AS part_qty
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_size < 10
+            GROUP BY l_partkey
+        ) tot ON pair.l_partkey = tot.pk
+        WHERE pair_qty > 0.3 * part_qty
+    )
+    ORDER BY s_suppkey
+"""
+
+
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers who were the *only* late shipper in
+    multi-supplier finished orders — an EXISTS (another supplier shipped
+    in the same order) plus a NOT EXISTS (no other supplier shipped late)
+    as left-semi and left-anti self-joins on ``l_orderkey``. "Late" =
+    shipped more than 60 days after the order date (the fixtures carry no
+    commit/receipt dates)."""
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    l1 = (
+        late.join(
+            l2,
+            (late.l_orderkey == F.col("k2")) & (late.l_suppkey != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        l1.join(supp, l1.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+TPCH_Q21_SQL = """
+    WITH late AS (
+        SELECT l_orderkey, l_suppkey
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM late l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+"""
+
+
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: customers richer than the positive-balance average who
+    never ordered — scalar-subquery threshold (broadcast 1-row cross
+    join; compared as ``bal * cnt > sum`` so it stays exact decimal) plus
+    an anti-join against orders, grouped by nation (the stand-in for the
+    phone country code)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", F.col("c_acctbal").cast(_DEC).alias("bal")
+    )
+    pos = cust.filter(F.col("bal") > 0).agg(
+        F.sum("bal").alias("pos_sum"), F.count("*").alias("pos_cnt")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(F.broadcast(pos))
+        .filter(F.col("bal") * F.col("pos_cnt") > F.col("pos_sum"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("bal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+TPCH_Q22_SQL = """
+    SELECT c_nationkey, count(*) AS numcust,
+           round(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS totacctbal
+    FROM customer c
+    WHERE CAST(c_acctbal AS DECIMAL(18,2))
+          * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+          > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+             FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "tpch_q2_min_cost_supplier": (tpch_q2_min_cost_supplier, TPCH_Q2_SQL),
+    "tpch_q4_order_priority": (tpch_q4_order_priority, TPCH_Q4_SQL),
+    "tpch_q8_market_share": (tpch_q8_market_share, TPCH_Q8_SQL),
+    "tpch_q9_product_profit": (tpch_q9_product_profit, TPCH_Q9_SQL),
+    "tpch_q11_important_parts": (tpch_q11_important_parts, TPCH_Q11_SQL),
+    "tpch_q13_customer_distribution": (
+        tpch_q13_customer_distribution,
+        TPCH_Q13_SQL,
+    ),
+    "tpch_q15_top_supplier": (tpch_q15_top_supplier, TPCH_Q15_SQL),
+    "tpch_q16_supplier_cnt": (tpch_q16_supplier_cnt, TPCH_Q16_SQL),
+    "tpch_q17_small_qty_revenue": (tpch_q17_small_qty_revenue, TPCH_Q17_SQL),
+    "tpch_q19_discounted_revenue": (tpch_q19_discounted_revenue, TPCH_Q19_SQL),
+    "tpch_q20_potential_promotion": (tpch_q20_potential_promotion, TPCH_Q20_SQL),
+    "tpch_q21_waiting_supplier": (tpch_q21_waiting_supplier, TPCH_Q21_SQL),
+    "tpch_q22_global_sales_opportunity": (
+        tpch_q22_global_sales_opportunity,
+        TPCH_Q22_SQL,
+    ),
+}
