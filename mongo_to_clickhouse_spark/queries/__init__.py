@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mongo_to_clickhouse_spark.queries import (
     analytics,
+    analytics_ext,
     core,
     dedupops,
     joinops,
@@ -25,6 +26,7 @@ from mongo_to_clickhouse_spark.queries import (
 
 _MODULES = [
     analytics,
+    analytics_ext,
     core,
     dedupops,
     joinops,

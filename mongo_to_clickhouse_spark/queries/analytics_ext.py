@@ -1,0 +1,284 @@
+"""Time-series / corpus analytics beyond the first analytics batch:
+batch sessionization, time-range window frames, hypertable-style time
+bucket rollups, TF-IDF term scoring, and value histograms.
+
+These are the remaining query shapes a training-data / product-analytics
+pipeline runs over an event stream and a document corpus. Everything is
+arranged as exact integer / decimal / deterministic-double arithmetic so
+each query is hash-checked against DuckDB (see module docstrings in
+``tpch_ext.py`` for the parity rules).
+
+Scale notes: sessionization and range frames partition by ``user_id`` —
+one shuffle, then all window work is partition-local (at 100 TB the skew
+risk is a power user; the partition count rides
+``spark.sql.shuffle.partitions`` and AQE coalescing). The rollup is a
+single partial-aggregated shuffle; TF-IDF is two aggregations over the
+token relation plus a broadcast scalar for the corpus size — never a
+driver-side collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mongo_to_clickhouse_spark.io import load_table
+
+SESSION_GAP_SEC = 21600  # 6 h — fixture users emit ~2 events/day
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event sequence at gaps
+    longer than ``SESSION_GAP_SEC`` (lag + cumulative-sum of session
+    starts — the classic gap-and-island rewrite of the streaming
+    ``session_window``), then aggregate per session."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
+    gap = sec - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > SESSION_GAP_SEC), 1).otherwise(0)
+    sess = (
+        ev.withColumn("new_s", new_s)
+        .withColumn("session_idx", F.sum("new_s").over(w))
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            (F.max(sec) - F.min(sec)).alias("duration_sec"),
+        )
+        .select(
+            "user_id",
+            F.col("session_idx").cast("long").alias("session_idx"),
+            "n_events",
+            "session_start",
+            "duration_sec",
+        )
+    )
+
+
+SESSIONIZE_SQL = f"""
+    WITH marked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(date_trunc('second', ts))
+                       - epoch(date_trunc('second', lag(ts) OVER w))
+                       > {SESSION_GAP_SEC}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS session_idx
+        FROM marked
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           count(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(MAX(epoch(date_trunc('second', ts)))
+                - MIN(epoch(date_trunc('second', ts))) AS BIGINT)
+               AS duration_sec
+    FROM sess
+    GROUP BY user_id, session_idx
+"""
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per event, the count and max value of the
+    same user's events in the trailing 24 h — ``rangeBetween`` over epoch
+    seconds (a true value-range frame, not a row frame). Count/max only:
+    both are order-insensitive, so Spark and DuckDB agree exactly."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    sec = F.unix_timestamp("ts").alias("epoch_sec")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_sec")
+        .rangeBetween(-86400, 0)
+    )
+    return (
+        ev.select("event_id", "user_id", sec, "value")
+        .withColumn("trailing_cnt_24h", F.count("*").over(w))
+        .withColumn("trailing_max_24h", F.max("value").over(w))
+        .select(
+            "event_id", "user_id", "epoch_sec", "trailing_cnt_24h",
+            "trailing_max_24h",
+        )
+    )
+
+
+WINDOW_RANGE_FRAME_SQL = """
+    SELECT event_id, user_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_sec,
+           count(*) OVER w AS trailing_cnt_24h,
+           MAX(value) OVER w AS trailing_max_24h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY epoch(date_trunc('second', ts))
+                 RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+"""
+
+
+def events_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: events rolled up into 1-day
+    buckets per event type, with ROLLUP subtotals (per-bucket and grand
+    total). ``NULL`` grouping slots render as 'ALL' so the hash compare
+    is unambiguous."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("day", F.col("ts")).alias("bucket")
+    return (
+        ev.select(bucket, "event_type", "user_id", "value")
+        .rollup("bucket", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.coalesce(
+                F.date_format("bucket", "yyyy-MM-dd"), F.lit("ALL")
+            ).alias("bucket"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "n_users",
+            "max_value",
+        )
+    )
+
+
+TIME_BUCKET_ROLLUP_SQL = """
+    SELECT coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL')
+               AS bucket,
+           coalesce(event_type, 'ALL') AS event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), event_type)
+"""
+
+
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document, with a fully rational score so
+    both engines compute the identical double:
+    ``score = tf_cnt * n_docs / (doc_len * df)`` (plain-count TF times a
+    log-free inverse document frequency). Corpus size arrives as a
+    broadcast 1-row aggregate, document frequency as a token-level
+    aggregate — two shuffles over the token relation, no collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf_cnt"))
+    doc_len = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    df_ = toks.select("doc_id", "tok").distinct().groupBy("tok").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(doc_len, "doc_id")
+        .join(df_, "tok")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                (F.col("tf_cnt") * F.col("n_docs"))
+                / (F.col("doc_len") * F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", F.col("rn").alias("term_rank"), "tok", "score")
+    )
+
+
+TFIDF_SQL = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf_cnt FROM toks
+           GROUP BY doc_id, tok),
+    doc_len AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
+    df AS (SELECT tok, count(*) AS df
+           FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               round((tf_cnt * (SELECT count(*) FROM documents))
+                     / CAST(doc_len * df AS DOUBLE), 6) AS score
+        FROM tf JOIN doc_len USING (doc_id) JOIN df USING (tok)
+    )
+    SELECT doc_id, CAST(term_rank AS INT) AS term_rank, tok, score
+    FROM (
+        SELECT doc_id, tok, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, tok) AS term_rank
+        FROM scored
+    )
+    WHERE term_rank <= 3
+"""
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of ``events.value`` (bucket = floor(v/50))
+    with each bucket's share of the total — the share is
+    ``100 * cnt / total`` on exact integers, so the doubles match."""
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.agg(F.count("*").alias("total"))
+    return (
+        ev.select(
+            F.floor(F.col("value") / 50).cast("long").alias("bucket"), "value"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "bucket",
+            "cnt",
+            F.round(F.lit(100) * F.col("cnt") / F.col("total"), 4).alias(
+                "pct"
+            ),
+            "min_value",
+            "max_value",
+        )
+        .orderBy("bucket")
+    )
+
+
+VALUE_HISTOGRAM_SQL = """
+    SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+           count(*) AS cnt,
+           round(100 * count(*) / CAST((SELECT count(*) FROM events)
+                                       AS DOUBLE), 4) AS pct,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY floor(value / 50)
+    ORDER BY bucket
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
+    "window_range_frame": (window_range_frame, WINDOW_RANGE_FRAME_SQL),
+    "events_time_bucket_rollup": (
+        events_time_bucket_rollup,
+        TIME_BUCKET_ROLLUP_SQL,
+    ),
+    "text_tfidf_topterms": (text_tfidf_topterms, TFIDF_SQL),
+    "events_value_histogram": (events_value_histogram, VALUE_HISTOGRAM_SQL),
+}
