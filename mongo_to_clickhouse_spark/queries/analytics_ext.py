@@ -176,11 +176,18 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf_cnt"))
-    doc_len = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
-    df_ = toks.select("doc_id", "tok").distinct().groupBy("tok").agg(
-        F.count("*").alias("df")
+    # Tokenize ONCE: doc length and document frequency both derive from
+    # the (doc_id, tok) counts, so the corpus is exploded and shuffled a
+    # single time; the aggregate (≪ corpus size) is checkpointed to stop
+    # the derived branches from re-running the explode (see the
+    # explode-recompute note on dedupops._shingled_view).
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf_cnt"))
+        .localCheckpoint()
     )
+    doc_len = tf.groupBy("doc_id").agg(F.sum("tf_cnt").alias("doc_len"))
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(doc_len, "doc_id")

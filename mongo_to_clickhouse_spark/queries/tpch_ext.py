@@ -87,9 +87,14 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast(_DEC).alias("price"),
         )
     )
-    min_offer = offers.groupBy("part_key").agg(F.min("price").alias("min_price"))
+    # Correlated min as a window-min over the same relation: one pass over
+    # the offers join instead of recomputing it for a groupBy+join-back
+    # (at 100 TB that halves the lineitem scans and drops one shuffle).
+    from pyspark.sql.window import Window
+
+    min_price = F.min("price").over(Window.partitionBy("part_key"))
     return (
-        offers.join(min_offer, "part_key")
+        offers.withColumn("min_price", min_price)
         .filter(F.col("price") == F.col("min_price"))
         .select("s_acctbal", "s_name", "n_name", "part_key", "price")
         .orderBy(
@@ -254,8 +259,14 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal (no fractional threshold)."""
     li = load_table(spark, sf_dir, "lineitem")
     val = F.sum(F.col("l_extendedprice").cast(_DEC))
-    per_part = li.groupBy("l_partkey").agg(val.alias("part_value"))
-    total = li.agg(val.alias("total_value"))
+    # rollup(l_partkey) yields the per-part sums AND the grand total from
+    # ONE scan+shuffle; the tiny aggregate is localCheckpoint'ed so the
+    # two branches below don't re-trigger the 100 TB scan.
+    agg = li.rollup("l_partkey").agg(val.alias("part_value")).localCheckpoint()
+    per_part = agg.filter(F.col("l_partkey").isNotNull())
+    total = agg.filter(F.col("l_partkey").isNull()).select(
+        F.col("part_value").alias("total_value")
+    )
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("part_value") * 1000 > F.col("total_value"))
@@ -319,7 +330,13 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
     supp = load_table(spark, sf_dir, "supplier")
-    revs = li.groupBy("l_suppkey").agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+    # The per-supplier aggregate is tiny; checkpoint it so the argmax
+    # branch doesn't re-run the fact scan that produced it.
+    revs = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+        .localCheckpoint()
+    )
     mx = revs.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         revs.join(F.broadcast(mx))
