@@ -16,6 +16,7 @@ from mongo_to_clickhouse_spark.queries import (
     joinops,
     pipelineops,
     relational_ext,
+    sampleops,
     streamops,
     streamruntime,
     textops,
@@ -32,6 +33,7 @@ _MODULES = [
     joinops,
     pipelineops,
     relational_ext,
+    sampleops,
     streamops,
     streamruntime,
     textops,

@@ -1,0 +1,209 @@
+"""Deterministic sampling / dataset-split / profiling operators — the
+remaining training-data-pipeline surface: repeatable corpus subsampling,
+train/val/test splits, per-group quota samples, PPS (probability-
+proportional-to-size) selection, and column profiling.
+
+Everything is hash-deterministic (md5-derived integers, the same
+``_md5_int`` construction as dedupops) rather than RNG-based, for two
+reasons that matter at 100 TB:
+
+* **Repeatability** — the same row lands in the same split on every run,
+  on any cluster size, under any partitioning. RNG sampling
+  (``df.sample``) is seed-and-partitioning dependent; hash sampling is a
+  pure column expression, so backfills and incremental runs agree with
+  historical runs row-for-row.
+* **Oracle-checkability** — DuckDB computes the identical md5 integers,
+  so even the "random" operators are exactly verified.
+
+Scale posture: every sampler here is a narrow ``filter`` on a computed
+column — zero shuffle, fully pushable behind any downstream exchange.
+Only ``sample_split_summary`` (groupBy on a 3-value key) and
+``sample_per_group_topk`` (window over ``lang``, bounded-cardinality
+partitions) shuffle at all, and ``profile_column_stats`` is a single
+full-scan aggregate producing O(#columns) rows.
+
+Reference parity note: the reference engine has no sampling surface at
+all (no $sample stage is used in its MQL, `src/main.rs` / `historical_
+data/src/main.rs` scan everything); these are extension IDs required by
+the training-pipeline north star, same status as the dedup/similarity
+families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mongo_to_clickhouse_spark.io import load_table
+
+# 60-bit hash space (15 hex chars of md5) — same construction as
+# dedupops._md5_int, identical in Spark and DuckDB.
+HASH_SPACE = float(1 << 60)
+
+SAMPLE_PCT = 10          # sample_hash_bernoulli keeps hash % 100 < 10
+SPLIT_BUCKETS = 10       # train/val/test = 8/1/1 of hash % 10
+PER_GROUP_K = 5          # quota per lang in sample_per_group_topk
+PPS_SCALE = 2000.0       # keep prob = n_chars / PPS_SCALE, capped at 1
+
+
+def _hash60(col):
+    """Spark side of the shared 60-bit md5 hash (see dedupops)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def _hash60_sql(expr: str) -> str:
+    """DuckDB side of the same hash."""
+    return f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% Bernoulli sample of documents: keep rows whose
+    md5(doc_id) bucket falls under SAMPLE_PCT. A pure filter — no shuffle,
+    no RNG state; at 100 TB this is a map-only pass that AQE/pushdown can
+    place anywhere in the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(_hash60(F.col("doc_id")) % 100 < SAMPLE_PCT).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+SAMPLE_HASH_BERNOULLI_SQL = f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {_hash60_sql("doc_id")} % 100 < {SAMPLE_PCT}
+"""
+
+
+def sample_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split assignment (8/1/1 by hash bucket) with
+    per-split accounting — the split itself is a narrow map; the summary
+    groupBy shuffles on a 3-value key (a broadcastable aggregate at any
+    scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _hash60(F.col("doc_id")) % SPLIT_BUCKETS
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket < 9, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+SAMPLE_SPLIT_SUMMARY_SQL = f"""
+    SELECT CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket < 9 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM (SELECT {_hash60_sql("doc_id")} % {SPLIT_BUCKETS} AS bucket, n_chars
+          FROM documents)
+    GROUP BY 1
+"""
+
+
+def sample_per_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group quota sample: rank docs inside each lang
+    by their hash and keep the first PER_GROUP_K — the scalable stand-in
+    for per-stratum reservoir sampling (one window shuffle keyed on lang;
+    with bounded stratum cardinality the plan is a single exchange)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = _hash60(F.col("doc_id"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= PER_GROUP_K)
+        .select("lang", "doc_id", "rk")
+    )
+
+
+SAMPLE_PER_GROUP_TOPK_SQL = f"""
+    SELECT lang, doc_id, rk FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_hash60_sql("doc_id")} ASC, doc_id ASC) AS rk
+        FROM documents
+    ) WHERE rk <= {PER_GROUP_K}
+"""
+
+
+def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size Bernoulli selection: keep a doc
+    with probability n_chars / PPS_SCALE (capped at 1), decided by the
+    deterministic hash fraction. Comparison is done in integer space
+    (hash · PPS_SCALE < n_chars · 2^60 ⇔ hash/2^60 < n_chars/PPS_SCALE)
+    to avoid float-boundary divergence between engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = _hash60(F.col("doc_id"))
+    keep = h.cast("double") * PPS_SCALE < F.col("n_chars").cast("double") * HASH_SPACE
+    return docs.filter(keep).select("doc_id", "lang", "n_chars")
+
+
+SAMPLE_WEIGHTED_PPS_SQL = f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST({_hash60_sql("doc_id")} AS DOUBLE) * {PPS_SCALE}
+          < CAST(n_chars AS DOUBLE) * {HASH_SPACE}
+"""
+
+
+def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling of ``events`` — null count, approx-free distinct
+    count, min/max (stringified) per column, one output row per column.
+    One full-scan aggregate (map-side partial, O(#cols) result); the
+    unpivot to rows is driver-free (stack over the single agg row)."""
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    one = ev.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_str, max_str)"
+    )
+
+
+_PROFILE_PARTS = "\n    UNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS column_name,
+           SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           MIN(CAST({c} AS VARCHAR)) AS min_str,
+           MAX(CAST({c} AS VARCHAR)) AS max_str
+    FROM events"""
+    for c in ["event_id", "user_id", "event_type", "value"]
+)
+
+PROFILE_COLUMN_STATS_SQL = _PROFILE_PARTS
+
+
+QUERIES: dict[str, tuple] = {
+    "sample_hash_bernoulli": (sample_hash_bernoulli, SAMPLE_HASH_BERNOULLI_SQL),
+    "sample_split_summary": (sample_split_summary, SAMPLE_SPLIT_SUMMARY_SQL),
+    "sample_per_group_topk": (sample_per_group_topk, SAMPLE_PER_GROUP_TOPK_SQL),
+    "sample_weighted_pps": (sample_weighted_pps, SAMPLE_WEIGHTED_PPS_SQL),
+    "profile_column_stats": (profile_column_stats, PROFILE_COLUMN_STATS_SQL),
+}

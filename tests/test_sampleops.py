@@ -1,0 +1,82 @@
+"""Semantic guarantees of the deterministic sampling/split operators —
+beyond oracle parity (covered by test_oracle_parity): the statistical
+and partition-invariance properties a training pipeline relies on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongo_to_clickhouse_spark.io import load_table
+from mongo_to_clickhouse_spark.queries import sampleops
+
+
+def test_split_exhaustive_and_disjoint(spark, sf_dir):
+    """Every document lands in exactly one split; counts add to |docs|."""
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    summary = {
+        r["split"]: r["n_docs"]
+        for r in sampleops.sample_split_summary(spark, sf_dir).collect()
+    }
+    assert set(summary) <= {"train", "val", "test"}
+    assert sum(summary.values()) == n_docs
+    # 8/1/1 by construction: train strictly dominates at any fixture size
+    assert summary["train"] > summary.get("val", 0)
+    assert summary["train"] > summary.get("test", 0)
+
+
+def test_bernoulli_rate_near_nominal(spark, sf_dir):
+    """md5 buckets are uniform: the 10% sample lands within [5%, 15%]."""
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_sample = sampleops.sample_hash_bernoulli(spark, sf_dir).count()
+    assert 0.05 * n_docs <= n_sample <= 0.15 * n_docs
+
+
+def test_sample_partition_invariant(spark, sf_dir):
+    """Hash sampling is a pure column predicate — repartitioning the
+    input must not change WHICH rows are kept (the property RNG
+    df.sample lacks)."""
+    kept = sampleops.sample_hash_bernoulli(spark, sf_dir)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    docs = load_table(spark, sf_dir, "documents").repartition(7, "lang")
+    h = sampleops._hash60(F.col("doc_id"))
+    ids2 = {
+        r["doc_id"]
+        for r in docs.filter(h % 100 < sampleops.SAMPLE_PCT)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids == ids2
+
+
+def test_per_group_quota_respected(spark, sf_dir):
+    """At most PER_GROUP_K rows per lang, ranks are 1..k contiguous."""
+    rows = sampleops.sample_per_group_topk(spark, sf_dir).collect()
+    by_lang: dict[str, list[int]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["rk"])
+    for lang, rks in by_lang.items():
+        assert len(rks) <= sampleops.PER_GROUP_K, lang
+        assert sorted(rks) == list(range(1, len(rks) + 1)), lang
+
+
+def test_pps_favors_long_docs(spark, sf_dir):
+    """PPS selection keeps longer documents at a higher rate: mean
+    n_chars of the kept set exceeds the corpus mean."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    kept = sampleops.sample_weighted_pps(spark, sf_dir)
+    kept_mean = kept.agg(F.avg("n_chars")).first()[0]
+    assert kept.count() > 0
+    assert kept_mean > corpus_mean
+
+
+def test_profile_covers_all_columns(spark, sf_dir):
+    rows = sampleops.profile_column_stats(spark, sf_dir).collect()
+    assert {r["column_name"] for r in rows} == {
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+    }
+    for r in rows:
+        assert r["n_distinct"] > 0
