@@ -254,8 +254,83 @@ SCD2_UPSERT_EMULATION_SQL = """
 """
 
 
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range (interval-containment) join with NO equi key: events
+    joined to daily 02:00-08:00 windows derived from the same table, then
+    aggregated per window.
+
+    Scale posture — the decomposition is the point: a naive theta join
+    (`ts >= lo AND ts < hi`) plans as BroadcastNestedLoopJoin, which is
+    quadratic and dies at scale. Instead both sides are mapped to
+    fixed-width time buckets (intervals exploded to every bucket they
+    overlap, points to their single bucket), turning the theta join into
+    an EQUI join on `bucket` with the exact range predicate left as a
+    cheap residual filter. The equi key keeps every join strategy
+    available to Catalyst: broadcast-hash here (the window dim is tiny),
+    shuffle-hash on (bucket) when the interval side is itself huge —
+    either way, never a nested loop. This is the standard distributed
+    interval-join pattern (cf. Spark's own session windows and the
+    ranged variants in Flink's interval join)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket_s = 6 * 3600  # bucket width == interval width ⇒ ≤2 buckets/interval
+    wins = (
+        ev.select(F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+        .select(
+            (F.col("day") + F.expr("INTERVAL 2 HOURS")).alias("lo"),
+            (F.col("day") + F.expr("INTERVAL 8 HOURS")).alias("hi"),
+        )
+    )
+    win_buckets = wins.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("lo") / bucket_s),
+                F.floor((F.unix_timestamp("hi") - 1) / bucket_s),
+            )
+        ),
+    )
+    pts = ev.withColumn("bucket", F.floor(F.unix_timestamp("ts") / bucket_s))
+    return (
+        pts.join(F.broadcast(win_buckets), "bucket")
+        .filter((F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi")))
+        .groupBy("lo")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.date_format("lo", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "n_users",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+JOIN_RANGE_INTERVAL_SQL = """
+    WITH wins AS (
+        SELECT DISTINCT
+               date_trunc('day', ts) + INTERVAL 2 HOUR AS lo,
+               date_trunc('day', ts) + INTERVAL 8 HOUR AS hi
+        FROM events
+    )
+    SELECT strftime(w.lo, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           MIN(e.value) AS min_value,
+           MAX(e.value) AS max_value
+    FROM events e JOIN wins w ON e.ts >= w.lo AND e.ts < w.hi
+    GROUP BY w.lo
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "join_asof": (join_asof, JOIN_ASOF_SQL),
+    "join_range_interval": (join_range_interval, JOIN_RANGE_INTERVAL_SQL),
     "join_skew_salted": (join_skew_salted, JOIN_SKEW_SALTED_SQL),
     "scd2_upsert_emulation": (scd2_upsert_emulation, SCD2_UPSERT_EMULATION_SQL),
     "pivot_wide_agg": (pivot_wide_agg, PIVOT_WIDE_AGG_SQL),

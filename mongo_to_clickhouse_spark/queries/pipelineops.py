@@ -100,8 +100,87 @@ PANDAS_GROUPED_STATS_SQL = """
 """
 
 
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus build — the whole pretraining data flow
+    as ONE declarative plan: quality filter (textops rules) → exact
+    content dedup (keeper = min doc_id per sha256) → deterministic
+    train/val/test split (sampleops hash buckets) → per-(split, lang)
+    accounting.
+
+    Scale posture: filter and split are narrow maps fused into the scan
+    stage by whole-stage codegen; the only wide operations are the dedup
+    window (one shuffle on the uniformly-distributed content hash) and
+    the final tiny groupBy. Composing the stages in one DataFrame lets
+    Catalyst collapse the projections — nothing materializes between
+    'stages', unlike a file-per-stage pipeline, so at 100 TB this is one
+    read + two exchanges instead of four read/write round-trips."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mongo_to_clickhouse_spark.queries.sampleops import SPLIT_BUCKETS, _hash60
+    from mongo_to_clickhouse_spark.queries.textops import STOPWORDS, _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n
+    diversity = F.size(F.array_distinct(toks)) / n
+    clean = docs.filter((n >= 10) & (stop_ratio < 0.5) & (diversity > 0.2))
+
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    kept = clean.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    bucket = _hash60(F.col("doc_id")) % SPLIT_BUCKETS
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket < 9, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        kept.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+PIPELINE_TRAINING_CORPUS_SQL = """
+    WITH toks AS (
+        SELECT doc_id, text, lang, n_chars, string_split(text, ' ') AS t
+        FROM documents
+    ), clean AS (
+        SELECT doc_id, text, lang, n_chars FROM toks
+        WHERE len(t) >= 10
+          AND len(list_filter(t, x -> x IN ('the','a','of','and','to','in')))
+                  ::DOUBLE / len(t) < 0.5
+          AND len(list_distinct(t))::DOUBLE / len(t) > 0.2
+    ), kept AS (
+        SELECT doc_id, lang, n_chars FROM (
+            SELECT *, row_number() OVER (PARTITION BY sha256(text)
+                                         ORDER BY doc_id) AS __rn
+            FROM clean
+        ) WHERE __rn = 1
+    )
+    SELECT CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket < 9 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM (SELECT lang, n_chars,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 10 AS bucket
+          FROM kept)
+    GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "backfill_timerange": (backfill_timerange, BACKFILL_TIMERANGE_SQL),
+    "pipeline_training_corpus": (
+        pipeline_training_corpus,
+        PIPELINE_TRAINING_CORPUS_SQL,
+    ),
     "pandas_grouped_stats": (pandas_grouped_stats, PANDAS_GROUPED_STATS_SQL),
     "multimodal_meta_extract": (multimodal_meta_extract, MULTIMODAL_META_EXTRACT_SQL),
     "multimodal_decode_stub": (multimodal_decode_stub, None),

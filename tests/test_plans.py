@@ -91,3 +91,25 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS buckdemo.lineitem_b")
         spark.sql("DROP TABLE IF EXISTS buckdemo.orders_b")
+
+
+def test_range_interval_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The bucketed decomposition must plan the interval containment as a
+    hash equi-join on `bucket`; a BroadcastNestedLoopJoin means the theta
+    join leaked through (quadratic at scale)."""
+    from mongo_to_clickhouse_spark.queries.joinops import join_range_interval
+
+    plan = _plan(join_range_interval(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan, "range join must never nested-loop"
+
+
+def test_training_pipeline_single_scan(spark, sf_dir):
+    """The composed corpus pipeline reads documents exactly once — the
+    stages fuse instead of rescanning per stage."""
+    from mongo_to_clickhouse_spark.queries.pipelineops import (
+        pipeline_training_corpus,
+    )
+
+    plan = _plan(pipeline_training_corpus(spark, sf_dir))
+    assert plan.count("documents.parquet") == 1
