@@ -45,6 +45,8 @@ HEADLINE = [
     "text_quality_score",
     "sim_cosine_topk",
     "sim_ann_lsh",
+    "pipeline_training_corpus",    # fused quality→dedup→split pipeline
+    "join_range_interval",         # bucketed theta→equi range join
 ]
 
 
