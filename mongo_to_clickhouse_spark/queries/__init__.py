@@ -17,6 +17,7 @@ from mongo_to_clickhouse_spark.queries import (
     pipelineops,
     relational_ext,
     sampleops,
+    statsops,
     streamops,
     streamruntime,
     textops,
@@ -34,6 +35,7 @@ _MODULES = [
     pipelineops,
     relational_ext,
     sampleops,
+    statsops,
     streamops,
     streamruntime,
     textops,

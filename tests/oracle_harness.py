@@ -93,8 +93,9 @@ def compare(spark_df, con, sql: str) -> list[str]:
     sk = rows_key([c.lower() for c in s_cols], s_rows)
     dk = rows_key([c.lower() for c in d_cols], d_rows)
     if sk != dk:
-        diff_s = [r for r in sk if r not in set(map(tuple, dk))][:3]
-        diff_d = [r for r in dk if r not in set(map(tuple, sk))][:3]
+        dk_set, sk_set = set(map(tuple, dk)), set(map(tuple, sk))
+        diff_s = [r for r in sk if tuple(r) not in dk_set][:3]
+        diff_d = [r for r in dk if tuple(r) not in sk_set][:3]
         problems.append(
             f"values differ; spark-only sample={diff_s} duck-only sample={diff_d}"
         )
