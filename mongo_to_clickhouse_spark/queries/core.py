@@ -69,10 +69,10 @@ STMTS_SQL = """
 
 ANON_SQL = f"""
     SELECT printf('%024x', event_id) AS id,
-           to_json(struct_pack(
+           CAST(to_json(struct_pack(
                actor := struct_pack(account := struct_pack(name := hashed_value)),
                verb := event_type,
-               object := props)) AS statement,
+               object := props)) AS VARCHAR) AS statement,
            strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS "timestamp",
            hashed_value
     FROM (
@@ -339,7 +339,7 @@ def join_fact_dim_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             # round() is HALF_UP in both Spark and DuckDB (their decimal
             # CASTs disagree on ties: half-up vs half-even).
-            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.round(F.sum(revenue), 2).cast("decimal(38,2)").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -494,7 +494,7 @@ def scalar_json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SCALAR_JSON_SERIALIZE_SQL = """
     SELECT event_id,
-           to_json(struct_pack(event_id := event_id, event_type := event_type))
+           CAST(to_json(struct_pack(event_id := event_id, event_type := event_type)) AS VARCHAR)
                AS doc_json
     FROM events
 """

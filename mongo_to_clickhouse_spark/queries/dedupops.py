@@ -37,10 +37,10 @@ _rng = np.random.RandomState(7)
 A = [int(v) for v in _rng.randint(1, P - 1, N_HASHES)]
 B = [int(v) for v in _rng.randint(0, P - 1, N_HASHES)]
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64  # 4×16-bit bands: buckets don't saturate even at 10^9 docs
 JACCARD_THRESHOLD = 0.5
-# 32-bit SimHash over a ~100-word shared vocabulary is collision-prone;
-# a tight radius keeps the pair set meaningful (planted mutations land at
+# SimHash over a ~100-word shared vocabulary is collision-prone; a tight
+# radius keeps the pair set meaningful (planted mutations land at
 # hamming ≈ 0 since dropping one token barely moves the sign sums).
 HAMMING_THRESHOLD = 2
 
@@ -232,15 +232,26 @@ DEDUP_MINHASH_LSH_PAIRS_SQL = _minhash_full_sql("duck", "pairs")
 # ---------------------------------------------------------------------------
 
 def _simhash_sql(dialect: str, what: str, toks_from: str | None = None) -> str:
-    x = _md5_int(dialect, "tok")
+    # 64 independent bits from two 32-bit md5 slices (a single 60-bit slice
+    # would leave the top band underpopulated).
     if dialect == "spark":
-        bit = lambda j: f"(shiftright(x, {j}) & 1)"  # noqa: E731
+        x_lo = "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"
+        x_hi = "CAST(conv(substring(md5(tok), 9, 8), 16, 10) AS BIGINT)"
+        bit = lambda j: (  # noqa: E731
+            f"(shiftright(x_lo, {j}) & 1)" if j < 32
+            else f"(shiftright(x_hi, {j - 32}) & 1)"
+        )
         toks_rel = toks_from or (
             "(SELECT doc_id, array_distinct(split(text, ' ')) AS toks FROM corpus)"
         )
         unnest_toks = f"SELECT doc_id, explode(toks) AS tok FROM {toks_rel}"
     else:
-        bit = lambda j: f"((x >> {j}) & 1)"  # noqa: E731
+        x_lo = "CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)"
+        x_hi = "CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT)"
+        bit = lambda j: (  # noqa: E731
+            f"((x_lo >> {j}) & 1)" if j < 32
+            else f"((x_hi >> {j - 32}) & 1)"
+        )
         toks_rel = toks_from or (
             "(SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks "
             "FROM corpus)"
@@ -250,33 +261,40 @@ def _simhash_sql(dialect: str, what: str, toks_from: str | None = None) -> str:
         f"SUM(CASE WHEN {bit(j)} = 1 THEN 1 ELSE -1 END) AS s{j}"
         for j in range(SIMHASH_BITS)
     )
+    # bit 63 is the sign bit of a signed 64-bit value: setting it is adding
+    # -2^63 in two's complement (both engines store BIGINT that way).
     assemble = " + ".join(
-        f"(CASE WHEN s{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        f"(CASE WHEN s{j} >= 0 THEN CAST("
+        + (str(1 << j) if j < 63 else "-9223372036854775808")
+        + " AS BIGINT) ELSE 0 END)"
         for j in range(SIMHASH_BITS)
     )
     sql = f"""
         WITH corpus AS ({_planted_corpus(dialect)}),
         bits AS (
             SELECT doc_id, {sums}
-            FROM (SELECT doc_id, {x} AS x FROM ({unnest_toks}))
+            FROM (SELECT doc_id, {x_lo} AS x_lo, {x_hi} AS x_hi
+                  FROM ({unnest_toks}))
             GROUP BY doc_id
         ),
         hashes AS (SELECT doc_id, {assemble} AS simhash FROM bits)
     """
     if what == "hashes":
         return sql + "SELECT * FROM hashes"
-    # pairs: band-blocked hamming join. 4 bands × 8 bits: by pigeonhole,
+    # pairs: band-blocked hamming join. 4 bands × 16 bits: by pigeonhole,
     # hamming ≤ 3 leaves at least one band untouched, so recall is
     # GUARANTEED for the threshold (2) — 2 bands would only guarantee ≤ 1.
+    # (arithmetic >> sign-extends the high band; & 65535 masks that away)
     if dialect == "spark":
         shift = lambda j: f"shiftright(simhash, {j})"  # noqa: E731
         hamming = "bit_count(a.simhash ^ b.simhash)"
     else:
         shift = lambda j: f"(simhash >> {j})"  # noqa: E731
-        hamming = "bit_count(xor(a.simhash, b.simhash))"
+        # duck bit_count → TINYINT; pin to Spark's INTEGER for the driver hash
+        hamming = "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)"
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {i} AS band_idx, "
-        f"({shift(8 * i)} & 255) AS band_val FROM hashes"
+        f"({shift(16 * i)} & 65535) AS band_val FROM hashes"
         for i in range(4)
     )
     return sql + f""",
@@ -303,7 +321,7 @@ def _toks_view(spark: SparkSession, sf_dir: str) -> str:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document (sign-aggregated token-hash bits) on the
+    """64-bit SimHash per document (sign-aggregated token-hash bits) on the
     planted corpus."""
     view = _toks_view(spark, sf_dir)
     return spark.sql(_simhash_sql("spark", "hashes", toks_from=view))
@@ -313,7 +331,7 @@ DEDUP_SIMHASH_SQL = _simhash_sql("duck", "hashes")
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 4×8-bit band blocking (pigeonhole: hamming
+    """SimHash near-dup pairs: 4×16-bit band blocking (pigeonhole: hamming
     ≤ 3 leaves one band untouched, so recall is guaranteed at the
     threshold) + exact hamming verify."""
     view = _toks_view(spark, sf_dir)

@@ -113,6 +113,11 @@ def pivot_wide_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2))
         .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
+        .select(
+            "l_returnflag",
+            F.col("qty_open").cast("decimal(38,2)").alias("qty_open"),
+            F.col("qty_filled").cast("decimal(38,2)").alias("qty_filled"),
+        )
     )
 
 
@@ -191,7 +196,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.max("type_freq").alias("type_freq"),
-        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).alias("total_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).cast("decimal(38,2)").alias("total_value"),
     )
 
 
@@ -217,7 +222,7 @@ def scd2_upsert_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", F.col("c_acctbal").cast("decimal(18,2)").alias("acctbal")
     )
     updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
-        "c_custkey", (F.col("acctbal") + F.lit(100).cast("decimal(18,2)")).alias("acctbal")
+        "c_custkey", (F.col("acctbal") + F.lit(100).cast("decimal(18,2)")).cast("decimal(19,2)").alias("acctbal")
     )
     closed = (
         cust.join(updates.select("c_custkey"), "c_custkey", "left_semi")
@@ -238,10 +243,10 @@ def scd2_upsert_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SCD2_UPSERT_EMULATION_SQL = """
     WITH cust AS (
-        SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer
+        SELECT c_custkey, CAST(c_acctbal AS DECIMAL(19,2)) AS acctbal FROM customer
     ),
     updates AS (
-        SELECT c_custkey, acctbal + CAST(100 AS DECIMAL(18,2)) AS acctbal
+        SELECT c_custkey, CAST(acctbal + CAST(100 AS DECIMAL(18,2)) AS DECIMAL(19,2)) AS acctbal
         FROM cust WHERE c_custkey % 10 = 0
     )
     SELECT c.c_custkey, c.acctbal, FALSE AS is_current, 1 AS version

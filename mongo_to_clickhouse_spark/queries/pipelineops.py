@@ -27,10 +27,10 @@ def backfill_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
 BACKFILL_TIMERANGE_SQL = f"""
     WITH anon AS (
         SELECT printf('%024x', event_id) AS id,
-               to_json(struct_pack(
+               CAST(to_json(struct_pack(
                    actor := struct_pack(account := struct_pack(name := hashed_value)),
                    verb := event_type,
-                   object := props)) AS statement,
+                   object := props)) AS VARCHAR) AS statement,
                strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS "timestamp",
                hashed_value
         FROM (
@@ -59,7 +59,7 @@ def multimodal_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 MULTIMODAL_META_EXTRACT_SQL = """
     SELECT doc_id,
            ['png', 'jpeg', 'webp'][CAST(doc_id % 3 AS INT) + 1] AS media_format,
-           octet_length(encode(text)) AS byte_len,
+           CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
            sha256(text) AS content_sha256
     FROM documents
 """
@@ -166,7 +166,7 @@ PIPELINE_TRAINING_CORPUS_SQL = """
                 ELSE 'test' END AS split,
            lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM (SELECT lang, n_chars,
                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                       AS BIGINT) % 10 AS bucket

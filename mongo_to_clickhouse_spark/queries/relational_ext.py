@@ -36,10 +36,10 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(_q("l_quantity")), 2).alias("sum_qty"),
-            F.round(F.sum(_q("l_extendedprice")), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.sum(_q("l_quantity")), 2).cast("decimal(38,2)").alias("sum_qty"),
+            F.round(F.sum(_q("l_extendedprice")), 2).cast("decimal(38,2)").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("decimal(38,2)").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("decimal(38,2)").alias("sum_charge"),
             # cast to double: DuckDB's decimal/count division yields DOUBLE,
             # so match its output type exactly (values agree either way)
             F.round(F.sum(_q("l_quantity")) / F.count("*"), 6)
@@ -156,7 +156,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(returnflag, linestatus) — subtotals + grand total."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum(_q("l_quantity")), 2).alias("sum_qty"),
+        F.round(F.sum(_q("l_quantity")), 2).cast("decimal(38,2)").alias("sum_qty"),
         F.count("*").alias("n"),
     )
 
@@ -207,7 +207,12 @@ def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rk")
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
     )
 
 
@@ -233,7 +238,7 @@ def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.sum(_q("value")).over(w).alias("running_value"),
+        F.sum(_q("value")).over(w).cast("decimal(38,2)").alias("running_value"),
     )
 
 
@@ -366,8 +371,8 @@ def window_ntile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select(
         "c_custkey",
         "c_mktsegment",
-        F.ntile(4).over(w).alias("quartile"),
-        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
 

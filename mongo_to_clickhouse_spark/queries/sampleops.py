@@ -106,7 +106,7 @@ SAMPLE_SPLIT_SUMMARY_SQL = f"""
                 WHEN bucket < 9 THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars
     FROM (SELECT {_hash60_sql("doc_id")} % {SPLIT_BUCKETS} AS bucket, n_chars
@@ -126,7 +126,7 @@ def sample_per_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= PER_GROUP_K)
-        .select("lang", "doc_id", "rk")
+        .select("lang", "doc_id", F.col("rk").cast("bigint").alias("rk"))
     )
 
 
@@ -189,7 +189,7 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROFILE_PARTS = "\n    UNION ALL\n".join(
     f"""
     SELECT '{c}' AS column_name,
-           SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            COUNT(DISTINCT {c}) AS n_distinct,
            MIN(CAST({c} AS VARCHAR)) AS min_str,
            MAX(CAST({c} AS VARCHAR)) AS max_str

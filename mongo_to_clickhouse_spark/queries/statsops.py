@@ -87,7 +87,7 @@ AGG_STATS_MOMENTS_SQL = """
                    AS s_ql
         FROM lineitem GROUP BY l_returnflag
     )
-    SELECT l_returnflag, n, s_q AS sum_qty,
+    SELECT l_returnflag, n, CAST(s_q AS BIGINT) AS sum_qty,
            round(CAST(n * s_qq - s_q * s_q AS DOUBLE)
                  / CAST(n * (n - 1) AS DOUBLE), 6) AS var_qty,
            round(sqrt(CAST(n * s_qq - s_q * s_q AS DOUBLE)

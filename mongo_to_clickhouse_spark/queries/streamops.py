@@ -35,7 +35,7 @@ def stream_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum(F.col("value").cast(_DEC)), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast(_DEC)), 2).cast("decimal(38,2)").alias("total_value"),
         )
         .select(
             F.date_format("w.start", _TS_FMT).alias("window_start"),
@@ -91,7 +91,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(F.col("value").cast(_DEC)), 2).alias("session_value"),
+            F.round(F.sum(F.col("value").cast(_DEC)), 2).cast("decimal(38,2)").alias("session_value"),
         )
         .select(
             "user_id",

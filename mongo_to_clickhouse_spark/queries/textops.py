@@ -65,7 +65,7 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_LANG_STATS_SQL = """
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            round(SUM(CAST(n_chars AS DECIMAL(18,2))) / COUNT(*), 4) AS avg_chars,
            COUNT(DISTINCT source) AS n_sources
     FROM documents GROUP BY lang
@@ -87,8 +87,8 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_TOKEN_COUNT_SQL = """
     SELECT doc_id,
-           len(string_split(text, ' ')) AS ws_tokens,
-           len(regexp_extract_all(text, '[a-z0-9]+', 0)) AS re_tokens
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+', 0)) AS INTEGER) AS re_tokens
     FROM documents
 """
 
@@ -119,7 +119,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_QUALITY_SCORE_SQL = f"""
     SELECT doc_id,
-           n_tokens,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
            round(mean_token_len, 4) AS mean_token_len,
            round(stop_ratio, 4) AS stopword_ratio,
            round(diversity, 4) AS lexical_diversity,
@@ -172,7 +172,7 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SCORE_SQL = ",\n               ".join(
-    f"len(list_filter(toks, t -> t IN {markers!r})) AS s_{name}"
+    f"CAST(len(list_filter(toks, t -> t IN {markers!r})) AS INTEGER) AS s_{name}"
     for name, markers in LANG_MARKERS.items()
 )
 _NAMES = list(LANG_MARKERS)
@@ -284,8 +284,8 @@ def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SCALAR_ARRAY_OPS_SQL = """
     SELECT doc_id,
-           len(toks) AS n_toks,
-           len(list_filter(toks, t -> length(t) > 4)) AS n_long,
+           CAST(len(toks) AS INTEGER) AS n_toks,
+           CAST(len(list_filter(toks, t -> length(t) > 4)) AS INTEGER) AS n_long,
            CAST(list_sum(list_transform(toks, t -> length(t))) AS INT)
                AS total_chars,
            list_sort(list_distinct(toks))[1] AS first_token,

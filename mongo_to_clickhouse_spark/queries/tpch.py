@@ -44,7 +44,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 2).cast("decimal(38,2)").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .select(
             "l_orderkey",
@@ -90,7 +90,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(nation, F.col("c_nationkey") == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 2).cast("decimal(38,2)").alias("revenue"))
     )
 
 
@@ -125,7 +125,9 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * F.col("l_discount").cast(_DEC)
                 ),
                 2,
-            ).alias("revenue")
+            )
+            .cast("decimal(38,2)")
+            .alias("revenue")
         )
     )
 
@@ -149,7 +151,7 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
     cust = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum(F.col("l_quantity").cast(_DEC)), 2).alias("total_qty"))
+        .agg(F.round(F.sum(F.col("l_quantity").cast(_DEC)), 2).cast("decimal(38,2)").alias("total_qty"))
         .filter(F.col("total_qty") > 300)
     )
     return (
@@ -204,7 +206,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 2).cast("decimal(38,2)").alias("revenue"))
     )
 
 
@@ -234,7 +236,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 2).cast("decimal(38,2)").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -271,9 +273,9 @@ def tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 TPCH_Q12_SQL = """
     SELECT l_linestatus,
            SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
            SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 0 ELSE 1 END) AS low_line_count
+                    THEN 0 ELSE 1 END)::BIGINT AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY l_linestatus
 """

@@ -231,7 +231,7 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(nation, supp.s_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(_rev()) - F.sum(cost), 2).alias("profit"))
+        .agg(F.round(F.sum(_rev()) - F.sum(cost), 2).cast("decimal(38,2)").alias("profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -270,7 +270,7 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("part_value") * 1000 > F.col("total_value"))
-        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+        .select("l_partkey", F.round("part_value", 2).cast("decimal(38,2)").alias("part_value"))
         .orderBy(F.col("part_value").desc(), "l_partkey")
     )
 
@@ -334,7 +334,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branch doesn't re-run the fact scan that produced it.
     revs = (
         li.groupBy("l_suppkey")
-        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+        .agg(F.round(F.sum(_rev()), 2).cast("decimal(38,2)").alias("total_revenue"))
         .localCheckpoint()
     )
     mx = revs.agg(F.max("total_revenue").alias("max_revenue"))
@@ -460,7 +460,7 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(cond)
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 2).cast("decimal(38,2)").alias("revenue"))
     )
 
 
@@ -628,7 +628,7 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("bal"), 2).alias("totacctbal"),
+            F.round(F.sum("bal"), 2).cast("decimal(38,2)").alias("totacctbal"),
         )
         .orderBy("c_nationkey")
     )

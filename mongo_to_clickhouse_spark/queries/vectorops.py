@@ -106,7 +106,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIM_COSINE_TOPK_SQL = f"""
     WITH e AS ({_EMB_NORM_CTE})
-    SELECT probe_id, neighbor_id, sim, rank FROM (
+    SELECT probe_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank FROM (
         SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
                round({_pair_cosine_sql()}, 6) AS sim,
                row_number() OVER (
@@ -317,7 +317,7 @@ SIM_ANN_IVF_SQL = f"""
             FROM e CROSS JOIN cents c
         ) WHERE __rn = 1
     )
-    SELECT probe_id, neighbor_id, sim, rank FROM (
+    SELECT probe_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank FROM (
         SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
                round(list_dot_product(CAST(p.embedding AS DOUBLE[]),
                                       CAST(c.embedding AS DOUBLE[]))

@@ -37,6 +37,66 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _canon_type(t: str) -> str:
+    """Normalize a declared engine type (Spark simpleString or DuckDB type
+    string) to one canonical spelling so cross-engine drift is visible.
+
+    Intentionally does NOT unify BIGINT/HUGEINT or decimal precisions —
+    the driver's value hash is type-sensitive, so those must match exactly
+    (pin both sides with explicit casts in the query + oracle_sql).
+    """
+    t = t.strip()
+    low = t.lower()
+    # Spark array<t> / DuckDB t[]
+    if low.startswith("array<") and low.endswith(">"):
+        return _canon_type(t[6:-1]) + "[]"
+    if low.endswith("[]"):
+        return _canon_type(t[:-2]) + "[]"
+    if low.startswith("decimal"):
+        return "DECIMAL" + low[7:].replace(" ", "")
+    mapping = {
+        "bigint": "BIGINT",
+        "int": "INTEGER",
+        "integer": "INTEGER",
+        "smallint": "SMALLINT",
+        "tinyint": "TINYINT",
+        "hugeint": "HUGEINT",
+        "double": "DOUBLE",
+        "float": "FLOAT",
+        "real": "FLOAT",
+        "string": "VARCHAR",
+        "varchar": "VARCHAR",
+        "boolean": "BOOLEAN",
+        "date": "DATE",
+        "timestamp": "TIMESTAMP",
+        "timestamp_ntz": "TIMESTAMP",
+        "binary": "BLOB",
+        "blob": "BLOB",
+    }
+    return mapping.get(low, t.upper())
+
+
+def declared_type_problems(spark_df, d_rel) -> list[str]:
+    """Compare DECLARED result types (spark schema vs duckdb relation types),
+    including decimal precision/scale and BIGINT-vs-HUGEINT — the drift the
+    driver's type-sensitive value hash rejects even when values agree."""
+    s_types = {
+        f.name.lower(): _canon_type(f.dataType.simpleString())
+        for f in spark_df.schema.fields
+    }
+    d_types = {
+        c.lower(): _canon_type(str(t))
+        for c, t in zip(d_rel.columns, d_rel.types)
+    }
+    problems = []
+    for c in sorted(set(s_types) & set(d_types)):
+        if s_types[c] != d_types[c]:
+            problems.append(
+                f"declared type differs for {c!r}: spark={s_types[c]} duck={d_types[c]}"
+            )
+    return problems
+
+
 def _canon(v):
     """Canonical, engine-agnostic value representation."""
     if v is None:
@@ -67,11 +127,13 @@ def compare(spark_df, con, sql: str) -> list[str]:
     s_cols = [c for c in spark_df.columns]
     d_rel = con.sql(sql)
     d_cols = list(d_rel.columns)
-    d_rows = d_rel.fetchall()
 
     if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in d_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
         return problems
+
+    problems.extend(declared_type_problems(spark_df, d_rel))
+    d_rows = d_rel.fetchall()
     if len(s_rows) != len(d_rows):
         problems.append(f"row count differs: spark={len(s_rows)} duck={len(d_rows)}")
 
