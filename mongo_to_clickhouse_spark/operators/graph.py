@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mongo_to_clickhouse_spark.operators.materialize import barrier, reliable_checkpoint
+
 
 def connected_components(
     edges: DataFrame,
@@ -37,8 +39,8 @@ def connected_components(
         .distinct()
         .withColumn("component_id", F.col("node_id"))
     )
-    sym = sym.localCheckpoint(eager=True)
-    labels = labels.localCheckpoint(eager=True)
+    sym = barrier(sym)
+    labels = reliable_checkpoint(labels)
 
     for _ in range(max_iterations):
         neighbor_min = (
@@ -57,9 +59,11 @@ def connected_components(
                  < F.col("component_id")).alias("__changed"),
             )
         )
-        # materialize once per round: truncates lineage AND gives us the
-        # convergence check from the same job
-        updated = updated.localCheckpoint(eager=True)
+        # reliable checkpoint once per round: fault-tolerant files AND
+        # lineage truncation (persist alone nests per-round plans until
+        # driver analysis OOMs on long chains); the same materialization
+        # serves the convergence check
+        updated = reliable_checkpoint(updated)
         changed = updated.filter(F.col("__changed")).limit(1).count()
         labels = updated.drop("__changed")
         if changed == 0:

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mongo_to_clickhouse_spark.io import load_table
+from mongo_to_clickhouse_spark.operators.materialize import barrier
 
 SESSION_GAP_SEC = 21600  # 6 h — fixture users emit ~2 events/day
 
@@ -178,13 +179,11 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Tokenize ONCE: doc length and document frequency both derive from
     # the (doc_id, tok) counts, so the corpus is exploded and shuffled a
-    # single time; the aggregate (≪ corpus size) is checkpointed to stop
+    # single time; the aggregate (≪ corpus size) is disk-persisted to stop
     # the derived branches from re-running the explode (see the
     # explode-recompute note on dedupops._shingled_view).
-    tf = (
-        toks.groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf_cnt"))
-        .localCheckpoint()
+    tf = barrier(
+        toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf_cnt"))
     )
     doc_len = tf.groupBy("doc_id").agg(F.sum("tf_cnt").alias("doc_len"))
     df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))

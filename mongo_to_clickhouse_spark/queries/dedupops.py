@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mongo_to_clickhouse_spark.io import load_table
+from mongo_to_clickhouse_spark.operators.materialize import barrier_view
 
 P = 2_147_483_647  # 2^31 - 1, Mersenne prime for (a·x + b) mod p
 N_HASHES = 16
@@ -161,7 +162,7 @@ def _minhash_full_sql(dialect: str, what: str, shingled_from: str | None = None)
     but Spark collapses the array-construction projection INTO the explode
     (Generate), re-evaluating the full trigram build per emitted row
     (~100× overhead measured at sf0.1). The Spark query functions therefore
-    localCheckpoint the shingled relation first and reference it by view
+    disk-persist the shingled relation first and reference it by view
     name; at cluster scale this is the same discipline as persisting the
     shingle table before the signature pass."""
     shingled_src = shingled_from or f"({_shingles(dialect)})"
@@ -195,15 +196,14 @@ def _register_docs(spark: SparkSession, sf_dir: str) -> None:
 
 
 def _shingled_view(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize the (doc_id, shingles) relation once (localCheckpoint)
+    """Materialize the (doc_id, shingles) relation once (disk-persist)
     and expose it as a temp view, so the downstream explode's child is a
     plain column — see _minhash_full_sql docstring for why."""
     _register_docs(spark, sf_dir)
     df = spark.sql(
         f"WITH corpus AS ({_planted_corpus('spark')}) {_shingles('spark')}"
     )
-    df.localCheckpoint(eager=True).createOrReplaceTempView("shingled_mat")
-    return "shingled_mat"
+    return barrier_view(df, "shingled_mat")
 
 
 def dedup_minhash_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,8 +316,7 @@ def _toks_view(spark: SparkSession, sf_dir: str) -> str:
         f"WITH corpus AS ({_planted_corpus('spark')}) "
         "SELECT doc_id, array_distinct(split(text, ' ')) AS toks FROM corpus"
     )
-    df.localCheckpoint(eager=True).createOrReplaceTempView("toks_mat")
-    return "toks_mat"
+    return barrier_view(df, "toks_mat")
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

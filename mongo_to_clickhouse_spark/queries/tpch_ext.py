@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mongo_to_clickhouse_spark.io import load_table
+from mongo_to_clickhouse_spark.operators.materialize import barrier
 
 _DEC = "decimal(18,2)"
 
@@ -260,9 +261,9 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     val = F.sum(F.col("l_extendedprice").cast(_DEC))
     # rollup(l_partkey) yields the per-part sums AND the grand total from
-    # ONE scan+shuffle; the tiny aggregate is localCheckpoint'ed so the
+    # ONE scan+shuffle; the tiny aggregate is disk-persisted so the
     # two branches below don't re-trigger the 100 TB scan.
-    agg = li.rollup("l_partkey").agg(val.alias("part_value")).localCheckpoint()
+    agg = barrier(li.rollup("l_partkey").agg(val.alias("part_value")))
     per_part = agg.filter(F.col("l_partkey").isNotNull())
     total = agg.filter(F.col("l_partkey").isNull()).select(
         F.col("part_value").alias("total_value")
@@ -330,12 +331,11 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
     supp = load_table(spark, sf_dir, "supplier")
-    # The per-supplier aggregate is tiny; checkpoint it so the argmax
+    # The per-supplier aggregate is tiny; disk-persist it so the argmax
     # branch doesn't re-run the fact scan that produced it.
-    revs = (
+    revs = barrier(
         li.groupBy("l_suppkey")
         .agg(F.round(F.sum(_rev()), 2).cast("decimal(38,2)").alias("total_revenue"))
-        .localCheckpoint()
     )
     mx = revs.agg(F.max("total_revenue").alias("max_revenue"))
     return (

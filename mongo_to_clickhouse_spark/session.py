@@ -71,6 +71,9 @@ def get_spark(
         # (truncation — matching DuckDB's ns→µs read behavior).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # reliable checkpoints (operators/materialize.py): delete files
+        # once their RDD is GC'd so long sessions don't accrete temp data
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     if extra_conf:
