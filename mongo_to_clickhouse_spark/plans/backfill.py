@@ -75,7 +75,11 @@ def run_backfill(
     )
     customer = load_table(spark, sf_dir, "customer")
 
-    stmts = statements_from_events(events, customer)
+    # LEFT join so the counters see every scanned event: an event whose
+    # user_id has no customer match must land in failed_docs (the
+    # reference counts per document, historical_data/src/main.rs:501-513);
+    # the anonymize step's validation filter then drops it.
+    stmts = statements_from_events(events, customer, how="left")
     obs = Observation("backfill")
     observed = stmts.observe(
         obs,

@@ -82,14 +82,21 @@ def optout_active(dim: DataFrame) -> DataFrame:
     )
 
 
-def statements_from_events(events: DataFrame, customer: DataFrame) -> DataFrame:
+def statements_from_events(
+    events: DataFrame, customer: DataFrame, how: str = "inner"
+) -> DataFrame:
     """Shape ``events`` into the Mongo statement collection: attach an actor
-    name by joining ``customer`` (broadcast — dimension ≪ fact)."""
+    name by joining ``customer`` (broadcast — dimension ≪ fact).
+
+    ``how="left"`` keeps events with no customer match (null actor_name) so
+    per-document accounting can count them as failed before the validation
+    filter drops them — the reference's counters see every scanned doc
+    (historical_data/src/main.rs:501-513)."""
     actor = customer.select(
         F.col("c_custkey").alias("user_id"),
         F.lower(F.col("c_name")).alias("actor_name"),
     )
-    return events.join(F.broadcast(actor), "user_id", "inner")
+    return events.join(F.broadcast(actor), "user_id", how)
 
 
 def anonymized_statements(

@@ -15,6 +15,7 @@ fixed historical variant (historical_data/src/main.rs:808-817) — SURVEY
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,35 +47,61 @@ def retry_failed_batches(
     active_dim: DataFrame,
     fail_injector=None,
 ) -> int:
-    """Replay every queued batch through the insert path; drop drained
-    batches from the DLQ. Returns the number of batches drained. A batch
-    that fails again simply stays queued (the reference's 60 s retry loop
-    picks it up next cycle)."""
-    from mongo_to_clickhouse_spark.sinks.writers import insert_batch
+    """Replay every queued batch through the routed insert path; drop
+    drained batches from the DLQ. Returns the number of batches drained.
+    Batches that fail again simply stay queued (the reference's 60 s retry
+    loop picks them up next cycle).
+
+    Scale shape: the whole drained set goes through ONE routed write per
+    sink, partitioned by batch_id — O(1) Spark jobs for N queued batches
+    (a mass outage replay would otherwise serialize N× through the
+    driver). Dynamic partition overwrite lands each batch in the same
+    ``batch_id=N`` directory the live ``foreachBatch`` write uses, so
+    replay keeps the per-batch idempotent-overwrite contract."""
+    from mongo_to_clickhouse_spark.plans.pipeline import route_split
 
     if not os.path.isdir(tenant.dlq_path):
+        return 0
+    # a fully drained DLQ leaves empty tenant=<name> shells behind;
+    # reading them would raise UNABLE_TO_INFER_SCHEMA
+    if not glob.glob(
+        os.path.join(tenant.dlq_path, "**", "*.parquet"), recursive=True
+    ):
         return 0
     dlq = spark.read.parquet(tenant.dlq_path).filter(
         F.col("tenant") == tenant.name
     )
-    batch_ids = [r[0] for r in dlq.select("batch_id").distinct().collect()]
-    drained = 0
-    for bid in sorted(batch_ids):
-        rows = dlq.filter(F.col("batch_id") == bid).drop("tenant", "batch_id")
+    batch_ids = sorted(
+        int(r[0]) for r in dlq.select("batch_id").distinct().collect()
+    )
+    # the injector hook keeps the reference's per-batch failure
+    # granularity: a batch the (still down) sink rejects stays queued
+    ok_ids = []
+    for bid in batch_ids:
         try:
-            insert_batch(
-                rows,
-                int(bid),
-                tenant,
-                active_dim,
-                fail_injector,
-                max_retries=1,  # the 60s loop is the retry cadence here
-            )
+            if fail_injector is not None:
+                fail_injector(dlq.filter(F.col("batch_id") == bid), bid)
+            ok_ids.append(bid)
         except Exception:  # noqa: BLE001 — still failing: keep queued
             continue
-        _drop_partition(tenant, int(bid))
-        drained += 1
-    return drained
+    if not ok_ids:
+        return 0
+    rows = dlq.filter(F.col("batch_id").isin(ok_ids)).drop("tenant")
+    main, optout = route_split(rows, active_dim)
+    try:
+        for df, base in ((main, tenant.sink_main_path), (optout, tenant.sink_optout_path)):
+            (
+                df.withColumn("created_at", F.current_timestamp())
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(base)
+            )
+    except Exception:  # noqa: BLE001 — sink down mid-replay: keep all queued
+        return 0
+    for bid in ok_ids:
+        _drop_partition(tenant, bid)
+    return len(ok_ids)
 
 
 def _drop_partition(tenant: TenantConfig, batch_id: int) -> None:
@@ -83,3 +110,8 @@ def _drop_partition(tenant: TenantConfig, batch_id: int) -> None:
     part = _partition_path(tenant, batch_id)
     if os.path.isdir(part):
         shutil.rmtree(part)
+    # remove the tenant shell once its last batch drains, so the replay
+    # loop's next cycle sees a cleanly empty DLQ
+    tenant_dir = os.path.dirname(part)
+    if os.path.isdir(tenant_dir) and not os.listdir(tenant_dir):
+        os.rmdir(tenant_dir)

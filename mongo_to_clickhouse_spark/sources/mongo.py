@@ -22,14 +22,59 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _require_connector(spark: SparkSession) -> None:
+    # NB: plain attribute access on spark._jvm returns a lazy JavaPackage
+    # even for classes that don't exist — only Class.forName actually
+    # proves the connector is on the classpath.
     try:
-        spark._jvm.com.mongodb.spark.sql.connector.MongoTableProvider  # noqa: B018
+        spark._jvm.java.lang.Class.forName(
+            "com.mongodb.spark.sql.connector.MongoTableProvider"
+        )
     except Exception as exc:  # noqa: BLE001
         raise RuntimeError(
             "MongoDB Spark Connector not on the classpath; add "
             "org.mongodb.spark:mongo-spark-connector (v10+) via "
             "spark.jars.packages, or read fixtures with io.load_table"
         ) from exc
+
+
+def range_pipeline(ts_field: str, lo: str, hi: str) -> str:
+    """The server-side ``$match`` aggregation pipeline as JSON — the same
+    ``doc!{"$match": {ts: {"$gte", "$lte"}}}`` the historical binary builds
+    (historical_data/src/main.rs:349-365). Pure function so the pushdown
+    shape is unit-testable without a connector jar or a live mongod."""
+    return json.dumps(
+        [{"$match": {ts_field: {"$gte": {"$date": lo}, "$lte": {"$date": hi}}}}]
+    )
+
+
+def batch_read_options(
+    uri: str,
+    database: str,
+    collection: str,
+    ts_field: str | None = None,
+    ts_range: tuple[str, str] | None = None,
+) -> dict[str, str]:
+    """Connector options for a batch ``find`` scan."""
+    opts = {
+        "connection.uri": uri,
+        "database": database,
+        "collection": collection,
+    }
+    if ts_field and ts_range:
+        opts["aggregation.pipeline"] = range_pipeline(ts_field, *ts_range)
+    return opts
+
+
+def change_stream_options(uri: str, database: str, collection: str) -> dict[str, str]:
+    """Connector options for the change-stream micro-batch source
+    (full-document lookup, matching ``FullDocumentType::UpdateLookup``,
+    /root/reference/src/main.rs:316-319)."""
+    return {
+        "connection.uri": uri,
+        "database": database,
+        "collection": collection,
+        "change.stream.publish.full.document.only": "true",
+    }
 
 
 def read_collection(
@@ -44,19 +89,8 @@ def read_collection(
     historical binary's ``find({ts: {$gte, $lte}})``
     (historical_data/src/main.rs:349-365)."""
     _require_connector(spark)
-    reader = (
-        spark.read.format("mongodb")
-        .option("connection.uri", uri)
-        .option("database", database)
-        .option("collection", collection)
-    )
-    if ts_field and ts_range:
-        lo, hi = ts_range
-        pipeline = [
-            {"$match": {ts_field: {"$gte": {"$date": lo}, "$lte": {"$date": hi}}}}
-        ]
-        reader = reader.option("aggregation.pipeline", json.dumps(pipeline))
-    return reader.load()
+    opts = batch_read_options(uri, database, collection, ts_field, ts_range)
+    return spark.read.format("mongodb").options(**opts).load()
 
 
 def read_change_stream(
@@ -69,11 +103,5 @@ def read_change_stream(
     binary's ``collection.watch`` (/root/reference/src/main.rs:313-360).
     Resume/checkpointing comes from the query's ``checkpointLocation``."""
     _require_connector(spark)
-    return (
-        spark.readStream.format("mongodb")
-        .option("connection.uri", uri)
-        .option("database", database)
-        .option("collection", collection)
-        .option("change.stream.publish.full.document.only", "true")
-        .load()
-    )
+    opts = change_stream_options(uri, database, collection)
+    return spark.readStream.format("mongodb").options(**opts).load()

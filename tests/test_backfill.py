@@ -78,3 +78,31 @@ def test_multimodal_frame_sample_stride(spark):
     got = frames.groupBy("doc_id").count().collect()
     expected = {r["doc_id"]: (r["n_frames"] + 1) // 2 for r in decoded.collect()}
     assert {r["doc_id"]: r["count"] for r in got} == expected
+
+
+def test_backfill_counts_unmatched_events_as_failed(spark, tmp_path):
+    """An event whose user_id has no customer row must be counted in
+    failed_docs (per-document accounting like the historical binary), not
+    silently excluded by the actor join."""
+    import shutil
+
+    src2 = os.path.join(str(tmp_path), "src2")
+    os.makedirs(src2)
+    shutil.copy(os.path.join(SRC, "customer.parquet"),
+                os.path.join(src2, "customer.parquet"))
+    ev = spark.read.parquet(os.path.join(SRC, "events.parquet"))
+    # pick planted rows from INSIDE the backfill window (ts is raw nanos)
+    nanos = lambda s: F.unix_micros(F.lit(s).cast("timestamp")) * 1000  # noqa: E731
+    bogus = (
+        ev.filter(F.col("ts").between(nanos("2024-01-05 00:00:00"),
+                                      nanos("2024-01-20 00:00:00")))
+        .limit(3)
+        .withColumn("user_id", F.lit(-999999).cast(ev.schema["user_id"].dataType))
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+    )
+    ev.unionByName(bogus).write.parquet(os.path.join(src2, "events.parquet"))
+
+    base = run_backfill(spark, _tenant(tmp_path), SRC, "2024-01-03T00:00", "2024-01-27T00:00")
+    stats = run_backfill(spark, _tenant(tmp_path), src2, "2024-01-03T00:00", "2024-01-27T00:00")
+    assert stats.failed_docs == base.failed_docs + 3
+    assert stats.processed_docs == base.processed_docs

@@ -227,3 +227,65 @@ def test_multi_tenant_fanout(spark, tmp_path):
     _, main_n, _ = _expected_counts(spark)
     for t in tenants:
         assert spark.read.parquet(t.sink_main_path).count() == main_n
+
+
+def test_dlq_replay_after_full_drain_is_noop(spark, tmp_path):
+    """A periodic replay loop must survive the cycle AFTER a full drain:
+    _drop_partition leaves no empty tenant shell, and a DLQ directory
+    with zero parquet files returns 0 instead of raising
+    UNABLE_TO_INFER_SCHEMA."""
+    t = _tenant(tmp_path, name="drainloop")
+    _stage_events(t.source_path)
+    customer = load_table(spark, SRC, "customer")
+
+    def always_fail(df, batch_id):
+        raise RuntimeError("sink down")
+
+    q = run_tenant_stream(
+        spark, t, customer, available_now=True, fail_injector=always_fail
+    )
+    q.awaitTermination(120)
+    active = optout_active(optout_dim(customer))
+    assert retry_failed_batches(spark, t, active) >= 1  # drains fully
+    # next 60s cycle: must be a clean no-op, twice
+    assert retry_failed_batches(spark, t, active) == 0
+    assert retry_failed_batches(spark, t, active) == 0
+
+
+def test_checkpoint_invalidation_recovery(spark, tmp_path):
+    """The reference's resume-token-expired path (Mongo error 280 → clear
+    token, restart from scratch, /root/reference/src/main.rs:457-501) maps
+    to Spark as: checkpoint corrupted → restart against a FRESH checkpoint
+    dir → the full source re-drains (at-least-once) and per-batch
+    idempotent overwrite keeps the sink exactly-once."""
+    import shutil
+
+    t = _tenant(tmp_path, name="ckptloss")
+    _stage_events(t.source_path)
+    customer = load_table(spark, SRC, "customer")
+
+    q1 = run_tenant_stream(spark, t, customer, available_now=True)
+    q1.awaitTermination(120)
+    total, main_n, optout_n = _expected_counts(spark)
+    assert spark.read.parquet(t.sink_main_path).count() == main_n
+
+    # corrupt the checkpoint (truncate the offset log) — a restart against
+    # the same dir must NOT silently succeed
+    offsets = os.path.join(t.checkpoint_path, "offsets")
+    for f in os.listdir(offsets):
+        with open(os.path.join(offsets, f), "w") as fh:
+            fh.write("garbage")
+    with pytest.raises(Exception):
+        q2 = run_tenant_stream(spark, t, customer, available_now=True)
+        q2.awaitTermination(120)
+        if q2.exception() is not None:
+            raise RuntimeError(q2.exception().desc)
+
+    # recovery procedure = the reference's "clear token": fresh checkpoint
+    shutil.rmtree(t.checkpoint_path)
+    q3 = run_tenant_stream(spark, t, customer, available_now=True)
+    q3.awaitTermination(120)
+    assert q3.exception() is None
+    # re-drain replayed every batch; idempotent overwrite → exactly-once
+    assert spark.read.parquet(t.sink_main_path).count() == main_n
+    assert spark.read.parquet(t.sink_optout_path).count() == optout_n
