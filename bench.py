@@ -47,6 +47,9 @@ HEADLINE = [
     "sim_ann_lsh",
     "pipeline_training_corpus",    # fused quality→dedup→split pipeline
     "join_range_interval",         # bucketed theta→equi range join
+    "decontaminate_ngram_overlap", # 8-gram benchmark-overlap join
+    "text_repetition_filter",
+    "emb_quantize_int8",
 ]
 
 

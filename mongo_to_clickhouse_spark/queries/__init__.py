@@ -12,6 +12,7 @@ from mongo_to_clickhouse_spark.queries import (
     analytics,
     analytics_ext,
     core,
+    corpusops,
     dedupops,
     joinops,
     pipelineops,
@@ -30,6 +31,7 @@ _MODULES = [
     analytics,
     analytics_ext,
     core,
+    corpusops,
     dedupops,
     joinops,
     pipelineops,

@@ -1,0 +1,294 @@
+"""Training-corpus curation operators beyond the round-1 surface:
+repetition filtering, benchmark decontamination, PII scrubbing, and
+vocabulary coverage — the remaining cheap-filter tier of a pretraining
+data pipeline (C4/Gopher-style rules; n-gram-overlap decontamination as
+used for benchmark hygiene in LLM training sets).
+
+All pure built-in column expressions (no UDFs); every ID is
+DuckDB-oracle-checked. Output types are pinned on both engine sides
+(see PARITY_r02.md for the typing rules).
+
+Scale posture mirrors dedupops: per-document n-gram arrays are built in
+one projection and only the decontamination join explodes them — the
+explode feeds an equi-join on the n-gram string (uniform md5-like key
+distribution, skew-free), never a pairwise document comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongo_to_clickhouse_spark.io import load_table
+from mongo_to_clickhouse_spark.operators.materialize import barrier_view
+
+REPETITION_N = 5          # Gopher counts duplicate 5-gram fraction
+REPETITION_THRESHOLD = 0.30
+DECONTAM_N = 8            # 8-gram collision = standard decontamination test
+BENCH_MODULUS = 97        # every 97th doc plays the held-out benchmark set
+VOCAB_TOP_K = 100
+
+
+def _ngram_expr_duck(n: int) -> str:
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(generate_series(1, len(toks) - {n - 1}), "
+        f"i -> {parts}) ELSE [] END"
+    )
+
+
+def _toks_view(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized (doc_id, token array) relation — 1× corpus, shared by
+    the n-gram operators below. Grams themselves are NEVER materialized as
+    arrays (that is 5-8× the corpus): they are generated positionally by
+    exploding an index range whose Generate child is this plain
+    materialized column, then slice+concat+hash per emitted row. Building
+    the gram arrays per row in higher-order lambdas instead was measured
+    10× slower at sf0.1 (lambdas evaluate interpreted, outside codegen)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    return barrier_view(toks, "corpus_toks")
+
+
+def _gram_hashes_sql(view: str, n: int) -> str:
+    """(doc_id, gram_h) rows: 60-bit md5 of each word n-gram, positional."""
+    return f"""
+        SELECT doc_id,
+               CAST(conv(substring(
+                   md5(concat_ws(' ', slice(toks, i, {n}))), 1, 15),
+                   16, 10) AS BIGINT) AS gram_h
+        FROM {view}
+        LATERAL VIEW explode(
+            CASE WHEN size(toks) >= {n}
+                 THEN sequence(1, size(toks) - {n - 1})
+                 ELSE array() END) AS i
+    """
+
+
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition rule (Gopher): fraction of duplicate
+    5-grams; docs above the threshold are filtered from a pretraining
+    corpus. One explode + one groupBy keyed by doc_id (uniform), counting
+    total and distinct gram hashes per doc — same shape and hashed-gram
+    space as the decontamination join."""
+    view = _toks_view(spark, sf_dir)
+    agg = spark.sql(f"""
+        SELECT doc_id,
+               COUNT(*) AS n_total,
+               COUNT(DISTINCT gram_h) AS n_distinct
+        FROM ({_gram_hashes_sql(view, REPETITION_N)})
+        GROUP BY doc_id
+    """)
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_total"), F.lit(0)).cast("int").alias("n_total"),
+        F.coalesce(F.col("n_distinct"), F.lit(0)).cast("int").alias("n_distinct"),
+    )
+    dup_frac = F.when(
+        F.col("n_total") > 0,
+        F.round(
+            (F.col("n_total") - F.col("n_distinct"))
+            / F.col("n_total").cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return staged.select(
+        "doc_id",
+        F.col("n_total").alias("n_5grams"),
+        dup_frac.alias("dup_fraction"),
+    ).select(
+        "doc_id",
+        "n_5grams",
+        "dup_fraction",
+        (F.col("dup_fraction") > REPETITION_THRESHOLD).alias("flagged"),
+    )
+
+
+def _gram_hashes_duck(n: int) -> str:
+    return f"""
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS gram_h
+        FROM (
+            SELECT doc_id, unnest(grams) AS gram
+            FROM (SELECT doc_id, {_ngram_expr_duck(n)} AS grams
+                  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                        FROM documents))
+        )
+    """
+
+
+TEXT_REPETITION_FILTER_SQL = f"""
+    WITH agg AS (
+        SELECT doc_id, COUNT(*) AS n_total,
+               COUNT(DISTINCT gram_h) AS n_distinct
+        FROM ({_gram_hashes_duck(REPETITION_N)})
+        GROUP BY doc_id
+    ),
+    staged AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_total, 0) AS INTEGER) AS n_total,
+               CAST(COALESCE(a.n_distinct, 0) AS INTEGER) AS n_distinct
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    )
+    SELECT doc_id,
+           n_total AS n_5grams,
+           CASE WHEN n_total > 0
+                THEN round((n_total - n_distinct) / CAST(n_total AS DOUBLE), 6)
+                ELSE 0.0 END AS dup_fraction,
+           (CASE WHEN n_total > 0
+                 THEN round((n_total - n_distinct) / CAST(n_total AS DOUBLE), 6)
+                 ELSE 0.0 END) > {REPETITION_THRESHOLD} AS flagged
+    FROM staged
+"""
+
+
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ≥1 8-gram
+    with the held-out set (every 97th doc stands in for the benchmark).
+    Candidate generation is an equi-join on the 8-gram string — one
+    explode each side, shuffle keyed by n-gram, no doc-pair enumeration —
+    so it scales like the LSH dedup path."""
+    view = _toks_view(spark, sf_dir)
+    # join/distinct on a 60-bit md5 hash of the gram, not the ~50-char
+    # string: ~6× less shuffle traffic, identical in both engines
+    # (collision odds at 2^60 are negligible and symmetric)
+    return spark.sql(f"""
+        WITH exploded AS ({_gram_hashes_sql(view, DECONTAM_N)}),
+        bench AS (
+            SELECT DISTINCT gram_h FROM exploded
+            WHERE doc_id % {BENCH_MODULUS} = 0
+        )
+        SELECT doc_id,
+               COUNT(DISTINCT gram_h) AS n_shared_8grams
+        FROM exploded JOIN bench USING (gram_h)
+        WHERE doc_id % {BENCH_MODULUS} != 0
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """)
+
+
+DECONTAMINATE_NGRAM_OVERLAP_SQL = f"""
+    WITH exploded AS ({_gram_hashes_duck(DECONTAM_N)}),
+    bench AS (
+        SELECT DISTINCT gram_h FROM exploded WHERE doc_id % {BENCH_MODULUS} = 0
+    )
+    SELECT doc_id, COUNT(DISTINCT gram_h) AS n_shared_8grams
+    FROM exploded JOIN bench USING (gram_h)
+    WHERE doc_id % {BENCH_MODULUS} != 0
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+# PII-bearing text is synthesized deterministically from customer rows
+# (the fixture corpus itself is synthetic words with no PII): an email in
+# the reference's localpart style plus a phone-looking token.
+_EMAIL_RE = "[a-z0-9#._%+-]+@[a-z0-9.-]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: regex-redact emails and phone-shaped tokens —
+    the anonymization tier next to the reference's sha256 hashing
+    (/root/reference/src/main.rs:628-645), as a corpus-curation operator.
+    Pure regexp_replace, fuses into the scan."""
+    cust = load_table(spark, sf_dir, "customer")
+    raw = F.concat(
+        F.lit("contact "),
+        F.lower(F.col("c_name")),
+        F.lit("@example.com ref "),
+        F.col("c_custkey").cast("string"),
+        F.lit(" phone 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return cust.select(
+        "c_custkey", raw.alias("raw_text"), redacted.alias("clean_text")
+    )
+
+
+PII_REDACT_SQL = f"""
+    SELECT c_custkey, raw_text,
+           regexp_replace(regexp_replace(raw_text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g') AS clean_text
+    FROM (
+        SELECT c_custkey,
+               'contact ' || lower(c_name) || '@example.com ref '
+                || CAST(c_custkey AS VARCHAR) || ' phone 555-'
+                || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS raw_text
+        FROM customer
+    )
+"""
+
+
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document coverage of the corpus's top-100 vocabulary (the cheap
+    in-distribution signal: low coverage ≈ boilerplate/noise). Two passes
+    over one exploded relation: global top-K (tiny, broadcast back) then a
+    per-doc membership count — shuffles keyed by word and doc_id, both
+    uniform."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(VOCAB_TOP_K)
+        .select("word")
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "word", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_in_vocab"))
+    )
+    totals = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_in_vocab"), F.lit(0)).alias("n_in_vocab"),
+            F.round(
+                F.coalesce(F.col("n_in_vocab"), F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+CORPUS_VOCAB_COVERAGE_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    vocab AS (
+        SELECT word FROM toks GROUP BY word
+        ORDER BY COUNT(*) DESC, word LIMIT {VOCAB_TOP_K}
+    ),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_in_vocab
+        FROM toks WHERE word IN (SELECT word FROM vocab)
+        GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id)
+    SELECT t.doc_id, t.n_tokens,
+           COALESCE(p.n_in_vocab, 0) AS n_in_vocab,
+           round(COALESCE(p.n_in_vocab, 0) / CAST(t.n_tokens AS DOUBLE), 6)
+               AS coverage
+    FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "text_repetition_filter": (text_repetition_filter, TEXT_REPETITION_FILTER_SQL),
+    "decontaminate_ngram_overlap": (
+        decontaminate_ngram_overlap,
+        DECONTAMINATE_NGRAM_OVERLAP_SQL,
+    ),
+    "pii_redact": (pii_redact, PII_REDACT_SQL),
+    "corpus_vocab_coverage": (corpus_vocab_coverage, CORPUS_VOCAB_COVERAGE_SQL),
+}

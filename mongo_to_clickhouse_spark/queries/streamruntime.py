@@ -144,6 +144,35 @@ def stream_microbatch_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _batch_counts(spark, tenant.sink_main_path)
 
 
+def stream_rate_limited_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limited trigger configuration end-to-end — the declarative
+    replacement for the reference's AIMD adaptive batch sizing
+    (src/main.rs:192-233): 4 staged source files drained twice, with
+    maxFilesPerTrigger=2 (→ 2 micro-batches) and =1 (→ 4 micro-batches).
+    Returns (rate_limit, n_batches, total_rows) — batch count tracks the
+    cap while total intake is invariant."""
+    rows = []
+    for rate in (2, 1):
+        src, work = stage_events_source(sf_dir, parts=4, prefix=f"rl{rate}")
+        tenant = _tenant(work, f"rl{rate}", src)
+        q = run_tenant_stream(
+            spark,
+            tenant,
+            load_table(spark, sf_dir, "customer"),
+            available_now=True,
+            max_files_per_trigger=rate,
+        )
+        await_drained(q)
+        sink = spark.read.parquet(tenant.sink_main_path)
+        agg = sink.agg(
+            F.countDistinct("batch_id").alias("nb"), F.count("*").alias("nr")
+        ).first()
+        rows.append(
+            Row(rate_limit=rate, n_batches=int(agg["nb"]), total_rows=int(agg["nr"]))
+        )
+    return spark.createDataFrame(rows)
+
+
 def stream_retry_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential-backoff insert retry (5 attempts, doubling delay,
     src/main.rs:39-42, 692-743): a sink that fails twice then recovers —
@@ -295,6 +324,7 @@ QUERIES: dict[str, tuple] = {
     "metric_throughput": (metric_throughput, None),
     "stream_microbatch_assembly": (stream_microbatch_assembly, None),
     "stream_retry_backoff": (stream_retry_backoff, None),
+    "stream_rate_limited_trigger": (stream_rate_limited_trigger, None),
     "stream_multitenant_fanout": (stream_multitenant_fanout, None),
     "stream_cache_invalidate": (stream_cache_invalidate, None),
 }

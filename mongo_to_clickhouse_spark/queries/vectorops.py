@@ -379,9 +379,103 @@ DEDUP_EMBEDDING_COSINE_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding-column utilities (training-pipeline tier)
+# ---------------------------------------------------------------------------
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = max|v|/127) — the
+    storage/serving compression step of an embedding pipeline. Pure
+    higher-order array expressions per row: fuses into the scan, no
+    shuffle, no UDF. double round() ties away from zero in BOTH engines,
+    so the quantized codes match the oracle exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(
+        F.transform(F.col("embedding"), lambda v: F.abs(v))
+    ).cast("double")
+    with_scale = emb.withColumn("scale_raw", absmax / F.lit(127.0))
+    q = F.transform(
+        F.col("embedding"),
+        lambda v: F.when(
+            F.col("scale_raw") > 0,
+            F.round(v.cast("double") / F.col("scale_raw")).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    return with_scale.select(
+        "vec_id",
+        F.round(F.col("scale_raw"), 9).alias("scale"),
+        q.alias("q"),
+    )
+
+
+EMB_QUANTIZE_INT8_SQL = """
+    SELECT vec_id,
+           round(scale_raw, 9) AS scale,
+           list_transform(
+               embedding,
+               v -> CASE WHEN scale_raw > 0
+                         THEN CAST(round(CAST(v AS DOUBLE) / scale_raw)
+                                   AS INTEGER)
+                         ELSE 0 END) AS q
+    FROM (
+        SELECT vec_id, embedding,
+               CAST(list_max(list_transform(embedding, v -> abs(v)))
+                    AS DOUBLE) / 127.0 AS scale_raw
+        FROM embeddings
+    )
+"""
+
+
+def emb_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroid), long form
+    (label, pos, n, mean_val). Floating-point sums are order-dependent
+    across engines, so each component is mapped to exact integer
+    micro-units first (round(v·10⁶) — deterministic per value), summed
+    exactly, and divided back out: the one shuffle is keyed by
+    (label, pos), 64·|labels| groups, uniform."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    micro = F.round(F.col("val").cast("double") * 1e6).cast("bigint")
+    return (
+        ex.select("label", "pos", micro.alias("micro"))
+        .groupBy("label", "pos")
+        .agg(F.count("*").alias("n"), F.sum("micro").alias("s_micro"))
+        .select(
+            "label",
+            "pos",
+            "n",
+            F.round(F.col("s_micro") / F.col("n") / F.lit(1e6), 6).alias(
+                "mean_val"
+            ),
+        )
+    )
+
+
+EMB_MEAN_POOL_SQL = """
+    SELECT label, pos, n,
+           round(CAST(s_micro AS DOUBLE) / n / 1000000.0, 6) AS mean_val
+    FROM (
+        SELECT label, pos, COUNT(*) AS n,
+               CAST(SUM(micro) AS BIGINT) AS s_micro
+        FROM (
+            SELECT label,
+                   CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+                        AS BIGINT) AS micro
+            FROM embeddings
+        )
+        GROUP BY label, pos
+    )
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_TOPK_SQL),
     "sim_ann_lsh": (sim_ann_lsh, SIM_ANN_LSH_SQL),
     "sim_ann_ivf": (sim_ann_ivf, SIM_ANN_IVF_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
+    "emb_quantize_int8": (emb_quantize_int8, EMB_QUANTIZE_INT8_SQL),
+    "emb_mean_pool": (emb_mean_pool, EMB_MEAN_POOL_SQL),
 }

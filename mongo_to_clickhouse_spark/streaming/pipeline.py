@@ -54,14 +54,23 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def streaming_statements(
-    spark: SparkSession, source_path: str, customer: DataFrame
+    spark: SparkSession,
+    source_path: str,
+    customer: DataFrame,
+    max_files_per_trigger: int = 1,
 ) -> DataFrame:
     """readStream over the events source → anonymized statement rows.
     The transform chain is the SAME code as batch — one logical plan serves
-    both executions (the point of Structured Streaming)."""
+    both executions (the point of Structured Streaming).
+
+    ``max_files_per_trigger`` is the declarative stand-in for the
+    reference's AIMD batch-size controller (src/main.rs:192-233): it caps
+    per-trigger intake (the connector equivalent is
+    ``maxOffsetsPerTrigger``/``maxChangeStreamBatchSize``), and AQE +
+    backpressure handle the adaptive part."""
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)  # rate limit ≈ reference batch cap
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_path)
     )
     events = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
@@ -74,11 +83,14 @@ def run_tenant_stream(
     customer: DataFrame,
     available_now: bool = True,
     fail_injector=None,
+    max_files_per_trigger: int = 1,
 ) -> StreamingQuery:
     """One tenant's pipeline as a streaming query. ``available_now=True``
     drains the source and stops (test/backfill mode); False runs the
     5-second micro-batch cadence of the reference."""
-    anon = streaming_statements(spark, tenant.source_path, customer)
+    anon = streaming_statements(
+        spark, tenant.source_path, customer, max_files_per_trigger
+    )
 
     def _batch(df: DataFrame, batch_id: int) -> None:
         # Re-derive the opt-out dim per micro-batch: this is the reference's

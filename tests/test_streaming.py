@@ -289,3 +289,24 @@ def test_checkpoint_invalidation_recovery(spark, tmp_path):
     # re-drain replayed every batch; idempotent overwrite → exactly-once
     assert spark.read.parquet(t.sink_main_path).count() == main_n
     assert spark.read.parquet(t.sink_optout_path).count() == optout_n
+
+
+def test_rate_limited_trigger_batch_cap(spark, tmp_path):
+    """maxFilesPerTrigger caps per-trigger intake (the declarative stand-in
+    for the reference's AIMD batch sizing): 4 source files with cap 2 → 2
+    micro-batches; cap 1 → 4; total rows invariant."""
+    customer = load_table(spark, SRC, "customer")
+    total, main_n, _ = _expected_counts(spark)
+    seen = {}
+    for rate, want_batches in ((2, 2), (1, 4)):
+        t = _tenant(tmp_path, name=f"rate{rate}")
+        _stage_events(t.source_path, parts=4)
+        q = run_tenant_stream(
+            spark, t, customer, available_now=True, max_files_per_trigger=rate
+        )
+        q.awaitTermination(120)
+        sink = spark.read.parquet(t.sink_main_path)
+        n_batches = sink.select("batch_id").distinct().count()
+        assert n_batches == want_batches
+        seen[rate] = sink.count()
+    assert seen[1] == seen[2] == main_n
