@@ -50,6 +50,9 @@ HEADLINE = [
     "decontaminate_ngram_overlap", # 8-gram benchmark-overlap join
     "text_repetition_filter",
     "emb_quantize_int8",
+    "cdc_apply_oplog",             # change-stream patch-merge materialization
+    "text_perplexity_unigram",
+    "emb_covariance",
 ]
 
 

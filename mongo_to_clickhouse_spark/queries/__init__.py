@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from mongo_to_clickhouse_spark.queries import (
     analytics,
     analytics_ext,
+    cdcops,
     core,
     corpusops,
     dedupops,
@@ -30,6 +31,7 @@ from mongo_to_clickhouse_spark.queries import (
 _MODULES = [
     analytics,
     analytics_ext,
+    cdcops,
     core,
     corpusops,
     dedupops,

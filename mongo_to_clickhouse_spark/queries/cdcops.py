@@ -1,0 +1,172 @@
+"""CDC oplog-apply: reconstruct final document state from a change log
+with MongoDB change-stream semantics (insert / update / replace /
+delete, field-level update merge).
+
+The reference consumes change-stream events with ``full_document``
+(/root/reference/src/main.rs:313-375) and materializes "latest version
+wins" downstream (covered by ``dedup_latest_version``).  When a stream
+is consumed WITHOUT fullDocument lookup, each update event carries only
+an ``updateDescription`` patch — the sink must merge patches onto the
+last full image.  ``cdc_apply_oplog`` is that materialization as one
+declarative plan:
+
+* an op log of ``(doc_id, seq, op, field_a, field_b)`` rows (synthesized
+  deterministically from ``events`` — op mix ~20% insert / 50% update /
+  10% replace / 20% delete; updates set a subset of fields, i.e. a patch)
+* ``insert`` / ``replace`` reset the whole document (base image)
+* ``update`` patches only its non-null fields onto the current image
+* ``delete`` removes the document; a later op re-creates it (upsert)
+
+Reconstruction rule (pure window algebra, no per-doc iteration):
+for each doc, find the last *base* op (insert/replace/delete); the final
+value of each field is the last non-null assignment at-or-after that
+base (strictly after, for delete); docs whose final op is ``delete`` are
+gone.  ``last(..., ignorenulls=True)`` over an unbounded frame gives
+exactly "latest patch wins" — one shuffle keyed by doc_id, uniform.
+
+Scale posture: two window passes over the same (doc_id, seq) sort order
+— Spark plans them in a single sort+exchange; state per doc is O(1).
+This is the batch/backfill form; the streaming form is
+``stream_stateful_running_agg``'s applyInPandasWithState shape with the
+same merge rule per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mongo_to_clickhouse_spark.io import load_table
+
+# op mix by event_id bucket: 0-1 insert, 2-6 update, 7 replace, 8-9 delete
+_OP_CASE = """
+    CASE
+        WHEN event_id % 10 IN (0, 1) THEN 'insert'
+        WHEN event_id % 10 BETWEEN 2 AND 6 THEN 'update'
+        WHEN event_id % 10 = 7 THEN 'replace'
+        ELSE 'delete'
+    END
+"""
+
+
+def _oplog_sql(events_rel: str) -> str:
+    """Shared Spark/DuckDB SQL for the synthesized op log.
+
+    doc key = user_id (a few ops per doc at every sf); order = (ts,
+    event_id).  Base ops carry the full image (both fields); updates
+    patch field_a when event_id % 3 != 0 and field_b when
+    event_id % 2 = 0 — so both "field untouched by later updates" and
+    "field patched repeatedly" paths occur.  Deletes carry no payload.
+    """
+    return f"""
+        SELECT user_id AS doc_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS seq,
+               op,
+               CASE WHEN op IN ('insert', 'replace') THEN round(value, 2)
+                    WHEN op = 'update' AND event_id % 3 != 0 THEN round(value, 2)
+                    ELSE NULL END AS field_a,
+               CASE WHEN op IN ('insert', 'replace') THEN event_type
+                    WHEN op = 'update' AND event_id % 2 = 0 THEN event_type
+                    ELSE NULL END AS field_b
+        FROM (SELECT *, {_OP_CASE} AS op FROM {events_rel})
+    """
+
+
+def cdc_apply_oplog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final state per document after applying the op log in order."""
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("cdc_events_src")
+    oplog = spark.sql(_oplog_sql("cdc_events_src"))
+
+    wdoc = Window.partitionBy("doc_id")
+    wseq = wdoc.orderBy("seq")
+    unbounded = wseq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+    staged = oplog.select(
+        "doc_id",
+        "seq",
+        "op",
+        "field_a",
+        "field_b",
+        F.max(
+            F.when(F.col("op").isin("insert", "replace", "delete"), F.col("seq"))
+        )
+        .over(wdoc)
+        .alias("base_seq"),
+        F.max("seq").over(wdoc).alias("last_seq"),
+        F.max(F.when(F.col("op") == "delete", F.col("seq"))).over(wdoc).alias(
+            "del_seq"
+        ),
+    )
+    # ops participating in the final image: at-or-after the base
+    # (strictly after, when the base is a delete — its payload is empty
+    # anyway, but the doc only re-exists via LATER upserting ops)
+    live = staged.filter(
+        F.col("seq") >= F.coalesce(F.col("base_seq"), F.lit(0))
+    ).filter(
+        ~((F.col("seq") == F.col("base_seq")) & (F.col("op") == "delete"))
+    )
+    final = live.select(
+        "doc_id",
+        F.last("field_a", ignorenulls=True).over(unbounded).alias("field_a"),
+        F.last("field_b", ignorenulls=True).over(unbounded).alias("field_b"),
+        F.count("*").over(wdoc).cast("bigint").alias("n_applied_ops"),
+    ).distinct()
+
+    totals = oplog.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_ops"),
+        F.max_by("op", "seq").alias("final_op"),
+    )
+    return (
+        final.join(totals, "doc_id")
+        .filter(F.col("final_op") != "delete")
+        .select("doc_id", "field_a", "field_b", "n_applied_ops", "n_ops")
+        .orderBy("doc_id")
+    )
+
+
+CDC_APPLY_OPLOG_SQL = f"""
+    WITH oplog AS ({_oplog_sql("events")}),
+    staged AS (
+        SELECT *,
+               MAX(CASE WHEN op IN ('insert', 'replace', 'delete')
+                        THEN seq END) OVER (PARTITION BY doc_id) AS base_seq,
+               MAX(seq) OVER (PARTITION BY doc_id) AS last_seq
+        FROM oplog
+    ),
+    live AS (
+        SELECT * FROM staged
+        WHERE seq >= COALESCE(base_seq, 0)
+          AND NOT (seq = base_seq AND op = 'delete')
+    ),
+    final AS (
+        SELECT DISTINCT doc_id,
+               LAST_VALUE(field_a IGNORE NULLS) OVER (
+                   PARTITION BY doc_id ORDER BY seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS field_a,
+               LAST_VALUE(field_b IGNORE NULLS) OVER (
+                   PARTITION BY doc_id ORDER BY seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS field_b,
+               CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT)
+                   AS n_applied_ops
+        FROM live
+    ),
+    totals AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ops,
+               arg_max(op, seq) AS final_op
+        FROM oplog GROUP BY doc_id
+    )
+    SELECT f.doc_id, f.field_a, f.field_b, f.n_applied_ops, t.n_ops
+    FROM final f JOIN totals t ON f.doc_id = t.doc_id
+    WHERE t.final_op != 'delete'
+    ORDER BY f.doc_id
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "cdc_apply_oplog": (cdc_apply_oplog, CDC_APPLY_OPLOG_SQL),
+}

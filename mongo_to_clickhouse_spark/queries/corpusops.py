@@ -283,8 +283,85 @@ CORPUS_VOCAB_COVERAGE_SQL = f"""
 """
 
 
+PPL_FLAG_NATS = 6.0   # docs with avg NLL above this are "out of distribution"
+
+
+def text_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity per document — the KenLM-tier quality filter
+    of a pretraining pipeline (docs far from the corpus distribution get
+    dropped/downweighted), expressed entirely in built-ins.
+
+    Model: p(w) = count(w) / total_tokens over the whole corpus; doc
+    score = mean negative log-likelihood (nats) of its tokens, and
+    perplexity = exp(NLL).
+
+    Cross-engine determinism: per-WORD log-probs are rounded to 6 dp and
+    scaled to integer micro-nats at the vocab level (tiny relation), so
+    the per-doc aggregation is an exact integer sum — float summation
+    order never matters.  ln() itself is correctly-rounded libm on both
+    engines; 6-dp rounding absorbs any last-ulp differences.
+
+    Scale posture: one explode of the corpus feeding two shuffles — a
+    groupBy word (vocab build, uniform keys) and an equi-join token→vocab
+    (word keys, Zipf-skewed head but AQE skew-split handles it; the vocab
+    side is the small build side).  The scalar corpus total rides along
+    as a window-free cross join of a 1-row aggregate (broadcast)."""
+    view = _toks_view(spark, sf_dir)
+    return spark.sql(f"""
+        WITH toks AS (
+            SELECT doc_id, explode(toks) AS word FROM {view}
+        ),
+        vocab AS (
+            SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word
+        ),
+        total AS (SELECT SUM(cnt) AS n_total FROM vocab),
+        model AS (
+            SELECT word,
+                   CAST(round(ln(cnt / CAST(n_total AS DOUBLE)) * 1e6)
+                        AS BIGINT) AS logp_micro
+            FROM vocab CROSS JOIN total
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               round(-SUM(m.logp_micro) / COUNT(*) / 1e6, 6) AS avg_nll,
+               round(exp(-SUM(m.logp_micro) / COUNT(*) / 1e6), 4) AS ppl,
+               (-SUM(m.logp_micro) / COUNT(*) / 1e6) > {PPL_FLAG_NATS}
+                   AS flagged
+        FROM toks t JOIN model m ON t.word = m.word
+        GROUP BY t.doc_id
+    """)
+
+
+TEXT_PERPLEXITY_UNIGRAM_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    vocab AS (
+        SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word
+    ),
+    total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM vocab),
+    model AS (
+        SELECT word,
+               CAST(round(ln(cnt / CAST(n_total AS DOUBLE)) * 1e6)
+                    AS BIGINT) AS logp_micro
+        FROM vocab CROSS JOIN total
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(-SUM(m.logp_micro) / COUNT(*) / 1e6, 6) AS avg_nll,
+           round(exp(-SUM(m.logp_micro) / COUNT(*) / 1e6), 4) AS ppl,
+           (-SUM(m.logp_micro) / COUNT(*) / 1e6) > {PPL_FLAG_NATS} AS flagged
+    FROM toks t JOIN model m ON t.word = m.word
+    GROUP BY t.doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_repetition_filter": (text_repetition_filter, TEXT_REPETITION_FILTER_SQL),
+    "text_perplexity_unigram": (
+        text_perplexity_unigram,
+        TEXT_PERPLEXITY_UNIGRAM_SQL,
+    ),
     "decontaminate_ngram_overlap": (
         decontaminate_ngram_overlap,
         DECONTAMINATE_NGRAM_OVERLAP_SQL,

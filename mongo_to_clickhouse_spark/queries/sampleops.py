@@ -200,8 +200,109 @@ _PROFILE_PARTS = "\n    UNION ALL\n".join(
 PROFILE_COLUMN_STATS_SQL = _PROFILE_PARTS
 
 
+# per-lang keep percentages for the stratified sampler (unlisted → 100)
+STRATA_PCT = {"en": 50, "de": 30, "fr": 20}
+
+MIX_BUDGET_PCT = 40      # domain_mix_sampler: keep ~40% of the corpus…
+MIX_N_SOURCES = 20       # …spread evenly across the 20 sources
+MIX_RATE_SPACE = 1_000_000
+
+
+def _strata_pct_spark():
+    expr = F.lit(100)
+    for lang, pct in sorted(STRATA_PCT.items()):
+        expr = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(expr)
+    return expr
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum Bernoulli sampling with a different keep-rate per lang
+    (downsample over-represented languages, keep the tail whole — the
+    static form of mixture rebalancing). Still a pure narrow filter: the
+    rate lookup is a literal CASE, so the plan is scan → filter with
+    full pushdown, zero shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = _hash60(F.col("doc_id")) % 100 < _strata_pct_spark()
+    return docs.filter(keep).select("doc_id", "lang", "source", "n_chars")
+
+
+_STRATA_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN lang = '{lang}' THEN {pct}"
+        for lang, pct in sorted(STRATA_PCT.items())
+    )
+    + " ELSE 100 END"
+)
+
+SAMPLE_STRATIFIED_SQL = f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {_hash60_sql("doc_id")} % 100 < {_STRATA_CASE_SQL}
+"""
+
+
+def domain_mix_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture sampling: hit a corpus-wide token budget
+    (MIX_BUDGET_PCT% of docs) spread EVENLY across sources — the DoReMi-
+    style static domain reweighting step of a pretraining pipeline.
+    Over-represented sources are downsampled to the per-source quota;
+    under-represented ones are kept whole (rate capped at 1).
+
+    The keep-rate per source is derived from data (count per source) but
+    stays exact: all arithmetic is integer (floor division into a 10^6
+    rate space), so both engines compute identical rates and the hash
+    filter picks identical rows.
+
+    Scale posture: one tiny aggregate (groupBy source, 20 rows) is
+    broadcast back onto the scan — the sampler itself remains a narrow
+    filter; no full-data shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()  # control-plane scalar (1 job, O(files) work)
+    quota = (total * MIX_BUDGET_PCT // 100) // MIX_N_SOURCES
+    rates = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "source",
+            F.least(
+                F.lit(MIX_RATE_SPACE).cast("bigint"),
+                # integer floor-div (`div`), NOT float `/`: a double
+                # quotient landing one ulp above an integer boundary
+                # would diverge from DuckDB's `//`
+                F.expr(f"{quota * MIX_RATE_SPACE}L div cnt"),
+            ).alias("rate_ppm"),
+        )
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(_hash60(F.col("doc_id")) % MIX_RATE_SPACE < F.col("rate_ppm"))
+        .select("doc_id", "source", "rate_ppm")
+    )
+    return kept
+
+
+DOMAIN_MIX_SAMPLER_SQL = f"""
+    WITH rates AS (
+        SELECT source,
+               LEAST(
+                   {MIX_RATE_SPACE},
+                   CAST(((SELECT COUNT(*) FROM documents)
+                          * {MIX_BUDGET_PCT} // 100 // {MIX_N_SOURCES})
+                        * {MIX_RATE_SPACE} // COUNT(*) AS BIGINT)
+               ) AS rate_ppm
+        FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, r.rate_ppm
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE {_hash60_sql("d.doc_id")} % {MIX_RATE_SPACE} < r.rate_ppm
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "sample_hash_bernoulli": (sample_hash_bernoulli, SAMPLE_HASH_BERNOULLI_SQL),
+    "sample_stratified": (sample_stratified, SAMPLE_STRATIFIED_SQL),
+    "domain_mix_sampler": (domain_mix_sampler, DOMAIN_MIX_SAMPLER_SQL),
     "sample_split_summary": (sample_split_summary, SAMPLE_SPLIT_SUMMARY_SQL),
     "sample_per_group_topk": (sample_per_group_topk, SAMPLE_PER_GROUP_TOPK_SQL),
     "sample_weighted_pps": (sample_weighted_pps, SAMPLE_WEIGHTED_PPS_SQL),

@@ -233,8 +233,98 @@ WINDOW_FIRST_LAST_SQL = """
 """
 
 
+ZSCORE_FLAG = 3.0
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier detection: standardize each event's
+    value against its type's mean/stddev and flag |z| > 3 — the metric-
+    anomaly tier of a monitoring pipeline (the reference's health checks
+    are process-level only, src/main.rs:745-805; this is the data-level
+    analogue).
+
+    Exactness: group moments come from integer milli-unit power sums
+    (round(value·10³) as BIGINT — exact sums, order-independent), then
+    one identical double expression per row on both engines.  mi² sums
+    stay < 2^53 through ~10^9 rows per type at this value range; beyond
+    that, widen the power sums to DECIMAL(38,0) (int64→double and
+    decimal→double casts are both IEEE round-to-nearest, so parity
+    holds).
+
+    Scale posture: one partial-aggregated shuffle on event_type (5 keys
+    → a broadcastable stats dim), then a broadcast join back onto the
+    scan — the per-row standardization is a narrow map; no window over
+    the full fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    mi = F.round(F.col("value") * 1000).cast("bigint")
+    stats = (
+        ev.select("event_type", mi.alias("mi"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("mi").alias("s"),
+            F.sum(F.col("mi") * F.col("mi")).alias("ss"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("s").cast("double") / F.col("n")).alias("mean_milli"),
+            F.sqrt(
+                (
+                    F.col("ss").cast("double")
+                    - F.col("s").cast("double")
+                    * F.col("s").cast("double")
+                    / F.col("n")
+                )
+                / (F.col("n") - 1)
+            ).alias("std_milli"),
+        )
+    )
+    z = (mi.cast("double") - F.col("mean_milli")) / F.col("std_milli")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 4).alias("zscore"),
+            (F.abs(z) > ZSCORE_FLAG).alias("is_anomaly"),
+        )
+    )
+
+
+EVENTS_ANOMALY_ZSCORE_SQL = f"""
+    WITH milli AS (
+        SELECT event_id, event_type, value,
+               CAST(round(value * 1000) AS BIGINT) AS mi
+        FROM events
+    ),
+    stats AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(mi) AS BIGINT) AS s,
+               CAST(SUM(mi * mi) AS BIGINT) AS ss
+        FROM milli GROUP BY event_type
+    ),
+    dim AS (
+        SELECT event_type, n,
+               CAST(s AS DOUBLE) / n AS mean_milli,
+               sqrt((CAST(ss AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                    / (n - 1)) AS std_milli
+        FROM stats
+    )
+    SELECT m.event_id, m.event_type, m.value,
+           round((CAST(m.mi AS DOUBLE) - d.mean_milli) / d.std_milli, 4)
+               AS zscore,
+           abs((CAST(m.mi AS DOUBLE) - d.mean_milli) / d.std_milli)
+               > {ZSCORE_FLAG} AS is_anomaly
+    FROM milli m JOIN dim d ON m.event_type = d.event_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "agg_stats_moments": (agg_stats_moments, AGG_STATS_MOMENTS_SQL),
+    "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_ZSCORE_SQL),
     "agg_argmax_struct": (agg_argmax_struct, AGG_ARGMAX_STRUCT_SQL),
     "events_path_transitions": (
         events_path_transitions,

@@ -471,8 +471,146 @@ EMB_MEAN_POOL_SQL = """
 """
 
 
+PCA_K = 8  # components kept by emb_pca_project
+
+
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding columns —
+    the distributed half of PCA / whitening: the d×d second-moment
+    aggregate is computed on the cluster and is only O(d²) in the
+    result, never in the shuffle (keys are the 2,080 (i,j) cells for
+    d=64, perfectly uniform).
+
+    Exactness: components are mapped to integer micro-units
+    (round(v·10⁶) — exact, order-independent sums), and each covariance
+    cell is one rational expression (n·Σxy − Σx·Σy) / (n²·10¹²) over
+    exact BIGINTs, evaluated identically on both engines, then rounded
+    to 9 dp.  BIGINT power sums hold to ~10⁶ rows at this value range;
+    at cluster scale widen the three sums to DECIMAL(38,0) (the final
+    int→double cast is IEEE round-to-nearest either way).
+
+    Scale posture: explode cost is d²/2 rows per vector — for 100 TB of
+    embeddings prefer d·(d+1)/2 ≈ 2 k COLUMNS via a single agg of
+    products (same math, no explode); the exploded form is used here
+    because it keeps the (i,j) keys data — one partial-aggregated
+    shuffle to 2,080 groups either way."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e1 = emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode("embedding").alias("i", "vi"),
+    )
+    e2 = e1.select(
+        "vec_id",
+        "i",
+        F.round(F.col("vi").cast("double") * 1e6).cast("bigint").alias("mi"),
+        F.posexplode("embedding").alias("j", "vj"),
+    ).filter(F.col("j") >= F.col("i"))
+    cells = e2.groupBy("i", "j").agg(
+        F.count("*").alias("n"),
+        F.sum("mi").alias("si"),
+        F.sum(F.round(F.col("vj").cast("double") * 1e6).cast("bigint")).alias("sj"),
+        F.sum(
+            F.col("mi")
+            * F.round(F.col("vj").cast("double") * 1e6).cast("bigint")
+        ).alias("sij"),
+    )
+    num = (F.col("n") * F.col("sij") - F.col("si") * F.col("sj")).cast("double")
+    den = (F.col("n").cast("double") * 1e6) * (F.col("n").cast("double") * 1e6)
+    return cells.select(
+        "i", "j", F.round(num / den, 9).alias("cov")
+    ).orderBy("i", "j")
+
+
+EMB_COVARIANCE_SQL = """
+    WITH l1 AS (
+        SELECT vec_id, embedding,
+               unnest(range(len(embedding))) AS i
+        FROM embeddings
+    ),
+    l2 AS (
+        SELECT vec_id, i,
+               CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS mi,
+               embedding,
+               unnest(range(len(embedding))) AS j
+        FROM l1
+    ),
+    cells AS (
+        SELECT i, j, COUNT(*) AS n,
+               CAST(SUM(mi) AS BIGINT) AS si,
+               CAST(SUM(CAST(round(CAST(embedding[j + 1] AS DOUBLE)
+                                   * 1000000.0) AS BIGINT)) AS BIGINT) AS sj,
+               CAST(SUM(mi * CAST(round(CAST(embedding[j + 1] AS DOUBLE)
+                                        * 1000000.0) AS BIGINT)) AS BIGINT)
+                   AS sij
+        FROM l2
+        WHERE j >= i
+        GROUP BY i, j
+    )
+    SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+           round(CAST(n * sij - si * sj AS DOUBLE)
+                 / ((CAST(n AS DOUBLE) * 1000000.0)
+                    * (CAST(n AS DOUBLE) * 1000000.0)), 9) AS cov
+    FROM cells
+    ORDER BY i, j
+"""
+
+
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection to PCA_K components — the canonical big-data PCA
+    split: the d×d covariance is aggregated DISTRIBUTED (emb_covariance's
+    plan), its eigendecomposition happens on the driver (d=64: trivially
+    control-plane, like Spark MLlib's RowMatrix.computePrincipalComponents),
+    and the loadings go back as a broadcast literal so the projection is
+    a narrow per-row map (zip_with dot products, no UDF, no shuffle).
+
+    Deterministic: numpy eigh of a deterministic matrix, sign fixed per
+    component (largest-|coefficient| entry made positive). Not
+    SQL-expressible (eigendecomposition) → rows-only driver check;
+    orthonormality/variance-ordering are pytest-pinned."""
+    import numpy as np
+
+    cov_rows = emb_covariance(spark, sf_dir).collect()  # O(d²) control-plane
+    d = max(r["j"] for r in cov_rows) + 1
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:PCA_K]
+    comps = []
+    for k in order:
+        w = vecs[:, k]
+        if w[int(np.argmax(np.abs(w)))] < 0:  # sign convention
+            w = -w
+        comps.append([float(round(x, 9)) for x in w])
+
+    w_lit = F.array(
+        *[F.array(*[F.lit(x) for x in comp]) for comp in comps]
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = F.transform(
+        w_lit,
+        lambda comp: F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    comp,
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ),
+    )
+    return emb.select("vec_id", "label", proj.alias("pca"))
+
+
 QUERIES: dict[str, tuple] = {
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_TOPK_SQL),
+    "emb_covariance": (emb_covariance, EMB_COVARIANCE_SQL),
+    "emb_pca_project": (emb_pca_project, None),
     "sim_ann_lsh": (sim_ann_lsh, SIM_ANN_LSH_SQL),
     "sim_ann_ivf": (sim_ann_ivf, SIM_ANN_IVF_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),

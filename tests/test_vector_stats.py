@@ -1,0 +1,72 @@
+"""Semantic pins for the embedding-statistics tier (covariance → PCA)
+and the anomaly z-score — the operators whose math can't be (fully)
+oracle-checked in SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mongo_to_clickhouse_spark.queries.statsops import events_anomaly_zscore
+from mongo_to_clickhouse_spark.queries.vectorops import (
+    PCA_K,
+    emb_covariance,
+    emb_pca_project,
+)
+
+
+def test_covariance_matches_numpy(spark, sf_dir):
+    emb = np.array(
+        [
+            r.embedding
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    # replicate the micro-unit quantization the operator defines
+    micro = np.round(emb * 1e6)
+    ref = np.cov(micro.T, bias=True) / 1e12
+    got = emb_covariance(spark, sf_dir).collect()
+    assert len(got) == emb.shape[1] * (emb.shape[1] + 1) // 2
+    for r in got:
+        assert abs(ref[r.i, r.j] - r.cov) < 1e-8, (r.i, r.j)
+
+
+def test_pca_components_orthonormal_and_ordered(spark, sf_dir):
+    proj = emb_pca_project(spark, sf_dir)
+    rows = proj.collect()
+    assert {len(r.pca) for r in rows} == {PCA_K}
+    mat = np.array([r.pca for r in rows])
+    # variance along components must be (weakly) decreasing — eigh order
+    variances = mat.var(axis=0)
+    assert all(
+        variances[k] >= variances[k + 1] - 1e-6 for k in range(PCA_K - 1)
+    ), variances
+    # projections of orthonormal loadings preserve total variance bound
+    emb = np.array(
+        [
+            r.embedding
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        ],
+        dtype=np.float64,
+    )
+    assert variances.sum() <= emb.var(axis=0).sum() + 1e-6
+    # deterministic across invocations (sign convention + fixed math)
+    again = np.array([r.pca for r in emb_pca_project(spark, sf_dir).collect()])
+    assert np.array_equal(np.sort(mat, axis=0), np.sort(again, axis=0))
+
+
+def test_anomaly_zscore_is_standardized(spark, sf_dir):
+    df = events_anomaly_zscore(spark, sf_dir)
+    rows = df.collect()
+    by_type: dict[str, list[float]] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.zscore)
+    for t, zs in by_type.items():
+        z = np.array(zs)
+        assert abs(z.mean()) < 1e-3, t
+        assert abs(z.std(ddof=1) - 1.0) < 1e-3, t
+    flagged = [r for r in rows if r.is_anomaly]
+    assert all(abs(r.zscore) > 3 for r in flagged)
