@@ -100,6 +100,110 @@ def decode_media(media: DataFrame) -> DataFrame:
     ).mapInPandas(decode_image_batch, DECODED_SCHEMA)
 
 
+RESIZE_MAX_SIDE = 224  # ViT-style preprocessing target
+FEATURE_DIM = 8
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("resized_sha256", T.StringType()),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_format", T.StringType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _target_dims(width: int, height: int) -> tuple[int, int]:
+    """Aspect-preserving resize to RESIZE_MAX_SIDE on the long edge —
+    pure integer floor math so every engine/run agrees exactly."""
+    long_edge = max(width, height)
+    if long_edge <= RESIZE_MAX_SIDE:
+        return width, height
+    return (
+        max(1, width * RESIZE_MAX_SIDE // long_edge),
+        max(1, height * RESIZE_MAX_SIDE // long_edge),
+    )
+
+
+def resize_image_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: decode → resize in ONE Python pass (a real
+    pipeline fuses them too — re-joining pixel payloads after a separate
+    decode stage would shuffle the heavy bytes twice). The pixel resample
+    is stubbed (no image libs here): the "resized" artifact is a
+    deterministic digest of (payload, target dims), so the full Arrow
+    round-trip is exactly oracle-checkable."""
+    for pdf in it:
+        rows = []
+        for doc_id, fmt, p in zip(
+            pdf["doc_id"], pdf["media_format"], pdf["payload"]
+        ):
+            payload = bytes(p)
+            w, h, _ = _fake_decode(payload)
+            ow, oh = _target_dims(w, h)
+            digest = hashlib.sha256(
+                payload + f"|{ow}x{oh}".encode()
+            ).hexdigest()
+            rows.append((doc_id, fmt, w, h, ow, oh, digest))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "media_format",
+                "width",
+                "height",
+                "out_width",
+                "out_height",
+                "resized_sha256",
+            ],
+        )
+
+
+def resize_media(media: DataFrame) -> DataFrame:
+    """Metadata-pruned decode+resize: JVM-side filters first, then one
+    Arrow-batched Python pass per partition."""
+    pruned = media.filter((F.col("byte_len") > 0) & F.col("media_format").isNotNull())
+    return pruned.select("doc_id", "media_format", "payload").mapInPandas(
+        resize_image_batch, RESIZED_SCHEMA
+    )
+
+
+def feature_extract_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: FEATURE_DIM-dim embedding per payload — the
+    feature-extraction tier (CLIP-style encoder in a real deployment,
+    digest-derived deterministic stub here). Downstream pooling/dedup of
+    these vectors is JVM-side (emb_mean_pool / dedup_embedding_cosine)."""
+    for pdf in it:
+        feats = []
+        for p in pdf["payload"]:
+            h = hashlib.sha256(bytes(p)).digest()
+            feats.append([round(h[k] / 255.0, 6) for k in range(FEATURE_DIM)])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "media_format": pdf["media_format"].values,
+                "features": feats,
+            }
+        )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    pruned = media.filter((F.col("byte_len") > 0) & F.col("media_format").isNotNull())
+    return pruned.select("doc_id", "media_format", "payload").mapInPandas(
+        feature_extract_batch, FEATURES_SCHEMA
+    )
+
+
 def frame_sample(decoded: DataFrame, stride: int = 2) -> DataFrame:
     """Frame sampling: explode n_frames into frame rows, keep every
     ``stride``-th frame — pure JVM (sequence + explode), no Python."""

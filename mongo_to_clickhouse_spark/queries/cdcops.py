@@ -59,9 +59,13 @@ def _oplog_sql(events_rel: str) -> str:
     event_id % 2 = 0 — so both "field untouched by later updates" and
     "field patched repeatedly" paths occur.  Deletes carry no payload.
     """
+    # user_id is renamed to doc_id BEFORE the row_number window so every
+    # later window spec references the same attribute — Spark then reuses
+    # one hash(doc_id) exchange for the whole reconstruction (the rename
+    # after a window breaks alias-aware partitioning propagation).
     return f"""
-        SELECT user_id AS doc_id,
-               ROW_NUMBER() OVER (PARTITION BY user_id
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
                                   ORDER BY ts, event_id) AS seq,
                op,
                CASE WHEN op IN ('insert', 'replace') THEN round(value, 2)
@@ -70,7 +74,7 @@ def _oplog_sql(events_rel: str) -> str:
                CASE WHEN op IN ('insert', 'replace') THEN event_type
                     WHEN op = 'update' AND event_id % 2 = 0 THEN event_type
                     ELSE NULL END AS field_b
-        FROM (SELECT *, {_OP_CASE} AS op FROM {events_rel})
+        FROM (SELECT *, user_id AS doc_id, {_OP_CASE} AS op FROM {events_rel})
     """
 
 
@@ -80,6 +84,11 @@ def cdc_apply_oplog(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.createOrReplaceTempView("cdc_events_src")
     oplog = spark.sql(_oplog_sql("cdc_events_src"))
 
+    # Every window below partitions by doc_id and orders by seq, so the
+    # whole reconstruction needs ONE exchange; totals come from the same
+    # windows (n_ops = last_seq since seq is dense; final_op = last op),
+    # not a separate groupBy+join, and the one-row-per-doc reduction is
+    # "keep the row at seq == last_seq" — a narrow filter, not DISTINCT.
     wdoc = Window.partitionBy("doc_id")
     wseq = wdoc.orderBy("seq")
     unbounded = wseq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -96,9 +105,7 @@ def cdc_apply_oplog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(wdoc)
         .alias("base_seq"),
         F.max("seq").over(wdoc).alias("last_seq"),
-        F.max(F.when(F.col("op") == "delete", F.col("seq"))).over(wdoc).alias(
-            "del_seq"
-        ),
+        F.last("op").over(unbounded).alias("final_op"),
     )
     # ops participating in the final image: at-or-after the base
     # (strictly after, when the base is a delete — its payload is empty
@@ -108,21 +115,26 @@ def cdc_apply_oplog(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(
         ~((F.col("seq") == F.col("base_seq")) & (F.col("op") == "delete"))
     )
-    final = live.select(
-        "doc_id",
-        F.last("field_a", ignorenulls=True).over(unbounded).alias("field_a"),
-        F.last("field_b", ignorenulls=True).over(unbounded).alias("field_b"),
-        F.count("*").over(wdoc).cast("bigint").alias("n_applied_ops"),
-    ).distinct()
-
-    totals = oplog.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_ops"),
-        F.max_by("op", "seq").alias("final_op"),
-    )
     return (
-        final.join(totals, "doc_id")
-        .filter(F.col("final_op") != "delete")
-        .select("doc_id", "field_a", "field_b", "n_applied_ops", "n_ops")
+        live.select(
+            "doc_id",
+            "seq",
+            "last_seq",
+            "final_op",
+            F.last("field_a", ignorenulls=True).over(unbounded).alias("field_a"),
+            F.last("field_b", ignorenulls=True).over(unbounded).alias("field_b"),
+            F.count("*").over(wdoc).cast("bigint").alias("n_applied_ops"),
+        )
+        # the live set always contains the doc's last op (a final delete is
+        # excluded, but those docs are dropped anyway) → exactly 1 row/doc
+        .filter((F.col("seq") == F.col("last_seq")) & (F.col("final_op") != "delete"))
+        .select(
+            "doc_id",
+            "field_a",
+            "field_b",
+            "n_applied_ops",
+            F.col("last_seq").cast("bigint").alias("n_ops"),
+        )
         .orderBy("doc_id")
     )
 
@@ -133,7 +145,11 @@ CDC_APPLY_OPLOG_SQL = f"""
         SELECT *,
                MAX(CASE WHEN op IN ('insert', 'replace', 'delete')
                         THEN seq END) OVER (PARTITION BY doc_id) AS base_seq,
-               MAX(seq) OVER (PARTITION BY doc_id) AS last_seq
+               MAX(seq) OVER (PARTITION BY doc_id) AS last_seq,
+               LAST_VALUE(op) OVER (
+                   PARTITION BY doc_id ORDER BY seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS final_op
         FROM oplog
     ),
     live AS (
@@ -141,8 +157,8 @@ CDC_APPLY_OPLOG_SQL = f"""
         WHERE seq >= COALESCE(base_seq, 0)
           AND NOT (seq = base_seq AND op = 'delete')
     ),
-    final AS (
-        SELECT DISTINCT doc_id,
+    resolved AS (
+        SELECT doc_id, seq, last_seq, final_op,
                LAST_VALUE(field_a IGNORE NULLS) OVER (
                    PARTITION BY doc_id ORDER BY seq
                    ROWS BETWEEN UNBOUNDED PRECEDING
@@ -154,16 +170,12 @@ CDC_APPLY_OPLOG_SQL = f"""
                CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT)
                    AS n_applied_ops
         FROM live
-    ),
-    totals AS (
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ops,
-               arg_max(op, seq) AS final_op
-        FROM oplog GROUP BY doc_id
     )
-    SELECT f.doc_id, f.field_a, f.field_b, f.n_applied_ops, t.n_ops
-    FROM final f JOIN totals t ON f.doc_id = t.doc_id
-    WHERE t.final_op != 'delete'
-    ORDER BY f.doc_id
+    SELECT doc_id, field_a, field_b, n_applied_ops,
+           CAST(last_seq AS BIGINT) AS n_ops
+    FROM resolved
+    WHERE seq = last_seq AND final_op != 'delete'
+    ORDER BY doc_id
 """
 
 

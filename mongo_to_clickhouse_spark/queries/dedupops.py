@@ -406,6 +406,93 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# URL-canonicalization dedup (crawl-pipeline tier)
+# ---------------------------------------------------------------------------
+
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — the FIRST dedup pass of a web-crawl pipeline
+    (before any content hashing): canonicalize scheme/host case, strip
+    ``www.``, query strings, fragments, and trailing slashes, then keep
+    one doc per canonical URL (min doc_id).
+
+    URLs are synthesized deterministically from the fixture (the corpus
+    has no URL column): mixed-case host, UTM query noise, fragments and
+    trailing slashes appear on doc_id-derived subsets, and the path key
+    is doc_id % 100 so real collisions exist. Canonicalization is pure
+    string expressions — narrow map fused into the scan; the dedup
+    groupBy shuffles on the canonical string (uniform, md5-like spread
+    over hosts×paths). At crawl scale this is the cheapest multi-TB
+    reducer there is: one shuffle, no similarity math."""
+    docs = load_table(spark, sf_dir, "documents")
+    scheme_host = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(F.lit("HTTPS://WWW."), F.upper(F.col("source")), F.lit(".Example.COM")),
+    ).otherwise(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com"))
+    )
+    path = F.concat(F.lit("/articles/"), (F.col("doc_id") % 100).cast("string"))
+    url = F.concat(
+        scheme_host,
+        path,
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&ref=x")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#section2")).otherwise(F.lit("")),
+    )
+    with_url = docs.select("doc_id", url.alias("raw_url"))
+    no_junk = F.split_part(F.split_part(F.col("raw_url"), F.lit("#"), F.lit(1)), F.lit("?"), F.lit(1))
+    host_lower = F.concat(
+        F.lower(F.regexp_extract(no_junk, "^([^/]*//[^/]*)", 1)),
+        F.regexp_replace(no_junk, "^[^/]*//[^/]*", ""),
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(host_lower, "://www\\.", "://"), "/+$", ""
+    )
+    return (
+        with_url.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+DEDUP_URL_CANONICAL_SQL = """
+    WITH raw AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 1
+                     THEN 'HTTPS://WWW.' || upper(source) || '.Example.COM'
+                     ELSE 'https://' || source || '.example.com' END)
+               || '/articles/' || CAST(doc_id % 100 AS VARCHAR)
+               || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+               || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=x' ELSE '' END)
+               || (CASE WHEN doc_id % 7 = 0 THEN '#section2' ELSE '' END) AS raw_url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       lower(regexp_extract(no_junk, '^([^/]*//[^/]*)', 1))
+                           || regexp_replace(no_junk, '^[^/]*//[^/]*', ''),
+                       '://www\.', '://'),
+                   '/+$', '') AS canonical_url
+        FROM (SELECT doc_id,
+                     split_part(split_part(raw_url, '#', 1), '?', 1) AS no_junk
+              FROM raw)
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keeper_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    ORDER BY canonical_url
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_cluster_components": (dedup_cluster_components, None),
     "dedup_minhash_approx": (dedup_minhash_approx, DEDUP_MINHASH_APPROX_SQL),
@@ -413,4 +500,5 @@ QUERIES: dict[str, tuple] = {
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+    "dedup_url_canonical": (dedup_url_canonical, DEDUP_URL_CANONICAL_SQL),
 }

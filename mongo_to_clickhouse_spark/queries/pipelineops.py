@@ -6,9 +6,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mongo_to_clickhouse_spark.io import load_table
 from mongo_to_clickhouse_spark.operators.multimodal import (
+    FEATURE_DIM,
+    RESIZE_MAX_SIDE,
     decode_media,
+    extract_features,
     frame_sample,
     media_table,
+    resize_media,
 )
 from mongo_to_clickhouse_spark.plans.backfill import backfill_output
 from mongo_to_clickhouse_spark.queries.core import ACTIVE_DIM_SQL, STMTS_SQL
@@ -76,6 +80,76 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → frame explosion → stride sampling (JVM-side explode)."""
     docs = load_table(spark, sf_dir, "documents")
     return frame_sample(decode_media(media_table(docs)), stride=2)
+
+
+# Shared DuckDB fragments replicating the deterministic stub decoder
+# (operators/multimodal.py:_fake_decode): dims from sha256 digest bytes.
+_DUCK_W = "64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INTEGER) % 192"
+_DUCK_H = "64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INTEGER) % 192"
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + aspect-preserving resize fused in one Arrow-batched
+    Python pass (operators/multimodal.py:resize_image_batch). Stub pixel
+    kernel by container contract, but the ENTIRE Arrow round-trip —
+    binary payloads into pandas, integer dim math, digest of the resized
+    artifact — is oracle-checked, proving the mapInPandas plumbing
+    byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media(media_table(docs))
+
+
+MULTIMODAL_RESIZE_SQL = f"""
+    SELECT doc_id,
+           ['png', 'jpeg', 'webp'][CAST(doc_id % 3 AS INT) + 1] AS media_format,
+           width, height,
+           CAST(CASE WHEN long_edge <= {RESIZE_MAX_SIDE} THEN width
+                     ELSE greatest(1, width * {RESIZE_MAX_SIDE} // long_edge)
+                END AS INTEGER) AS out_width,
+           CAST(CASE WHEN long_edge <= {RESIZE_MAX_SIDE} THEN height
+                     ELSE greatest(1, height * {RESIZE_MAX_SIDE} // long_edge)
+                END AS INTEGER) AS out_height,
+           sha256(text || '|' ||
+                  CASE WHEN long_edge <= {RESIZE_MAX_SIDE} THEN width
+                       ELSE greatest(1, width * {RESIZE_MAX_SIDE} // long_edge)
+                  END || 'x' ||
+                  CASE WHEN long_edge <= {RESIZE_MAX_SIDE} THEN height
+                       ELSE greatest(1, height * {RESIZE_MAX_SIDE} // long_edge)
+                  END) AS resized_sha256
+    FROM (
+        SELECT doc_id, text, width, height,
+               greatest(width, height) AS long_edge
+        FROM (
+            SELECT doc_id, text, {_DUCK_W} AS width, {_DUCK_H} AS height
+            FROM documents
+            WHERE octet_length(encode(text)) > 0
+        )
+    )
+"""
+
+
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload feature vector via the Arrow-batched extraction
+    kernel (CLIP-style encoder slot, digest-derived stub). The array
+    output is oracle-checked element-wise; pooling/near-dup over these
+    vectors reuses the JVM-side embedding operators."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(media_table(docs))
+
+
+_DUCK_FEATURES = ", ".join(
+    f"round(CAST(('0x' || substr(sha256(text), {k * 2 + 1}, 2)) AS INTEGER)"
+    " / 255.0, 6)"
+    for k in range(FEATURE_DIM)
+)
+
+MULTIMODAL_FEATURE_EXTRACT_SQL = f"""
+    SELECT doc_id,
+           ['png', 'jpeg', 'webp'][CAST(doc_id % 3 AS INT) + 1] AS media_format,
+           [{_DUCK_FEATURES}] AS features
+    FROM documents
+    WHERE octet_length(encode(text)) > 0
+"""
 
 
 def pandas_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,4 +259,9 @@ QUERIES: dict[str, tuple] = {
     "multimodal_meta_extract": (multimodal_meta_extract, MULTIMODAL_META_EXTRACT_SQL),
     "multimodal_decode_stub": (multimodal_decode_stub, None),
     "multimodal_frame_sample": (multimodal_frame_sample, None),
+    "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
+    "multimodal_feature_extract": (
+        multimodal_feature_extract,
+        MULTIMODAL_FEATURE_EXTRACT_SQL,
+    ),
 }

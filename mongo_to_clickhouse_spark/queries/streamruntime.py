@@ -173,6 +173,66 @@ def stream_rate_limited_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows)
 
 
+def stream_cdc_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC materialization end-to-end: the synthesized op log
+    (same construction as batch ``cdc_apply_oplog``) is staged as 3
+    parquet files, drained one file per trigger through the
+    applyInPandasWithState merge (streaming/stateful.py:cdc_state_merge),
+    and the per-batch image emissions are reduced to the final table.
+
+    The state merge is arrival-order invariant (per-field last-writer-
+    wins keyed by seq), so this MUST equal the batch window
+    reconstruction — pinned by pytest (test_stateful.py); here the
+    materialized result is the driver-visible relation (rows-only: SQL
+    cannot express cross-micro-batch state)."""
+    import tempfile
+    import uuid
+
+    from mongo_to_clickhouse_spark.queries.cdcops import _oplog_sql
+    from mongo_to_clickhouse_spark.streaming.stateful import cdc_state_merge
+
+    work = tempfile.mkdtemp(prefix=f"cdcmerge-{uuid.uuid4().hex[:8]}-")
+    src = os.path.join(work, "source")
+    sink = os.path.join(work, "sink")
+    ckpt = os.path.join(work, "ckpt")
+
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("cdc_stream_events_src")
+    oplog = spark.sql(_oplog_sql("cdc_stream_events_src"))
+    oplog.repartition(3).write.parquet(src)
+
+    stream = spark.readStream.schema(oplog.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    def _sink(df: DataFrame, batch_id: int) -> None:
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            sink
+        )
+
+    q = (
+        cdc_state_merge(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drained(q)
+
+    emitted = spark.read.parquet(sink)
+    latest = (
+        emitted.groupBy("doc_id")
+        .agg(
+            F.max_by(
+                F.struct("field_a", "field_b", "n_ops", "deleted"), "batch_id"
+            ).alias("s")
+        )
+        .select("doc_id", "s.field_a", "s.field_b", "s.n_ops", "s.deleted")
+    )
+    return latest.filter(~F.col("deleted")).drop("deleted").orderBy("doc_id")
+
+
 def stream_retry_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential-backoff insert retry (5 attempts, doubling delay,
     src/main.rs:39-42, 692-743): a sink that fails twice then recovers —
@@ -324,6 +384,7 @@ QUERIES: dict[str, tuple] = {
     "metric_throughput": (metric_throughput, None),
     "stream_microbatch_assembly": (stream_microbatch_assembly, None),
     "stream_retry_backoff": (stream_retry_backoff, None),
+    "stream_cdc_state_merge": (stream_cdc_state_merge, None),
     "stream_rate_limited_trigger": (stream_rate_limited_trigger, None),
     "stream_multitenant_fanout": (stream_multitenant_fanout, None),
     "stream_cache_invalidate": (stream_cache_invalidate, None),

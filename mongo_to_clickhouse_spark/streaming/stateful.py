@@ -51,3 +51,88 @@ def running_user_totals(events_stream: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful CDC merge: the streaming form of queries/cdcops.cdc_apply_oplog
+# ---------------------------------------------------------------------------
+
+CDC_OUTPUT_SCHEMA = (
+    "doc_id bigint, field_a double, field_b string, n_ops bigint, deleted boolean"
+)
+# order-robust per-doc state: the op log may arrive across micro-batches in
+# any order; every element carries the seq that set it, so merge is a pure
+# max/last-writer-wins lattice and the result is arrival-order invariant
+# (it must equal the batch reconstruction no matter how files are split
+# into triggers).
+CDC_STATE_SCHEMA = (
+    "base_seq bigint, base_op string, a_seq bigint, a_val double, "
+    "b_seq bigint, b_val string, max_seq bigint, max_op string, n_ops bigint"
+)
+
+_BASE_OPS = ("insert", "replace", "delete")
+
+
+def _merge_cdc_state(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    (doc_id,) = key
+    if state.exists:
+        base_seq, base_op, a_seq, a_val, b_seq, b_val, max_seq, max_op, n_ops = (
+            state.get
+        )
+    else:
+        base_seq, base_op = 0, None
+        a_seq, a_val, b_seq, b_val = -1, None, -1, None
+        max_seq, max_op, n_ops = -1, None, 0
+    for pdf in pdfs:
+        for row in pdf.itertuples(index=False):
+            seq, op = int(row.seq), row.op
+            n_ops += 1
+            if seq > max_seq:
+                max_seq, max_op = seq, op
+            if op in _BASE_OPS and seq > base_seq:
+                base_seq, base_op = seq, op
+            if row.field_a is not None and not pd.isna(row.field_a) and seq > a_seq:
+                a_seq, a_val = seq, float(row.field_a)
+            if isinstance(row.field_b, str) and seq > b_seq:
+                b_seq, b_val = seq, row.field_b
+    state.update(
+        (base_seq, base_op, a_seq, a_val, b_seq, b_val, max_seq, max_op, n_ops)
+    )
+    deleted = max_op == "delete"
+    # a field assignment only survives if it happened at-or-after the last
+    # base op (strictly after a delete — tombstones carry no payload)
+    a_live = a_seq >= base_seq if base_op != "delete" else a_seq > base_seq
+    b_live = b_seq >= base_seq if base_op != "delete" else b_seq > base_seq
+    yield pd.DataFrame(
+        {
+            "doc_id": [doc_id],
+            "field_a": [a_val if (a_live and not deleted) else None],
+            "field_b": [b_val if (b_live and not deleted) else None],
+            "n_ops": [n_ops],
+            "deleted": [deleted],
+        }
+    )
+
+
+def cdc_state_merge(oplog_stream: DataFrame) -> DataFrame:
+    """Streaming CDC materialization: per-doc document image maintained
+    in the state store, updated by each micro-batch's patch rows —
+    exactly the job the reference's change-stream consumer does, with
+    Spark owning the state lifecycle (checkpointed, RocksDB-backed when
+    configured). Emits the refreshed image of every doc touched by the
+    batch ('update' mode)."""
+    return (
+        oplog_stream.select("doc_id", "seq", "op", "field_a", "field_b")
+        .groupBy("doc_id")
+        .applyInPandasWithState(
+            _merge_cdc_state,
+            CDC_OUTPUT_SCHEMA,
+            CDC_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -113,3 +113,41 @@ def test_training_pipeline_single_scan(spark, sf_dir):
 
     plan = _plan(pipeline_training_corpus(spark, sf_dir))
     assert plan.count("documents.parquet") == 1
+
+
+def test_cdc_apply_single_hash_exchange(spark, sf_dir):
+    from mongo_to_clickhouse_spark.queries.cdcops import cdc_apply_oplog
+
+    plan = _plan(cdc_apply_oplog(spark, sf_dir))
+    assert plan.count("hashpartitioning") == 1, (
+        "all CDC reconstruction windows must share ONE hash(doc_id) exchange"
+    )
+    assert "Join" not in plan, "totals must come from windows, not a self-join"
+
+
+def test_domain_mix_rates_join_is_broadcast(spark, sf_dir):
+    from mongo_to_clickhouse_spark.queries.sampleops import domain_mix_sampler
+
+    plan = _plan(domain_mix_sampler(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, (
+        "the 20-row rate dim must broadcast; the corpus side must not shuffle"
+    )
+
+
+def test_anomaly_stats_join_is_broadcast(spark, sf_dir):
+    from mongo_to_clickhouse_spark.queries.statsops import events_anomaly_zscore
+
+    plan = _plan(events_anomaly_zscore(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "Window" not in plan, (
+        "standardization must use groupBy+broadcast, never a full-table window"
+    )
+
+
+def test_narrow_samplers_have_no_exchange(spark, sf_dir):
+    from mongo_to_clickhouse_spark.queries.sampleops import sample_stratified
+    from mongo_to_clickhouse_spark.queries.vectorops import emb_quantize_int8
+
+    for fn in (sample_stratified, emb_quantize_int8):
+        plan = _plan(fn(spark, sf_dir))
+        assert "Exchange" not in plan, f"{fn.__name__} must stay map-only"

@@ -74,3 +74,24 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
         "SELECT user_id, COUNT(*) AS c FROM state_out GROUP BY user_id HAVING c > 1"
     )
     assert multi.count() > 0
+
+
+def test_stream_cdc_merge_equals_batch_reconstruction(spark):
+    """The applyInPandasWithState CDC merge, drained file-by-file, must
+    produce EXACTLY the batch window reconstruction — same docs, same
+    final field values, same op counts (arrival-order invariance)."""
+    from mongo_to_clickhouse_spark.queries.cdcops import cdc_apply_oplog
+    from mongo_to_clickhouse_spark.queries.streamruntime import (
+        stream_cdc_state_merge,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        r.doc_id: (r.field_a, r.field_b, r.n_ops)
+        for r in cdc_apply_oplog(spark, sf).collect()
+    }
+    stream = {
+        r.doc_id: (r.field_a, r.field_b, r.n_ops)
+        for r in stream_cdc_state_merge(spark, sf).collect()
+    }
+    assert stream == batch
