@@ -15,6 +15,8 @@ Determinism rules used throughout (SURVEY §5 "oracle quirks"):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -170,6 +172,49 @@ SINK_DUAL_TABLE_SPLIT_SQL = f"""
     UNION ALL
     SELECT a.*, 'opt_out' AS route FROM anon a
     SEMI JOIN dim d ON a.hashed_value = d.hashed_moodle_id
+"""
+
+
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned lakehouse sink: write events to a
+    ``event_date=…``-partitioned parquet layout (the open-table-format
+    sibling of the reference's ClickHouse insert — at 100 TB a
+    hive-partitioned sink is what makes downstream partition PRUNING
+    possible), then read the layout back and return per-partition
+    accounting, which is the oracle-checkable contract of the write.
+
+    Scale posture: partitionBy on a low-cardinality derived date keeps
+    file counts = O(days × tasks); the repartition by the partition
+    column before the write collapses that to O(days) files (the
+    small-files problem is a sink-side decision, not a hope)."""
+    import tempfile
+    import uuid
+
+    out = os.path.join(
+        tempfile.mkdtemp(prefix=f"ptsink-{uuid.uuid4().hex[:8]}-"), "events"
+    )
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.repartition("event_date").write.partitionBy("event_date").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("event_date")
+    )
+
+
+SINK_PARTITIONED_PARQUET_SQL = """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
 """
 
 
@@ -606,6 +651,7 @@ QUERIES: dict[str, tuple] = {
     "source_dim_query": (source_dim_query, SOURCE_DIM_QUERY_SQL),
     "sink_clickhouse_insert": (sink_clickhouse_insert, SINK_CLICKHOUSE_INSERT_SQL),
     "sink_dual_table_split": (sink_dual_table_split, SINK_DUAL_TABLE_SPLIT_SQL),
+    "sink_partitioned_parquet": (sink_partitioned_parquet, SINK_PARTITIONED_PARQUET_SQL),
     "project_extract_fields": (project_extract_fields, PROJECT_EXTRACT_FIELDS_SQL),
     "filter_required_fields": (filter_required_fields, FILTER_REQUIRED_FIELDS_SQL),
     "filter_timestamp_range": (filter_timestamp_range, FILTER_TIMESTAMP_RANGE_SQL),

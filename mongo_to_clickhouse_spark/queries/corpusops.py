@@ -231,8 +231,10 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     over one exploded relation: global top-K (tiny, broadcast back) then a
     per-doc membership count — shuffles keyed by word and doc_id, both
     uniform."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    view = _toks_view(spark, sf_dir)
+    toks = spark.table(view).select(
+        "doc_id", F.explode(F.col("toks")).alias("word")
+    )
     vocab = (
         toks.groupBy("word")
         .agg(F.count("*").alias("cnt"))
@@ -240,24 +242,18 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(VOCAB_TOP_K)
         .select("word")
     )
-    per_doc = (
-        toks.join(F.broadcast(vocab), "word", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_in_vocab"))
+    # ONE pass over the exploded relation: broadcast-mark vocab hits and
+    # count both totals in the same doc_id aggregation (a left-semi +
+    # separate totals pass would explode the corpus twice)
+    marked = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "word", "left"
     )
-    totals = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
-    return (
-        totals.join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce(F.col("n_in_vocab"), F.lit(0)).alias("n_in_vocab"),
-            F.round(
-                F.coalesce(F.col("n_in_vocab"), F.lit(0))
-                / F.col("n_tokens").cast("double"),
-                6,
-            ).alias("coverage"),
-        )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.count("in_vocab").alias("n_in_vocab"),
+        F.round(
+            F.count("in_vocab") / F.count("*").cast("double"), 6
+        ).alias("coverage"),
     )
 
 

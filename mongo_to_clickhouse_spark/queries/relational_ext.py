@@ -125,6 +125,44 @@ AGG_APPROX_DISTINCT_SQL = """
 """
 
 
+def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the pattern that makes distinct counts
+    tractable at 1000 executors: build an HLL SKETCH per group
+    (hll_sketch_agg, a partial-aggregable binary), then UNION the
+    sketches (hll_union_agg) instead of re-scanning, and estimate from
+    the merged sketch. The two-level plan here (per-source sketches →
+    global union) is exactly a datacenter rollup: per-day/per-shard
+    sketches persisted once, any coarser rollup derived without touching
+    the raw 100 TB again.
+
+    Sketch bytes differ across engines by construction, so the oracle
+    checks the estimator's CONTRACT (merged estimate within 5% of exact,
+    group count) — same scheme as agg_approx_distinct."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.expr("hll_sketch_agg(doc_id, 14)").alias("sketch"),
+    )
+    merged = per_source.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("est"),
+    )
+    exact = docs.agg(F.countDistinct("doc_id").alias("exact"))
+    return merged.crossJoin(exact).select(
+        "n_groups",
+        (F.abs(F.col("est") - F.col("exact")) / F.col("exact") < 0.05).alias(
+            "within_5pct"
+        ),
+    )
+
+
+AGG_HLL_PARTITIONED_MERGE_SQL = """
+    SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_groups,
+           abs(approx_count_distinct(doc_id) - COUNT(DISTINCT doc_id))
+               / COUNT(DISTINCT doc_id) < 0.05 AS within_5pct
+    FROM documents
+"""
+
+
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentile sketch (Greenwald-Khanna / KLL-style).
     Sketches differ across engines, so — like agg_approx_distinct — the
@@ -420,6 +458,7 @@ QUERIES: dict[str, tuple] = {
     "subquery_scalar_agg": (subquery_scalar_agg, SUBQUERY_SCALAR_AGG_SQL),
     "agg_distinct_count": (agg_distinct_count, AGG_DISTINCT_COUNT_SQL),
     "agg_approx_distinct": (agg_approx_distinct, AGG_APPROX_DISTINCT_SQL),
+    "agg_hll_partitioned_merge": (agg_hll_partitioned_merge, AGG_HLL_PARTITIONED_MERGE_SQL),
     "agg_approx_quantile": (agg_approx_quantile, AGG_APPROX_QUANTILE_SQL),
     "agg_grouping_sets": (agg_grouping_sets, AGG_GROUPING_SETS_SQL),
     "agg_percentile": (agg_percentile, AGG_PERCENTILE_SQL),
