@@ -29,7 +29,14 @@ from pyspark.sql import DataFrame
 
 
 def reliable_checkpoint(df: DataFrame) -> DataFrame:
-    """Eagerly materialize ``df`` to reliable storage and truncate lineage."""
+    """Eagerly materialize ``df`` to reliable storage and truncate lineage.
+
+    Partitioning is deliberately left as-is: repartitioning before the
+    checkpoint (to parallelize downstream explodes when the source is a
+    single parquet split) was measured NET-SLOWER at sf0.1 — the extra
+    full-relation shuffle ahead of the checkpoint write costs more than
+    the serial explode it saves. At real input sizes the source splits
+    provide the parallelism anyway."""
     sc = df.sparkSession.sparkContext
     if sc._jsc.sc().getCheckpointDir().isEmpty():
         sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark-graft-ckpt-"))

@@ -122,7 +122,10 @@ SIM_COSINE_TOPK_SQL = f"""
 # ---------------------------------------------------------------------------
 
 def _plane_lit(plane: list[float]):
-    return F.array(*[F.lit(v) for v in plane])
+    # one py4j literal per plane, not 64 — F.array(*64 lits) costs ~64
+    # gateway round-trips per plane and dominated plan-BUILD time
+    # (~1s per sim_ann_lsh call at 8 planes before this)
+    return F.lit(plane)
 
 
 def _lsh_bands(emb_col) -> list:
@@ -163,6 +166,10 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
     ).select("vec_id", "embedding", "nrm", "band.band_idx", "band.band_val")
 
+    # NOT barrier'd: the signature projection is literal-plane arithmetic
+    # (~0.3s/pass at sf0.1) consumed twice, while a reliable-checkpoint
+    # barrier costs ~1.4s to write — recomputation is the cheaper side
+    # here, unlike the Generate-recompute cases in dedupops.
     probes = banded.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("p_emb"),
@@ -495,7 +502,15 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     because it keeps the (i,j) keys data — one partial-aggregated
     shuffle to 2,080 groups either way."""
     emb = load_table(spark, sf_dir, "embeddings")
-    e1 = emb.select(
+    # spread vectors across tasks BEFORE the d²/2 explode: the source is
+    # a handful of parquet splits, so the whole 2,080×-row blow-up and
+    # its partial aggregation otherwise run in ONE task (measured 3.3s →
+    # 0.5s at sf0.1). Explicit numPartitions, because AQE coalesces a
+    # keys-only repartition of a ~1 MB input right back to one partition
+    # — the explode fan-out it can't see is the point.
+    e1 = emb.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    ).select(
         "vec_id",
         "embedding",
         F.posexplode("embedding").alias("i", "vi"),
@@ -592,9 +607,7 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             w = -w
         comps.append([float(round(x, 9)) for x in w])
 
-    w_lit = F.array(
-        *[F.array(*[F.lit(x) for x in comp]) for comp in comps]
-    )
+    w_lit = F.lit(comps)  # one nested-array literal, not 512 F.lit calls
     emb = load_table(spark, sf_dir, "embeddings")
     proj = F.transform(
         w_lit,
