@@ -72,6 +72,49 @@ CDC_STATE_SCHEMA = (
 
 _BASE_OPS = ("insert", "replace", "delete")
 
+CDC_STATE_ZERO = (0, None, -1, None, -1, None, -1, None, 0)
+
+
+def fold_cdc_ops(state_tuple: tuple, ops: Iterable[tuple]) -> tuple:
+    """Pure state fold: apply ``(seq, op, field_a, field_b)`` rows onto a
+    state tuple. Every component is a seq-guarded max / last-writer-wins,
+    so the fold is COMMUTATIVE in arrival order across (and within)
+    batches — property-tested against random permutations and batch
+    splits in tests/test_property.py."""
+    base_seq, base_op, a_seq, a_val, b_seq, b_val, max_seq, max_op, n_ops = (
+        state_tuple
+    )
+    for seq, op, field_a, field_b in ops:
+        seq = int(seq)
+        n_ops += 1
+        if seq > max_seq:
+            max_seq, max_op = seq, op
+        if op in _BASE_OPS and seq > base_seq:
+            base_seq, base_op = seq, op
+        if field_a is not None and not pd.isna(field_a) and seq > a_seq:
+            a_seq, a_val = seq, float(field_a)
+        if isinstance(field_b, str) and seq > b_seq:
+            b_seq, b_val = seq, field_b
+    return (base_seq, base_op, a_seq, a_val, b_seq, b_val, max_seq, max_op, n_ops)
+
+
+def emit_cdc_image(state_tuple: tuple) -> tuple:
+    """(field_a, field_b, n_ops, deleted) view of a CDC state tuple."""
+    base_seq, base_op, a_seq, a_val, b_seq, b_val, _max_seq, max_op, n_ops = (
+        state_tuple
+    )
+    deleted = max_op == "delete"
+    # a field assignment only survives if it happened at-or-after the last
+    # base op (strictly after a delete — tombstones carry no payload)
+    a_live = a_seq >= base_seq if base_op != "delete" else a_seq > base_seq
+    b_live = b_seq >= base_seq if base_op != "delete" else b_seq > base_seq
+    return (
+        a_val if (a_live and not deleted) else None,
+        b_val if (b_live and not deleted) else None,
+        n_ops,
+        deleted,
+    )
+
 
 def _merge_cdc_state(
     key: tuple,
@@ -79,39 +122,19 @@ def _merge_cdc_state(
     state: GroupState,
 ) -> Iterable[pd.DataFrame]:
     (doc_id,) = key
-    if state.exists:
-        base_seq, base_op, a_seq, a_val, b_seq, b_val, max_seq, max_op, n_ops = (
-            state.get
-        )
-    else:
-        base_seq, base_op = 0, None
-        a_seq, a_val, b_seq, b_val = -1, None, -1, None
-        max_seq, max_op, n_ops = -1, None, 0
+    st = state.get if state.exists else CDC_STATE_ZERO
     for pdf in pdfs:
-        for row in pdf.itertuples(index=False):
-            seq, op = int(row.seq), row.op
-            n_ops += 1
-            if seq > max_seq:
-                max_seq, max_op = seq, op
-            if op in _BASE_OPS and seq > base_seq:
-                base_seq, base_op = seq, op
-            if row.field_a is not None and not pd.isna(row.field_a) and seq > a_seq:
-                a_seq, a_val = seq, float(row.field_a)
-            if isinstance(row.field_b, str) and seq > b_seq:
-                b_seq, b_val = seq, row.field_b
-    state.update(
-        (base_seq, base_op, a_seq, a_val, b_seq, b_val, max_seq, max_op, n_ops)
-    )
-    deleted = max_op == "delete"
-    # a field assignment only survives if it happened at-or-after the last
-    # base op (strictly after a delete — tombstones carry no payload)
-    a_live = a_seq >= base_seq if base_op != "delete" else a_seq > base_seq
-    b_live = b_seq >= base_seq if base_op != "delete" else b_seq > base_seq
+        st = fold_cdc_ops(
+            st,
+            zip(pdf["seq"], pdf["op"], pdf["field_a"], pdf["field_b"]),
+        )
+    state.update(st)
+    field_a, field_b, n_ops, deleted = emit_cdc_image(st)
     yield pd.DataFrame(
         {
             "doc_id": [doc_id],
-            "field_a": [a_val if (a_live and not deleted) else None],
-            "field_b": [b_val if (b_live and not deleted) else None],
+            "field_a": [field_a],
+            "field_b": [field_b],
             "n_ops": [n_ops],
             "deleted": [deleted],
         }

@@ -80,3 +80,74 @@ def test_anonymize_matches_hashlib_on_arbitrary_names(names):
         ).hexdigest()
 
     assert got == [expect(s) for s in names]
+
+
+# ---------------------------------------------------------------------------
+# CDC state-merge lattice properties (streaming/stateful.py)
+# ---------------------------------------------------------------------------
+
+_ops_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=50),  # seq
+        st.sampled_from(["insert", "update", "replace", "delete"]),
+        st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                       width=32)),
+        st.one_of(st.none(), st.text(max_size=5)),
+    ),
+    min_size=0,
+    max_size=30,
+    # seq is a per-doc row_number in the real oplog — unique by contract
+    # (with colliding seqs, any last-writer-wins rule is order-defined)
+    unique_by=lambda t: t[0],
+)
+
+
+@given(ops=_ops_strategy, data=st.data())
+@settings(max_examples=200, deadline=None)
+def test_cdc_fold_is_arrival_order_invariant(ops, data):
+    """The streaming CDC merge must give the SAME document image no
+    matter how the op rows are permuted or split into micro-batches —
+    the property that makes stream == batch reconstruction."""
+    from mongo_to_clickhouse_spark.streaming.stateful import (
+        CDC_STATE_ZERO,
+        emit_cdc_image,
+        fold_cdc_ops,
+    )
+
+    baseline = emit_cdc_image(fold_cdc_ops(CDC_STATE_ZERO, ops))
+
+    perm = data.draw(st.permutations(ops))
+    n_splits = data.draw(st.integers(min_value=1, max_value=4))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(0, len(perm)), min_size=n_splits - 1,
+                max_size=n_splits - 1,
+            )
+        )
+    )
+    state = CDC_STATE_ZERO
+    last = 0
+    for cut in [*cuts, len(perm)]:
+        state = fold_cdc_ops(state, perm[last:cut])
+        last = cut
+    assert emit_cdc_image(state) == baseline
+
+
+def test_resize_target_dims_invariants():
+    from mongo_to_clickhouse_spark.operators.multimodal import (
+        RESIZE_MAX_SIDE,
+        _target_dims,
+    )
+
+    for w in range(1, 600, 7):
+        for h in range(1, 600, 11):
+            ow, oh = _target_dims(w, h)
+            assert 1 <= ow and 1 <= oh
+            assert max(ow, oh) <= max(RESIZE_MAX_SIDE, max(w, h))
+            if max(w, h) > RESIZE_MAX_SIDE:
+                assert max(ow, oh) == RESIZE_MAX_SIDE
+                # aspect preserved within integer-floor tolerance
+                assert abs(ow * h - oh * w) <= max(w, h)
+            else:
+                assert (ow, oh) == (w, h)
