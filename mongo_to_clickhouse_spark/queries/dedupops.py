@@ -493,6 +493,108 @@ DEDUP_URL_CANONICAL_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# exact-substring duplicated spans (suffix-array-style, windowed)
+# ---------------------------------------------------------------------------
+
+WINDOW_TOKENS = 8  # ExactSubstr span unit: 8-token sliding windows
+
+
+def _substring_spans_body(dialect: str, wins_src: str) -> str:
+    """Shared WITH-chain from a (doc_id, pos, wh) windows relation to the
+    per-document duplicated-span report. Pure integer arithmetic after the
+    md5 window hash, so both engines agree bit-for-bit."""
+    intdiv = "div" if dialect == "spark" else "//"
+    return f"""
+        WITH wins AS ({wins_src}),
+        dup_hashes AS (
+            SELECT wh FROM wins GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        dup_pos AS (
+            SELECT doc_id, pos FROM wins WHERE wh IN (SELECT wh FROM dup_hashes)
+        ),
+        runs AS (
+            SELECT doc_id, COUNT(*) AS run_len FROM (
+                SELECT doc_id, pos,
+                       pos - ROW_NUMBER() OVER (
+                           PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM dup_pos
+            ) GROUP BY doc_id, grp
+        ),
+        dupagg AS (
+            SELECT doc_id, SUM(run_len) AS n_dup, MAX(run_len) AS max_run
+            FROM runs GROUP BY doc_id
+        ),
+        totals AS (SELECT doc_id, COUNT(*) AS n_windows FROM wins GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(t.n_windows AS BIGINT) AS n_windows,
+               CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_windows,
+               CAST(COALESCE(d.max_run + {WINDOW_TOKENS - 1}, 0) AS BIGINT)
+                   AS longest_dup_tokens,
+               CAST((1000000 * COALESCE(d.n_dup, 0)) {intdiv} t.n_windows
+                   AS BIGINT) AS dup_ppm
+        FROM totals t LEFT JOIN dupagg d ON t.doc_id = d.doc_id
+        ORDER BY t.doc_id
+    """
+
+
+def _window_arr_view(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (doc_id, whs: array<md5-of-8-token-window>) once.
+
+    Same discipline as ``_shingled_view``: without the barrier, Catalyst
+    fuses the window-array construction into the downstream Generate and
+    re-evaluates the whole transform per emitted row."""
+    _register_docs(spark, sf_dir)
+    w = WINDOW_TOKENS
+    df = spark.sql(f"""
+        WITH corpus AS ({_planted_corpus('spark')}),
+        toks AS (SELECT doc_id, split(text, ' ') AS t FROM corpus)
+        SELECT doc_id,
+               CASE WHEN size(t) >= {w} THEN
+                 transform(sequence(1, size(t) - {w - 1}),
+                           i -> md5(concat_ws(' ', slice(t, i, {w}))))
+               ELSE array() END AS whs
+        FROM toks
+    """)
+    return barrier_view(df, "subwin_mat")
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicated spans, the windowed formulation of
+    suffix-array ExactSubstr dedup (Lee et al. §4.1): hash every 8-token
+    sliding window, keep hashes seen in ≥2 distinct documents, and report
+    per-document duplicated-window count, longest consecutive duplicated
+    run (in tokens — gap-and-island over window positions), and duplicated
+    parts-per-million. Runs over the planted corpus so true cross-document
+    duplicate spans exist.
+
+    Scale posture: a suffix array is a single-machine construct; the
+    distributed equivalent is exactly this — one explode (windows), one
+    shuffle keyed by window hash (uniform md5 spread, skew-free), one
+    per-document window pass. Window arrays are materialized once behind a
+    barrier so the transform isn't re-evaluated per exploded row. Covers
+    /root/reference's content-hash dedup intent (src/main.rs change-stream
+    fullDocument digest) at sub-document granularity."""
+    view = _window_arr_view(spark, sf_dir)
+    wins_src = f"""
+        SELECT doc_id, pos0 + 1 AS pos, wh
+        FROM {view} LATERAL VIEW posexplode(whs) x AS pos0, wh
+    """
+    return spark.sql(_substring_spans_body("spark", wins_src))
+
+
+DEDUP_SUBSTRING_SPANS_SQL = _substring_spans_body(
+    "duck",
+    f"""
+    SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+{WINDOW_TOKENS - 1}], ' ')) AS wh
+    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {WINDOW_TOKENS - 1})) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS t
+                FROM ({_planted_corpus('duck')}))
+          WHERE len(t) >= {WINDOW_TOKENS})
+    """,
+)
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_cluster_components": (dedup_cluster_components, None),
     "dedup_minhash_approx": (dedup_minhash_approx, DEDUP_MINHASH_APPROX_SQL),
@@ -501,4 +603,5 @@ QUERIES: dict[str, tuple] = {
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_url_canonical": (dedup_url_canonical, DEDUP_URL_CANONICAL_SQL),
+    "dedup_substring_spans": (dedup_substring_spans, DEDUP_SUBSTRING_SPANS_SQL),
 }

@@ -295,6 +295,101 @@ SCALAR_ARRAY_OPS_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 retrieval (query-by-document top-k)
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_DOC = 42   # query = the distinct terms of this document
+BM25_TOPK = 10
+BM25_K1 = "CAST(1.2 AS DOUBLE)"
+BM25_B = "CAST(0.75 AS DOUBLE)"
+
+
+def _bm25_sql(dialect: str) -> str:
+    """Okapi BM25 (Lucene idf variant) scored in integer micro-units.
+
+    Float discipline (see PARITY_r02.md): avgdl is built from exact
+    integer SUM/COUNT with ONE final division; each (doc, term) partial
+    score is rounded to micro-units immediately, and only exact BIGINTs
+    are summed — no cross-engine float-aggregation-order dependence.
+    Constants are CAST to DOUBLE because bare ``0.5`` parses as DECIMAL
+    in both dialects and decimal promotion rules differ."""
+    if dialect == "spark":
+        split_ = "split(text, ' ')"
+        explode_ = "SELECT doc_id, explode(t) AS term FROM toks"
+        len_ = "size(t)"
+    else:
+        split_ = "string_split(text, ' ')"
+        explode_ = "SELECT doc_id, unnest(t) AS term FROM toks"
+        len_ = "len(t)"
+    half = "CAST(0.5 AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    return f"""
+        WITH toks AS (SELECT doc_id, {split_} AS t FROM documents),
+        tok_rows AS ({explode_}),
+        dl AS (SELECT doc_id, {len_} AS dl FROM toks),
+        stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+            FROM dl
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf
+               FROM tok_rows GROUP BY doc_id, term),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        qterms AS (SELECT DISTINCT term FROM tok_rows
+                   WHERE doc_id = {BM25_QUERY_DOC}),
+        scored AS (
+            SELECT tf.doc_id,
+                   CAST(round(1000000 * (
+                       ln((s.n_docs - dfreq.df + {half})
+                          / (dfreq.df + {half}) + {one})
+                       * (tf.tf * ({BM25_K1} + {one}))
+                       / (tf.tf + {BM25_K1} * ({one} - {BM25_B}
+                                               + {BM25_B} * dl.dl / s.avgdl))
+                   )) AS BIGINT) AS term_score_micro
+            FROM tf
+            JOIN qterms q ON tf.term = q.term
+            JOIN dfreq ON dfreq.term = tf.term
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN stats s
+        ),
+        totals AS (
+            SELECT doc_id, SUM(term_score_micro) AS score_micro
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(score_micro AS BIGINT) AS score_micro,
+               CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT doc_id, score_micro,
+                   ROW_NUMBER() OVER (
+                       ORDER BY score_micro DESC, doc_id) AS rank
+            FROM totals
+        )
+        WHERE rank <= {BM25_TOPK}
+        ORDER BY rank
+    """
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval, query-by-document: score every document
+    against the distinct terms of doc 42 and return the 10 best. (On this
+    tiny shared vocabulary the query's terms hit most documents, so the
+    winners are high-tf long documents, not necessarily doc 42 itself.)
+
+    Scale posture: df/tf/dl are one exploded-token shuffle each (vocab-
+    and corpus-bounded); the query-term set and the corpus stats are
+    tiny — broadcast; scoring is an equi-join on term followed by one
+    partial-aggregated SUM per doc; the global top-k is a rank window
+    over per-doc totals (TakeOrderedAndProject-class). This is the
+    sparse-retrieval sibling of sim_cosine_topk for training-data
+    curation (quality-biased sampling, decontamination lookups)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_bm25_sql("spark"))
+
+
+TEXT_BM25_TOPK_SQL = _bm25_sql("duck")
+
+
 QUERIES: dict[str, tuple] = {
     "text_ngram_freq": (text_ngram_freq, TEXT_NGRAM_FREQ_SQL),
     "scalar_array_ops": (scalar_array_ops, SCALAR_ARRAY_OPS_SQL),
@@ -305,4 +400,5 @@ QUERIES: dict[str, tuple] = {
     "text_langid_ngram": (text_langid_ngram, TEXT_LANGID_NGRAM_SQL),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
     "dedup_exact_hash": (dedup_exact_hash, DEDUP_EXACT_HASH_SQL),
+    "text_bm25_topk": (text_bm25_topk, TEXT_BM25_TOPK_SQL),
 }

@@ -627,6 +627,106 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "label", proj.alias("pca"))
 
 
+# ---------------------------------------------------------------------------
+# PQ (product quantization) ANN — IVF-PQ's compression half
+# ---------------------------------------------------------------------------
+
+PQ_M = 4         # subspaces
+PQ_SUBDIM = _DIM // PQ_M
+PQ_K = 16        # codewords per subspace (donor vectors vec_id < PQ_K)
+
+
+def _pq_sql(dialect: str) -> str:
+    """Full PQ chain, one text per dialect: split each vector into
+    ``PQ_M`` subvectors, build per-subspace codebooks from the first
+    ``PQ_K`` vectors, encode every vector as its argmin-L2 codeword per
+    subspace, then answer probes by ADC — exact-probe-subvector-to-
+    codeword distances summed across subspaces. Distances are quantized
+    to integer micro-units per (subvector, codeword) pair before any
+    argmin/sum, so both engines agree exactly (BIGINT compare + exact
+    integer sums; no float aggregation order dependence)."""
+    if dialect == "spark":
+        cast_emb = "CAST(embedding AS ARRAY<DOUBLE>)"
+        ms = "LATERAL VIEW explode(sequence(0, {hi})) x AS m".format(hi=PQ_M - 1)
+        subs_from = f"FROM e {ms}"
+        sub = f"slice(emb, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"
+
+        def dot(a: str, b: str) -> str:
+            return (
+                f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+                f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+    else:
+        cast_emb = "CAST(embedding AS DOUBLE[])"
+        subs_from = f"FROM e, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)"
+        sub = f"emb[m * {PQ_SUBDIM} + 1 : m * {PQ_SUBDIM} + {PQ_SUBDIM}]"
+
+        def dot(a: str, b: str) -> str:
+            return f"list_dot_product({a}, {b})"
+
+    d2 = (
+        f"{dot('s.sub', 's.sub')} + {dot('c.cw', 'c.cw')}"
+        f" - 2 * {dot('s.sub', 'c.cw')}"
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, {cast_emb} AS emb FROM embeddings),
+        subs AS (SELECT vec_id, m, {sub} AS sub {subs_from}),
+        codebook AS (SELECT vec_id AS k, m, sub AS cw FROM subs
+                     WHERE vec_id < {PQ_K}),
+        dists AS (
+            SELECT {"/*+ BROADCAST(c) */" if dialect == "spark" else ""}
+                   s.vec_id, s.m, c.k,
+                   CAST(round(1000000 * ({d2})) AS BIGINT) AS d
+            FROM subs s JOIN codebook c ON s.m = c.m
+        ),
+        codes AS (
+            SELECT vec_id, m, k AS code FROM (
+                SELECT vec_id, m, k,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                          ORDER BY d, k) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ),
+        lut AS (SELECT vec_id AS probe_id, m, k, d FROM dists
+                WHERE vec_id < {N_PROBES}),
+        adc AS (
+            SELECT {"/*+ BROADCAST(l) */" if dialect == "spark" else ""}
+                   l.probe_id, x.vec_id AS neighbor_id,
+                   SUM(l.d) AS adc_micro
+            FROM codes x JOIN lut l ON l.m = x.m AND l.k = x.code
+            GROUP BY l.probe_id, x.vec_id
+        )
+        SELECT probe_id, neighbor_id, CAST(adc_micro AS BIGINT) AS adc_micro,
+               CAST(rank AS INTEGER) AS rank FROM (
+            SELECT probe_id, neighbor_id, adc_micro,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY adc_micro, neighbor_id) AS rank
+            FROM adc WHERE probe_id <> neighbor_id
+        ) WHERE rank <= {TOPK}
+    """
+
+
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the PQ half of IVF-PQ): 4×16-dim
+    subspaces, 16 deterministic codewords each (donor vectors vec_id <
+    16, so the "training" step is exactly mirrorable in the oracle),
+    ADC scoring with integer micro-unit distance tables.
+
+    Scale posture: at 100 TB the codebook is a few KiB — broadcast to
+    every executor; encoding is a broadcast join + per-(vec, subspace)
+    argmin (map-side, no shuffle of the embedding table beyond one pass);
+    probe scoring joins 1-byte codes against a probes×M×K LUT (also
+    broadcast) and sums M integers per candidate — the reason PQ serves
+    billion-vector indexes from RAM. The fixture run keeps every stage an
+    equi-join on (m, k); nothing quadratic in the corpus materializes
+    except the final bounded top-k window."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(_pq_sql("spark"))
+
+
+SIM_ANN_PQ_SQL = _pq_sql("duck")
+
+
 QUERIES: dict[str, tuple] = {
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_TOPK_SQL),
     "emb_covariance": (emb_covariance, EMB_COVARIANCE_SQL),
@@ -636,4 +736,5 @@ QUERIES: dict[str, tuple] = {
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "emb_quantize_int8": (emb_quantize_int8, EMB_QUANTIZE_INT8_SQL),
     "emb_mean_pool": (emb_mean_pool, EMB_MEAN_POOL_SQL),
+    "sim_ann_pq": (sim_ann_pq, SIM_ANN_PQ_SQL),
 }

@@ -17,10 +17,13 @@ from __future__ import annotations
 from mongo_to_clickhouse_spark.queries.dedupops import (
     dedup_minhash_lsh_pairs,
     dedup_ngram_jaccard,
+    dedup_substring_spans,
 )
+from mongo_to_clickhouse_spark.queries.textops import BM25_TOPK, text_bm25_topk
 from mongo_to_clickhouse_spark.queries.vectorops import (
     sim_ann_ivf,
     sim_ann_lsh,
+    sim_ann_pq,
     sim_cosine_topk,
 )
 
@@ -41,3 +44,47 @@ def test_ann_recall_floors(spark, sf_dir):
     lsh = {(r.probe_id, r.neighbor_id) for r in sim_ann_lsh(spark, sf_dir).collect()}
     assert len(brute & ivf) / len(brute) >= 0.25
     assert len(brute & lsh) / len(brute) >= 0.15
+
+
+def test_pq_recall_floor_and_distance_sanity(spark, sf_dir):
+    brute = {(r.probe_id, r.neighbor_id) for r in sim_cosine_topk(spark, sf_dir).collect()}
+    pq_rows = sim_ann_pq(spark, sf_dir).collect()
+    pq = {(r.probe_id, r.neighbor_id) for r in pq_rows}
+    # random vectors: the floor is a determinism canary (measured 0.34)
+    assert len(brute & pq) / len(brute) >= 0.2
+    # ADC distances are sums of squared L2 sub-distances: non-negative,
+    # non-decreasing with rank within each probe
+    by_probe: dict[int, list] = {}
+    for r in sorted(pq_rows, key=lambda r: (r.probe_id, r.rank)):
+        assert r.adc_micro >= 0
+        by_probe.setdefault(r.probe_id, []).append(r.adc_micro)
+    for dists in by_probe.values():
+        assert dists == sorted(dists)
+
+
+def test_substring_spans_planted_docs_fully_duplicated(spark, sf_dir):
+    rows = dedup_substring_spans(spark, sf_dir).collect()
+    planted = [r for r in rows if r.doc_id > 1_000_000]
+    assert planted, "no planted docs long enough for an 8-token window"
+    # a planted copy is the original minus its first token, so EVERY one
+    # of its windows also occurs in the original: 100% duplicated
+    assert all(r.dup_ppm == 1_000_000 for r in planted)
+    for r in planted:
+        assert r.longest_dup_tokens == r.n_windows + 7
+    # and each original counterpart may lose at most its first window
+    originals = {r.doc_id: r for r in rows}
+    for p in planted:
+        o = originals[p.doc_id - 1_000_000]
+        assert o.n_dup_windows >= o.n_windows - 1
+    # bounds hold everywhere
+    for r in rows:
+        assert 0 <= r.n_dup_windows <= r.n_windows
+        assert 0 <= r.dup_ppm <= 1_000_000
+
+
+def test_bm25_topk_shape(spark, sf_dir):
+    rows = text_bm25_topk(spark, sf_dir).collect()
+    assert [r.rank for r in rows] == list(range(1, BM25_TOPK + 1))
+    scores = [r.score_micro for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)

@@ -151,3 +151,41 @@ def test_narrow_samplers_have_no_exchange(spark, sf_dir):
     for fn in (sample_stratified, emb_quantize_int8):
         plan = _plan(fn(spark, sf_dir))
         assert "Exchange" not in plan, f"{fn.__name__} must stay map-only"
+
+
+def _executed(df) -> str:
+    # force execution so AQE's final plan (runtime broadcast decisions)
+    # is what gets asserted, not the conservative initial plan
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pq_codebook_and_lut_stay_broadcast(spark, sf_dir):
+    from mongo_to_clickhouse_spark.queries.vectorops import sim_ann_pq
+
+    plan = _executed(sim_ann_pq(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, (
+        "PQ's codebook/LUT sides are KiB-scale and must broadcast — a sort-"
+        "merge join here shuffles the full encoded corpus at 100 TB"
+    )
+    assert "WindowGroupLimit" in plan, "top-k must use per-partition heaps"
+
+
+def test_bm25_query_terms_broadcast_and_topk_take_ordered(spark, sf_dir):
+    from mongo_to_clickhouse_spark.queries.textops import text_bm25_topk
+
+    plan = _executed(text_bm25_topk(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, (
+        "query-term and df joins must broadcast against the tf relation"
+    )
+    assert "TakeOrderedAndProject" in plan, "global top-k must not full-sort"
+
+
+def test_substring_spans_no_quadratic_join(spark, sf_dir):
+    from mongo_to_clickhouse_spark.queries.dedupops import dedup_substring_spans
+
+    plan = _executed(dedup_substring_spans(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "window-hash membership must be an equi-(semi-)join, never theta"
+    )
