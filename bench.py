@@ -53,6 +53,9 @@ HEADLINE = [
     "cdc_apply_oplog",             # change-stream patch-merge materialization
     "text_perplexity_unigram",
     "emb_covariance",
+    "dedup_substring_spans",       # windowed ExactSubstr spans
+    "sim_ann_pq",                  # product-quantization ADC search
+    "text_bm25_topk",              # sparse retrieval
 ]
 
 

@@ -179,6 +179,100 @@ CDC_APPLY_OPLOG_SQL = f"""
 """
 
 
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance under CDC: keep ``(n_docs,
+    sum_a_cents)`` per ``field_b`` group up to date from the op log
+    alone, by emitting a retraction of each document's previous image
+    and an insertion of its new image at every op — the classic
+    Δ-maintenance algebra (insert → +new; delete → -old; update →
+    -old, +new). The ORACLE aggregates the reconstructed final state
+    directly, so the check proves the delta path telescopes to exactly
+    the direct answer.
+
+    Money is summed in exact integer cents (field_a is 2-decimal by
+    construction), so retraction arithmetic is exact — float retraction
+    drift is the classic IVM bug this formulation makes impossible.
+
+    Scale posture: every window partitions by doc_id (epoch is a
+    doc_id-subsumed key, so Spark satisfies it from the SAME hash
+    exchange), the delta explode is a width-2 fan-out, and the final
+    groupBy shuffles pre-aggregated per-group partials — at 100 TB the
+    op log streams through one exchange + one bounded-cardinality agg.
+    The streaming twin is stream_cdc_state_merge; this is the
+    backfill/repair form (reference historical_data/src/main.rs's
+    re-aggregation role)."""
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("cdc_events_src")
+    cents = "COALESCE(CAST(round(img_a * 100) AS BIGINT), 0)"
+    prev_cents = "COALESCE(CAST(round(prev_a * 100) AS BIGINT), 0)"
+    return spark.sql(f"""
+        WITH oplog AS ({_oplog_sql("cdc_events_src")}),
+        epochs AS (
+            SELECT *,
+                   COALESCE(MAX(CASE WHEN op IN ('insert', 'replace', 'delete')
+                                     THEN seq END)
+                       OVER (PARTITION BY doc_id ORDER BY seq
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW), 0) AS epoch
+            FROM oplog
+        ),
+        images AS (
+            SELECT doc_id, seq,
+                   op != 'delete' AS exists_now,
+                   LAST(field_a, true) OVER (
+                       PARTITION BY doc_id, epoch ORDER BY seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS img_a,
+                   LAST(field_b, true) OVER (
+                       PARTITION BY doc_id, epoch ORDER BY seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS img_b
+            FROM epochs
+        ),
+        trans AS (
+            SELECT doc_id, seq, exists_now, img_a, img_b,
+                   LAG(exists_now) OVER (PARTITION BY doc_id ORDER BY seq) AS prev_exists,
+                   LAG(img_a) OVER (PARTITION BY doc_id ORDER BY seq) AS prev_a,
+                   LAG(img_b) OVER (PARTITION BY doc_id ORDER BY seq) AS prev_b
+            FROM images
+        ),
+        deltas AS (
+            SELECT d.grp, d.dcount, d.dcents
+            FROM trans
+            LATERAL VIEW explode(array(
+                named_struct(
+                    'grp', COALESCE(prev_b, '__none__'),
+                    'dcount', CASE WHEN COALESCE(prev_exists, false)
+                                   THEN -1 ELSE 0 END,
+                    'dcents', CASE WHEN COALESCE(prev_exists, false)
+                                   THEN -{prev_cents} ELSE CAST(0 AS BIGINT) END),
+                named_struct(
+                    'grp', COALESCE(img_b, '__none__'),
+                    'dcount', CASE WHEN exists_now THEN 1 ELSE 0 END,
+                    'dcents', CASE WHEN exists_now
+                                   THEN {cents} ELSE CAST(0 AS BIGINT) END)
+            )) x AS d
+        )
+        SELECT grp AS group_key,
+               CAST(SUM(dcount) AS BIGINT) AS n_docs,
+               CAST(SUM(dcents) AS BIGINT) AS sum_a_cents
+        FROM deltas
+        GROUP BY grp
+        HAVING SUM(dcount) > 0
+        ORDER BY group_key
+    """)
+
+
+CDC_INCREMENTAL_AGG_SQL = f"""
+    SELECT COALESCE(field_b, '__none__') AS group_key,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(COALESCE(CAST(round(field_a * 100) AS BIGINT), 0))
+                AS BIGINT) AS sum_a_cents
+    FROM ({CDC_APPLY_OPLOG_SQL})
+    GROUP BY COALESCE(field_b, '__none__')
+    ORDER BY group_key
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "cdc_apply_oplog": (cdc_apply_oplog, CDC_APPLY_OPLOG_SQL),
+    "cdc_incremental_agg": (cdc_incremental_agg, CDC_INCREMENTAL_AGG_SQL),
 }

@@ -181,6 +181,22 @@ def test_bm25_query_terms_broadcast_and_topk_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, "global top-k must not full-sort"
 
 
+def test_incremental_agg_single_doc_exchange(spark, sf_dir):
+    import re
+
+    from mongo_to_clickhouse_spark.queries.cdcops import cdc_incremental_agg
+
+    plan = _executed(cdc_incremental_agg(spark, sf_dir))
+    keys = {
+        m.split("#")[0].strip()
+        for m in re.findall(r"Exchange hashpartitioning\(([^,)]*)", plan)
+    }
+    assert keys == {"doc_id", "grp"}, (
+        f"expected ONE doc_id exchange feeding every window pass (epoch is "
+        f"doc_id-subsumed) plus the final group agg; got keys {keys}"
+    )
+
+
 def test_substring_spans_no_quadratic_join(spark, sf_dir):
     from mongo_to_clickhouse_spark.queries.dedupops import dedup_substring_spans
 
