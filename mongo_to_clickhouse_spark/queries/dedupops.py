@@ -508,7 +508,9 @@ def _substring_spans_body(dialect: str, wins_src: str) -> str:
     return f"""
         WITH wins AS ({wins_src}),
         dup_hashes AS (
-            SELECT wh FROM wins GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2
+            -- "≥2 distinct doc_ids" as MIN != MAX: same predicate, no
+            -- distinct-aggregate expand (one partial-aggregated pass)
+            SELECT wh FROM wins GROUP BY wh HAVING MIN(doc_id) != MAX(doc_id)
         ),
         dup_pos AS (
             SELECT doc_id, pos FROM wins WHERE wh IN (SELECT wh FROM dup_hashes)

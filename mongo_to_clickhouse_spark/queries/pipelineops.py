@@ -249,6 +249,88 @@ PIPELINE_TRAINING_CORPUS_SQL = """
 """
 
 
+PACK_BUDGET = 512     # tokens per packed training sequence
+PACK_BUCKET = 100     # docs per prefix-sum bucket (chunk of the two-pass scan)
+
+
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining: concatenate all documents in
+    doc_id order and cut every ``PACK_BUDGET`` tokens; each document is
+    accounted to the pack where its first token lands. Reports per-pack
+    doc count, started-token count, and the doc_id span.
+
+    The global token prefix-sum is computed as a DISTRIBUTED TWO-PASS
+    scan — per-bucket subtotals (one tiny groupBy), running bucket
+    offsets over that bucket-count-sized relation, then a broadcast
+    join back and a per-bucket local running sum — never a
+    single-partition global window (which would serialize a 100 TB scan
+    through one task). The ORACLE computes the same prefix sum with the
+    naive global window, so the check proves the two-pass decomposition
+    is exact."""
+    from pyspark.sql import functions as F
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(f"""
+        WITH docs AS (
+            SELECT doc_id, size(split(text, ' ')) AS n_tok,
+                   doc_id div {PACK_BUCKET} AS bkt
+            FROM documents
+        ),
+        bkt_totals AS (
+            SELECT bkt, SUM(n_tok) AS bkt_tok FROM docs GROUP BY bkt
+        ),
+        bkt_offsets AS (
+            SELECT bkt,
+                   COALESCE(SUM(bkt_tok) OVER (
+                       ORDER BY bkt
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       CAST(0 AS BIGINT)) AS bkt_off
+            FROM bkt_totals
+        ),
+        pos AS (
+            SELECT /*+ BROADCAST(o) */
+                   d.doc_id, d.n_tok,
+                   o.bkt_off
+                   + SUM(d.n_tok) OVER (
+                       PARTITION BY d.bkt ORDER BY d.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - d.n_tok AS start_tok
+            FROM docs d JOIN bkt_offsets o ON d.bkt = o.bkt
+        )
+        SELECT CAST(start_tok div {PACK_BUDGET} AS BIGINT) AS pack_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS first_doc_id,
+               MAX(doc_id) AS last_doc_id
+        FROM pos
+        GROUP BY CAST(start_tok div {PACK_BUDGET} AS BIGINT)
+        ORDER BY pack_id
+    """)
+
+
+PIPELINE_PACK_SEQUENCES_SQL = f"""
+    WITH docs AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, n_tok,
+               SUM(n_tok) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tok AS start_tok
+        FROM docs
+    )
+    SELECT CAST(start_tok // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc_id,
+           MAX(doc_id) AS last_doc_id
+    FROM pos
+    GROUP BY 1
+    ORDER BY pack_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "backfill_timerange": (backfill_timerange, BACKFILL_TIMERANGE_SQL),
     "pipeline_training_corpus": (
@@ -263,5 +345,9 @@ QUERIES: dict[str, tuple] = {
     "multimodal_feature_extract": (
         multimodal_feature_extract,
         MULTIMODAL_FEATURE_EXTRACT_SQL,
+    ),
+    "pipeline_pack_sequences": (
+        pipeline_pack_sequences,
+        PIPELINE_PACK_SEQUENCES_SQL,
     ),
 }

@@ -197,6 +197,20 @@ def test_incremental_agg_single_doc_exchange(spark, sf_dir):
     )
 
 
+def test_pack_sequences_prefix_sum_is_bucket_partitioned(spark, sf_dir):
+    import re
+
+    from mongo_to_clickhouse_spark.queries.pipelineops import pipeline_pack_sequences
+
+    plan = _executed(pipeline_pack_sequences(spark, sf_dir))
+    assert re.search(r"windowspecdefinition\(bkt#\d+", plan), (
+        "the corpus-sized running sum must partition by bucket — a global "
+        "ORDER BY window serializes the whole scan through one task"
+    )
+    # only the bucket-offset relation (one row per bucket) may gather
+    assert plan.count("Exchange SinglePartition") <= 2
+
+
 def test_substring_spans_no_quadratic_join(spark, sf_dir):
     from mongo_to_clickhouse_spark.queries.dedupops import dedup_substring_spans
 

@@ -80,3 +80,33 @@ def test_profile_covers_all_columns(spark, sf_dir):
     }
     for r in rows:
         assert r["n_distinct"] > 0
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing must account every document exactly once, in order, with
+    pack spans non-overlapping and ascending."""
+    import duckdb
+
+    from mongo_to_clickhouse_spark.queries.pipelineops import (
+        PACK_BUDGET,
+        pipeline_pack_sequences,
+    )
+
+    rows = pipeline_pack_sequences(spark, sf_dir).collect()
+    n_docs_total = duckdb.sql(
+        f"SELECT COUNT(*), SUM(len(string_split(text, ' ')))"
+        f" FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()
+    assert sum(r.n_docs for r in rows) == n_docs_total[0]
+    assert sum(r.n_tokens for r in rows) == n_docs_total[1]
+    prev_last = -1
+    for r in sorted(rows, key=lambda r: r.pack_id):
+        assert r.first_doc_id > prev_last, "doc spans must not overlap"
+        assert r.first_doc_id <= r.last_doc_id
+        prev_last = r.last_doc_id
+        # a pack holds at least one doc and starts within budget bounds:
+        # consecutive docs start < PACK_BUDGET tokens apart within a pack
+        assert r.n_docs >= 1
+    # budget sanity: mean tokens-started-per-pack hovers around the budget
+    mean_started = sum(r.n_tokens for r in rows) / len(rows)
+    assert 0.5 * PACK_BUDGET < mean_started < 2 * PACK_BUDGET
