@@ -376,6 +376,68 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_session_timeout_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions emitted ONLY on idle-timeout eviction
+    (applyInPandasWithState + EventTimeTimeout) — the reference's
+    flush-on-idle batch assembler as a Spark state-lifecycle feature.
+
+    Staging makes eviction deterministic in EVENT TIME: events are
+    sorted by ts and split into 3 time-contiguous files (sessions
+    accumulate state across micro-batches under maxFilesPerTrigger=1),
+    then a far-future sentinel row (user_id=-1) whose event time pushes
+    the watermark past every real user's `last_event + gap` deadline —
+    the post-sentinel eviction batch closes every real session exactly
+    once. The sentinel's own session stays open and remains in the
+    checkpoint (at-least-once hand-off to the next run)."""
+    import tempfile
+    import uuid as _uuid
+
+    import pyarrow as pa
+
+    from mongo_to_clickhouse_spark.streaming.stateful import idle_session_close
+
+    work = tempfile.mkdtemp(prefix=f"sess-{_uuid.uuid4().hex[:8]}-")
+    src = os.path.join(work, "source")
+    os.makedirs(src)
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.unix_micros(F.col("ts")).alias("ts_us"))
+        .toPandas()
+        .sort_values("ts_us", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    # gap > the whole table's time range → exactly one session per user;
+    # sentinel event time > max + gap + watermark delay → final watermark
+    # passes every real user's deadline
+    gap_ms = int(pdf["ts_us"].max() - pdf["ts_us"].min()) // 1000 + 3_600_000
+    sentinel_us = int(pdf["ts_us"].max()) + (gap_ms + 10_000) * 1_000
+    third = (len(pdf) + 2) // 3
+    slices = [pdf.iloc[i * third : (i + 1) * third] for i in range(3)]
+    slices.append(pdf.head(1).assign(user_id=-1, ts_us=sentinel_us))
+    for i, part in enumerate(slices):
+        path = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))  # batch order
+
+    name = f"sess_{_uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema("user_id bigint, ts_us bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+    )
+    q = (
+        idle_session_close(stream, gap_ms=gap_ms)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drained(q)
+    return spark.table(name)
+
+
 QUERIES: dict[str, tuple] = {
     "source_changestream": (source_changestream, None),
     "stream_stream_join": (stream_stream_join, None),
@@ -388,4 +450,5 @@ QUERIES: dict[str, tuple] = {
     "stream_rate_limited_trigger": (stream_rate_limited_trigger, None),
     "stream_multitenant_fanout": (stream_multitenant_fanout, None),
     "stream_cache_invalidate": (stream_cache_invalidate, None),
+    "stream_session_timeout_eviction": (stream_session_timeout_eviction, None),
 }

@@ -141,6 +141,99 @@ def _merge_cdc_state(
     )
 
 
+# ---------------------------------------------------------------------------
+# Idle-timeout session eviction: sessions EMIT ONLY WHEN THEY CLOSE
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, first_us bigint, last_us bigint, "
+    "closed_by string"
+)
+SESSION_STATE_SCHEMA = "n bigint, first_us bigint, last_us bigint"
+# A session closes when no further event for its key arrives within this
+# EVENT-TIME gap. Callers pick a gap; the default (1h) matches the
+# sessionize_events batch operator's island gap.
+SESSION_IDLE_GAP_MS = 3_600_000
+
+
+def _session_close_on_idle(gap_ms: int):
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, first_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "first_us": [first_us],
+                    "last_us": [last_us],
+                    "closed_by": ["idle_timeout"],
+                }
+            )
+            return
+        n, first_us, last_us = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            mn, mx = int(pdf["ts_us"].min()), int(pdf["ts_us"].max())
+            first_us = mn if first_us is None else min(first_us, mn)
+            last_us = mx if last_us is None else max(last_us, mx)
+        state.update((n, first_us, last_us))
+        # deadline = last event time + idle gap; fires when the WATERMARK
+        # passes it, so eviction is event-time-deterministic (identical
+        # results on any cluster, any wall-clock speed)
+        state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+        # nothing yielded: a live session is invisible until it closes
+
+    return fn
+
+
+def idle_session_close(
+    events_stream: DataFrame, gap_ms: int = SESSION_IDLE_GAP_MS
+) -> DataFrame:
+    """Sessionization with STATE-TIMEOUT EVICTION: per-user sessions are
+    held in the state store and emitted exactly once, when the user goes
+    idle — EventTimeTimeout fires when the stream's watermark passes
+    `last event + gap`. This is the reference's flush-on-idle batch
+    assembler (it flushes a tenant buffer when no new docs arrive within
+    the window) expressed through Spark's state lifecycle: the state
+    store, not a hand-rolled timer wheel, owns deadlines, checkpointing,
+    and recovery.
+
+    EventTimeTimeout (not ProcessingTimeTimeout) is a hard requirement
+    under Trigger.AvailableNow: FlatMapGroupsWithStateExec's
+    shouldRunAnotherBatch() returns true UNCONDITIONALLY for
+    processing-time timeouts, so an availableNow run never terminates;
+    with event-time timeouts it runs exactly one extra eviction batch
+    after the watermark stops advancing. Event time is also the correct
+    semantics — results don't depend on wall-clock scheduling.
+
+    `events_stream` must carry `user_id`, `ts_us` (epoch micros) and a
+    watermark on an event-time column. Scale posture: state is O(open
+    sessions); eviction is per-key and incremental (no scan-the-world
+    sweeps); RocksDB state backend at production volumes. Sessions still
+    open when the stream stops stay in the checkpoint and close on the
+    next run — at-least-once hand-off, pinned by tests/test_stateful.py."""
+    return (
+        events_stream.select("user_id", "ts_us", "ts")
+        .withWatermark("ts", "1 second")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_close_on_idle(gap_ms),
+            SESSION_OUTPUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def cdc_state_merge(oplog_stream: DataFrame) -> DataFrame:
     """Streaming CDC materialization: per-doc document image maintained
     in the state store, updated by each micro-batch's patch rows —

@@ -95,3 +95,38 @@ def test_stream_cdc_merge_equals_batch_reconstruction(spark):
         for r in stream_cdc_state_merge(spark, sf).collect()
     }
     assert stream == batch
+
+
+def test_idle_timeout_eviction_closes_each_session_once(spark):
+    """Sessions must emit exactly once — on the eviction batch after
+    their bucket goes idle — with aggregates equal to the batch ground
+    truth; the sentinel key (still open at shutdown) must NOT emit."""
+    from mongo_to_clickhouse_spark.queries.streamruntime import (
+        stream_session_timeout_eviction,
+    )
+
+    rows = stream_session_timeout_eviction(spark, SRC).collect()
+    assert rows, "no sessions evicted"
+    assert {r.closed_by for r in rows} == {"idle_timeout"}
+    users = [r.user_id for r in rows]
+    assert len(users) == len(set(users)), "a session closed more than once"
+    assert -1 not in users, "sentinel session must stay open in state"
+
+    truth = {
+        r.user_id: r
+        for r in load_table(spark, SRC, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .collect()
+    }
+    # the sentinel's event time pushes the final watermark past every
+    # real user's last_event + gap deadline — i.e. every real user closes
+    emitted = {r.user_id: r for r in rows}
+    assert set(emitted) == set(truth)
+    for uid, r in emitted.items():
+        t = truth[uid]
+        assert (r.n_events, r.first_us, r.last_us) == (t.n, t.first_us, t.last_us)
