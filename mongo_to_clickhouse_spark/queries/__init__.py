@@ -19,6 +19,7 @@ from mongo_to_clickhouse_spark.queries import (
     pipelineops,
     relational_ext,
     sampleops,
+    sketchops,
     statsops,
     streamops,
     streamruntime,
@@ -39,6 +40,7 @@ _MODULES = [
     pipelineops,
     relational_ext,
     sampleops,
+    sketchops,
     statsops,
     streamops,
     streamruntime,
