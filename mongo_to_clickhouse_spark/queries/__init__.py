@@ -27,6 +27,7 @@ from mongo_to_clickhouse_spark.queries import (
     tpch,
     tpch_ext,
     vectorops,
+    zorderops,
 )
 
 _MODULES = [
@@ -48,6 +49,7 @@ _MODULES = [
     tpch,
     tpch_ext,
     vectorops,
+    zorderops,
 ]
 
 

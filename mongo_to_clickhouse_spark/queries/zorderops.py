@@ -1,0 +1,103 @@
+"""Z-order clustered parquet sink (multi-dimensional file skipping).
+
+The reference's sink tier writes append-only inserts
+(`src/main.rs` batch insert path); data layout for read-side pruning is
+left to ClickHouse's ORDER BY key, which clusters ONE dimension. This ID
+is the lakehouse-side answer for ≥2 filter dimensions: Morton-key
+clustering before the parquet write, so min/max footer stats prune files
+for BOTH `user_id` and `value` predicates. See operators/zorder.py for
+the scale argument and tests/test_zorder.py for the layout pin.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongo_to_clickhouse_spark.io import load_table
+from mongo_to_clickhouse_spark.operators.zorder import (
+    ZBITS,
+    dense_bucket,
+    dense_bucket_sql,
+    interleave_bits,
+    interleave_bits_sql,
+)
+
+ZORDER_FILES = 16  # range partitions = parquet files in the clustered layout
+
+
+def _with_zkey(ev: DataFrame) -> DataFrame:
+    """events + Morton key over (user_id, floor(value*100)) buckets."""
+    v100 = F.floor(F.col("value") * 100).cast("bigint")
+    ev = ev.select("event_id", "user_id", v100.alias("v100"))
+    bounds = ev.agg(
+        F.min("user_id").alias("mu"),
+        F.max("user_id").alias("xu"),
+        F.min("v100").alias("mv"),
+        F.max("v100").alias("xv"),
+    )
+    return ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        "user_id",
+        "v100",
+        interleave_bits(
+            dense_bucket(F.col("user_id"), F.col("mu"), F.col("xu")),
+            dense_bucket(F.col("v100"), F.col("mv"), F.col("xv")),
+        ).alias("zkey"),
+    )
+
+
+def zorder_write(ev: DataFrame, out: str, n_files: int = ZORDER_FILES) -> None:
+    """Cluster by Morton key and write: one range exchange, sorted files,
+    bounded per-file min/max spread on BOTH dimensions."""
+    (
+        _with_zkey(ev)
+        .repartitionByRange(n_files, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.parquet(out)
+    )
+
+
+def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the z-order clustered layout, read it back, and return the
+    per-row Morton key assignment — the oracle-checkable contract of the
+    write (the file-level clustering property itself is pinned by
+    tests/test_zorder.py, which Spark alone can observe)."""
+    out = os.path.join(
+        tempfile.mkdtemp(prefix=f"zsink-{uuid.uuid4().hex[:8]}-"), "events_z"
+    )
+    zorder_write(load_table(spark, sf_dir, "events"), out)
+    return (
+        spark.read.parquet(out)
+        .select("event_id", "zkey")
+        .orderBy("event_id")
+    )
+
+
+_XB = dense_bucket_sql("user_id", "mu", "xu")
+_YB = dense_bucket_sql("v100", "mv", "xv")
+
+SINK_ZORDER_CLUSTER_SQL = f"""
+    WITH ev AS (
+        SELECT event_id, user_id,
+               CAST(floor(value * 100) AS BIGINT) AS v100
+        FROM events
+    ),
+    bounds AS (
+        SELECT MIN(user_id) AS mu, MAX(user_id) AS xu,
+               MIN(v100) AS mv, MAX(v100) AS xv
+        FROM ev
+    )
+    SELECT event_id, {interleave_bits_sql(f"({_XB})", f"({_YB})", ZBITS)} AS zkey
+    FROM ev, bounds
+    ORDER BY event_id
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "sink_zorder_cluster": (sink_zorder_cluster, SINK_ZORDER_CLUSTER_SQL),
+}

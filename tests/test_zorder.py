@@ -1,0 +1,67 @@
+"""Z-order layout: the written files must bound per-file min/max spread
+on BOTH dimensions (that's the file-skipping property), which only the
+Spark side can observe — the oracle checks key assignment, this checks
+the layout."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mongo_to_clickhouse_spark.io import load_table
+from mongo_to_clickhouse_spark.queries.zorderops import ZORDER_FILES, zorder_write
+
+SRC = "/root/testdata/sf0.01"
+
+
+def _mean_file_spread(per_file, lo_col, hi_col, global_lo, global_hi):
+    spreads = [
+        (r[hi_col] - r[lo_col]) / (global_hi - global_lo) for r in per_file
+    ]
+    return sum(spreads) / len(spreads)
+
+
+def test_zorder_files_bound_both_dimensions(spark, tmp_path):
+    out = os.path.join(str(tmp_path), "events_z")
+    zorder_write(load_table(spark, SRC, "events"), out)
+
+    back = spark.read.parquet(out).withColumn(
+        "file", F.input_file_name()
+    )
+    per_file = (
+        back.groupBy("file")
+        .agg(
+            F.min("user_id").alias("ulo"),
+            F.max("user_id").alias("uhi"),
+            F.min("v100").alias("vlo"),
+            F.max("v100").alias("vhi"),
+            F.min("zkey").alias("zlo"),
+            F.max("zkey").alias("zhi"),
+        )
+        .collect()
+    )
+    assert len(per_file) == ZORDER_FILES
+
+    # repartitionByRange => file z-ranges are non-overlapping
+    zspans = sorted((r.zlo, r.zhi) for r in per_file)
+    for (_, hi), (lo, _) in zip(zspans, zspans[1:]):
+        assert hi <= lo
+
+    g = back.agg(
+        F.min("user_id"), F.max("user_id"), F.min("v100"), F.max("v100")
+    ).collect()[0]
+    u_spread = _mean_file_spread(per_file, "ulo", "uhi", g[0], g[1])
+    v_spread = _mean_file_spread(per_file, "vlo", "vhi", g[2], g[3])
+    # a single-column sort would leave the OTHER dimension's mean spread
+    # at ~1.0; Morton clustering with 16 files must cut both well below
+    assert u_spread < 0.6, u_spread
+    assert v_spread < 0.6, v_spread
+
+    # and a point-ish predicate on either dimension must skip most files
+    mid_u = (g[0] + g[1]) // 2
+    hit_u = sum(1 for r in per_file if r.ulo <= mid_u <= r.uhi)
+    mid_v = (g[2] + g[3]) // 2
+    hit_v = sum(1 for r in per_file if r.vlo <= mid_v <= r.vhi)
+    assert hit_u <= ZORDER_FILES // 2
+    assert hit_v <= ZORDER_FILES // 2
