@@ -438,6 +438,89 @@ def stream_session_timeout_eviction(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.table(name)
 
 
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals on the Spark 4 transformWithStateInPandas
+    API (typed ValueState in the state store, RocksDB provider) — the
+    forward path for custom stateful operators. The API's state-server
+    protocol needs protobuf, which this container cannot install, so the
+    op degrades to `running_user_totals_cents`, the applyInPandasWithState
+    twin with identical projection, state, and output — either path must
+    telescope to the batch aggregate the oracle computes."""
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql.window import Window
+
+    from mongo_to_clickhouse_spark.streaming.stateful import (
+        running_user_totals_cents,
+        running_user_totals_tws,
+        tws_available,
+    )
+
+    work = tempfile.mkdtemp(prefix=f"tws-{_uuid.uuid4().hex[:8]}-")
+    src = os.path.join(work, "source")
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).drop("event_id").write.parquet(
+            os.path.join(src, f"slice{i}"), mode="overwrite"
+        )
+        os.utime(os.path.join(src, f"slice{i}"))
+    name = f"tws_{_uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(f"{src}/slice*")
+    )
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(conf_key, None)
+    use_tws = tws_available()
+    if use_tws:
+        spark.conf.set(
+            conf_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    try:
+        op = running_user_totals_tws if use_tws else running_user_totals_cents
+        q = (
+            op(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_drained(q)
+    finally:
+        if use_tws:
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
+    # final state per user = the max-n emission (totals are monotone in
+    # n), which must equal the batch aggregate — oracle-checked
+    snap = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        snap.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_cents")
+        .orderBy("user_id")
+    )
+
+
+STREAM_TRANSFORM_WITH_STATE_SQL = """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "source_changestream": (source_changestream, None),
     "stream_stream_join": (stream_stream_join, None),
@@ -451,4 +534,8 @@ QUERIES: dict[str, tuple] = {
     "stream_multitenant_fanout": (stream_multitenant_fanout, None),
     "stream_cache_invalidate": (stream_cache_invalidate, None),
     "stream_session_timeout_eviction": (stream_session_timeout_eviction, None),
+    "stream_transform_with_state": (
+        stream_transform_with_state,
+        STREAM_TRANSFORM_WITH_STATE_SQL,
+    ),
 }

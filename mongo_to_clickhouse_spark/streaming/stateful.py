@@ -15,6 +15,7 @@ from collections.abc import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
@@ -230,6 +231,127 @@ def idle_session_close(
             SESSION_STATE_SCHEMA,
             "update",
             GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas: the Spark 4 stateful-processor API
+# ---------------------------------------------------------------------------
+
+TWS_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_cents bigint"
+
+
+def _make_totals_processor():
+    """Built lazily so the module imports on any Spark version; the
+    StatefulProcessor base class exists from Spark 4.0."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        """Per-user running (count, sum-in-cents) via a typed ValueState.
+
+        The Spark-4 successor to applyInPandasWithState
+        (running_user_totals above is the legacy-API twin): state is a
+        NAMED, SCHEMA'D variable owned by the state store — no tuple
+        packing — and the same handle scales to ListState/MapState,
+        TTL'd state, and registered timers. Totals are integer cents
+        (see PARITY_r02.md: no float crosses an aggregation)."""
+
+        def init(self, handle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n bigint, cents bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = (
+                self._totals.get() if self._totals.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotalsProcessor()
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs the protobuf package for its
+    state-server protocol; absent (as in this container, where installs
+    are off-limits) the legacy-API twin below carries the semantics."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_totals_tws(events_stream: DataFrame) -> DataFrame:
+    """`running_user_totals` re-expressed on transformWithStateInPandas —
+    the forward API for custom stateful operators (typed state
+    variables, timers, TTL), pinned equivalent to the legacy
+    applyInPandasWithState path by tests/test_stateful.py.
+
+    Requires the RocksDB state store provider (set by the caller) and
+    protobuf (see tws_available); `running_user_totals_cents` is the
+    exact-output legacy twin used as the environment fallback."""
+    return (
+        events_stream.select(
+            "user_id",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_make_totals_processor(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def _update_cents_state(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(pdf["cents"].sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_cents": [cents]}
+    )
+
+
+def running_user_totals_cents(events_stream: DataFrame) -> DataFrame:
+    """Legacy-API twin of running_user_totals_tws: identical input
+    projection, state content, and output schema, on
+    applyInPandasWithState — the fallback when protobuf is absent."""
+    return (
+        events_stream.select(
+            "user_id",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_cents_state,
+            TWS_OUTPUT_SCHEMA,
+            "n bigint, cents bigint",
+            "update",
+            GroupStateTimeout.NoTimeout,
         )
     )
 

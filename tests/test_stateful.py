@@ -130,3 +130,47 @@ def test_idle_timeout_eviction_closes_each_session_once(spark):
     for uid, r in emitted.items():
         t = truth[uid]
         assert (r.n_events, r.first_us, r.last_us) == (t.n, t.first_us, t.last_us)
+
+
+def test_transform_with_state_matches_batch_aggregate(spark):
+    """Whichever API carries the op (transformWithStateInPandas when
+    protobuf exists, the applyInPandasWithState twin otherwise), the
+    final per-user state must equal the batch aggregate."""
+    from mongo_to_clickhouse_spark.queries.streamruntime import (
+        stream_transform_with_state,
+    )
+
+    got = {
+        r.user_id: (r.n_events, r.total_cents)
+        for r in stream_transform_with_state(spark, SRC).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.cents)
+        for r in load_table(spark, SRC, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_transform_with_state_uses_modern_api_when_available(spark):
+    """Runs the real transformWithStateInPandas path; skipped where the
+    state-server protocol's protobuf dependency is absent."""
+    import pytest
+
+    from mongo_to_clickhouse_spark.streaming.stateful import tws_available
+
+    if not tws_available():
+        pytest.skip("protobuf not installed: TWS state server unavailable")
+    from mongo_to_clickhouse_spark.streaming.stateful import (
+        running_user_totals_tws,  # noqa: F401 — exercised via the query
+    )
+    from mongo_to_clickhouse_spark.queries.streamruntime import (
+        stream_transform_with_state,
+    )
+
+    assert stream_transform_with_state(spark, SRC).count() > 0
