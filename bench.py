@@ -56,6 +56,8 @@ HEADLINE = [
     "dedup_substring_spans",       # windowed ExactSubstr spans
     "sim_ann_pq",                  # product-quantization ADC search
     "text_bm25_topk",              # sparse retrieval
+    "agg_heavy_hitters",           # Misra-Gries candidates + exact recount
+    "sink_zorder_cluster",         # Morton-clustered parquet layout
 ]
 
 
