@@ -333,8 +333,74 @@ JOIN_RANGE_INTERVAL_SQL = """
 """
 
 
+def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders/lineitem as bucketed+sorted tables on the join key.
+
+    Bucketing is THE write-once/join-many lever at 100 TB: both sides
+    hash-partitioned into the same bucket count at write time, so every
+    later join on the key plans with ZERO Exchange (pinned by
+    tests/test_plans.py::test_bucketed_join_query_has_no_shuffle) and,
+    with sortBy, a zero-sort merge join. The reference re-shuffles in
+    ClickHouse on every query; this is the lakehouse answer."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS buckdemo")
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .bucketBy(16, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("buckdemo.orders_cl")
+    )
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite")
+        .bucketBy(16, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("buckdemo.lineitem_cl")
+    )
+    return "buckdemo.lineitem_cl", "buckdemo.orders_cl"
+
+
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority over the co-located bucketed layout —
+    result identical to the plain join (the oracle runs that), the plan
+    shuffle-free on the fact side."""
+    li_t, o_t = bucketed_tables(spark, sf_dir)
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        spark.table(li_t)
+        .join(
+            spark.table(o_t),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(revenue), 2).cast("decimal(38,2)").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+JOIN_BUCKETED_COLOCATED_SQL = """
+    SELECT o_orderpriority,
+           round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))),
+                 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "join_asof": (join_asof, JOIN_ASOF_SQL),
+    "join_bucketed_colocated": (join_bucketed_colocated, JOIN_BUCKETED_COLOCATED_SQL),
     "join_range_interval": (join_range_interval, JOIN_RANGE_INTERVAL_SQL),
     "join_skew_salted": (join_skew_salted, JOIN_SKEW_SALTED_SQL),
     "scd2_upsert_emulation": (scd2_upsert_emulation, SCD2_UPSERT_EMULATION_SQL),
