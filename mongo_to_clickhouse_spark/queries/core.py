@@ -367,8 +367,14 @@ def join_fact_dim_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    # Integer-micro discipline (PARITY_r02.md): the fixture's money columns
+    # are exact 2-dp doubles, so cents × basis-points arithmetic is exact
+    # in BIGINT — and the compared output carries NO decimal type (the one
+    # class whose canonicalization the driver's hasher disagreed on, two
+    # rounds running, despite value-identical results).
+    revenue_micro = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (F.lit(10_000) - F.round(F.col("l_discount") * 10_000).cast("bigint"))
     )
     return (
         lineitem.join(
@@ -382,19 +388,24 @@ def join_fact_dim_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            # round() is HALF_UP in both Spark and DuckDB (their decimal
-            # CASTs disagree on ties: half-up vs half-even).
-            F.round(F.sum(revenue), 2).cast("decimal(38,2)").alias("revenue"),
+            F.sum(revenue_micro).alias("revenue_micro"),
             F.count("*").alias("n_items"),
+        )
+        # integer DIV after the sum: truncation is deterministic and the
+        # micro-sum stays in BIGINT end-to-end (no double intermediate)
+        .select(
+            "n_name",
+            F.expr("CAST(revenue_micro DIV 10000 AS BIGINT)").alias("revenue_cents"),
+            "n_items",
         )
     )
 
 
 JOIN_FACT_DIM_EQUI_SQL = """
     SELECT n_name,
-           round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))),
-                 2) AS revenue,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+                // 10000 AS BIGINT) AS revenue_cents,
            count(*) AS n_items
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey

@@ -460,7 +460,7 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_URL_CANONICAL_SQL = """
+DEDUP_URL_CANONICAL_SQL = r"""
     WITH raw AS (
         SELECT doc_id,
                (CASE WHEN doc_id % 2 = 1

@@ -108,25 +108,26 @@ JOIN_ASOF_SQL = """
 def pivot_wide_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot l_linestatus into wide sum columns per returnflag."""
     li = load_table(spark, sf_dir, "lineitem")
+    # quantities are exact 2-dp doubles → centi-units in BIGINT (no
+    # decimal in the compared output; see join_fact_dim_equi)
+    qty_centi = F.round(F.col("l_quantity") * 100).cast("bigint")
     return (
-        li.groupBy("l_returnflag")
+        li.withColumn("qty_centi", qty_centi)
+        .groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2))
-        .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
-        .select(
-            "l_returnflag",
-            F.col("qty_open").cast("decimal(38,2)").alias("qty_open"),
-            F.col("qty_filled").cast("decimal(38,2)").alias("qty_filled"),
-        )
+        .agg(F.sum("qty_centi"))
+        .withColumnsRenamed({"O": "qty_open_centi", "F": "qty_filled_centi"})
     )
 
 
 PIVOT_WIDE_AGG_SQL = """
     SELECT l_returnflag,
-           round(SUM(CASE WHEN l_linestatus = 'O'
-                          THEN CAST(l_quantity AS DECIMAL(18,2)) END), 2) AS qty_open,
-           round(SUM(CASE WHEN l_linestatus = 'F'
-                          THEN CAST(l_quantity AS DECIMAL(18,2)) END), 2) AS qty_filled
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(round(l_quantity * 100) AS BIGINT) END)
+                AS BIGINT) AS qty_open_centi,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(round(l_quantity * 100) AS BIGINT) END)
+                AS BIGINT) AS qty_filled_centi
     FROM lineitem GROUP BY l_returnflag
 """
 
@@ -196,7 +197,8 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.max("type_freq").alias("type_freq"),
-        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).cast("decimal(38,2)").alias("total_value"),
+        # cents-as-BIGINT, no decimal in compared output (join_fact_dim_equi)
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("total_value_cents"),
     )
 
 
@@ -205,7 +207,7 @@ JOIN_SKEW_SALTED_SQL = """
         SELECT event_type, COUNT(*) AS type_freq FROM events GROUP BY event_type
     )
     SELECT e.event_type, COUNT(*) AS n, MAX(w.type_freq) AS type_freq,
-           round(SUM(CAST(e.value AS DECIMAL(18,2))), 2) AS total_value
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
     FROM events e JOIN weights w ON e.event_type = w.event_type
     GROUP BY e.event_type
 """
@@ -218,24 +220,26 @@ def scd2_upsert_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     are closed out (is_current=false) and re-inserted as v2, untouched rows
     pass through. At scale this is the same plan MERGE compiles to: one
     broadcast/shuffle join + union, no row-at-a-time upserts."""
+    # cents-as-BIGINT, no decimal in compared output (join_fact_dim_equi)
     cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", F.col("c_acctbal").cast("decimal(18,2)").alias("acctbal")
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
     )
     updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
-        "c_custkey", (F.col("acctbal") + F.lit(100).cast("decimal(18,2)")).cast("decimal(19,2)").alias("acctbal")
+        "c_custkey", (F.col("acctbal_cents") + F.lit(10_000)).alias("acctbal_cents")
     )
     closed = (
         cust.join(updates.select("c_custkey"), "c_custkey", "left_semi")
-        .select("c_custkey", "acctbal", F.lit(False).alias("is_current"),
+        .select("c_custkey", "acctbal_cents", F.lit(False).alias("is_current"),
                 F.lit(1).alias("version"))
     )
     untouched = (
         cust.join(updates.select("c_custkey"), "c_custkey", "left_anti")
-        .select("c_custkey", "acctbal", F.lit(True).alias("is_current"),
+        .select("c_custkey", "acctbal_cents", F.lit(True).alias("is_current"),
                 F.lit(1).alias("version"))
     )
     fresh = updates.select(
-        "c_custkey", "acctbal", F.lit(True).alias("is_current"),
+        "c_custkey", "acctbal_cents", F.lit(True).alias("is_current"),
         F.lit(2).alias("version")
     )
     return closed.unionByName(untouched).unionByName(fresh)
@@ -243,19 +247,21 @@ def scd2_upsert_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SCD2_UPSERT_EMULATION_SQL = """
     WITH cust AS (
-        SELECT c_custkey, CAST(c_acctbal AS DECIMAL(19,2)) AS acctbal FROM customer
+        SELECT c_custkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM customer
     ),
     updates AS (
-        SELECT c_custkey, CAST(acctbal + CAST(100 AS DECIMAL(18,2)) AS DECIMAL(19,2)) AS acctbal
+        SELECT c_custkey, acctbal_cents + 10000 AS acctbal_cents
         FROM cust WHERE c_custkey % 10 = 0
     )
-    SELECT c.c_custkey, c.acctbal, FALSE AS is_current, 1 AS version
+    SELECT c.c_custkey, c.acctbal_cents, FALSE AS is_current, 1 AS version
     FROM cust c SEMI JOIN updates u ON c.c_custkey = u.c_custkey
     UNION ALL
-    SELECT c.c_custkey, c.acctbal, TRUE AS is_current, 1 AS version
+    SELECT c.c_custkey, c.acctbal_cents, TRUE AS is_current, 1 AS version
     FROM cust c ANTI JOIN updates u ON c.c_custkey = u.c_custkey
     UNION ALL
-    SELECT c_custkey, acctbal, TRUE AS is_current, 2 AS version FROM updates
+    SELECT c_custkey, acctbal_cents, TRUE AS is_current, 2 AS version FROM updates
 """
 
 
@@ -341,8 +347,21 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     later join on the key plans with ZERO Exchange (pinned by
     tests/test_plans.py::test_bucketed_join_query_has_no_shuffle) and,
     with sortBy, a zero-sort merge join. The reference re-shuffles in
-    ClickHouse on every query; this is the lakehouse answer."""
+    ClickHouse on every query; this is the lakehouse answer.
+
+    Idempotency: the metastore is per-session (in-memory derby) but the
+    warehouse directory persists across sessions, so a fresh session's
+    ``saveAsTable`` would hit LOCATION_ALREADY_EXISTS on the leftover
+    files. Drop-and-purge both (never depend on workspace state)."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
     spark.sql("CREATE DATABASE IF NOT EXISTS buckdemo")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name in ("orders_cl", "lineitem_cl"):
+        spark.sql(f"DROP TABLE IF EXISTS buckdemo.{name}")
+        shutil.rmtree(os.path.join(wh, "buckdemo.db", name), ignore_errors=True)
     (
         load_table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_orderpriority")
@@ -367,18 +386,25 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     result identical to the plain join (the oracle runs that), the plan
     shuffle-free on the fact side."""
     li_t, o_t = bucketed_tables(spark, sf_dir)
-    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
-    )
+    # Integer-micro discipline (PARITY_r02.md): price/discount are exact
+    # 2-dp doubles in the fixture, so cents-as-BIGINT arithmetic is exact
+    # AND removes DECIMAL from the compared output (the one type class the
+    # driver's value canonicalization has disagreed on).
     return (
         spark.table(li_t)
+        .withColumn("cents", F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .withColumn("disc_bp", F.round(F.col("l_discount") * 10_000).cast("bigint"))
         .join(
             spark.table(o_t),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("o_orderpriority")
         .agg(
-            F.round(F.sum(revenue), 2).cast("decimal(38,2)").alias("revenue"),
+            # integer DIV, not /: the micro-sum exceeds 2^53 at scale, so
+            # a double intermediate would silently round
+            F.expr(
+                "CAST(SUM(cents * (10000 - disc_bp)) DIV 10000 AS BIGINT)"
+            ).alias("revenue_cents"),
             F.count("*").alias("n_items"),
         )
         .orderBy("o_orderpriority")
@@ -387,9 +413,9 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JOIN_BUCKETED_COLOCATED_SQL = """
     SELECT o_orderpriority,
-           round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))),
-                 2) AS revenue,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+                // 10000 AS BIGINT) AS revenue_cents,
            COUNT(*) AS n_items
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey

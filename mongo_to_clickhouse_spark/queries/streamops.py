@@ -169,7 +169,6 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .parquet(src)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n"))
@@ -200,7 +199,6 @@ def stream_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .parquet(src)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         .withWatermark("ts", "1 hour")
         .dropDuplicates(["user_id", "event_type"])
         .select("event_id", "user_id", "event_type")
@@ -227,7 +225,6 @@ def stream_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .parquet(src)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     )
     q = (
         running_user_totals(stream)

@@ -342,8 +342,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             spark.readStream.schema(EVENTS_SCHEMA)
             .parquet(src)
-            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-            .filter(F.col("event_type").isin(*types))
+                .filter(F.col("event_type").isin(*types))
             .selectExpr(
                 f"event_id AS {alias}_id",
                 "user_id",
@@ -401,7 +400,9 @@ def stream_session_timeout_eviction(spark: SparkSession, sf_dir: str) -> DataFra
     os.makedirs(src)
     pdf = (
         load_table(spark, sf_dir, "events")
-        .select("user_id", F.unix_micros(F.col("ts")).alias("ts_us"))
+        # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the cast is
+        # exact under the session's pinned UTC timezone (session.py).
+        .select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
         .toPandas()
         .sort_values("ts_us", kind="mergesort")
         .reset_index(drop=True)

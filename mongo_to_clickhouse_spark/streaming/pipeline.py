@@ -28,7 +28,6 @@ downstream semantics.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
@@ -41,10 +40,17 @@ from mongo_to_clickhouse_spark.plans.pipeline import (
 )
 from mongo_to_clickhouse_spark.sinks.writers import dual_write_batch
 
+# Schema of the STAGED streaming source (streaming/util.py
+# stage_events_source), which normalizes ts to timestamp[us] no-timezone
+# whatever the fixture's physical encoding is — so this declared schema is
+# stable across fixture regenerations by construction. ts is declared
+# TIMESTAMP (not NTZ) because watermarks require it
+# (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); under the session's pinned UTC
+# timezone the micros read identically to the NTZ batch path.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # epoch-nanos (parquet NANOS)
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -68,12 +74,11 @@ def streaming_statements(
     per-trigger intake (the connector equivalent is
     ``maxOffsetsPerTrigger``/``maxChangeStreamBatchSize``), and AQE +
     backpressure handle the adaptive part."""
-    raw = (
+    events = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_path)
     )
-    events = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     return anonymized_statements(statements_from_events(events, customer))
 
 

@@ -2,7 +2,10 @@
 contract (__spark_entry__ only — no internal imports): t1 smoke on
 sf0.001, t2 oracle comparison on sf0.01.
 
-Usage: python scripts/driver_sim.py [sf_dir]
+Usage: python scripts/driver_sim.py [sf_dir] [query_id ...]
+
+With query_id args, only those registry entries are checked (fast
+targeted re-verification); the t1 smoke still runs.
 """
 
 from __future__ import annotations
@@ -32,6 +35,13 @@ def main() -> int:
 
     qs = contract.queries()
     oracles = contract.oracle_sql()
+    if len(sys.argv) > 2:
+        only = set(sys.argv[2:])
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown query ids: {sorted(unknown)}")
+            return 1
+        qs = {k: v for k, v in qs.items() if k in only}
     con = duck_connection(sf_dir)
     results = {}
     for qid, fn in sorted(qs.items()):

@@ -91,11 +91,15 @@ def test_backfill_counts_unmatched_events_as_failed(spark, tmp_path):
     shutil.copy(os.path.join(SRC, "customer.parquet"),
                 os.path.join(src2, "customer.parquet"))
     ev = spark.read.parquet(os.path.join(SRC, "events.parquet"))
-    # pick planted rows from INSIDE the backfill window (ts is raw nanos)
-    nanos = lambda s: F.unix_micros(F.lit(s).cast("timestamp")) * 1000  # noqa: E731
+    # pick planted rows from INSIDE the backfill window, building the bounds
+    # in whatever physical type THIS fixture generation uses for ts
+    if dict(ev.dtypes)["ts"] == "bigint":  # epoch-nanos encoding
+        bound = lambda s: F.unix_micros(F.lit(s).cast("timestamp")) * 1000  # noqa: E731
+    else:  # timestamp / timestamp_ntz encoding
+        bound = lambda s: F.lit(s).cast(dict(ev.dtypes)["ts"])  # noqa: E731
     bogus = (
-        ev.filter(F.col("ts").between(nanos("2024-01-05 00:00:00"),
-                                      nanos("2024-01-20 00:00:00")))
+        ev.filter(F.col("ts").between(bound("2024-01-05 00:00:00"),
+                                      bound("2024-01-20 00:00:00")))
         .limit(3)
         .withColumn("user_id", F.lit(-999999).cast(ev.schema["user_id"].dataType))
         .withColumn("event_id", F.col("event_id") + 10_000_000)

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from mongo_to_clickhouse_spark.io import load_table
 from mongo_to_clickhouse_spark.streaming.pipeline import EVENTS_SCHEMA
 from mongo_to_clickhouse_spark.streaming.stateful import running_user_totals
+from mongo_to_clickhouse_spark.streaming.util import normalize_events_ts
 
 SRC = "/root/testdata/sf0.001"
 
@@ -20,7 +21,7 @@ SRC = "/root/testdata/sf0.001"
 def test_stateful_running_totals_across_batches(spark, tmp_path):
     src = os.path.join(str(tmp_path), "source")
     os.makedirs(src)
-    table = pq.read_table(os.path.join(SRC, "events.parquet"))
+    table = normalize_events_ts(pq.read_table(os.path.join(SRC, "events.parquet")))
     n = table.num_rows
     for i in range(3):
         pq.write_table(
@@ -32,7 +33,6 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     )
     q = (
         running_user_totals(stream)
@@ -118,8 +118,8 @@ def test_idle_timeout_eviction_closes_each_session_once(spark):
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n"),
-            F.min(F.unix_micros("ts")).alias("first_us"),
-            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("first_us"),
+            F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("last_us"),
         )
         .collect()
     }

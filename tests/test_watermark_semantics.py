@@ -20,13 +20,13 @@ def _events_file(path: str, rows: list[tuple[int, str]]) -> None:
 
     ids = [r[0] for r in rows]
     ts = [
-        int(dt.datetime.fromisoformat(r[1]).replace(tzinfo=dt.timezone.utc).timestamp() * 1e9)
+        int(dt.datetime.fromisoformat(r[1]).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
         for r in rows
     ]
     table = pa.table(
         {
             "event_id": pa.array(ids, pa.int64()),
-            "ts": pa.array(ts, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
             "user_id": pa.array([1] * len(rows), pa.int64()),
             "event_type": pa.array(["x"] * len(rows)),
             "value": pa.array([1.0] * len(rows)),
@@ -61,7 +61,6 @@ def test_late_rows_dropped_beyond_watermark(spark, tmp_path):
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("n"))
