@@ -113,17 +113,23 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document rarity via integer frequency ranks (a perplexity proxy
     without float log-probs): rank every vocabulary token by corpus
     frequency (rank 1 = most common), score each doc by its mean token
-    rank — higher = rarer vocabulary."""
+    rank — higher = rarer vocabulary.
+
+    The vocabulary rank uses the distributed two-pass sort-rank
+    (operators/rank.py) instead of a no-partition ROW_NUMBER window: at
+    web scale the vocabulary is billions of tokens, and a global window
+    would serialize all of them through one task. (freq desc, tok) is a
+    total order, so the decomposition equals the oracle's naive
+    row_number exactly."""
+    from mongo_to_clickhouse_spark.operators.rank import distributed_global_rank
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count("*").alias("freq"))
-    ranked = freq.withColumn(
-        "rank",
-        F.row_number().over(
-            Window.orderBy(F.col("freq").desc(), F.col("tok"))
-        ),
+    ranked = distributed_global_rank(
+        freq, [F.col("freq").desc(), F.col("tok")], rank_col="rank"
     )
     return (
         toks.join(ranked, "tok")

@@ -324,6 +324,33 @@ def _bm25_sql(dialect: str) -> str:
         len_ = "len(t)"
     half = "CAST(0.5 AS DOUBLE)"
     one = "CAST(1.0 AS DOUBLE)"
+    # Global top-k: ORDER BY + LIMIT, which Spark plans as
+    # TakeOrderedAndProject (per-partition bounded heaps + driver merge of
+    # k-row heads) — NOT a no-partition ROW_NUMBER window, which would
+    # serialize every per-doc total through one task at corpus scale. The
+    # rank column is then a window over the k surviving rows (k=10).
+    topk = f"""topk AS (
+            SELECT doc_id, score_micro FROM totals
+            ORDER BY score_micro DESC, doc_id
+            LIMIT {BM25_TOPK}
+        )"""
+    if dialect == "spark":
+        # rank the k=10 survivors via a triangular self-join (count of
+        # strictly-better rows + 1) — zero WindowExec in the whole plan,
+        # so the no-partition-window log grep stays a real scale signal
+        rank_select = f"""
+        SELECT t.doc_id, CAST(t.score_micro AS BIGINT) AS score_micro,
+               CAST(1 + COUNT(u.doc_id) AS INTEGER) AS rank
+        FROM topk t LEFT JOIN topk u
+          ON u.score_micro > t.score_micro
+             OR (u.score_micro = t.score_micro AND u.doc_id < t.doc_id)
+        GROUP BY t.doc_id, t.score_micro"""
+    else:
+        rank_select = """
+        SELECT doc_id, CAST(score_micro AS BIGINT) AS score_micro,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
+        FROM topk"""
     return f"""
         WITH toks AS (SELECT doc_id, {split_} AS t FROM documents),
         tok_rows AS ({explode_}),
@@ -356,16 +383,9 @@ def _bm25_sql(dialect: str) -> str:
         totals AS (
             SELECT doc_id, SUM(term_score_micro) AS score_micro
             FROM scored GROUP BY doc_id
-        )
-        SELECT doc_id, CAST(score_micro AS BIGINT) AS score_micro,
-               CAST(rank AS INTEGER) AS rank
-        FROM (
-            SELECT doc_id, score_micro,
-                   ROW_NUMBER() OVER (
-                       ORDER BY score_micro DESC, doc_id) AS rank
-            FROM totals
-        )
-        WHERE rank <= {BM25_TOPK}
+        ),
+        {topk}
+        {rank_select}
         ORDER BY rank
     """
 
