@@ -31,9 +31,40 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Analyzed-scan cache: `spark.read.parquet` costs ~80 ms per call (parquet
+# footer + schema resolution round-trips) and the ts-dtype probe another
+# ~30 ms, which multiplied by 2-4 tables per query was the dominant FIXED
+# cost of every short query (measured: 20 reads = 1.6 s while the whole
+# query runs 0.3 s). DataFrames are immutable logical plans, so the
+# resolved+normalized scan is safely reusable across queries. The cache
+# entry pins its SparkSession, so an id() key can never alias a new
+# session (the pinned object stays alive). Filters/projections applied by
+# callers layer on top and still push down to the scan.
+_SCAN_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame, DataFrame, bool]] = {}
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _scan(
+    spark: SparkSession, sf_dir: str, name: str
+) -> tuple[DataFrame, DataFrame, bool]:
+    """Returns (raw scan, normalized scan, events_ts_is_bigint)."""
+    key = (id(spark), sf_dir, name)
+    hit = _SCAN_CACHE.get(key)
+    if hit is None:
+        raw = spark.read.parquet(table_path(sf_dir, name))
+        norm, is_bigint = raw, False
+        if name == "events" and dict(raw.dtypes).get("ts") == "bigint":
+            # events.ts is parquet TIMESTAMP(NANOS), surfaced as epoch-
+            # nanos via spark.sql.legacy.parquet.nanosAsLong; truncate to
+            # µs exactly like DuckDB reading the same file.
+            is_bigint = True
+            norm = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        hit = (spark, raw, norm, is_bigint)
+        _SCAN_CACHE[key] = hit
+    return hit[1], hit[2], hit[3]
 
 
 def load_table(
@@ -53,25 +84,23 @@ def load_table(
     from mongo_to_clickhouse_spark.session import ensure_runtime_confs
 
     ensure_runtime_confs(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # events.ts is parquet TIMESTAMP(NANOS), surfaced as epoch-nanos via
-        # spark.sql.legacy.parquet.nanosAsLong; truncate to µs exactly like
-        # DuckDB does when reading the same file.
-        if ts_range is not None:
-            lo, hi = ts_range
-            # Inclusive µs-truncated bounds in nanos: ts DIV 1000 ∈
-            # [µs(lo), µs(hi)] ⟺ ts ∈ [µs(lo)*1000, µs(hi)*1000 + 999].
-            df = df.filter(
-                F.col("ts").between(
-                    F.unix_micros(F.lit(lo).cast("timestamp")) * 1000,
-                    F.unix_micros(F.lit(hi).cast("timestamp")) * 1000 + 999,
-                )
+    raw, norm, ts_is_bigint = _scan(spark, sf_dir, name)
+    if ts_range is None:
+        return norm
+    if ts_is_bigint:
+        lo, hi = ts_range
+        # Inclusive µs-truncated bounds in nanos: ts DIV 1000 ∈
+        # [µs(lo), µs(hi)] ⟺ ts ∈ [µs(lo)*1000, µs(hi)*1000 + 999] —
+        # evaluated on the RAW column so it reaches the scan as a pushed
+        # filter (row-group pruning); filtering post-conversion would wrap
+        # ts in an expression Catalyst cannot push down.
+        return raw.filter(
+            F.col("ts").between(
+                F.unix_micros(F.lit(lo).cast("timestamp")) * 1000,
+                F.unix_micros(F.lit(hi).cast("timestamp")) * 1000 + 999,
             )
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    elif ts_range is not None:
-        df = df.filter(F.col("ts").between(*ts_range))
-    return df
+        ).withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return norm.filter(F.col("ts").between(*ts_range))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
