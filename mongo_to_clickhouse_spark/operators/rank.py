@@ -25,6 +25,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _partition_offsets(per_pid: DataFrame, value_col: str) -> DataFrame:
+    """offset(p) = Σ value over partitions before p, as a triangular
+    self-join over the partition-count-sized relation (n rows == shuffle
+    partition count, not data size; n² pairs at n≈32 is free). A window
+    would also be cheap here, but the join keeps the whole plan free of
+    no-partition WindowExec nodes — so a log/plan grep for that
+    scale-killer stays a real signal."""
+    prior = per_pid.select(
+        F.col("__pid").alias("__qid"), F.col(value_col).alias("__prior")
+    )
+    return (
+        per_pid.join(prior, F.col("__qid") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__prior"), F.lit(0)).alias("__off"))
+    )
+
+
 def distributed_global_rank(
     df: DataFrame,
     order_by: list[Column],
@@ -48,23 +65,51 @@ def distributed_global_rank(
         "__lrank",
         F.row_number().over(Window.partitionBy("__pid").orderBy(*order_by)),
     )
-    # Running offsets over the partition-count-sized relation (n rows ==
-    # shuffle partition count, not data size). Computed as a triangular
-    # self-join (offset(p) = Σ counts of partitions before p) instead of a
-    # global running-sum window: n² pairs at n≈32 is free, and it keeps
-    # the whole plan free of no-partition WindowExec nodes — so a log
-    # grep for that scale-killer stays meaningful.
     counts = local.groupBy("__pid").agg(F.count("*").alias("__cnt"))
-    prior = counts.select(
-        F.col("__pid").alias("__qid"), F.col("__cnt").alias("__prior_cnt")
-    )
-    offsets = (
-        counts.join(prior, F.col("__qid") < F.col("__pid"), "left")
-        .groupBy("__pid")
-        .agg(F.coalesce(F.sum("__prior_cnt"), F.lit(0)).alias("__off"))
-    )
+    offsets = _partition_offsets(counts, "__cnt")
     return (
         local.join(F.broadcast(offsets.select("__pid", "__off")), "__pid")
         .withColumn(rank_col, (F.col("__off") + F.col("__lrank")).cast("bigint"))
         .drop("__pid", "__lrank", "__off")
+    )
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    out_col: str,
+    exclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = running sum of ``value_col`` under ``order_by``
+    (exclusive by default: the sum of all STRICTLY PRIOR rows — the form
+    offset computations need). Same two-pass shape as
+    ``distributed_global_rank``: range-partition, per-partition local
+    running sum (partitioned window), partition subtotals -> triangular
+    offsets, broadcast back. Equals the naive global running-sum window
+    exactly whenever ``order_by`` is a total order."""
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parted = df.repartitionByRange(n, *order_by).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    hi = -1 if exclusive else Window.currentRow
+    local = parted.withColumn(
+        "__lsum",
+        F.coalesce(
+            F.sum(value_col).over(
+                Window.partitionBy("__pid")
+                .orderBy(*order_by)
+                .rowsBetween(Window.unboundedPreceding, hi)
+            ),
+            F.lit(0),
+        ),
+    )
+    totals = parted.groupBy("__pid").agg(F.sum(value_col).alias("__ptot"))
+    offsets = _partition_offsets(totals, "__ptot")
+    return (
+        local.join(F.broadcast(offsets.select("__pid", "__off")), "__pid")
+        .withColumn(out_col, (F.col("__off") + F.col("__lsum")).cast("bigint"))
+        .drop("__pid", "__lsum", "__off")
     )

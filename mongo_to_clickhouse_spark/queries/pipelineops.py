@@ -260,33 +260,32 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc count, started-token count, and the doc_id span.
 
     The global token prefix-sum is computed as a DISTRIBUTED TWO-PASS
-    scan — per-bucket subtotals (one tiny groupBy), running bucket
-    offsets over that bucket-count-sized relation, then a broadcast
-    join back and a per-bucket local running sum — never a
-    single-partition global window (which would serialize a 100 TB scan
-    through one task). The ORACLE computes the same prefix sum with the
-    naive global window, so the check proves the two-pass decomposition
-    is exact."""
+    scan — per-bucket subtotals (one groupBy), bucket offsets via
+    ``operators/rank.distributed_prefix_sum`` (range-partitioned local
+    running sums + partition-count-sized triangular offsets — the bucket
+    relation is data/100, so it must NOT flow through a global window
+    either), then a broadcast join back and a per-bucket local running
+    sum. No single-partition window anywhere at any level (which would
+    serialize a 100 TB scan through one task). The ORACLE computes the
+    same prefix sum with the naive global window, so the check proves
+    the decomposition is exact."""
     from pyspark.sql import functions as F
 
+    from mongo_to_clickhouse_spark.operators.rank import distributed_prefix_sum
+
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    docs = spark.sql(f"""
+        SELECT doc_id, size(split(text, ' ')) AS n_tok,
+               doc_id div {PACK_BUCKET} AS bkt
+        FROM documents
+    """)
+    docs.createOrReplaceTempView("pack_docs")
+    bkt_totals = docs.groupBy("bkt").agg(F.sum("n_tok").alias("bkt_tok"))
+    distributed_prefix_sum(
+        bkt_totals, [F.col("bkt")], "bkt_tok", "bkt_off", exclusive=True
+    ).createOrReplaceTempView("bkt_offsets")
     return spark.sql(f"""
-        WITH docs AS (
-            SELECT doc_id, size(split(text, ' ')) AS n_tok,
-                   doc_id div {PACK_BUCKET} AS bkt
-            FROM documents
-        ),
-        bkt_totals AS (
-            SELECT bkt, SUM(n_tok) AS bkt_tok FROM docs GROUP BY bkt
-        ),
-        bkt_offsets AS (
-            SELECT bkt,
-                   COALESCE(SUM(bkt_tok) OVER (
-                       ORDER BY bkt
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                       CAST(0 AS BIGINT)) AS bkt_off
-            FROM bkt_totals
-        ),
+        WITH docs AS (SELECT * FROM pack_docs),
         pos AS (
             SELECT /*+ BROADCAST(o) */
                    d.doc_id, d.n_tok,

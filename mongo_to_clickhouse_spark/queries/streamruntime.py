@@ -342,7 +342,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             spark.readStream.schema(EVENTS_SCHEMA)
             .parquet(src)
-                .filter(F.col("event_type").isin(*types))
+            .filter(F.col("event_type").isin(*types))
             .selectExpr(
                 f"event_id AS {alias}_id",
                 "user_id",
