@@ -43,9 +43,13 @@ def _tenant(tmp, name="t1", source=None) -> TenantConfig:
 
 def _stage_events(dest_dir: str, parts: int = 1) -> list[str]:
     """Copy the fixture events parquet into a staging dir, optionally split
-    into row-slices (one file per part) for incremental-arrival tests."""
+    into row-slices (one file per part) for incremental-arrival tests.
+    Normalized through the same seam as the production staging helper so a
+    fixture-encoding change cannot silently skew these tests."""
+    from mongo_to_clickhouse_spark.streaming.util import normalize_events_ts
+
     os.makedirs(dest_dir, exist_ok=True)
-    table = pq.read_table(os.path.join(SRC, "events.parquet"))
+    table = normalize_events_ts(pq.read_table(os.path.join(SRC, "events.parquet")))
     n = table.num_rows
     paths = []
     for i in range(parts):
@@ -86,6 +90,35 @@ def test_stream_drain_and_route(spark, tmp_path):
     # hash, never the raw actor name
     row = main.select("statement", "hashed_value").first()
     assert row["hashed_value"] in row["statement"]
+
+
+def test_stream_output_equals_batch_values(spark, tmp_path):
+    """VALUE-level stream ≡ batch equivalence for the flagship: the rows
+    the streaming pipeline lands must equal the batch transform's rows
+    exactly — not just in count. Rows-only driver checks can't see silent
+    value corruption (round 2: every streamed timestamp was 1970-dated
+    while counts stayed perfect), so this pins it, plus an explicit
+    magnitude canary on the formatted timestamps."""
+    from mongo_to_clickhouse_spark.plans.pipeline import cdc_transform
+
+    t = _tenant(tmp_path, name="eq")
+    _stage_events(t.source_path)
+    customer = load_table(spark, SRC, "customer")
+    q = run_tenant_stream(spark, t, customer, available_now=True)
+    q.awaitTermination(120)
+
+    cols = ["id", "statement", "timestamp", "hashed_value"]
+    streamed = {
+        tuple(r) for r in
+        spark.read.parquet(t.sink_main_path).select(*cols).collect()
+    }
+    batch = {
+        tuple(r) for r in
+        cdc_transform(load_table(spark, SRC, "events"), customer)
+        .select(*cols).collect()
+    }
+    assert streamed == batch
+    assert all(r[2].startswith("2024") for r in streamed)
 
 
 def test_dlq_capture_and_replay(spark, tmp_path):
