@@ -219,3 +219,18 @@ def test_substring_spans_no_quadratic_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, (
         "window-hash membership must be an equi-(semi-)join, never theta"
     )
+
+
+def test_dynamic_partition_pruning_reaches_fact_scan(spark, sf_dir):
+    """The date-partitioned fact scan must carry a runtime
+    dynamicpruningexpression partition filter from the dim's build side —
+    the scan-reduction lever for star joins over partitioned layouts."""
+    from mongo_to_clickhouse_spark.queries.joinops import (
+        join_dynamic_partition_pruning,
+    )
+
+    plan = _executed(join_dynamic_partition_pruning(spark, sf_dir))
+    assert "dynamicpruning" in plan, (
+        "fact scan must be pruned by the dim's runtime keys, not read "
+        "every date partition"
+    )
