@@ -493,8 +493,87 @@ JOIN_DYNAMIC_PARTITION_PRUNING_SQL = """
 """
 
 
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter pruning on a shuffle join — the shuffle-side
+    sibling of dynamic partition pruning: the selective dim side
+    ('1-URGENT' orders, ~1/5 of keys) builds a bloom filter that Catalyst
+    injects as ``BloomFilterMightContain`` on the FACT side *before* its
+    shuffle, so ~80% of lineitem rows never enter the exchange. At 100 TB
+    the shuffle write is the cost center of any non-broadcast join;
+    runtime semi-join reduction is how Spark cuts it without a layout
+    change (DPP needs partitioning; this works on any scan).
+
+    Local-scale note: the optimization is ON by default but gated behind
+    a 10 GB application-side scan threshold and preempted by broadcast
+    (both right at cluster scale); the fixture-scale demo scopes
+    conf overrides around the materialization — plans are optimized at
+    ACTION time, so the result is written inside the conf window and the
+    relation read back (the sink-query pattern). Restored in finally.
+    Plan pinned by tests/test_plans.py."""
+    import os as _os
+    import tempfile
+    import uuid
+
+    out = _os.path.join(
+        tempfile.mkdtemp(prefix=f"bloom-{uuid.uuid4().hex[:8]}-"), "agg"
+    )
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        _bloom_joined(spark, sf_dir).write.mode("overwrite").parquet(out)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return spark.read.parquet(out).orderBy("l_returnflag")
+
+
+def _bloom_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The logical join the bloom filter is injected into (factored out so
+    the plan test can inspect it inside its own conf window)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    return (
+        li.join(urgent, li.l_orderkey == urgent.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+
+JOIN_RUNTIME_BLOOM_FILTER_SQL = """
+    SELECT l_returnflag, COUNT(*) AS n_items,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "join_asof": (join_asof, JOIN_ASOF_SQL),
+    "join_runtime_bloom_filter": (
+        join_runtime_bloom_filter,
+        JOIN_RUNTIME_BLOOM_FILTER_SQL,
+    ),
     "join_dynamic_partition_pruning": (
         join_dynamic_partition_pruning,
         JOIN_DYNAMIC_PARTITION_PRUNING_SQL,

@@ -234,3 +234,28 @@ def test_dynamic_partition_pruning_reaches_fact_scan(spark, sf_dir):
         "fact scan must be pruned by the dim's runtime keys, not read "
         "every date partition"
     )
+
+
+def test_runtime_bloom_filter_injected_on_fact_side(spark, sf_dir):
+    """With broadcast off and the scan-size gate lowered (cluster-scale
+    conditions), the selective dim side must inject a bloom filter into
+    the fact side ahead of its shuffle."""
+    from mongo_to_clickhouse_spark.queries.joinops import _bloom_joined
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        plan = _executed(_bloom_joined(spark, sf_dir))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "bloomfilter" in plan.lower(), (
+        "fact side must be semi-join-reduced by the dim's bloom filter "
+        "before the shuffle"
+    )
