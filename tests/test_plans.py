@@ -259,3 +259,52 @@ def test_runtime_bloom_filter_injected_on_fact_side(spark, sf_dir):
         "fact side must be semi-join-reduced by the dim's bloom filter "
         "before the shuffle"
     )
+
+
+def test_aqe_skew_join_engages_and_its_limits(spark):
+    """Pin that this session's AQE config actually SPLITS a skewed
+    partition (SortMergeJoin(skew=true)) — and document the two
+    conditions that silently disable it, which justify the manual
+    salted_join operator (operators/skew.py):
+
+    1. splits happen at MAPPER granularity — a fact side read as one
+       input split (single small file) cannot be split at all;
+    2. OptimizeSkewedJoin pattern-matches sort-over-shuffle directly —
+       any operator between them on EITHER side (e.g. a dim deduped by
+       an aggregate) disables the rewrite.
+    """
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "50KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        skewed = spark.range(0, 2_000_000).select(
+            F.when(F.col("id") < 1_950_000, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v1"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").alias("v2")
+        )
+        j = skewed.join(dim, "k", "inner").select("v1", "v2")
+        # hot key 0 matches dim once; tail keys (1.95M..2M) are all > 999
+        assert len(j.collect()) == 1_950_000
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan, "AQE must split the hot partition"
+    assert "skewed" in plan  # AQEShuffleRead marks the split read
