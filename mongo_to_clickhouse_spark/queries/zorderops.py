@@ -98,6 +98,77 @@ SINK_ZORDER_CLUSTER_SQL = f"""
 """
 
 
+COMPACT_SMALL_FILES = 64       # synthesized small-files problem
+COMPACT_ADVISORY = "4MB"       # AQE rebalance target per output file
+
+
+def compact_binpack(spark: SparkSession, src_dir: str, out_dir: str) -> None:
+    """Bin-pack compaction of a small-files layout: one AQE REBALANCE
+    exchange sized to ``COMPACT_ADVISORY`` per post-shuffle partition →
+    one right-sized parquet file each.
+
+    Spark-first shape: REBALANCE is the purpose-built operator — AQE
+    both COALESCES undersized partitions and SPLITS oversized
+    (skew-safe, unlike coalesce(n) which can only merge and keeps any
+    giant partition giant). The advisory size is the one knob; no
+    hand-computed file counts, so the same code is correct at 64 files
+    or 64 million. This is the maintenance job every append-heavy
+    ingest (the reference's insert pattern) needs to keep scans from
+    dying of per-file open/footer overhead."""
+    conf_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    saved = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, COMPACT_ADVISORY)
+    try:
+        df = spark.read.parquet(src_dir)
+        df.createOrReplaceTempView("compact_src")
+        # plans are optimized at action time — write inside the conf window
+        spark.sql("SELECT /*+ REBALANCE */ * FROM compact_src").write.mode(
+            "overwrite"
+        ).parquet(out_dir)
+    finally:
+        if saved is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, saved)
+
+
+def sink_compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the small-files problem (events scattered across
+    ``COMPACT_SMALL_FILES`` parquet files — the natural output of many
+    micro-batch appends), compact with ``compact_binpack``, and return
+    per-type accounting read FROM THE COMPACTED LAYOUT — the
+    oracle-checkable contract that compaction is content-preserving.
+    The file-count collapse itself is pinned by
+    tests/test_zorder.py::test_compaction_binpacks_small_files."""
+    work = tempfile.mkdtemp(prefix=f"compact-{uuid.uuid4().hex[:8]}-")
+    small = os.path.join(work, "small")
+    packed = os.path.join(work, "packed")
+    load_table(spark, sf_dir, "events").repartition(
+        COMPACT_SMALL_FILES
+    ).write.parquet(small)
+    compact_binpack(spark, small, packed)
+    return (
+        spark.read.parquet(packed)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SINK_COMPACTION_BINPACK_SQL = """
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "sink_zorder_cluster": (sink_zorder_cluster, SINK_ZORDER_CLUSTER_SQL),
+    "sink_compaction_binpack": (
+        sink_compaction_binpack,
+        SINK_COMPACTION_BINPACK_SQL,
+    ),
 }

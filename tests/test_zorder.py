@@ -65,3 +65,31 @@ def test_zorder_files_bound_both_dimensions(spark, tmp_path):
     hit_v = sum(1 for r in per_file if r.vlo <= mid_v <= r.vhi)
     assert hit_u <= ZORDER_FILES // 2
     assert hit_v <= ZORDER_FILES // 2
+
+
+def test_compaction_binpacks_small_files(spark, tmp_path):
+    """Compaction must collapse the synthesized 64-file layout to a
+    handful of right-sized files WITHOUT losing or duplicating rows."""
+    import os
+
+    from mongo_to_clickhouse_spark.io import load_table
+    from mongo_to_clickhouse_spark.queries.zorderops import (
+        COMPACT_SMALL_FILES,
+        compact_binpack,
+    )
+
+    small = os.path.join(str(tmp_path), "small")
+    packed = os.path.join(str(tmp_path), "packed")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.repartition(COMPACT_SMALL_FILES).write.parquet(small)
+
+    def _nfiles(d):
+        return sum(
+            1 for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    assert _nfiles(small) == COMPACT_SMALL_FILES
+    compact_binpack(spark, small, packed)
+    # sf0.001 events ≈ a few hundred KB total << 4MB advisory → 1 file
+    assert _nfiles(packed) <= 4, "compaction must bin-pack, not preserve, file count"
+    assert spark.read.parquet(packed).count() == ev.count()
