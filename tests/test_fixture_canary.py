@@ -116,3 +116,13 @@ def test_events_ts_values_are_2024_dated(spark):
     ).first()
     assert row["lo"].startswith("2024"), row
     assert row["hi"].startswith("2024"), row
+
+
+def test_scan_cache_keys_by_sf_dir(spark):
+    """The resolved-scan cache must key by (session, sf_dir, table) — a
+    hit for one scale factor must never serve another."""
+    a = load_table(spark, "/root/testdata/sf0.001", "events").count()
+    b = load_table(spark, "/root/testdata/sf0.01", "events").count()
+    a2 = load_table(spark, "/root/testdata/sf0.001", "events").count()
+    assert a == a2 == 1000
+    assert b == 10_000
