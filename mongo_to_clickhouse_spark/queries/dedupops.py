@@ -66,27 +66,38 @@ def _planted_corpus(dialect: str) -> str:
 
 
 def _shingles(dialect: str) -> str:
-    """corpus → (doc_id, trigram-shingle array, distinct)."""
+    """corpus → (doc_id, trigram-shingle array, distinct).
+
+    Shingles are stored as the repo-standard 60-bit md5 truncation
+    (``_md5_int``), not trigram strings: every downstream consumer
+    (minhash universal hashes, band signatures, Jaccard intersection,
+    the ngram equi-join) treats them as opaque comparable keys, and
+    8-byte integers make the materialized barrier ~3× smaller and every
+    shuffle/compare integer-cheap. Both engines apply the identical
+    truncation, so results match even in the (negligible, 60-bit)
+    collision case."""
     if dialect == "spark":
-        return """
+        tri = (
+            "concat(element_at(toks, i), ' ', element_at(toks, i + 1), "
+            "' ', element_at(toks, i + 2))"
+        )
+        return f"""
             SELECT doc_id,
                    array_distinct(
                      CASE WHEN size(toks) >= 3 THEN
                        transform(sequence(1, size(toks) - 2),
-                                 i -> concat(element_at(toks, i), ' ',
-                                             element_at(toks, i + 1), ' ',
-                                             element_at(toks, i + 2)))
+                                 i -> {_md5_int('spark', tri)})
                      ELSE array() END) AS shingles
             FROM (SELECT doc_id, split(text, ' ') AS toks FROM corpus)
         """
-    return """
+    tri = "toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]"
+    return f"""
         SELECT doc_id,
                list_distinct(
                  CASE WHEN len(toks) >= 3 THEN
                    list_transform(generate_series(1, len(toks) - 2),
-                                  i -> toks[i] || ' ' || toks[i + 1] || ' '
-                                       || toks[i + 2])
-                 ELSE [] END) AS shingles
+                                  i -> {_md5_int('duck', tri)})
+                 ELSE CAST([] AS BIGINT[]) END) AS shingles
         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
     """
 
@@ -109,8 +120,8 @@ def _explode_shingles(dialect: str) -> str:
 
 def _minhash_sig_sql(dialect: str) -> str:
     """(doc_id, mh0..mh15) minhash signature via k universal hashes over
-    md5-int shingle hashes."""
-    x = _md5_int(dialect, "shingle")
+    the (already md5-int) shingle hashes."""
+    x = "shingle"
     mins = ",\n               ".join(
         f"MIN(({A[i]} * (x % {P}) + {B[i]}) % {P}) AS mh{i}"
         for i in range(N_HASHES)
@@ -541,11 +552,18 @@ def _substring_spans_body(dialect: str, wins_src: str) -> str:
 
 
 def _window_arr_view(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize (doc_id, whs: array<md5-of-8-token-window>) once.
+    """Materialize (doc_id, whs: array<60-bit-window-hash>) once.
 
     Same discipline as ``_shingled_view``: without the barrier, Catalyst
     fuses the window-array construction into the downstream Generate and
-    re-evaluates the whole transform per emitted row."""
+    re-evaluates the whole transform per exploded row.
+
+    The window hash is the repo's standard md5→BIGINT truncation
+    (sampleops ``_hash60``): 8-byte integer keys instead of 32-char hex
+    strings make the barrier arrays 4× smaller and the dup-group shuffle
+    hash/compare integer-cheap. 60 bits is collision-safe here the same
+    way it is for sampling — and DETERMINISTIC: both engines truncate the
+    same md5, so even a collision yields identical results."""
     _register_docs(spark, sf_dir)
     w = WINDOW_TOKENS
     df = spark.sql(f"""
@@ -554,7 +572,9 @@ def _window_arr_view(spark: SparkSession, sf_dir: str) -> str:
         SELECT doc_id,
                CASE WHEN size(t) >= {w} THEN
                  transform(sequence(1, size(t) - {w - 1}),
-                           i -> md5(concat_ws(' ', slice(t, i, {w}))))
+                           i -> CAST(CONV(substring(
+                                    md5(concat_ws(' ', slice(t, i, {w}))),
+                                    1, 15), 16, 10) AS BIGINT))
                ELSE array() END AS whs
         FROM toks
     """)
@@ -588,7 +608,9 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_SUBSTRING_SPANS_SQL = _substring_spans_body(
     "duck",
     f"""
-    SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+{WINDOW_TOKENS - 1}], ' ')) AS wh
+    SELECT doc_id, i AS pos,
+           CAST(('0x' || substr(md5(array_to_string(t[i:i+{WINDOW_TOKENS - 1}], ' ')), 1, 15))
+                AS BIGINT) AS wh
     FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {WINDOW_TOKENS - 1})) AS i
           FROM (SELECT doc_id, string_split(text, ' ') AS t
                 FROM ({_planted_corpus('duck')}))
