@@ -58,6 +58,41 @@ EVENTS_SCHEMA = T.StructType(
     ]
 )
 
+# raw-nanos variant for sources whose physical ts is int64 epoch-nanos or
+# parquet TIMESTAMP(NANOS) (surfaced as long via nanosAsLong)
+_EVENTS_SCHEMA_NANOS = T.StructType(
+    [f if f.name != "ts" else T.StructField("ts", T.LongType()) for f in EVENTS_SCHEMA]
+)
+
+
+def _probe_ts_is_nanos(source_path: str) -> bool:
+    """Probe one source file's PHYSICAL ts type — the streaming twin of
+    the reference's runtime field-type probing (src/main.rs:362-397).
+    Staged sources (stage_events_source) are always timestamp[us]; this
+    makes the live tail on a RAW directory (cli.py ``live``) survive a
+    fixture-encoding change too. int64 and timestamp[ns] (read as long
+    under nanosAsLong) are the nanos cases; us/ms timestamps read
+    directly as TIMESTAMP."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pats = [os.path.join(source_path, "*.parquet"), source_path]
+    for pat in pats:
+        for f in sorted(glob.glob(pat)):
+            if not f.endswith(".parquet"):
+                continue
+            try:
+                t = pq.read_schema(f).field("ts").type
+            except Exception:  # noqa: BLE001 — no ts field / unreadable
+                return False
+            return pa.types.is_integer(t) or (
+                pa.types.is_timestamp(t) and t.unit == "ns"
+            )
+    return False  # empty source dir: files will be staged normalized
+
 
 def streaming_statements(
     spark: SparkSession,
@@ -74,11 +109,21 @@ def streaming_statements(
     per-trigger intake (the connector equivalent is
     ``maxOffsetsPerTrigger``/``maxChangeStreamBatchSize``), and AQE +
     backpressure handle the adaptive part."""
-    events = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_path)
-    )
+    if _probe_ts_is_nanos(source_path):
+        from pyspark.sql import functions as F
+
+        events = (
+            spark.readStream.schema(_EVENTS_SCHEMA_NANOS)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(source_path)
+            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        )
+    else:
+        events = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(source_path)
+        )
     return anonymized_statements(statements_from_events(events, customer))
 
 
