@@ -343,3 +343,38 @@ def test_rate_limited_trigger_batch_cap(spark, tmp_path):
         assert n_batches == want_batches
         seen[rate] = sink.count()
     assert seen[1] == seen[2] == main_n
+
+
+def test_dlq_mass_replay_job_count_is_independent_of_batch_count(spark, tmp_path):
+    """A mass-outage replay of N queued batches must issue O(1) Spark
+    jobs (one unioned routed write per sink + bounded control plane),
+    never O(N) — the difference between a minutes-long and an hours-long
+    recovery when thousands of micro-batches queued up. Pinned by
+    measuring the job count at two different N: it must be EQUAL."""
+    from mongo_to_clickhouse_spark.sinks.dlq import append_failed_batch
+
+    customer = load_table(spark, SRC, "customer")
+    anon = anonymized_statements(
+        statements_from_events(load_table(spark, SRC, "events"), customer)
+    )
+    active = optout_active(optout_dim(customer))
+    tracker = spark.sparkContext.statusTracker()
+
+    def replay_jobs(n_batches: int) -> int:
+        t = _tenant(tmp_path, name=f"mass{n_batches}")
+        for b in range(n_batches):
+            append_failed_batch(
+                anon.filter(F.crc32(F.col("id")) % n_batches == b), b, t
+            )
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        assert retry_failed_batches(spark, t, active) == n_batches
+        jobs = len(tracker.getJobIdsForGroup(None) or []) - before
+        main = spark.read.parquet(t.sink_main_path)
+        assert main.select("batch_id").distinct().count() == n_batches
+        return jobs
+
+    j_small, j_large = replay_jobs(4), replay_jobs(16)
+    assert j_small == j_large, (
+        f"replay job count grew with batch count ({j_small} -> {j_large}):"
+        " the unioned-write path regressed to per-batch jobs"
+    )
