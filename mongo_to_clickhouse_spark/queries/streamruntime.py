@@ -375,6 +375,117 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: purchases with their same-user
+    'click' events of the preceding hour, where purchases with NO click
+    still emit (null click_id) — but only once the watermark proves no
+    matching click can arrive. This null-emission-on-watermark-close is
+    the semantics that separates outer from inner stream joins (state for
+    an unmatched left row is held until the right side's watermark passes
+    its join window, then flushed as a null match).
+
+    Determinism at drain time: a far-future sentinel row (filtered out of
+    both sides AFTER the watermark operator, so it advances the event
+    clock without joining) pushes the final watermark past every real
+    purchase's window; availableNow's trailing no-data micro-batch then
+    flushes all remaining unmatched state. Batch-equivalence (== the
+    batch LEFT JOIN) is pinned by tests/test_stream_stream_join.py."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+
+    from mongo_to_clickhouse_spark.streaming.pipeline import EVENTS_SCHEMA
+
+    src, work = stage_events_source(sf_dir, prefix="ssoj")
+    # A far-future sentinel pushes the final watermark past every real
+    # purchase's join window; availableNow's trailing no-data micro-batch
+    # then flushes all remaining unmatched state as null matches.
+    # Hard-won staging constraints (each found by a failure):
+    #
+    # - TWO physically distinct source dirs, one per side (hardlinked
+    #   data file + per-side sentinel): two readStreams of the SAME path
+    #   deduplicate into one shared file source, and under availableNow
+    #   that shared source serves only its first file — the sentinels
+    #   are never ingested. Distinct dirs = distinct sources, which is
+    #   also the faithful two-topic shape;
+    # - each side needs its OWN sentinel bearing that side's event type:
+    #   Catalyst pushes the type filter below the EventTimeWatermark
+    #   node, so a row filtered from a side never advances that side's
+    #   clock — and the global watermark is the MIN of the two sides
+    #   (with only real data, the click side's earlier max stalls it);
+    # - user_id = -1 keeps sentinels inert against REAL rows (the two
+    #   sentinels match each other, harmlessly) and identifiable; they
+    #   are dropped from the STATIC read of the sink, NOT by a filter in
+    #   the streaming query — a deterministic one-side predicate would
+    #   be pushed below the EventTimeWatermark and prune the sentinel
+    #   row-groups at the parquet scan (min=max=-1 footer stats), which
+    #   is exactly how an earlier version lost its clock advance;
+    # - sentinel mtimes sit just after the data file's (the file source
+    #   ignores files older than maxFileAge=7d relative to the newest).
+    table = pq.read_table(os.path.join(src, "p0.parquet"))
+    idx_ts = table.schema.get_field_index("ts")
+    idx_et = table.schema.get_field_index("event_type")
+    idx_uid = table.schema.get_field_index("user_id")
+    ts_col = table.column(idx_ts)
+    max_us = pa.compute.max(ts_col.cast(pa.timestamp("us")).cast(pa.int64())).as_py()
+
+    def _side_dir(side_type: str) -> str:
+        d = os.path.join(work, f"side_{side_type}")
+        os.makedirs(d)
+        os.link(os.path.join(src, "p0.parquet"), os.path.join(d, "p0.parquet"))
+        sent = table.slice(0, 1)
+        t = max_us + 4 * 3_600_000_000
+        sent = sent.set_column(
+            idx_ts, "ts", pa.array([t], pa.int64()).cast(pa.timestamp("us"))
+        )
+        sent = sent.set_column(idx_et, "event_type", pa.array([side_type]))
+        sent = sent.set_column(idx_uid, "user_id", pa.array([-1], pa.int64()))
+        path = os.path.join(d, "p1_sentinel.parquet")
+        pq.write_table(sent, path)
+        stamp = os.path.getmtime(os.path.join(d, "p0.parquet")) + 1
+        os.utime(path, (stamp, stamp))
+        return d
+
+    def _side(types, alias):
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(_side_dir(types[0]))
+            .selectExpr(
+                f"event_id AS {alias}_id",
+                "user_id",
+                f"ts AS {alias}_ts",
+                "event_type",
+            )
+            # watermark BEFORE the type filter: the sentinel advances the
+            # event clock on this side, then drops out of the join input
+            .withWatermark(f"{alias}_ts", "30 minutes")
+            .filter(F.col("event_type").isin(*types))
+            .drop("event_type")
+        )
+
+    purchases = _side(["purchase"], "purchase")
+    clicks = _side(["click"], "click")
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "left_outer",
+    ).select("purchase_id", "click_id", purchases.user_id.alias("user_id"))
+
+    name = f"ssoj_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drained(q)
+    # sentinel emissions dropped HERE, on the static sink read (see above)
+    return spark.table(name).filter(F.col("user_id") != -1)
+
+
 def stream_session_timeout_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessions emitted ONLY on idle-timeout eviction
     (applyInPandasWithState + EventTimeTimeout) — the reference's
@@ -525,6 +636,7 @@ STREAM_TRANSFORM_WITH_STATE_SQL = """
 QUERIES: dict[str, tuple] = {
     "source_changestream": (source_changestream, None),
     "stream_stream_join": (stream_stream_join, None),
+    "stream_stream_outer_join": (stream_stream_outer_join, None),
     "checkpoint_resume_token": (checkpoint_resume_token, None),
     "sink_dlq_log": (sink_dlq_log, None),
     "metric_throughput": (metric_throughput, None),

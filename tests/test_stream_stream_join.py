@@ -28,3 +28,38 @@ def test_stream_stream_join_matches_batch(spark, smoke_sf_dir):
         )
     ).count()
     assert got == expected > 0
+
+
+def test_stream_stream_outer_join_matches_batch(spark, smoke_sf_dir):
+    """Streaming LEFT OUTER (watermark-closed null emission) must equal
+    the batch left join: same matched pairs, same null-click purchases."""
+    from pyspark.sql import functions as F
+
+    from mongo_to_clickhouse_spark.io import load_table
+    from mongo_to_clickhouse_spark.queries.streamruntime import (
+        stream_stream_outer_join,
+    )
+
+    got = {
+        (r["purchase_id"], r["click_id"], r["user_id"])
+        for r in stream_stream_outer_join(spark, smoke_sf_dir).collect()
+    }
+
+    ev = load_table(spark, smoke_sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").selectExpr(
+        "event_id AS purchase_id", "user_id", "ts AS purchase_ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").selectExpr(
+        "event_id AS click_id", "user_id AS cuid", "ts AS click_ts"
+    )
+    batch = p.join(
+        c,
+        (p.user_id == F.col("cuid"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "left_outer",
+    ).select("purchase_id", "click_id", "user_id")
+    exp = {(r["purchase_id"], r["click_id"], r["user_id"]) for r in batch.collect()}
+    assert got == exp and len(exp) > 0
+    # the outer semantics actually exercised: some purchases have no click
+    assert any(click is None for _, click, _ in exp)
