@@ -727,8 +727,77 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIM_ANN_PQ_SQL = _pq_sql("duck")
 
 
+CONTAM_MODULUS = 97        # every 97th vector plays the held-out benchmark
+CONTAM_THRESHOLD = 0.4     # fixture vectors are random; production ~0.9
+
+
+def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination, the embedding sibling of
+    ``decontaminate_ngram_overlap``: flag training vectors whose cosine
+    to ANY held-out benchmark vector reaches ``CONTAM_THRESHOLD`` —
+    catching paraphrased/reworded eval leakage that exact n-gram overlap
+    misses. Returns (train_id, n_contaminated_matches, max_sim).
+
+    Scale posture: the benchmark side is the SMALL side by construction
+    (eval suites are thousands of rows; the corpus is billions), so it
+    broadcasts and the train side streams through a map-side cosine —
+    zero shuffle before the per-train-id aggregate, no pair-space
+    materialization. If the held-out side ever outgrows broadcast, the
+    hyperplane-LSH bucketing of ``sim_ann_lsh`` is the drop-in
+    candidate-generation step."""
+    emb = _emb_with_norm(spark, sf_dir)
+    bench = emb.filter(F.col("vec_id") % CONTAM_MODULUS == 0).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    train = emb.filter(F.col("vec_id") % CONTAM_MODULUS != 0).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("t_emb"),
+        F.col("nrm").alias("t_nrm"),
+    )
+    sim = F.round(
+        cosine_with_norms(
+            F.col("t_emb"), F.col("b_emb"), F.col("t_nrm"), F.col("b_nrm")
+        ),
+        6,
+    )
+    return (
+        train.join(F.broadcast(bench))
+        .select("train_id", sim.alias("sim"))
+        .filter(F.col("sim") >= CONTAM_THRESHOLD)
+        .groupBy("train_id")
+        .agg(
+            F.count("*").alias("n_contaminated_matches"),
+            F.max("sim").alias("max_sim"),
+        )
+        .orderBy("train_id")
+    )
+
+
+DECONTAMINATE_EMBEDDING_COSINE_SQL = f"""
+    WITH e AS ({_EMB_NORM_CTE}),
+    bench AS (SELECT * FROM e WHERE vec_id % {CONTAM_MODULUS} = 0),
+    train AS (SELECT * FROM e WHERE vec_id % {CONTAM_MODULUS} != 0),
+    scored AS (
+        SELECT t.vec_id AS train_id,
+               round(list_dot_product(CAST(t.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[]))
+                     / (t.nrm * b.nrm), 6) AS sim
+        FROM train t CROSS JOIN bench b
+    )
+    SELECT train_id, COUNT(*) AS n_contaminated_matches, MAX(sim) AS max_sim
+    FROM scored WHERE sim >= {CONTAM_THRESHOLD}
+    GROUP BY train_id ORDER BY train_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_TOPK_SQL),
+    "decontaminate_embedding_cosine": (
+        decontaminate_embedding_cosine,
+        DECONTAMINATE_EMBEDDING_COSINE_SQL,
+    ),
     "emb_covariance": (emb_covariance, EMB_COVARIANCE_SQL),
     "emb_pca_project": (emb_pca_project, None),
     "sim_ann_lsh": (sim_ann_lsh, SIM_ANN_LSH_SQL),
