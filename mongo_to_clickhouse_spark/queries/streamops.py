@@ -214,6 +214,39 @@ def stream_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded streaming dedup via ``dropDuplicatesWithinWatermark``
+    (Spark 3.5+): a key is suppressed only while its first occurrence is
+    within the watermark horizon — after the horizon passes, the SAME key
+    emits again. This is the at-least-once-ingest dedup the reference
+    would need for resume-token replays (duplicates arrive CLOSE to the
+    original; suppressing forever, like plain ``dropDuplicates``, grows
+    state without bound at 100 TB — here state is evicted with the
+    watermark by construction). Deterministic semantics pinned by
+    tests/test_streaming_modes.py; rows-only here (re-emission count
+    depends on the event-time spread, not expressible in one SQL)."""
+    from mongo_to_clickhouse_spark.streaming.pipeline import EVENTS_SCHEMA
+
+    src, _ = _stage_stream_source(spark, sf_dir)
+    name = f"ddw_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("event_id", "user_id", "event_type")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drained(q)
+    return spark.table(name)
+
+
 def stream_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user running
     totals maintained in the state store across micro-batches."""
@@ -288,4 +321,5 @@ QUERIES: dict[str, tuple] = {
     "stream_pipeline_cdc": (stream_pipeline_cdc, None),
     "stream_watermark_late_drop": (stream_watermark_late_drop, None),
     "stream_dedup_by_key": (stream_dedup_by_key, None),
+    "stream_dedup_within_watermark": (stream_dedup_within_watermark, None),
 }
