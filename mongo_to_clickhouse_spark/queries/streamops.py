@@ -126,6 +126,59 @@ STREAM_SESSION_SQL = f"""
 """
 
 
+def stream_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a DYNAMIC inactivity gap — purchases hold
+    the session open 2 hours, everything else 1 hour (the
+    "high-intent events extend the session" rule real funnels use).
+    ``session_window`` accepts a per-row gap expression; sessions merge
+    while an event falls inside the running max of prior events'
+    ``ts + gap``. The oracle is the gaps-and-islands rewrite with a
+    running-MAX frame instead of plain lag — proving the merge
+    semantics, not just the happy path."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("2 hours")).otherwise(
+        F.lit("1 hour")
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT).alias("session_start"),
+            F.date_format("w.end", _TS_FMT).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+STREAM_SESSION_DYNAMIC_SQL = f"""
+    WITH x AS (
+        SELECT user_id, ts,
+               ts + CASE WHEN event_type = 'purchase'
+                         THEN INTERVAL '2 hours' ELSE INTERVAL '1 hour'
+                    END AS send
+        FROM events
+    ),
+    f AS (
+        SELECT *, CASE WHEN max(send) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) >= ts THEN 0 ELSE 1 END AS new_s
+        FROM x
+    ),
+    s AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_DUCK_FMT}') AS session_start,
+           strftime(MAX(send), '{_DUCK_FMT}') AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only: true streaming runtime (availableNow) — no SQL equivalent
 # ---------------------------------------------------------------------------
@@ -318,6 +371,10 @@ QUERIES: dict[str, tuple] = {
     "scalar_now": (scalar_now, None),
     "stream_sliding_window_agg": (stream_sliding_window_agg, STREAM_SLIDING_SQL),
     "stream_session_window": (stream_session_window, STREAM_SESSION_SQL),
+    "stream_session_window_dynamic_gap": (
+        stream_session_window_dynamic_gap,
+        STREAM_SESSION_DYNAMIC_SQL,
+    ),
     "stream_pipeline_cdc": (stream_pipeline_cdc, None),
     "stream_watermark_late_drop": (stream_watermark_late_drop, None),
     "stream_dedup_by_key": (stream_dedup_by_key, None),
