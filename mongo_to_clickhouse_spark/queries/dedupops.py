@@ -404,8 +404,11 @@ DEDUP_NGRAM_JACCARD_SQL = _ngram_jaccard_sql("duck")
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → clusters: iterative hash-min connected components over the
     MinHash-LSH candidate edges, yielding one canonical keeper per
-    near-duplicate group. Iterative algorithm ⇒ rows-only check (correctness
-    pinned by tests/test_graph.py)."""
+    near-duplicate group. The Spark side is the distributed hash-min
+    fixed point (operators/graph.py); the oracle expresses the same fixed
+    point as a DuckDB recursive CTE (transitive closure → min reachable
+    id), so the iterative algorithm is hash-checked end-to-end, not just
+    rows-only."""
     from mongo_to_clickhouse_spark.operators.graph import dedup_clusters
 
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
@@ -415,6 +418,36 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keeper_doc_id",
         "cluster_size",
     )
+
+
+# Oracle: connected components as transitive closure. ``reach`` grows the
+# (node, reachable-node) set to the fixed point (UNION dedups, clusters are
+# tiny so closure is cheap); component id = min reachable id — identical to
+# the hash-min label the Spark side converges to. Members rendered exactly
+# like Spark's array<bigint> → string cast ("[1, 2, 3]").
+DEDUP_CLUSTER_COMPONENTS_SQL = f"""
+    WITH RECURSIVE
+    edges AS (SELECT a_id, b_id FROM ({DEDUP_MINHASH_LSH_PAIRS_SQL})),
+    sym AS (
+        SELECT a_id AS u, b_id AS v FROM edges
+        UNION
+        SELECT b_id AS u, a_id AS v FROM edges
+    ),
+    reach(node_id, lbl) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT s.u, r.lbl FROM sym s JOIN reach r ON s.v = r.node_id
+    ),
+    labels AS (
+        SELECT node_id, MIN(lbl) AS component_id FROM reach GROUP BY node_id
+    )
+    SELECT component_id,
+           CAST(list_sort(list(node_id)) AS VARCHAR) AS members,
+           MIN(node_id) AS keeper_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM labels
+    GROUP BY component_id
+"""
 
 
 
@@ -620,7 +653,7 @@ DEDUP_SUBSTRING_SPANS_SQL = _substring_spans_body(
 
 
 QUERIES: dict[str, tuple] = {
-    "dedup_cluster_components": (dedup_cluster_components, None),
+    "dedup_cluster_components": (dedup_cluster_components, DEDUP_CLUSTER_COMPONENTS_SQL),
     "dedup_minhash_approx": (dedup_minhash_approx, DEDUP_MINHASH_APPROX_SQL),
     "dedup_minhash_lsh_pairs": (dedup_minhash_lsh_pairs, DEDUP_MINHASH_LSH_PAIRS_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
