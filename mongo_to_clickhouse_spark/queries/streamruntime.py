@@ -11,6 +11,7 @@ the same behaviors with assertions; here they are driver-visible.
 from __future__ import annotations
 
 import os
+import shutil
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, Row, SparkSession
@@ -24,6 +25,13 @@ from mongo_to_clickhouse_spark.streaming.util import (
     await_drained,
     stage_events_source,
 )
+
+
+# stream_stream_outer_join time constants — the sentinel's event-time
+# offset is derived from these, so changing either keeps the
+# flush-everything guarantee intact (see stream_stream_outer_join).
+OUTER_JOIN_WATERMARK_MIN = 30
+OUTER_JOIN_WINDOW_HOURS = 1
 
 
 def _tenant(work: str, name: str, source: str) -> TenantConfig:
@@ -429,14 +437,26 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_col = table.column(idx_ts)
     max_us = pa.compute.max(ts_col.cast(pa.timestamp("us")).cast(pa.int64())).as_py()
 
+    # Sentinel offset DERIVED from the query's own time constants: the
+    # last real purchase's unmatched state is provably flushable once
+    # watermark > max_us, i.e. sentinel_ts > max_us + watermark delay;
+    # add the join window + 1 h margin so the bound holds even if either
+    # constant grows.
+    wm_us = OUTER_JOIN_WATERMARK_MIN * 60_000_000
+    window_us = OUTER_JOIN_WINDOW_HOURS * 3_600_000_000
+    sentinel_ts_us = max_us + wm_us + window_us + 3_600_000_000
+
     def _side_dir(side_type: str) -> str:
         d = os.path.join(work, f"side_{side_type}")
         os.makedirs(d)
-        os.link(os.path.join(src, "p0.parquet"), os.path.join(d, "p0.parquet"))
+        try:
+            os.link(os.path.join(src, "p0.parquet"), os.path.join(d, "p0.parquet"))
+        except OSError:  # filesystems without hardlinks (overlay/remote tmpfs)
+            shutil.copy(os.path.join(src, "p0.parquet"), os.path.join(d, "p0.parquet"))
         sent = table.slice(0, 1)
-        t = max_us + 4 * 3_600_000_000
         sent = sent.set_column(
-            idx_ts, "ts", pa.array([t], pa.int64()).cast(pa.timestamp("us"))
+            idx_ts, "ts",
+            pa.array([sentinel_ts_us], pa.int64()).cast(pa.timestamp("us")),
         )
         sent = sent.set_column(idx_et, "event_type", pa.array([side_type]))
         sent = sent.set_column(idx_uid, "user_id", pa.array([-1], pa.int64()))
@@ -458,7 +478,7 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             # watermark BEFORE the type filter: the sentinel advances the
             # event clock on this side, then drops out of the join input
-            .withWatermark(f"{alias}_ts", "30 minutes")
+            .withWatermark(f"{alias}_ts", f"{OUTER_JOIN_WATERMARK_MIN} minutes")
             .filter(F.col("event_type").isin(*types))
             .drop("event_type")
         )
@@ -468,7 +488,8 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = purchases.join(
         clicks,
         (purchases.user_id == clicks.user_id)
-        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts")
+           >= F.col("purchase_ts") - F.expr(f"INTERVAL {OUTER_JOIN_WINDOW_HOURS} HOUR"))
         & (F.col("click_ts") <= F.col("purchase_ts")),
         "left_outer",
     ).select("purchase_id", "click_id", purchases.user_id.alias("user_id"))
@@ -492,13 +513,22 @@ def stream_session_timeout_eviction(spark: SparkSession, sf_dir: str) -> DataFra
     flush-on-idle batch assembler as a Spark state-lifecycle feature.
 
     Staging makes eviction deterministic in EVENT TIME: events are
-    sorted by ts and split into 3 time-contiguous files (sessions
+    range-partitioned by ts into 3 time-contiguous files (sessions
     accumulate state across micro-batches under maxFilesPerTrigger=1),
     then a far-future sentinel row (user_id=-1) whose event time pushes
     the watermark past every real user's `last_event + gap` deadline —
     the post-sentinel eviction batch closes every real session exactly
     once. The sentinel's own session stays open and remains in the
-    checkpoint (at-least-once hand-off to the next run)."""
+    checkpoint (at-least-once hand-off to the next run).
+
+    Scale posture: staging is fully distributed —
+    ``repartitionByRange(3, ts).sortWithinPartitions(ts)`` + a parquet
+    write (range partitioner guarantees partition i's timestamps all
+    precede partition i+1's, so renaming part files in part-number order
+    yields time-contiguous micro-batches). The driver only touches
+    min/max (1-row agg) and file renames; no table rows ever reach it —
+    at 100× the data this stays an executor-side shuffle+write."""
+    import glob as _glob
     import tempfile
     import uuid as _uuid
 
@@ -509,27 +539,37 @@ def stream_session_timeout_eviction(spark: SparkSession, sf_dir: str) -> DataFra
     work = tempfile.mkdtemp(prefix=f"sess-{_uuid.uuid4().hex[:8]}-")
     src = os.path.join(work, "source")
     os.makedirs(src)
-    pdf = (
+    ev = (
         load_table(spark, sf_dir, "events")
         # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the cast is
         # exact under the session's pinned UTC timezone (session.py).
         .select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
-        .toPandas()
-        .sort_values("ts_us", kind="mergesort")
-        .reset_index(drop=True)
     )
+    # control-plane: single-row min/max agg (not a table materialization)
+    lo_us, hi_us = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
     # gap > the whole table's time range → exactly one session per user;
     # sentinel event time > max + gap + watermark delay → final watermark
     # passes every real user's deadline
-    gap_ms = int(pdf["ts_us"].max() - pdf["ts_us"].min()) // 1000 + 3_600_000
-    sentinel_us = int(pdf["ts_us"].max()) + (gap_ms + 10_000) * 1_000
-    third = (len(pdf) + 2) // 3
-    slices = [pdf.iloc[i * third : (i + 1) * third] for i in range(3)]
-    slices.append(pdf.head(1).assign(user_id=-1, ts_us=sentinel_us))
-    for i, part in enumerate(slices):
+    gap_ms = int(hi_us - lo_us) // 1000 + 3_600_000
+    sentinel_us = int(hi_us) + (gap_ms + 10_000) * 1_000
+    staged = os.path.join(work, "staged")
+    (
+        ev.repartitionByRange(3, "ts_us")
+        .sortWithinPartitions("ts_us")
+        .write.parquet(staged)
+    )
+    parts = sorted(_glob.glob(os.path.join(staged, "part-*.parquet")))
+    for i, part in enumerate(parts):
         path = os.path.join(src, f"b{i}.parquet")
-        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
+        os.rename(part, path)
         os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))  # batch order
+    sent_path = os.path.join(src, f"b{len(parts)}.parquet")
+    pq.write_table(
+        pa.table({"user_id": pa.array([-1], pa.int64()),
+                  "ts_us": pa.array([sentinel_us], pa.int64())}),
+        sent_path,
+    )
+    os.utime(sent_path, (1_700_000_000 + len(parts),) * 2)
 
     name = f"sess_{_uuid.uuid4().hex[:8]}"
     stream = (
