@@ -26,6 +26,12 @@ REPETITION_N = 5          # Gopher counts duplicate 5-gram fraction
 REPETITION_THRESHOLD = 0.30
 DECONTAM_N = 8            # 8-gram collision = standard decontamination test
 BENCH_MODULUS = 97        # every 97th doc plays the held-out benchmark set
+# df-cap on the train side of the decontamination join: a gram occurring
+# more than this many times in the training set is a hub key (one reducer
+# gets all its join rows). ~16× the max fixture df (4 at sf0.1), so it
+# never binds on the fixtures; at corpus scale such grams are boilerplate
+# carrying no contamination signal. Applied identically in both engines.
+DECONTAM_GRAM_DF_CAP = 64
 VOCAB_TOP_K = 100
 
 
@@ -149,7 +155,11 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the held-out set (every 97th doc stands in for the benchmark).
     Candidate generation is an equi-join on the 8-gram string — one
     explode each side, shuffle keyed by n-gram, no doc-pair enumeration —
-    so it scales like the LSH dedup path."""
+    so it scales like the LSH dedup path. Hub grams (train-side
+    occurrence count > DECONTAM_GRAM_DF_CAP) are dropped before the join
+    so no single reducer key can dominate; the cap never binds on the
+    fixtures (tests/test_dedup_guards.py plants a hot gram to prove the
+    guard prunes)."""
     view = _toks_view(spark, sf_dir)
     # join/distinct on a 60-bit md5 hash of the gram, not the ~50-char
     # string: ~6× less shuffle traffic, identical in both engines
@@ -159,11 +169,20 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         bench AS (
             SELECT DISTINCT gram_h FROM exploded
             WHERE doc_id % {BENCH_MODULUS} = 0
+        ),
+        train AS (
+            SELECT doc_id, gram_h FROM exploded
+            WHERE doc_id % {BENCH_MODULUS} != 0
+        ),
+        eligible AS (
+            SELECT gram_h FROM train
+            GROUP BY gram_h HAVING COUNT(*) <= {DECONTAM_GRAM_DF_CAP}
         )
         SELECT doc_id,
                COUNT(DISTINCT gram_h) AS n_shared_8grams
-        FROM exploded JOIN bench USING (gram_h)
-        WHERE doc_id % {BENCH_MODULUS} != 0
+        FROM train
+        JOIN eligible USING (gram_h)
+        JOIN bench USING (gram_h)
         GROUP BY doc_id
         ORDER BY doc_id
     """)
@@ -173,10 +192,18 @@ DECONTAMINATE_NGRAM_OVERLAP_SQL = f"""
     WITH exploded AS ({_gram_hashes_duck(DECONTAM_N)}),
     bench AS (
         SELECT DISTINCT gram_h FROM exploded WHERE doc_id % {BENCH_MODULUS} = 0
+    ),
+    train AS (
+        SELECT doc_id, gram_h FROM exploded WHERE doc_id % {BENCH_MODULUS} != 0
+    ),
+    eligible AS (
+        SELECT gram_h FROM train
+        GROUP BY gram_h HAVING COUNT(*) <= {DECONTAM_GRAM_DF_CAP}
     )
     SELECT doc_id, COUNT(DISTINCT gram_h) AS n_shared_8grams
-    FROM exploded JOIN bench USING (gram_h)
-    WHERE doc_id % {BENCH_MODULUS} != 0
+    FROM train
+    JOIN eligible USING (gram_h)
+    JOIN bench USING (gram_h)
     GROUP BY doc_id
     ORDER BY doc_id
 """

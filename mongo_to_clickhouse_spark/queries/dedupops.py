@@ -40,6 +40,10 @@ B = [int(v) for v in _rng.randint(0, P - 1, N_HASHES)]
 
 SIMHASH_BITS = 64  # 4×16-bit bands: buckets don't saturate even at 10^9 docs
 JACCARD_THRESHOLD = 0.5
+# df-cap for the exact-Jaccard self-join: shingles in more than this many
+# same-block docs are dropped before pairing (see _ngram_jaccard_sql).
+# ~10× the max fixture df, so it never binds on the fixtures.
+JACCARD_SHINGLE_DF_CAP = 64
 # SimHash over a ~100-word shared vocabulary is collision-prone; a tight
 # radius keeps the pair set meaningful (planted mutations land at
 # hamming ≈ 0 since dropping one token barely moves the sign sums).
@@ -361,6 +365,18 @@ def _ngram_jaccard_sql(dialect: str, shingled_from: str | None = None) -> str:
     |A∩B| / (|A| + |B| - |A∩B|). Pairs sharing zero shingles never
     materialize — versus per-pair array_intersect over the full blocked
     cross product, this is the scalable shape (and ~20× faster at sf0.1).
+
+    Hot-shingle guard (df-cap): a shingle appearing in k same-block docs
+    emits k² join rows, so stop-word trigrams become quadratic hubs at
+    corpus scale. ``eligible`` drops shingles whose per-(source) document
+    frequency exceeds JACCARD_SHINGLE_DF_CAP before the self-join — the
+    standard df-filter from set-similarity joins (hubs that common carry
+    no similarity signal; a ≥0.5-Jaccard pair shares half its shingles,
+    so losing one capped hub cannot flip membership in practice).
+    Applied identically in BOTH engines; the cap (64) is ~10× the max
+    fixture df (7 at sf0.1), so fixture results are bit-identical with
+    or without the guard — tests/test_dedup_guards.py plants a hot gram
+    to prove the guard actually prunes.
     """
     shingled_src = shingled_from or f"({_shingles(dialect)})"
     unnest = (
@@ -374,9 +390,19 @@ def _ngram_jaccard_sql(dialect: str, shingled_from: str | None = None) -> str:
             FROM {shingled_src} s JOIN corpus c ON s.doc_id = c.doc_id
         ),
         exploded AS (SELECT doc_id, source, {unnest} AS sh FROM shingled),
+        eligible AS (
+            SELECT source, sh FROM exploded
+            GROUP BY source, sh
+            HAVING COUNT(*) <= {JACCARD_SHINGLE_DF_CAP}
+        ),
+        pruned AS (
+            SELECT e.doc_id, e.source, e.sh
+            FROM exploded e JOIN eligible g
+              ON e.source = g.source AND e.sh = g.sh
+        ),
         inter AS (
             SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
-            FROM exploded a JOIN exploded b
+            FROM pruned a JOIN pruned b
               ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         ),
