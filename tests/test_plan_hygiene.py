@@ -10,6 +10,7 @@ registry entry's optimized plan so the class cannot regress silently.
 
 from __future__ import annotations
 
+import pathlib
 import re
 
 import pytest
@@ -67,3 +68,54 @@ def test_no_single_partition_window(spark, qid):
         f"{qid}: no-partition window(s) in optimized plan — the whole "
         f"input serializes through one task at scale: {hits}"
     )
+
+
+# ---------------------------------------------------------------------------
+# data-plane driver-materialization sweep: .collect()/.toPandas() moves the
+# whole relation to the driver — OOM at 100 TB. The ONLY tolerated sites are
+# control-plane: outputs bounded by something O(small) regardless of input
+# size. Every new call site must be added here WITH its boundedness argument.
+# ---------------------------------------------------------------------------
+
+_DRIVER_MAT = re.compile(r"\.(collect|toPandas)\(")
+
+# (path relative to the package dir, required substring of the offending
+# line) → why it is bounded
+_CONTROL_PLANE_WHITELIST = {
+    # d×d covariance of a fixed embedding dim: O(d²) rows, independent of
+    # corpus size — the MLlib RowMatrix control-plane split for PCA
+    ("queries/vectorops.py", "emb_covariance(spark, sf_dir).collect()"),
+    # distinct failed batch ids in the DLQ: bounded by batch count, not rows
+    ("sinks/dlq.py", 'dlq.select("batch_id").distinct().collect()'),
+}
+
+
+def test_no_driver_materialization_outside_whitelist():
+    import mongo_to_clickhouse_spark as pkg
+
+    pkg_dir = pathlib.Path(pkg.__file__).parent
+    offenders = []
+    for py in sorted(pkg_dir.rglob("*.py")):
+        rel = str(py.relative_to(pkg_dir))
+        for lineno, line in enumerate(py.read_text().splitlines(), 1):
+            if not _DRIVER_MAT.search(line):
+                continue
+            if any(rel == f and s in line for f, s in _CONTROL_PLANE_WHITELIST):
+                continue
+            offenders.append(f"{rel}:{lineno}: {line.strip()}")
+    assert not offenders, (
+        "driver-side materialization outside the control-plane whitelist "
+        "(full-relation collect/toPandas is a 100 TB driver-OOM; if the "
+        "new site is provably bounded, whitelist it with the argument):\n"
+        + "\n".join(offenders)
+    )
+
+
+def test_whitelist_entries_still_exist():
+    """A whitelist entry whose code is gone is stale — prune it."""
+    import mongo_to_clickhouse_spark as pkg
+
+    pkg_dir = pathlib.Path(pkg.__file__).parent
+    for rel, snippet in _CONTROL_PLANE_WHITELIST:
+        text = (pkg_dir / rel).read_text()
+        assert snippet in text, f"stale whitelist entry: {rel} / {snippet!r}"
