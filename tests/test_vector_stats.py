@@ -11,6 +11,8 @@ from mongo_to_clickhouse_spark.queries.statsops import events_anomaly_zscore
 from mongo_to_clickhouse_spark.queries.vectorops import (
     PCA_K,
     emb_covariance,
+    emb_covariance_columnar,
+    emb_covariance_grouped,
     emb_pca_project,
 )
 
@@ -32,6 +34,38 @@ def test_covariance_matches_numpy(spark, sf_dir):
     assert len(got) == emb.shape[1] * (emb.shape[1] + 1) // 2
     for r in got:
         assert abs(ref[r.i, r.j] - r.cov) < 1e-8, (r.i, r.j)
+
+
+def test_covariance_variants_bit_identical(spark, tmp_path):
+    # the three physical strategies (exploded d²/2 rows, grouped d rows,
+    # fully-columnar zero-explode) must agree BIT-for-bit — same integer
+    # micro-unit math, three plans. Small d keeps the columnar form's
+    # O(d²)-expression plan-compile cost trivial in the suite.
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(11)
+    d, n = 8, 200
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([i % 5 for i in range(n)], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "embeddings.parquet"))
+    sf = str(tmp_path)
+
+    ref = [(r.i, r.j, r.cov) for r in emb_covariance(spark, sf).collect()]
+    assert len(ref) == d * (d + 1) // 2
+    for variant in (emb_covariance_grouped, emb_covariance_columnar):
+        got = [(r.i, r.j, r.cov) for r in variant(spark, sf).collect()]
+        assert got == ref, variant.__name__
 
 
 def test_pca_components_orthonormal_and_ordered(spark, sf_dir):
