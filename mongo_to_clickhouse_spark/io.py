@@ -38,9 +38,68 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # query runs 0.3 s). DataFrames are immutable logical plans, so the
 # resolved+normalized scan is safely reusable across queries. The cache
 # entry pins its SparkSession, so an id() key can never alias a new
-# session (the pinned object stays alive). Filters/projections applied by
-# callers layer on top and still push down to the scan.
-_SCAN_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame, DataFrame, bool]] = {}
+# session (the pinned object stays alive — one entry per (session, dir,
+# table), so growth is bounded by tables × dirs × live sessions; call
+# clear_scan_cache() to release sessions you've stopped). The parquet
+# file's (mtime_ns, size) is stored with each entry, so an in-place
+# fixture overwrite invalidates the cached scan instead of silently
+# serving the old schema. Filters/projections applied by callers layer
+# on top and still push down to the scan.
+_SCAN_CACHE: dict[
+    tuple[int, str, str],
+    tuple[tuple[int, int], SparkSession, DataFrame, DataFrame, bool],
+] = {}
+
+
+def clear_scan_cache() -> None:
+    """Drop every cached scan (and the SparkSession references they pin).
+    Tests that stop sessions or rewrite fixture files in place can call
+    this; normal pipelines never need to."""
+    _SCAN_CACHE.clear()
+
+
+# Materialized-layout cache for the sink/layout-demo queries that stage a
+# rewritten copy of a fixture table (date-partitioned events for DPP, the
+# small-files layout for compaction, …): repeated invocations — bench
+# loops, parity sweeps — reuse the first write instead of re-shuffling the
+# table and accreting full copies in TMPDIR. Keyed by the source tables'
+# (mtime_ns, size) so an in-place fixture rewrite rebuilds; the stale dir
+# is deleted on rebuild.
+_WORK_DIR_CACHE: dict[tuple, tuple[tuple, str]] = {}
+
+
+def cached_work_dir(op, sf_dir, tables, build):
+    """Return a per-process memoized work dir for (op, sf_dir), building
+    it with ``build(root_dir)`` on first use or when any source table in
+    ``tables`` changed on disk."""
+    import shutil
+    import tempfile
+    import uuid
+
+    stats = tuple(
+        (t, os.stat(table_path(sf_dir, t)).st_mtime_ns,
+         os.stat(table_path(sf_dir, t)).st_size)
+        for t in tables
+    )
+    key = (op, sf_dir)
+    hit = _WORK_DIR_CACHE.get(key)
+    if hit is not None and hit[0] == stats and os.path.isdir(hit[1]):
+        return hit[1]
+    if hit is not None:
+        shutil.rmtree(hit[1], ignore_errors=True)
+    root = tempfile.mkdtemp(prefix=f"{op}-{uuid.uuid4().hex[:8]}-")
+    build(root)
+    _WORK_DIR_CACHE[key] = (stats, root)
+    return root
+
+
+def clear_work_dir_cache() -> None:
+    """Delete every cached layout dir (tests / disk-pressure hook)."""
+    import shutil
+
+    for _, root in _WORK_DIR_CACHE.values():
+        shutil.rmtree(root, ignore_errors=True)
+    _WORK_DIR_CACHE.clear()
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -52,8 +111,10 @@ def _scan(
 ) -> tuple[DataFrame, DataFrame, bool]:
     """Returns (raw scan, normalized scan, events_ts_is_bigint)."""
     key = (id(spark), sf_dir, name)
+    st = os.stat(table_path(sf_dir, name))
+    stat_key = (st.st_mtime_ns, st.st_size)
     hit = _SCAN_CACHE.get(key)
-    if hit is None:
+    if hit is None or hit[0] != stat_key:
         raw = spark.read.parquet(table_path(sf_dir, name))
         norm, is_bigint = raw, False
         if name == "events" and dict(raw.dtypes).get("ts") == "bigint":
@@ -62,9 +123,9 @@ def _scan(
             # µs exactly like DuckDB reading the same file.
             is_bigint = True
             norm = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-        hit = (spark, raw, norm, is_bigint)
+        hit = (stat_key, spark, raw, norm, is_bigint)
         _SCAN_CACHE[key] = hit
-    return hit[1], hit[2], hit[3]
+    return hit[2], hit[3], hit[4]
 
 
 def load_table(

@@ -20,9 +20,23 @@ total (unique per row) — which the oracle checks verify.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _default_partitions(spark: SparkSession, df: DataFrame) -> int:
+    """shuffle.partitions, degrading gracefully where the conf is
+    non-numeric (e.g. "auto" on some managed platforms) — fall back to
+    the source's current partition count rather than crashing."""
+    raw = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        return max(1, int(raw))
+    except (TypeError, ValueError):
+        try:
+            return max(1, df.rdd.getNumPartitions())
+        except Exception:  # noqa: BLE001 — e.g. Connect, no RDD access
+            return 200
 
 
 def _partition_offsets(per_pid: DataFrame, value_col: str) -> DataFrame:
@@ -57,7 +71,7 @@ def distributed_global_rank(
     construction.
     """
     spark = df.sparkSession
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n = num_partitions or _default_partitions(spark, df)
     parted = df.repartitionByRange(n, *order_by).withColumn(
         "__pid", F.spark_partition_id()
     )
@@ -90,7 +104,7 @@ def distributed_prefix_sum(
     offsets, broadcast back. Equals the naive global running-sum window
     exactly whenever ``order_by`` is a total order."""
     spark = df.sparkSession
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n = num_partitions or _default_partitions(spark, df)
     parted = df.repartitionByRange(n, *order_by).withColumn(
         "__pid", F.spark_partition_id()
     )

@@ -441,19 +441,23 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     a partition filter, cutting fact IO from all-days to matching-days
     before a single fact row is deserialized. The reference re-reads the
     full collection and filters in ClickHouse; this reads only the
-    partitions the dim names."""
-    import tempfile
-    import uuid
-
+    partitions the dim names. The date-partitioned layout is built once
+    per process via cached_work_dir (repeat invocations reuse it)."""
     import os as _os
 
+    from mongo_to_clickhouse_spark.io import cached_work_dir
+
+    def _build(root: str) -> None:
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "event_date", F.to_date("ts")
+        )
+        ev.repartition("event_date").write.partitionBy("event_date").parquet(
+            _os.path.join(root, "events")
+        )
+
     out = _os.path.join(
-        tempfile.mkdtemp(prefix=f"dpp-{uuid.uuid4().hex[:8]}-"), "events"
+        cached_work_dir("dpp", sf_dir, ("events",), _build), "events"
     )
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "event_date", F.to_date("ts")
-    )
-    ev.repartition("event_date").write.partitionBy("event_date").parquet(out)
     fact = spark.read.parquet(out)
     # make the pruning observable at fixture scale: restrict the dim to
     # purchase days in the first week, so most date partitions are skipped
@@ -511,25 +515,29 @@ def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation read back (the sink-query pattern). Restored in finally.
     Plan pinned by tests/test_plans.py."""
     import os as _os
-    import tempfile
-    import uuid
+
+    from mongo_to_clickhouse_spark.io import cached_work_dir
+
+    def _build(root: str) -> None:
+        overrides = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold": "0",
+        }
+        saved = {k: spark.conf.get(k) for k in overrides}
+        try:
+            for k, v in overrides.items():
+                spark.conf.set(k, v)
+            _bloom_joined(spark, sf_dir).write.mode("overwrite").parquet(
+                _os.path.join(root, "agg")
+            )
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
 
     out = _os.path.join(
-        tempfile.mkdtemp(prefix=f"bloom-{uuid.uuid4().hex[:8]}-"), "agg"
+        cached_work_dir("bloom", sf_dir, ("lineitem", "orders"), _build), "agg"
     )
-    overrides = {
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-        "spark.sql.optimizer.runtime.bloomFilter"
-        ".applicationSideScanSizeThreshold": "0",
-    }
-    saved = {k: spark.conf.get(k) for k in overrides}
-    try:
-        for k, v in overrides.items():
-            spark.conf.set(k, v)
-        _bloom_joined(spark, sf_dir).write.mode("overwrite").parquet(out)
-    finally:
-        for k, v in saved.items():
-            spark.conf.set(k, v)
     return spark.read.parquet(out).orderBy("l_returnflag")
 
 

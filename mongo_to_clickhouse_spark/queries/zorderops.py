@@ -12,13 +12,11 @@ the scale argument and tests/test_zorder.py for the layout pin.
 from __future__ import annotations
 
 import os
-import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mongo_to_clickhouse_spark.io import load_table
+from mongo_to_clickhouse_spark.io import cached_work_dir, load_table
 from mongo_to_clickhouse_spark.operators.zorder import (
     ZBITS,
     dense_bucket,
@@ -67,10 +65,14 @@ def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row Morton key assignment — the oracle-checkable contract of the
     write (the file-level clustering property itself is pinned by
     tests/test_zorder.py, which Spark alone can observe)."""
+    def _build(root: str) -> None:
+        zorder_write(
+            load_table(spark, sf_dir, "events"), os.path.join(root, "events_z")
+        )
+
     out = os.path.join(
-        tempfile.mkdtemp(prefix=f"zsink-{uuid.uuid4().hex[:8]}-"), "events_z"
+        cached_work_dir("zsink", sf_dir, ("events",), _build), "events_z"
     )
-    zorder_write(load_table(spark, sf_dir, "events"), out)
     return (
         spark.read.parquet(out)
         .select("event_id", "zkey")
@@ -140,13 +142,16 @@ def sink_compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checkable contract that compaction is content-preserving.
     The file-count collapse itself is pinned by
     tests/test_zorder.py::test_compaction_binpacks_small_files."""
-    work = tempfile.mkdtemp(prefix=f"compact-{uuid.uuid4().hex[:8]}-")
-    small = os.path.join(work, "small")
-    packed = os.path.join(work, "packed")
-    load_table(spark, sf_dir, "events").repartition(
-        COMPACT_SMALL_FILES
-    ).write.parquet(small)
-    compact_binpack(spark, small, packed)
+    def _build(root: str) -> None:
+        small = os.path.join(root, "small")
+        load_table(spark, sf_dir, "events").repartition(
+            COMPACT_SMALL_FILES
+        ).write.parquet(small)
+        compact_binpack(spark, small, os.path.join(root, "packed"))
+
+    packed = os.path.join(
+        cached_work_dir("compact", sf_dir, ("events",), _build), "packed"
+    )
     return (
         spark.read.parquet(packed)
         .groupBy("event_type")

@@ -37,22 +37,18 @@ _REQUIRED_RUNTIME_CONFS = {
 }
 
 
-# sessions already swept (pinned in the value so id() can't alias a new
-# session object); the sweep is 4 conf round-trips — cheap once, wasteful
-# per load_table call
-_CONFS_DONE: dict[int, SparkSession] = {}
-
-
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
-    if id(spark) in _CONFS_DONE:
-        return spark
+    """Verify-and-repair the required confs on EVERY call: a caller that
+    mutates one mid-session (e.g. flips the session timezone) would
+    otherwise put every later query into a silent wrong-results mode. The
+    check is 4 conf.get round-trips (~1 ms) — noise next to any query; the
+    set() only fires on actual drift."""
     for k, v in _REQUIRED_RUNTIME_CONFS.items():
         try:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)
         except Exception:  # noqa: BLE001 — static conf in some deployment
             pass
-    _CONFS_DONE[id(spark)] = spark
     return spark
 
 
