@@ -6,6 +6,8 @@ RUST_ENV mismatch — semantics we deliberately do not copy).
 
 from __future__ import annotations
 
+import json
+import os
 from dataclasses import dataclass, field
 
 
@@ -29,6 +31,57 @@ class TenantConfig:
     flush_seconds: int = 5           # reference flush timeout, src/main.rs:407
     max_retries: int = 5             # reference MAX_RETRIES, src/main.rs:40
     initial_retry_delay_sec: float = 1.0  # src/main.rs:41 (ms → sec)
+
+
+@dataclass(frozen=True)
+class EngineTuning:
+    """Algorithm knobs for the dedup / similarity / corpus-curation tiers.
+
+    Defaults are the values the driver contract and its DuckDB oracles
+    are pinned to (they double as sane starting points: the MinHash
+    16×4 banding targets Jaccard ≈ 0.5, the df-caps sit ~10× above
+    benign key frequencies). For library use, set the
+    ``SPARK_GRAFT_TUNING`` env var to a JSON object of field overrides
+    BEFORE importing the query modules (constants — including the
+    oracle-SQL mirrors — are derived from this at import time, keeping
+    both engines in lock-step):
+
+        SPARK_GRAFT_TUNING='{"jaccard_threshold": 0.8, "ann_topk": 10}'
+    """
+
+    # --- MinHash / SimHash / exact-Jaccard text dedup (queries/dedupops)
+    minhash_hashes: int = 16       # universal hashes per signature
+    minhash_bands: int = 4         # LSH bands (rows = hashes / bands)
+    jaccard_threshold: float = 0.5
+    jaccard_shingle_df_cap: int = 64   # hot-shingle guard on the exact tier
+    simhash_hamming_threshold: int = 2
+    substr_window_tokens: int = 8  # ExactSubstr sliding-window size
+    # --- vector similarity tier (queries/vectorops)
+    ann_probes: int = 10           # probe set: vec_id < ann_probes
+    ann_topk: int = 5
+    near_dup_threshold: float = 0.38
+    ivf_centroid_modulus: int = 50  # IVF centroids: every Nth vector
+    lsh_planes: int = 8            # random hyperplanes
+    lsh_bands: int = 2
+    pca_k: int = 8                 # components kept by emb_pca_project
+    # --- corpus curation tier (queries/corpusops)
+    repetition_n: int = 5          # Gopher duplicate-n-gram fraction
+    repetition_threshold: float = 0.30
+    decontam_n: int = 8            # n-gram size for decontamination
+    bench_modulus: int = 97        # every Nth doc = held-out benchmark
+    decontam_gram_df_cap: int = 64  # hub-gram guard on the decontam join
+    vocab_top_k: int = 100
+
+
+def _load_tuning() -> EngineTuning:
+    raw = os.environ.get("SPARK_GRAFT_TUNING", "")
+    if raw:
+        return EngineTuning(**json.loads(raw))
+    return EngineTuning()
+
+
+#: process-wide tuning, resolved once at import (see EngineTuning docs)
+TUNING = _load_tuning()
 
 
 @dataclass(frozen=True)

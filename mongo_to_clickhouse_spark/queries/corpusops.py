@@ -19,20 +19,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mongo_to_clickhouse_spark.config import TUNING
 from mongo_to_clickhouse_spark.io import load_table
 from mongo_to_clickhouse_spark.operators.materialize import barrier_view
 
-REPETITION_N = 5          # Gopher counts duplicate 5-gram fraction
-REPETITION_THRESHOLD = 0.30
-DECONTAM_N = 8            # 8-gram collision = standard decontamination test
-BENCH_MODULUS = 97        # every 97th doc plays the held-out benchmark set
+# Knobs come from config.EngineTuning (env-overridable via
+# SPARK_GRAFT_TUNING before import); defaults are the driver-pinned values.
+REPETITION_N = TUNING.repetition_n            # Gopher duplicate-n-gram rule
+REPETITION_THRESHOLD = TUNING.repetition_threshold
+DECONTAM_N = TUNING.decontam_n    # 8-gram collision = standard decontam test
+BENCH_MODULUS = TUNING.bench_modulus  # every Nth doc = held-out benchmark
 # df-cap on the train side of the decontamination join: a gram occurring
 # more than this many times in the training set is a hub key (one reducer
 # gets all its join rows). ~16× the max fixture df (4 at sf0.1), so it
 # never binds on the fixtures; at corpus scale such grams are boilerplate
 # carrying no contamination signal. Applied identically in both engines.
-DECONTAM_GRAM_DF_CAP = 64
-VOCAB_TOP_K = 100
+DECONTAM_GRAM_DF_CAP = TUNING.decontam_gram_df_cap
+VOCAB_TOP_K = TUNING.vocab_top_k
 
 
 def _ngram_expr_duck(n: int) -> str:

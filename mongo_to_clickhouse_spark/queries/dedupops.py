@@ -26,12 +26,15 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mongo_to_clickhouse_spark.config import TUNING
 from mongo_to_clickhouse_spark.io import load_table
 from mongo_to_clickhouse_spark.operators.materialize import barrier_view
 
+# Knobs come from config.EngineTuning (env-overridable via
+# SPARK_GRAFT_TUNING before import); defaults are the driver-pinned values.
 P = 2_147_483_647  # 2^31 - 1, Mersenne prime for (a·x + b) mod p
-N_HASHES = 16
-N_BANDS = 4
+N_HASHES = TUNING.minhash_hashes
+N_BANDS = TUNING.minhash_bands
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
 _rng = np.random.RandomState(7)
@@ -39,15 +42,15 @@ A = [int(v) for v in _rng.randint(1, P - 1, N_HASHES)]
 B = [int(v) for v in _rng.randint(0, P - 1, N_HASHES)]
 
 SIMHASH_BITS = 64  # 4×16-bit bands: buckets don't saturate even at 10^9 docs
-JACCARD_THRESHOLD = 0.5
+JACCARD_THRESHOLD = TUNING.jaccard_threshold
 # df-cap for the exact-Jaccard self-join: shingles in more than this many
 # same-block docs are dropped before pairing (see _ngram_jaccard_sql).
 # ~10× the max fixture df, so it never binds on the fixtures.
-JACCARD_SHINGLE_DF_CAP = 64
+JACCARD_SHINGLE_DF_CAP = TUNING.jaccard_shingle_df_cap
 # SimHash over a ~100-word shared vocabulary is collision-prone; a tight
 # radius keeps the pair set meaningful (planted mutations land at
 # hamming ≈ 0 since dropping one token barely moves the sign sums).
-HAMMING_THRESHOLD = 2
+HAMMING_THRESHOLD = TUNING.simhash_hamming_threshold
 
 
 # ---------------------------------------------------------------------------
@@ -567,7 +570,7 @@ DEDUP_URL_CANONICAL_SQL = r"""
 # exact-substring duplicated spans (suffix-array-style, windowed)
 # ---------------------------------------------------------------------------
 
-WINDOW_TOKENS = 8  # ExactSubstr span unit: 8-token sliding windows
+WINDOW_TOKENS = TUNING.substr_window_tokens  # ExactSubstr span unit
 
 
 def _substring_spans_body(dialect: str, wins_src: str) -> str:

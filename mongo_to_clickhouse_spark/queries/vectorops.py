@@ -25,16 +25,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mongo_to_clickhouse_spark.config import TUNING
 from mongo_to_clickhouse_spark.functions.vectors import cosine_with_norms, dot, norm
 from mongo_to_clickhouse_spark.io import load_table
 
-N_PROBES = 10          # probe set: vec_id < N_PROBES
-TOPK = 5
-NEAR_DUP_THRESHOLD = 0.38   # fixture vectors are random (max intra-label
-                            # cosine ≈ 0.47) — threshold chosen to yield pairs
-CENTROID_MODULUS = 50  # IVF centroids: every 50th vector
-N_PLANES = 8           # LSH: 8 hyperplanes → 2 bands × 4 bits
-LSH_BANDS = 2
+# Knobs come from config.EngineTuning (env-overridable via
+# SPARK_GRAFT_TUNING before import); defaults are the driver-pinned values.
+N_PROBES = TUNING.ann_probes    # probe set: vec_id < N_PROBES
+TOPK = TUNING.ann_topk
+NEAR_DUP_THRESHOLD = TUNING.near_dup_threshold
+                            # fixture vectors are random (max intra-label
+                            # cosine ≈ 0.47) — default chosen to yield pairs
+CENTROID_MODULUS = TUNING.ivf_centroid_modulus  # IVF: every Nth vector
+N_PLANES = TUNING.lsh_planes    # LSH: 8 hyperplanes → 2 bands × 4 bits
+LSH_BANDS = TUNING.lsh_bands
 _DIM = 64
 
 # Deterministic hyperplanes, rounded so the identical literals parse to the
@@ -478,7 +482,7 @@ EMB_MEAN_POOL_SQL = """
 """
 
 
-PCA_K = 8  # components kept by emb_pca_project
+PCA_K = TUNING.pca_k  # components kept by emb_pca_project
 
 
 def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
