@@ -81,6 +81,19 @@ def get_spark(
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # Streaming state-store backend. The reference checkpoints batches to
+    # RocksDB (its resume-token store); Spark's equivalent posture at
+    # 100 TB state volumes is the RocksDB state store provider — state
+    # lives off-heap/on-disk per executor instead of in the JVM heap.
+    # Toggle: SPARK_GRAFT_STATE_STORE=rocksdb (the stateful test suite
+    # runs green under it; HDFSBackedStateStore remains the default
+    # because fixture-scale state fits comfortably in heap).
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
