@@ -10,8 +10,10 @@ startup, matching how a resident engine would serve queries.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import sys
 import time
 
@@ -61,6 +63,21 @@ HEADLINE = [
 ]
 
 
+def plan_fingerprint(df) -> str:
+    """Stable 12-hex digest of the query's physical plan STRUCTURE, so a
+    plan regression (new shuffle, lost broadcast, window gone
+    single-partition) diffs mechanically across rounds even when timings
+    are noisy. Run-specific noise — expression ids (#123), temp/staged
+    paths, plan ids — is normalized away; operator tree + join
+    strategies + pushed filters remain."""
+    s = df._jdf.queryExecution().executedPlan().toString()
+    s = re.sub(r"#\d+[A-Za-z]*", "#x", s)          # expression ids
+    s = re.sub(r"plan_id=\d+", "plan_id=x", s)
+    s = re.sub(r"(file:)?/[^\s,\]\)]+", "<path>", s)  # any filesystem path
+    s = re.sub(r"\[id=#x\]", "", s)
+    return hashlib.sha256(s.encode()).hexdigest()[:12]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -73,8 +90,11 @@ def main() -> None:
     # per-query cost — BASELINE.md notes the 2x gate is about exactly
     # these fixed overheads).
     spark.range(1).count()
+    plan_fps: dict[str, str] = {}
     for qid in HEADLINE:
-        reg[qid][0](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        df = reg[qid][0](spark, sf_dir)
+        plan_fps[qid] = plan_fingerprint(df)
+        df.write.format("noop").mode("overwrite").save()
 
     # median of 3 timed runs per query — single-run numbers at sub-second
     # scale are noisy (GC, OS scheduling); the median is what a resident
@@ -104,6 +124,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "flagship_docs_per_sec": docs_per_sec,
+                "plan_fp": plan_fps,
             }
         )
     )
