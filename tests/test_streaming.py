@@ -366,9 +366,16 @@ def test_dlq_mass_replay_job_count_is_independent_of_batch_count(spark, tmp_path
             append_failed_batch(
                 anon.filter(F.crc32(F.col("id")) % n_batches == b), b, t
             )
-        before = len(tracker.getJobIdsForGroup(None) or [])
-        assert retry_failed_batches(spark, t, active) == n_batches
-        jobs = len(tracker.getJobIdsForGroup(None) or []) - before
+        # Count jobs in a dedicated job group: the default group also
+        # receives async micro-batch jobs from streaming queries started
+        # by earlier tests, which made a None-group count flaky.
+        group = f"dlq-replay-{n_batches}"
+        spark.sparkContext.setJobGroup(group, "dlq mass replay job count")
+        try:
+            assert retry_failed_batches(spark, t, active) == n_batches
+        finally:
+            spark.sparkContext.setJobGroup("", "")
+        jobs = len(tracker.getJobIdsForGroup(group) or [])
         main = spark.read.parquet(t.sink_main_path)
         assert main.select("batch_id").distinct().count() == n_batches
         return jobs
