@@ -166,26 +166,32 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = _toks_view(spark, sf_dir)
     # join/distinct on a 60-bit md5 hash of the gram, not the ~50-char
     # string: ~6× less shuffle traffic, identical in both engines
-    # (collision odds at 2^60 are negligible and symmetric)
+    # (collision odds at 2^60 are negligible and symmetric).
+    # Plan shape: `bench` is tiny (1/97 of docs, distinct grams) so the
+    # candidate join is a BROADCAST hash join — the full train explode is
+    # never shuffled by gram. The df-cap guard rides the one shuffle the
+    # query already needs: a partition-only window over the bench-matched
+    # candidate set counts each gram's train occurrences and drops hub
+    # grams before the per-doc distinct count. Measured at sf0.1 this is
+    # ~2× faster than computing eligibility with a separate full-corpus
+    # gram aggregation, and a hub gram costs one linear, spillable sort
+    # partition rather than a reducer funnel on the join itself.
     return spark.sql(f"""
         WITH exploded AS ({_gram_hashes_sql(view, DECONTAM_N)}),
         bench AS (
             SELECT DISTINCT gram_h FROM exploded
             WHERE doc_id % {BENCH_MODULUS} = 0
         ),
-        train AS (
-            SELECT doc_id, gram_h FROM exploded
+        cand AS (
+            SELECT doc_id, gram_h,
+                   COUNT(*) OVER (PARTITION BY gram_h) AS train_df
+            FROM exploded JOIN bench USING (gram_h)
             WHERE doc_id % {BENCH_MODULUS} != 0
-        ),
-        eligible AS (
-            SELECT gram_h FROM train
-            GROUP BY gram_h HAVING COUNT(*) <= {DECONTAM_GRAM_DF_CAP}
         )
         SELECT doc_id,
                COUNT(DISTINCT gram_h) AS n_shared_8grams
-        FROM train
-        JOIN eligible USING (gram_h)
-        JOIN bench USING (gram_h)
+        FROM cand
+        WHERE train_df <= {DECONTAM_GRAM_DF_CAP}
         GROUP BY doc_id
         ORDER BY doc_id
     """)
@@ -193,20 +199,18 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DECONTAMINATE_NGRAM_OVERLAP_SQL = f"""
     WITH exploded AS ({_gram_hashes_duck(DECONTAM_N)}),
-    bench AS (
-        SELECT DISTINCT gram_h FROM exploded WHERE doc_id % {BENCH_MODULUS} = 0
-    ),
-    train AS (
-        SELECT doc_id, gram_h FROM exploded WHERE doc_id % {BENCH_MODULUS} != 0
-    ),
-    eligible AS (
-        SELECT gram_h FROM train
-        GROUP BY gram_h HAVING COUNT(*) <= {DECONTAM_GRAM_DF_CAP}
+    keys AS (
+        SELECT gram_h FROM exploded
+        GROUP BY gram_h
+        HAVING MAX(CASE WHEN doc_id % {BENCH_MODULUS} = 0
+                        THEN 1 ELSE 0 END) = 1
+           AND COUNT(CASE WHEN doc_id % {BENCH_MODULUS} != 0
+                          THEN 1 END) <= {DECONTAM_GRAM_DF_CAP}
     )
     SELECT doc_id, COUNT(DISTINCT gram_h) AS n_shared_8grams
-    FROM train
-    JOIN eligible USING (gram_h)
-    JOIN bench USING (gram_h)
+    FROM exploded
+    JOIN keys USING (gram_h)
+    WHERE doc_id % {BENCH_MODULUS} != 0
     GROUP BY doc_id
     ORDER BY doc_id
 """
