@@ -71,6 +71,9 @@ class EngineTuning:
     bench_modulus: int = 97        # every Nth doc = held-out benchmark
     decontam_gram_df_cap: int = 64  # hub-gram guard on the decontam join
     vocab_top_k: int = 100
+    # --- tokenizer / corpus-structure tier (queries/tokenizerops)
+    bpe_top_k: int = 50            # BPE merge candidates per round
+    para_tokens: int = 16          # paragraph-dedup chunk size (tokens)
 
 
 def _load_tuning() -> EngineTuning:

@@ -24,6 +24,7 @@ from mongo_to_clickhouse_spark.queries import (
     streamops,
     streamruntime,
     textops,
+    tokenizerops,
     tpch,
     tpch_ext,
     vectorops,
@@ -46,6 +47,7 @@ _MODULES = [
     streamops,
     streamruntime,
     textops,
+    tokenizerops,
     tpch,
     tpch_ext,
     vectorops,

@@ -1,0 +1,271 @@
+"""Tokenizer-training and corpus-structure operators — the remaining
+stages of a pretraining data pipeline between curation (corpusops) and
+packing (pipelineops):
+
+- ``tokenizer_bpe_pair_counts``: the distributed half of BPE vocabulary
+  induction — adjacent-symbol pair frequencies over the corpus, the
+  statistic each BPE merge round maximizes.
+- ``text_paragraph_dedup``: exact dedup at paragraph granularity (the
+  between-doc boilerplate remover that document-level hashing misses).
+- ``corpus_quality_logreg``: linear quality-classifier scoring — the
+  serving shape of the fastText/logreg quality filter stage.
+
+The reference has no tokenizer/corpus tier (it is a fixed CDC ETL,
+/root/reference/src/main.rs:362-397); these are north-star extension IDs
+like the rest of the dedup/corpus family. All three are pure built-in
+expression chains, DuckDB-oracle-checked, with the same integer-micro /
+6-dp determinism rules as corpusops (see text_perplexity_unigram).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mongo_to_clickhouse_spark.config import TUNING
+from mongo_to_clickhouse_spark.queries.corpusops import _toks_view
+
+BPE_TOP_K = TUNING.bpe_top_k          # merge candidates returned per round
+PARA_TOKENS = TUNING.para_tokens      # paragraph unit: 16-token chunks
+# Positional encoding for "global first occurrence": pos = doc_id * 2^20
+# + chunk_idx. Valid while docs stay under 2^20 chunks (= 16 Mi tokens at
+# W=16) and doc_id under 2^43 — both far above any real corpus row.
+_POS_BASE = 1 << 20
+
+# Stand-in weights for a trained quality classifier (micro-scaled
+# integers so the logit is EXACT integer arithmetic in both engines; only
+# the final sigmoid touches floating point, 6-dp rounded). The operator
+# under test is the serving shape — per-doc feature extraction fused into
+# the scan + a dot product — not the specific weights.
+_W_TTR = 2        # type-token ratio (micro)
+_W_STOP = -3      # stopword ratio (micro)
+_W_LEN = 500      # clamped token count
+_W_AWL = 1        # average word length (micro)
+_BIAS = -2_000_000
+_LEN_CLAMP = 200
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def tokenizer_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K adjacent character-pair frequencies for BPE vocabulary
+    induction (the per-round merge statistic of Sennrich-style BPE).
+
+    Scale shape — the classic trick that makes BPE trainable on a 100 TB
+    corpus: aggregate to the DISTINCT-WORD frequency table first (one
+    uniform word-keyed shuffle over the corpus), then enumerate character
+    pairs only over that vocabulary (millions of rows, not trillions)
+    weighted by word count. The final pair aggregation is over a
+    ~|alphabet|² key space with map-side combine, and the top-K is a
+    TakeOrderedAndProject, never a global sort."""
+    view = _toks_view(spark, sf_dir)
+    return spark.sql(f"""
+        WITH words AS (SELECT explode(toks) AS word FROM {view}),
+        wc AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word),
+        pairs AS (
+            SELECT concat(substring(word, i, 1), ' ',
+                          substring(word, i + 1, 1)) AS pair,
+                   cnt
+            FROM wc
+            LATERAL VIEW explode(
+                CASE WHEN length(word) >= 2
+                     THEN sequence(1, length(word) - 1)
+                     ELSE array() END) AS i
+        )
+        SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+        FROM pairs
+        GROUP BY pair
+        ORDER BY pair_count DESC, pair
+        LIMIT {BPE_TOP_K}
+    """)
+
+
+TOKENIZER_BPE_PAIR_COUNTS_SQL = f"""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word),
+    pairs AS (
+        SELECT unnest(list_transform(
+                   range(1, length(word)),
+                   i -> substring(word, i, 1) || ' '
+                        || substring(word, i + 1, 1))) AS pair,
+               cnt
+        FROM wc
+    )
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT {BPE_TOP_K}
+"""
+
+
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity exact dedup: chunk each doc into fixed
+    {PARA_TOKENS}-token paragraphs, hash each, and keep only the GLOBAL
+    first occurrence (min (doc_id, chunk_idx)) of every distinct chunk —
+    the boilerplate-paragraph remover (headers/footers/licence blocks)
+    that document-level exact dedup cannot see.
+
+    Scale shape: one explode of the corpus into chunk hashes (60-bit
+    BIGINT keys like the gram operators), ONE shuffle keyed by the
+    uniform chunk hash for the global argmin, then a same-key join back
+    (no pair enumeration anywhere). First-occurrence is an integer
+    argmin over pos = doc_id * 2^20 + chunk_idx, exact in both engines."""
+    view = _toks_view(spark, sf_dir)
+    w = PARA_TOKENS
+    return spark.sql(f"""
+        WITH chunks AS (
+            SELECT doc_id, c,
+                   CAST(conv(substring(
+                       md5(concat_ws(' ', slice(toks, c * {w} + 1, {w}))),
+                       1, 15), 16, 10) AS BIGINT) AS chunk_h
+            FROM {view}
+            LATERAL VIEW explode(
+                CASE WHEN size(toks) > 0
+                     THEN sequence(0,
+                          CAST(ceil(size(toks) / {w}.0) AS INT) - 1)
+                     ELSE array() END) AS c
+        ),
+        firsts AS (
+            SELECT chunk_h, MIN(doc_id * {_POS_BASE} + c) AS first_pos
+            FROM chunks GROUP BY chunk_h
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN doc_id * {_POS_BASE} + c = first_pos
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               round(1.0 - SUM(CASE WHEN doc_id * {_POS_BASE} + c = first_pos
+                                    THEN 1 ELSE 0 END)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
+        FROM chunks JOIN firsts USING (chunk_h)
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """)
+
+
+TEXT_PARAGRAPH_DEDUP_SQL = f"""
+    WITH toksrc AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, c,
+               CAST(('0x' || substr(md5(array_to_string(
+                   list_slice(toks, c * {PARA_TOKENS} + 1,
+                              c * {PARA_TOKENS} + {PARA_TOKENS}), ' ')),
+                   1, 15)) AS BIGINT) AS chunk_h
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(range(0, CAST(ceil(len(toks) / {PARA_TOKENS}.0)
+                                        AS BIGINT))) AS c
+            FROM toksrc
+        )
+    ),
+    firsts AS (
+        SELECT chunk_h, MIN(doc_id * {_POS_BASE} + c) AS first_pos
+        FROM chunks GROUP BY chunk_h
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN doc_id * {_POS_BASE} + c = first_pos
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(1.0 - SUM(CASE WHEN doc_id * {_POS_BASE} + c = first_pos
+                                THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
+    FROM chunks JOIN firsts USING (chunk_h)
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+_STOP_SPARK = ", ".join(f"'{s}'" for s in _STOPWORDS)
+
+
+def corpus_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier scoring: per-doc features (type-token ratio,
+    stopword ratio, clamped length, average word length) through a fixed
+    logistic model — the serving shape of the fastText/logreg quality
+    filter every pretraining pipeline runs.
+
+    Embarrassingly parallel: feature extraction fuses into the documents
+    scan (no shuffle at all — the whole query is one projection).
+    Determinism: every feature is micro-scaled integer arithmetic; the
+    logit z_micro is an exact BIGINT in both engines, `keep` is decided
+    on the integer logit (z >= 0 ⇔ score >= 0.5, no float boundary), and
+    only the final sigmoid touches floats, 6-dp rounded like
+    text_perplexity_unigram."""
+    view = _toks_view(spark, sf_dir)
+    return spark.sql(f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   size(toks) AS n_tokens,
+                   CAST(round(size(array_distinct(toks)) * 1e6
+                              / greatest(size(toks), 1)) AS BIGINT)
+                       AS ttr_micro,
+                   CAST(round(size(filter(toks,
+                        x -> x IN ({_STOP_SPARK}))) * 1e6
+                              / greatest(size(toks), 1)) AS BIGINT)
+                       AS stop_micro,
+                   CAST(round((length(concat_ws(' ', toks))
+                               - (size(toks) - 1)) * 1e6
+                              / greatest(size(toks), 1)) AS BIGINT)
+                       AS awl_micro
+            FROM {view}
+        ),
+        logit AS (
+            SELECT doc_id, n_tokens,
+                   {_BIAS} + {_W_TTR} * ttr_micro
+                           + {_W_STOP} * stop_micro
+                           + {_W_LEN} * least(n_tokens, {_LEN_CLAMP})
+                           + {_W_AWL} * awl_micro AS z_micro
+            FROM feats
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(1.0 / (1.0 + exp(-z_micro / 1e6)), 6) AS quality_score,
+               z_micro >= 0 AS keep
+        FROM logit
+        ORDER BY doc_id
+    """)
+
+
+_STOP_DUCK = ", ".join(f"'{s}'" for s in _STOPWORDS)
+
+CORPUS_QUALITY_LOGREG_SQL = f"""
+    WITH feats AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               CAST(round(len(list_distinct(toks)) * 1e6
+                          / greatest(len(toks), 1)) AS BIGINT) AS ttr_micro,
+               CAST(round(len(list_filter(toks,
+                    x -> x IN ({_STOP_DUCK}))) * 1e6
+                          / greatest(len(toks), 1)) AS BIGINT) AS stop_micro,
+               CAST(round((length(array_to_string(toks, ' '))
+                           - (len(toks) - 1)) * 1e6
+                          / greatest(len(toks), 1)) AS BIGINT) AS awl_micro
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    logit AS (
+        SELECT doc_id, n_tokens,
+               {_BIAS} + {_W_TTR} * ttr_micro
+                       + {_W_STOP} * stop_micro
+                       + {_W_LEN} * least(n_tokens, {_LEN_CLAMP})
+                       + {_W_AWL} * awl_micro AS z_micro
+        FROM feats
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(1.0 / (1.0 + exp(-z_micro / 1e6)), 6) AS quality_score,
+           z_micro >= 0 AS keep
+    FROM logit
+    ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "tokenizer_bpe_pair_counts": (
+        tokenizer_bpe_pair_counts,
+        TOKENIZER_BPE_PAIR_COUNTS_SQL,
+    ),
+    "text_paragraph_dedup": (text_paragraph_dedup, TEXT_PARAGRAPH_DEDUP_SQL),
+    "corpus_quality_logreg": (corpus_quality_logreg, CORPUS_QUALITY_LOGREG_SQL),
+}

@@ -1,0 +1,71 @@
+"""Semantic pins for the tokenizer / corpus-structure tier on planted
+corpora (the oracle harness checks fixture parity; these check the
+operators do what they claim on hand-computable inputs)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mongo_to_clickhouse_spark.queries.tokenizerops import (
+    PARA_TOKENS,
+    corpus_quality_logreg,
+    text_paragraph_dedup,
+    tokenizer_bpe_pair_counts,
+)
+
+
+def _write_documents(dirpath, texts):
+    os.makedirs(dirpath, exist_ok=True)
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["src0"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(dirpath, "documents.parquet"))
+    return str(dirpath)
+
+
+def test_bpe_pair_counts_hand_example(spark, tmp_path):
+    # word counts: ab×3, abc×2, cd×1 → pairs: 'a b' = 3+2, 'b c' = 2,
+    # 'c d' = 1
+    sf = _write_documents(tmp_path / "bpe", ["ab abc ab cd", "abc ab"])
+    rows = {
+        r["pair"]: r["pair_count"]
+        for r in tokenizer_bpe_pair_counts(spark, sf).collect()
+    }
+    assert rows == {"a b": 5, "b c": 2, "c d": 1}
+
+
+def test_paragraph_dedup_keeps_global_first_occurrence(spark, tmp_path):
+    para_a = " ".join(f"w{i}" for i in range(PARA_TOKENS))
+    para_b = " ".join(f"x{i}" for i in range(PARA_TOKENS))
+    para_c = " ".join(f"y{i}" for i in range(PARA_TOKENS))
+    # doc 0 = A+B (both first occurrences), doc 1 = A+C (A is a dup)
+    sf = _write_documents(
+        tmp_path / "para", [f"{para_a} {para_b}", f"{para_a} {para_c}"]
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["dup_ratio"])
+        for r in text_paragraph_dedup(spark, sf).collect()
+    }
+    assert got[0] == (2, 2, 0.0)
+    assert got[1] == (2, 1, 0.5)
+
+
+def test_quality_logreg_keep_matches_score_and_orders_sanely(spark, tmp_path):
+    rich = " ".join(f"tok{i}" for i in range(60))  # diverse, no stopwords
+    stoppy = " ".join(["the of a and to in"] * 10)  # all stopwords
+    sf = _write_documents(tmp_path / "lr", [rich, stoppy])
+    rows = {r["doc_id"]: r for r in corpus_quality_logreg(spark, sf).collect()}
+    for r in rows.values():
+        assert 0.0 < r["quality_score"] < 1.0
+        assert r["keep"] == (r["quality_score"] >= 0.5)
+    assert rows[0]["quality_score"] > rows[1]["quality_score"]
