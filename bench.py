@@ -60,6 +60,9 @@ HEADLINE = [
     "text_bm25_topk",              # sparse retrieval
     "agg_heavy_hitters",           # Misra-Gries candidates + exact recount
     "sink_zorder_cluster",         # Morton-clustered parquet layout
+    "tokenizer_bpe_pair_counts",   # BPE merge-candidate counting (round 4)
+    "text_paragraph_dedup",        # paragraph-granularity dedup (round 4)
+    "corpus_quality_logreg",       # quality-classifier scoring (round 4)
 ]
 
 
