@@ -81,6 +81,21 @@ def plan_fingerprint(df) -> str:
     return hashlib.sha256(s.encode()).hexdigest()[:12]
 
 
+def plan_op_counts(df) -> dict:
+    """Structural cost counters of the physical plan — the quantities a
+    scale review asks about first. Read them next to the fingerprint: a
+    changed fingerprint with an unchanged counter row is a benign
+    reshape; +1 exchange or a bhj→smj flip is a real plan regression."""
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "exchange": s.count("Exchange") - s.count("ReusedExchange"),
+        "bhj": s.count("BroadcastHashJoin"),
+        "smj": s.count("SortMergeJoin"),
+        "window": s.count("Window"),
+        "generate": s.count("Generate"),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -94,9 +109,11 @@ def main() -> None:
     # these fixed overheads).
     spark.range(1).count()
     plan_fps: dict[str, str] = {}
+    plan_ops: dict[str, dict] = {}
     for qid in HEADLINE:
         df = reg[qid][0](spark, sf_dir)
         plan_fps[qid] = plan_fingerprint(df)
+        plan_ops[qid] = plan_op_counts(df)
         df.write.format("noop").mode("overwrite").save()
 
     # median of 3 timed runs per query — single-run numbers at sub-second
@@ -128,6 +145,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "flagship_docs_per_sec": docs_per_sec,
                 "plan_fp": plan_fps,
+                "plan_ops": plan_ops,
             }
         )
     )
