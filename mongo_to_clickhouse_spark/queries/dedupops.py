@@ -479,6 +479,138 @@ DEDUP_CLUSTER_COMPONENTS_SQL = f"""
 """
 
 
+def pipeline_dedup_lsh_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the MinHash-LSH near-dup clusters BACK to the corpus — the
+    step that actually shrinks the training set: every cluster member
+    except the min-id keeper is dropped, unclustered docs pass through,
+    and the result is per-source kept/dropped accounting over the full
+    documents table (pairs → clusters → materialized deduped corpus, the
+    complete Lee-et-al. loop).
+
+    Scale posture: the drop set is the clustered-node label relation
+    (tiny relative to the corpus — only docs that appeared in an LSH
+    candidate pair), so the final pass is one broadcast-ably small left
+    join keyed by uniform doc_id against a single documents scan; the CC
+    fixed point itself is the bounded-shuffle hash-min iteration
+    (operators/graph.py)."""
+    from mongo_to_clickhouse_spark.operators.graph import connected_components
+
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    labels = connected_components(pairs)
+    drops = (
+        labels.filter(F.col("node_id") != F.col("component_id"))
+        .select(F.col("node_id").alias("doc_id"), F.lit(1).alias("dropped"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.join(drops, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("dropped"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+            (F.count("*") - F.sum(F.coalesce(F.col("dropped"), F.lit(0))))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(
+                F.when(F.col("dropped").isNull(), F.col("n_chars")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+PIPELINE_DEDUP_LSH_APPLY_SQL = f"""
+    WITH RECURSIVE
+    edges AS (SELECT a_id, b_id FROM ({DEDUP_MINHASH_LSH_PAIRS_SQL})),
+    sym AS (
+        SELECT a_id AS u, b_id AS v FROM edges
+        UNION
+        SELECT b_id AS u, a_id AS v FROM edges
+    ),
+    reach(node_id, lbl) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT s.u, r.lbl FROM sym s JOIN reach r ON s.v = r.node_id
+    ),
+    labels AS (
+        SELECT node_id, MIN(lbl) AS component_id FROM reach GROUP BY node_id
+    ),
+    drops AS (
+        SELECT node_id AS doc_id, 1 AS dropped
+        FROM labels WHERE node_id != component_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(COALESCE(dropped, 0)) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - SUM(COALESCE(dropped, 0)) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN dropped IS NULL THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM documents LEFT JOIN drops USING (doc_id)
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl exact dedup: a NEW batch (every 10th doc stands
+    in for the fresh crawl) deduped against the HISTORICAL corpus (the
+    rest) by content hash, plus within-batch dedup keeping the min
+    doc_id — the production shape where yesterday's corpus is a seen-hash
+    set and only novel content survives.
+
+    Scale posture: the historical side reduces to DISTINCT 60-bit
+    content hashes before the anti-join (at production scale this
+    relation is the persisted seen-hash table, not a rescan); both the
+    distinct and the anti-join shuffle on the uniform content hash. No
+    driver-side state."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    hashed = docs.select("doc_id", "source", "n_chars", h.alias("text_h"))
+    batch = hashed.filter(F.col("doc_id") % 10 == 0)
+    seen = (
+        hashed.filter(F.col("doc_id") % 10 != 0).select("text_h").distinct()
+    )
+    novel = batch.join(seen, "text_h", "left_anti")
+    kept = (
+        novel.groupBy("text_h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(novel, ["text_h", "doc_id"])
+    )
+    return kept.select("doc_id", "source", "n_chars", "text_h").orderBy(
+        "doc_id"
+    )
+
+
+DEDUP_INCREMENTAL_EXACT_SQL = """
+    WITH hashed AS (
+        SELECT doc_id, source, n_chars,
+               CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS text_h
+        FROM documents
+    ),
+    batch AS (SELECT * FROM hashed WHERE doc_id % 10 = 0),
+    seen AS (
+        SELECT DISTINCT text_h FROM hashed WHERE doc_id % 10 != 0
+    ),
+    novel AS (
+        SELECT b.* FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.text_h = b.text_h)
+    )
+    SELECT n.doc_id, n.source, n.n_chars, n.text_h
+    FROM novel n
+    JOIN (SELECT text_h, MIN(doc_id) AS doc_id
+          FROM novel GROUP BY text_h) k
+      ON n.text_h = k.text_h AND n.doc_id = k.doc_id
+    ORDER BY n.doc_id
+"""
+
 
 # ---------------------------------------------------------------------------
 # URL-canonicalization dedup (crawl-pipeline tier)
@@ -690,4 +822,12 @@ QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_url_canonical": (dedup_url_canonical, DEDUP_URL_CANONICAL_SQL),
     "dedup_substring_spans": (dedup_substring_spans, DEDUP_SUBSTRING_SPANS_SQL),
+    "pipeline_dedup_lsh_apply": (
+        pipeline_dedup_lsh_apply,
+        PIPELINE_DEDUP_LSH_APPLY_SQL,
+    ),
+    "dedup_incremental_exact": (
+        dedup_incremental_exact,
+        DEDUP_INCREMENTAL_EXACT_SQL,
+    ),
 }
