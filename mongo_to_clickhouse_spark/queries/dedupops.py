@@ -430,6 +430,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_NGRAM_JACCARD_SQL = _ngram_jaccard_sql("duck")
 
 
+# The CC fixed point over the LSH pair edges is a multi-job iteration
+# (operators/graph.py) consumed by TWO registry ids; memoize the final
+# label relation per (session, sf_dir, documents mtime/size) — the
+# io._SCAN_CACHE discipline — so parity sweeps and repeated pipeline use
+# run the iteration once. The cached DataFrame re-reads its
+# reliable-checkpoint files on reuse (cheap, deterministic).
+_CC_LABELS_CACHE: dict[tuple, tuple] = {}
+
+
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from mongo_to_clickhouse_spark.io import table_path
+
+    st = _os.stat(table_path(sf_dir, "documents"))
+    key = (id(spark), sf_dir)
+    stat_key = (st.st_mtime_ns, st.st_size)
+    hit = _CC_LABELS_CACHE.get(key)
+    if hit is None or hit[0] != stat_key:
+        from mongo_to_clickhouse_spark.operators.graph import (
+            connected_components,
+        )
+
+        labels = connected_components(dedup_minhash_lsh_pairs(spark, sf_dir))
+        hit = (stat_key, spark, labels)
+        _CC_LABELS_CACHE[key] = hit
+    return hit[2]
+
+
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → clusters: iterative hash-min connected components over the
     MinHash-LSH candidate edges, yielding one canonical keeper per
@@ -438,14 +467,17 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     point as a DuckDB recursive CTE (transitive closure → min reachable
     id), so the iterative algorithm is hash-checked end-to-end, not just
     rows-only."""
-    from mongo_to_clickhouse_spark.operators.graph import dedup_clusters
-
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
-    return dedup_clusters(pairs).select(
-        "component_id",
-        F.col("members").cast("string").alias("members"),
-        "keeper_doc_id",
-        "cluster_size",
+    return (
+        _cc_labels(spark, sf_dir)
+        .groupBy("component_id")
+        .agg(
+            F.sort_array(F.collect_list("node_id"))
+            .cast("string")
+            .alias("members"),
+            F.min("node_id").alias("keeper_doc_id"),
+            F.count("*").alias("cluster_size"),
+        )
+        .select("component_id", "members", "keeper_doc_id", "cluster_size")
     )
 
 
@@ -492,13 +524,11 @@ def pipeline_dedup_lsh_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pair), so the final pass is one broadcast-ably small left
     join keyed by uniform doc_id against a single documents scan; the CC
     fixed point itself is the bounded-shuffle hash-min iteration
-    (operators/graph.py)."""
-    from mongo_to_clickhouse_spark.operators.graph import connected_components
-
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
-    labels = connected_components(pairs)
+    (operators/graph.py), shared with dedup_cluster_components via the
+    _cc_labels memo."""
     drops = (
-        labels.filter(F.col("node_id") != F.col("component_id"))
+        _cc_labels(spark, sf_dir)
+        .filter(F.col("node_id") != F.col("component_id"))
         .select(F.col("node_id").alias("doc_id"), F.lit(1).alias("dropped"))
     )
     docs = load_table(spark, sf_dir, "documents")
