@@ -519,10 +519,12 @@ def pipeline_dedup_lsh_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents table (pairs → clusters → materialized deduped corpus, the
     complete Lee-et-al. loop).
 
-    Scale posture: the drop set is the clustered-node label relation
-    (tiny relative to the corpus — only docs that appeared in an LSH
-    candidate pair), so the final pass is one broadcast-ably small left
-    join keyed by uniform doc_id against a single documents scan; the CC
+    Scale posture: the final pass is one left join keyed by uniform
+    doc_id against a single documents scan. The drop set is the
+    clustered-node label relation — on the fixtures it is tiny and AQE
+    broadcasts it, but at web scale near-dup drops can be 30-50% of the
+    corpus, so the join must (and does) degrade to a shuffled hash join
+    on the uniform key rather than assuming broadcastability. The CC
     fixed point itself is the bounded-shuffle hash-min iteration
     (operators/graph.py), shared with dedup_cluster_components via the
     _cc_labels memo."""
@@ -609,14 +611,20 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed.filter(F.col("doc_id") % 10 != 0).select("text_h").distinct()
     )
     novel = batch.join(seen, "text_h", "left_anti")
-    kept = (
-        novel.groupBy("text_h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .join(novel, ["text_h", "doc_id"])
+    # within-batch min-id dedup as ONE aggregation (min over a struct
+    # ordered by doc_id) instead of groupBy + join-back: one fewer join,
+    # and when the seen side is too big to broadcast (production scale)
+    # the shuffled anti-join leaves `novel` partitioned by text_h, so
+    # this groupBy adds no exchange at all
+    kept = novel.groupBy("text_h").agg(
+        F.min(F.struct("doc_id", "source", "n_chars")).alias("s")
     )
-    return kept.select("doc_id", "source", "n_chars", "text_h").orderBy(
-        "doc_id"
-    )
+    return kept.select(
+        F.col("s.doc_id").alias("doc_id"),
+        F.col("s.source").alias("source"),
+        F.col("s.n_chars").alias("n_chars"),
+        "text_h",
+    ).orderBy("doc_id")
 
 
 DEDUP_INCREMENTAL_EXACT_SQL = """
