@@ -60,6 +60,29 @@ def test_paragraph_dedup_keeps_global_first_occurrence(spark, tmp_path):
     assert got[1] == (2, 1, 0.5)
 
 
+def test_bpe_ignores_single_char_words(spark, tmp_path):
+    # 'a' contributes no pair; doc of only single-char words yields none
+    sf = _write_documents(tmp_path / "bpe1", ["a b a", "ab"])
+    rows = {
+        r["pair"]: r["pair_count"]
+        for r in tokenizer_bpe_pair_counts(spark, sf).collect()
+    }
+    assert rows == {"a b": 1}
+
+
+def test_paragraph_dedup_partial_chunk_and_identical_docs(spark, tmp_path):
+    # doc 0: 1 token = one partial chunk; doc 2 repeats doc 1 entirely
+    body = " ".join(f"w{i}" for i in range(PARA_TOKENS + 3))  # 2 chunks
+    sf = _write_documents(tmp_path / "para2", ["solo", body, body])
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["dup_ratio"])
+        for r in text_paragraph_dedup(spark, sf).collect()
+    }
+    assert got[0] == (1, 1, 0.0)
+    assert got[1] == (2, 2, 0.0)
+    assert got[2] == (2, 0, 1.0)
+
+
 def test_quality_logreg_keep_matches_score_and_orders_sanely(spark, tmp_path):
     rich = " ".join(f"tok{i}" for i in range(60))  # diverse, no stopwords
     stoppy = " ".join(["the of a and to in"] * 10)  # all stopwords
