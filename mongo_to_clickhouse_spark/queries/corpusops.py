@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from mongo_to_clickhouse_spark.config import TUNING
 from mongo_to_clickhouse_spark.io import load_table
-from mongo_to_clickhouse_spark.operators.materialize import barrier_view
+from mongo_to_clickhouse_spark.operators.materialize import cached_barrier_view
 
 # Knobs come from config.EngineTuning (env-overridable via
 # SPARK_GRAFT_TUNING before import); defaults are the driver-pinned values.
@@ -55,9 +55,13 @@ def _toks_view(spark: SparkSession, sf_dir: str) -> str:
     materialized column, then slice+concat+hash per emitted row. Building
     the gram arrays per row in higher-order lambdas instead was measured
     10× slower at sf0.1 (lambdas evaluate interpreted, outside codegen)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
-    return barrier_view(toks, "corpus_toks")
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id", F.split(F.col("text"), " ").alias("toks")
+        )
+
+    return cached_barrier_view(spark, sf_dir, "corpus_toks", build)
 
 
 def _gram_hashes_sql(view: str, n: int) -> str:

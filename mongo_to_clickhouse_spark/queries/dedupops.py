@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from mongo_to_clickhouse_spark.config import TUNING
 from mongo_to_clickhouse_spark.io import load_table
-from mongo_to_clickhouse_spark.operators.materialize import barrier_view
+from mongo_to_clickhouse_spark.operators.materialize import cached_barrier_view
 
 # Knobs come from config.EngineTuning (env-overridable via
 # SPARK_GRAFT_TUNING before import); defaults are the driver-pinned values.
@@ -218,10 +218,13 @@ def _shingled_view(spark: SparkSession, sf_dir: str) -> str:
     and expose it as a temp view, so the downstream explode's child is a
     plain column — see _minhash_full_sql docstring for why."""
     _register_docs(spark, sf_dir)
-    df = spark.sql(
-        f"WITH corpus AS ({_planted_corpus('spark')}) {_shingles('spark')}"
-    )
-    return barrier_view(df, "shingled_mat")
+
+    def build():
+        return spark.sql(
+            f"WITH corpus AS ({_planted_corpus('spark')}) {_shingles('spark')}"
+        )
+
+    return cached_barrier_view(spark, sf_dir, "shingled_mat", build)
 
 
 def dedup_minhash_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,11 +333,14 @@ def _toks_view(spark: SparkSession, sf_dir: str) -> str:
     """Materialized (doc_id, distinct-token array) relation — same
     explode-recompute avoidance as _shingled_view."""
     _register_docs(spark, sf_dir)
-    df = spark.sql(
-        f"WITH corpus AS ({_planted_corpus('spark')}) "
-        "SELECT doc_id, array_distinct(split(text, ' ')) AS toks FROM corpus"
-    )
-    return barrier_view(df, "toks_mat")
+
+    def build():
+        return spark.sql(
+            f"WITH corpus AS ({_planted_corpus('spark')}) "
+            "SELECT doc_id, array_distinct(split(text, ' ')) AS toks FROM corpus"
+        )
+
+    return cached_barrier_view(spark, sf_dir, "toks_mat", build)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -798,19 +804,22 @@ def _window_arr_view(spark: SparkSession, sf_dir: str) -> str:
     same md5, so even a collision yields identical results."""
     _register_docs(spark, sf_dir)
     w = WINDOW_TOKENS
-    df = spark.sql(f"""
-        WITH corpus AS ({_planted_corpus('spark')}),
-        toks AS (SELECT doc_id, split(text, ' ') AS t FROM corpus)
-        SELECT doc_id,
-               CASE WHEN size(t) >= {w} THEN
-                 transform(sequence(1, size(t) - {w - 1}),
-                           i -> CAST(CONV(substring(
-                                    md5(concat_ws(' ', slice(t, i, {w}))),
-                                    1, 15), 16, 10) AS BIGINT))
-               ELSE array() END AS whs
-        FROM toks
-    """)
-    return barrier_view(df, "subwin_mat")
+
+    def build():
+        return spark.sql(f"""
+            WITH corpus AS ({_planted_corpus('spark')}),
+            toks AS (SELECT doc_id, split(text, ' ') AS t FROM corpus)
+            SELECT doc_id,
+                   CASE WHEN size(t) >= {w} THEN
+                     transform(sequence(1, size(t) - {w - 1}),
+                               i -> CAST(CONV(substring(
+                                        md5(concat_ws(' ', slice(t, i, {w}))),
+                                        1, 15), 16, 10) AS BIGINT))
+                   ELSE array() END AS whs
+            FROM toks
+        """)
+
+    return cached_barrier_view(spark, sf_dir, "subwin_mat", build)
 
 
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
