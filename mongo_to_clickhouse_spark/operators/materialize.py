@@ -67,8 +67,8 @@ def barrier_view(df: DataFrame, name: str) -> str:
 _BARRIER_VIEW_CACHE: dict[tuple, tuple] = {}
 
 
-def cached_barrier_view(spark, sf_dir, name, build, tables=("documents",)):
-    """Memoized ``barrier_view``: ``build()`` → checkpointed DataFrame,
+def cached_barrier(spark, sf_dir, name, build, tables=("documents",)):
+    """Memoized ``barrier``: ``build()`` → checkpointed DataFrame,
     rebuilt only when a source table in ``tables`` changes on disk."""
     import os
 
@@ -84,7 +84,15 @@ def cached_barrier_view(spark, sf_dir, name, build, tables=("documents",)):
     if hit is None or hit[0] != stats:
         hit = (stats, spark, barrier(build()))
         _BARRIER_VIEW_CACHE[key] = hit
-    hit[2].createOrReplaceTempView(name)
+    return hit[2]
+
+
+def cached_barrier_view(spark, sf_dir, name, build, tables=("documents",)):
+    """``cached_barrier`` + temp view registration on every call (so
+    interleaved sf_dirs in one session always see their own data)."""
+    cached_barrier(spark, sf_dir, name, build, tables).createOrReplaceTempView(
+        name
+    )
     return name
 
 

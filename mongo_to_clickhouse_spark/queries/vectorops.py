@@ -154,26 +154,40 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The banding join is the scale path: candidate generation is an
     equi-join on (band_idx, band_val) — no quadratic pair space."""
-    emb = _emb_with_norm(spark, sf_dir)
-    bands = _lsh_bands(F.col("embedding"))
-    banded = emb.select(
-        "vec_id",
-        "embedding",
-        "nrm",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band_idx"), b.alias("band_val"))
-                    for i, b in enumerate(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("vec_id", "embedding", "nrm", "band.band_idx", "band.band_val")
+    def build():
+        emb = _emb_with_norm(spark, sf_dir)
+        bands = _lsh_bands(F.col("embedding"))
+        return emb.select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_idx"), b.alias("band_val")
+                        )
+                        for i, b in enumerate(bands)
+                    ]
+                )
+            ).alias("band"),
+        ).select(
+            "vec_id", "embedding", "nrm", "band.band_idx", "band.band_val"
+        )
 
-    # NOT barrier'd: the signature projection is literal-plane arithmetic
-    # (~0.3s/pass at sf0.1) consumed twice, while a reliable-checkpoint
-    # barrier costs ~1.4s to write — recomputation is the cheaper side
-    # here, unlike the Generate-recompute cases in dedupops.
+    # Barrier'd via the SESSION-MEMOIZED cache: the signature projection
+    # is consumed twice (probes + candidates); pre-memo, a per-call
+    # reliable-checkpoint write (~1.4s) cost more than recomputing the
+    # literal-plane arithmetic twice (~0.3s/pass), so this was left
+    # unbarrier'd — with cached_barrier the write happens once per
+    # (session, sf_dir) and every later call reads the checkpoint files.
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier,
+    )
+
+    banded = cached_barrier(
+        spark, sf_dir, "lsh_banded", build, tables=("embeddings",)
+    )
     probes = banded.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("p_emb"),
