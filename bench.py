@@ -87,6 +87,9 @@ def plan_op_counts(df) -> dict:
     changed fingerprint with an unchanged counter row is a benign
     reshape; +1 exchange or a bhj→smj flip is a real plan regression."""
     s = df._jdf.queryExecution().executedPlan().toString()
+    # AQE plan strings append "== Initial Plan ==" after the final plan;
+    # count only the final section or every counter doubles
+    s = s.split("== Initial Plan ==")[0]
     return {
         "exchange": s.count("Exchange") - s.count("ReusedExchange"),
         "bhj": s.count("BroadcastHashJoin"),
