@@ -305,7 +305,7 @@ BM25_K1 = "CAST(1.2 AS DOUBLE)"
 BM25_B = "CAST(0.75 AS DOUBLE)"
 
 
-def _bm25_sql(dialect: str) -> str:
+def _bm25_sql(dialect: str, toks_src: str | None = None) -> str:
     """Okapi BM25 (Lucene idf variant) scored in integer micro-units.
 
     Float discipline (see PARITY_r02.md): avgdl is built from exact
@@ -351,8 +351,13 @@ def _bm25_sql(dialect: str) -> str:
                CAST(ROW_NUMBER() OVER (
                    ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
         FROM topk"""
+    toks_cte = (
+        f"SELECT doc_id, toks AS t FROM {toks_src}"
+        if toks_src
+        else f"SELECT doc_id, {split_} AS t FROM documents"
+    )
     return f"""
-        WITH toks AS (SELECT doc_id, {split_} AS t FROM documents),
+        WITH toks AS ({toks_cte}),
         tok_rows AS ({explode_}),
         dl AS (SELECT doc_id, {len_} AS dl FROM toks),
         stats AS (
@@ -403,8 +408,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     over per-doc totals (TakeOrderedAndProject-class). This is the
     sparse-retrieval sibling of sim_cosine_topk for training-data
     curation (quality-biased sampling, decontamination lookups)."""
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_bm25_sql("spark"))
+    from mongo_to_clickhouse_spark.queries.corpusops import _toks_view
+
+    # the (doc_id, tokens) relation is consumed by THREE branches
+    # (tf, dl, query terms); the session-memoized barrier view collapses
+    # the repeated split-and-scan into checkpoint reads
+    view = _toks_view(spark, sf_dir)
+    return spark.sql(_bm25_sql("spark", toks_src=view))
 
 
 TEXT_BM25_TOPK_SQL = _bm25_sql("duck")
