@@ -61,6 +61,95 @@ AGG_HEAVY_HITTERS_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-Min Sketch, the explicit distributed construction
+# ---------------------------------------------------------------------------
+
+# depth×width counter matrix; width is deliberately small relative to the
+# fixture's ~10³ distinct users so bucket collisions actually occur and
+# the estimate≥exact inequality is exercised with real slack.
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+_CMS_P = 2_147_483_647
+# fixed universal-hash coefficients (same P as the MinHash family);
+# literals so both engines evaluate the identical functions
+_CMS_A = (1203318795, 617089322, 1762349843, 955043871)
+_CMS_B = (842607258, 1433966128, 290145497, 1723003927)
+
+
+def _cms_bucket(engine: str, i_expr: str, k_expr: str) -> str:
+    a = ", ".join(str(v) for v in _CMS_A)
+    b = ", ".join(str(v) for v in _CMS_B)
+    if engine == "spark":
+        pick = lambda arr: f"element_at(array({arr}), {i_expr} + 1)"  # noqa: E731
+    else:
+        pick = lambda arr: f"([{arr}])[{i_expr} + 1]"  # noqa: E731
+    return (
+        f"(({pick(a)} * ({k_expr} % {_CMS_P}) + {pick(b)})"
+        f" % {_CMS_P}) % {CMS_WIDTH}"
+    )
+
+
+def _cms_sql(engine: str) -> str:
+    if engine == "spark":
+        k = ("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),"
+             " 16, 10) AS BIGINT)")
+        iexp = f"LATERAL VIEW explode(sequence(0, {CMS_DEPTH - 1})) AS i"
+    else:
+        k = ("CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))"
+             " AS BIGINT)")
+        iexp = f", unnest(range(0, {CMS_DEPTH})) AS t(i)"
+    bucket = _cms_bucket(engine, "i", "k")
+    return f"""
+        WITH ev AS (SELECT user_id, {k} AS k FROM events),
+        rows_ AS (SELECT k, i FROM ev {iexp}),
+        cms AS (
+            SELECT i, {_cms_bucket(engine, 'i', 'k')} AS bucket,
+                   COUNT(*) AS c
+            FROM rows_ GROUP BY 1, 2
+        ),
+        keys AS (
+            SELECT user_id, k, CAST(COUNT(*) AS BIGINT) AS exact_count
+            FROM ev GROUP BY 1, 2
+        ),
+        probes AS (
+            SELECT user_id, exact_count, i, {bucket} AS bucket
+            FROM keys {iexp}
+        )
+        SELECT p.user_id, p.exact_count,
+               CAST(MIN(c.c) AS BIGINT) AS cms_estimate,
+               MIN(c.c) >= p.exact_count AS is_overestimate
+        FROM probes p JOIN cms c ON p.i = c.i AND p.bucket = c.bucket
+        GROUP BY p.user_id, p.exact_count
+        ORDER BY p.user_id
+    """
+
+
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimation as the EXPLICIT distributed
+    construction: depth×width counter matrix built by one
+    (depth-exploded) groupBy on (row, bucket) — map-side combined, fixed
+    O(depth·width) state — then per-key estimates as the MIN over the
+    depth probes. Returns per-user exact count, CMS estimate, and the
+    in-band overestimate invariant (estimate ≥ exact, always true — the
+    one-sided CMS error guarantee, visible in the compared output).
+
+    Deterministic universal hashes over a 60-bit md5 key make the whole
+    sketch exactly mirrorable in the DuckDB oracle — unlike the opaque
+    binary of the built-in ``count_min_sketch`` aggregate. At 100 TB the
+    counter matrix is a few KiB regardless of stream size (the reason
+    CMS serves per-key rate limits and heavy-hitter pre-filters on
+    unbounded streams); the only corpus-bound shuffles are keyed by
+    (depth, bucket) — cardinality depth×width — and by the uniform
+    user key."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_cms_sql("spark"))
+
+
+AGG_COUNT_MIN_SKETCH_SQL = _cms_sql("duck")
+
+
 QUERIES: dict[str, tuple] = {
     "agg_heavy_hitters": (agg_heavy_hitters, AGG_HEAVY_HITTERS_SQL),
+    "agg_count_min_sketch": (agg_count_min_sketch, AGG_COUNT_MIN_SKETCH_SQL),
 }
