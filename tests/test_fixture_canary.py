@@ -126,3 +126,35 @@ def test_scan_cache_keys_by_sf_dir(spark):
     a2 = load_table(spark, "/root/testdata/sf0.001", "events").count()
     assert a == a2 == 1000
     assert b == 10_000
+
+
+def test_cached_barrier_rebuilds_on_fixture_rewrite(spark, tmp_path):
+    """cached_barrier must key by the source table's (mtime_ns, size):
+    an in-place rewrite of the fixture serves fresh data, never the
+    stale checkpoint (the silent-wrong-results mode the round-3 review
+    flagged for caches)."""
+    import os
+    import shutil
+    import time
+
+    from mongo_to_clickhouse_spark.operators.materialize import cached_barrier
+
+    sf = str(tmp_path)
+    shutil.copy(table_path("/root/testdata/sf0.001", "events"),
+                os.path.join(sf, "events.parquet"))
+
+    def build():
+        return load_table(spark, sf, "events").selectExpr("COUNT(*) AS n")
+
+    args = (spark, sf, "canary_ev", build)
+    n1 = cached_barrier(*args, tables=("events",)).first()["n"]
+    # hit: same stats → same checkpointed relation
+    assert cached_barrier(*args, tables=("events",)).first()["n"] == n1
+    assert n1 == 1000
+
+    # in-place rewrite with the sf0.01 table (different size & mtime)
+    time.sleep(0.01)
+    shutil.copy(table_path("/root/testdata/sf0.01", "events"),
+                os.path.join(sf, "events.parquet"))
+    n2 = cached_barrier(*args, tables=("events",)).first()["n"]
+    assert n2 == 10_000
