@@ -921,8 +921,148 @@ DECONTAMINATE_EMBEDDING_COSINE_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# distributed Lloyd's k-means (fixed-iteration, exact-integer, oracled)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8           # initial centroids: vec_id < K (deterministic)
+KMEANS_ROUNDS = 3      # assignment rounds (centroids update after 1..N-1)
+_KM_DIM = 64
+_KM_OFF = 1_000_000    # shift to non-negative before integer division so
+#                        Spark's DIV (trunc) and DuckDB's // (floor) agree
+#                        (values are micro-scaled, |v| < 7e5 on unit-ish
+#                        embeddings, so the offset always dominates)
+
+
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embeddings table —
+    ``KMEANS_ROUNDS`` assignment rounds from deterministic initial
+    centroids (vec_id < K), returning per-cluster size and exact
+    within-cluster sum of squares.
+
+    EXACT-INTEGER formulation end to end: values are micro-scaled ints,
+    distances are integer sums of squares, the argmin is an encoded
+    ``MIN(d2·16 + c)`` (tie-break by centroid index), and the centroid
+    mean is an offset integer division — so the iterative algorithm is
+    bit-identical in both engines and the oracle unrolls the SAME
+    iterations as plain CTE stages (no recursion, no float drift).
+
+    Scale posture (the MLlib KMeans shape, expressed relationally): the
+    point relation shuffles ONCE to build (vec, dim, value) rows; each
+    round is a broadcast join against the K×D centroid relation (a few
+    KiB at any corpus size) + two partial-aggregated groupBys keyed by
+    the uniform vec_id / (cluster, dim). Nothing quadratic; rounds are
+    a fixed constant. Empty clusters drop out deterministically in both
+    engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("j", "u"),
+    ).select(
+        "vec_id",
+        (F.col("j") + 1).alias("j"),
+        F.round(F.col("u").cast("double") * 1_000_000)
+        .cast("bigint")
+        .alias("v"),
+    )
+    cent = (
+        pts.filter(F.col("vec_id") < KMEANS_K)
+        .select(F.col("vec_id").alias("c"), "j", F.col("v").alias("cv"))
+    )
+    dist = assign = None
+    for rnd in range(1, KMEANS_ROUNDS + 1):
+        dist = (
+            pts.join(F.broadcast(cent), "j")
+            .groupBy("vec_id", "c")
+            .agg(
+                F.sum(
+                    (F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))
+                ).alias("d2")
+            )
+        )
+        assign = (
+            dist.groupBy("vec_id")
+            .agg(F.min(F.col("d2") * 16 + F.col("c")).alias("code"))
+            .select("vec_id", (F.col("code") % 16).alias("cluster"))
+        )
+        if rnd < KMEANS_ROUNDS:
+            cent = (
+                pts.join(assign, "vec_id")
+                .groupBy("cluster", "j")
+                .agg(
+                    F.expr(
+                        f"CAST(SUM(v + {_KM_OFF}) DIV COUNT(*)"
+                        f" - {_KM_OFF} AS BIGINT)"
+                    ).alias("cv")
+                )
+                .select(F.col("cluster").alias("c"), "j", "cv")
+            )
+    return (
+        assign.join(
+            dist,
+            (assign.vec_id == dist.vec_id)
+            & (assign.cluster == dist.c),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n_points"),
+            F.sum("d2").cast("bigint").alias("wss"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _kmeans_duck_sql() -> str:
+    parts = [
+        f"""pts AS (
+            SELECT vec_id, j,
+                   CAST(round(CAST(embedding[j] AS DOUBLE) * 1000000)
+                        AS BIGINT) AS v
+            FROM (SELECT vec_id, embedding,
+                         unnest(range(1, {_KM_DIM + 1})) AS j
+                  FROM embeddings)
+        )""",
+        f"""cent0 AS (
+            SELECT vec_id AS c, j, v AS cv FROM pts WHERE vec_id < {KMEANS_K}
+        )""",
+    ]
+    for r in range(1, KMEANS_ROUNDS + 1):
+        parts.append(f"""dist{r} AS (
+            SELECT p.vec_id, c.c, SUM((p.v - c.cv) * (p.v - c.cv)) AS d2
+            FROM pts p JOIN cent{r - 1} c ON p.j = c.j
+            GROUP BY p.vec_id, c.c
+        )""")
+        parts.append(f"""asn{r} AS (
+            SELECT vec_id, MIN(d2 * 16 + c) % 16 AS cluster
+            FROM dist{r} GROUP BY vec_id
+        )""")
+        if r < KMEANS_ROUNDS:
+            parts.append(f"""cent{r} AS (
+            SELECT a.cluster AS c, p.j,
+                   CAST(SUM(p.v + {_KM_OFF}) // COUNT(*) - {_KM_OFF}
+                        AS BIGINT) AS cv
+            FROM pts p JOIN asn{r} a ON p.vec_id = a.vec_id
+            GROUP BY a.cluster, p.j
+        )""")
+    n = KMEANS_ROUNDS
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT CAST(a.cluster AS BIGINT) AS cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(d.d2) AS BIGINT) AS wss
+        FROM asn{n} a JOIN dist{n} d
+          ON d.vec_id = a.vec_id AND d.c = a.cluster
+        GROUP BY a.cluster
+        ORDER BY a.cluster
+    """
+
+
+EMB_KMEANS_LLOYD_SQL = _kmeans_duck_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_TOPK_SQL),
+    "emb_kmeans_lloyd": (emb_kmeans_lloyd, EMB_KMEANS_LLOYD_SQL),
     "decontaminate_embedding_cosine": (
         decontaminate_embedding_cosine,
         DECONTAMINATE_EMBEDDING_COSINE_SQL,
