@@ -15,6 +15,7 @@ from mongo_to_clickhouse_spark.queries import (
     core,
     corpusops,
     dedupops,
+    graphops,
     joinops,
     pipelineops,
     relational_ext,
@@ -38,6 +39,7 @@ _MODULES = [
     core,
     corpusops,
     dedupops,
+    graphops,
     joinops,
     pipelineops,
     relational_ext,

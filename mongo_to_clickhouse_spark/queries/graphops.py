@@ -1,0 +1,116 @@
+"""Graph analytics over the star-schema-derived graph: PageRank on the
+customer↔supplier bipartite graph induced by lineitem⨝orders (who trades
+with whom). Companion to the connected-components clustering in
+dedupops/operators.graph — together the two canonical distributed graph
+algorithms.
+
+Same exact-integer iterative discipline as ``emb_kmeans_lloyd``: rank
+mass is micro-scaled integers, per-edge contribution is a truncating
+integer division, damping is integer ``(85·s) DIV 100`` — so the fixed
+number of power-iteration rounds is bit-identical in both engines and
+the DuckDB oracle just unrolls the SAME rounds as CTE stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongo_to_clickhouse_spark.io import load_table
+
+PAGERANK_ROUNDS = 3
+_PR_TOPK = 20
+_SUPP_BASE = 1_000_000   # supplier node ids offset past customer keys
+_PR_INIT = 1_000_000     # initial rank mass, micro units
+_PR_BASE = 150_000       # (1 - damping) in micro units
+# damping 0.85 as integer (85·s) DIV 100; truncation loss is
+# deterministic and identical in both engines (ranks stay positive)
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PR_TOPK} PageRank nodes of the trade graph.
+
+    Scale posture: the edge relation is built once (one shuffle to
+    distinct the (cust, supp) pairs — uniform keys); each round is one
+    join of the rank relation against the edges keyed by src (uniform)
+    plus one partial-aggregated groupBy on dst — the standard
+    power-iteration shape that GraphX/Pregel express, here as plain
+    relational ops so Catalyst/AQE schedule it. Rounds are a fixed
+    constant; the final top-k is a TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + _SUPP_BASE).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = pairs.selectExpr("cust AS src", "supp AS dst").unionAll(
+        pairs.selectExpr("supp AS src", "cust AS dst")
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    ranks = deg.select("src", F.lit(_PR_INIT).alias("rank"))
+    for _ in range(PAGERANK_ROUNDS):
+        contrib = (
+            ranks.join(deg, "src")
+            .join(edges, "src")
+            .select(
+                F.col("dst").alias("src"),
+                F.expr("rank DIV degree").alias("c"),
+            )
+        )
+        ranks = contrib.groupBy("src").agg(
+            F.expr(f"CAST({_PR_BASE} + (85 * SUM(c)) DIV 100 AS BIGINT)")
+            .alias("rank")
+        )
+    return (
+        ranks.select(F.col("src").alias("node_id"), F.col("rank").alias("rank_micro"))
+        .orderBy(F.col("rank_micro").desc(), "node_id")
+        .limit(_PR_TOPK)
+    )
+
+
+def _pagerank_duck_sql() -> str:
+    parts = [
+        f"""pairs AS (
+            SELECT DISTINCT o_custkey AS cust,
+                   l_suppkey + {_SUPP_BASE} AS supp
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        )""",
+        """edges AS (
+            SELECT cust AS src, supp AS dst FROM pairs
+            UNION ALL
+            SELECT supp AS src, cust AS dst FROM pairs
+        )""",
+        "deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src)",
+        f"r0 AS (SELECT src, CAST({_PR_INIT} AS BIGINT) AS rank FROM deg)",
+    ]
+    for i in range(1, PAGERANK_ROUNDS + 1):
+        parts.append(f"""r{i} AS (
+            SELECT e.dst AS src,
+                   CAST({_PR_BASE} + (85 * SUM(r.rank // d.degree)) // 100
+                        AS BIGINT) AS rank
+            FROM r{i - 1} r
+            JOIN deg d ON r.src = d.src
+            JOIN edges e ON e.src = r.src
+            GROUP BY e.dst
+        )""")
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT src AS node_id, rank AS rank_micro
+        FROM r{PAGERANK_ROUNDS}
+        ORDER BY rank DESC, src
+        LIMIT {_PR_TOPK}
+    """
+
+
+GRAPH_PAGERANK_SQL = _pagerank_duck_sql()
+
+
+QUERIES: dict[str, tuple] = {
+    "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
+}
