@@ -63,6 +63,9 @@ HEADLINE = [
     "tokenizer_bpe_pair_counts",   # BPE merge-candidate counting (round 4)
     "text_paragraph_dedup",        # paragraph-granularity dedup (round 4)
     "corpus_quality_logreg",       # quality-classifier scoring (round 4)
+    "agg_count_min_sketch",        # explicit CMS matrix + min-probe (round 4)
+    "emb_kmeans_lloyd",            # 3-round distributed Lloyd's (round 4)
+    "graph_pagerank",              # 3-round integer power iteration (round 4)
 ]
 
 
