@@ -37,17 +37,31 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     power-iteration shape that GraphX/Pregel express, here as plain
     relational ops so Catalyst/AQE schedule it. Rounds are a fixed
     constant; the final top-k is a TakeOrderedAndProject."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier,
     )
-    pairs = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("cust"),
-            (F.col("l_suppkey") + _SUPP_BASE).alias("supp"),
+
+    def build():
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
         )
-        .distinct()
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(
+                F.col("o_custkey").alias("cust"),
+                (F.col("l_suppkey") + _SUPP_BASE).alias("supp"),
+            )
+            .distinct()
+        )
+
+    # the edge relation is referenced twice per round (contribution join
+    # + degree); materialize the distinct pair set once per (session,
+    # sf_dir) instead of re-running the join+distinct per reference
+    pairs = cached_barrier(
+        spark, sf_dir, "pr_pairs", build, tables=("lineitem", "orders")
     )
     edges = pairs.selectExpr("cust AS src", "supp AS dst").unionAll(
         pairs.selectExpr("supp AS src", "cust AS dst")

@@ -954,17 +954,28 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     the uniform vec_id / (cluster, dim). Nothing quadratic; rounds are
     a fixed constant. Empty clusters drop out deterministically in both
     engines."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    pts = emb.select(
-        "vec_id",
-        F.posexplode(F.col("embedding")).alias("j", "u"),
-    ).select(
-        "vec_id",
-        (F.col("j") + 1).alias("j"),
-        F.round(F.col("u").cast("double") * 1_000_000)
-        .cast("bigint")
-        .alias("v"),
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier,
     )
+
+    def build():
+        emb = load_table(spark, sf_dir, "embeddings")
+        return emb.select(
+            "vec_id",
+            F.posexplode(F.col("embedding")).alias("j", "u"),
+        ).select(
+            "vec_id",
+            (F.col("j") + 1).alias("j"),
+            F.round(F.col("u").cast("double") * 1_000_000)
+            .cast("bigint")
+            .alias("v"),
+        )
+
+    # the point relation is referenced ~7x across the rounds (centroid
+    # init, each round's distance join and centroid update); materialize
+    # once per (session, sf_dir) instead of re-running the explode per
+    # CTE reference
+    pts = cached_barrier(spark, sf_dir, "km_pts", build, tables=("embeddings",))
     cent = (
         pts.filter(F.col("vec_id") < KMEANS_K)
         .select(F.col("vec_id").alias("c"), "j", F.col("v").alias("cv"))
