@@ -1,0 +1,71 @@
+"""Semantic pins for the fixed-round iterative operators on planted
+inputs (oracle parity checks the fixtures; these check the algorithms do
+what they claim on hand-constructed cases)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from mongo_to_clickhouse_spark.queries.graphops import _SUPP_BASE, graph_pagerank
+from mongo_to_clickhouse_spark.queries.vectorops import emb_kmeans_lloyd
+
+
+def test_kmeans_separates_two_tight_groups(spark, tmp_path):
+    # 40 vectors in two far-apart tight groups (A around +1, B around -1,
+    # per-vector deterministic jitter ~1e-3). Initial centroids vec_id<8
+    # alternate groups, so clusters never mix groups and per-cluster WSS
+    # stays tiny relative to the inter-group distance.
+    dim = 64
+    vecs = []
+    for i in range(40):
+        base = 1.0 if i % 2 == 0 else -1.0
+        vecs.append([base + (i % 7) * 1e-3] * dim)
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 2 for i in range(40)], pa.int32()),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(table, os.path.join(sf, "embeddings.parquet"))
+    rows = emb_kmeans_lloyd(spark, sf).collect()
+    assert sum(r["n_points"] for r in rows) == 40
+    # inter-group squared distance is 64 * (2e6)^2 = 2.56e14 micro²; a
+    # mixed cluster would carry at least one point at ~that distance.
+    # tight-group WSS is bounded by jitter: 64 dims * (6e3)^2 * points.
+    for r in rows:
+        assert r["wss"] < r["n_points"] * dim * (7_000**2), r
+
+
+def test_pagerank_ranks_the_hub_supplier_highest(spark, tmp_path):
+    # star graph: customers 1..6 all buy from supplier 1; customer 1 also
+    # buys from suppliers 2..3. Supplier 1 is the hub and must outrank
+    # every other supplier; customer 1 outranks customers 2..6.
+    pairs = [(c, 1) for c in range(1, 7)] + [(1, 2), (1, 3)]
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(range(len(pairs)), pa.int64()),
+            "o_custkey": pa.array([c for c, _ in pairs], pa.int64()),
+        }
+    )
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(range(len(pairs)), pa.int64()),
+            "l_suppkey": pa.array([s for _, s in pairs], pa.int64()),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(orders, os.path.join(sf, "orders.parquet"))
+    pq.write_table(lineitem, os.path.join(sf, "lineitem.parquet"))
+    ranks = {
+        r["node_id"]: r["rank_micro"] for r in graph_pagerank(spark, sf).collect()
+    }
+    hub = ranks[_SUPP_BASE + 1]
+    assert all(
+        hub > v for k, v in ranks.items() if k != _SUPP_BASE + 1
+    ), ranks
+    assert ranks[1] > ranks[2]  # customer 1 (degree 3) above customer 2
