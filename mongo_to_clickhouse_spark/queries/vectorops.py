@@ -765,7 +765,7 @@ PQ_SUBDIM = _DIM // PQ_M
 PQ_K = 16        # codewords per subspace (donor vectors vec_id < PQ_K)
 
 
-def _pq_sql(dialect: str) -> str:
+def _pq_sql(dialect: str, dists_from: str | None = None) -> str:
     """Full PQ chain, one text per dialect: split each vector into
     ``PQ_M`` subvectors, build per-subspace codebooks from the first
     ``PQ_K`` vectors, encode every vector as its argmin-L2 codeword per
@@ -797,17 +797,25 @@ def _pq_sql(dialect: str) -> str:
         f"{dot('s.sub', 's.sub')} + {dot('c.cw', 'c.cw')}"
         f" - 2 * {dot('s.sub', 'c.cw')}"
     )
-    return f"""
+    dists_body = f"""
         WITH e AS (SELECT vec_id, {cast_emb} AS emb FROM embeddings),
         subs AS (SELECT vec_id, m, {sub} AS sub {subs_from}),
         codebook AS (SELECT vec_id AS k, m, sub AS cw FROM subs
-                     WHERE vec_id < {PQ_K}),
-        dists AS (
-            SELECT {"/*+ BROADCAST(c) */" if dialect == "spark" else ""}
-                   s.vec_id, s.m, c.k,
-                   CAST(round(1000000 * ({d2})) AS BIGINT) AS d
-            FROM subs s JOIN codebook c ON s.m = c.m
-        ),
+                     WHERE vec_id < {PQ_K})
+        SELECT {"/*+ BROADCAST(c) */" if dialect == "spark" else ""}
+               s.vec_id, s.m, c.k,
+               CAST(round(1000000 * ({d2})) AS BIGINT) AS d
+        FROM subs s JOIN codebook c ON s.m = c.m
+    """
+    if dists_from is None and dialect == "spark":
+        return dists_body  # the materialization half (see sim_ann_pq)
+    dists_cte = (
+        f"SELECT vec_id, m, k, d FROM {dists_from}"
+        if dists_from
+        else f"({dists_body})"
+    )
+    return f"""
+        WITH dists AS ({dists_cte}),
         codes AS (
             SELECT vec_id, m, k AS code FROM (
                 SELECT vec_id, m, k,
@@ -849,8 +857,24 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     billion-vector indexes from RAM. The fixture run keeps every stage an
     equi-join on (m, k); nothing quadratic in the corpus materializes
     except the final bounded top-k window."""
-    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
-    return spark.sql(_pq_sql("spark"))
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    def build():
+        load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+            "embeddings"
+        )
+        return spark.sql(_pq_sql("spark"))  # the dists half
+
+    # the (vec, subspace, codeword, micro-distance) table is consumed by
+    # BOTH the encoding argmin and the probe LUT, and its dot products
+    # are interpreted higher-order lambdas — materialize once per
+    # (session, sf_dir) and run the ADC tail over the checkpoint
+    view = cached_barrier_view(
+        spark, sf_dir, "pq_dists", build, tables=("embeddings",)
+    )
+    return spark.sql(_pq_sql("spark", dists_from=view))
 
 
 SIM_ANN_PQ_SQL = _pq_sql("duck")
