@@ -79,6 +79,18 @@ def _gram_hashes_sql(view: str, n: int) -> str:
     """
 
 
+def _gram_view(spark: SparkSession, sf_dir: str, n: int) -> str:
+    """Session-memoized (doc_id, gram_h) barrier for n-grams of size
+    ``n`` — the exploded gram relation an operator references more than
+    once (decontamination: bench side + train side) reads the checkpoint
+    instead of re-running the positional explode per reference."""
+    def build():
+        view = _toks_view(spark, sf_dir)
+        return spark.sql(_gram_hashes_sql(view, n))
+
+    return cached_barrier_view(spark, sf_dir, f"grams{n}", build)
+
+
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition rule (Gopher): fraction of duplicate
     5-grams; docs above the threshold are filtered from a pretraining
@@ -167,7 +179,6 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     so no single reducer key can dominate; the cap never binds on the
     fixtures (tests/test_dedup_guards.py plants a hot gram to prove the
     guard prunes)."""
-    view = _toks_view(spark, sf_dir)
     # join/distinct on a 60-bit md5 hash of the gram, not the ~50-char
     # string: ~6× less shuffle traffic, identical in both engines
     # (collision odds at 2^60 are negligible and symmetric).
@@ -180,8 +191,9 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~2× faster than computing eligibility with a separate full-corpus
     # gram aggregation, and a hub gram costs one linear, spillable sort
     # partition rather than a reducer funnel on the join itself.
+    gview = _gram_view(spark, sf_dir, DECONTAM_N)
     return spark.sql(f"""
-        WITH exploded AS ({_gram_hashes_sql(view, DECONTAM_N)}),
+        WITH exploded AS (SELECT doc_id, gram_h FROM {gview}),
         bench AS (
             SELECT DISTINCT gram_h FROM exploded
             WHERE doc_id % {BENCH_MODULUS} = 0
