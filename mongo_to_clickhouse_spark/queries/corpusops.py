@@ -97,12 +97,12 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. One explode + one groupBy keyed by doc_id (uniform), counting
     total and distinct gram hashes per doc — same shape and hashed-gram
     space as the decontamination join."""
-    view = _toks_view(spark, sf_dir)
+    gview = _gram_view(spark, sf_dir, REPETITION_N)
     agg = spark.sql(f"""
         SELECT doc_id,
                COUNT(*) AS n_total,
                COUNT(DISTINCT gram_h) AS n_distinct
-        FROM ({_gram_hashes_sql(view, REPETITION_N)})
+        FROM {gview}
         GROUP BY doc_id
     """)
     docs = load_table(spark, sf_dir, "documents")

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from mongo_to_clickhouse_spark.io import load_table
 from mongo_to_clickhouse_spark.operators.heavyhitters import misra_gries_candidates
-from mongo_to_clickhouse_spark.operators.materialize import barrier
+from mongo_to_clickhouse_spark.operators.materialize import cached_barrier
 
 # Report tokens with frequency >= 1/SUPPORT_DEN of the stream. The MG
 # no-false-negative guarantee needs capacity >= SUPPORT_DEN; headroom
@@ -35,8 +35,14 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING filter recomputes support exactly, so false positives from
     the sketch tier are dropped and the result equals the plain
     GROUP BY/HAVING the oracle runs."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = barrier(docs.select(F.explode(F.split("text", " ")).alias("tok")))
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        return docs.select(F.explode(F.split("text", " ")).alias("tok"))
+
+    # session-memoized barrier: the token stream feeds the MG pass, the
+    # recount, and the total - one checkpoint per (session, sf_dir)
+    # instead of a fresh write per invocation
+    toks = cached_barrier(spark, sf_dir, "hh_toks", build)
     cands = misra_gries_candidates(toks, "tok", MG_CAPACITY)
     total = toks.agg(F.count("*").cast("bigint").alias("total"))
     return (
