@@ -708,6 +708,134 @@ EMB_COVARIANCE_SQL = """
 """
 
 
+PCA_POWER_ROUNDS = 3
+_PM_SCALE = 1_000_000_000   # moment-matrix downscale (keeps matvec in int64)
+
+
+def _pca_moment_sql(dialect: str) -> str:
+    """Full d×d scaled second-moment matrix as (i, j, m) integer rows:
+    m = sign(M)·(|M| DIV 1e9) with M = n·Σmimj − Σmi·Σmj over exact
+    micro-int sums — both triangles materialized so the matvec is a
+    plain equi-join. BIGINT power sums hold at fixture scale; widen to
+    DECIMAL(38,0) at cluster scale exactly as emb_covariance documents."""
+    if dialect == "spark":
+        pts = """
+            SELECT vec_id, CAST(i + 1 AS BIGINT) AS i,
+                   CAST(round(CAST(vi AS DOUBLE) * 1e6) AS BIGINT) AS mi
+            FROM (SELECT vec_id, posexplode(embedding) AS (i, vi)
+                  FROM embeddings)
+        """
+        intdiv = "DIV"
+    else:
+        pts = f"""
+            SELECT vec_id, i,
+                   CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6)
+                        AS BIGINT) AS mi
+            FROM (SELECT vec_id, embedding,
+                         unnest(range(1, {_DIM + 1})) AS i
+                  FROM embeddings)
+        """
+        intdiv = "//"
+    return f"""
+        WITH pts AS ({pts}),
+        cells AS (
+            SELECT a.i AS i, b.i AS j,
+                   COUNT(*) AS n, SUM(a.mi) AS si, SUM(b.mi) AS sj,
+                   SUM(a.mi * b.mi) AS sij
+            FROM pts a JOIN pts b ON a.vec_id = b.vec_id
+            GROUP BY a.i, b.i
+        )
+        SELECT i, j,
+               CAST((CASE WHEN n * sij - si * sj < 0 THEN -1 ELSE 1 END)
+                    * (ABS(n * sij - si * sj) {intdiv} {_PM_SCALE})
+                    AS BIGINT) AS m
+        FROM cells
+    """
+
+
+def _pca_power_sql(dialect: str, m_src: str | None = None) -> str:
+    """Unrolled power iteration over the moment matrix: v₀ = 1e6·𝟙;
+    each round is one matvec (join + 64-group sum) and an integer
+    rescale sign(w)·(|w| DIV (max|w| DIV 1e6 + 1)) — all-positive
+    operands, so Spark's DIV (trunc) and DuckDB's // (floor) agree.
+    Final row set: (i, dir_micro, rayleigh) with the Rayleigh quotient
+    vᵀMv / vᵀv from decimal-accumulated exact integers."""
+    intdiv = "DIV" if dialect == "spark" else "//"
+    m_cte = (
+        f"SELECT i, j, m FROM {m_src}" if m_src else f"({_pca_moment_sql(dialect)})"
+    )
+    parts = [
+        f"m AS ({m_cte})" if m_src else f"m AS {m_cte}",
+        "v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM m)",
+    ]
+    for r in range(1, PCA_POWER_ROUNDS + 1):
+        parts.append(f"""w{r} AS (
+            SELECT m.i, SUM(m.m * v.v) AS w
+            FROM m JOIN v{r - 1} v ON m.j = v.i
+            GROUP BY m.i
+        )""")
+        parts.append(f"s{r} AS (SELECT MAX(ABS(w)) AS s FROM w{r})")
+        parts.append(f"""v{r} AS (
+            SELECT i,
+                   CAST((CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                        * (ABS(w) {intdiv} (s {intdiv} 1000000 + 1))
+                        AS BIGINT) AS v
+            FROM w{r}, s{r}
+        )""")
+    n = PCA_POWER_ROUNDS
+    return f"""
+        WITH {", ".join(parts)},
+        wf AS (
+            SELECT m.i, SUM(m.m * v.v) AS w
+            FROM m JOIN v{n} v ON m.j = v.i GROUP BY m.i
+        ),
+        ray AS (
+            SELECT round(
+                CAST(SUM(CAST(v.v AS DECIMAL(38,0))
+                         * CAST(w.w AS DECIMAL(38,0))) AS DOUBLE)
+                / CAST((SELECT SUM(v * v) FROM v{n}) AS DOUBLE), 6)
+                AS rayleigh
+            FROM v{n} v JOIN wf w ON v.i = w.i
+        )
+        SELECT CAST(v.i AS BIGINT) AS i,
+               CAST(v.v AS BIGINT) AS dir_micro, ray.rayleigh
+        FROM v{n} v, ray
+        ORDER BY v.i
+    """
+
+
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction by FIXED-ROUND power iteration — the
+    matrix-free linear-algebra tier that, unlike ``emb_pca_project``'s
+    driver-side eigh, is distributed end to end AND exactly
+    oracle-checked (integer matvecs, integer rescale, unrolled rounds —
+    same discipline as emb_kmeans_lloyd/graph_pagerank).
+
+    Scale posture: here the d×d moment matrix is materialized once per
+    session (d=64 → 4 k rows, broadcast-class) and each round is one
+    equi-join matvec + a 64-group partial-aggregated sum. At production
+    dims you keep the SAME loop but compute the matvec matrix-free from
+    the data — w = Xᵀ(Xv), two narrow passes — which this formulation's
+    round structure (and its oracle) is the verified core of."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    def build():
+        load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+            "embeddings"
+        )
+        return spark.sql(_pca_moment_sql("spark"))
+
+    view = cached_barrier_view(
+        spark, sf_dir, "pca_moments", build, tables=("embeddings",)
+    )
+    return spark.sql(_pca_power_sql("spark", m_src=view))
+
+
+EMB_PCA_POWER_ITERATION_SQL = _pca_power_sql("duck")
+
+
 def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection to PCA_K components — the canonical big-data PCA
     split: the d×d covariance is aggregated DISTRIBUTED (emb_covariance's
@@ -1104,6 +1232,10 @@ QUERIES: dict[str, tuple] = {
     ),
     "emb_covariance": (emb_covariance, EMB_COVARIANCE_SQL),
     "emb_pca_project": (emb_pca_project, None),
+    "emb_pca_power_iteration": (
+        emb_pca_power_iteration,
+        EMB_PCA_POWER_ITERATION_SQL,
+    ),
     "sim_ann_lsh": (sim_ann_lsh, SIM_ANN_LSH_SQL),
     "sim_ann_ivf": (sim_ann_ivf, SIM_ANN_IVF_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
