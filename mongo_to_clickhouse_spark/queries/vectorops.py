@@ -827,10 +827,66 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return spark.sql(_pca_moment_sql("spark"))
 
-    view = cached_barrier_view(
+    from mongo_to_clickhouse_spark.operators.materialize import barrier
+
+    cached_barrier_view(
         spark, sf_dir, "pca_moments", build, tables=("embeddings",)
     )
-    return spark.sql(_pca_power_sql("spark", m_src=view))
+    m = spark.table("pca_moments")
+    # DataFrame loop with a 64-row reliable checkpoint per round: the
+    # single-SQL unrolled form inlines each round's w/s CTEs into every
+    # consumer, which NESTS across rounds into an exponentially
+    # duplicated plan (~240 exchanges at 3 rounds). The barrier keeps
+    # the DAG linear — same integer semantics as the oracle's unrolled
+    # stages, which compare bit-for-bit.
+    v = m.select("i").distinct().select(
+        "i", F.lit(1_000_000).cast("bigint").alias("v")
+    )
+    sign = F.when(F.col("w") < 0, F.lit(-1)).otherwise(F.lit(1))
+    for _ in range(PCA_POWER_ROUNDS):
+        w = barrier(
+            m.join(v.withColumnRenamed("i", "j"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("m") * F.col("v")).alias("w"))
+        )
+        sc = w.agg(F.max(F.abs(F.col("w"))).alias("s"))
+        v = w.crossJoin(F.broadcast(sc)).select(
+            "i",
+            (
+                sign
+                * F.expr("ABS(w) DIV (s DIV 1000000 + 1)")
+            )
+            .cast("bigint")
+            .alias("v"),
+        )
+    v = barrier(v)
+    wf = (
+        m.join(v.withColumnRenamed("i", "j"), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("m") * F.col("v")).alias("w"))
+    )
+    ray = (
+        v.join(wf, "i")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("v").cast("decimal(38,0)")
+                    * F.col("w").cast("decimal(38,0)")
+                ).cast("double")
+                / F.sum(F.col("v") * F.col("v")).cast("double"),
+                6,
+            ).alias("rayleigh")
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(ray))
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("v").cast("bigint").alias("dir_micro"),
+            "rayleigh",
+        )
+        .orderBy("i")
+    )
 
 
 EMB_PCA_POWER_ITERATION_SQL = _pca_power_sql("duck")
