@@ -1205,7 +1205,16 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", (F.col("code") % 16).alias("cluster"))
         )
         if rnd < KMEANS_ROUNDS:
-            cent = (
+            from mongo_to_clickhouse_spark.operators.materialize import (
+                barrier,
+            )
+
+            # K×D-row reliable checkpoint per update: `cent` feeds both
+            # the next round's distance join and (transitively) every
+            # later round — without the barrier each round inlines the
+            # previous round's whole subtree twice and the plan grows
+            # exponentially in rounds
+            cent = barrier(
                 pts.join(assign, "vec_id")
                 .groupBy("cluster", "j")
                 .agg(
