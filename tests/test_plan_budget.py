@@ -1,0 +1,40 @@
+"""Exchange-count budgets for the fixed-round iterative operators.
+
+An iterative DataFrame loop whose per-round relation is consumed more
+than once inlines the previous round's subtree into every consumer —
+the plan grows EXPONENTIALLY in rounds (emb_pca_power_iteration hit 238
+exchanges before its per-round barrier; emb_kmeans_lloyd hit 28). The
+per-round reliable checkpoints keep the DAG linear; these budgets pin
+that property so the class can't silently regress."""
+
+from __future__ import annotations
+
+import pytest
+
+from mongo_to_clickhouse_spark.queries.dedupops import dedup_cluster_components
+from mongo_to_clickhouse_spark.queries.graphops import graph_pagerank
+from mongo_to_clickhouse_spark.queries.vectorops import (
+    emb_kmeans_lloyd,
+    emb_pca_power_iteration,
+)
+
+# generous headroom above the current linear-plan counts (8-13), far
+# below the exponential failure mode (28-238)
+BUDGETS = [
+    (emb_kmeans_lloyd, 16),
+    (graph_pagerank, 16),
+    (emb_pca_power_iteration, 16),
+    (dedup_cluster_components, 24),  # CC rounds are data-dependent
+]
+
+
+@pytest.mark.parametrize("fn,budget", BUDGETS, ids=[f.__name__ for f, _ in BUDGETS])
+def test_iterative_plan_stays_linear(spark, sf_dir, fn, budget):
+    df = fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    exchanges = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert exchanges <= budget, (
+        f"{fn.__name__}: {exchanges} exchanges > budget {budget} — "
+        "a per-round barrier was probably dropped (exponential plan growth)"
+    )
