@@ -420,7 +420,61 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_BM25_TOPK_SQL = _bm25_sql("duck")
 
 
+FEATURE_HASH_DIM = 32   # signed-hashing feature space (Weinberger et al.)
+
+
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (HashingTF with signed buckets): every token is
+    folded into a fixed {FEATURE_HASH_DIM}-dim feature space via
+    bucket = h % D with sign = parity of the next hash bit — the
+    unbounded-vocabulary text→vector bridge every large-scale pipeline
+    uses because it needs NO vocabulary pass and no dictionary state.
+
+    Output is the sparse form (doc_id, bucket, weight≠0). Scale shape:
+    one explode of the corpus (from the memoized token barrier) and one
+    partial-aggregated groupBy keyed by (doc_id, bucket) — uniform keys,
+    map-side combine, nothing vocabulary-sized anywhere."""
+    from mongo_to_clickhouse_spark.queries.corpusops import _toks_view
+
+    view = _toks_view(spark, sf_dir)
+    d = FEATURE_HASH_DIM
+    return spark.sql(f"""
+        WITH h AS (
+            SELECT doc_id,
+                   CAST(conv(substring(md5(tok), 1, 15), 16, 10)
+                        AS BIGINT) AS h
+            FROM (SELECT doc_id, explode(toks) AS tok FROM {view})
+        )
+        SELECT doc_id, h % {d} AS bucket,
+               CAST(SUM(CASE WHEN (h DIV {d}) % 2 = 0
+                             THEN 1 ELSE -1 END) AS BIGINT) AS weight
+        FROM h
+        GROUP BY doc_id, h % {d}
+        HAVING SUM(CASE WHEN (h DIV {d}) % 2 = 0 THEN 1 ELSE -1 END) != 0
+        ORDER BY doc_id, bucket
+    """)
+
+
+TEXT_FEATURE_HASHING_SQL = f"""
+    WITH h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+    )
+    SELECT doc_id, h % {FEATURE_HASH_DIM} AS bucket,
+           CAST(SUM(CASE WHEN (h // {FEATURE_HASH_DIM}) % 2 = 0
+                         THEN 1 ELSE -1 END) AS BIGINT) AS weight
+    FROM h
+    GROUP BY doc_id, h % {FEATURE_HASH_DIM}
+    HAVING SUM(CASE WHEN (h // {FEATURE_HASH_DIM}) % 2 = 0
+                    THEN 1 ELSE -1 END) != 0
+    ORDER BY doc_id, bucket
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "text_feature_hashing": (text_feature_hashing, TEXT_FEATURE_HASHING_SQL),
     "text_ngram_freq": (text_ngram_freq, TEXT_NGRAM_FREQ_SQL),
     "scalar_array_ops": (scalar_array_ops, SCALAR_ARRAY_OPS_SQL),
     "text_tokenize_wordcount": (text_tokenize_wordcount, TEXT_TOKENIZE_WORDCOUNT_SQL),
