@@ -3,6 +3,9 @@
     python -m mongo_to_clickhouse_spark.cli live <config.yml>
     python -m mongo_to_clickhouse_spark.cli backfill <config.yml> \
         <tenant> <startT> <endT>          # %Y-%m-%dT%H:%M, end >= start
+    python -m mongo_to_clickhouse_spark.cli query <id> [sf_dir] [n]
+                                          # run any registry operator;
+                                          # `query list` prints all ids
 
 Mirrors ``mongo-to-clickhouse`` (live CDC, all tenants) and
 ``historical_data <tenant> <start> <end>`` (/root/reference/README.MD:4-5).
@@ -103,11 +106,36 @@ def _sf_dir_of(cfg: AppConfig) -> str:
     return src if os.path.isdir(src) else os.path.dirname(src)
 
 
+def cmd_query(qid: str, sf_dir: str, n: int) -> int:
+    """Run one registry operator against a fixture dir and show rows —
+    the ad-hoc entry point for every SURVEY §2 id (the reference has no
+    equivalent; its dataflow is fixed)."""
+    from mongo_to_clickhouse_spark import queries as registry
+
+    reg = registry.registry()
+    if qid == "list":
+        for k, (_fn, sql) in sorted(reg.items()):
+            print(f"{k}\t{'oracle' if sql is not None else 'rows-only'}")
+        return 0
+    if qid not in reg:
+        import difflib
+
+        close = difflib.get_close_matches(qid, reg, n=3)
+        raise SystemExit(f"unknown query id {qid!r}; close: {close}")
+    spark = get_spark(app_name=f"query-{qid}")
+    reg[qid][0](spark, sf_dir).show(n, truncate=False)
+    return 0
+
+
 def main(argv: list[str]) -> int:
     if len(argv) >= 2 and argv[0] == "live":
         return cmd_live(argv[1])
     if len(argv) >= 5 and argv[0] == "backfill":
         return cmd_backfill(argv[1], argv[2], argv[3], argv[4])
+    if len(argv) >= 2 and argv[0] == "query":
+        sf = argv[2] if len(argv) > 2 else "/root/testdata/sf0.01"
+        n = int(argv[3]) if len(argv) > 3 else 20
+        return cmd_query(argv[1], sf, n)
     print(__doc__)
     return 2
 
