@@ -66,6 +66,7 @@ HEADLINE = [
     "agg_count_min_sketch",        # explicit CMS matrix + min-probe (round 4)
     "emb_kmeans_lloyd",            # 3-round distributed Lloyd's (round 4)
     "graph_pagerank",              # 3-round integer power iteration (round 4)
+    "text_feature_hashing",        # signed hashing-trick features (round 4)
 ]
 
 
