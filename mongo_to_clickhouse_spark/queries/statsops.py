@@ -322,7 +322,46 @@ EVENTS_ANOMALY_ZSCORE_SQL = f"""
 """
 
 
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal event type per user (MODE() WITHIN GROUP semantics with a
+    deterministic alphabetical tie-break): two partial-aggregated
+    groupBys — (user, type) counts, then a user-partitioned rank-1 pick.
+    Both shuffles keyed by the uniform user id; the window is
+    PARTITIONED (WindowGroupLimit prunes to the per-user top row before
+    the exchange at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_event"),
+            F.col("cnt").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+AGG_MODE_PER_GROUP_SQL = """
+    SELECT user_id, event_type AS modal_event, cnt AS n_events FROM (
+        SELECT user_id, event_type, cnt,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY cnt DESC, event_type) AS rn
+        FROM (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM events GROUP BY user_id, event_type)
+    ) WHERE rn = 1
+    ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "agg_mode_per_group": (agg_mode_per_group, AGG_MODE_PER_GROUP_SQL),
     "agg_stats_moments": (agg_stats_moments, AGG_STATS_MOMENTS_SQL),
     "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_ZSCORE_SQL),
     "agg_argmax_struct": (agg_argmax_struct, AGG_ARGMAX_STRUCT_SQL),
