@@ -74,6 +74,14 @@ class EngineTuning:
     # --- tokenizer / corpus-structure tier (queries/tokenizerops)
     bpe_top_k: int = 50            # BPE merge candidates per round
     para_tokens: int = 16          # paragraph-dedup chunk size (tokens)
+    # --- sketches / iterative algorithms (round 4)
+    cms_depth: int = 4             # Count-Min depth (hash rows)
+    cms_width: int = 64            # Count-Min width (buckets per row)
+    kmeans_k: int = 8              # initial centroids (vec_id < K)
+    kmeans_rounds: int = 3         # Lloyd assignment rounds
+    pagerank_rounds: int = 3       # power-iteration rounds
+    pca_power_rounds: int = 3      # top-PC power-iteration rounds
+    feature_hash_dim: int = 32     # signed hashing-trick feature space
 
 
 def _load_tuning() -> EngineTuning:

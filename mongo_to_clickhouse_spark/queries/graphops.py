@@ -18,7 +18,9 @@ from pyspark.sql import functions as F
 
 from mongo_to_clickhouse_spark.io import load_table
 
-PAGERANK_ROUNDS = 3
+from mongo_to_clickhouse_spark.config import TUNING
+
+PAGERANK_ROUNDS = TUNING.pagerank_rounds
 _PR_TOPK = 20
 _SUPP_BASE = 1_000_000   # supplier node ids offset past customer keys
 _PR_INIT = 1_000_000     # initial rank mass, micro units

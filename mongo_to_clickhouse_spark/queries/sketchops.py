@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mongo_to_clickhouse_spark.config import TUNING
 from mongo_to_clickhouse_spark.io import load_table
 from mongo_to_clickhouse_spark.operators.heavyhitters import misra_gries_candidates
 from mongo_to_clickhouse_spark.operators.materialize import cached_barrier
@@ -74,8 +75,8 @@ AGG_HEAVY_HITTERS_SQL = f"""
 # depth×width counter matrix; width is deliberately small relative to the
 # fixture's ~10³ distinct users so bucket collisions actually occur and
 # the estimate≥exact inequality is exercised with real slack.
-CMS_DEPTH = 4
-CMS_WIDTH = 64
+CMS_DEPTH = TUNING.cms_depth
+CMS_WIDTH = TUNING.cms_width
 _CMS_P = 2_147_483_647
 # fixed universal-hash coefficients (same P as the MinHash family);
 # literals so both engines evaluate the identical functions

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mongo_to_clickhouse_spark.config import TUNING
 from mongo_to_clickhouse_spark.io import load_table
 
 # Marker-token profiles for the language-ID heuristic: hit counts per
@@ -420,7 +421,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_BM25_TOPK_SQL = _bm25_sql("duck")
 
 
-FEATURE_HASH_DIM = 32   # signed-hashing feature space (Weinberger et al.)
+FEATURE_HASH_DIM = TUNING.feature_hash_dim  # signed-hashing feature space
 
 
 def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:

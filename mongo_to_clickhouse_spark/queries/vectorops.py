@@ -708,7 +708,7 @@ EMB_COVARIANCE_SQL = """
 """
 
 
-PCA_POWER_ROUNDS = 3
+PCA_POWER_ROUNDS = TUNING.pca_power_rounds
 _PM_SCALE = 1_000_000_000   # moment-matrix downscale (keeps matvec in int64)
 
 
@@ -1133,8 +1133,8 @@ DECONTAMINATE_EMBEDDING_COSINE_SQL = f"""
 # distributed Lloyd's k-means (fixed-iteration, exact-integer, oracled)
 # ---------------------------------------------------------------------------
 
-KMEANS_K = 8           # initial centroids: vec_id < K (deterministic)
-KMEANS_ROUNDS = 3      # assignment rounds (centroids update after 1..N-1)
+KMEANS_K = TUNING.kmeans_k       # initial centroids: vec_id < K
+KMEANS_ROUNDS = TUNING.kmeans_rounds  # assignment rounds
 _KM_DIM = 64
 _KM_OFF = 1_000_000    # shift to non-negative before integer division so
 #                        Spark's DIV (trunc) and DuckDB's // (floor) agree
