@@ -87,6 +87,95 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_TOLERANCE_DAYS = 3
+
+
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness bound (pandas ``merge_asof``
+    ``tolerance=`` semantics): each PURCHASE event matches the same
+    user's latest VIEW event at-or-before it, but only if that view is
+    within {ASOF_TOLERANCE_DAYS} days — older matches become NULL, they
+    do NOT fall back to an even older row. The attribution-window shape
+    (conversion credited only to a recent touch). On the fixtures the
+    bound genuinely bisects: ~70% of purchases keep their match, the
+    rest null out.
+
+    Same union→partitioned-window plan as join_asof (one shuffle keyed
+    by user, no range join), carrying the matched row's TIME through the
+    window so the bound is a post-window filter."""
+    events = load_table(spark, sf_dir, "events")
+    w_tie = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    ref = (
+        events.filter(F.col("event_type") == "view")
+        .withColumn("__rn", F.row_number().over(w_tie))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", F.col("ts").alias("t"),
+                F.col("event_id").alias("view_event"))
+    )
+    probe = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("t"), "event_id"
+    )
+    unioned = probe.select(
+        "user_id",
+        "t",
+        "event_id",
+        F.lit(None).cast("long").alias("view_event"),
+        F.lit(None).cast("timestamp").alias("ref_t"),
+        F.lit(1).alias("side"),
+    ).unionByName(
+        ref.select(
+            "user_id",
+            "t",
+            F.lit(None).cast("long").alias("event_id"),
+            "view_event",
+            F.col("t").cast("timestamp").alias("ref_t"),
+            F.lit(0).alias("side"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        unioned.withColumn(
+            "m_view", F.last("view_event", ignorenulls=True).over(w)
+        )
+        .withColumn("m_t", F.last("ref_t", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+    )
+    fresh = (
+        F.unix_timestamp(F.col("t")) - F.unix_timestamp(F.col("m_t"))
+    ) <= ASOF_TOLERANCE_DAYS * 86400
+    return matched.select(
+        "event_id",
+        "user_id",
+        F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.when(fresh, F.col("m_view")).alias("attributed_view_event"),
+    ).orderBy("event_id")
+
+
+JOIN_ASOF_TOLERANCE_SQL = f"""
+    WITH ref AS (
+        SELECT user_id, ts AS t, event_id AS view_event
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                         ORDER BY event_id DESC) AS __rn
+            FROM events WHERE event_type = 'view'
+        ) WHERE __rn = 1
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CASE WHEN r.t >= e.ts - INTERVAL {ASOF_TOLERANCE_DAYS} DAY
+                THEN r.view_event END AS attributed_view_event
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+    ASOF LEFT JOIN ref r ON e.user_id = r.user_id AND e.ts >= r.t
+    ORDER BY e.event_id
+"""
+
+
 JOIN_ASOF_SQL = """
     WITH ref AS (
         SELECT o_custkey AS user_id, o_orderdate AS t, o_orderkey, o_totalprice
@@ -578,6 +667,7 @@ JOIN_RUNTIME_BLOOM_FILTER_SQL = """
 
 QUERIES: dict[str, tuple] = {
     "join_asof": (join_asof, JOIN_ASOF_SQL),
+    "join_asof_tolerance": (join_asof_tolerance, JOIN_ASOF_TOLERANCE_SQL),
     "join_runtime_bloom_filter": (
         join_runtime_bloom_filter,
         JOIN_RUNTIME_BLOOM_FILTER_SQL,
