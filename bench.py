@@ -10,10 +10,8 @@ startup, matching how a resident engine would serve queries.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
-import re
 import sys
 import time
 
@@ -21,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mongo_to_clickhouse_spark.session import get_spark
 from mongo_to_clickhouse_spark import queries as registry
+from mongo_to_clickhouse_spark.plans.meta import plan_counters, plan_fingerprint
 
 HEADLINE = [
     # the reference's own surface
@@ -70,39 +69,6 @@ HEADLINE = [
 ]
 
 
-def plan_fingerprint(df) -> str:
-    """Stable 12-hex digest of the query's physical plan STRUCTURE, so a
-    plan regression (new shuffle, lost broadcast, window gone
-    single-partition) diffs mechanically across rounds even when timings
-    are noisy. Run-specific noise — expression ids (#123), temp/staged
-    paths, plan ids — is normalized away; operator tree + join
-    strategies + pushed filters remain."""
-    s = df._jdf.queryExecution().executedPlan().toString()
-    s = re.sub(r"#\d+[A-Za-z]*", "#x", s)          # expression ids
-    s = re.sub(r"plan_id=\d+", "plan_id=x", s)
-    s = re.sub(r"(file:)?/[^\s,\]\)]+", "<path>", s)  # any filesystem path
-    s = re.sub(r"\[id=#x\]", "", s)
-    return hashlib.sha256(s.encode()).hexdigest()[:12]
-
-
-def plan_op_counts(df) -> dict:
-    """Structural cost counters of the physical plan — the quantities a
-    scale review asks about first. Read them next to the fingerprint: a
-    changed fingerprint with an unchanged counter row is a benign
-    reshape; +1 exchange or a bhj→smj flip is a real plan regression."""
-    s = df._jdf.queryExecution().executedPlan().toString()
-    # AQE plan strings append "== Initial Plan ==" after the final plan;
-    # count only the final section or every counter doubles
-    s = s.split("== Initial Plan ==")[0]
-    return {
-        "exchange": s.count("Exchange") - s.count("ReusedExchange"),
-        "bhj": s.count("BroadcastHashJoin"),
-        "smj": s.count("SortMergeJoin"),
-        "window": s.count("Window"),
-        "generate": s.count("Generate"),
-    }
-
-
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -120,7 +86,7 @@ def main() -> None:
     for qid in HEADLINE:
         df = reg[qid][0](spark, sf_dir)
         plan_fps[qid] = plan_fingerprint(df)
-        plan_ops[qid] = plan_op_counts(df)
+        plan_ops[qid] = plan_counters(df)
         df.write.format("noop").mode("overwrite").save()
 
     # median of 3 timed runs per query — single-run numbers at sub-second
@@ -145,6 +111,17 @@ def main() -> None:
     # envelope is 5-10k docs/s sustained per tenant — BASELINE.md).
     n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
     docs_per_sec = round(n_events / max(timings["sink_clickhouse_insert"], 1e-9))
+
+    # Plan fingerprints + structural counters go to a SEPARATE committed
+    # artifact: round 4 appended them to the headline JSON line, which
+    # grew past the driver's tail-capture window and truncated the line
+    # mid-JSON (BENCH_r04.json landed with parsed=null). The headline
+    # line stays compact and is printed LAST on stdout.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_dir, "BENCH_PLANS.json"), "w") as f:
+        json.dump({"sf": sf, "plan_fp": plan_fps, "plan_ops": plan_ops},
+                  f, indent=1, sort_keys=True)
+
     print(
         json.dumps(
             {
@@ -154,8 +131,6 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "flagship_docs_per_sec": docs_per_sec,
-                "plan_fp": plan_fps,
-                "plan_ops": plan_ops,
             }
         )
     )

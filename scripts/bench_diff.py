@@ -5,7 +5,11 @@ changes, most-regressed first.
 Usage: python scripts/bench_diff.py OLD.json NEW.json
 
 Accepts either the raw one-line bench.py output or the driver's
-wrapper format ({"parsed": {...}}).
+wrapper format ({"parsed": {...}}). Since round 5 the plan
+fingerprints/counters live in a separate BENCH_PLANS.json (the headline
+line must stay compact for the driver's tail capture); pass a bench
+JSON that embeds them (rounds 3-4) or merge them yourself — missing
+plan data just suppresses the plan-change notes.
 """
 
 from __future__ import annotations

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pytest
 
+from mongo_to_clickhouse_spark.plans.meta import plan_counters
 from mongo_to_clickhouse_spark.queries.dedupops import dedup_cluster_components
 from mongo_to_clickhouse_spark.queries.graphops import graph_pagerank
 from mongo_to_clickhouse_spark.queries.vectorops import (
@@ -18,23 +19,23 @@ from mongo_to_clickhouse_spark.queries.vectorops import (
     emb_pca_power_iteration,
 )
 
-# generous headroom above the current linear-plan counts (8-13), far
-# below the exponential failure mode (28-238)
+# generous headroom above the current linear-plan shuffle counts, far
+# below the exponential failure mode (28-238). Budgets are true shuffle
+# counts (bare Exchange) — round 4's budgets were calibrated against an
+# inflated substring count that also matched BroadcastExchange.
 BUDGETS = [
-    (emb_kmeans_lloyd, 16),
-    (graph_pagerank, 16),
-    (emb_pca_power_iteration, 16),
-    (dedup_cluster_components, 24),  # CC rounds are data-dependent
+    (emb_kmeans_lloyd, 14),
+    (graph_pagerank, 14),
+    (emb_pca_power_iteration, 14),
+    (dedup_cluster_components, 22),  # CC rounds are data-dependent
 ]
 
 
 @pytest.mark.parametrize("fn,budget", BUDGETS, ids=[f.__name__ for f, _ in BUDGETS])
 def test_iterative_plan_stays_linear(spark, sf_dir, fn, budget):
     df = fn(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    plan = plan.split("== Initial Plan ==")[0]
-    exchanges = plan.count("Exchange") - plan.count("ReusedExchange")
-    assert exchanges <= budget, (
-        f"{fn.__name__}: {exchanges} exchanges > budget {budget} — "
+    shuffles = plan_counters(df)["shuffle"]
+    assert shuffles <= budget, (
+        f"{fn.__name__}: {shuffles} shuffles > budget {budget} — "
         "a per-round barrier was probably dropped (exponential plan growth)"
     )
