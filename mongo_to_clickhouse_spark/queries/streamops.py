@@ -28,17 +28,22 @@ _DUCK_FMT = "%Y-%m-%d %H:%M:%S"
 
 def stream_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling windows per event_type: count + decimal sum.
-    ``F.window`` is the same operator a streaming query runs incrementally;
-    in batch it is a plain bucketing groupBy (one shuffle)."""
+    In a streaming query this is ``F.window('ts', '1 hour')`` (see
+    stream_sliding_window_agg for the general windowed form); for ALIGNED
+    tumbling windows the batch-equivalent bucket key is
+    ``date_trunc('hour', ts)`` — same groups, same results, but a plain
+    scalar key instead of the window-struct expansion (measured 0.375 →
+    0.282 s at sf0.1, round 5; the struct build + '.start' re-projection
+    was ~25% of the query)."""
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        ev.groupBy(F.date_trunc("hour", "ts").alias("ws"), "event_type")
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum(F.col("value").cast(_DEC)), 2).cast("decimal(38,2)").alias("total_value"),
         )
         .select(
-            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            F.date_format("ws", _TS_FMT).alias("window_start"),
             "event_type",
             "n",
             "total_value",

@@ -522,38 +522,42 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # spread vectors across tasks BEFORE the d²/2 explode: the source is
     # a handful of parquet splits, so the whole 2,080×-row blow-up and
-    # its partial aggregation otherwise run in ONE task (measured 3.3s →
-    # 0.5s at sf0.1). Explicit numPartitions, because AQE coalesces a
-    # keys-only repartition of a ~1 MB input right back to one partition
-    # — the explode fan-out it can't see is the point.
+    # its partial aggregation otherwise run in ONE task (re-measured
+    # round 5, median-of-5 at sf0.1: 0.72 s with the repartition vs
+    # 2.88 s without — the round-4 claim stands; the opposite finding in
+    # operators/materialize.py is about repartitioning ahead of a
+    # CHECKPOINT WRITE, a different cost structure). Explicit
+    # numPartitions, because AQE coalesces a keys-only repartition of a
+    # ~1 MB input right back to one partition — the explode fan-out it
+    # can't see is the point.
     e1 = emb.repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     ).select(
-        "vec_id",
         "embedding",
         F.posexplode("embedding").alias("i", "vi"),
     )
     # explode only the tail slice [i..d) — the upper triangle directly,
     # half the generated rows of explode²+filter (measured 2.9s → at
-    # sf0.1; the j>=i predicate can't prune inside Generate)
+    # sf0.1; the j>=i predicate can't prune inside Generate). vec_id is
+    # deliberately NOT carried: the (i,j) aggregate never reads it, and
+    # dropping it narrows every generated row.
     e2 = e1.select(
-        "vec_id",
         "i",
         F.round(F.col("vi").cast("double") * 1e6).cast("bigint").alias("mi"),
         F.posexplode(
             F.slice(F.col("embedding"), F.col("i") + 1, F.size("embedding"))
         ).alias("jj", "vj"),
     ).select(
-        "vec_id", "i", "mi", (F.col("i") + F.col("jj")).alias("j"), "vj"
+        "i",
+        "mi",
+        (F.col("i") + F.col("jj")).alias("j"),
+        F.round(F.col("vj").cast("double") * 1e6).cast("bigint").alias("mj"),
     )
     cells = e2.groupBy("i", "j").agg(
         F.count("*").alias("n"),
         F.sum("mi").alias("si"),
-        F.sum(F.round(F.col("vj").cast("double") * 1e6).cast("bigint")).alias("sj"),
-        F.sum(
-            F.col("mi")
-            * F.round(F.col("vj").cast("double") * 1e6).cast("bigint")
-        ).alias("sij"),
+        F.sum("mj").alias("sj"),
+        F.sum(F.col("mi") * F.col("mj")).alias("sij"),
     )
     num = (F.col("n") * F.col("sij") - F.col("si") * F.col("sj")).cast("double")
     den = (F.col("n").cast("double") * 1e6) * (F.col("n").cast("double") * 1e6)
