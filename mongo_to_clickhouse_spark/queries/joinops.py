@@ -146,9 +146,16 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("m_t", F.last("ref_t", ignorenulls=True).over(w))
         .filter(F.col("side") == 1)
     )
+    # Compare at MICROSECOND precision: unix_timestamp truncates to
+    # whole seconds, and fixture timestamps carry µs fractions — a view
+    # lying within 1 s past the tolerance boundary would be attributed
+    # here but NULL in the oracle's `r.t >= e.ts - INTERVAL n DAY`
+    # (round-4 ADVICE repro). unix_micros needs TIMESTAMP, not NTZ;
+    # session tz is pinned UTC so the cast is a pure reinterpretation.
     fresh = (
-        F.unix_timestamp(F.col("t")) - F.unix_timestamp(F.col("m_t"))
-    ) <= ASOF_TOLERANCE_DAYS * 86400
+        F.unix_micros(F.col("t").cast("timestamp"))
+        - F.unix_micros(F.col("m_t").cast("timestamp"))
+    ) <= ASOF_TOLERANCE_DAYS * 86400 * 1_000_000
     return matched.select(
         "event_id",
         "user_id",

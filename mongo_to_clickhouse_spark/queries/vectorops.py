@@ -1139,6 +1139,13 @@ DECONTAMINATE_EMBEDDING_COSINE_SQL = f"""
 
 KMEANS_K = TUNING.kmeans_k       # initial centroids: vec_id < K
 KMEANS_ROUNDS = TUNING.kmeans_rounds  # assignment rounds
+# argmin encoding base: codes are d2·K + c with c ∈ [0, K), decoded by
+# % K — deriving the base from K (rather than a hard-coded 16) means an
+# env-tuned kmeans_k > 16 can't silently alias cluster ids (round-4
+# ADVICE: the aliasing would be identical in both engines, so oracle
+# parity would PASS on wrong results). d2 ≤ 64·(2e6)² ≈ 2.6e14, so the
+# encoded BIGINT stays far from overflow for any K up to ~3e4.
+_KM_BASE = KMEANS_K
 _KM_DIM = 64
 _KM_OFF = 1_000_000    # shift to non-negative before integer division so
 #                        Spark's DIV (trunc) and DuckDB's // (floor) agree
@@ -1154,7 +1161,7 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     EXACT-INTEGER formulation end to end: values are micro-scaled ints,
     distances are integer sums of squares, the argmin is an encoded
-    ``MIN(d2·16 + c)`` (tie-break by centroid index), and the centroid
+    ``MIN(d2·K + c)`` (tie-break by centroid index), and the centroid
     mean is an offset integer division — so the iterative algorithm is
     bit-identical in both engines and the oracle unrolls the SAME
     iterations as plain CTE stages (no recursion, no float drift).
@@ -1205,8 +1212,8 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         assign = (
             dist.groupBy("vec_id")
-            .agg(F.min(F.col("d2") * 16 + F.col("c")).alias("code"))
-            .select("vec_id", (F.col("code") % 16).alias("cluster"))
+            .agg(F.min(F.col("d2") * _KM_BASE + F.col("c")).alias("code"))
+            .select("vec_id", (F.col("code") % _KM_BASE).alias("cluster"))
         )
         if rnd < KMEANS_ROUNDS:
             from mongo_to_clickhouse_spark.operators.materialize import (
@@ -1265,7 +1272,7 @@ def _kmeans_duck_sql() -> str:
             GROUP BY p.vec_id, c.c
         )""")
         parts.append(f"""asn{r} AS (
-            SELECT vec_id, MIN(d2 * 16 + c) % 16 AS cluster
+            SELECT vec_id, MIN(d2 * {_KM_BASE} + c) % {_KM_BASE} AS cluster
             FROM dist{r} GROUP BY vec_id
         )""")
         if r < KMEANS_ROUNDS:

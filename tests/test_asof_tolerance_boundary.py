@@ -1,0 +1,63 @@
+"""Microsecond-precision boundary semantics of join_asof_tolerance.
+
+Round-4 ADVICE repro: the freshness bound used to be computed with
+second-truncating unix_timestamp, so a view lying up to ~1 s PAST the
+tolerance boundary was still attributed by Spark while the DuckDB
+oracle (`r.t >= e.ts - INTERVAL n DAY`, µs precision) returned NULL.
+These planted events pin the µs-exact contract on both sides of the
+boundary.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from mongo_to_clickhouse_spark.queries.joinops import (
+    ASOF_TOLERANCE_DAYS,
+    join_asof_tolerance,
+)
+
+_PURCHASE = dt.datetime(2024, 6, 10, 12, 0, 0, 500000)
+_TOL = dt.timedelta(days=ASOF_TOLERANCE_DAYS)
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, ts, user_id, event_type)."""
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "events.parquet"))
+    return str(tmp_path)
+
+
+def test_view_just_past_tolerance_is_null(spark, tmp_path):
+    # user 1: view 50 ms OLDER than the bound -> NULL (second-truncated
+    # arithmetic wrongly kept it); user 2: view exactly AT the bound ->
+    # attributed (inclusive); user 3: view 1 µs inside -> attributed.
+    sf = _write_events(
+        tmp_path,
+        [
+            (101, _PURCHASE - _TOL - dt.timedelta(milliseconds=50), 1, "view"),
+            (102, _PURCHASE, 1, "purchase"),
+            (201, _PURCHASE - _TOL, 2, "view"),
+            (202, _PURCHASE, 2, "purchase"),
+            (301, _PURCHASE - _TOL + dt.timedelta(microseconds=1), 3, "view"),
+            (302, _PURCHASE, 3, "purchase"),
+        ],
+    )
+    got = {
+        r["user_id"]: r["attributed_view_event"]
+        for r in join_asof_tolerance(spark, sf).collect()
+    }
+    assert got == {1: None, 2: 201, 3: 301}
