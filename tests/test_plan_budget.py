@@ -14,6 +14,7 @@ import pytest
 from mongo_to_clickhouse_spark.plans.meta import plan_counters
 from mongo_to_clickhouse_spark.queries.dedupops import dedup_cluster_components
 from mongo_to_clickhouse_spark.queries.graphops import graph_pagerank
+from mongo_to_clickhouse_spark.queries.textops import text_bm25_topk
 from mongo_to_clickhouse_spark.queries.vectorops import (
     emb_kmeans_lloyd,
     emb_pca_power_iteration,
@@ -28,6 +29,10 @@ BUDGETS = [
     (graph_pagerank, 14),
     (emb_pca_power_iteration, 14),
     (dedup_cluster_components, 22),  # CC rounds are data-dependent
+    # not iterative, but pinned after the round-5 plan diet (21 -> 8):
+    # dl/df/qterms/stats all derive from the single checkpointed tf
+    # relation; a new pass over the token barrier shows up here first
+    (text_bm25_topk, 10),
 ]
 
 
