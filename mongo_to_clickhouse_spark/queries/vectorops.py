@@ -896,6 +896,205 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_PCA_POWER_ITERATION_SQL = _pca_power_sql("duck")
 
 
+_PCA_MF_UDSCALE = 100_000_000  # per-round u downscale: keeps X̃ᵀu' in int64
+
+
+def _pca_ctr_sql(dialect: str) -> str:
+    """Mean-centered micro-int points (vec_id, i, x): x = mi − μ_i with
+    μ_i = sign(Σmi)·(|Σmi| DIV n) — exact integers in both engines."""
+    intdiv = "DIV" if dialect == "spark" else "//"
+    if dialect == "spark":
+        pts = """
+            SELECT vec_id, CAST(i + 1 AS BIGINT) AS i,
+                   CAST(round(CAST(vi AS DOUBLE) * 1e6) AS BIGINT) AS mi
+            FROM (SELECT vec_id, posexplode(embedding) AS (i, vi)
+                  FROM embeddings)
+        """
+    else:
+        pts = f"""
+            SELECT vec_id, i,
+                   CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6)
+                        AS BIGINT) AS mi
+            FROM (SELECT vec_id, embedding,
+                         unnest(range(1, {_DIM + 1})) AS i
+                  FROM embeddings)
+        """
+    return f"""
+        SELECT p.vec_id, p.i, p.mi - mu.m AS x
+        FROM ({pts}) p
+        JOIN (SELECT i,
+                     CAST((CASE WHEN SUM(mi) < 0 THEN -1 ELSE 1 END)
+                          * (ABS(SUM(mi)) {intdiv} COUNT(*)) AS BIGINT) AS m
+              FROM ({pts}) GROUP BY i) mu
+          ON p.i = mu.i
+    """
+
+
+def _pca_matfree_sql(dialect: str, ctr_src: str | None = None) -> str:
+    """Unrolled MATRIX-FREE power iteration: the matvec is two narrow
+    passes over the mean-centered points — u = X̃v per vector, integer
+    downscale u' = sign(u)·(|u| DIV 1e8) so the second pass's products
+    stay in int64, then w = X̃ᵀu'. No d×d moment matrix is ever
+    materialized, which is the formulation that survives production
+    embedding dims (1k-4k) where the d² moment matrix is the bottleneck
+    (emb_pca_power_iteration's docstring calls this out). Same integer
+    rescale per round as the moment-matrix form; every integer division
+    is sign-split so Spark's DIV (trunc) and DuckDB's // (floor) agree.
+    Overflow bounds: |x| ≲ 1.4e6 micro, u' ≤ ~1e6, so w's int64 partial
+    sums hold to ~10⁶ vectors — same envelope (and the same DECIMAL
+    widening escape hatch) as the covariance power sums."""
+    intdiv = "DIV" if dialect == "spark" else "//"
+    ctr_cte = (
+        f"SELECT vec_id, i, x FROM {ctr_src}"
+        if ctr_src
+        else _pca_ctr_sql(dialect)
+    )
+    parts = [
+        f"ctr AS ({ctr_cte})",
+        "v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM ctr)",
+    ]
+
+    def matvec(r: int, vin: str, u: str, w: str) -> list[str]:
+        return [
+            f"""{u} AS (
+            SELECT vec_id,
+                   CAST((CASE WHEN su < 0 THEN -1 ELSE 1 END)
+                        * (ABS(su) {intdiv} {_PCA_MF_UDSCALE}) AS BIGINT) AS u
+            FROM (SELECT c.vec_id, SUM(c.x * v.v) AS su
+                  FROM ctr c JOIN {vin} v ON c.i = v.i
+                  GROUP BY c.vec_id)
+        )""",
+            f"""{w} AS (
+            SELECT c.i, SUM(c.x * u.u) AS w
+            FROM ctr c JOIN {u} u ON c.vec_id = u.vec_id
+            GROUP BY c.i
+        )""",
+        ]
+
+    for r in range(1, PCA_POWER_ROUNDS + 1):
+        parts.extend(matvec(r, f"v{r - 1}", f"u{r}", f"w{r}"))
+        parts.append(f"s{r} AS (SELECT MAX(ABS(w)) AS s FROM w{r})")
+        parts.append(f"""v{r} AS (
+            SELECT i,
+                   CAST((CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                        * (ABS(w) {intdiv} (s {intdiv} 1000000 + 1))
+                        AS BIGINT) AS v
+            FROM w{r}, s{r}
+        )""")
+    n = PCA_POWER_ROUNDS
+    parts.extend(matvec(n + 1, f"v{n}", "uf", "wf"))
+    return f"""
+        WITH {", ".join(parts)},
+        ray AS (
+            SELECT round(
+                CAST(SUM(CAST(v.v AS DECIMAL(38,0))
+                         * CAST(w.w AS DECIMAL(38,0))) AS DOUBLE)
+                / CAST((SELECT SUM(v * v) FROM v{n}) AS DOUBLE), 6)
+                AS rayleigh
+            FROM v{n} v JOIN wf w ON v.i = w.i
+        )
+        SELECT CAST(v.i AS BIGINT) AS i,
+               CAST(v.v AS BIGINT) AS dir_micro, ray.rayleigh
+        FROM v{n} v, ray
+        ORDER BY v.i
+    """
+
+
+def emb_pca_power_matfree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction by power iteration with a MATRIX-FREE
+    matvec — w = X̃ᵀ(X̃v) as two narrow passes over the mean-centered
+    point relation, never materializing a d×d moment matrix. This is the
+    scale path emb_pca_power_iteration documents: at production embedding
+    dims (1k-4k) the d² moment matrix is the bottleneck; here the only
+    per-round state is the n-row u vector and the d-row w vector.
+
+    Plan shape per round: broadcast the d-row v into an equi-join with
+    ctr, one partial-aggregated shuffle to n vec_id groups (u), one
+    vec_id equi-join + partial-aggregated shuffle to d groups (w), with
+    a d-row reliable checkpoint per round keeping the DAG linear (same
+    discipline as the moment-matrix form / kmeans / pagerank). The
+    direction agrees with emb_pca_power_iteration to ~1e-3 cosine
+    (pytest-pinned); outputs are not bit-identical because the moment
+    form truncates M elementwise by 1e9 while this form truncates u per
+    round — each is exactly mirrored by its own unrolled oracle."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        barrier,
+        cached_barrier_view,
+    )
+
+    def build():
+        load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+            "embeddings"
+        )
+        return spark.sql(_pca_ctr_sql("spark"))
+
+    ctr = spark.table(
+        cached_barrier_view(
+            spark, sf_dir, "pca_ctr", build, tables=("embeddings",)
+        )
+    )
+    v = ctr.select("i").distinct().select(
+        "i", F.lit(1_000_000).cast("bigint").alias("v")
+    )
+    sign_su = F.when(F.col("su") < 0, F.lit(-1)).otherwise(F.lit(1))
+    sign_w = F.when(F.col("w") < 0, F.lit(-1)).otherwise(F.lit(1))
+
+    def matvec(vin):
+        u = (
+            ctr.join(F.broadcast(vin), "i")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("x") * F.col("v")).alias("su"))
+            .select(
+                "vec_id",
+                (sign_su * F.expr(f"ABS(su) DIV {_PCA_MF_UDSCALE}"))
+                .cast("bigint")
+                .alias("u"),
+            )
+        )
+        return (
+            ctr.join(u, "vec_id")
+            .groupBy("i")
+            .agg(F.sum(F.col("x") * F.col("u")).alias("w"))
+        )
+
+    for _ in range(PCA_POWER_ROUNDS):
+        w = barrier(matvec(v))
+        sc = w.agg(F.max(F.abs(F.col("w"))).alias("s"))
+        v = w.crossJoin(F.broadcast(sc)).select(
+            "i",
+            (sign_w * F.expr("ABS(w) DIV (s DIV 1000000 + 1)"))
+            .cast("bigint")
+            .alias("v"),
+        )
+    v = barrier(v)
+    wf = matvec(v)
+    ray = (
+        v.join(wf, "i")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("v").cast("decimal(38,0)")
+                    * F.col("w").cast("decimal(38,0)")
+                ).cast("double")
+                / F.sum(F.col("v") * F.col("v")).cast("double"),
+                6,
+            ).alias("rayleigh")
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(ray))
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("v").cast("bigint").alias("dir_micro"),
+            "rayleigh",
+        )
+        .orderBy("i")
+    )
+
+
+EMB_PCA_POWER_MATFREE_SQL = _pca_matfree_sql("duck")
+
+
 def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection to PCA_K components — the canonical big-data PCA
     split: the d×d covariance is aggregated DISTRIBUTED (emb_covariance's
@@ -1311,6 +1510,10 @@ QUERIES: dict[str, tuple] = {
     "emb_pca_power_iteration": (
         emb_pca_power_iteration,
         EMB_PCA_POWER_ITERATION_SQL,
+    ),
+    "emb_pca_power_matfree": (
+        emb_pca_power_matfree,
+        EMB_PCA_POWER_MATFREE_SQL,
     ),
     "sim_ann_lsh": (sim_ann_lsh, SIM_ANN_LSH_SQL),
     "sim_ann_ivf": (sim_ann_ivf, SIM_ANN_IVF_SQL),

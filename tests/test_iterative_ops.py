@@ -69,3 +69,29 @@ def test_pagerank_ranks_the_hub_supplier_highest(spark, tmp_path):
         hub > v for k, v in ranks.items() if k != _SUPP_BASE + 1
     ), ranks
     assert ranks[1] > ranks[2]  # customer 1 (degree 3) above customer 2
+
+
+def test_pca_matfree_agrees_with_moment_form(spark, sf_dir):
+    # Two independent exact-integer formulations of the same power
+    # iteration (elementwise-truncated moment matrix vs per-round
+    # truncated matrix-free matvec) must converge to the same dominant
+    # direction on the fixture embeddings — cosine ≈ 1 up to the
+    # truncation noise each form's own oracle mirrors exactly.
+    import math
+
+    from mongo_to_clickhouse_spark.queries.vectorops import (
+        emb_pca_power_iteration,
+        emb_pca_power_matfree,
+    )
+
+    a = {r["i"]: r["dir_micro"] for r in emb_pca_power_iteration(spark, sf_dir).collect()}
+    b = {r["i"]: r["dir_micro"] for r in emb_pca_power_matfree(spark, sf_dir).collect()}
+    assert set(a) == set(b) and len(a) == 64
+    dot = sum(a[i] * b[i] for i in a)
+    cos = dot / math.sqrt(sum(x * x for x in a.values()) * sum(x * x for x in b.values()))
+    assert abs(cos) > 0.999, cos
+    # rayleigh quotients are on different scales by construction, but
+    # both must be positive for a dominant variance direction
+    ray_a = emb_pca_power_iteration(spark, sf_dir).collect()[0]["rayleigh"]
+    ray_b = emb_pca_power_matfree(spark, sf_dir).collect()[0]["rayleigh"]
+    assert ray_a > 0 and ray_b > 0

@@ -18,6 +18,7 @@ from mongo_to_clickhouse_spark.queries.textops import text_bm25_topk
 from mongo_to_clickhouse_spark.queries.vectorops import (
     emb_kmeans_lloyd,
     emb_pca_power_iteration,
+    emb_pca_power_matfree,
 )
 
 # generous headroom above the current linear-plan shuffle counts, far
@@ -28,6 +29,7 @@ BUDGETS = [
     (emb_kmeans_lloyd, 14),
     (graph_pagerank, 14),
     (emb_pca_power_iteration, 14),
+    (emb_pca_power_matfree, 18),  # 2 shuffles per matvec (u, w) × 4 matvecs
     (dedup_cluster_components, 22),  # CC rounds are data-dependent
     # not iterative, but pinned after the round-5 plan diet (21 -> 8):
     # dl/df/qterms/stats all derive from the single checkpointed tf
