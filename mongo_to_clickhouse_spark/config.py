@@ -73,6 +73,7 @@ class EngineTuning:
     vocab_top_k: int = 100
     # --- tokenizer / corpus-structure tier (queries/tokenizerops)
     bpe_top_k: int = 50            # BPE merge candidates per round
+    bpe_merge_rounds: int = 4      # BPE training merge iterations
     para_tokens: int = 16          # paragraph-dedup chunk size (tokens)
     # --- sketches / iterative algorithms (round 4)
     cms_depth: int = 4             # Count-Min depth (hash rows)

@@ -20,6 +20,7 @@ expression chains, DuckDB-oracle-checked, with the same integer-micro /
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mongo_to_clickhouse_spark.config import TUNING
 from mongo_to_clickhouse_spark.queries.corpusops import _toks_view
@@ -261,10 +262,142 @@ CORPUS_QUALITY_LOGREG_SQL = f"""
 """
 
 
+BPE_MERGE_ROUNDS = TUNING.bpe_merge_rounds
+
+
+def tokenizer_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE TRAINING loop (Sennrich-style): ``BPE_MERGE_ROUNDS``
+    iterations of count-pairs → take the argmax pair → apply the merge
+    to the word-frequency table → re-count. Returns the learned merge
+    table (round, pair, pair_count) — the artifact a tokenizer trainer
+    ships. Completes the tier tokenizer_bpe_pair_counts started (that id
+    is one round's counting statistic; this is the iteration around it —
+    round-4 verdict item 3).
+
+    Distributed shape: everything runs on the DISTINCT-WORD frequency
+    table (one corpus-wide shuffle total, amortized via the session
+    token barrier), so per round the work is vocabulary-sized, not
+    corpus-sized — the property that makes BPE trainable at 100 TB.
+    Each round is: one explode+aggregate over the vocab's adjacent
+    symbol pairs (map-side combined, ~|alphabet|²-bounded keys), a
+    1-row TakeOrdered argmax broadcast into a narrow map that rewrites
+    the word strings, and a vocab-row checkpoint to keep the DAG linear
+    across rounds (same discipline as kmeans/pagerank).
+
+    MERGE ENCODING — the piece that makes left-to-right non-overlapping
+    BPE merging expressible as one built-in ``replace()``: words are
+    kept as symbol strings with DOUBLE-space separators and a
+    leading/trailing double space ('abc' → '  a  b  c  '). The pair
+    (a, b) occurs as ' a  b ' (single outer spaces), and replacing it
+    with ' ab ' consumes one space from each side's double — so
+    consecutive occurrences ('aaaa' on pair (a,a)) merge exactly like
+    BPE's sequential scan: '  a  a  a  a  ' → '  aa  aa  '. Both
+    engines' replace() scans forward without re-examining replaced
+    text, which IS the BPE merge rule. Multi-char symbols can never
+    false-match because every symbol boundary keeps two spaces and
+    corpus words cannot contain a space (they come from a space split).
+
+    Exactness: integer counts; argmax tie-broken (count DESC, a, b);
+    no floats anywhere. Oracle: the same rounds unrolled as DuckDB CTEs
+    (kmeans/pagerank recipe)."""
+    from functools import reduce
+
+    from mongo_to_clickhouse_spark.operators.materialize import barrier
+
+    view = _toks_view(spark, sf_dir)
+    wc = barrier(spark.sql(f"""
+        SELECT concat('  ', regexp_replace(word, '(?s)(.)', '$1  ')) AS w,
+               cnt
+        FROM (SELECT word, COUNT(*) AS cnt
+              FROM (SELECT explode(toks) AS word FROM {view})
+              GROUP BY word)
+    """))
+    outs = []
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        syms = wc.select("cnt", F.split(F.trim(F.col("w")), "  ").alias("s"))
+        pr = syms.select(
+            "cnt",
+            "s",
+            F.posexplode(F.expr("slice(s, 1, size(s) - 1)")).alias("ix", "a"),
+        ).select("cnt", "a", F.expr("s[ix + 1]").alias("b"))
+        best = barrier(
+            pr.groupBy("a", "b")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "a", "b")
+            .limit(1)
+        )
+        outs.append(
+            best.select(
+                F.lit(r).cast("int").alias("round"),
+                F.concat_ws(" ", "a", "b").alias("pair"),
+                F.col("pair_count").cast("bigint").alias("pair_count"),
+            )
+        )
+        if r < BPE_MERGE_ROUNDS:
+            wc = barrier(
+                wc.crossJoin(F.broadcast(best.select("a", "b"))).select(
+                    F.expr(
+                        "replace(w, concat(' ', a, '  ', b, ' '),"
+                        " concat(' ', a, b, ' '))"
+                    ).alias("w"),
+                    "cnt",
+                )
+            )
+    return reduce(lambda x, y: x.unionByName(y), outs).orderBy("round")
+
+
+def _bpe_merge_duck_sql() -> str:
+    parts = [
+        """wc0 AS (
+            SELECT '  ' || regexp_replace(word, '(?s)(.)', '\\1  ', 'g') AS w,
+                   cnt
+            FROM (SELECT word, COUNT(*) AS cnt
+                  FROM (SELECT unnest(string_split(text, ' ')) AS word
+                        FROM documents)
+                  GROUP BY word)
+        )""",
+    ]
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        parts.append(f"""pairs{r} AS (
+            SELECT a, b, SUM(cnt) AS pair_count
+            FROM (SELECT s[i] AS a, s[i + 1] AS b, cnt
+                  FROM (SELECT s, cnt, unnest(range(1, len(s))) AS i
+                        FROM (SELECT string_split(trim(w), '  ') AS s, cnt
+                              FROM wc{r - 1})))
+            GROUP BY a, b
+        )""")
+        parts.append(f"""best{r} AS (
+            SELECT a, b, pair_count FROM pairs{r}
+            ORDER BY pair_count DESC, a, b LIMIT 1
+        )""")
+        if r < BPE_MERGE_ROUNDS:
+            parts.append(f"""wc{r} AS (
+            SELECT replace(w, ' ' || x.a || '  ' || x.b || ' ',
+                           ' ' || x.a || x.b || ' ') AS w, cnt
+            FROM wc{r - 1}, best{r} x
+        )""")
+    selects = [
+        f"SELECT CAST({r} AS INTEGER) AS round, a || ' ' || b AS pair,"
+        f" CAST(pair_count AS BIGINT) AS pair_count FROM best{r}"
+        for r in range(1, BPE_MERGE_ROUNDS + 1)
+    ]
+    return (
+        "WITH " + ", ".join(parts) + " "
+        + " UNION ALL ".join(selects) + " ORDER BY round"
+    )
+
+
+TOKENIZER_BPE_MERGE_ROUNDS_SQL = _bpe_merge_duck_sql()
+
+
 QUERIES = {
     "tokenizer_bpe_pair_counts": (
         tokenizer_bpe_pair_counts,
         TOKENIZER_BPE_PAIR_COUNTS_SQL,
+    ),
+    "tokenizer_bpe_merge_rounds": (
+        tokenizer_bpe_merge_rounds,
+        TOKENIZER_BPE_MERGE_ROUNDS_SQL,
     ),
     "text_paragraph_dedup": (text_paragraph_dedup, TEXT_PARAGRAPH_DEDUP_SQL),
     "corpus_quality_logreg": (corpus_quality_logreg, CORPUS_QUALITY_LOGREG_SQL),

@@ -15,6 +15,9 @@ from mongo_to_clickhouse_spark.plans.meta import plan_counters
 from mongo_to_clickhouse_spark.queries.dedupops import dedup_cluster_components
 from mongo_to_clickhouse_spark.queries.graphops import graph_pagerank
 from mongo_to_clickhouse_spark.queries.textops import text_bm25_topk
+from mongo_to_clickhouse_spark.queries.tokenizerops import (
+    tokenizer_bpe_merge_rounds,
+)
 from mongo_to_clickhouse_spark.queries.vectorops import (
     emb_kmeans_lloyd,
     emb_pca_power_iteration,
@@ -31,6 +34,7 @@ BUDGETS = [
     (emb_pca_power_iteration, 14),
     (emb_pca_power_matfree, 18),  # 2 shuffles per matvec (u, w) × 4 matvecs
     (dedup_cluster_components, 22),  # CC rounds are data-dependent
+    (tokenizer_bpe_merge_rounds, 14),  # 1 pair-agg shuffle per merge round
     # not iterative, but pinned after the round-5 plan diet (21 -> 8):
     # dl/df/qterms/stats all derive from the single checkpointed tf
     # relation; a new pass over the token barrier shows up here first

@@ -92,3 +92,38 @@ def test_quality_logreg_keep_matches_score_and_orders_sanely(spark, tmp_path):
         assert 0.0 < r["quality_score"] < 1.0
         assert r["keep"] == (r["quality_score"] >= 0.5)
     assert rows[0]["quality_score"] > rows[1]["quality_score"]
+
+
+def test_bpe_merge_rounds_learns_the_classic_merges(spark, tmp_path):
+    # vocab {aaab: 2, ab: 1} — the textbook hand-computable case:
+    #  r1: (a,a)=4 beats (a,b)=3; merge -> {aa a b: 2, a b: 1}
+    #  r2: (a,b)=3 beats (aa,a)=2; merge -> {aa ab: 2, ab: 1}
+    #  r3: (aa,ab)=2 (the only pair); merge -> single-symbol words
+    #  r4: no pairs left -> no row (both engines agree on the short table)
+    from mongo_to_clickhouse_spark.queries.tokenizerops import (
+        tokenizer_bpe_merge_rounds,
+    )
+
+    sf = _write_documents(tmp_path / "bpem", ["aaab aaab", "ab"])
+    rows = [
+        (r["round"], r["pair"], r["pair_count"])
+        for r in tokenizer_bpe_merge_rounds(spark, sf).collect()
+    ]
+    assert rows == [(1, "a a", 4), (2, "a b", 3), (3, "aa ab", 2)]
+
+
+def test_bpe_merge_is_left_to_right_nonoverlapping(spark, tmp_path):
+    # 'aaaa' with best pair (a,a) must merge to (aa, aa) — the sequential
+    # BPE scan — not (aa, a, a) or a rescan artifact. After r1 the only
+    # pair is (aa, aa).
+    from mongo_to_clickhouse_spark.queries.tokenizerops import (
+        tokenizer_bpe_merge_rounds,
+    )
+
+    sf = _write_documents(tmp_path / "bpeo", ["aaaa"])
+    rows = {
+        r["round"]: (r["pair"], r["pair_count"])
+        for r in tokenizer_bpe_merge_rounds(spark, sf).collect()
+    }
+    assert rows[1] == ("a a", 3)
+    assert rows[2] == ("aa aa", 1)
