@@ -78,6 +78,12 @@ class EngineTuning:
     # --- sketches / iterative algorithms (round 4)
     cms_depth: int = 4             # Count-Min depth (hash rows)
     cms_width: int = 64            # Count-Min width (buckets per row)
+    # Widen the exact integer power-sum accumulators (Σm, Σm·m) from
+    # BIGINT to DECIMAL(38,0) in BOTH engines. BIGINT holds to ~1e6 rows
+    # at micro-unit value range; flip this on for cluster-scale row
+    # counts. Same exact integers either way, so result hashes are
+    # unchanged when BIGINT suffices (pinned in test_vector_stats.py).
+    exact_sum_decimal: bool = False
     kmeans_k: int = 8              # initial centroids (vec_id < K)
     kmeans_rounds: int = 3         # Lloyd assignment rounds
     pagerank_rounds: int = 3       # power-iteration rounds

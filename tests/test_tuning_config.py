@@ -70,3 +70,23 @@ def test_unknown_override_key_fails_loudly():
     )
     assert out.returncode != 0
     assert "not_a_knob" in out.stderr
+
+
+def test_exact_sum_decimal_flows_into_oracle_sql():
+    # fresh interpreter: the widening toggle must rewrite the BIGINT
+    # accumulators to DECIMAL(38,0) in the import-time oracle mirrors
+    code = (
+        "from mongo_to_clickhouse_spark.queries import vectorops\n"
+        "assert vectorops.EXACT_SUM_DECIMAL is True\n"
+        "assert 'DECIMAL(38,0)' in vectorops.EMB_COVARIANCE_SQL\n"
+        "assert 'DECIMAL(38,0)' in vectorops.EMB_PCA_POWER_ITERATION_SQL\n"
+        "print('OK')\n"
+    )
+    env = dict(os.environ)
+    env["SPARK_GRAFT_TUNING"] = json.dumps({"exact_sum_decimal": True})
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True
+    )
+    assert out.returncode == 0, out.stderr
+    assert "OK" in out.stdout

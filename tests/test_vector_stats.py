@@ -104,3 +104,63 @@ def test_anomaly_zscore_is_standardized(spark, sf_dir):
         assert abs(z.std(ddof=1) - 1.0) < 1e-3, t
     flagged = [r for r in rows if r.is_anomaly]
     assert all(abs(r.zscore) > 3 for r in flagged)
+
+
+def _write_embeddings(dirpath, vecs):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dirpath, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0] * len(vecs), pa.int32()),
+            }
+        ),
+        os.path.join(dirpath, "embeddings.parquet"),
+    )
+    return str(dirpath)
+
+
+def test_exact_sum_decimal_survives_planted_overflow(spark, tmp_path, monkeypatch):
+    # 10 vectors of dim 2 with components 1000·k: mi = 1e9·k, so
+    # Σmi·mj = 385e18 > 2^63 — the BIGINT accumulator cannot represent
+    # it (ANSI overflow error, or a silent wrap with ANSI off), while
+    # the DECIMAL(38,0) form returns the exact covariance
+    # (n·Σxy − Σx·Σy)/(n·1e6)² = 8.25e20 / 1e14 = 8,250,000.
+    from mongo_to_clickhouse_spark.queries import vectorops
+
+    sf = _write_embeddings(
+        tmp_path / "ovf", [[1000.0 * k, 1000.0 * k] for k in range(1, 11)]
+    )
+    monkeypatch.setattr(vectorops, "EXACT_SUM_DECIMAL", True)
+    rows = {
+        (r["i"], r["j"]): r["cov"] for r in emb_covariance(spark, sf).collect()
+    }
+    assert rows == {(0, 0): 8250000.0, (0, 1): 8250000.0, (1, 1): 8250000.0}
+
+    monkeypatch.setattr(vectorops, "EXACT_SUM_DECIMAL", False)
+    try:
+        wrapped = {
+            (r["i"], r["j"]): r["cov"]
+            for r in emb_covariance(spark, sf).collect()
+        }
+    except Exception:
+        pass  # ANSI mode: the BIGINT sum overflow raises — also a fail-loud
+    else:
+        assert wrapped != rows, "BIGINT path should not survive 2^63"
+
+
+def test_exact_sum_decimal_leaves_fixture_results_unchanged(
+    spark, smoke_sf_dir, monkeypatch
+):
+    from mongo_to_clickhouse_spark.queries import vectorops
+
+    base = emb_covariance(spark, smoke_sf_dir).collect()
+    monkeypatch.setattr(vectorops, "EXACT_SUM_DECIMAL", True)
+    wide = emb_covariance(spark, smoke_sf_dir).collect()
+    assert [tuple(r) for r in base] == [tuple(r) for r in wide]
