@@ -66,6 +66,8 @@ HEADLINE = [
     "emb_kmeans_lloyd",            # 3-round distributed Lloyd's (round 4)
     "graph_pagerank",              # 3-round integer power iteration (round 4)
     "text_feature_hashing",        # signed hashing-trick features (round 4)
+    "tokenizer_bpe_merge_rounds",  # full BPE training loop (round 5)
+    "emb_pca_power_matfree",       # matrix-free PCA power iteration (round 5)
 ]
 
 
