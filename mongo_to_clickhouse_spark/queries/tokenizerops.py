@@ -302,6 +302,15 @@ def tokenizer_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     (kmeans/pagerank recipe)."""
     from functools import reduce
 
+    _, outs = _bpe_train(spark, sf_dir, apply_final_merge=False)
+    return reduce(lambda x, y: x.unionByName(y), outs).orderBy("round")
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, apply_final_merge: bool):
+    """Shared BPE training loop: returns (final word-frequency table in
+    spaced-symbol form, per-round merge rows). ``apply_final_merge``
+    controls whether round R's merge is applied to the returned table
+    (the ENCODE path needs it; the merge-table output does not)."""
     from mongo_to_clickhouse_spark.operators.materialize import barrier
 
     view = _toks_view(spark, sf_dir)
@@ -333,20 +342,48 @@ def tokenizer_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("pair_count").cast("bigint").alias("pair_count"),
             )
         )
-        if r < BPE_MERGE_ROUNDS:
+        if r < BPE_MERGE_ROUNDS or apply_final_merge:
+            # LEFT join so a round with no pairs left (tiny corpus fully
+            # merged) applies nothing instead of emptying the vocabulary
             wc = barrier(
-                wc.crossJoin(F.broadcast(best.select("a", "b"))).select(
+                wc.join(
+                    F.broadcast(best.select("a", "b")), F.lit(True), "left"
+                ).select(
                     F.expr(
-                        "replace(w, concat(' ', a, '  ', b, ' '),"
-                        " concat(' ', a, b, ' '))"
+                        "CASE WHEN a IS NULL THEN w ELSE"
+                        " replace(w, concat(' ', a, '  ', b, ' '),"
+                        " concat(' ', a, b, ' ')) END"
                     ).alias("w"),
                     "cnt",
                 )
             )
-    return reduce(lambda x, y: x.unionByName(y), outs).orderBy("round")
+    return wc, outs
 
 
-def _bpe_merge_duck_sql() -> str:
+def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the learned BPE merges — the serving half
+    of the tokenizer tier (train = tokenizer_bpe_merge_rounds). Applies
+    all {BPE_MERGE_ROUNDS} merges in order to the distinct-word table
+    (an empty best-pair round simply applies nothing) and reports the
+    resulting symbol vocabulary: the top-{BPE_TOP_K} (symbol,
+    n_occurrences) rows, corpus-weighted — the statistic a tokenizer
+    report prints (which merged units dominate the encoded corpus).
+
+    Scale shape: identical to training (vocabulary-sized rounds off one
+    corpus shuffle) plus ONE explode+aggregate over the encoded
+    vocabulary — symbols are ≲|alphabet|+R keys, uniform, map-side
+    combined."""
+    wc, _ = _bpe_train(spark, sf_dir, apply_final_merge=True)
+    return (
+        wc.select("cnt", F.explode(F.split(F.trim(F.col("w")), "  ")).alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("cnt").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "symbol")
+        .limit(BPE_TOP_K)
+    )
+
+
+def _bpe_merge_duck_sql(apply_final_merge: bool = False) -> str:
     parts = [
         """wc0 AS (
             SELECT '  ' || regexp_replace(word, '(?s)(.)', '\\1  ', 'g') AS w,
@@ -370,12 +407,23 @@ def _bpe_merge_duck_sql() -> str:
             SELECT a, b, pair_count FROM pairs{r}
             ORDER BY pair_count DESC, a, b LIMIT 1
         )""")
-        if r < BPE_MERGE_ROUNDS:
+        if r < BPE_MERGE_ROUNDS or apply_final_merge:
             parts.append(f"""wc{r} AS (
-            SELECT replace(w, ' ' || x.a || '  ' || x.b || ' ',
-                           ' ' || x.a || x.b || ' ') AS w, cnt
-            FROM wc{r - 1}, best{r} x
+            SELECT CASE WHEN x.a IS NULL THEN w ELSE
+                       replace(w, ' ' || x.a || '  ' || x.b || ' ',
+                               ' ' || x.a || x.b || ' ') END AS w, cnt
+            FROM wc{r - 1} LEFT JOIN best{r} x ON TRUE
         )""")
+    if apply_final_merge:
+        return f"""
+            WITH {", ".join(parts)}
+            SELECT symbol, CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+            FROM (SELECT unnest(string_split(trim(w), '  ')) AS symbol, cnt
+                  FROM wc{BPE_MERGE_ROUNDS})
+            GROUP BY symbol
+            ORDER BY n_occurrences DESC, symbol
+            LIMIT {BPE_TOP_K}
+        """
     selects = [
         f"SELECT CAST({r} AS INTEGER) AS round, a || ' ' || b AS pair,"
         f" CAST(pair_count AS BIGINT) AS pair_count FROM best{r}"
@@ -388,6 +436,7 @@ def _bpe_merge_duck_sql() -> str:
 
 
 TOKENIZER_BPE_MERGE_ROUNDS_SQL = _bpe_merge_duck_sql()
+TOKENIZER_BPE_APPLY_SQL = _bpe_merge_duck_sql(apply_final_merge=True)
 
 
 QUERIES = {
@@ -399,6 +448,7 @@ QUERIES = {
         tokenizer_bpe_merge_rounds,
         TOKENIZER_BPE_MERGE_ROUNDS_SQL,
     ),
+    "tokenizer_bpe_apply": (tokenizer_bpe_apply, TOKENIZER_BPE_APPLY_SQL),
     "text_paragraph_dedup": (text_paragraph_dedup, TEXT_PARAGRAPH_DEDUP_SQL),
     "corpus_quality_logreg": (corpus_quality_logreg, CORPUS_QUALITY_LOGREG_SQL),
 }

@@ -127,3 +127,21 @@ def test_bpe_merge_is_left_to_right_nonoverlapping(spark, tmp_path):
     }
     assert rows[1] == ("a a", 3)
     assert rows[2] == ("aa aa", 1)
+
+
+def test_bpe_apply_encodes_with_all_merges(spark, tmp_path):
+    # {aaab: 2, ab: 1} after merges (a,a),(a,b),(aa,ab): 'aaab' encodes
+    # to the single symbol 'aaab' (count 2) and 'ab' to 'ab' (the r2
+    # merge, count 1... plus 'ab' also appears inside nothing else).
+    # Round 4 finds no pairs — the empty-merge guard must leave the
+    # vocabulary intact rather than wiping it.
+    from mongo_to_clickhouse_spark.queries.tokenizerops import (
+        tokenizer_bpe_apply,
+    )
+
+    sf = _write_documents(tmp_path / "bpea", ["aaab aaab", "ab"])
+    got = {
+        r["symbol"]: r["n_occurrences"]
+        for r in tokenizer_bpe_apply(spark, sf).collect()
+    }
+    assert got == {"aaab": 2, "ab": 1}
