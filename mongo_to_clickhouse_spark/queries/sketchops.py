@@ -156,7 +156,143 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_COUNT_MIN_SKETCH_SQL = _cms_sql("duck")
 
 
+# --- explicit HyperLogLog ---------------------------------------------------
+HLL_M = TUNING.hll_registers        # 2^p registers (p = 6 at the default 64)
+_HLL_KEY_BITS = 60                  # md5-15-hex key (house hash)
+_HLL_W_BITS = 54                    # key bits left after the bucket index
+_HLL_MAXM = 62                      # 2^(MAXM - M) keeps every term integral
+
+
+def _hll_sql(engine: str) -> str:
+    """Explicit HyperLogLog per event_type + a register-wise-MAX merged
+    '__ALL__' row — exactly mirrorable in both engines:
+
+    - register value M_j = max rho(w) with rho = leading-zero count + 1
+      of the 54-bit suffix, computed as 55 − length(bin(w)) (bin() emits
+      the minimal binary string in BOTH engines; w = 0 → rho = 55);
+    - the harmonic denominator Σ 2^(−M_j) is kept EXACT by scaling to
+      Σ 2^(MAXM − M_j), each term an integer BIT SHIFT (power(2.0, k)
+      routes through Math.pow in Spark, which is only 1-ulp-accurate —
+      measured a 42-unit error in the sum at sf0.1), summed as
+      DECIMAL(38,0) — no float aggregation-order dependence; one final
+      double division;
+    - the small-range linear-counting branch (raw ≤ 2.5·m and empty
+      registers exist) uses ln() — identical libm results verified;
+    - the estimate ships as an INTEGER e4 fixed-point value
+      (round(est·10⁴)): decimal-scale round(x, 4) takes different code
+      paths in the two engines (BigDecimal-exact vs scaled-double) and
+      mismatched in the 4th decimal at sf0.1, while nearest-integer
+      rounding of the same IEEE double agrees.
+    """
+    if engine == "spark":
+        k = ("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),"
+             " 16, 10) AS BIGINT)")
+        jexp = f"LATERAL VIEW explode(sequence(0, {HLL_M - 1})) AS j"
+        intdiv = "DIV"
+    else:
+        k = ("CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))"
+             " AS BIGINT)")
+        jexp = f", unnest(range(0, {HLL_M})) AS t(j)"
+        intdiv = "//"
+    rho = (
+        f"CASE WHEN w = 0 THEN {_HLL_W_BITS + 1} "
+        f"ELSE {_HLL_W_BITS + 1} - length(bin(w)) END"
+    )
+    # bare decimal literals divide as DECIMALs in Spark (precision-lossy:
+    # 0.70934093739... vs the true double) — cast every constant
+    shift = (
+        f"shiftleft(CAST(1 AS BIGINT), {_HLL_MAXM} - m_reg)"
+        if engine == "spark"
+        else f"(CAST(1 AS BIGINT) << ({_HLL_MAXM} - m_reg))"
+    )
+    alpha = (
+        f"(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        f" + CAST(1.079 AS DOUBLE) / {HLL_M}.0))"
+    )
+    two_maxm = str(1 << _HLL_MAXM)
+    est = f"""
+            CASE WHEN {alpha} * {HLL_M * HLL_M} * {two_maxm}.0
+                      / CAST(s AS DOUBLE) <= 2.5 * {HLL_M}
+                      AND zeros > 0
+                 THEN {HLL_M} * ln({HLL_M}.0 / zeros)
+                 ELSE {alpha} * {HLL_M * HLL_M} * {two_maxm}.0
+                      / CAST(s AS DOUBLE) END"""
+    return f"""
+        WITH ev AS (SELECT event_type, user_id, {k} AS kk FROM events),
+        regs AS (
+            SELECT event_type, kk % {HLL_M} AS j,
+                   MAX({rho.replace('w', f'(kk {intdiv} {HLL_M})')}) AS m_reg
+            FROM ev GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT event_type, j
+            FROM (SELECT DISTINCT event_type FROM events) {jexp}
+        ),
+        groups_full AS (
+            SELECT g.event_type, g.j, COALESCE(r.m_reg, 0) AS m_reg
+            FROM grid g LEFT JOIN regs r
+              ON g.event_type = r.event_type AND g.j = r.j
+        ),
+        merged AS (
+            SELECT '__ALL__' AS event_type, j, MAX(m_reg) AS m_reg
+            FROM groups_full GROUP BY j
+        ),
+        allregs AS (
+            SELECT * FROM groups_full UNION ALL SELECT * FROM merged
+        ),
+        stats AS (
+            SELECT event_type,
+                   SUM(CAST({shift} AS DECIMAL(38,0))) AS s,
+                   SUM(CASE WHEN m_reg = 0 THEN 1 ELSE 0 END) AS zeros
+            FROM allregs GROUP BY event_type
+        ),
+        exact AS (
+            SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT '__ALL__', COUNT(DISTINCT user_id) FROM events
+        )
+        SELECT e.event_type,
+               CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+               CAST(round(({est}) * 10000) AS BIGINT) AS hll_estimate_e4,
+               (s.zeros > 0) AS has_empty_registers
+        FROM exact e JOIN stats s ON e.event_type = s.event_type
+        ORDER BY e.event_type
+    """
+
+
+def agg_hll_sketch_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count estimation as the EXPLICIT distributed
+    construction (vs agg_approx_distinct's opaque built-in): a
+    {HLL_M}-register sketch per event_type built by one (group, bucket)
+    MAX aggregate, and the '__ALL__' row demonstrating HLL's merge
+    property — the union sketch is the register-wise MAX, which is the
+    whole reason HLL serves distributed distinct counts (partial sketches
+    combine losslessly across executors/partitions/days).
+
+    Scale posture: register state is O(m) per group regardless of stream
+    size; the only corpus-bound shuffle is the (event_type, bucket)
+    aggregate — m·|groups| keys, uniform, map-side combined. Exact
+    per-group distincts ride along to expose the estimation error in the
+    compared output (the fixture's ~3k distincts per group land within
+    the 1.04/√64 ≈ 13% envelope).
+
+    Cross-engine exactness: deterministic 60-bit md5 key, rho from the
+    minimal bin() string, and an integer-scaled harmonic sum (see
+    _hll_sql) — the only floats are one division, one optional ln, and
+    the 4-dp round."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_hll_sql("spark"))
+
+
+AGG_HLL_SKETCH_EXPLICIT_SQL = _hll_sql("duck")
+
+
 QUERIES: dict[str, tuple] = {
     "agg_heavy_hitters": (agg_heavy_hitters, AGG_HEAVY_HITTERS_SQL),
     "agg_count_min_sketch": (agg_count_min_sketch, AGG_COUNT_MIN_SKETCH_SQL),
+    "agg_hll_sketch_explicit": (
+        agg_hll_sketch_explicit,
+        AGG_HLL_SKETCH_EXPLICIT_SQL,
+    ),
 }
