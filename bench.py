@@ -68,6 +68,8 @@ HEADLINE = [
     "text_feature_hashing",        # signed hashing-trick features (round 4)
     "tokenizer_bpe_merge_rounds",  # full BPE training loop (round 5)
     "emb_pca_power_matfree",       # matrix-free PCA power iteration (round 5)
+    "emb_covariance_matmul",       # Arrow-batch numpy moment partials (round 5)
+    "agg_hll_sketch_explicit",     # explicit mergeable HLL registers (round 5)
 ]
 
 

@@ -708,6 +708,81 @@ def emb_covariance_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("i", "j")
 
 
+def emb_covariance_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth covariance formulation, REGISTERED alongside the exploded
+    form: per-Arrow-batch numpy partial sums via ``mapInPandas`` — each
+    batch contributes (n_b, Σm, MᵀM) computed as ONE int64 BLAS-free
+    integer matmul, emitting just d·(d+1)/2 upper-triangle rows per
+    batch; one final (i, j) aggregate merges the partials. The sums are
+    the same exact micro-unit integers as the exploded plan, so the
+    result is bit-identical and this id shares emb_covariance's DuckDB
+    oracle verbatim.
+
+    This is the 100 TB plan of record for dense second moments: no
+    Generate at all (the exploded form writes d²/2 shuffle rows PER
+    VECTOR; here the map side emits 2,080 rows PER BATCH ≈ per 10⁴
+    vectors — a ~10⁴× shuffle-volume reduction), the kernel is
+    Arrow-batched vectorized numpy (not per-row Python), and partial
+    aggregation is explicit instead of relying on map-side combine of
+    an exploded stream.
+
+    int64 safety: |m| ≤ ~2e6 micro ⇒ per-batch MᵀM entries ≤
+    rows_b·4e12 ≈ 4e16 at the 10k default Arrow batch; the cross-batch
+    SUM holds to ~10⁶ vectors like every power sum here (and widens via
+    EngineTuning.exact_sum_decimal identically)."""
+    import numpy as np
+    import pandas as pd
+
+    def partial_moments(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = (
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                * 1e6
+            )
+            # SQL round() is half-AWAY-from-zero; np.rint is half-even —
+            # emulate the SQL semantics exactly
+            m = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+            p = m.T @ m                      # exact int64 matmul
+            s = m.sum(axis=0, dtype=np.int64)
+            iu, ju = np.triu_indices(m.shape[1])
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype(np.int32),
+                    "j": ju.astype(np.int32),
+                    "n": np.full(iu.size, m.shape[0], dtype=np.int64),
+                    "si": s[iu],
+                    "sj": s[ju],
+                    "sij": p[iu, ju],
+                }
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    parts = emb.select("vec_id", "embedding").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    ).mapInPandas(
+        partial_moments,
+        "i int, j int, n long, si long, sj long, sij long",
+    )
+    acc = (
+        (lambda c: c.cast("decimal(38,0)"))
+        if EXACT_SUM_DECIMAL
+        else (lambda c: c)
+    )
+    cells = parts.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        F.sum(acc(F.col("si"))).alias("si"),
+        F.sum(acc(F.col("sj"))).alias("sj"),
+        F.sum(acc(F.col("sij"))).alias("sij"),
+    )
+    num = (F.col("n") * F.col("sij") - F.col("si") * F.col("sj")).cast("double")
+    den = (F.col("n").cast("double") * 1e6) * (F.col("n").cast("double") * 1e6)
+    return cells.select(
+        "i", "j", F.round(num / den, 9).alias("cov")
+    ).orderBy("i", "j")
+
+
 EMB_COVARIANCE_SQL = f"""
     WITH l1 AS (
         SELECT vec_id, embedding,
@@ -1547,6 +1622,8 @@ QUERIES: dict[str, tuple] = {
         DECONTAMINATE_EMBEDDING_COSINE_SQL,
     ),
     "emb_covariance": (emb_covariance, EMB_COVARIANCE_SQL),
+    # bit-identical exact sums => shares the exploded form's oracle
+    "emb_covariance_matmul": (emb_covariance_matmul, EMB_COVARIANCE_SQL),
     "emb_pca_project": (emb_pca_project, None),
     "emb_pca_power_iteration": (
         emb_pca_power_iteration,

@@ -61,9 +61,17 @@ def test_covariance_variants_bit_identical(spark, tmp_path):
     pq.write_table(tbl, os.path.join(str(tmp_path), "embeddings.parquet"))
     sf = str(tmp_path)
 
+    from mongo_to_clickhouse_spark.queries.vectorops import (
+        emb_covariance_matmul,
+    )
+
     ref = [(r.i, r.j, r.cov) for r in emb_covariance(spark, sf).collect()]
     assert len(ref) == d * (d + 1) // 2
-    for variant in (emb_covariance_grouped, emb_covariance_columnar):
+    for variant in (
+        emb_covariance_grouped,
+        emb_covariance_columnar,
+        emb_covariance_matmul,
+    ):
         got = [(r.i, r.j, r.cov) for r in variant(spark, sf).collect()]
         assert got == ref, variant.__name__
 
