@@ -201,6 +201,199 @@ JOIN_ASOF_SQL = """
 """
 
 
+def _asof_view_sides(spark: SparkSession, sf_dir: str):
+    """Shared probe/ref relations for the directional as-of variants:
+    probe = purchase events, ref = view events deduped to one row per
+    (user, ts) (latest event_id wins — ASOF is ambiguous under
+    build-side ties in both engines otherwise)."""
+    events = load_table(spark, sf_dir, "events")
+    w_tie = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    ref = (
+        events.filter(F.col("event_type") == "view")
+        .withColumn("__rn", F.row_number().over(w_tie))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", F.col("ts").alias("t"),
+                F.col("event_id").alias("view_event"))
+    )
+    probe = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("t"), "event_id"
+    )
+    return probe, ref
+
+
+_ASOF_REF_CTE = """ref AS (
+        SELECT user_id, ts AS t, event_id AS view_event
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                         ORDER BY event_id DESC) AS __rn
+            FROM events WHERE event_type = 'view'
+        ) WHERE __rn = 1
+    )"""
+
+
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (pandas ``merge_asof`` ``direction='forward'``):
+    each purchase matches the same user's EARLIEST view at-or-after it —
+    the "next touch" shape (time-to-next-engagement, post-purchase
+    follow-up attribution).
+
+    Same union→one-window plan as the backward join_asof — one shuffle
+    keyed by user, no range join — with the frame reversed:
+    first_value(ignorenulls) over [current, unbounded following]. Probes
+    carry side=1 and refs side=2 so a ref at the exact probe timestamp
+    sorts AFTER the probe and stays eligible (inclusive bound)."""
+    probe, ref = _asof_view_sides(spark, sf_dir)
+    unioned = probe.select(
+        "user_id", "t", "event_id",
+        F.lit(None).cast("long").alias("view_event"),
+        F.lit(1).alias("side"),
+    ).unionByName(
+        ref.select(
+            "user_id", "t",
+            F.lit(None).cast("long").alias("event_id"),
+            "view_event",
+            F.lit(2).alias("side"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        unioned.withColumn(
+            "next_view_event", F.first("view_event", ignorenulls=True).over(w)
+        )
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            "next_view_event",
+        )
+        .orderBy("event_id")
+    )
+
+
+JOIN_ASOF_FORWARD_SQL = f"""
+    WITH {_ASOF_REF_CTE}
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           r.view_event AS next_view_event
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+    ASOF LEFT JOIN ref r ON e.user_id = r.user_id AND e.ts <= r.t
+    ORDER BY e.event_id
+"""
+
+
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (pandas ``merge_asof`` ``direction='nearest'``):
+    each purchase matches the same user's view with the smallest
+    |Δt| in EITHER direction; exact ties go backward (the pandas rule).
+
+    Plan: ONE union, ONE user-keyed shuffle, ONE sort — the ref side
+    enters twice (side 0 for the backward frame, side 2 for the forward
+    frame, probe side 1 between them so the inclusive bound holds both
+    ways), then last(ignorenulls) over the preceding frame and
+    first(ignorenulls) over the following frame resolve both candidates
+    in the same window pass. Deltas compare at MICROSECOND precision
+    (unix_micros — the join_asof_tolerance lesson)."""
+    probe, ref = _asof_view_sides(spark, sf_dir)
+    nul = F.lit(None)
+    unioned = probe.select(
+        "user_id", "t", "event_id",
+        nul.cast("long").alias("view_b"), nul.cast("timestamp").alias("tb"),
+        nul.cast("long").alias("view_f"), nul.cast("timestamp").alias("tf"),
+        F.lit(1).alias("side"),
+    )
+    for side, vcol, tcol in ((0, "view_b", "tb"), (2, "view_f", "tf")):
+        unioned = unioned.unionByName(
+            ref.select(
+                "user_id", "t",
+                nul.cast("long").alias("event_id"),
+                (F.col("view_event") if vcol == "view_b" else nul.cast("long"))
+                .alias("view_b"),
+                (F.col("t").cast("timestamp") if tcol == "tb"
+                 else nul.cast("timestamp")).alias("tb"),
+                (F.col("view_event") if vcol == "view_f" else nul.cast("long"))
+                .alias("view_f"),
+                (F.col("t").cast("timestamp") if tcol == "tf"
+                 else nul.cast("timestamp")).alias("tf"),
+                F.lit(side).alias("side"),
+            )
+        )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    m = (
+        unioned
+        .withColumn("m_vb", F.last("view_b", ignorenulls=True).over(back))
+        .withColumn("m_tb", F.last("tb", ignorenulls=True).over(back))
+        .withColumn("m_vf", F.first("view_f", ignorenulls=True).over(fwd))
+        .withColumn("m_tf", F.first("tf", ignorenulls=True).over(fwd))
+        .filter(F.col("side") == 1)
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    db = us("t") - us("m_tb")
+    df_ = us("m_tf") - us("t")
+    take_b = F.col("m_tb").isNotNull() & (
+        F.col("m_tf").isNull() | (db <= df_)
+    )
+    take_f = ~take_b & F.col("m_tf").isNotNull()
+    return m.select(
+        "event_id",
+        "user_id",
+        F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.when(take_b, F.col("m_vb"))
+        .when(take_f, F.col("m_vf"))
+        .alias("nearest_view_event"),
+        F.when(take_b, F.lit("backward"))
+        .when(take_f, F.lit("forward"))
+        .alias("direction"),
+    ).orderBy("event_id")
+
+
+JOIN_ASOF_NEAREST_SQL = f"""
+    WITH {_ASOF_REF_CTE},
+    e AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    b AS (
+        SELECT e.event_id, r.view_event AS vb, r.t AS tb
+        FROM e ASOF LEFT JOIN ref r
+          ON e.user_id = r.user_id AND e.ts >= r.t
+    ),
+    f AS (
+        SELECT e.event_id, r.view_event AS vf, r.t AS tf
+        FROM e ASOF LEFT JOIN ref r
+          ON e.user_id = r.user_id AND e.ts <= r.t
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CASE WHEN tb IS NOT NULL AND (tf IS NULL OR
+                     epoch_us(e.ts) - epoch_us(tb)
+                     <= epoch_us(tf) - epoch_us(e.ts))
+                THEN vb
+                WHEN tf IS NOT NULL THEN vf END AS nearest_view_event,
+           CASE WHEN tb IS NOT NULL AND (tf IS NULL OR
+                     epoch_us(e.ts) - epoch_us(tb)
+                     <= epoch_us(tf) - epoch_us(e.ts))
+                THEN 'backward'
+                WHEN tf IS NOT NULL THEN 'forward' END AS direction
+    FROM e
+    JOIN b ON e.event_id = b.event_id
+    JOIN f ON e.event_id = f.event_id
+    ORDER BY e.event_id
+"""
+
+
 def pivot_wide_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot l_linestatus into wide sum columns per returnflag."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -675,6 +868,8 @@ JOIN_RUNTIME_BLOOM_FILTER_SQL = """
 QUERIES: dict[str, tuple] = {
     "join_asof": (join_asof, JOIN_ASOF_SQL),
     "join_asof_tolerance": (join_asof_tolerance, JOIN_ASOF_TOLERANCE_SQL),
+    "join_asof_forward": (join_asof_forward, JOIN_ASOF_FORWARD_SQL),
+    "join_asof_nearest": (join_asof_nearest, JOIN_ASOF_NEAREST_SQL),
     "join_runtime_bloom_filter": (
         join_runtime_bloom_filter,
         JOIN_RUNTIME_BLOOM_FILTER_SQL,

@@ -61,3 +61,46 @@ def test_view_just_past_tolerance_is_null(spark, tmp_path):
         for r in join_asof_tolerance(spark, sf).collect()
     }
     assert got == {1: None, 2: 201, 3: 301}
+
+
+def test_asof_nearest_tie_goes_backward(spark, tmp_path):
+    from mongo_to_clickhouse_spark.queries.joinops import (
+        join_asof_forward,
+        join_asof_nearest,
+    )
+
+    T = dt.datetime(2024, 6, 10, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    sf = _write_events(
+        tmp_path,
+        [
+            # user 1: views equidistant (±10 s) -> tie -> backward (11)
+            (11, T - 10 * s, 1, "view"),
+            (12, T + 10 * s, 1, "view"),
+            (10, T, 1, "purchase"),
+            # user 2: forward view (+5 s) nearer than backward (-20 s)
+            (21, T - 20 * s, 2, "view"),
+            (22, T + 5 * s, 2, "view"),
+            (20, T, 2, "purchase"),
+            # user 3: only a forward view
+            (31, T + 60 * s, 3, "view"),
+            (30, T, 3, "purchase"),
+            # user 4: no views at all
+            (40, T, 4, "purchase"),
+        ],
+    )
+    near = {
+        r["user_id"]: (r["nearest_view_event"], r["direction"])
+        for r in join_asof_nearest(spark, sf).collect()
+    }
+    assert near == {
+        1: (11, "backward"),
+        2: (22, "forward"),
+        3: (31, "forward"),
+        4: (None, None),
+    }
+    fwd = {
+        r["user_id"]: r["next_view_event"]
+        for r in join_asof_forward(spark, sf).collect()
+    }
+    assert fwd == {1: 12, 2: 22, 3: 31, 4: None}
