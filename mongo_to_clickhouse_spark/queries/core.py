@@ -132,6 +132,57 @@ SOURCE_COUNT_SQL = f"""
 """
 
 
+def source_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion — the wire format most raw training-data drops
+    arrive in (one JSON object per line; the reference's BSON documents
+    have the same self-describing-record shape, src/main.rs:320). The
+    documents table is staged as JSONL once per (session, sf_dir)
+    (memoized like the other layout demos), read back with an EXPLICIT
+    schema — at 100 TB schema inference is a full extra pass over the
+    input, so a production scan always pins the schema — and verified
+    by per-source accounting INCLUDING a content signature (summed
+    60-bit md5 of the text), so a JSON escape/encoding bug in the
+    round-trip hash-mismatches against the oracle computed from the
+    original table."""
+    from mongo_to_clickhouse_spark.io import cached_work_dir
+
+    def build(root):
+        load_table(spark, sf_dir, "documents").coalesce(4).write.mode(
+            "overwrite"
+        ).json(os.path.join(root, "docs"))
+
+    root = cached_work_dir("jsonl-scan", sf_dir, ("documents",), build)
+    docs = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).json(os.path.join(root, "docs"))
+    sig = (
+        F.expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
+        % 1_000_000_000_000
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+            F.sum(sig).cast("bigint").alias("text_sig"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_JSONL_SCAN_SQL = """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+           CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+                    % 1000000000000) AS BIGINT) AS text_sig,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def source_dim_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The opt-out dimension load (/root/reference/src/main.rs:771-793):
     latest-version row per email."""
@@ -682,6 +733,7 @@ QUERIES: dict[str, tuple] = {
     "source_batch_scan": (source_batch_scan, SOURCE_BATCH_SCAN_SQL),
     "source_count": (source_count, SOURCE_COUNT_SQL),
     "source_dim_query": (source_dim_query, SOURCE_DIM_QUERY_SQL),
+    "source_jsonl_scan": (source_jsonl_scan, SOURCE_JSONL_SCAN_SQL),
     "sink_clickhouse_insert": (sink_clickhouse_insert, SINK_CLICKHOUSE_INSERT_SQL),
     "sink_dual_table_split": (sink_dual_table_split, SINK_DUAL_TABLE_SPLIT_SQL),
     "sink_partitioned_parquet": (sink_partitioned_parquet, SINK_PARTITIONED_PARQUET_SQL),
