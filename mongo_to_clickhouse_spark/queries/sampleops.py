@@ -299,7 +299,84 @@ DOMAIN_MIX_SAMPLER_SQL = f"""
 """
 
 
+WATERFILL_BUDGET_NUM = 3   # budget = 3/5 of the total token supply
+WATERFILL_BUDGET_DEN = 5
+
+
+def _waterfill_sql(engine: str) -> str:
+    """Water-filling allocation in closed form over the cap-sorted
+    sources: θ is found in the first segment where
+    cum_below + cap_i · (remaining incl. i) ≥ budget, then
+    θ = (budget − cum_below) DIV remaining — all exact integers (both
+    integer divisions act on non-negative operands, so Spark's trunc
+    and DuckDB's floor agree)."""
+    if engine == "spark":
+        ntok = "size(split(text, ' '))"
+        intdiv = "DIV"
+    else:
+        ntok = "len(string_split(text, ' '))"
+        intdiv = "//"
+    return f"""
+        WITH caps AS (
+            SELECT source, CAST(SUM({ntok}) AS BIGINT) AS cap
+            FROM documents GROUP BY source
+        ),
+        b AS (
+            SELECT (SUM(cap) * {WATERFILL_BUDGET_NUM})
+                   {intdiv} {WATERFILL_BUDGET_DEN} AS budget
+            FROM caps
+        ),
+        ord AS (
+            SELECT source, cap,
+                   ROW_NUMBER() OVER (ORDER BY cap, source) AS i,
+                   SUM(cap) OVER (ORDER BY cap, source) - cap AS cum_below,
+                   COUNT(*) OVER () AS ns
+            FROM caps
+        ),
+        th AS (
+            SELECT (b.budget - cum_below) {intdiv} (ns - i + 1) AS theta
+            FROM ord, b
+            WHERE cum_below + cap * (ns - i + 1) >= b.budget
+            ORDER BY i LIMIT 1
+        )
+        SELECT c.source, c.cap AS cap_tokens,
+               CAST(LEAST(c.cap, th.theta) AS BIGINT) AS alloc_tokens,
+               CAST(th.theta AS BIGINT) AS theta
+        FROM caps c, th
+        ORDER BY c.source
+    """
+
+
+def domain_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix budget allocation by WATER-FILLING: given per-source
+    token supplies and a total token budget ({WATERFILL_BUDGET_NUM}/
+    {WATERFILL_BUDGET_DEN} of the corpus), allocate
+    alloc_s = min(cap_s, θ) with the threshold θ chosen so the
+    allocations exactly exhaust the budget (up to integer remainder) —
+    small sources are taken whole, large sources are capped at θ. This
+    is the standard mixture-balancing step between domain_mix_sampler's
+    fixed weights and the sampling itself (don't oversample what a
+    domain can't supply; spread the slack across the big domains).
+
+    Scale shape: one corpus aggregate to |sources| rows; everything
+    after is window math over that tiny relation (the sort, cumulative
+    sums, and segment search are all |sources|-bounded — driver-free and
+    exact-integer, so the closed form replaces the iterative
+    water-filling loop entirely)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_waterfill_sql("spark"))
+
+
+DOMAIN_BUDGET_WATERFILL_SQL = _waterfill_sql("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "domain_budget_waterfill": (
+        domain_budget_waterfill,
+        DOMAIN_BUDGET_WATERFILL_SQL,
+    ),
     "sample_hash_bernoulli": (sample_hash_bernoulli, SAMPLE_HASH_BERNOULLI_SQL),
     "sample_stratified": (sample_stratified, SAMPLE_STRATIFIED_SQL),
     "domain_mix_sampler": (domain_mix_sampler, DOMAIN_MIX_SAMPLER_SQL),

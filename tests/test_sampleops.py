@@ -110,3 +110,40 @@ def test_pack_sequences_invariants(spark, sf_dir):
     # budget sanity: mean tokens-started-per-pack hovers around the budget
     mean_started = sum(r.n_tokens for r in rows) / len(rows)
     assert 0.5 * PACK_BUDGET < mean_started < 2 * PACK_BUDGET
+
+
+def test_waterfill_allocates_budget_exactly(spark, tmp_path):
+    # caps [10, 20, 100] tokens, budget = 3/5 of 130 = 78: segments
+    # 10*3=30 < 78, 10+20*2=50 < 78, 30+100 >= 78 -> theta=(78-30)/1=48
+    # -> allocations [10, 20, 48], sum = budget exactly.
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mongo_to_clickhouse_spark.queries.sampleops import (
+        domain_budget_waterfill,
+    )
+
+    texts, srcs = [], []
+    for src, n in (("a", 10), ("b", 20), ("c", 100)):
+        texts.append(" ".join(["w"] * n))
+        srcs.append(src)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 3, pa.string()),
+                "source": pa.array(srcs, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    rows = {
+        r["source"]: (r["cap_tokens"], r["alloc_tokens"], r["theta"])
+        for r in domain_budget_waterfill(spark, str(tmp_path)).collect()
+    }
+    assert rows == {"a": (10, 10, 48), "b": (20, 20, 48), "c": (100, 48, 48)}
+    assert sum(a for _, a, _ in rows.values()) == 78
