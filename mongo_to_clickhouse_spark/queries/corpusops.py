@@ -213,6 +213,80 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def decontaminate_containment_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Containment-based decontamination: for each training doc, the
+    FRACTION of its distinct {DECONTAM_N}-grams that appear anywhere in
+    the held-out benchmark set — the asymmetric containment score
+    C(d, bench) = |grams(d) ∩ grams(bench)| / |grams(d)| that catches a
+    benchmark QUOTED INSIDE a larger document, which symmetric Jaccard
+    dilutes away. Reported as exact integer millionths
+    ((shared·10⁶) DIV total — no float division), matched docs only.
+
+    Scale shape: the benchmark gram set is tiny (1/{BENCH_MODULUS} of
+    docs, distinct) and BROADCASTS, so the train explode is never
+    shuffled by gram — hub grams are harmless here (no gram-keyed
+    reducer exists; both aggregates are keyed by doc_id), which is why
+    this id needs no df-cap unlike decontaminate_ngram_overlap's
+    windowed counter."""
+    gview = _gram_view(spark, sf_dir, DECONTAM_N)
+    return spark.sql(f"""
+        WITH exploded AS (SELECT doc_id, gram_h FROM {gview}),
+        bench AS (
+            SELECT DISTINCT gram_h FROM exploded
+            WHERE doc_id % {BENCH_MODULUS} = 0
+        ),
+        train AS (
+            SELECT DISTINCT doc_id, gram_h FROM exploded
+            WHERE doc_id % {BENCH_MODULUS} != 0
+        ),
+        tot AS (
+            SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id
+        ),
+        shared AS (
+            SELECT t.doc_id, COUNT(*) AS n_shared
+            FROM train t JOIN bench USING (gram_h)
+            GROUP BY t.doc_id
+        )
+        SELECT tot.doc_id,
+               CAST(tot.n_grams AS BIGINT) AS n_grams,
+               CAST(shared.n_shared AS BIGINT) AS n_shared,
+               CAST((shared.n_shared * 1000000) DIV tot.n_grams AS BIGINT)
+                   AS containment_e6
+        FROM tot JOIN shared ON tot.doc_id = shared.doc_id
+        ORDER BY tot.doc_id
+    """)
+
+
+DECONTAMINATE_CONTAINMENT_RATIO_SQL = f"""
+    WITH exploded AS ({_gram_hashes_duck(DECONTAM_N)}),
+    bench AS (
+        SELECT DISTINCT gram_h FROM exploded
+        WHERE doc_id % {BENCH_MODULUS} = 0
+    ),
+    train AS (
+        SELECT DISTINCT doc_id, gram_h FROM exploded
+        WHERE doc_id % {BENCH_MODULUS} != 0
+    ),
+    tot AS (
+        SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id
+    ),
+    shared AS (
+        SELECT t.doc_id, COUNT(*) AS n_shared
+        FROM train t JOIN bench USING (gram_h)
+        GROUP BY t.doc_id
+    )
+    SELECT tot.doc_id,
+           CAST(tot.n_grams AS BIGINT) AS n_grams,
+           CAST(shared.n_shared AS BIGINT) AS n_shared,
+           CAST((shared.n_shared * 1000000) // tot.n_grams AS BIGINT)
+               AS containment_e6
+    FROM tot JOIN shared ON tot.doc_id = shared.doc_id
+    ORDER BY tot.doc_id
+"""
+
+
 DECONTAMINATE_NGRAM_OVERLAP_SQL = f"""
     WITH exploded AS ({_gram_hashes_duck(DECONTAM_N)}),
     keys AS (
@@ -407,6 +481,10 @@ QUERIES: dict[str, tuple] = {
     "text_perplexity_unigram": (
         text_perplexity_unigram,
         TEXT_PERPLEXITY_UNIGRAM_SQL,
+    ),
+    "decontaminate_containment_ratio": (
+        decontaminate_containment_ratio,
+        DECONTAMINATE_CONTAINMENT_RATIO_SQL,
     ),
     "decontaminate_ngram_overlap": (
         decontaminate_ngram_overlap,

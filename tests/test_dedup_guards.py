@@ -98,3 +98,28 @@ def test_caps_sit_well_above_fixture_df(cap, max_fixture_df):
     # measured at sf0.1 (the largest driver fixture); a cap at ≥4× that
     # df can never bind on fixture data, so oracle hashes are unaffected
     assert cap >= 4 * max_fixture_df
+
+
+def test_containment_ratio_catches_quoted_benchmark(spark, tmp_path):
+    # doc 0 (0 % BENCH_MODULUS == 0) is the benchmark: 10 tokens Q.
+    # doc 1 quotes Q inside 30 tokens (A + Q + B): 23 8-grams total, 3
+    # fully inside Q -> containment = 3_000_000 // 23 = 130434.
+    # doc 2 shares nothing -> absent from the output.
+    from mongo_to_clickhouse_spark.queries.corpusops import (
+        decontaminate_containment_ratio,
+    )
+
+    q = " ".join(f"q{i}" for i in range(10))
+    a = " ".join(f"a{i}" for i in range(10))
+    b = " ".join(f"b{i}" for i in range(10))
+    rows = [
+        (0, q, "en", "bench"),
+        (1, f"{a} {q} {b}", "en", "web"),
+        (2, " ".join(f"c{i}" for i in range(30)), "en", "web"),
+    ]
+    sf = _write_documents(tmp_path, rows)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_shared"], r["containment_e6"])
+        for r in decontaminate_containment_ratio(spark, sf).collect()
+    }
+    assert got == {1: (23, 3, 130434)}
