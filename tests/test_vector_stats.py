@@ -172,3 +172,30 @@ def test_exact_sum_decimal_leaves_fixture_results_unchanged(
     monkeypatch.setattr(vectorops, "EXACT_SUM_DECIMAL", True)
     wide = emb_covariance(spark, smoke_sf_dir).collect()
     assert [tuple(r) for r in base] == [tuple(r) for r in wide]
+
+
+def test_ann_tiers_recall_floor(spark, sf_dir):
+    # ANN tiers are approximations — verify they return well-formed
+    # top-k and overlap the exact answer at all (nprobe=1 IVF on
+    # near-random fixture vectors has modest recall by nature; the
+    # floor is a smoke bound, the per-engine EXACTNESS of each tier is
+    # what the oracle hashes pin).
+    from mongo_to_clickhouse_spark.queries.vectorops import (
+        TOPK,
+        sim_ann_ivf,
+        sim_ann_ivf_coarse,
+        sim_cosine_topk,
+    )
+
+    exact = {(r.probe_id, r.neighbor_id) for r in sim_cosine_topk(spark, sf_dir).collect()}
+    for fn in (sim_ann_ivf, sim_ann_ivf_coarse):
+        rows = fn(spark, sf_dir).collect()
+        per_probe = {}
+        for r in rows:
+            per_probe.setdefault(r.probe_id, []).append(r.rank)
+        for probe, ranks in per_probe.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1)), probe
+            assert len(ranks) <= TOPK
+        approx = {(r.probe_id, r.neighbor_id) for r in rows}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.05, (fn.__name__, recall)
