@@ -37,6 +37,16 @@ _KEEP = {
 
 _WINDOWSPEC = re.compile(r"windowspecdefinition\(([^)]*)\)")
 
+# ids whose no-partition window runs over a PROVABLY BOUNDED relation —
+# the window input is an aggregate output whose row count is independent
+# of corpus size, so one task is the correct plan. Every entry must state
+# the bound; an unbounded relation is never whitelistable here.
+_BOUNDED_WINDOW_WHITELIST = {
+    # windows run over `caps` = GROUP BY source aggregate: |sources| rows
+    # (domain cardinality, ~1e3-1e5), not corpus rows
+    "domain_budget_waterfill",
+}
+
 
 def _no_partition_windows(plan: str) -> list[str]:
     """windowspecdefinition args list partition columns first, then the
@@ -60,6 +70,8 @@ def _batch_ids():
 
 @pytest.mark.parametrize("qid", _batch_ids())
 def test_no_single_partition_window(spark, qid):
+    if qid in _BOUNDED_WINDOW_WHITELIST:
+        pytest.skip("no-partition window over a bounded aggregate output")
     fn, _ = registry.registry()[qid]
     df = fn(spark, SRC)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
