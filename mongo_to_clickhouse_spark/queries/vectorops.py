@@ -1679,12 +1679,18 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .select(F.col("cluster").alias("c"), "j", "cv")
             )
+    # `assign` derives from `dist`, so a direct column-object join sees
+    # colliding attribute ids (Spark warns "trivially true predicate");
+    # re-alias both sides to force fresh attribute ids
+    a = assign.alias("a")
+    d = dist.alias("d")
     return (
-        assign.join(
-            dist,
-            (assign.vec_id == dist.vec_id)
-            & (assign.cluster == dist.c),
+        a.join(
+            d,
+            (F.col("a.vec_id") == F.col("d.vec_id"))
+            & (F.col("a.cluster") == F.col("d.c")),
         )
+        .select(F.col("a.cluster").alias("cluster"), F.col("d.d2").alias("d2"))
         .groupBy("cluster")
         .agg(
             F.count("*").cast("bigint").alias("n_points"),
