@@ -1596,6 +1596,54 @@ _KM_OFF = 1_000_000    # shift to non-negative before integer division so
 #                        embeddings, so the offset always dominates)
 
 
+def _km_pts_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-scaled integer point relation (vec_id, j, v) for the k-means
+    family — referenced many times across iterative rounds (centroid
+    init, each round's distance join and centroid update) and by
+    dedup_semdedup's assignment pass; materialized once per
+    (session, sf_dir) instead of re-running the explode per reference."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier,
+    )
+
+    def build():
+        emb = load_table(spark, sf_dir, "embeddings")
+        return emb.select(
+            "vec_id",
+            F.posexplode(F.col("embedding")).alias("j", "u"),
+        ).select(
+            "vec_id",
+            (F.col("j") + 1).alias("j"),
+            F.round(F.col("u").cast("double") * 1_000_000)
+            .cast("bigint")
+            .alias("v"),
+        )
+
+    return cached_barrier(spark, sf_dir, "km_pts", build, tables=("embeddings",))
+
+
+def _km_assign_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact-integer nearest-centroid assignment pass against the
+    deterministic initial centroids (vec_id < K) — the shared front half
+    of emb_kmeans_lloyd's first round, reused by dedup_semdedup."""
+    pts = _km_pts_barrier(spark, sf_dir)
+    cent = pts.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("c"), "j", F.col("v").alias("cv")
+    )
+    return (
+        pts.join(F.broadcast(cent), "j")
+        .groupBy("vec_id", "c")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))
+            ).alias("d2")
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.col("d2") * _KM_BASE + F.col("c")).alias("code"))
+        .select("vec_id", (F.col("code") % _KM_BASE).alias("cluster"))
+    )
+
+
 def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embeddings table —
     ``KMEANS_ROUNDS`` assignment rounds from deterministic initial
@@ -1616,28 +1664,7 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     the uniform vec_id / (cluster, dim). Nothing quadratic; rounds are
     a fixed constant. Empty clusters drop out deterministically in both
     engines."""
-    from mongo_to_clickhouse_spark.operators.materialize import (
-        cached_barrier,
-    )
-
-    def build():
-        emb = load_table(spark, sf_dir, "embeddings")
-        return emb.select(
-            "vec_id",
-            F.posexplode(F.col("embedding")).alias("j", "u"),
-        ).select(
-            "vec_id",
-            (F.col("j") + 1).alias("j"),
-            F.round(F.col("u").cast("double") * 1_000_000)
-            .cast("bigint")
-            .alias("v"),
-        )
-
-    # the point relation is referenced ~7x across the rounds (centroid
-    # init, each round's distance join and centroid update); materialize
-    # once per (session, sf_dir) instead of re-running the explode per
-    # CTE reference
-    pts = cached_barrier(spark, sf_dir, "km_pts", build, tables=("embeddings",))
+    pts = _km_pts_barrier(spark, sf_dir)
     cent = (
         pts.filter(F.col("vec_id") < KMEANS_K)
         .select(F.col("vec_id").alias("c"), "j", F.col("v").alias("cv"))
@@ -1748,6 +1775,133 @@ def _kmeans_duck_sql() -> str:
 EMB_KMEANS_LLOYD_SQL = _kmeans_duck_sql()
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-dedup semantic deduplication
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = NEAR_DUP_THRESHOLD
+
+
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    the embeddings, then search for near-duplicate pairs ONLY within each
+    cluster — the clustering replaces the quadratic all-pairs space with
+    per-cluster blocks. A vector is dropped when a same-cluster vector
+    with a smaller vec_id has cosine ≥ threshold (the same deterministic
+    first-occurrence-keeps rule as the exact-dedup tier); output is the
+    per-cluster accounting (size / dropped / kept).
+
+    Assignment is ONE exact-integer nearest-centroid pass against the
+    deterministic initial centroids (shared with emb_kmeans_lloyd's first
+    round — micro-scaled integer distances, argmin encoded as
+    MIN(d2·K + c), so the cluster ids are bit-identical in both engines
+    and the oracle needs no recursion).
+
+    Scale posture (100 TB): this is exactly why SemDeDup clusters first —
+    the pair join is an equi-join on cluster id, cost Σ|cluster|², and K
+    is chosen large in production (the paper uses 50k clusters on LAION)
+    to keep clusters small. At fixture K=8 the per-cluster blocks carry
+    the whole table; the plan shape (assignment broadcast join + one
+    cluster-keyed pair join) is invariant in K. The K-distinct-key
+    shuffle skew seen at K=8 disappears at production K; AQE skew-join
+    handles stragglers in between."""
+    assign = _km_assign_once(spark, sf_dir)
+    m = _emb_with_norm(spark, sf_dir).join(assign, "vec_id")
+    a = m.select(
+        F.col("vec_id").alias("a_id"),
+        "cluster",
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = m.select(
+        F.col("vec_id").alias("b_id"),
+        "cluster",
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    sim = F.round(
+        cosine_with_norms(
+            F.col("a_emb"), F.col("b_emb"), F.col("a_nrm"), F.col("b_nrm")
+        ),
+        6,
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("b_id") < F.col("a_id"))
+        .filter(sim >= SEMDEDUP_THRESHOLD)
+        .select("cluster", "a_id")
+        .distinct()
+    )
+    sizes = m.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_points")
+    )
+    drops = dropped.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_dropped")
+    )
+    return (
+        sizes.join(drops, "cluster", "left")
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "n_points",
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("bigint").alias(
+                "n_dropped"
+            ),
+            (
+                F.col("n_points")
+                - F.coalesce(F.col("n_dropped"), F.lit(0))
+            ).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )
+
+
+DEDUP_SEMDEDUP_SQL = f"""
+    WITH pts AS (
+        SELECT vec_id, j,
+               CAST(round(CAST(embedding[j] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS v
+        FROM (SELECT vec_id, embedding,
+                     unnest(range(1, {_KM_DIM + 1})) AS j
+              FROM embeddings)
+    ),
+    cent0 AS (
+        SELECT vec_id AS c, j, v AS cv FROM pts WHERE vec_id < {KMEANS_K}
+    ),
+    asn AS (
+        SELECT vec_id,
+               CAST(MIN(d2 * {_KM_BASE} + c) % {_KM_BASE} AS BIGINT)
+                   AS cluster
+        FROM (
+            SELECT p.vec_id, c.c,
+                   SUM((p.v - c.cv) * (p.v - c.cv)) AS d2
+            FROM pts p JOIN cent0 c ON p.j = c.j
+            GROUP BY p.vec_id, c.c
+        ) GROUP BY vec_id
+    ),
+    e AS ({_EMB_NORM_CTE}),
+    m AS (SELECT e.vec_id, e.embedding, e.nrm, a.cluster
+          FROM e JOIN asn a ON e.vec_id = a.vec_id),
+    dropped AS (
+        SELECT DISTINCT a.cluster, a.vec_id
+        FROM m a JOIN m b
+          ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+        WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[]))
+                    / (a.nrm * b.nrm), 6) >= {SEMDEDUP_THRESHOLD}
+    )
+    SELECT s.cluster,
+           s.n_points,
+           COALESCE(d.n_dropped, 0) AS n_dropped,
+           s.n_points - COALESCE(d.n_dropped, 0) AS n_kept
+    FROM (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_points
+          FROM m GROUP BY cluster) s
+    LEFT JOIN (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_dropped
+               FROM dropped GROUP BY cluster) d
+      ON s.cluster = d.cluster
+    ORDER BY s.cluster
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_TOPK_SQL),
     "emb_kmeans_lloyd": (emb_kmeans_lloyd, EMB_KMEANS_LLOYD_SQL),
@@ -1771,6 +1925,7 @@ QUERIES: dict[str, tuple] = {
     "sim_ann_ivf": (sim_ann_ivf, SIM_ANN_IVF_SQL),
     "sim_ann_ivf_coarse": (sim_ann_ivf_coarse, SIM_ANN_IVF_COARSE_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
+    "dedup_semdedup": (dedup_semdedup, DEDUP_SEMDEDUP_SQL),
     "emb_quantize_int8": (emb_quantize_int8, EMB_QUANTIZE_INT8_SQL),
     "emb_mean_pool": (emb_mean_pool, EMB_MEAN_POOL_SQL),
     "sim_ann_pq": (sim_ann_pq, SIM_ANN_PQ_SQL),

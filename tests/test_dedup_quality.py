@@ -88,3 +88,37 @@ def test_bm25_topk_shape(spark, sf_dir):
     scores = [r.score_micro for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
+
+
+def test_semdedup_keeps_one_per_cluster_of_identical_directions(spark, tmp_path):
+    # 40 vectors in two far-apart direction groups (all-ones scaled ±1
+    # with tiny per-vector jitter): every pair WITHIN a cluster has
+    # cosine ≈ 1 (same direction), pairs across the ± groups have
+    # cosine ≈ -1 — so each cluster must keep exactly its smallest
+    # vec_id and drop the rest.
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mongo_to_clickhouse_spark.queries.vectorops import dedup_semdedup
+
+    dim = 64
+    vecs = []
+    for i in range(40):
+        base = 1.0 if i % 2 == 0 else -1.0
+        vecs.append([base + (i % 7) * 1e-3] * dim)
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 2 for i in range(40)], pa.int32()),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(table, os.path.join(sf, "embeddings.parquet"))
+    rows = dedup_semdedup(spark, sf).collect()
+    assert sum(r["n_points"] for r in rows) == 40
+    for r in rows:
+        assert r["n_kept"] == 1, r
+        assert r["n_dropped"] == r["n_points"] - 1, r
