@@ -71,6 +71,8 @@ class EngineTuning:
     bench_modulus: int = 97        # every Nth doc = held-out benchmark
     decontam_gram_df_cap: int = 64  # hub-gram guard on the decontam join
     vocab_top_k: int = 100
+    dsir_buckets: int = 1024       # DSIR hashed-ngram feature buckets
+    dsir_target_modulus: int = 7   # every Nth doc = target-domain sample
     # --- tokenizer / corpus-structure tier (queries/tokenizerops)
     bpe_top_k: int = 50            # BPE merge candidates per round
     bpe_merge_rounds: int = 4      # BPE training merge iterations

@@ -476,8 +476,99 @@ TEXT_PERPLEXITY_UNIGRAM_SQL = f"""
 """
 
 
+DSIR_BUCKETS = TUNING.dsir_buckets
+DSIR_TARGET_MODULUS = TUNING.dsir_target_modulus
+
+
+def _dsir_body_sql(feats: str) -> str:
+    """Engine-shared back half of DSIR over a (doc_id, b) hashed-feature
+    relation: bucket-level smoothed log-ratio model (≤B rows, built once)
+    joined back to the raw docs' features for the per-doc weight sum.
+    ln() is evaluated only at the bucket level and immediately rounded to
+    integer micro-nats, so the per-doc aggregation is an exact integer
+    sum (the text_perplexity_unigram determinism recipe)."""
+    return f"""
+        WITH feats AS ({feats}),
+        tcnt AS (
+            SELECT b, COUNT(*) AS c FROM feats
+            WHERE doc_id % {DSIR_TARGET_MODULUS} = 0 GROUP BY b
+        ),
+        rcnt AS (
+            SELECT b, COUNT(*) AS c FROM feats
+            WHERE doc_id % {DSIR_TARGET_MODULUS} != 0 GROUP BY b
+        ),
+        tot AS (
+            SELECT (SELECT COALESCE(SUM(c), 0) FROM tcnt) AS t_total,
+                   (SELECT COALESCE(SUM(c), 0) FROM rcnt) AS r_total
+        ),
+        lr AS (
+            SELECT r.b,
+                   CAST(round((
+                       ln((COALESCE(t.c, 0) + 1)
+                          / CAST(tot.t_total + {DSIR_BUCKETS} AS DOUBLE))
+                     - ln((r.c + 1)
+                          / CAST(tot.r_total + {DSIR_BUCKETS} AS DOUBLE))
+                   ) * 1e6) AS BIGINT) AS lr_micro
+            FROM rcnt r
+            LEFT JOIN tcnt t ON r.b = t.b
+            CROSS JOIN tot
+        )
+        SELECT f.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_feats,
+               CAST(SUM(lr.lr_micro) AS BIGINT) AS weight_micro,
+               CAST(SUM(lr.lr_micro) AS BIGINT) > 0 AS selected
+        FROM feats f JOIN lr ON f.b = lr.b
+        WHERE f.doc_id % {DSIR_TARGET_MODULUS} != 0
+        GROUP BY f.doc_id
+        ORDER BY f.doc_id
+    """
+
+
+def corpus_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by how much more likely
+    its hashed n-gram features are under a target-domain bag-of-ngrams
+    model than under the raw-corpus model. Features are md5-hashed
+    unigrams + bigrams folded into ``DSIR_BUCKETS`` buckets; the models
+    are Laplace-smoothed bucket distributions; a doc's importance weight
+    is Σ_features log(p_target(b)/p_raw(b)). Every ``DSIR_TARGET_MODULUS``-th
+    doc stands in for the target-domain sample (the same fixture-determinism
+    device as decontamination's bench_modulus).
+
+    Scale posture (100 TB): one positional gram explode (shared barrier
+    with the decontamination tier) → bucket counts are two partial-agg
+    shuffles onto ≤B uniform md5-derived keys; the log-ratio model is a
+    ≤B-row relation that broadcasts to the per-doc scoring join; the only
+    corpus-sized shuffle is the final doc_id aggregation. The bucket
+    models are trivially mergeable across corpus shards (integer count
+    sums), which is what makes DSIR a single-pass-per-corpus scorer."""
+    uni = _gram_view(spark, sf_dir, 1)
+    bi = _gram_view(spark, sf_dir, 2)
+    feats = f"""
+        SELECT doc_id, gram_h % {DSIR_BUCKETS} AS b FROM {uni}
+        UNION ALL
+        SELECT doc_id, gram_h % {DSIR_BUCKETS} AS b FROM {bi}
+    """
+    return spark.sql(_dsir_body_sql(feats))
+
+
+CORPUS_IMPORTANCE_DSIR_SQL = _dsir_body_sql(
+    f"""
+    SELECT doc_id, gram_h % {DSIR_BUCKETS} AS b
+    FROM ({_gram_hashes_duck(1)})
+    UNION ALL
+    SELECT doc_id, gram_h % {DSIR_BUCKETS} AS b
+    FROM ({_gram_hashes_duck(2)})
+    """
+)
+
+
 QUERIES: dict[str, tuple] = {
     "text_repetition_filter": (text_repetition_filter, TEXT_REPETITION_FILTER_SQL),
+    "corpus_importance_dsir": (
+        corpus_importance_dsir,
+        CORPUS_IMPORTANCE_DSIR_SQL,
+    ),
     "text_perplexity_unigram": (
         text_perplexity_unigram,
         TEXT_PERPLEXITY_UNIGRAM_SQL,
