@@ -81,6 +81,7 @@ class EngineTuning:
     cms_depth: int = 4             # Count-Min depth (hash rows)
     cms_width: int = 64            # Count-Min width (buckets per row)
     hll_registers: int = 64        # explicit-HLL register count (2^p)
+    kmv_k: int = 32                # KMV/theta sketch size (k minimum values)
     # Widen the exact integer power-sum accumulators (Σm, Σm·m) from
     # BIGINT to DECIMAL(38,0) in BOTH engines. BIGINT holds to ~1e6 rows
     # at micro-unit value range; flip this on for cluster-scale row

@@ -288,6 +288,141 @@ def agg_hll_sketch_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_HLL_SKETCH_EXPLICIT_SQL = _hll_sql("duck")
 
 
+KMV_K = TUNING.kmv_k
+_KMV_SPACE = 1 << 40      # 40-bit hash space: (K-1)·SPACE stays far from
+#                           BIGINT overflow (31·2^40 ≈ 3.4e13), collisions
+#                           at fixture cardinalities are ~1e-6 — and the
+#                           hash is deterministic, so both engines agree
+#                           even in the collision case
+
+
+def _kmv_sql(engine: str) -> str:
+    """KMV ("k minimum values") / theta sketch per event_type, plus the
+    two set-operation rows that make theta sketches the distributed
+    distinct-set algebra:
+
+    - per group: keep the K smallest distinct 40-bit md5 hashes of
+      user_id; estimate distinct = (K−1)·SPACE DIV h_(K) when the sketch
+      is full, exact count otherwise;
+    - '__UNION__': the K smallest over the union of the sketches — a
+      valid KMV of the union (the K smallest of a union are among each
+      set's K smallest), i.e. sketches merge losslessly like HLL
+      registers;
+    - '__INTER__': the theta intersection of signup ∩ purchase —
+      θ = min(θ_a, θ_b), matches = |sketch_a ∩ sketch_b ∩ {h < θ}|,
+      estimate = matches·SPACE DIV θ (the Datasketches theta rule).
+
+    Exact distincts per scope ride along to expose the estimation error.
+    All integer arithmetic: the only nondeterminism candidates (division,
+    ordering) are integer ops that truncate identically on the
+    non-negative operands in both engines."""
+    if engine == "spark":
+        h = ("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 10),"
+             " 16, 10) AS BIGINT)")
+        intdiv = "DIV"
+    else:
+        h = ("CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10))"
+             " AS BIGINT)")
+        intdiv = "//"
+    est = (
+        f"CASE WHEN n_sk < {KMV_K} THEN n_sk "
+        f"ELSE ({KMV_K - 1} * CAST({_KMV_SPACE} AS BIGINT)) {intdiv} kth END"
+    )
+    theta = f"CASE WHEN n_sk >= {KMV_K} THEN kth ELSE {_KMV_SPACE} END"
+    return f"""
+        WITH dh AS (SELECT DISTINCT event_type, {h} AS h FROM events),
+        rk AS (
+            SELECT event_type, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+                       AS r
+            FROM dh
+        ),
+        sk AS (SELECT event_type, h FROM rk WHERE r <= {KMV_K}),
+        gs AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sk,
+                   MAX(h) AS kth
+            FROM sk GROUP BY event_type
+        ),
+        urk AS (
+            SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r
+            FROM (SELECT DISTINCT h FROM sk)
+        ),
+        ug AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_sk, MAX(h) AS kth
+            FROM urk WHERE r <= {KMV_K}
+        ),
+        ith AS (
+            SELECT LEAST(
+                (SELECT {theta} FROM gs WHERE event_type = 'signup'),
+                (SELECT {theta} FROM gs WHERE event_type = 'purchase')
+            ) AS theta
+        ),
+        icnt AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS m, MAX(i.theta) AS theta
+            FROM ith i LEFT JOIN (
+                SELECT a.h FROM sk a JOIN sk b ON a.h = b.h
+                WHERE a.event_type = 'signup'
+                  AND b.event_type = 'purchase'
+            ) p ON p.h < i.theta
+        ),
+        exact AS (
+            SELECT event_type AS scope,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT '__UNION__', CAST(COUNT(DISTINCT user_id) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT '__INTER__', CAST(COUNT(*) AS BIGINT) FROM (
+                SELECT DISTINCT a.user_id
+                FROM events a JOIN events b ON a.user_id = b.user_id
+                WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+            )
+        ),
+        ests AS (
+            SELECT event_type AS scope, n_sk,
+                   CAST({theta} AS BIGINT) AS theta,
+                   CAST({est} AS BIGINT) AS est_distinct
+            FROM gs
+            UNION ALL
+            SELECT '__UNION__', n_sk, CAST({theta} AS BIGINT),
+                   CAST({est} AS BIGINT)
+            FROM ug
+            UNION ALL
+            SELECT '__INTER__', m, CAST(theta AS BIGINT),
+                   CAST((m * CAST({_KMV_SPACE} AS BIGINT)) {intdiv} theta
+                        AS BIGINT)
+            FROM icnt
+        )
+        SELECT e.scope, e.exact_distinct, s.n_sk AS n_sketch, s.theta,
+               s.est_distinct
+        FROM exact e JOIN ests s ON e.scope = s.scope
+        ORDER BY e.scope
+    """
+
+
+def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-sketch distinct counting with set-operation estimates
+    (union merge + theta intersection) — see _kmv_sql for the estimator
+    rules. The sketch tier this adds over agg_hll_sketch_explicit:
+    theta sketches support INTERSECTION estimation, which HLL cannot
+    (register maxima only merge as unions).
+
+    Scale posture (100 TB): the only corpus-bound work is the DISTINCT
+    (event_type, hash) aggregate — map-side combined, uniform md5 keys.
+    The rank window is partitioned by group; everything after operates on
+    ≤K·|groups| sketch rows (the union re-rank runs over that bounded
+    relation — whitelisted in test_plan_hygiene with that argument).
+    Per-partition KMV state is O(K), and sketches merge by concatenate +
+    re-rank, so partial sketches combine across executors/shards/days
+    exactly like the production Datasketches aggregator."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_kmv_sql("spark"))
+
+
+AGG_KMV_THETA_SKETCH_SQL = _kmv_sql("duck")
+
+
 QUERIES: dict[str, tuple] = {
     "agg_heavy_hitters": (agg_heavy_hitters, AGG_HEAVY_HITTERS_SQL),
     "agg_count_min_sketch": (agg_count_min_sketch, AGG_COUNT_MIN_SKETCH_SQL),
@@ -295,4 +430,5 @@ QUERIES: dict[str, tuple] = {
         agg_hll_sketch_explicit,
         AGG_HLL_SKETCH_EXPLICIT_SQL,
     ),
+    "agg_kmv_theta_sketch": (agg_kmv_theta_sketch, AGG_KMV_THETA_SKETCH_SQL),
 }

@@ -45,6 +45,9 @@ _BOUNDED_WINDOW_WHITELIST = {
     # windows run over `caps` = GROUP BY source aggregate: |sources| rows
     # (domain cardinality, ~1e3-1e5), not corpus rows
     "domain_budget_waterfill",
+    # union re-rank runs over the union of per-group sketches:
+    # ≤ KMV_K·|event_types| rows, independent of corpus size
+    "agg_kmv_theta_sketch",
 }
 
 
