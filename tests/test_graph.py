@@ -51,3 +51,47 @@ def test_dedup_clusters_from_minhash_pairs(spark, sf_dir):
         assert any(
             m + 1_000_000 in r["members"] for m in r["members"] if m < 1_000_000
         )
+
+
+def test_triangle_count_on_planted_clique_plus_chain(spark, tmp_path):
+    # Orders wire suppliers {1,2,3,4} into a 4-clique (every pair shares
+    # many orders) and suppliers {10,11,12} into a path 10-11-12 (no
+    # 10-12 co-occurrence). 4-clique = C(4,3) = 4 triangles; the path
+    # contributes none. Co-occurrence counts are high enough that every
+    # clique pair survives mutual k-NN selection.
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mongo_to_clickhouse_spark.queries.graphops import graph_triangle_count
+
+    pairs = []
+    oid = 0
+    clique = [1, 2, 3, 4]
+    for rep in range(5):
+        for i in range(len(clique)):
+            for j in range(i + 1, len(clique)):
+                pairs.append((oid, clique[i]))
+                pairs.append((oid, clique[j]))
+                oid += 1
+    for rep in range(5):
+        for a, b in [(10, 11), (11, 12)]:
+            pairs.append((oid, a))
+            pairs.append((oid, b))
+            oid += 1
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array([o for o, _ in pairs], pa.int64()),
+            "l_suppkey": pa.array([s for _, s in pairs], pa.int64()),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(lineitem, os.path.join(sf, "lineitem.parquet"))
+    got = {r["node_id"]: r["n_triangles"] for r in
+           graph_triangle_count(spark, sf).collect()}
+    assert got[-1] == 4                      # global count
+    for n in clique:
+        assert got[n] == 3                   # each clique node in C(3,2)=3
+    for n in (10, 11, 12):
+        assert got.get(n, 0) == 0
