@@ -554,6 +554,69 @@ SCD2_UPSERT_EMULATION_SQL = """
 """
 
 
+def _merge_upsert_sql() -> str:
+    """Engine-shared MERGE INTO emulation (identical text on both
+    engines). Target = even-keyed orders snapshot; source = every 3rd
+    order as a change batch (+5000 cents) with every 9th flagged for
+    delete. Standard MERGE clause semantics:
+
+    - WHEN MATCHED AND s.delete_flag  THEN DELETE   (row dropped)
+    - WHEN MATCHED                    THEN UPDATE   (take source price)
+    - WHEN NOT MATCHED AND NOT s.delete_flag THEN INSERT
+      (a delete against a missing key is a no-op, per the SQL standard)
+    """
+    return """
+        WITH target AS (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders WHERE o_orderkey % 2 = 0
+        ),
+        src AS (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) + 5000
+                       AS price_cents,
+                   (o_orderkey % 9 = 0) AS delete_flag
+            FROM orders WHERE o_orderkey % 3 = 0
+        ),
+        m AS (
+            SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+                   t.price_cents AS t_price,
+                   s.price_cents AS s_price,
+                   COALESCE(s.delete_flag, FALSE) AS delete_flag,
+                   (t.o_orderkey IS NOT NULL) AS in_t,
+                   (s.o_orderkey IS NOT NULL) AS in_s
+            FROM target t FULL JOIN src s ON t.o_orderkey = s.o_orderkey
+        )
+        SELECT o_orderkey,
+               CASE WHEN in_s THEN s_price ELSE t_price END AS price_cents,
+               CASE WHEN in_t AND in_s THEN 'update'
+                    WHEN in_s THEN 'insert'
+                    ELSE 'keep' END AS action
+        FROM m
+        WHERE NOT (in_s AND delete_flag)
+        ORDER BY o_orderkey
+    """
+
+
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert + delete) emulation without a lakehouse format
+    — the post-merge relation a Delta/Iceberg MERGE would produce,
+    compiled to the plan MERGE itself compiles to: ONE full outer join
+    on the merge key + per-row CASE action, no row-at-a-time upserts.
+    Complements scd2_upsert_emulation (which keeps history): this is the
+    overwrite-in-place MERGE with all three WHEN clauses.
+
+    Scale posture: a single equi full-outer join (shuffle on the merge
+    key, AQE-skew-splittable) and narrow projections; the rewritten
+    table partition-overwrites the target — exactly how a 100 TB
+    copy-on-write MERGE executes."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_merge_upsert_sql())
+
+
+SINK_MERGE_UPSERT_SQL = _merge_upsert_sql()
+
+
 def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure range (interval-containment) join with NO equi key: events
     joined to daily 02:00-08:00 windows derived from the same table, then
@@ -882,6 +945,7 @@ QUERIES: dict[str, tuple] = {
     "join_range_interval": (join_range_interval, JOIN_RANGE_INTERVAL_SQL),
     "join_skew_salted": (join_skew_salted, JOIN_SKEW_SALTED_SQL),
     "scd2_upsert_emulation": (scd2_upsert_emulation, SCD2_UPSERT_EMULATION_SQL),
+    "sink_merge_upsert": (sink_merge_upsert, SINK_MERGE_UPSERT_SQL),
     "pivot_wide_agg": (pivot_wide_agg, PIVOT_WIDE_AGG_SQL),
     "unpivot_long": (unpivot_long, UNPIVOT_LONG_SQL),
     "join_outer_full": (join_outer_full, JOIN_OUTER_FULL_SQL),
