@@ -307,6 +307,56 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+SHARD_N = 16
+
+
+def _shard_shuffle_sql(engine: str) -> str:
+    if engine == "spark":
+        ntok = "size(split(text, ' '))"
+        h = ("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),"
+             " 16, 10) AS BIGINT)")
+    else:
+        ntok = "len(string_split(text, ' '))"
+        h = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+             " AS BIGINT)")
+    return f"""
+        WITH d AS (
+            SELECT doc_id, {h} % {SHARD_N} AS shard, {h} AS h,
+                   CAST({ntok} AS BIGINT) AS ntok
+            FROM documents
+        )
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+               MIN(h) AS h_first,
+               MAX(h) AS h_last
+        FROM d GROUP BY shard ORDER BY shard
+    """
+
+
+def pipeline_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training-data
+    output — the last step before a corpus ships to the trainer. Shard =
+    md5(doc_id) % N (uniform, reproducible across runs AND cluster
+    sizes — no RNG state, no partition-count dependence); the within-
+    shard read order is the hash order (h_first/h_last bracket it).
+    Output is the per-shard balance accounting a data engineer checks
+    before launching a run: uniform n_docs / n_tokens across shards.
+
+    Scale posture: ONE hash-keyed aggregate; the actual shard write is
+    `repartition(N, shard).sortWithinPartitions(h).write.partitionBy`
+    (demonstrated by sink_partitioned_parquet) — no global sort, no
+    driver involvement, and adding executors never changes the
+    assignment."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_shard_shuffle_sql("spark"))
+
+
+PIPELINE_SHARD_SHUFFLE_SQL = _shard_shuffle_sql("duck")
+
+
 PIPELINE_PACK_SEQUENCES_SQL = f"""
     WITH docs AS (
         SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
@@ -335,6 +385,10 @@ QUERIES: dict[str, tuple] = {
     "pipeline_training_corpus": (
         pipeline_training_corpus,
         PIPELINE_TRAINING_CORPUS_SQL,
+    ),
+    "pipeline_shard_shuffle": (
+        pipeline_shard_shuffle,
+        PIPELINE_SHARD_SHUFFLE_SQL,
     ),
     "pandas_grouped_stats": (pandas_grouped_stats, PANDAS_GROUPED_STATS_SQL),
     "multimodal_meta_extract": (multimodal_meta_extract, MULTIMODAL_META_EXTRACT_SQL),

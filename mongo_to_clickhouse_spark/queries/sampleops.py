@@ -372,7 +372,56 @@ def domain_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOMAIN_BUDGET_WATERFILL_SQL = _waterfill_sql("duck")
 
 
+SKEW_TOPK = 10
+
+
+def _skew_sql(engine: str) -> str:
+    """Per-key skew diagnostics over the events join key: the top-K
+    heaviest user_ids with their share of total rows in exact ppm
+    (integer division — Spark DIV and DuckDB // agree on non-negative
+    operands), plus a user_id = −1 summary row carrying the total row
+    count and the cumulative top-K share. This is the report you run
+    BEFORE a big join to decide whether a key needs salting/AQE
+    skew-split — the operational companion to join_skew_salted."""
+    intdiv = "DIV" if engine == "spark" else "//"
+    return f"""
+        WITH counts AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY user_id
+        ),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
+        top AS (
+            SELECT user_id, cnt FROM counts
+            ORDER BY cnt DESC, user_id LIMIT {SKEW_TOPK}
+        )
+        SELECT t.user_id, t.cnt,
+               CAST((t.cnt * 1000000) {intdiv} x.total AS BIGINT)
+                   AS share_ppm
+        FROM top t CROSS JOIN tot x
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT) AS user_id, x.total AS cnt,
+               CAST((s.topsum * 1000000) {intdiv} x.total AS BIGINT)
+                   AS share_ppm
+        FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS topsum FROM top) s
+        CROSS JOIN tot x
+        ORDER BY cnt DESC, user_id
+    """
+
+
+def profile_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report — see _skew_sql. Scale posture: one
+    partial-aggregated groupBy on the key (the thing being measured),
+    then TakeOrderedAndProject for the top-K (per-partition heaps, no
+    global sort) and 1-row broadcast joins for the shares."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_skew_sql("spark"))
+
+
+PROFILE_SKEW_REPORT_SQL = _skew_sql("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "profile_skew_report": (profile_skew_report, PROFILE_SKEW_REPORT_SQL),
     "domain_budget_waterfill": (
         domain_budget_waterfill,
         DOMAIN_BUDGET_WATERFILL_SQL,
