@@ -272,7 +272,85 @@ CDC_INCREMENTAL_AGG_SQL = f"""
 """
 
 
+def _reconcile_body_sql(truth_rel: str) -> str:
+    """Engine-shared divergence audit between the reconstructed CDC
+    truth and a snapshot. The snapshot is a deterministic corruption of
+    the truth (drop %13 docs, perturb field_a on %11, phantom +1M rows
+    for %17), so every divergence class is planted and exactly known:
+
+    - 'missing_in_snapshot': truth row the snapshot lost
+    - 'extra_in_snapshot':   snapshot row with no truth counterpart
+    - 'field_mismatch':      both present, payload differs (cents-exact)
+    - 'consistent':          identical
+
+    The comparison itself is the operator: one full outer join on the
+    doc key + per-row CASE, aggregated to a per-class report."""
+    return f"""
+        WITH snap AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 11 = 0
+                        THEN round(field_a + 0.5, 2)
+                        ELSE field_a END AS field_a,
+                   field_b
+            FROM {truth_rel} WHERE doc_id % 13 != 0
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, field_a, field_b
+            FROM {truth_rel} WHERE doc_id % 17 = 0
+        ),
+        d AS (
+            SELECT COALESCE(t.doc_id, s.doc_id) AS doc_id,
+                   CASE
+                       WHEN s.doc_id IS NULL THEN 'missing_in_snapshot'
+                       WHEN t.doc_id IS NULL THEN 'extra_in_snapshot'
+                       WHEN COALESCE(CAST(round(t.field_a * 100) AS BIGINT),
+                                     -1)
+                            != COALESCE(CAST(round(s.field_a * 100)
+                                             AS BIGINT), -1)
+                         OR COALESCE(t.field_b, '')
+                            != COALESCE(s.field_b, '')
+                            THEN 'field_mismatch'
+                       ELSE 'consistent'
+                   END AS status
+            FROM {truth_rel} t FULL JOIN snap s ON t.doc_id = s.doc_id
+        )
+        SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM d GROUP BY status ORDER BY status
+    """
+
+
+def cdc_snapshot_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-vs-oplog consistency audit — the operational check a CDC
+    deployment runs to prove the sink still equals the source (the
+    reference's at-least-once delivery makes sink drift possible:
+    src/main.rs:426-439 saves the resume token only after insert, so
+    replays/partial batches must be reconciled downstream). Truth is the
+    cdc_apply_oplog reconstruction; see _reconcile_body_sql for the
+    divergence classes.
+
+    Scale posture: the truth reconstruction is the one doc_id-keyed
+    window pass cdc_apply_oplog already pins; the audit adds ONE
+    doc_id-keyed full outer join and a 4-group aggregate. At 100 TB this
+    is the standard nightly reconciliation shape (hash-compare both
+    sides on the key, classify, count)."""
+    cdc_apply_oplog(spark, sf_dir).createOrReplaceTempView("cdc_truth")
+    return spark.sql(_reconcile_body_sql("cdc_truth"))
+
+
+# oracle: same body over the truth CTE (DuckDB hoists the reconstruction
+# SQL directly; the Spark side registers the cdc_apply_oplog DataFrame as
+# the cdc_truth view instead — same relation, same body text)
+CDC_SNAPSHOT_RECONCILE_SQL = (
+    f"WITH cdc_truth AS ({CDC_APPLY_OPLOG_SQL}), "
+    + _reconcile_body_sql("cdc_truth").strip()[len("WITH"):]
+)
+
+
 QUERIES: dict[str, tuple] = {
     "cdc_apply_oplog": (cdc_apply_oplog, CDC_APPLY_OPLOG_SQL),
     "cdc_incremental_agg": (cdc_incremental_agg, CDC_INCREMENTAL_AGG_SQL),
+    "cdc_snapshot_reconcile": (
+        cdc_snapshot_reconcile,
+        CDC_SNAPSHOT_RECONCILE_SQL,
+    ),
 }

@@ -503,8 +503,68 @@ SUBQUERY_SCALAR_AGG_SQL = """
 """
 
 
+ISLAND_BUCKET = 1024
+
+
+def _gaps_islands_sql(engine: str) -> str:
+    intdiv = "DIV" if engine == "spark" else "//"
+    b = f"k {intdiv} {ISLAND_BUCKET}"
+    return f"""
+        WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+        staged AS (
+            SELECT k, {b} AS b,
+                   LAG(k) OVER (PARTITION BY {b} ORDER BY k) AS prev
+            FROM keys
+        ),
+        islands AS (
+            SELECT k, b,
+                   SUM(CASE WHEN prev IS NULL OR k - prev > 1
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY b ORDER BY k
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS island_id
+            FROM staged
+        )
+        SELECT b AS bucket, CAST(island_id AS BIGINT) AS island_id,
+               MIN(k) AS island_start, MAX(k) AS island_end,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM islands GROUP BY b, island_id
+        ORDER BY island_start
+    """
+
+
+def window_gaps_islands_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over the (sparse) order-key sequence — maximal
+    runs of consecutive keys, the classic sequence-integrity audit
+    ("which id ranges exist / where are the holes").
+
+    The textbook formulation (LAG with no PARTITION BY, or the
+    k − ROW_NUMBER() islands trick) serializes the ENTIRE key space
+    through one task — the exact failure mode tests/test_plan_hygiene.py
+    exists to catch. This is the distributed form: keys are bucketed
+    into fixed ranges of {ISLAND_BUCKET} and every window partitions by
+    the bucket, so detection is embarrassingly parallel; an island
+    crossing a bucket boundary is reported clipped at the boundary
+    (adjacent rows with island_end = b·{ISLAND_BUCKET} − 1 and
+    island_start = b·{ISLAND_BUCKET} reassemble it exactly — a
+    |buckets|-sized merge the CALLER does if unclipped spans are needed,
+    cf. the same clip-and-merge contract in dedup_substring_spans).
+
+    Scale posture: one DISTINCT shuffle + one bucket-partitioned window
+    sort, both on uniform keys; output is one row per island."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_gaps_islands_sql("spark"))
+
+
+WINDOW_GAPS_ISLANDS_BUCKETED_SQL = _gaps_islands_sql("duck")
+
+
 QUERIES: dict[str, tuple] = {
     "tpch_q1_pricing_summary": (tpch_q1_pricing_summary, TPCH_Q1_SQL),
+    "window_gaps_islands_bucketed": (
+        window_gaps_islands_bucketed,
+        WINDOW_GAPS_ISLANDS_BUCKETED_SQL,
+    ),
     "window_lag_lead": (window_lag_lead, WINDOW_LAG_LEAD_SQL),
     "window_ntile_rank": (window_ntile_rank, WINDOW_NTILE_RANK_SQL),
     "subquery_scalar_agg": (subquery_scalar_agg, SUBQUERY_SCALAR_AGG_SQL),
