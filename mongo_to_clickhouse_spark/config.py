@@ -89,6 +89,7 @@ class EngineTuning:
     # unchanged when BIGINT suffices (pinned in test_vector_stats.py).
     exact_sum_decimal: bool = False
     kmeans_k: int = 8              # initial centroids (vec_id < K)
+    semdedup_k: int = 16           # SemDeDup cluster count (vec_id < K)
     kmeans_rounds: int = 3         # Lloyd assignment rounds
     pagerank_rounds: int = 3       # power-iteration rounds
     pca_power_rounds: int = 3      # top-PC power-iteration rounds

@@ -150,11 +150,17 @@ def _triangle_sql() -> str:
     Output: top-{_TRI_TOPK} nodes by triangle participation plus the
     global total as node_id = -1."""
     return f"""
-        WITH copurchase AS (
+        WITH li AS (
+            -- dedupe (order, supplier) FIRST so the pair aggregate is a
+            -- plain COUNT, not a COUNT DISTINCT over the exploded pair
+            -- relation (measured 2x on the whole query at sf0.1)
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        ),
+        copurchase AS (
             SELECT l1.l_suppkey AS a, l2.l_suppkey AS b,
-                   CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS w
-            FROM lineitem l1
-            JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM li l1
+            JOIN li l2 ON l1.l_orderkey = l2.l_orderkey
             WHERE l1.l_suppkey <> l2.l_suppkey
             GROUP BY l1.l_suppkey, l2.l_suppkey
         ),

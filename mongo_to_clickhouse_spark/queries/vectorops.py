@@ -1622,12 +1622,17 @@ def _km_pts_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached_barrier(spark, sf_dir, "km_pts", build, tables=("embeddings",))
 
 
-def _km_assign_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _km_assign_once(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> DataFrame:
     """One exact-integer nearest-centroid assignment pass against the
-    deterministic initial centroids (vec_id < K) — the shared front half
-    of emb_kmeans_lloyd's first round, reused by dedup_semdedup."""
+    deterministic initial centroids (vec_id < k) — the shared front half
+    of emb_kmeans_lloyd's first round, reused (at its own k) by
+    dedup_semdedup. The argmin encoding base is k itself (d2·k + c stays
+    far from BIGINT overflow for k up to ~3e4, see _KM_BASE notes)."""
+    k = KMEANS_K if k is None else k
     pts = _km_pts_barrier(spark, sf_dir)
-    cent = pts.filter(F.col("vec_id") < KMEANS_K).select(
+    cent = pts.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("c"), "j", F.col("v").alias("cv")
     )
     return (
@@ -1639,8 +1644,8 @@ def _km_assign_once(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d2")
         )
         .groupBy("vec_id")
-        .agg(F.min(F.col("d2") * _KM_BASE + F.col("c")).alias("code"))
-        .select("vec_id", (F.col("code") % _KM_BASE).alias("cluster"))
+        .agg(F.min(F.col("d2") * k + F.col("c")).alias("code"))
+        .select("vec_id", (F.col("code") % k).alias("cluster"))
     )
 
 
@@ -1780,6 +1785,9 @@ EMB_KMEANS_LLOYD_SQL = _kmeans_duck_sql()
 # ---------------------------------------------------------------------------
 
 SEMDEDUP_THRESHOLD = NEAR_DUP_THRESHOLD
+SEMDEDUP_K = TUNING.semdedup_k   # own cluster count: pair cost is
+#                                  Σ|cluster|² ≈ N²/K, so K scales with
+#                                  corpus size independently of kmeans_k
 
 
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1800,12 +1808,13 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture (100 TB): this is exactly why SemDeDup clusters first —
     the pair join is an equi-join on cluster id, cost Σ|cluster|², and K
     is chosen large in production (the paper uses 50k clusters on LAION)
-    to keep clusters small. At fixture K=8 the per-cluster blocks carry
-    the whole table; the plan shape (assignment broadcast join + one
-    cluster-keyed pair join) is invariant in K. The K-distinct-key
-    shuffle skew seen at K=8 disappears at production K; AQE skew-join
-    handles stragglers in between."""
-    assign = _km_assign_once(spark, sf_dir)
+    to keep clusters small. K here is SEMDEDUP_K, its own knob — pair
+    cost is ~N²/K, so it scales with corpus size independently of the
+    kmeans fixture default. The plan shape (assignment broadcast join +
+    one cluster-keyed pair join) is invariant in K; the K-distinct-key
+    shuffle skew seen at small K disappears at production K, and AQE
+    skew-join handles stragglers in between."""
+    assign = _km_assign_once(spark, sf_dir, SEMDEDUP_K)
     m = _emb_with_norm(spark, sf_dir).join(assign, "vec_id")
     a = m.select(
         F.col("vec_id").alias("a_id"),
@@ -1865,11 +1874,11 @@ DEDUP_SEMDEDUP_SQL = f"""
               FROM embeddings)
     ),
     cent0 AS (
-        SELECT vec_id AS c, j, v AS cv FROM pts WHERE vec_id < {KMEANS_K}
+        SELECT vec_id AS c, j, v AS cv FROM pts WHERE vec_id < {SEMDEDUP_K}
     ),
     asn AS (
         SELECT vec_id,
-               CAST(MIN(d2 * {_KM_BASE} + c) % {_KM_BASE} AS BIGINT)
+               CAST(MIN(d2 * {SEMDEDUP_K} + c) % {SEMDEDUP_K} AS BIGINT)
                    AS cluster
         FROM (
             SELECT p.vec_id, c.c,
