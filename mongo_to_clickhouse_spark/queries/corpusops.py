@@ -476,6 +476,78 @@ TEXT_PERPLEXITY_UNIGRAM_SQL = f"""
 """
 
 
+SURPRISAL_FLAG_NATS = 5.0   # docs above this avg bigram NLL are flagged
+
+
+def _bigram_surprisal_sql(engine: str) -> str:
+    """Bigram-LM fluency scoring: p(w2 | w1) = c(w1 w2) / c(w1 ·) over
+    the corpus, per-doc score = mean −ln p over its bigrams. Extends the
+    unigram perplexity tier with CONDITIONING — the KenLM-style fluency
+    signal (repetitive/boilerplate text scores low surprisal, shuffled
+    or OOD text scores high). Same determinism recipe as
+    text_perplexity_unigram: ln at the bigram-TYPE level, rounded to
+    integer micro-nats, so the per-doc aggregation is an exact integer
+    sum; the denominator c(w1 ·) comes from a window over the bigram
+    type relation (partitioned by w1) — no second corpus pass."""
+    if engine == "spark":
+        tok = "element_at(toks, CAST(i AS INT))"
+        tok2 = "element_at(toks, CAST(i AS INT) + 1)"
+        gen = ("LATERAL VIEW explode(CASE WHEN size(toks) >= 2 THEN "
+               "sequence(1, size(toks) - 1) ELSE array() END) AS i")
+        from_docs = "docs_toks"
+    else:
+        tok = "toks[i]"
+        tok2 = "toks[i + 1]"
+        gen = (", unnest(CASE WHEN len(toks) >= 2 THEN "
+               "range(1, len(toks)) ELSE [] END) AS t(i)")
+        from_docs = ("(SELECT doc_id, string_split(text, ' ') AS toks"
+                     " FROM documents)")
+    return f"""
+        WITH bg AS (
+            SELECT doc_id,
+                   md5({tok}) AS h1,
+                   md5(concat({tok}, ' ', {tok2})) AS h2
+            FROM {from_docs} {gen}
+        ),
+        types AS (
+            SELECT h1, h2, COUNT(*) AS c2 FROM bg GROUP BY h1, h2
+        ),
+        model AS (
+            SELECT h2,
+                   CAST(round(ln(c2 / CAST(SUM(c2) OVER (PARTITION BY h1)
+                                           AS DOUBLE)) * 1e6)
+                        AS BIGINT) AS logp_micro
+            FROM types
+        )
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               round(-SUM(m.logp_micro) / COUNT(*) / 1e6, 6) AS avg_nll,
+               (-SUM(m.logp_micro) / COUNT(*) / 1e6) > {SURPRISAL_FLAG_NATS}
+                   AS flagged
+        FROM bg b JOIN model m ON b.h2 = m.h2
+        GROUP BY b.doc_id
+        ORDER BY b.doc_id
+    """
+
+
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram-LM surprisal — see _bigram_surprisal_sql.
+
+    Scale posture: one positional bigram explode (re-using the
+    materialized token barrier), one (h1, h2)-keyed type aggregate
+    (uniform md5 keys), one w1-partitioned window over the TYPE relation
+    (vocabulary-bounded, not corpus-bounded), and one equi-join of the
+    corpus bigrams against the model keyed by the uniform bigram hash —
+    Zipf head skew on the join key is the known hot spot and AQE
+    skew-split handles it, same as the unigram tier."""
+    view = _toks_view(spark, sf_dir)
+    sql = _bigram_surprisal_sql("spark").replace("docs_toks", view)
+    return spark.sql(sql)
+
+
+TEXT_BIGRAM_SURPRISAL_SQL = _bigram_surprisal_sql("duck")
+
+
 DSIR_BUCKETS = TUNING.dsir_buckets
 DSIR_TARGET_MODULUS = TUNING.dsir_target_modulus
 
@@ -568,6 +640,10 @@ QUERIES: dict[str, tuple] = {
     "corpus_importance_dsir": (
         corpus_importance_dsir,
         CORPUS_IMPORTANCE_DSIR_SQL,
+    ),
+    "text_bigram_surprisal": (
+        text_bigram_surprisal,
+        TEXT_BIGRAM_SURPRISAL_SQL,
     ),
     "text_perplexity_unigram": (
         text_perplexity_unigram,

@@ -161,6 +161,54 @@ SAMPLE_WEIGHTED_PPS_SQL = f"""
 """
 
 
+RESERVOIR_K = 100
+
+
+def _reservoir_sql(engine: str) -> str:
+    """Weighted reservoir sampling (Efraimidis–Spirakis A-Res): each doc
+    draws u ∈ (0, 1] from its deterministic hash and scores
+    −ln(u)/weight; the k SMALLEST scores are the exactly-k sample with
+    inclusion probability proportional to weight. Scores are rounded to
+    integer nano-units before ranking (ln is correctly-rounded libm on
+    both engines — the text_perplexity_unigram determinism argument —
+    and the rounding absorbs any last-ulp drift; ties break by doc_id)."""
+    h = _hash60_sql("doc_id") if engine == "duck" else None
+    if engine == "spark":
+        h = ("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),"
+             " 16, 10) AS BIGINT)")
+    return f"""
+        SELECT doc_id, lang, n_chars, score_nano FROM (
+            SELECT doc_id, lang, n_chars,
+                   CAST(round(
+                       -ln(({h} + 1) / CAST({HASH_SPACE + 1} AS DOUBLE))
+                       / n_chars * 1e9) AS BIGINT) AS score_nano
+            FROM documents WHERE n_chars > 0
+        ) scored
+        ORDER BY score_nano, doc_id LIMIT {RESERVOIR_K}
+    """
+
+
+def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k weighted sample (weight = n_chars) via the
+    Efraimidis–Spirakis key trick — the distributed reservoir: unlike
+    sample_weighted_pps (Bernoulli, variable size), this returns a fixed
+    k, and unlike a sequential reservoir it has no scan order — the
+    sample is a pure top-k over deterministic per-row scores, so it is
+    reproducible across runs, partitionings, and cluster sizes, and
+    merges across shards by concatenate + re-rank (keep the k smallest),
+    exactly like the KMV sketch.
+
+    Scale posture: narrow map to score each row + TakeOrderedAndProject
+    (per-partition heaps of size k, no global sort, no window)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_reservoir_sql("spark"))
+
+
+SAMPLE_RESERVOIR_WEIGHTED_SQL = _reservoir_sql("duck")
+
+
 def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling of ``events`` — null count, approx-free distinct
     count, min/max (stringified) per column, one output row per column.
@@ -432,5 +480,9 @@ QUERIES: dict[str, tuple] = {
     "sample_split_summary": (sample_split_summary, SAMPLE_SPLIT_SUMMARY_SQL),
     "sample_per_group_topk": (sample_per_group_topk, SAMPLE_PER_GROUP_TOPK_SQL),
     "sample_weighted_pps": (sample_weighted_pps, SAMPLE_WEIGHTED_PPS_SQL),
+    "sample_reservoir_weighted": (
+        sample_reservoir_weighted,
+        SAMPLE_RESERVOIR_WEIGHTED_SQL,
+    ),
     "profile_column_stats": (profile_column_stats, PROFILE_COLUMN_STATS_SQL),
 }
