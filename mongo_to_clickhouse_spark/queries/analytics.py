@@ -72,6 +72,95 @@ FUNNEL_SQL = """
 """
 
 
+FUNNEL_WINDOW_DAYS = 3
+
+
+def events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-CONSTRAINED funnel: per signup EVENT (not per user), did the
+    same user purchase within {FUNNEL_WINDOW_DAYS} days? Reported as
+    per-day cohort conversion (n_signups / n_converted / exact ppm).
+    Extends funnel_signup_purchase with the max-delay window every real
+    funnel has, and counts every signup, not just each user's first.
+
+    Plan: the join_asof_forward union→one-window trick — signups and
+    purchases union into one relation, ONE user-keyed shuffle + sort,
+    first_value(purchase ts) over [current, unbounded following] gives
+    each signup its next purchase; the Δt bound is a µs-exact filter
+    (second-truncating arithmetic misattributes at the boundary — the
+    round-4 ADVICE class). No range join, no per-user explode."""
+    ev = load_table(spark, sf_dir, "events")
+    sides = ev.filter(
+        F.col("event_type").isin("signup", "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("p_ts"),
+        F.when(F.col("event_type") == "signup", 1).otherwise(2).alias("side"),
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    scored = (
+        sides.withColumn("next_p", F.first("p_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            (
+                F.col("next_p").isNotNull()
+                & (
+                    # fixture ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP
+                    F.unix_micros(F.col("next_p").cast("timestamp"))
+                    - F.unix_micros(F.col("ts").cast("timestamp"))
+                    <= FUNNEL_WINDOW_DAYS * 86400 * 1_000_000
+                )
+            ).alias("converted"),
+        )
+    )
+    return (
+        scored.groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_signups"),
+            F.sum(F.col("converted").cast("bigint"))
+            .cast("bigint")
+            .alias("n_converted"),
+        )
+        .withColumn(
+            "conv_ppm",
+            F.expr("(n_converted * 1000000) DIV n_signups").cast("bigint"),
+        )
+        .orderBy("day")
+    )
+
+
+EVENTS_WINDOWED_FUNNEL_SQL = f"""
+    WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    nxt AS (
+        SELECT s.user_id, s.ts, r.ts AS next_p
+        FROM s ASOF LEFT JOIN p r
+          ON s.user_id = r.user_id AND s.ts <= r.ts
+    ),
+    scored AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               (next_p IS NOT NULL AND
+                epoch_us(next_p) - epoch_us(ts)
+                    <= {FUNNEL_WINDOW_DAYS * 86400 * 1_000_000}) AS converted
+        FROM nxt
+    )
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converted,
+           CAST((SUM(CASE WHEN converted THEN 1 ELSE 0 END) * 1000000)
+                // COUNT(*) AS BIGINT) AS conv_ppm
+    FROM scored GROUP BY day ORDER BY day
+"""
+
+
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic retention triangle: users bucketed by first-seen day
     (cohort), counted by day-offset of subsequent activity."""
@@ -161,6 +250,10 @@ TEXT_RARITY_SQL = """
 
 QUERIES: dict[str, tuple] = {
     "funnel_signup_purchase": (funnel_signup_purchase, FUNNEL_SQL),
+    "events_windowed_funnel": (
+        events_windowed_funnel,
+        EVENTS_WINDOWED_FUNNEL_SQL,
+    ),
     "retention_cohorts": (retention_cohorts, RETENTION_SQL),
     "text_rarity_score": (text_rarity_score, TEXT_RARITY_SQL),
 }

@@ -401,6 +401,72 @@ def _kmv_sql(engine: str) -> str:
     """
 
 
+QSK_K = 256   # quantile-sketch sample size per group
+
+
+def _qsketch_sql(engine: str) -> str:
+    """Mergeable hash-sample quantile sketch per event_type: the K rows
+    with the smallest md5(event_id) are a uniform random sample of the
+    group (the KMV property), so interpolated quantiles over the sample
+    estimate the group quantiles with O(1/√K) error — and two shards'
+    sketches merge by concatenate + keep-K-smallest, which is what makes
+    this the distributed quantile recipe (the bones of t-digest/KLL,
+    with a deterministic, exactly-oracle-mirrorable sample). Exact
+    quantiles ride along to expose the error."""
+    if engine == "spark":
+        h = ("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 15),"
+             " 16, 10) AS BIGINT)")
+
+        def q(col: str, p: float) -> str:
+            return f"round(percentile({col}, CAST({p} AS DOUBLE)), 4)"
+    else:
+        h = ("CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))"
+             " AS BIGINT)")
+
+        def q(col: str, p: float) -> str:
+            return f"round(quantile_cont({col}, {p}), 4)"
+
+    return f"""
+        WITH rk AS (
+            SELECT event_type, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY {h}, event_id) AS r
+            FROM events
+        ),
+        est AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_sample,
+                   {q("value", 0.5)} AS p50_est,
+                   {q("value", 0.95)} AS p95_est
+            FROM rk WHERE r <= {QSK_K} GROUP BY event_type
+        ),
+        exact AS (
+            SELECT event_type,
+                   {q("value", 0.5)} AS p50_exact,
+                   {q("value", 0.95)} AS p95_exact
+            FROM events GROUP BY event_type
+        )
+        SELECT s.event_type, s.n_sample,
+               s.p50_est, x.p50_exact, s.p95_est, x.p95_exact
+        FROM est s JOIN exact x ON s.event_type = x.event_type
+        ORDER BY s.event_type
+    """
+
+
+def agg_quantile_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-sketch quantile estimation — see _qsketch_sql.
+
+    Scale posture: per-group state is the K smallest-hash rows (a
+    rank-limit window Spark executes as WindowGroupLimit per-partition
+    heaps); the exact side is only for error exposure — a production
+    deployment ships the sketch alone, merged across shards."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_qsketch_sql("spark"))
+
+
+AGG_QUANTILE_HASH_SAMPLE_SQL = _qsketch_sql("duck")
+
+
 def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV / theta-sketch distinct counting with set-operation estimates
     (union merge + theta intersection) — see _kmv_sql for the estimator
@@ -431,4 +497,8 @@ QUERIES: dict[str, tuple] = {
         AGG_HLL_SKETCH_EXPLICIT_SQL,
     ),
     "agg_kmv_theta_sketch": (agg_kmv_theta_sketch, AGG_KMV_THETA_SKETCH_SQL),
+    "agg_quantile_hash_sample": (
+        agg_quantile_hash_sample,
+        AGG_QUANTILE_HASH_SAMPLE_SQL,
+    ),
 }
