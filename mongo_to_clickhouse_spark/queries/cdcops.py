@@ -329,11 +329,21 @@ def cdc_snapshot_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence classes.
 
     Scale posture: the truth reconstruction is the one doc_id-keyed
-    window pass cdc_apply_oplog already pins; the audit adds ONE
+    window pass cdc_apply_oplog already pins, and it runs ONCE behind a
+    session-memoized barrier (the body references cdc_truth 3× — snap's
+    two branches + the join's left side — which inlined would re-run the
+    whole window reconstruction each time); the audit adds ONE
     doc_id-keyed full outer join and a 4-group aggregate. At 100 TB this
     is the standard nightly reconciliation shape (hash-compare both
     sides on the key, classify, count)."""
-    cdc_apply_oplog(spark, sf_dir).createOrReplaceTempView("cdc_truth")
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    cached_barrier_view(
+        spark, sf_dir, "cdc_truth",
+        lambda: cdc_apply_oplog(spark, sf_dir), tables=("events",),
+    )
     return spark.sql(_reconcile_body_sql("cdc_truth"))
 
 

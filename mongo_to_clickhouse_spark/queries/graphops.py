@@ -131,36 +131,18 @@ TRIANGLE_KNN_K = 8    # k-NN sparsification degree bound
 _TRI_TOPK = 20
 
 
-def _triangle_sql() -> str:
-    """Engine-shared SQL for triangle counting over the k-NN-sparsified
-    supplier co-purchase graph (identical text runs on both engines):
-
-    1. co-purchase weights: supplier pairs sharing an order, weighted by
-       the number of shared orders;
-    2. k-NN sparsification: each supplier keeps its TRIANGLE_KNN_K
-       strongest partners (ties by neighbor id), edges kept only when
-       MUTUAL — so the graph has degree ≤ K by construction, at any
-       corpus size (this replaces the degree-orientation trick: the
-       wedge space is already bounded at n·K²/2, SF-independently);
-    3. wedge join on the common corner + closing-edge join: each
-       triangle is found exactly once per corner (v < w), so per-node
-       participation falls out of the same relation and the global count
-       is corner-count DIV 3 (exact).
-
-    Output: top-{_TRI_TOPK} nodes by triangle participation plus the
-    global total as node_id = -1."""
+def _triangle_adj_sql(li_rel: str) -> str:
+    """Front half: k-NN-sparsified mutual edge set, emitted in BOTH
+    directions (the adjacency relation) — the barrier materializes this
+    form so the back half never unions over a checkpointed leaf (which
+    trips a Spark constraint-rewrite bug) and the undirected edge set is
+    recoverable as the a < b slice."""
     return f"""
-        WITH li AS (
-            -- dedupe (order, supplier) FIRST so the pair aggregate is a
-            -- plain COUNT, not a COUNT DISTINCT over the exploded pair
-            -- relation (measured 2x on the whole query at sf0.1)
-            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
-        ),
-        copurchase AS (
+        WITH copurchase AS (
             SELECT l1.l_suppkey AS a, l2.l_suppkey AS b,
                    CAST(COUNT(*) AS BIGINT) AS w
-            FROM li l1
-            JOIN li l2 ON l1.l_orderkey = l2.l_orderkey
+            FROM {li_rel} l1
+            JOIN {li_rel} l2 ON l1.l_orderkey = l2.l_orderkey
             WHERE l1.l_suppkey <> l2.l_suppkey
             GROUP BY l1.l_suppkey, l2.l_suppkey
         ),
@@ -176,16 +158,26 @@ def _triangle_sql() -> str:
             SELECT k1.a AS a, k1.b AS b
             FROM knn k1 JOIN knn k2 ON k1.a = k2.b AND k1.b = k2.a
             WHERE k1.a < k1.b
-        ),
-        adj AS (
-            SELECT a, b FROM edges
-            UNION ALL
-            SELECT b AS a, a AS b FROM edges
-        ),
-        corner AS (
+        )
+        SELECT a, b FROM edges
+        UNION ALL
+        SELECT b AS a, a AS b FROM edges
+    """
+
+
+def _triangle_count_sql(adj_rel: str) -> str:
+    """Back half: wedge join + closing edge + per-node/total counts over
+    the materialized adjacency (referenced 3× — without the barrier
+    Spark inlines the whole edge-construction subtree per reference and
+    the plan blows up ~20×; PLANS.md showed 109 exchanges / 40 scans
+    before the split)."""
+    return f"""
+        WITH corner AS (
             SELECT w1.a AS u, w1.b AS v, w2.b AS x
-            FROM adj w1 JOIN adj w2 ON w1.a = w2.a AND w1.b < w2.b
-            JOIN edges e ON e.a = w1.b AND e.b = w2.b
+            FROM {adj_rel} w1
+            JOIN {adj_rel} w2 ON w1.a = w2.a AND w1.b < w2.b
+            JOIN (SELECT a, b FROM {adj_rel} WHERE a < b) e
+              ON e.a = w1.b AND e.b = w2.b
         ),
         per_node AS (
             SELECT u AS node_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
@@ -208,17 +200,49 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the third canonical graph kernel next to PageRank and connected
     components (community density / clustering-coefficient numerator).
 
+    1. co-purchase weights: supplier pairs sharing an order ((order,
+       supplier) deduped FIRST so the pair aggregate is a plain COUNT —
+       measured 2x vs COUNT DISTINCT over the exploded pair relation);
+    2. k-NN sparsification: each supplier keeps its TRIANGLE_KNN_K
+       strongest partners (ties by neighbor id), edges kept only when
+       MUTUAL — degree <= K by construction at any corpus size, so the
+       wedge join is bounded at n*K^2/2 (no degree-orientation needed);
+    3. wedge join on the common corner + closing-edge join over the
+       MATERIALIZED edge relation: each triangle is found exactly once
+       per corner (v < w), per-node participation falls out of the same
+       relation, total = corner-count DIV 3 (exact).
+
     Scale posture (100 TB): the co-purchase projection is bounded by
-    order width (pairs within an order, never across); the k-NN
-    sparsification caps every degree at K, so the wedge join — the step
-    that explodes on power-law graphs — is ≤ n·K²/2 rows regardless of
-    corpus size, and the rank window is partitioned per node. All joins
-    are equi-joins on node ids; no iteration, three shuffles deep."""
+    order width (pairs within an order, never across); every join is an
+    equi-join on node ids; the edge build runs ONCE behind a session-
+    memoized reliable checkpoint (it is referenced 3x by the wedge
+    phase — inlined, Spark re-derived the whole co-purchase subtree per
+    reference: 109 exchanges / 40 scans, vs 1 edge build + the cheap
+    wedge joins after the barrier)."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_triangle_sql())
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    def build():
+        return spark.sql(_triangle_adj_sql(
+            "(SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)"
+        ))
+
+    adj = cached_barrier_view(
+        spark, sf_dir, "tri_adj", build, tables=("lineitem",)
+    )
+    return spark.sql(_triangle_count_sql(adj))
 
 
-GRAPH_TRIANGLE_COUNT_SQL = _triangle_sql()
+# oracle: one SQL text — DuckDB shares CTE scans, so no barrier needed
+GRAPH_TRIANGLE_COUNT_SQL = (
+    "WITH tri_adj AS ("
+    + _triangle_adj_sql("(SELECT DISTINCT l_orderkey, l_suppkey"
+                        " FROM lineitem)")
+    + "), "
+    + _triangle_count_sql("tri_adj").strip()[len("WITH"):]
+)
 
 
 QUERIES: dict[str, tuple] = {

@@ -296,6 +296,18 @@ _KMV_SPACE = 1 << 40      # 40-bit hash space: (K-1)·SPACE stays far from
 #                           even in the collision case
 
 
+def _kmv_du_sql(engine: str) -> str:
+    """Distinct (event_type, user_id, 40-bit md5 hash) — the ONE corpus
+    scan everything in the KMV operator derives from."""
+    if engine == "spark":
+        h = ("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 10),"
+             " 16, 10) AS BIGINT)")
+    else:
+        h = ("CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10))"
+             " AS BIGINT)")
+    return f"SELECT DISTINCT event_type, user_id, {h} AS h FROM events"
+
+
 def _kmv_sql(engine: str) -> str:
     """KMV ("k minimum values") / theta sketch per event_type, plus the
     two set-operation rows that make theta sketches the distributed
@@ -315,27 +327,25 @@ def _kmv_sql(engine: str) -> str:
     Exact distincts per scope ride along to expose the estimation error.
     All integer arithmetic: the only nondeterminism candidates (division,
     ordering) are integer ops that truncate identically on the
-    non-negative operands in both engines."""
-    if engine == "spark":
-        h = ("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 10),"
-             " 16, 10) AS BIGINT)")
-        intdiv = "DIV"
-    else:
-        h = ("CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10))"
-             " AS BIGINT)")
-        intdiv = "//"
+    non-negative operands in both engines.
+
+    The body reads ``kmv_du`` — the distinct (event_type, user_id, h)
+    relation built by _kmv_du_sql — which the Spark side materializes
+    behind a barrier: it is referenced 5× (rank, per-group exact, union
+    exact, intersection self-join ×2), and inlined each reference would
+    re-scan + re-DISTINCT the corpus."""
+    intdiv = "DIV" if engine == "spark" else "//"
     est = (
         f"CASE WHEN n_sk < {KMV_K} THEN n_sk "
         f"ELSE ({KMV_K - 1} * CAST({_KMV_SPACE} AS BIGINT)) {intdiv} kth END"
     )
     theta = f"CASE WHEN n_sk >= {KMV_K} THEN kth ELSE {_KMV_SPACE} END"
     return f"""
-        WITH dh AS (SELECT DISTINCT event_type, {h} AS h FROM events),
-        rk AS (
-            SELECT event_type, h,
+        WITH rk AS (
+            SELECT event_type, user_id, h,
                    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
                        AS r
-            FROM dh
+            FROM kmv_du
         ),
         sk AS (SELECT event_type, h FROM rk WHERE r <= {KMV_K}),
         gs AS (
@@ -367,15 +377,15 @@ def _kmv_sql(engine: str) -> str:
         ),
         exact AS (
             SELECT event_type AS scope,
-                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
-            FROM events GROUP BY event_type
+                   CAST(COUNT(*) AS BIGINT) AS exact_distinct
+            FROM kmv_du GROUP BY event_type
             UNION ALL
             SELECT '__UNION__', CAST(COUNT(DISTINCT user_id) AS BIGINT)
-            FROM events
+            FROM kmv_du
             UNION ALL
             SELECT '__INTER__', CAST(COUNT(*) AS BIGINT) FROM (
-                SELECT DISTINCT a.user_id
-                FROM events a JOIN events b ON a.user_id = b.user_id
+                SELECT a.user_id
+                FROM kmv_du a JOIN kmv_du b ON a.user_id = b.user_id
                 WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
             )
         ),
@@ -483,10 +493,21 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank, so partial sketches combine across executors/shards/days
     exactly like the production Datasketches aggregator."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    def build():
+        return spark.sql(_kmv_du_sql("spark"))
+
+    cached_barrier_view(spark, sf_dir, "kmv_du", build, tables=("events",))
     return spark.sql(_kmv_sql("spark"))
 
 
-AGG_KMV_THETA_SKETCH_SQL = _kmv_sql("duck")
+AGG_KMV_THETA_SKETCH_SQL = (
+    f"WITH kmv_du AS ({_kmv_du_sql('duck')}), "
+    + _kmv_sql("duck").strip()[len("WITH"):]
+)
 
 
 QUERIES: dict[str, tuple] = {

@@ -1814,7 +1814,18 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one cluster-keyed pair join) is invariant in K; the K-distinct-key
     shuffle skew seen at small K disappears at production K, and AQE
     skew-join handles stragglers in between."""
-    assign = _km_assign_once(spark, sf_dir, SEMDEDUP_K)
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier,
+    )
+
+    # the narrow (vec_id, cluster) assignment is referenced 3x (both
+    # pair-join sides + the size aggregate); barrier it so the distance
+    # join doesn't re-run per reference
+    assign = cached_barrier(
+        spark, sf_dir, "semdedup_assign",
+        lambda: _km_assign_once(spark, sf_dir, SEMDEDUP_K),
+        tables=("embeddings",),
+    )
     m = _emb_with_norm(spark, sf_dir).join(assign, "vec_id")
     a = m.select(
         F.col("vec_id").alias("a_id"),
