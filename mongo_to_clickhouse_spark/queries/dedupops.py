@@ -656,6 +656,103 @@ DEDUP_INCREMENTAL_EXACT_SQL = """
 """
 
 
+BLOOM_M_BITS = 1 << 16   # filter size; at production seen-set sizes this
+#                          scales to 2^30+ — the layout below (bit_or over
+#                          64-bit words) is size-agnostic
+BLOOM_WORDS = BLOOM_M_BITS // 62 + 1
+
+
+def _bloom_sql(engine: str) -> str:
+    """Explicit Bloom-filter prefilter for incremental dedup — the fast
+    path in front of dedup_incremental_exact's seen-hash anti-join:
+
+    - BUILD: the historical corpus's distinct content hashes set 3 bits
+      each (three disjoint 16-bit fields of the 60-bit md5 — independent
+      and deterministic); the filter is a ≤{BLOOM_WORDS}-row
+      (word_idx, bit_or(mask)) relation (62 usable bits per
+      word — DuckDB checks BIGINT shifts, so bit 63 is never used) — the bitmap form that makes
+      Bloom filters mergeable across shards/days (OR the words) and
+      broadcastable to every executor;
+    - PROBE: each new-batch doc checks its 3 bits against the broadcast
+      words; `bloom_maybe` = all 3 set. Only maybe-docs need the exact
+      seen-set membership check (at scale: the shuffle the filter
+      exists to skip); definite-new docs bypass it entirely.
+
+    Output per new doc: (doc_id, bloom_maybe, is_dup) — is_dup ⇒
+    bloom_maybe (no false negatives, pinned in tests), and
+    maybe ∧ ¬dup rows are the false positives the m/n sizing controls."""
+    if engine == "spark":
+        ch = ("CAST(conv(substring(md5(text), 1, 15), 16, 10)"
+              " AS BIGINT)")
+        one = "shiftleft(CAST(1 AS BIGINT), CAST(b % 62 AS INT))"
+        bexp = (f"LATERAL VIEW explode(array(ch % {BLOOM_M_BITS},"
+                f" (ch DIV 1048576) % {BLOOM_M_BITS},"
+                f" (ch DIV 1099511627776) % {BLOOM_M_BITS})) AS b")
+        intdiv = "DIV"
+    else:
+        ch = "CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)"
+        one = "(CAST(1 AS BIGINT) << CAST(b % 62 AS INT))"
+        bexp = (f", unnest([ch % {BLOOM_M_BITS},"
+                f" (ch // 1048576) % {BLOOM_M_BITS},"
+                f" (ch // 1099511627776) % {BLOOM_M_BITS}]) AS t(b)")
+        intdiv = "//"
+    return f"""
+        WITH hashes AS (SELECT doc_id, {ch} AS ch FROM documents),
+        hist AS (
+            SELECT DISTINCT ch FROM hashes WHERE doc_id % 10 != 0
+        ),
+        hist_bits AS (SELECT b FROM hist {bexp}),
+        bloom AS (
+            SELECT b {intdiv} 62 AS w, BIT_OR({one}) AS word
+            FROM hist_bits GROUP BY b {intdiv} 62
+        ),
+        probe_bits AS (
+            SELECT doc_id, ch, b FROM (
+                SELECT doc_id, ch FROM hashes WHERE doc_id % 10 = 0
+            ) newb {bexp}
+        ),
+        probed AS (
+            SELECT p.doc_id, p.ch,
+                   SUM(CASE WHEN bl.word IS NOT NULL
+                             AND (bl.word & {one.replace('b %', 'p.b %')})
+                                 != 0
+                            THEN 1 ELSE 0 END) AS hits
+            FROM probe_bits p
+            LEFT JOIN bloom bl ON bl.w = p.b {intdiv} 62
+            GROUP BY p.doc_id, p.ch
+        )
+        SELECT pr.doc_id,
+               (pr.hits = 3) AS bloom_maybe,
+               (h.ch IS NOT NULL) AS is_dup
+        FROM probed pr
+        LEFT JOIN hist h ON h.ch = pr.ch
+        ORDER BY pr.doc_id
+    """
+
+
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-filter membership prefilter — see _bloom_sql. The
+    EXPLICIT sibling of join_runtime_bloom_filter (which uses Spark's
+    opaque BloomFilterMightContain): the construction itself is the
+    operator, as a bit_or word aggregate that is exactly
+    oracle-mirrorable and mergeable (the agg_hll_sketch_explicit
+    discipline applied to membership).
+
+    Scale posture: one corpus scan → distinct hashes (the persisted
+    seen-set at production), 3-bit explode → ≤{BLOOM_WORDS}-word
+    aggregate (uniform keys, map-side combined), and the probe joins a
+    broadcast word relation — no corpus shuffle for the definite-new
+    majority; the exact verify join here runs on ALL probes only to
+    expose false positives in the compared output."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_bloom_sql("spark"))
+
+
+DEDUP_BLOOM_PREFILTER_SQL = _bloom_sql("duck")
+
+
 # ---------------------------------------------------------------------------
 # URL-canonicalization dedup (crawl-pipeline tier)
 # ---------------------------------------------------------------------------
@@ -872,6 +969,10 @@ QUERIES: dict[str, tuple] = {
     "pipeline_dedup_lsh_apply": (
         pipeline_dedup_lsh_apply,
         PIPELINE_DEDUP_LSH_APPLY_SQL,
+    ),
+    "dedup_bloom_prefilter": (
+        dedup_bloom_prefilter,
+        DEDUP_BLOOM_PREFILTER_SQL,
     ),
     "dedup_incremental_exact": (
         dedup_incremental_exact,

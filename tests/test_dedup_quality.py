@@ -122,3 +122,47 @@ def test_semdedup_keeps_one_per_cluster_of_identical_directions(spark, tmp_path)
     for r in rows:
         assert r["n_kept"] == 1, r
         assert r["n_dropped"] == r["n_points"] - 1, r
+
+
+def test_bloom_prefilter_has_no_false_negatives(spark, tmp_path):
+    # Planted: docs 0..99 historical (doc_id % 10 != 0 is historical, so
+    # ids 1..9, 11..19, ... are historical); every new-batch doc with id
+    # ending in 0 except 50 duplicates the text of historical doc id+1;
+    # doc 50 carries unique text (definite-new). Bloom must flag every
+    # true dup as maybe (no false negatives), and doc 50 must be clean
+    # unless a (reported) false positive occurs.
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mongo_to_clickhouse_spark.queries.dedupops import (
+        dedup_bloom_prefilter,
+    )
+
+    texts = {}
+    for i in range(100):
+        texts[i] = f"unique text body number {i} with filler words"
+    for i in range(0, 100, 10):
+        if i != 50:
+            texts[i] = texts[i + 1]  # duplicate of a historical doc
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(100), pa.int64()),
+            "text": pa.array([texts[i] for i in range(100)]),
+            "lang": pa.array(["en"] * 100),
+            "source": pa.array(["src0"] * 100),
+            "n_chars": pa.array(
+                [len(texts[i]) for i in range(100)], pa.int64()
+            ),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(table, os.path.join(sf, "documents.parquet"))
+    got = {r["doc_id"]: r for r in dedup_bloom_prefilter(spark, sf).collect()}
+    assert set(got) == set(range(0, 100, 10))
+    for i, r in got.items():
+        if r["is_dup"]:
+            assert r["bloom_maybe"], f"false negative at {i}"
+    assert got[0]["is_dup"] and got[0]["bloom_maybe"]
+    assert not got[50]["is_dup"]
