@@ -278,7 +278,63 @@ VALUE_HISTOGRAM_SQL = """
 """
 
 
+MA_HALF_WINDOW = 3   # centered 7-day moving average
+
+
+def _daily_ma_sql(engine: str) -> str:
+    """Per-(event_type, day) counts with a centered 7-day moving average
+    and exact-integer residual flagging (time-series anomaly at the
+    AGGREGATE level — complements events_anomaly_zscore's per-event
+    standardization). The edge days divide by the actual window
+    population (COUNT over the same frame), so the MA is exact
+    everywhere; ma is carried in milli-units so the comparison stays in
+    integers (Spark DIV ≡ DuckDB // on non-negative operands)."""
+    intdiv = "DIV" if engine == "spark" else "//"
+    fmt = (
+        "date_format(date_trunc('day', ts), 'yyyy-MM-dd')"
+        if engine == "spark"
+        else "strftime(date_trunc('day', ts), '%Y-%m-%d')"
+    )
+    return f"""
+        WITH daily AS (
+            SELECT event_type, {fmt} AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, {fmt}
+        ),
+        ma AS (
+            SELECT event_type, day, n,
+                   CAST((SUM(n) OVER w * 1000) {intdiv} (COUNT(n) OVER w)
+                        AS BIGINT) AS ma_milli
+            FROM daily
+            WINDOW w AS (
+                PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN {MA_HALF_WINDOW} PRECEDING
+                         AND {MA_HALF_WINDOW} FOLLOWING)
+        )
+        SELECT event_type, day, n, ma_milli,
+               n * 1000 - ma_milli AS resid_milli,
+               ABS(n * 1000 - ma_milli) * 2 > ma_milli AS flagged
+        FROM ma ORDER BY event_type, day
+    """
+
+
+def events_daily_ma_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-rollup moving-average residual anomalies — see
+    _daily_ma_sql. Scale posture: one corpus aggregate to the
+    (event_type, day) relation; the window runs over that ROLLUP
+    (days × types rows, partitioned by type) — the corpus never sorts."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_daily_ma_sql("spark"))
+
+
+EVENTS_DAILY_MA_RESIDUAL_SQL = _daily_ma_sql("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "events_daily_ma_residual": (
+        events_daily_ma_residual,
+        EVENTS_DAILY_MA_RESIDUAL_SQL,
+    ),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "window_range_frame": (window_range_frame, WINDOW_RANGE_FRAME_SQL),
     "events_time_bucket_rollup": (

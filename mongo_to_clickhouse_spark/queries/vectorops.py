@@ -534,6 +534,135 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRUNC_DIM = 32   # Matryoshka-style truncation: keep the first half
+
+
+def emb_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-robustness evaluation (the Matryoshka/MRL serving
+    question): if the index stores only the first {TRUNC_DIM} of 64
+    dims, how much of each probe's full-precision top-k survives?
+    Computes exact top-k under BOTH metrics and reports per-probe
+    overlap + recall ppm — the measurement that decides whether the
+    cheap truncated index is good enough before switching serving to it.
+
+    Scale posture: two probe-broadcast top-k passes over one candidate
+    scan each (the sim_cosine_topk shape) + an equi-join of two
+    K·|probes| rank relations — nothing new shuffles at corpus scale."""
+    emb = _emb_with_norm(spark, sf_dir)
+
+    def topk(prefix_dim: int | None) -> DataFrame:
+        if prefix_dim is None:
+            e = emb.select("vec_id", "embedding", "nrm")
+        else:
+            sl = F.slice(F.col("embedding"), 1, prefix_dim)
+            e = emb.select(
+                "vec_id", sl.alias("embedding"), norm(sl).alias("nrm")
+            )
+        probes = e.filter(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("p_emb"),
+            F.col("nrm").alias("p_nrm"),
+        )
+        cands = e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+        sim = F.round(
+            cosine_with_norms(
+                F.col("p_emb"), F.col("c_emb"),
+                F.col("p_nrm"), F.col("c_nrm"),
+            ),
+            6,
+        )
+        pairs = (
+            F.broadcast(probes)
+            .crossJoin(cands)
+            .filter(F.col("probe_id") != F.col("neighbor_id"))
+            .select("probe_id", "neighbor_id", sim.alias("sim"))
+        )
+        w = Window.partitionBy("probe_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOPK)
+            .select("probe_id", "neighbor_id")
+        )
+
+    full = topk(None)
+    trunc = topk(TRUNC_DIM)
+    overlap = (
+        full.join(trunc, ["probe_id", "neighbor_id"])
+        .groupBy("probe_id")
+        .agg(F.count("*").cast("bigint").alias("n_overlap"))
+    )
+    base = full.select("probe_id").distinct()
+    return (
+        base.join(overlap, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("bigint")
+            .alias("n_overlap"),
+            F.expr(
+                f"CAST((coalesce(n_overlap, 0) * 1000000) DIV {TOPK}"
+                " AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+def _trunc_topk_duck(dim_slice: str, nrm_expr: str, rel: str) -> str:
+    return f"""
+        SELECT probe_id, neighbor_id FROM (
+            SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY round(list_dot_product(
+                                    CAST(a.{dim_slice} AS DOUBLE[]),
+                                    CAST(b.{dim_slice} AS DOUBLE[]))
+                                / (a.nrm2 * b.nrm2), 6) DESC,
+                                b.vec_id) AS rank
+            FROM {rel} a JOIN {rel} b
+              ON a.vec_id < {N_PROBES} AND a.vec_id <> b.vec_id
+        ) r WHERE rank <= {TOPK}
+    """
+
+
+EMB_TRUNCATION_RECALL_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, embedding,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm2
+        FROM embeddings
+    ),
+    et AS (
+        SELECT vec_id, embedding[1:{TRUNC_DIM}] AS embedding,
+               sqrt(list_dot_product(
+                   CAST(embedding[1:{TRUNC_DIM}] AS DOUBLE[]),
+                   CAST(embedding[1:{TRUNC_DIM}] AS DOUBLE[]))) AS nrm2
+        FROM embeddings
+    ),
+    full_k AS ({_trunc_topk_duck("embedding", "nrm2", "e")}),
+    trunc_k AS ({_trunc_topk_duck("embedding", "nrm2", "et")}),
+    overlap AS (
+        SELECT f.probe_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM full_k f JOIN trunc_k t
+          ON f.probe_id = t.probe_id AND f.neighbor_id = t.neighbor_id
+        GROUP BY f.probe_id
+    )
+    SELECT b.probe_id,
+           COALESCE(o.n_overlap, 0) AS n_overlap,
+           CAST((COALESCE(o.n_overlap, 0) * 1000000) // {TOPK} AS BIGINT)
+               AS recall_ppm
+    FROM (SELECT DISTINCT probe_id FROM full_k) b
+    LEFT JOIN overlap o ON b.probe_id = o.probe_id
+    ORDER BY b.probe_id
+"""
+
+
 DEDUP_EMBEDDING_COSINE_SQL = f"""
     WITH e AS ({_EMB_NORM_CTE})
     SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
@@ -1946,6 +2075,7 @@ QUERIES: dict[str, tuple] = {
     "sim_ann_ivf_coarse": (sim_ann_ivf_coarse, SIM_ANN_IVF_COARSE_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "dedup_semdedup": (dedup_semdedup, DEDUP_SEMDEDUP_SQL),
+    "emb_truncation_recall": (emb_truncation_recall, EMB_TRUNCATION_RECALL_SQL),
     "emb_quantize_int8": (emb_quantize_int8, EMB_QUANTIZE_INT8_SQL),
     "emb_mean_pool": (emb_mean_pool, EMB_MEAN_POOL_SQL),
     "sim_ann_pq": (sim_ann_pq, SIM_ANN_PQ_SQL),
