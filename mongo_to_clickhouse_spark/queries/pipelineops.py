@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mongo_to_clickhouse_spark.io import load_table
 from mongo_to_clickhouse_spark.operators.multimodal import (
@@ -149,6 +150,83 @@ MULTIMODAL_FEATURE_EXTRACT_SQL = f"""
            [{_DUCK_FEATURES}] AS features
     FROM documents
     WHERE octet_length(encode(text)) > 0
+"""
+
+
+AUDIO_CHUNK_BYTES = 256   # fixed-duration window: for CBR PCM a fixed
+#                           byte width IS a fixed time width (e.g. 16 kHz
+#                           s16le mono → 32 kB/s)
+
+
+def multimodal_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-segmentation plumbing: split each opaque payload into
+    fixed-size windows (the constant-bitrate framing every ASR/audio
+    pipeline runs before feature extraction), one row per chunk with
+    offset accounting and a per-chunk digest. The payload is the
+    fixture's deterministic media stand-in (operators/multimodal.py:
+    media_table) — the chunk geometry, positional explode, and digest
+    plumbing are the real thing and are oracle-checked byte-for-byte;
+    a real deployment swaps the byte window for a sample window.
+
+    Scale shape: pure built-ins — a positional sequence explode (fan-out
+    = len/chunk per row, the gram-explode discipline) + substring/md5 on
+    each emitted window; no shuffle at all until a consumer aggregates,
+    no Python, no driver involvement.
+
+    Oracle note: Spark slices the BINARY payload (byte offsets); the
+    DuckDB mirror slices the VARCHAR — equivalent because the fixture
+    text is pure ASCII at every sf (verified: octet_length(encode(text))
+    == length(text) for all rows; tests/test_fixture_canary.py guards
+    fixture drift)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = F.ceil(
+        F.octet_length(F.col("text").cast("binary"))
+        / F.lit(AUDIO_CHUNK_BYTES)
+    ).cast("int")
+    chunks = (
+        docs.select(
+            "doc_id",
+            F.col("text").cast("binary").alias("payload"),
+            n_chunks.alias("nc"),
+        )
+        .filter(F.col("nc") > 0)
+        .select(
+            "doc_id",
+            "payload",
+            F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("ci"),
+        )
+    )
+    piece = F.expr(
+        f"substring(payload, ci * {AUDIO_CHUNK_BYTES} + 1,"
+        f" {AUDIO_CHUNK_BYTES})"
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("ci").cast("bigint").alias("chunk_idx"),
+        (F.col("ci").cast("bigint") * AUDIO_CHUNK_BYTES).alias("start_byte"),
+        F.octet_length(piece).cast("bigint").alias("n_bytes"),
+        F.md5(piece).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+MULTIMODAL_AUDIO_CHUNK_SQL = f"""
+    SELECT doc_id,
+           CAST(ci AS BIGINT) AS chunk_idx,
+           CAST(ci * {AUDIO_CHUNK_BYTES} AS BIGINT) AS start_byte,
+           CAST(octet_length(encode(substr(text,
+                CAST(ci * {AUDIO_CHUNK_BYTES} + 1 AS INTEGER),
+                {AUDIO_CHUNK_BYTES}))) AS BIGINT) AS n_bytes,
+           md5(substr(text, CAST(ci * {AUDIO_CHUNK_BYTES} + 1 AS INTEGER),
+               {AUDIO_CHUNK_BYTES})) AS chunk_md5
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(ceil(octet_length(encode(text))
+                                         / {AUDIO_CHUNK_BYTES}.0)
+                                    AS BIGINT))) AS ci
+        FROM documents
+        WHERE octet_length(encode(text)) > 0
+    )
+    ORDER BY doc_id, chunk_idx
 """
 
 
@@ -392,6 +470,10 @@ QUERIES: dict[str, tuple] = {
     ),
     "pandas_grouped_stats": (pandas_grouped_stats, PANDAS_GROUPED_STATS_SQL),
     "multimodal_meta_extract": (multimodal_meta_extract, MULTIMODAL_META_EXTRACT_SQL),
+    "multimodal_audio_chunk": (
+        multimodal_audio_chunk,
+        MULTIMODAL_AUDIO_CHUNK_SQL,
+    ),
     "multimodal_decode_stub": (multimodal_decode_stub, None),
     "multimodal_frame_sample": (multimodal_frame_sample, None),
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
