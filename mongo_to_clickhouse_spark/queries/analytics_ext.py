@@ -278,6 +278,64 @@ VALUE_HISTOGRAM_SQL = """
 """
 
 
+SLIDING_DAYS = 7   # trailing window for rolling distinct users
+
+
+def _sliding_distinct_sql(engine: str) -> str:
+    """Rolling {SLIDING_DAYS}-day DISTINCT user count per day — the
+    metric (7-day actives) that window functions famously CANNOT express
+    (COUNT(DISTINCT) OVER a frame is unsupported in Spark and most
+    engines) and that naive self-joins make quadratic.
+
+    The distributed formulation: reduce to the distinct (user, day)
+    relation, EXPLODE each membership to the ≤{SLIDING_DAYS} future days
+    it keeps the user active for, distinct again (a user active twice in
+    one window counts once), and count per target day. The fan-out is a
+    constant {SLIDING_DAYS}, both shuffles key on uniform (user, day)
+    pairs — corpus-linear at any scale. Target days are clipped to the
+    observed day range so edge windows are honest partial windows."""
+    if engine == "spark":
+        day = "date_trunc('day', ts)"
+        add = "date_add(CAST(day AS DATE), k)"
+        gen = f"LATERAL VIEW explode(sequence(0, {SLIDING_DAYS - 1})) AS k"
+        fmt = "date_format(target_day, 'yyyy-MM-dd')"
+    else:
+        day = "date_trunc('day', ts)"
+        add = "CAST(day AS DATE) + CAST(k AS INTEGER)"
+        gen = f", unnest(range(0, {SLIDING_DAYS})) AS t(k)"
+        fmt = "strftime(target_day, '%Y-%m-%d')"
+    return f"""
+        WITH du AS (
+            SELECT DISTINCT user_id, {day} AS day FROM events
+        ),
+        bounds AS (
+            SELECT MIN(CAST(day AS DATE)) AS lo, MAX(CAST(day AS DATE)) AS hi
+            FROM du
+        ),
+        memb AS (
+            SELECT DISTINCT user_id, {add} AS target_day
+            FROM du {gen}
+        )
+        SELECT {fmt} AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_active_users
+        FROM memb, bounds
+        WHERE target_day >= bounds.lo AND target_day <= bounds.hi
+        GROUP BY {fmt}
+        ORDER BY day
+    """
+
+
+def events_sliding_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling 7-day active users — see _sliding_distinct_sql."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_sliding_distinct_sql("spark"))
+
+
+EVENTS_SLIDING_DISTINCT_USERS_SQL = _sliding_distinct_sql("duck")
+
+
 MA_HALF_WINDOW = 3   # centered 7-day moving average
 
 
@@ -334,6 +392,10 @@ QUERIES: dict[str, tuple] = {
     "events_daily_ma_residual": (
         events_daily_ma_residual,
         EVENTS_DAILY_MA_RESIDUAL_SQL,
+    ),
+    "events_sliding_distinct_users": (
+        events_sliding_distinct_users,
+        EVENTS_SLIDING_DISTINCT_USERS_SQL,
     ),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "window_range_frame": (window_range_frame, WINDOW_RANGE_FRAME_SQL),

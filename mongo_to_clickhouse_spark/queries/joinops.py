@@ -554,6 +554,64 @@ SCD2_UPSERT_EMULATION_SQL = """
 """
 
 
+PIT_CUTOVER = "1995-06-01"   # version-2 validity start for updated keys
+
+
+def _pit_sql() -> str:
+    """Engine-shared point-in-time join (identical text both engines).
+
+    The versioned dim is synthesized from customer exactly like
+    scd2_upsert_emulation's output: every 10th customer has v1 (balance)
+    valid until {PIT_CUTOVER} and v2 (balance + 100_00 cents) valid
+    from it; everyone else has a single open-ended v1. Orders then join
+    to the version VALID AT o_orderdate — the feature-store PIT rule
+    that prevents training-serving leakage (never read a dim value from
+    the future).
+
+    The join is equi on custkey with the validity interval as residual —
+    each key carries ≤2 versions, so the fan-out is bounded and the plan
+    stays a plain shuffle/broadcast hash join (no interval machinery
+    needed when version count per key is small, which SCD dims are)."""
+    return f"""
+        WITH versions AS (
+            SELECT c_custkey,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+                   1 AS version,
+                   DATE '1990-01-01' AS valid_from,
+                   CASE WHEN c_custkey % 10 = 0
+                        THEN DATE '{PIT_CUTOVER}'
+                        ELSE DATE '2999-01-01' END AS valid_to
+            FROM customer
+            UNION ALL
+            SELECT c_custkey,
+                   CAST(round(c_acctbal * 100) AS BIGINT) + 10000,
+                   2,
+                   DATE '{PIT_CUTOVER}',
+                   DATE '2999-01-01'
+            FROM customer WHERE c_custkey % 10 = 0
+        )
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(o.o_orderdate AS DATE) AS o_orderdate,
+               v.version, v.bal_cents
+        FROM orders o
+        JOIN versions v
+          ON o.o_custkey = v.c_custkey
+         AND CAST(o.o_orderdate AS DATE) >= v.valid_from
+         AND CAST(o.o_orderdate AS DATE) < v.valid_to
+        ORDER BY o.o_orderkey
+    """
+
+
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time join — see _pit_sql."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_pit_sql())
+
+
+JOIN_POINT_IN_TIME_SQL = _pit_sql()
+
+
 def _merge_upsert_sql() -> str:
     """Engine-shared MERGE INTO emulation (identical text on both
     engines). Target = even-keyed orders snapshot; source = every 3rd
@@ -946,6 +1004,7 @@ QUERIES: dict[str, tuple] = {
     "join_skew_salted": (join_skew_salted, JOIN_SKEW_SALTED_SQL),
     "scd2_upsert_emulation": (scd2_upsert_emulation, SCD2_UPSERT_EMULATION_SQL),
     "sink_merge_upsert": (sink_merge_upsert, SINK_MERGE_UPSERT_SQL),
+    "join_point_in_time": (join_point_in_time, JOIN_POINT_IN_TIME_SQL),
     "pivot_wide_agg": (pivot_wide_agg, PIVOT_WIDE_AGG_SQL),
     "unpivot_long": (unpivot_long, UNPIVOT_LONG_SQL),
     "join_outer_full": (join_outer_full, JOIN_OUTER_FULL_SQL),
