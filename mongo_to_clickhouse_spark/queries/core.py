@@ -697,6 +697,42 @@ SCALAR_DATE_PARTS_SQL = """
 """
 
 
+def scalar_interval_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic surface over order dates: day offsets,
+    day difference to a fixed anchor, month-end snap, quarter start,
+    ISO weekday — the retention/billing-cycle scalar tier. All integer
+    or date results (stringified), so engine comparison is exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("order_date"),
+        F.date_format(F.date_add(d, 90), "yyyy-MM-dd").alias("due_90d"),
+        F.datediff(F.lit("1998-12-01").cast("date"), d)
+        .cast("int")
+        .alias("days_to_anchor"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_trunc("quarter", d).cast("date"), "yyyy-MM-dd")
+        .alias("quarter_start"),
+        F.dayofweek(d).cast("int").alias("dow_1_7"),
+    )
+
+
+SCALAR_INTERVAL_MATH_SQL = """
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+           strftime(CAST(o_orderdate AS DATE) + 90, '%Y-%m-%d') AS due_90d,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          DATE '1998-12-01') AS INT) AS days_to_anchor,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS month_end,
+           strftime(CAST(date_trunc('quarter', CAST(o_orderdate AS DATE))
+                         AS DATE), '%Y-%m-%d') AS quarter_start,
+           CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow_1_7
+    FROM orders
+"""
+
+
 def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-handling surface: coalesce, nullif, null-safe equality — the
     row-skip rules of the reference expressed as first-class operators."""
@@ -771,5 +807,6 @@ QUERIES: dict[str, tuple] = {
     ),
     "scalar_objectid_hex": (scalar_objectid_hex, SCALAR_OBJECTID_HEX_SQL),
     "scalar_date_parts": (scalar_date_parts, SCALAR_DATE_PARTS_SQL),
+    "scalar_interval_math": (scalar_interval_math, SCALAR_INTERVAL_MATH_SQL),
     "scalar_null_semantics": (scalar_null_semantics, SCALAR_NULL_SEMANTICS_SQL),
 }

@@ -503,6 +503,54 @@ SUBQUERY_SCALAR_AGG_SQL = """
 """
 
 
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per return-flag partition — the two
+    rank-normalizing window functions the registry didn't yet cover
+    (both are exact rationals (rank−1)/(n−1) and rank_hi/n, so the
+    6-dp round is engine-stable). Partitioned window; no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_quantity"), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
+WINDOW_PERCENT_RANK_SQL = """
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           CAST(l_quantity AS BIGINT) AS qty,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume_dist
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag
+                 ORDER BY l_quantity, l_orderkey, l_linenumber)
+"""
+
+
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag (multiset) difference, completing the set-op
+    family next to the DISTINCT-semantics except: each user's click
+    multiplicity minus view multiplicity survives as that many rows.
+    Plans as a single count-propagating aggregate join, not a dedup."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    return clicks.exceptAll(views)
+
+
+SETOP_EXCEPT_ALL_SQL = """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'view'
+"""
+
+
 ISLAND_BUCKET = 1024
 
 
@@ -580,4 +628,6 @@ QUERIES: dict[str, tuple] = {
     "setop_union_dedup": (setop_union_dedup, SETOP_UNION_DEDUP_SQL),
     "setop_intersect": (setop_intersect, SETOP_INTERSECT_SQL),
     "setop_except": (setop_except, SETOP_EXCEPT_SQL),
+    "setop_except_all": (setop_except_all, SETOP_EXCEPT_ALL_SQL),
+    "window_percent_rank": (window_percent_rank, WINDOW_PERCENT_RANK_SQL),
 }

@@ -161,6 +161,57 @@ SAMPLE_WEIGHTED_PPS_SQL = f"""
 """
 
 
+TEMP_ALPHA_MILLI = 700   # temperature α = 0.7 (the mBERT/XLM-R value)
+
+
+def _temperature_mix_sql(engine: str) -> str:
+    """Temperature-scaled domain mixing (Devlin et al. mBERT; Conneau et
+    al. XLM-R): sampling weight w_s ∝ n_s^α with α < 1 flattens the
+    domain distribution — big domains are down-weighted, small ones
+    boosted — before drawing a training mixture. n^α is computed as
+    exp(α·ln n) with ln/exp evaluated once per SOURCE (|sources|-row
+    relation) and immediately rounded to integer micro-units, so the
+    normalization and per-source keep-rates are exact integer arithmetic
+    (the text_perplexity_unigram determinism recipe applied to the mix
+    math)."""
+    intdiv = "DIV" if engine == "spark" else "//"
+    return f"""
+        WITH counts AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        ),
+        w AS (
+            SELECT source, n_docs,
+                   CAST(round(exp({TEMP_ALPHA_MILLI} / 1000.0 * ln(n_docs))
+                              * 1000000) AS BIGINT) AS w_micro
+            FROM counts
+        ),
+        tot AS (SELECT SUM(w_micro) AS wt, SUM(n_docs) AS nt FROM w)
+        SELECT w.source, w.n_docs, w.w_micro,
+               CAST((w.w_micro * 1000000) {intdiv} tot.wt AS BIGINT)
+                   AS share_ppm,
+               CAST((w.n_docs * 1000000) {intdiv} tot.nt AS BIGINT)
+                   AS raw_share_ppm
+        FROM w CROSS JOIN tot
+        ORDER BY w.source
+    """
+
+
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights per source — see
+    _temperature_mix_sql. share_ppm vs raw_share_ppm exposes the
+    flattening (α = {TEMP_ALPHA_MILLI}/1000). Scale posture: one corpus
+    aggregate; everything after is |sources|-row math with 1-row
+    broadcast totals."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_temperature_mix_sql("spark"))
+
+
+SAMPLE_TEMPERATURE_MIX_SQL = _temperature_mix_sql("duck")
+
+
 RESERVOIR_K = 100
 
 
@@ -483,6 +534,10 @@ QUERIES: dict[str, tuple] = {
     "sample_reservoir_weighted": (
         sample_reservoir_weighted,
         SAMPLE_RESERVOIR_WEIGHTED_SQL,
+    ),
+    "sample_temperature_mix": (
+        sample_temperature_mix,
+        SAMPLE_TEMPERATURE_MIX_SQL,
     ),
     "profile_column_stats": (profile_column_stats, PROFILE_COLUMN_STATS_SQL),
 }
