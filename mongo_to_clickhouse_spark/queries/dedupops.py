@@ -248,6 +248,84 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_MINHASH_LSH_PAIRS_SQL = _minhash_full_sql("duck", "pairs")
 
 
+def _incremental_minhash_sql(
+    dialect: str, shingled_from: str | None = None
+) -> str:
+    """Incremental MinHash-LSH: the NEW-BATCH near-dup check against a
+    HISTORICAL index — the production form where yesterday's corpus
+    keeps its band-signature table and only the fresh crawl is banded
+    and probed (the incremental twin of dedup_minhash_lsh_pairs, and
+    the approximate twin of dedup_incremental_exact).
+
+    Split on the planted corpus: historical = original docs except the
+    %10==3 holdout; new batch = the planted mutated copies (+1e6 ids,
+    true near-dups of their sources) ∪ the %10==3 originals (novel —
+    no near-dup exists in historical). Candidates come from the band
+    equi-join NEW×HIST only (never hist×hist — the index side is
+    pre-built), verified by exact Jaccard, best match per new doc by
+    (jaccard desc, hist_id)."""
+    shingled_src = shingled_from or f"({_shingles(dialect)})"
+    return f"""
+        WITH corpus AS ({_planted_corpus(dialect)}),
+        shingled AS (SELECT * FROM {shingled_src}),
+        sigs AS ({_minhash_sig_sql(dialect)}),
+        bands AS ({_band_sql(dialect)}),
+        hist_bands AS (
+            SELECT * FROM bands
+            WHERE doc_id < 1000000 AND doc_id % 10 != 3
+        ),
+        new_bands AS (
+            SELECT * FROM bands
+            WHERE doc_id >= 1000000 OR doc_id % 10 = 3
+        ),
+        cand AS (
+            SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+            FROM new_bands n JOIN hist_bands h
+              ON n.band_idx = h.band_idx AND n.band_sig = h.band_sig
+        ),
+        verified AS (
+            SELECT c.new_id, c.hist_id,
+                   round({_jaccard_expr(dialect, 'sa', 'sb')}, 6) AS jac
+            FROM cand c
+            JOIN shingled sa ON sa.doc_id = c.new_id
+            JOIN shingled sb ON sb.doc_id = c.hist_id
+        ),
+        best AS (
+            SELECT new_id, hist_id, jac FROM (
+                SELECT new_id, hist_id, jac,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY new_id
+                           ORDER BY jac DESC, hist_id) AS rn
+                FROM verified WHERE jac >= {JACCARD_THRESHOLD}
+            ) r WHERE rn = 1
+        )
+        SELECT nd.doc_id,
+               b.hist_id AS best_match,
+               b.jac AS best_jaccard,
+               (b.hist_id IS NULL) AS is_novel
+        FROM (SELECT DISTINCT doc_id FROM new_bands) nd
+        LEFT JOIN best b ON b.new_id = nd.doc_id
+        ORDER BY nd.doc_id
+    """
+
+
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup check of a new batch against the historical
+    LSH index — see _incremental_minhash_sql.
+
+    Scale posture: the historical band table is the PERSISTED index at
+    production (written once per ingest, bucketed by (band_idx,
+    band_sig)); per batch, only |batch|·bands rows shuffle into the
+    probe join, candidates are verified by one shingle join each, and
+    the best-match window partitions by new doc. Nothing rescans the
+    historical corpus text."""
+    view = _shingled_view(spark, sf_dir)
+    return spark.sql(_incremental_minhash_sql("spark", shingled_from=view))
+
+
+DEDUP_INCREMENTAL_MINHASH_SQL = _incremental_minhash_sql("duck")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -969,6 +1047,10 @@ QUERIES: dict[str, tuple] = {
     "pipeline_dedup_lsh_apply": (
         pipeline_dedup_lsh_apply,
         PIPELINE_DEDUP_LSH_APPLY_SQL,
+    ),
+    "dedup_incremental_minhash": (
+        dedup_incremental_minhash,
+        DEDUP_INCREMENTAL_MINHASH_SQL,
     ),
     "dedup_bloom_prefilter": (
         dedup_bloom_prefilter,

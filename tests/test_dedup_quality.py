@@ -166,3 +166,33 @@ def test_bloom_prefilter_has_no_false_negatives(spark, tmp_path):
             assert r["bloom_maybe"], f"false negative at {i}"
     assert got[0]["is_dup"] and got[0]["bloom_maybe"]
     assert not got[50]["is_dup"]
+
+
+def test_incremental_minhash_matches_planted_sources(spark, sf_dir):
+    # every planted mutated copy (doc_id >= 1e6) whose source is in the
+    # historical side (source % 10 != 3) must match back to its source;
+    # holdout originals are usually novel, but the fixture corpus
+    # contains NATURAL near-dups (template-generated texts), so a
+    # non-novel holdout is only required to carry a genuine
+    # above-threshold match
+    from mongo_to_clickhouse_spark.queries.dedupops import (
+        dedup_incremental_minhash,
+    )
+
+    rows = {r["doc_id"]: r for r in
+            dedup_incremental_minhash(spark, sf_dir).collect()}
+    planted = {i: r for i, r in rows.items() if i >= 1_000_000}
+    assert planted, "no planted mutated copies in the new batch"
+    for i, r in planted.items():
+        src = i - 1_000_000
+        if src % 10 != 3:
+            assert r["best_match"] == src, (i, r)
+            assert not r["is_novel"]
+    holdout = [r for i, r in rows.items() if i < 1_000_000]
+    assert holdout
+    from mongo_to_clickhouse_spark.queries.dedupops import JACCARD_THRESHOLD
+
+    assert any(r["is_novel"] for r in holdout)
+    for r in holdout:
+        if not r["is_novel"]:
+            assert r["best_jaccard"] >= JACCARD_THRESHOLD, r
