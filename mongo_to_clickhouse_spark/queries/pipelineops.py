@@ -153,6 +153,74 @@ MULTIMODAL_FEATURE_EXTRACT_SQL = f"""
 """
 
 
+def pipeline_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-cascade accounting: run the cheap curation rules in their
+    production order (quality heuristics → Gopher repetition → unigram
+    perplexity) and attribute every document to the FIRST rule that
+    drops it — the waterfall report a data engineer reads to know which
+    rule is doing the work (and which is dead weight) before a big run.
+    Composes the already-oracled per-rule operators; outcome keys are
+    ordinal-prefixed so the report sorts in cascade order.
+
+    Scale posture: the three rule relations all derive from the same
+    memoized token barrier (one corpus scan), join on uniform doc_id,
+    and collapse to a 4-row aggregate — attribution costs two equi-joins
+    beyond the rules themselves."""
+    from mongo_to_clickhouse_spark.queries.corpusops import (
+        text_perplexity_unigram,
+        text_repetition_filter,
+    )
+    from mongo_to_clickhouse_spark.queries.textops import text_quality_score
+
+    q = text_quality_score(spark, sf_dir).select("doc_id", "passes_quality")
+    r = text_repetition_filter(spark, sf_dir).select(
+        "doc_id", F.col("flagged").alias("rep_flag")
+    )
+    p = text_perplexity_unigram(spark, sf_dir).select(
+        "doc_id", F.col("flagged").alias("ppl_flag")
+    )
+    outcome = (
+        F.when(~F.col("passes_quality"), "1_quality")
+        .when(F.coalesce(F.col("rep_flag"), F.lit(False)), "2_repetition")
+        .when(F.coalesce(F.col("ppl_flag"), F.lit(False)), "3_perplexity")
+        .otherwise("4_passed")
+    )
+    return (
+        q.join(r, "doc_id", "left")
+        .join(p, "doc_id", "left")
+        .select(outcome.alias("outcome"))
+        .groupBy("outcome")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("outcome")
+    )
+
+
+def _cascade_oracle_sql() -> str:
+    from mongo_to_clickhouse_spark.queries.corpusops import (
+        TEXT_PERPLEXITY_UNIGRAM_SQL,
+        TEXT_REPETITION_FILTER_SQL,
+    )
+    from mongo_to_clickhouse_spark.queries.textops import (
+        TEXT_QUALITY_SCORE_SQL,
+    )
+
+    return f"""
+        WITH q AS ({TEXT_QUALITY_SCORE_SQL}),
+        r AS ({TEXT_REPETITION_FILTER_SQL}),
+        p AS ({TEXT_PERPLEXITY_UNIGRAM_SQL})
+        SELECT outcome, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+            SELECT CASE
+                WHEN NOT q.passes_quality THEN '1_quality'
+                WHEN COALESCE(r.flagged, FALSE) THEN '2_repetition'
+                WHEN COALESCE(p.flagged, FALSE) THEN '3_perplexity'
+                ELSE '4_passed' END AS outcome
+            FROM q
+            LEFT JOIN r ON q.doc_id = r.doc_id
+            LEFT JOIN p ON q.doc_id = p.doc_id
+        ) o GROUP BY outcome ORDER BY outcome
+    """
+
+
 AUDIO_CHUNK_BYTES = 256   # fixed-duration window: for CBR PCM a fixed
 #                           byte width IS a fixed time width (e.g. 16 kHz
 #                           s16le mono → 32 kB/s)
@@ -467,6 +535,10 @@ QUERIES: dict[str, tuple] = {
     "pipeline_shard_shuffle": (
         pipeline_shard_shuffle,
         PIPELINE_SHARD_SHUFFLE_SQL,
+    ),
+    "pipeline_filter_cascade": (
+        pipeline_filter_cascade,
+        _cascade_oracle_sql(),
     ),
     "pandas_grouped_stats": (pandas_grouped_stats, PANDAS_GROUPED_STATS_SQL),
     "multimodal_meta_extract": (multimodal_meta_extract, MULTIMODAL_META_EXTRACT_SQL),
