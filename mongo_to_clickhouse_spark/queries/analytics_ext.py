@@ -278,6 +278,69 @@ VALUE_HISTOGRAM_SQL = """
 """
 
 
+BASKET_MIN_PAIR_SUPPORT = 3   # pairs co-occurring in fewer orders drop
+_BASKET_TOPK = 20
+
+
+def _basket_lift_sql(engine: str) -> str:
+    """Market-basket 2-itemset mining over order line items: for
+    supplier pairs sharing an order, support / confidence / lift in
+    exact ppm (the a-priori association-rule kernel, itemset size 2).
+
+    lift = P(a,b) / (P(a)·P(b)) — scaled to ppm as
+    pair_orders · total_orders · 1e6 DIV (orders_a · orders_b); all
+    counts integer, one integer division at the end, so both engines
+    agree bit-for-bit. Pair generation is bounded by order width
+    (items within an order, never across); the min-support HAVING
+    prunes the long tail before the ranking."""
+    intdiv = "DIV" if engine == "spark" else "//"
+    return f"""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        ),
+        tot AS (
+            SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM li
+        ),
+        singles AS (
+            SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_a FROM li
+            GROUP BY l_suppkey
+        ),
+        pairs AS (
+            SELECT a.l_suppkey AS sa, b.l_suppkey AS sb,
+                   CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_suppkey < b.l_suppkey
+            GROUP BY a.l_suppkey, b.l_suppkey
+            HAVING COUNT(*) >= {BASKET_MIN_PAIR_SUPPORT}
+        )
+        SELECT p.sa, p.sb, p.n_ab,
+               CAST((p.n_ab * 1000000) {intdiv} t.n_orders AS BIGINT)
+                   AS support_ppm,
+               CAST((p.n_ab * 1000000) {intdiv} x.n_a AS BIGINT)
+                   AS confidence_ppm,
+               CAST((p.n_ab * t.n_orders * 1000000)
+                    {intdiv} (x.n_a * y.n_a) AS BIGINT) AS lift_ppm
+        FROM pairs p
+        JOIN singles x ON x.l_suppkey = p.sa
+        JOIN singles y ON y.l_suppkey = p.sb
+        CROSS JOIN tot t
+        ORDER BY lift_ppm DESC, p.sa, p.sb
+        LIMIT {_BASKET_TOPK}
+    """
+
+
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top association pairs by lift — see _basket_lift_sql. Scale
+    posture: one distinct + one width-bounded pair join + two broadcast
+    joins against the singles dim; top-k is TakeOrderedAndProject."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_basket_lift_sql("spark"))
+
+
+BASKET_PAIR_LIFT_SQL = _basket_lift_sql("duck")
+
+
 SLIDING_DAYS = 7   # trailing window for rolling distinct users
 
 
@@ -397,6 +460,7 @@ QUERIES: dict[str, tuple] = {
         events_sliding_distinct_users,
         EVENTS_SLIDING_DISTINCT_USERS_SQL,
     ),
+    "basket_pair_lift": (basket_pair_lift, BASKET_PAIR_LIFT_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "window_range_frame": (window_range_frame, WINDOW_RANGE_FRAME_SQL),
     "events_time_bucket_rollup": (

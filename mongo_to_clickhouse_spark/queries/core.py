@@ -733,6 +733,36 @@ SCALAR_INTERVAL_MATH_SQL = """
 """
 
 
+def scalar_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface over event ids: AND/OR/XOR masks, shifts,
+    bit extraction — the flag-unpacking tier (feature bitmasks, permission
+    words). All BIGINT-exact in both engines; shifts stay under bit 62
+    (DuckDB checks BIGINT shifts)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("event_id").cast("long")
+    return ev.select(
+        "event_id",
+        (x.bitwiseAND(F.lit(255))).alias("low_byte"),
+        (x.bitwiseOR(F.lit(4096))).alias("with_flag"),
+        (x.bitwiseXOR(F.lit(0x5A5A))).alias("xored"),
+        F.shiftleft(x, 3).alias("shl3"),
+        F.shiftright(x, 2).alias("shr2"),
+        F.expr("CAST((event_id DIV 32) % 2 AS INT)").alias("bit5"),
+    )
+
+
+SCALAR_BITWISE_OPS_SQL = """
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 4096 AS with_flag,
+           xor(event_id, 23130) AS xored,
+           event_id << 3 AS shl3,
+           event_id >> 2 AS shr2,
+           CAST((event_id // 32) % 2 AS INT) AS bit5
+    FROM events
+"""
+
+
 def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-handling surface: coalesce, nullif, null-safe equality — the
     row-skip rules of the reference expressed as first-class operators."""
@@ -808,5 +838,6 @@ QUERIES: dict[str, tuple] = {
     "scalar_objectid_hex": (scalar_objectid_hex, SCALAR_OBJECTID_HEX_SQL),
     "scalar_date_parts": (scalar_date_parts, SCALAR_DATE_PARTS_SQL),
     "scalar_interval_math": (scalar_interval_math, SCALAR_INTERVAL_MATH_SQL),
+    "scalar_bitwise_ops": (scalar_bitwise_ops, SCALAR_BITWISE_OPS_SQL),
     "scalar_null_semantics": (scalar_null_semantics, SCALAR_NULL_SEMANTICS_SQL),
 }
