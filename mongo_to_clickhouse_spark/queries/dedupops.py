@@ -172,7 +172,12 @@ def _jaccard_expr(dialect: str, a: str, b: str) -> str:
     )
 
 
-def _minhash_full_sql(dialect: str, what: str, shingled_from: str | None = None) -> str:
+def _minhash_full_sql(
+    dialect: str,
+    what: str,
+    shingled_from: str | None = None,
+    bands_from: str | None = None,
+) -> str:
     """Assemble the full WITH-chain; ``what`` = 'sigs' | 'pairs'.
 
     ``shingled_from``: name of a pre-materialized shingled relation (Spark
@@ -191,6 +196,29 @@ def _minhash_full_sql(dialect: str, what: str, shingled_from: str | None = None)
     """
     if what == "sigs":
         return sql + "SELECT * FROM sigs"
+    if bands_from is not None:
+        # Spark path: bands pre-materialized (see _bands_view) — the
+        # self-join below would otherwise inline the signature subtree
+        # once per side
+        sql = f"""
+        WITH shingled AS (SELECT * FROM {shingled_src}),
+        bands AS (SELECT * FROM {bands_from})
+        """
+        return sql + f""",
+        cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+        )
+        SELECT a_id, b_id, round(jac, 6) AS jaccard FROM (
+            SELECT c.a_id, c.b_id,
+                   {_jaccard_expr(dialect, 'sa', 'sb')} AS jac
+            FROM cand c
+            JOIN shingled sa ON sa.doc_id = c.a_id
+            JOIN shingled sb ON sb.doc_id = c.b_id
+        ) WHERE jac >= {JACCARD_THRESHOLD}
+    """
     return sql + f""",
         bands AS ({_band_sql(dialect)}),
         cand AS (
@@ -227,6 +255,26 @@ def _shingled_view(spark: SparkSession, sf_dir: str) -> str:
     return cached_barrier_view(spark, sf_dir, "shingled_mat", build)
 
 
+def _bands_view(spark: SparkSession, sf_dir: str) -> str:
+    """Session-memoized (doc_id, band_idx, band_sig) barrier — the LSH
+    index relation. Both LSH consumers reference bands on BOTH sides of
+    an equi-join (pairs: bands×bands; incremental: new×hist), and Spark
+    inlines each reference's whole signature subtree (explode + 16-MIN
+    groupBy over the corpus) — the barrier makes it one signature pass
+    per (session, fixture), which is also the production shape: the band
+    table IS the persisted index."""
+    shingled = _shingled_view(spark, sf_dir)
+
+    def build():
+        return spark.sql(
+            _minhash_full_sql("spark", "sigs", shingled_from=shingled)
+            .replace("SELECT * FROM sigs", "")
+            + f", bands AS ({_band_sql('spark')}) SELECT * FROM bands"
+        )
+
+    return cached_barrier_view(spark, sf_dir, "mh_bands", build)
+
+
 def dedup_minhash_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature (16 universal hashes over trigram
     shingles) on the planted corpus."""
@@ -242,14 +290,21 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket equi-join → Jaccard verification ≥ 0.5. Finds the planted
     near-duplicate pairs."""
     view = _shingled_view(spark, sf_dir)
-    return spark.sql(_minhash_full_sql("spark", "pairs", shingled_from=view))
+    bands = _bands_view(spark, sf_dir)
+    return spark.sql(
+        _minhash_full_sql(
+            "spark", "pairs", shingled_from=view, bands_from=bands
+        )
+    )
 
 
 DEDUP_MINHASH_LSH_PAIRS_SQL = _minhash_full_sql("duck", "pairs")
 
 
 def _incremental_minhash_sql(
-    dialect: str, shingled_from: str | None = None
+    dialect: str,
+    shingled_from: str | None = None,
+    bands_from: str | None = None,
 ) -> str:
     """Incremental MinHash-LSH: the NEW-BATCH near-dup check against a
     HISTORICAL index — the production form where yesterday's corpus
@@ -265,11 +320,17 @@ def _incremental_minhash_sql(
     pre-built), verified by exact Jaccard, best match per new doc by
     (jaccard desc, hist_id)."""
     shingled_src = shingled_from or f"({_shingles(dialect)})"
-    return f"""
+    if bands_from is not None:
+        prefix = f"""
+        WITH shingled AS (SELECT * FROM {shingled_src}),
+        bands AS (SELECT * FROM {bands_from}),"""
+    else:
+        prefix = f"""
         WITH corpus AS ({_planted_corpus(dialect)}),
         shingled AS (SELECT * FROM {shingled_src}),
         sigs AS ({_minhash_sig_sql(dialect)}),
-        bands AS ({_band_sql(dialect)}),
+        bands AS ({_band_sql(dialect)}),"""
+    return f"""{prefix}
         hist_bands AS (
             SELECT * FROM bands
             WHERE doc_id < 1000000 AND doc_id % 10 != 3
@@ -320,7 +381,12 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the best-match window partitions by new doc. Nothing rescans the
     historical corpus text."""
     view = _shingled_view(spark, sf_dir)
-    return spark.sql(_incremental_minhash_sql("spark", shingled_from=view))
+    bands = _bands_view(spark, sf_dir)
+    return spark.sql(
+        _incremental_minhash_sql(
+            "spark", shingled_from=view, bands_from=bands
+        )
+    )
 
 
 DEDUP_INCREMENTAL_MINHASH_SQL = _incremental_minhash_sql("duck")
