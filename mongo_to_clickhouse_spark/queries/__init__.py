@@ -15,6 +15,7 @@ from mongo_to_clickhouse_spark.queries import (
     core,
     corpusops,
     dedupops,
+    evalops,
     graphops,
     joinops,
     pipelineops,
@@ -39,6 +40,7 @@ _MODULES = [
     core,
     corpusops,
     dedupops,
+    evalops,
     graphops,
     joinops,
     pipelineops,

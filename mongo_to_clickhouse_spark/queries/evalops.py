@@ -1,0 +1,180 @@
+"""Evaluation tier: operators that MEASURE other operators — classifier
+confusion, sketch/index recall, corpus-law fits. A pipeline that can't
+evaluate its own components can't be tuned; these make the evaluations
+first-class, distributed, and oracle-checked like everything else.
+
+All composition: each eval derives from already-oracled component
+operators (same SQL fragments on the oracle side, same query functions
+on the Spark side), so the eval itself is the only new logic under test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongo_to_clickhouse_spark.io import load_table
+
+
+def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram language classifier against the
+    fixture's true labels: (true_lang, predicted, n_docs) — the standard
+    per-class error report, plus nothing else (precision/recall per class
+    derive from these cells). One classifier pass + one tiny aggregate."""
+    from mongo_to_clickhouse_spark.queries.textops import text_langid_ngram
+
+    return (
+        text_langid_ngram(spark, sf_dir)
+        .groupBy(
+            F.col("lang").alias("true_lang"),
+            F.col("predicted_profile").alias("predicted"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("true_lang", "predicted")
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    from mongo_to_clickhouse_spark.queries.textops import (
+        TEXT_LANGID_NGRAM_SQL,
+    )
+
+    return f"""
+        SELECT lang AS true_lang, predicted_profile AS predicted,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM ({TEXT_LANGID_NGRAM_SQL})
+        GROUP BY lang, predicted_profile
+        ORDER BY true_lang, predicted
+    """
+
+
+def eval_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality report for the MinHash-LSH index: LSH pair set
+    vs the exact blocked-Jaccard ground truth — pair counts, overlap,
+    precision/recall in exact ppm, one row. The measurement behind the
+    banding-parameter choice (bands × rows trades recall against
+    candidate volume); tests pin recall = 100% at the fixture threshold,
+    this operator ships the same check as a runnable report."""
+    from mongo_to_clickhouse_spark.queries.dedupops import (
+        dedup_minhash_lsh_pairs,
+        dedup_ngram_jaccard,
+    )
+
+    dedup_minhash_lsh_pairs(spark, sf_dir).select(
+        "a_id", "b_id"
+    ).createOrReplaceTempView("eval_lsh_pairs")
+    dedup_ngram_jaccard(spark, sf_dir).select(
+        "a_id", "b_id"
+    ).createOrReplaceTempView("eval_exact_pairs")
+    # one lazy plan, no driver-side counts: three scalar aggregates over
+    # the two (small) pair relations + integer ppm math
+    return spark.sql("""
+        WITH c AS (
+            SELECT CAST((SELECT COUNT(*) FROM eval_exact_pairs) AS BIGINT)
+                       AS ne,
+                   CAST((SELECT COUNT(*) FROM eval_lsh_pairs) AS BIGINT)
+                       AS nl,
+                   CAST((SELECT COUNT(*) FROM eval_lsh_pairs l
+                         JOIN eval_exact_pairs e
+                           ON l.a_id = e.a_id AND l.b_id = e.b_id)
+                        AS BIGINT) AS nc
+        )
+        SELECT ne AS n_exact_pairs, nl AS n_lsh_pairs, nc AS n_common,
+               CAST(CASE WHEN nl > 0 THEN (nc * 1000000) DIV nl
+                         ELSE 0 END AS BIGINT) AS precision_ppm,
+               CAST(CASE WHEN ne > 0 THEN (nc * 1000000) DIV ne
+                         ELSE 0 END AS BIGINT) AS recall_ppm
+        FROM c
+    """)
+
+
+def _lsh_recall_oracle() -> str:
+    from mongo_to_clickhouse_spark.queries.dedupops import (
+        DEDUP_MINHASH_LSH_PAIRS_SQL,
+        DEDUP_NGRAM_JACCARD_SQL,
+    )
+
+    return f"""
+        WITH lsh AS (
+            SELECT a_id, b_id FROM ({DEDUP_MINHASH_LSH_PAIRS_SQL})
+        ),
+        exact AS (
+            SELECT a_id, b_id FROM ({DEDUP_NGRAM_JACCARD_SQL})
+        ),
+        c AS (
+            SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS ne,
+                   CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS nl,
+                   CAST((SELECT COUNT(*) FROM lsh l JOIN exact e
+                         ON l.a_id = e.a_id AND l.b_id = e.b_id)
+                        AS BIGINT) AS nc
+        )
+        SELECT ne AS n_exact_pairs, nl AS n_lsh_pairs, nc AS n_common,
+               CAST(CASE WHEN nl > 0 THEN (nc * 1000000) // nl
+                         ELSE 0 END AS BIGINT) AS precision_ppm,
+               CAST(CASE WHEN ne > 0 THEN (nc * 1000000) // ne
+                         ELSE 0 END AS BIGINT) AS recall_ppm
+        FROM c
+    """
+
+
+ZIPF_TOP_TYPES = 1000
+
+
+def _zipf_sql(engine: str) -> str:
+    """Zipf-law fit over the corpus vocabulary: least-squares slope of
+    ln(freq) against ln(rank) for the top {ZIPF_TOP_TYPES} types (a
+    healthy natural-language corpus fits slope ≈ −1; template spam and
+    synthetic data bend it). ln() is evaluated on the top-K relation
+    only and rounded to integer micro immediately, so the regression
+    sums are exact integers and one final double division yields the
+    slope (6 dp).
+
+    The rank window runs over the ORDER/LIMIT output — a ≤K-row bounded
+    relation (whitelisted in test_plan_hygiene with that bound); the
+    only corpus-scale work is the vocab groupBy + TakeOrderedAndProject."""
+    split = (
+        "explode(split(text, ' '))" if engine == "spark"
+        else "unnest(string_split(text, ' '))"
+    )
+    return f"""
+        WITH vocab AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT {split} AS word FROM documents) t
+            GROUP BY word
+        ),
+        topk AS (
+            SELECT word, cnt FROM vocab
+            ORDER BY cnt DESC, word LIMIT {ZIPF_TOP_TYPES}
+        ),
+        pts AS (
+            SELECT CAST(round(ln(ROW_NUMBER() OVER (ORDER BY cnt DESC, word))
+                              * 1e6) AS BIGINT) AS x,
+                   CAST(round(ln(cnt) * 1e6) AS BIGINT) AS y
+            FROM topk
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx, SUM(x * y) AS sxy
+            FROM pts
+        )
+        SELECT n AS n_types,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+        FROM s
+    """
+
+
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus — see _zipf_sql."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_zipf_sql("spark"))
+
+
+QUERIES: dict[str, tuple] = {
+    "eval_langid_confusion": (eval_langid_confusion, _langid_confusion_oracle()),
+    "eval_lsh_recall": (eval_lsh_recall, _lsh_recall_oracle()),
+    "corpus_zipf_slope": (corpus_zipf_slope, _zipf_sql("duck")),
+}

@@ -48,6 +48,9 @@ _BOUNDED_WINDOW_WHITELIST = {
     # union re-rank runs over the union of per-group sketches:
     # ≤ KMV_K·|event_types| rows, independent of corpus size
     "agg_kmv_theta_sketch",
+    # rank window runs over the ORDER/LIMIT top-K output:
+    # ≤ ZIPF_TOP_TYPES (1000) rows by construction
+    "corpus_zipf_slope",
 }
 
 
