@@ -71,6 +71,7 @@ HEADLINE = [
     "emb_covariance_matmul",       # Arrow-batch numpy moment partials (round 5)
     "agg_hll_sketch_explicit",     # explicit mergeable HLL registers (round 5)
     "dedup_semdedup",              # SemDeDup cluster-then-dedup (round 5)
+    "dedup_semdedup_matmul",       # per-cluster int64 matmul kernel (round 5)
     "corpus_importance_dsir",      # DSIR importance weighting (round 5)
     "agg_kmv_theta_sketch",        # KMV theta union/intersection (round 5)
     "graph_triangle_count",        # k-NN-sparsified triangle count (round 5)

@@ -2051,8 +2051,142 @@ DEDUP_SEMDEDUP_SQL = f"""
 """
 
 
+def dedup_semdedup_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the paper's actual per-cluster kernel: one
+    ``applyInPandas`` per cluster computing the full within-cluster
+    similarity matrix as ONE int64 numpy matmul (V·Vᵀ over micro-scaled
+    integer vectors — exact: |v| ≤ ~2e6 micro ⇒ entries ≤ 64·4e12 ≈
+    2.6e14), then the min-id-keeps drop rule as a vectorized triangular
+    mask. Registered alongside the relational pair-join form
+    (dedup_semdedup) the way emb_covariance_matmul sits beside
+    emb_covariance: same assignment barrier, same accounting output,
+    ~|cluster|² work done at memory bandwidth instead of per-pair
+    higher-order lambdas.
+
+    Similarity here is the MICRO-QUANTIZED cosine (integer dot over
+    micro vectors, norms from the exact integer self-dots) — its own
+    oracle mirrors the same quantization, so the check is exact; at
+    6-dp rounding it agrees with the float form everywhere off the
+    threshold boundary.
+
+    Scale posture: a cluster must fit one executor's memory — the same
+    contract as the SemDeDup paper's per-cluster matrix ops, controlled
+    by SEMDEDUP_K (clusters shrink as K grows). The kernel is
+    Arrow-batched; nothing touches the driver."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier,
+    )
+
+    assign = cached_barrier(
+        spark, sf_dir, "semdedup_assign",
+        lambda: _km_assign_once(spark, sf_dir, SEMDEDUP_K),
+        tables=("embeddings",),
+    )
+    m = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).join(assign, "vec_id")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("cluster", T.LongType()),
+            T.StructField("n_points", T.LongType()),
+            T.StructField("n_dropped", T.LongType()),
+            T.StructField("n_kept", T.LongType()),
+        ]
+    )
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1e6
+        # SQL round() is half-away-from-zero; np.rint is half-even
+        v = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        g = v @ v.T                              # exact int64 gram
+        nrm = np.sqrt(np.diag(g).astype(np.float64))
+        sim = np.round(g.astype(np.float64) / np.outer(nrm, nrm), 6)
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        sim_sorted = sim[np.ix_(order, order)]
+        # dropped[i] ⇔ ∃ j earlier in id order with sim ≥ threshold
+        tri = np.tril(sim_sorted >= SEMDEDUP_THRESHOLD, k=-1)
+        n_dropped = int(tri.any(axis=1).sum())
+        n = len(ids)
+        return pd.DataFrame(
+            [[int(key[0]), n, n_dropped, n - n_dropped]],
+            columns=["cluster", "n_points", "n_dropped", "n_kept"],
+        )
+
+    return (
+        m.groupBy("cluster").applyInPandas(kernel, out_schema)
+        .orderBy("cluster")
+    )
+
+
+_SD_V = (
+    "list_transform(embedding, u -> CAST(round(CAST(u AS DOUBLE) * 1000000)"
+    " AS BIGINT))"
+)
+
+DEDUP_SEMDEDUP_MATMUL_SQL = f"""
+    WITH pts AS (
+        SELECT vec_id, j,
+               CAST(round(CAST(embedding[j] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS v
+        FROM (SELECT vec_id, embedding,
+                     unnest(range(1, {_KM_DIM + 1})) AS j
+              FROM embeddings)
+    ),
+    cent0 AS (
+        SELECT vec_id AS c, j, v AS cv FROM pts WHERE vec_id < {SEMDEDUP_K}
+    ),
+    asn AS (
+        SELECT vec_id,
+               CAST(MIN(d2 * {SEMDEDUP_K} + c) % {SEMDEDUP_K} AS BIGINT)
+                   AS cluster
+        FROM (
+            SELECT p.vec_id, c.c,
+                   SUM((p.v - c.cv) * (p.v - c.cv)) AS d2
+            FROM pts p JOIN cent0 c ON p.j = c.j
+            GROUP BY p.vec_id, c.c
+        ) GROUP BY vec_id
+    ),
+    m AS (
+        SELECT e.vec_id, {_SD_V} AS mv, a.cluster
+        FROM embeddings e JOIN asn a ON e.vec_id = a.vec_id
+    ),
+    mn AS (
+        SELECT vec_id, mv, cluster,
+               sqrt(CAST(list_dot_product(mv, mv) AS DOUBLE)) AS nrm
+        FROM m
+    ),
+    dropped AS (
+        SELECT DISTINCT a.cluster, a.vec_id
+        FROM mn a JOIN mn b
+          ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+        WHERE round(CAST(list_dot_product(a.mv, b.mv) AS DOUBLE)
+                    / (a.nrm * b.nrm), 6) >= {SEMDEDUP_THRESHOLD}
+    )
+    SELECT s.cluster,
+           s.n_points,
+           COALESCE(d.n_dropped, 0) AS n_dropped,
+           s.n_points - COALESCE(d.n_dropped, 0) AS n_kept
+    FROM (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_points
+          FROM m GROUP BY cluster) s
+    LEFT JOIN (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_dropped
+               FROM dropped GROUP BY cluster) d
+      ON s.cluster = d.cluster
+    ORDER BY s.cluster
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_TOPK_SQL),
+    "dedup_semdedup_matmul": (
+        dedup_semdedup_matmul,
+        DEDUP_SEMDEDUP_MATMUL_SQL,
+    ),
     "emb_kmeans_lloyd": (emb_kmeans_lloyd, EMB_KMEANS_LLOYD_SQL),
     "decontaminate_embedding_cosine": (
         decontaminate_embedding_cosine,
