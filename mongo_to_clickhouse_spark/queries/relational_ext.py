@@ -503,6 +503,97 @@ SUBQUERY_SCALAR_AGG_SQL = """
 """
 
 
+def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last-observation-carried-forward) imputation: event values
+    are NULLed on a planted schedule (event_id % 5 == 0) and re-imputed
+    from the same user's most recent non-null observation — the standard
+    sensor/price-series gap fill, as one ``last(..., ignorenulls)`` over
+    a user-partitioned running frame. One shuffle keyed by user; rows
+    with no prior observation stay NULL (exposed by the filled_is_null
+    flag)."""
+    ev = load_table(spark, sf_dir, "events")
+    gappy = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+        F.round(F.col("value"), 2)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = ev.select(
+        "event_id", "user_id", "ts", gappy.alias("gap_value")
+    ).withColumn("filled", F.last("gap_value", ignorenulls=True).over(w))
+    return staged.select(
+        "event_id",
+        "user_id",
+        F.col("gap_value").isNull().alias("was_gap"),
+        F.round(F.col("filled"), 2).alias("filled_value"),
+        F.col("filled").isNull().alias("filled_is_null"),
+    )
+
+
+WINDOW_FORWARD_FILL_SQL = """
+    WITH staged AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_id % 5 = 0 THEN NULL
+                    ELSE round(value, 2) END AS gap_value
+        FROM events
+    )
+    SELECT event_id, user_id,
+           gap_value IS NULL AS was_gap,
+           round(LAST_VALUE(gap_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS filled_value,
+           (LAST_VALUE(gap_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) IS NULL
+               AS filled_is_null
+    FROM staged
+"""
+
+
+def _pareto_sql(engine: str) -> str:
+    intdiv = "DIV" if engine == "spark" else "//"
+    return f"""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev_cents
+            FROM lineitem GROUP BY l_suppkey
+        ),
+        tot AS (SELECT SUM(rev_cents) AS t FROM rev),
+        deciled AS (
+            SELECT l_suppkey, rev_cents,
+                   NTILE(10) OVER (ORDER BY rev_cents DESC, l_suppkey)
+                       AS decile
+            FROM rev
+        )
+        SELECT CAST(decile AS INTEGER) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(rev_cents) AS BIGINT) AS rev_cents,
+               CAST((SUM(rev_cents) * 1000000) {intdiv} MAX(tot.t)
+                    AS BIGINT) AS share_ppm
+        FROM deciled CROSS JOIN tot
+        GROUP BY decile ORDER BY decile
+    """
+
+
+def profile_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto/80-20) report: suppliers ranked
+    into deciles by revenue with each decile's exact-ppm share — the
+    who-carries-the-business diagnostic. The ntile window runs over the
+    per-supplier AGGREGATE (|suppliers| rows, dim-bounded like
+    domain_budget_waterfill's sources — whitelisted in
+    test_plan_hygiene with that bound); the corpus contributes one
+    partial-aggregated groupBy."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_pareto_sql("spark"))
+
+
+PROFILE_PARETO_REVENUE_SQL = _pareto_sql("duck")
+
+
 def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist per return-flag partition — the two
     rank-normalizing window functions the registry didn't yet cover
@@ -630,4 +721,9 @@ QUERIES: dict[str, tuple] = {
     "setop_except": (setop_except, SETOP_EXCEPT_SQL),
     "setop_except_all": (setop_except_all, SETOP_EXCEPT_ALL_SQL),
     "window_percent_rank": (window_percent_rank, WINDOW_PERCENT_RANK_SQL),
+    "window_forward_fill": (window_forward_fill, WINDOW_FORWARD_FILL_SQL),
+    "profile_pareto_revenue": (
+        profile_pareto_revenue,
+        PROFILE_PARETO_REVENUE_SQL,
+    ),
 }

@@ -2051,6 +2051,79 @@ DEDUP_SEMDEDUP_SQL = f"""
 """
 
 
+KNN_GRAPH_K = 4
+
+
+def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN GRAPH over the whole embedding table (every
+    vector gets its top-{KNN_GRAPH_K} bucket-mates by exact cosine) —
+    the building block under semantic clustering, graph-based dedup, and
+    label propagation; the probe-set ops (sim_ann_lsh) answer queries,
+    this materializes the all-vectors index artifact.
+
+    Scale posture: candidates come ONLY from shared LSH buckets (the
+    banded barrier), so pair work is Σ_bucket |bucket|², never N²; the
+    pair distinct + rank window both key on vec_id (uniform), and output
+    is ≤ N·K edges. More planes ⇒ smaller buckets ⇒ less work and lower
+    recall — the standard trade, measured by emb_truncation_recall's
+    sibling eval."""
+    banded = _banded_barrier(spark, sf_dir)
+    a = banded.select(
+        F.col("vec_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+        "band_idx",
+        "band_val",
+    )
+    b = banded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+        "band_idx",
+        "band_val",
+    )
+    sim = F.round(
+        cosine_with_norms(
+            F.col("a_emb"), F.col("b_emb"), F.col("a_nrm"), F.col("b_nrm")
+        ),
+        6,
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", sim.alias("sim"))
+        .distinct()  # a pair sharing both bands must count once
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+    )
+
+
+SIM_KNN_GRAPH_LSH_SQL = f"""
+    WITH e AS ({_EMB_NORM_CTE}),
+    banded AS ({_band_sql('e')}),
+    pairs AS (
+        SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id,
+               round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[]))
+                     / (a.nrm * b.nrm), 6) AS sim
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT vec_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM pairs
+    ) r WHERE rank <= {KNN_GRAPH_K}
+"""
+
+
 def dedup_semdedup_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the paper's actual per-cluster kernel: one
     ``applyInPandas`` per cluster computing the full within-cluster
@@ -2205,6 +2278,7 @@ QUERIES: dict[str, tuple] = {
         EMB_PCA_POWER_MATFREE_SQL,
     ),
     "sim_ann_lsh": (sim_ann_lsh, SIM_ANN_LSH_SQL),
+    "sim_knn_graph_lsh": (sim_knn_graph_lsh, SIM_KNN_GRAPH_LSH_SQL),
     "sim_ann_ivf": (sim_ann_ivf, SIM_ANN_IVF_SQL),
     "sim_ann_ivf_coarse": (sim_ann_ivf_coarse, SIM_ANN_IVF_COARSE_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),

@@ -51,6 +51,9 @@ _BOUNDED_WINDOW_WHITELIST = {
     # rank window runs over the ORDER/LIMIT top-K output:
     # ≤ ZIPF_TOP_TYPES (1000) rows by construction
     "corpus_zipf_slope",
+    # ntile window runs over the per-supplier revenue AGGREGATE:
+    # |suppliers| rows (dim cardinality), not lineitem rows
+    "profile_pareto_revenue",
 }
 
 
