@@ -2172,7 +2172,7 @@ def dedup_semdedup_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key, pdf):  # no hints: applyInPandas infers (key, pdf)
         x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1e6
         # SQL round() is half-away-from-zero; np.rint is half-even
         v = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
