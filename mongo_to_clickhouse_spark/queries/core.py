@@ -697,6 +697,51 @@ SCALAR_DATE_PARTS_SQL = """
 """
 
 
+def source_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion — the interchange format where quoting/escaping
+    bugs actually live (embedded commas, quotes, newlines). The
+    documents table is staged as quoted CSV once per (session, sf_dir),
+    read back with an EXPLICIT schema (inference is a full extra pass at
+    100 TB) and multiLine quoting, and verified by the same per-source
+    content signature as source_jsonl_scan — a mis-escaped quote or a
+    row split on an embedded newline hash-mismatches against the oracle
+    computed from the original table."""
+    from mongo_to_clickhouse_spark.io import cached_work_dir
+
+    def build(root):
+        load_table(spark, sf_dir, "documents").coalesce(4).write.mode(
+            "overwrite"
+        ).option("header", True).option("quoteAll", True).csv(
+            os.path.join(root, "docs")
+        )
+
+    root = cached_work_dir("csv-scan", sf_dir, ("documents",), build)
+    docs = (
+        spark.read.schema(
+            "doc_id bigint, text string, lang string, source string,"
+            " n_chars bigint"
+        )
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(os.path.join(root, "docs"))
+    )
+    sig = (
+        F.expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
+        % 1_000_000_000_000
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+            F.sum(sig).cast("bigint").alias("text_sig"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
 def scalar_interval_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/interval arithmetic surface over order dates: day offsets,
     day difference to a fixed anchor, month-end snap, quarter start,
@@ -800,6 +845,9 @@ QUERIES: dict[str, tuple] = {
     "source_count": (source_count, SOURCE_COUNT_SQL),
     "source_dim_query": (source_dim_query, SOURCE_DIM_QUERY_SQL),
     "source_jsonl_scan": (source_jsonl_scan, SOURCE_JSONL_SCAN_SQL),
+    # same accounting contract as jsonl: the oracle reads the ORIGINAL
+    # table, so the CSV round-trip must be byte-lossless to match
+    "source_csv_scan": (source_csv_scan, SOURCE_JSONL_SCAN_SQL),
     "sink_clickhouse_insert": (sink_clickhouse_insert, SINK_CLICKHOUSE_INSERT_SQL),
     "sink_dual_table_split": (sink_dual_table_split, SINK_DUAL_TABLE_SPLIT_SQL),
     "sink_partitioned_parquet": (sink_partitioned_parquet, SINK_PARTITIONED_PARQUET_SQL),

@@ -217,3 +217,24 @@ def test_zipf_slope_is_negative_and_near_minus_one_on_zipfian_text(
     row = corpus_zipf_slope(spark, sf).collect()[0]
     assert row["n_types"] == 50
     assert -1.2 < row["zipf_slope"] < -0.8, row
+
+
+def test_fuzzy_name_finds_every_planted_typo_pair(spark, sf_dir):
+    # every (k, k+1e6) planted typo pair must survive the blocking +
+    # sorted-neighborhood reduction (the digit-suffix sort key keeps
+    # typo and source adjacent), at distance exactly 1
+    from mongo_to_clickhouse_spark.queries.dedupops import dedup_fuzzy_name
+    from mongo_to_clickhouse_spark.io import load_table
+
+    pairs = {(r["a_id"], r["b_id"]): r["distance"]
+             for r in dedup_fuzzy_name(spark, sf_dir).collect()}
+    planted_keys = [
+        r["c_custkey"]
+        for r in load_table(spark, sf_dir, "customer")
+        .filter("c_custkey % 25 = 0")
+        .select("c_custkey")
+        .collect()
+    ]
+    assert planted_keys
+    for k in planted_keys:
+        assert pairs.get((k, k + 1_000_000)) == 1, k
