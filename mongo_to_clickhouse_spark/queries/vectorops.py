@@ -2051,6 +2051,77 @@ DEDUP_SEMDEDUP_SQL = f"""
 """
 
 
+def _sign_word_expr(engine: str, lo: int, n: int) -> str:
+    """``n`` sign bits (dims lo..lo+n−1, bit = embedding[j] ≥ 0) packed
+    into one BIGINT by multiply-accumulate fold. Words carry ≤32 bits so
+    the fold can NEVER overflow (DuckDB raises on BIGINT multiplication
+    overflow — a 64-bit single-word pack would throw on the last step);
+    real binary-embedding indexes are multi-word for exactly this
+    machine-width reason, with per-word popcounts summed."""
+    if engine == "spark":
+        return (
+            f"aggregate(transform(slice(embedding, {lo}, {n}),"
+            " u -> CAST(CASE WHEN u >= 0 THEN 1 ELSE 0 END AS BIGINT)),"
+            " CAST(0 AS BIGINT), (acc, b) -> acc * 2 + b)"
+        )
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(embedding[{lo}:{lo + n - 1}],"
+        " u -> CAST(CASE WHEN u >= 0 THEN 1 ELSE 0 END AS BIGINT))),"
+        " (acc, b) -> acc * 2 + b)"
+    )
+
+
+def _hamming_sql(engine: str) -> str:
+    """Binary-sign retrieval: embeddings compressed 32× to one 64-bit
+    sign word; neighbor search = Hamming distance bit_count(xor(a, b)),
+    exact top-k per probe. The third point on the quantization spectrum
+    (emb_quantize_int8 → sim_ann_pq → this) — at 100 TB the sign words
+    are the in-memory index (8 bytes/vector) and xor+popcount runs at
+    register speed; candidates from this tier re-rank under full-precision
+    cosine exactly like sim_ann_lsh's verify stage."""
+    if engine == "spark":
+        ham = "bit_count(p.w1 ^ c.w1) + bit_count(p.w2 ^ c.w2)"
+    else:
+        ham = ("bit_count(xor(p.w1, c.w1))"
+               " + bit_count(xor(p.w2, c.w2))")
+    return f"""
+        WITH words AS (
+            SELECT vec_id,
+                   {_sign_word_expr(engine, 1, 32)} AS w1,
+                   {_sign_word_expr(engine, 33, 32)} AS w2
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                   CAST({ham} AS INTEGER) AS hamming
+            FROM words p JOIN words c ON c.vec_id <> p.vec_id
+            WHERE p.vec_id < {N_PROBES}
+        )
+        SELECT probe_id, neighbor_id, hamming,
+               CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT probe_id, neighbor_id, hamming,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY probe_id
+                       ORDER BY hamming, neighbor_id) AS rank
+            FROM pairs
+        ) r WHERE rank <= {TOPK}
+    """
+
+
+def sim_hamming_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-sign Hamming search — see _hamming_sql. Probe side is the
+    standard probe set; the scan side carries 8 bytes per vector."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(_hamming_sql("spark"))
+
+
+SIM_HAMMING_BINARY_SQL = _hamming_sql("duck")
+
+
 KNN_GRAPH_K = 4
 
 
@@ -2279,6 +2350,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "sim_ann_lsh": (sim_ann_lsh, SIM_ANN_LSH_SQL),
     "sim_knn_graph_lsh": (sim_knn_graph_lsh, SIM_KNN_GRAPH_LSH_SQL),
+    "sim_hamming_binary": (sim_hamming_binary, SIM_HAMMING_BINARY_SQL),
     "sim_ann_ivf": (sim_ann_ivf, SIM_ANN_IVF_SQL),
     "sim_ann_ivf_coarse": (sim_ann_ivf_coarse, SIM_ANN_IVF_COARSE_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
