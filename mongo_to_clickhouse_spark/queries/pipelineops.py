@@ -153,6 +153,51 @@ MULTIMODAL_FEATURE_EXTRACT_SQL = f"""
 """
 
 
+def _dataset_card_sql(engine: str) -> str:
+    """One-row dataset card (the datasheet numbers every corpus release
+    ships): doc/token/char totals, language and source cardinalities,
+    exact-dedup uniqueness ratio, mean doc length — all from ONE scan
+    (the distincts are the only shuffles, each bounded by its own
+    cardinality)."""
+    if engine == "spark":
+        ntok = "size(split(text, ' '))"
+        h = "conv(substring(md5(text), 1, 15), 16, 10)"
+        intdiv = "DIV"
+    else:
+        ntok = "len(string_split(text, ' '))"
+        h = "('0x' || substr(md5(text), 1, 15))"
+        intdiv = "//"
+    return f"""
+        WITH base AS (
+            SELECT doc_id, lang, source, n_chars,
+                   CAST({ntok} AS BIGINT) AS ntok,
+                   CAST({h} AS BIGINT) AS th
+            FROM documents
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST((COUNT(DISTINCT th) * 1000000) {intdiv} COUNT(*)
+                    AS BIGINT) AS unique_text_ppm,
+               CAST((SUM(ntok) * 1000) {intdiv} COUNT(*) AS BIGINT)
+                   AS mean_tokens_milli
+        FROM base
+    """
+
+
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset datasheet in one row — see _dataset_card_sql."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_dataset_card_sql("spark"))
+
+
+CORPUS_DATASET_CARD_SQL = _dataset_card_sql("duck")
+
+
 def pipeline_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter-cascade accounting: run the cheap curation rules in their
     production order (quality heuristics → Gopher repetition → unigram
@@ -540,6 +585,7 @@ QUERIES: dict[str, tuple] = {
         pipeline_filter_cascade,
         _cascade_oracle_sql(),
     ),
+    "corpus_dataset_card": (corpus_dataset_card, CORPUS_DATASET_CARD_SQL),
     "pandas_grouped_stats": (pandas_grouped_stats, PANDAS_GROUPED_STATS_SQL),
     "multimodal_meta_extract": (multimodal_meta_extract, MULTIMODAL_META_EXTRACT_SQL),
     "multimodal_audio_chunk": (

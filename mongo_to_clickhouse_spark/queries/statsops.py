@@ -360,7 +360,131 @@ AGG_MODE_PER_GROUP_SQL = """
 """
 
 
+def _regr_sql(engine: str) -> str:
+    """Per-group OLS (the SQL REGR_SLOPE/REGR_INTERCEPT/REGR_R2 family)
+    of extendedprice-cents on quantity, computed from ONE pass of exact
+    integer power sums — the built-in REGR_* aggregates accumulate
+    doubles in partition order and would not hash-match across engines;
+    the closed forms below do all algebra on exact BIGINTs and perform
+    three final double divisions, rounded 6 dp."""
+    del engine  # identical text both engines
+    return """
+        WITH sums AS (
+            -- DECIMAL(38,0) accumulators: the closed forms multiply
+            -- whole sums together (n·syy, sy·sy ≈ 5e22 at sf0.01 —
+            -- far past BIGINT), and cents² per-row terms overrun BIGINT
+            -- SUM at ~1e6 rows; decimal keeps every term exact in both
+            -- engines (the EngineTuning.exact_sum_decimal recipe,
+            -- unconditional here because the algebra ALWAYS overflows)
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS DECIMAL(38, 0)) AS n,
+                   SUM(CAST(l_quantity AS DECIMAL(38, 0))) AS sx,
+                   SUM(CAST(CAST(l_quantity AS BIGINT)
+                            * CAST(l_quantity AS BIGINT)
+                            AS DECIMAL(38, 0))) AS sxx,
+                   SUM(CAST(round(l_extendedprice * 100)
+                            AS DECIMAL(38, 0))) AS sy,
+                   SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round(l_extendedprice * 100) AS BIGINT)
+                            AS DECIMAL(38, 0))) AS syy,
+                   SUM(CAST(CAST(l_quantity AS BIGINT)
+                            * CAST(round(l_extendedprice * 100) AS BIGINT)
+                            AS DECIMAL(38, 0))) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                   AS slope_cents_per_qty,
+               round((CAST(sy AS DOUBLE)
+                      - CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4)
+                   AS intercept_cents,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     * CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+        FROM sums ORDER BY l_returnflag
+    """
+
+
+def agg_regr_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL REGR_* surface as exact-sum closed forms — see _regr_sql.
+    Scale posture: one partial-aggregated groupBy; nothing else."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_regr_sql("spark"))
+
+
+AGG_REGR_OLS_SQL = _regr_sql("duck")
+
+
+def _cusum_sql(engine: str) -> str:
+    """CUSUM change-point scan per event_type: daily counts, cumulative
+    sum of deviations from the per-type mean (exact integers: deviation
+    is n·days_total − total, i.e. the comparison is scaled by the day
+    count so no division happens before the flag), and the max-|CUSUM|
+    day reported as the candidate change point. Windows run over the
+    per-type DAILY ROLLUP (bounded), partitioned by type."""
+    intdiv = "DIV" if engine == "spark" else "//"
+    fmt = (
+        "date_format(date_trunc('day', ts), 'yyyy-MM-dd')"
+        if engine == "spark"
+        else "strftime(date_trunc('day', ts), '%Y-%m-%d')"
+    )
+    return f"""
+        WITH daily AS (
+            SELECT event_type, {fmt} AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, {fmt}
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(n) AS BIGINT) AS total
+            FROM daily GROUP BY event_type
+        ),
+        cus AS (
+            SELECT d.event_type, d.day,
+                   SUM(d.n * s.n_days - s.total) OVER (
+                       PARTITION BY d.event_type ORDER BY d.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cusum_scaled
+            FROM daily d JOIN stats s ON d.event_type = s.event_type
+        ),
+        ranked AS (
+            SELECT event_type, day, cusum_scaled,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY ABS(cusum_scaled) DESC, day) AS rk
+            FROM cus
+        )
+        SELECT r.event_type, r.day AS change_point_day,
+               CAST(r.cusum_scaled AS BIGINT) AS cusum_scaled,
+               CAST((ABS(r.cusum_scaled) * 1000)
+                    {intdiv} (s.total * s.n_days) AS BIGINT)
+                   AS cusum_rel_milli
+        FROM ranked r JOIN stats s ON r.event_type = s.event_type
+        WHERE r.rk = 1
+        ORDER BY r.event_type
+    """
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point candidate per event type — see _cusum_sql."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_cusum_sql("spark"))
+
+
+EVENTS_CUSUM_CHANGEPOINT_SQL = _cusum_sql("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "agg_regr_ols": (agg_regr_ols, AGG_REGR_OLS_SQL),
+    "events_cusum_changepoint": (
+        events_cusum_changepoint,
+        EVENTS_CUSUM_CHANGEPOINT_SQL,
+    ),
     "agg_mode_per_group": (agg_mode_per_group, AGG_MODE_PER_GROUP_SQL),
     "agg_stats_moments": (agg_stats_moments, AGG_STATS_MOMENTS_SQL),
     "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_ZSCORE_SQL),
