@@ -144,6 +144,89 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+BOILER_DF = 5   # a chunk in ≥ this many DISTINCT docs is boilerplate
+
+
+def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection by cross-document chunk frequency — the C4
+    rule text_paragraph_dedup does NOT implement: paragraph dedup keeps
+    each chunk's first occurrence, but a header/footer/licence block in
+    {BOILER_DF}+ distinct documents is boilerplate EVERYWHERE, including
+    its first occurrence. Per doc: chunk counts, boilerplate-chunk count
+    and ratio, and the drop flag (> half the doc is boilerplate).
+
+    Scale shape: the same single chunk-hash explode as paragraph dedup,
+    one (chunk_h)-keyed distinct-doc count (uniform keys), and the
+    ≤|hot chunks| boilerplate set joins back to the chunk stream — df
+    thresholding bounds the broadcast side by construction."""
+    view = _toks_view(spark, sf_dir)
+    w = PARA_TOKENS
+    return spark.sql(f"""
+        WITH chunks AS (
+            SELECT doc_id, c,
+                   CAST(conv(substring(
+                       md5(concat_ws(' ', slice(toks, c * {w} + 1, {w}))),
+                       1, 15), 16, 10) AS BIGINT) AS chunk_h
+            FROM {view}
+            LATERAL VIEW explode(
+                CASE WHEN size(toks) > 0
+                     THEN sequence(0,
+                          CAST(ceil(size(toks) / {w}.0) AS INT) - 1)
+                     ELSE array() END) AS c
+        ),
+        df AS (
+            SELECT chunk_h, COUNT(DISTINCT doc_id) AS ndocs
+            FROM chunks GROUP BY chunk_h
+        )
+        SELECT c.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN d.ndocs >= {BOILER_DF} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boiler,
+               round(SUM(CASE WHEN d.ndocs >= {BOILER_DF} THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS boiler_ratio,
+               (SUM(CASE WHEN d.ndocs >= {BOILER_DF} THEN 1 ELSE 0 END) * 2
+                > COUNT(*)) AS flagged
+        FROM chunks c JOIN df d ON c.chunk_h = d.chunk_h
+        GROUP BY c.doc_id
+        ORDER BY c.doc_id
+    """)
+
+
+TEXT_BOILERPLATE_CHUNKS_SQL = f"""
+    WITH toksrc AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, c,
+               CAST(('0x' || substr(md5(array_to_string(
+                   list_slice(toks, c * {PARA_TOKENS} + 1,
+                              c * {PARA_TOKENS} + {PARA_TOKENS}), ' ')),
+                   1, 15)) AS BIGINT) AS chunk_h
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(range(0, CAST(ceil(len(toks) / {PARA_TOKENS}.0)
+                                        AS BIGINT))) AS c
+            FROM toksrc WHERE len(toks) > 0
+        )
+    ),
+    df AS (
+        SELECT chunk_h, COUNT(DISTINCT doc_id) AS ndocs
+        FROM chunks GROUP BY chunk_h
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN d.ndocs >= {BOILER_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
+           round(SUM(CASE WHEN d.ndocs >= {BOILER_DF} THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS boiler_ratio,
+           (SUM(CASE WHEN d.ndocs >= {BOILER_DF} THEN 1 ELSE 0 END) * 2
+            > COUNT(*)) AS flagged
+    FROM chunks c JOIN df d ON c.chunk_h = d.chunk_h
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+"""
+
+
 TEXT_PARAGRAPH_DEDUP_SQL = f"""
     WITH toksrc AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -450,5 +533,9 @@ QUERIES = {
     ),
     "tokenizer_bpe_apply": (tokenizer_bpe_apply, TOKENIZER_BPE_APPLY_SQL),
     "text_paragraph_dedup": (text_paragraph_dedup, TEXT_PARAGRAPH_DEDUP_SQL),
+    "text_boilerplate_chunks": (
+        text_boilerplate_chunks,
+        TEXT_BOILERPLATE_CHUNKS_SQL,
+    ),
     "corpus_quality_logreg": (corpus_quality_logreg, CORPUS_QUALITY_LOGREG_SQL),
 }
