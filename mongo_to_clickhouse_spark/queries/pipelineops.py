@@ -525,6 +525,52 @@ def _shard_shuffle_sql(engine: str) -> str:
     """
 
 
+EPOCHS = (0, 1)
+
+
+def _epoch_shuffle_sql(engine: str) -> str:
+    if engine == "spark":
+        h = ("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),"
+             " ':', CAST(e AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+        egen = f"LATERAL VIEW explode(array{EPOCHS}) AS e"
+    else:
+        h = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||"
+             " CAST(e AS VARCHAR)), 1, 15)) AS BIGINT)")
+        egen = f", unnest([{EPOCHS[0]}, {EPOCHS[1]}]) AS t(e)"
+    return f"""
+        WITH assigned AS (
+            SELECT doc_id, e AS epoch, {h} % {SHARD_N} AS shard, {h} AS h
+            FROM documents {egen}
+        )
+        SELECT epoch, shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(h) AS h_first, MAX(h) AS h_last
+        FROM assigned GROUP BY epoch, shard
+        ORDER BY epoch, shard
+    """
+
+
+def pipeline_epoch_reshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EPOCH deterministic reshuffle: the shard hash is salted with
+    the epoch number, so every training epoch reads a DIFFERENT
+    permutation/sharding of the same corpus (what a data loader needs)
+    while each epoch's assignment stays reproducible across runs and
+    cluster sizes — the property torch-style RNG shuffles lose the
+    moment the worker count changes. Output is per-(epoch, shard)
+    balance accounting; the h_first/h_last brackets differ across epochs
+    (different order) while n_docs stays uniform (same balance).
+
+    Scale shape: same single hash-keyed aggregate as
+    pipeline_shard_shuffle, ×|epochs| via a constant fan-out explode."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_epoch_shuffle_sql("spark"))
+
+
+PIPELINE_EPOCH_RESHUFFLE_SQL = _epoch_shuffle_sql("duck")
+
+
 def pipeline_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle + shard assignment for training-data
     output — the last step before a corpus ships to the trainer. Shard =
@@ -586,6 +632,10 @@ QUERIES: dict[str, tuple] = {
         _cascade_oracle_sql(),
     ),
     "corpus_dataset_card": (corpus_dataset_card, CORPUS_DATASET_CARD_SQL),
+    "pipeline_epoch_reshuffle": (
+        pipeline_epoch_reshuffle,
+        PIPELINE_EPOCH_RESHUFFLE_SQL,
+    ),
     "pandas_grouped_stats": (pandas_grouped_stats, PANDAS_GROUPED_STATS_SQL),
     "multimodal_meta_extract": (multimodal_meta_extract, MULTIMODAL_META_EXTRACT_SQL),
     "multimodal_audio_chunk": (

@@ -2195,6 +2195,73 @@ SIM_KNN_GRAPH_LSH_SQL = f"""
 """
 
 
+DRIFT_FLAG_MICRO2 = 10_000_000_000   # ‖Δmean‖² (micro²) alert threshold
+
+
+def _drift_sql(engine: str) -> str:
+    """Embedding-distribution drift monitor: split the table into an OLD
+    and NEW batch (vec_id parity stands in for yesterday/today), compute
+    each label's exact integer-micro mean embedding per batch, and
+    report the squared L2 centroid shift — the standard
+    serving-pipeline drift alarm (a re-scrape, encoder change, or
+    pipeline bug moves the centroids; random sampling noise does not,
+    at fixture norms the threshold sits well above the parity-split
+    noise floor).
+
+    Exactness: per-dim means are offset integer divisions over exact
+    integer sums (the kmeans discipline — Spark DIV ≡ DuckDB // after
+    the positive shift), so the shift is a BIGINT both engines agree
+    on bit-for-bit."""
+    intdiv = "DIV" if engine == "spark" else "//"
+    if engine == "spark":
+        gen = "LATERAL VIEW posexplode(embedding) AS j0, u"
+        val = "CAST(round(CAST(u AS DOUBLE) * 1000000) AS BIGINT)"
+        jex = "j0 + 1"
+    else:
+        gen = f", unnest(range(1, {_KM_DIM + 1})) AS t(j1)"
+        val = ("CAST(round(CAST(embedding[j1] AS DOUBLE) * 1000000)"
+               " AS BIGINT)")
+        jex = "j1"
+    return f"""
+        WITH pts AS (
+            SELECT vec_id % 2 AS batch, label, {jex} AS j, {val} AS v
+            FROM embeddings {gen}
+        ),
+        means AS (
+            SELECT batch, label, j,
+                   CAST(SUM(v + {_KM_OFF}) {intdiv} COUNT(*)
+                        - {_KM_OFF} AS BIGINT) AS mean_micro
+            FROM pts GROUP BY batch, label, j
+        ),
+        shift AS (
+            SELECT a.label, a.j,
+                   (a.mean_micro - b.mean_micro)
+                   * (a.mean_micro - b.mean_micro) AS d2
+            FROM means a JOIN means b
+              ON a.label = b.label AND a.j = b.j
+            WHERE a.batch = 0 AND b.batch = 1
+        )
+        SELECT label,
+               CAST(SUM(d2) AS BIGINT) AS shift_micro2,
+               (SUM(d2) > {DRIFT_FLAG_MICRO2}) AS drifted
+        FROM shift GROUP BY label ORDER BY label
+    """
+
+
+def emb_drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-shift drift monitor — see _drift_sql. Scale posture: one
+    explode + one (batch, label, dim)-keyed partial aggregate; the shift
+    join runs over the 2·|labels|·d mean relation (KiB at any corpus
+    size)."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(_drift_sql("spark"))
+
+
+EMB_DRIFT_DETECT_SQL = _drift_sql("duck")
+
+
 def dedup_semdedup_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the paper's actual per-cluster kernel: one
     ``applyInPandas`` per cluster computing the full within-cluster
@@ -2351,6 +2418,7 @@ QUERIES: dict[str, tuple] = {
     "sim_ann_lsh": (sim_ann_lsh, SIM_ANN_LSH_SQL),
     "sim_knn_graph_lsh": (sim_knn_graph_lsh, SIM_KNN_GRAPH_LSH_SQL),
     "sim_hamming_binary": (sim_hamming_binary, SIM_HAMMING_BINARY_SQL),
+    "emb_drift_detect": (emb_drift_detect, EMB_DRIFT_DETECT_SQL),
     "sim_ann_ivf": (sim_ann_ivf, SIM_ANN_IVF_SQL),
     "sim_ann_ivf_coarse": (sim_ann_ivf_coarse, SIM_ANN_IVF_COARSE_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
