@@ -60,12 +60,21 @@ def eval_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_ngram_jaccard,
     )
 
-    dedup_minhash_lsh_pairs(spark, sf_dir).select(
-        "a_id", "b_id"
-    ).createOrReplaceTempView("eval_lsh_pairs")
-    dedup_ngram_jaccard(spark, sf_dir).select(
-        "a_id", "b_id"
-    ).createOrReplaceTempView("eval_exact_pairs")
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    # each pair relation is referenced twice (its own count + the
+    # intersection join); barrier both so the LSH / exact-Jaccard
+    # pipelines run once, not per reference (24→single-digit exchanges)
+    cached_barrier_view(
+        spark, sf_dir, "eval_lsh_pairs",
+        lambda: dedup_minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id"),
+    )
+    cached_barrier_view(
+        spark, sf_dir, "eval_exact_pairs",
+        lambda: dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id"),
+    )
     # one lazy plan, no driver-side counts: three scalar aggregates over
     # the two (small) pair relations + integer ppm math
     return spark.sql("""
