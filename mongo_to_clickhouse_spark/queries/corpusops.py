@@ -530,6 +530,100 @@ def _bigram_surprisal_sql(engine: str) -> str:
     """
 
 
+KN_DISCOUNT = 0.75   # absolute discount d (exact in binary: 3/4)
+
+
+def _kn_surprisal_sql(engine: str) -> str:
+    """Kneser–Ney-smoothed bigram LM (the KenLM default, interpolated
+    form): p(w2|w1) = max(c12 − d, 0)/c1 + d·N1+(w1·)/c1 · N1+(·w2)/N —
+    the continuation-probability backoff that makes KN the standard LM
+    smoother ("Francisco" is frequent but only ever follows "San", so
+    its continuation probability is tiny). All model terms derive from
+    the bigram TYPE relation: c1 and N1+(w1·) from a w1-partitioned
+    window, N1+(·w2) from a w2-partitioned window, N from one scalar
+    aggregate; d = {KN_DISCOUNT} is exactly representable, the model
+    probability is one double expression over exact integers (identical
+    in both engines), and per-type log-probs round to micro-nats before
+    the exact per-doc integer sum — the text_perplexity_unigram recipe."""
+    if engine == "spark":
+        tok = "element_at(toks, CAST(i AS INT))"
+        tok2 = "element_at(toks, CAST(i AS INT) + 1)"
+        gen = ("LATERAL VIEW explode(CASE WHEN size(toks) >= 2 THEN "
+               "sequence(1, size(toks) - 1) ELSE array() END) AS i")
+        from_docs = "docs_toks"
+        great = "greatest"
+    else:
+        tok = "toks[i]"
+        tok2 = "toks[i + 1]"
+        gen = (", unnest(CASE WHEN len(toks) >= 2 THEN "
+               "range(1, len(toks)) ELSE [] END) AS t(i)")
+        from_docs = ("(SELECT doc_id, string_split(text, ' ') AS toks"
+                     " FROM documents)")
+        great = "greatest"
+    return f"""
+        WITH bg AS (
+            SELECT doc_id,
+                   md5({tok}) AS h1,
+                   md5(concat({tok}, ' ', {tok2})) AS h2full,
+                   md5({tok2}) AS hw2
+            FROM {from_docs} {gen}
+        ),
+        types AS (
+            -- hw2 is functionally determined by h2full; MIN() carries it
+            -- through the aggregate so the continuation count below can
+            -- group by the SECOND word alone
+            SELECT h1, h2full, COUNT(*) AS c12, MIN(hw2) AS hw2
+            FROM bg GROUP BY h1, h2full
+        ),
+        typed AS (
+            SELECT h1, h2full, c12,
+                   SUM(c12) OVER (PARTITION BY h1) AS c1,
+                   COUNT(*) OVER (PARTITION BY h1) AS n1f,
+                   COUNT(*) OVER (PARTITION BY hw2) AS n1p
+            FROM types
+        ),
+        model AS (
+            SELECT h2full,
+                   CAST(round(ln(
+                       {great}(c12 - {KN_DISCOUNT}, 0.0)
+                           / CAST(c1 AS DOUBLE)
+                       + {KN_DISCOUNT} * n1f / CAST(c1 AS DOUBLE)
+                         * n1p / CAST((SELECT COUNT(*) FROM types)
+                                      AS DOUBLE)
+                   ) * 1e6) AS BIGINT) AS logp_micro
+            FROM typed
+        )
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               round(-SUM(m.logp_micro) / COUNT(*) / 1e6, 6) AS avg_nll_kn
+        FROM bg b JOIN model m ON b.h2full = m.h2full
+        GROUP BY b.doc_id
+        ORDER BY b.doc_id
+    """
+
+
+def text_kneser_ney_surprisal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-doc Kneser–Ney bigram NLL — see _kn_surprisal_sql.
+
+    A subtlety the hashing has to respect: the continuation count
+    N1+(·w2) must group by the SECOND word alone, so the bg relation
+    emits the separate second-token hash alongside the full-bigram key
+    and the type aggregate carries it through (re-hashing the bigram
+    key instead would make every continuation count 1).
+
+    Scale posture identical to text_bigram_surprisal: one positional
+    explode, one type aggregate, two partitioned windows over the TYPE
+    relation, one scalar aggregate, one model join back."""
+    view = _toks_view(spark, sf_dir)
+    sql = _kn_surprisal_sql("spark").replace("docs_toks", view)
+    return spark.sql(sql)
+
+
+TEXT_KNESER_NEY_SURPRISAL_SQL = _kn_surprisal_sql("duck")
+
+
 def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc bigram-LM surprisal — see _bigram_surprisal_sql.
 
@@ -644,6 +738,10 @@ QUERIES: dict[str, tuple] = {
     "text_bigram_surprisal": (
         text_bigram_surprisal,
         TEXT_BIGRAM_SURPRISAL_SQL,
+    ),
+    "text_kneser_ney_surprisal": (
+        text_kneser_ney_surprisal,
+        TEXT_KNESER_NEY_SURPRISAL_SQL,
     ),
     "text_perplexity_unigram": (
         text_perplexity_unigram,

@@ -661,6 +661,56 @@ DEDUP_CLUSTER_COMPONENTS_SQL = f"""
 """
 
 
+def dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-size distribution of the near-dup components — the
+    one-line health report of a dedup run (a fat head of giant clusters
+    means boilerplate or a broken hash; mostly size-2 means honest
+    near-dups): (cluster_size, n_clusters, n_docs, docs_ppm). Reuses the
+    memoized CC labels; the histogram itself is two tiny aggregates."""
+    sizes = (
+        _cc_labels(spark, sf_dir)
+        .groupBy("component_id")
+        .agg(F.count("*").cast("bigint").alias("cluster_size"))
+    )
+    total = sizes.agg(
+        F.sum("cluster_size").cast("bigint").alias("total_docs")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.expr(
+                "CAST((cluster_size * n_clusters * 1000000)"
+                " DIV total_docs AS BIGINT)"
+            ).alias("docs_ppm"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+DEDUP_CLUSTER_SIZE_HISTOGRAM_SQL = f"""
+    WITH comps AS ({DEDUP_CLUSTER_COMPONENTS_SQL}),
+    sizes AS (SELECT component_id, cluster_size FROM comps),
+    tot AS (SELECT SUM(cluster_size) AS total_docs FROM sizes)
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size * COUNT(*) * 1000000) // MAX(tot.total_docs)
+                AS BIGINT) AS docs_ppm
+    FROM sizes CROSS JOIN tot
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+"""
+
+
 def pipeline_dedup_lsh_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the MinHash-LSH near-dup clusters BACK to the corpus — the
     step that actually shrinks the training set: every cluster member
@@ -1204,6 +1254,10 @@ QUERIES: dict[str, tuple] = {
         DEDUP_BLOOM_PREFILTER_SQL,
     ),
     "dedup_fuzzy_name": (dedup_fuzzy_name, DEDUP_FUZZY_NAME_SQL),
+    "dedup_cluster_size_histogram": (
+        dedup_cluster_size_histogram,
+        DEDUP_CLUSTER_SIZE_HISTOGRAM_SQL,
+    ),
     "dedup_incremental_exact": (
         dedup_incremental_exact,
         DEDUP_INCREMENTAL_EXACT_SQL,
