@@ -161,6 +161,55 @@ SAMPLE_WEIGHTED_PPS_SQL = f"""
 """
 
 
+def _class_balance_sql(engine: str) -> str:
+    """Class balancing by downsampling to the minority class: every lang
+    keeps exactly min-class-size docs, chosen by deterministic hash rank
+    (reproducible across runs/cluster sizes, like every sampler here).
+    Output is the per-class accounting proving exact balance.
+
+    Scale shape: one class-count aggregate (broadcast 1-row min), one
+    class-partitioned hash-rank window, one filter — the classifier-
+    training prep (langid, quality) that prevents majority-class
+    collapse."""
+    h = (
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+        if engine == "spark"
+        else _hash60_sql("doc_id")
+    )
+    return f"""
+        WITH sized AS (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY {h}, doc_id) AS r
+            FROM documents
+        ),
+        mn AS (
+            SELECT MIN(cnt) AS min_cnt FROM (
+                SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+            ) c
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM sized CROSS JOIN mn
+        WHERE r <= mn.min_cnt
+        GROUP BY lang ORDER BY lang
+    """
+
+
+def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample-to-minority class balancing — see _class_balance_sql."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_class_balance_sql("spark"))
+
+
+SAMPLE_CLASS_BALANCE_SQL = _class_balance_sql("duck")
+
+
 TEMP_ALPHA_MILLI = 700   # temperature α = 0.7 (the mBERT/XLM-R value)
 
 
@@ -539,5 +588,6 @@ QUERIES: dict[str, tuple] = {
         sample_temperature_mix,
         SAMPLE_TEMPERATURE_MIX_SQL,
     ),
+    "sample_class_balance": (sample_class_balance, SAMPLE_CLASS_BALANCE_SQL),
     "profile_column_stats": (profile_column_stats, PROFILE_COLUMN_STATS_SQL),
 }

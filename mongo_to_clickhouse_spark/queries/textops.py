@@ -138,6 +138,57 @@ TEXT_QUALITY_SCORE_SQL = f"""
 """
 
 
+def _flesch_sql(engine: str) -> str:
+    """Flesch reading-ease from integer text counts: words (whitespace
+    tokens), sentences (period runs, min 1), syllables approximated as
+    vowel GROUPS (the standard cheap proxy). score = 206.835 −
+    1.015·(W/S) − 84.6·(Syl/W); all three counts are exact integers and
+    the score is one double expression (identical text both engines),
+    rounded 4 dp. The readability band rides along as the categorical
+    most consumers want."""
+    if engine == "spark":
+        words = "size(split(text, ' '))"
+        sents = "greatest(regexp_count(text, '\\\\.') , 1)"
+        syls = "greatest(regexp_count(lower(text), '[aeiou]+'), 1)"
+    else:
+        words = "len(string_split(text, ' '))"
+        sents = "greatest(len(regexp_extract_all(text, '\\.')), 1)"
+        syls = ("greatest(len(regexp_extract_all(lower(text),"
+                " '[aeiou]+')), 1)")
+    score = (
+        "206.835 - 1.015 * (w / CAST(s AS DOUBLE))"
+        " - 84.6 * (y / CAST(w AS DOUBLE))"
+    )
+    return f"""
+        WITH counts AS (
+            SELECT doc_id,
+                   CAST({words} AS BIGINT) AS w,
+                   CAST({sents} AS BIGINT) AS s,
+                   CAST({syls} AS BIGINT) AS y
+            FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+               round({score}, 4) AS flesch,
+               CASE WHEN {score} >= 60 THEN 'easy'
+                    WHEN {score} >= 30 THEN 'moderate'
+                    ELSE 'hard' END AS band
+        FROM counts ORDER BY doc_id
+    """
+
+
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring — see _flesch_sql. A pure narrow map
+    (regex counts fuse into the scan); the readability tier of the cheap
+    quality filters."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_flesch_sql("spark"))
+
+
+TEXT_READABILITY_FLESCH_SQL = _flesch_sql("duck")
+
+
 def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID by marker-token profile scoring (unigram profile hits,
     argmax with deterministic tiebreak) — the n-gram-profile classifier
@@ -513,6 +564,10 @@ QUERIES: dict[str, tuple] = {
     "text_lang_stats": (text_lang_stats, TEXT_LANG_STATS_SQL),
     "text_token_count": (text_token_count, TEXT_TOKEN_COUNT_SQL),
     "text_quality_score": (text_quality_score, TEXT_QUALITY_SCORE_SQL),
+    "text_readability_flesch": (
+        text_readability_flesch,
+        TEXT_READABILITY_FLESCH_SQL,
+    ),
     "text_langid_ngram": (text_langid_ngram, TEXT_LANGID_NGRAM_SQL),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
     "dedup_exact_hash": (dedup_exact_hash, DEDUP_EXACT_HASH_SQL),
