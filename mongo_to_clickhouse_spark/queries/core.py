@@ -778,6 +778,41 @@ SCALAR_INTERVAL_MATH_SQL = """
 """
 
 
+def scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface beyond the email/regex/json scalars:
+    padding, case mapping, translate, repeat, reverse, strpos — the
+    formatting tier ETL display layers lean on. All byte-deterministic
+    on the ASCII fixture names."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.initcap(F.lower("c_mktsegment")).alias("seg_title"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_pad"),
+        F.translate("c_name", "#0", "-_").alias("name_translated"),
+        F.reverse("c_name").alias("name_rev"),
+        F.instr("c_name", "#").cast("int").alias("hash_pos"),
+        F.repeat(F.lit("*"), (F.col("c_custkey") % 5 + 1).cast("int"))
+        .alias("stars"),
+    )
+
+
+SCALAR_STRING_SUITE_SQL = """
+    SELECT c_custkey,
+           upper(c_mktsegment) AS seg_upper,
+           -- DuckDB has no initcap; the fixture segments are single
+           -- words, so title-case is upper(first) || lower(rest)
+           upper(substr(lower(c_mktsegment), 1, 1))
+               || substr(lower(c_mktsegment), 2) AS seg_title,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
+           translate(c_name, '#0', '-_') AS name_translated,
+           reverse(c_name) AS name_rev,
+           CAST(strpos(c_name, '#') AS INT) AS hash_pos,
+           repeat('*', CAST(c_custkey % 5 + 1 AS INT)) AS stars
+    FROM customer
+"""
+
+
 def scalar_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitwise scalar surface over event ids: AND/OR/XOR masks, shifts,
     bit extraction — the flag-unpacking tier (feature bitmasks, permission
@@ -887,5 +922,6 @@ QUERIES: dict[str, tuple] = {
     "scalar_date_parts": (scalar_date_parts, SCALAR_DATE_PARTS_SQL),
     "scalar_interval_math": (scalar_interval_math, SCALAR_INTERVAL_MATH_SQL),
     "scalar_bitwise_ops": (scalar_bitwise_ops, SCALAR_BITWISE_OPS_SQL),
+    "scalar_string_suite": (scalar_string_suite, SCALAR_STRING_SUITE_SQL),
     "scalar_null_semantics": (scalar_null_semantics, SCALAR_NULL_SEMANTICS_SQL),
 }
