@@ -335,6 +335,60 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pii_surface_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-surface DETECTION accounting — the audit report in front of
+    pii_redact's scrub: per record, how many email-shaped, phone-shaped,
+    and bare-numeric-id tokens appear, plus the any-PII flag that routes
+    the record to the scrubber. (Scrub-then-count-zero is the usual
+    verification; count-before-scrub is what compliance dashboards
+    plot.) Same synthesized raw_text as pii_redact so the two operators
+    audit the same records; pure regexp_count chains, fused into the
+    scan."""
+    cust = load_table(spark, sf_dir, "customer")
+    raw = F.concat(
+        F.lit("contact "),
+        F.lower(F.col("c_name")),
+        F.lit("@example.com ref "),
+        F.col("c_custkey").cast("string"),
+        F.lit(" phone 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    staged = cust.select("c_custkey", raw.alias("raw_text"))
+    n_emails = F.expr(f"regexp_count(raw_text, '{_EMAIL_RE}')").cast("int")
+    n_phones = F.expr(f"regexp_count(raw_text, '{_PHONE_RE}')").cast("int")
+    n_ids = F.expr(r"regexp_count(raw_text, '\\b[0-9]{5,}\\b')").cast("int")
+    return staged.select(
+        "c_custkey",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ids.alias("n_long_ids"),
+        (n_emails + n_phones + n_ids > 0).alias("has_pii"),
+    )
+
+
+PII_SURFACE_PROFILE_SQL = f"""
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(raw_text, '{_EMAIL_RE}'))
+                AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(raw_text, '{_PHONE_RE}'))
+                AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(raw_text, '\\b[0-9]{{5,}}\\b'))
+                AS INT) AS n_long_ids,
+           (len(regexp_extract_all(raw_text, '{_EMAIL_RE}'))
+            + len(regexp_extract_all(raw_text, '{_PHONE_RE}'))
+            + len(regexp_extract_all(raw_text, '\\b[0-9]{{5,}}\\b')) > 0)
+               AS has_pii
+    FROM (
+        SELECT c_custkey,
+               'contact ' || lower(c_name) || '@example.com ref '
+                || CAST(c_custkey AS VARCHAR) || ' phone 555-'
+                || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                   AS raw_text
+        FROM customer
+    )
+"""
+
+
 PII_REDACT_SQL = f"""
     SELECT c_custkey, raw_text,
            regexp_replace(regexp_replace(raw_text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
@@ -756,5 +810,6 @@ QUERIES: dict[str, tuple] = {
         DECONTAMINATE_NGRAM_OVERLAP_SQL,
     ),
     "pii_redact": (pii_redact, PII_REDACT_SQL),
+    "pii_surface_profile": (pii_surface_profile, PII_SURFACE_PROFILE_SQL),
     "corpus_vocab_coverage": (corpus_vocab_coverage, CORPUS_VOCAB_COVERAGE_SQL),
 }
