@@ -411,6 +411,66 @@ def _kmv_sql(engine: str) -> str:
     """
 
 
+def _bitmap_sql(engine: str) -> str:
+    """EXACT distinct counting via explicit bitmap words — the
+    roaring-bitmap pattern that backs ClickHouse's groupBitmap and
+    Druid's bitmap indexes: user ids map to (word = id DIV 62,
+    bit = id % 62), each (group, word) aggregates by BIT_OR, and the
+    distinct count is the SUM of per-word popcounts. Unlike the KMV/HLL
+    sketches this is EXACT, and it merges the same way (OR the words) —
+    the trade is state ∝ id-space/62 words instead of O(K). The
+    '__ALL__' row demonstrates the merge. 62 usable bits per word —
+    DuckDB raises on BIGINT shifts into the sign bits."""
+    if engine == "spark":
+        one = "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))"
+        intdiv = "DIV"
+    else:
+        one = "(CAST(1 AS BIGINT) << CAST(user_id % 62 AS INT))"
+        intdiv = "//"
+    return f"""
+        WITH words AS (
+            SELECT event_type, user_id {intdiv} 62 AS w,
+                   BIT_OR({one}) AS word
+            FROM events GROUP BY event_type, user_id {intdiv} 62
+        ),
+        merged AS (
+            SELECT event_type, CAST(SUM(bit_count(word)) AS BIGINT)
+                       AS n_distinct,
+                   CAST(COUNT(*) AS BIGINT) AS n_words
+            FROM words GROUP BY event_type
+            UNION ALL
+            SELECT '__ALL__',
+                   CAST(SUM(bit_count(word)) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT w, BIT_OR(word) AS word FROM words GROUP BY w) u
+        ),
+        exact AS (
+            SELECT event_type, COUNT(DISTINCT user_id) AS chk FROM events
+            GROUP BY event_type
+            UNION ALL
+            SELECT '__ALL__', COUNT(DISTINCT user_id) FROM events
+        )
+        SELECT m.event_type, m.n_distinct, m.n_words,
+               (m.n_distinct = e.chk) AS matches_exact
+        FROM merged m JOIN exact e ON m.event_type = e.event_type
+        ORDER BY m.event_type
+    """
+
+
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-exact distinct counts per group + OR-merged union row —
+    see _bitmap_sql. Scale posture: the only corpus shuffle is the
+    (group, word) partial-aggregated BIT_OR (uniform keys); per-group
+    state is id-space/62 words (sparse — absent words cost nothing),
+    and partial bitmaps OR across executors/shards/days losslessly.
+    The matches_exact column proves exactness in the compared output."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_bitmap_sql("spark"))
+
+
+AGG_BITMAP_DISTINCT_SQL = _bitmap_sql("duck")
+
+
 QSK_K = 256   # quantile-sketch sample size per group
 
 
@@ -522,4 +582,5 @@ QUERIES: dict[str, tuple] = {
         agg_quantile_hash_sample,
         AGG_QUANTILE_HASH_SAMPLE_SQL,
     ),
+    "agg_bitmap_distinct": (agg_bitmap_distinct, AGG_BITMAP_DISTINCT_SQL),
 }
