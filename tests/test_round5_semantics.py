@@ -238,3 +238,104 @@ def test_fuzzy_name_finds_every_planted_typo_pair(spark, sf_dir):
     assert planted_keys
     for k in planted_keys:
         assert pairs.get((k, k + 1_000_000)) == 1, k
+
+
+def test_bitmap_distinct_is_exact_on_planted_sets(spark, tmp_path):
+    # users straddle word boundaries (61, 62, 63, 124) deliberately
+    import datetime
+
+    rows = [("signup", u) for u in [1, 61, 62, 63, 124, 124, 1]] + [
+        ("click", u) for u in [62, 200]
+    ]
+    events = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [datetime.datetime(2024, 1, 1)] * len(rows),
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([u for _, u in rows], pa.int64()),
+            "event_type": pa.array([t for t, _ in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(events, os.path.join(sf, "events.parquet"))
+    from mongo_to_clickhouse_spark.queries.sketchops import (
+        agg_bitmap_distinct,
+    )
+
+    got = {r["event_type"]: r for r in agg_bitmap_distinct(spark, sf).collect()}
+    assert got["signup"]["n_distinct"] == 5
+    assert got["click"]["n_distinct"] == 2
+    assert got["__ALL__"]["n_distinct"] == 6  # 62 shared across types
+    assert all(r["matches_exact"] for r in got.values())
+
+
+def test_hamming_binary_ranks_identical_sign_pattern_first(spark, tmp_path):
+    # vector 10 duplicates probe 0's sign pattern exactly (hamming 0);
+    # vector 11 flips every dim (hamming 64); others are mixed
+    dim = 64
+    base = [1.0 if j % 3 else -1.0 for j in range(dim)]
+    vecs = []
+    for i in range(12):
+        if i == 10:
+            vecs.append([v * 2.0 for v in base])       # same signs
+        elif i == 11:
+            vecs.append([-v for v in base])            # all flipped
+        elif i == 0:
+            vecs.append(base)
+        else:
+            vecs.append(
+                [(1.0 if (i + j) % 2 else -1.0) for j in range(dim)]
+            )
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(12), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * 12, pa.int32()),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(table, os.path.join(sf, "embeddings.parquet"))
+    from mongo_to_clickhouse_spark.queries.vectorops import sim_hamming_binary
+
+    rows = [r for r in sim_hamming_binary(spark, sf).collect()
+            if r["probe_id"] == 0]
+    byrank = sorted(rows, key=lambda r: r["rank"])
+    assert byrank[0]["neighbor_id"] == 10 and byrank[0]["hamming"] == 0
+    assert all(r["neighbor_id"] != 11 for r in byrank), byrank
+
+
+def test_forward_fill_imputes_from_last_observation(spark, tmp_path):
+    import datetime
+
+    # user 1: events 5 (gap), 7, 10 (gap), 12 in time order →
+    # 5 has no prior (stays null), 10 fills from 7
+    rows = [(5, 1, 1.11), (7, 1, 2.22), (10, 1, 3.33), (12, 1, 4.44)]
+    events = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [datetime.datetime(2024, 1, 1, 0, i) for i in
+                 range(len(rows))],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([r[2] for r in rows]),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(events, os.path.join(sf, "events.parquet"))
+    from mongo_to_clickhouse_spark.queries.relational_ext import (
+        window_forward_fill,
+    )
+
+    got = {r["event_id"]: r for r in window_forward_fill(spark, sf).collect()}
+    assert got[5]["was_gap"] and got[5]["filled_is_null"]
+    assert got[10]["was_gap"] and got[10]["filled_value"] == 2.22
+    assert not got[7]["was_gap"] and got[7]["filled_value"] == 2.22
+    assert got[12]["filled_value"] == 4.44
