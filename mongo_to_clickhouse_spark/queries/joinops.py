@@ -554,6 +554,39 @@ SCD2_UPSERT_EMULATION_SQL = """
 """
 
 
+def _lateral_topk_sql() -> str:
+    """Engine-shared LATERAL correlated top-k (identical text): for a
+    keyed sample of orders, each order's 2 priciest line items via a
+    correlated ORDER BY/LIMIT subquery — the \"top-N related rows per
+    driving row\" idiom. Spark DECORRELATES this into the same
+    window/rank plan window_rank_topk_per_group writes by hand (the
+    point of covering the surface: users write the lateral form and
+    Catalyst compiles the scale-safe plan); DuckDB executes the lateral
+    join directly. No per-row re-execution in either engine."""
+    return """
+        SELECT o.o_orderkey, t.l_linenumber, t.price_cents
+        FROM (SELECT o_orderkey FROM orders WHERE o_orderkey % 100 = 0) o,
+        LATERAL (
+            SELECT l_linenumber,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                       AS price_cents
+            FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+            ORDER BY price_cents DESC, l_linenumber LIMIT 2
+        ) t
+        ORDER BY o.o_orderkey, t.price_cents DESC, t.l_linenumber
+    """
+
+
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated top-k join — see _lateral_topk_sql."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_lateral_topk_sql())
+
+
+JOIN_LATERAL_TOPK_SQL = _lateral_topk_sql()
+
+
 PIT_CUTOVER = "1995-06-01"   # version-2 validity start for updated keys
 
 
@@ -1005,6 +1038,7 @@ QUERIES: dict[str, tuple] = {
     "scd2_upsert_emulation": (scd2_upsert_emulation, SCD2_UPSERT_EMULATION_SQL),
     "sink_merge_upsert": (sink_merge_upsert, SINK_MERGE_UPSERT_SQL),
     "join_point_in_time": (join_point_in_time, JOIN_POINT_IN_TIME_SQL),
+    "join_lateral_topk": (join_lateral_topk, JOIN_LATERAL_TOPK_SQL),
     "pivot_wide_agg": (pivot_wide_agg, PIVOT_WIDE_AGG_SQL),
     "unpivot_long": (unpivot_long, UNPIVOT_LONG_SQL),
     "join_outer_full": (join_outer_full, JOIN_OUTER_FULL_SQL),
