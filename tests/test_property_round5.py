@@ -100,3 +100,37 @@ def test_temperature_mix_flattens_and_normalizes(counts):
     # smaller one
     for a, b in zip(rows_sorted, rows_sorted[1:]):
         assert a[3] <= b[3] + 1
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["signup", "purchase", "click"]),
+                  st.integers(0, 25)),
+        min_size=2, max_size=200,
+    )
+)
+def test_kmv_is_exact_below_k(events):
+    # with <= 26 distinct users per group (< KMV_K=32), every sketch is
+    # the full distinct set, so every estimate must be EXACT
+    from mongo_to_clickhouse_spark.queries.sketchops import (
+        AGG_KMV_THETA_SKETCH_SQL,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (event_id BIGINT, ts TIMESTAMP,"
+                " user_id BIGINT, event_type VARCHAR, value DOUBLE,"
+                " props VARCHAR)")
+    con.executemany(
+        "INSERT INTO events VALUES (?, TIMESTAMP '2024-01-01', ?, ?,"
+        " 1.0, '{}')",
+        [(i, u, t) for i, (t, u) in enumerate(events)],
+    )
+    # the intersection scope needs both groups present
+    con.execute("INSERT INTO events VALUES (90001, TIMESTAMP"
+                " '2024-01-01', 0, 'signup', 1.0, '{}'),"
+                " (90002, TIMESTAMP '2024-01-01', 0, 'purchase',"
+                " 1.0, '{}')")
+    for row in con.execute(AGG_KMV_THETA_SKETCH_SQL).fetchall():
+        scope, exact, n_sk, theta, est = row
+        assert est == exact, row
