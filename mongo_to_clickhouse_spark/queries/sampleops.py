@@ -309,6 +309,59 @@ def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_RESERVOIR_WEIGHTED_SQL = _reservoir_sql("duck")
 
 
+_CHECKSUM_TABLES = (
+    ("orders", "o_orderkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("events", "event_id"),
+)
+
+
+def _replication_checksum_sql(engine: str) -> str:
+    """Per-table key-set checksum: row count + ORDER-INSENSITIVE content
+    signature (sum of truncated key hashes mod 1e12) + key min/max — the
+    replication-validation query a source↔sink migration runs on both
+    ends and diffs (the reference's whole raison d'être is keeping
+    ClickHouse equal to Mongo; its at-least-once delivery makes this
+    check operationally necessary — cf. cdc_snapshot_reconcile for the
+    row-level version). Hash SUMS commute, so the signature is
+    partition- and order-independent — computable shard-by-shard and
+    added up, which is what makes it usable at 100 TB."""
+    if engine == "spark":
+        def h(col):
+            return (f"CAST(conv(substring(md5(CAST({col} AS STRING)),"
+                    f" 1, 15), 16, 10) AS BIGINT) % 1000000000000")
+    else:
+        def h(col):
+            return (f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)),"
+                    f" 1, 15)) AS BIGINT) % 1000000000000")
+    parts = [
+        f"""
+        SELECT '{t}' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM({h(k)}) AS BIGINT) AS key_sig,
+               CAST(MIN({k}) AS BIGINT) AS min_key,
+               CAST(MAX({k}) AS BIGINT) AS max_key
+        FROM {t}"""
+        for t, k in _CHECKSUM_TABLES
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY table_name"
+
+
+def profile_replication_checksum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Migration/replication validation checksums — see
+    _replication_checksum_sql. One aggregate-only scan per table."""
+    for t, _ in _CHECKSUM_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_replication_checksum_sql("spark"))
+
+
+PROFILE_REPLICATION_CHECKSUM_SQL = _replication_checksum_sql("duck")
+
+
 def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling of ``events`` — null count, approx-free distinct
     count, min/max (stringified) per column, one output row per column.
@@ -590,4 +643,8 @@ QUERIES: dict[str, tuple] = {
     ),
     "sample_class_balance": (sample_class_balance, SAMPLE_CLASS_BALANCE_SQL),
     "profile_column_stats": (profile_column_stats, PROFILE_COLUMN_STATS_SQL),
+    "profile_replication_checksum": (
+        profile_replication_checksum,
+        PROFILE_REPLICATION_CHECKSUM_SQL,
+    ),
 }
