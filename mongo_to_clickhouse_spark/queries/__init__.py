@@ -12,6 +12,7 @@ from mongo_to_clickhouse_spark.queries import (
     analytics,
     analytics_ext,
     cdcops,
+    clickhouseops,
     core,
     corpusops,
     dedupops,
@@ -37,6 +38,7 @@ _MODULES = [
     analytics,
     analytics_ext,
     cdcops,
+    clickhouseops,
     core,
     corpusops,
     dedupops,
