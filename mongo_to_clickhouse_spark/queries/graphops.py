@@ -245,7 +245,105 @@ GRAPH_TRIANGLE_COUNT_SQL = (
 )
 
 
+LPA_ROUNDS = 4
+# mode-argmax encode: count·B + (B-1-label) picks (max count, min label).
+# counts are bounded by the kNN degree (≤ TRIANGLE_KNN_K) and labels are
+# supplier keys (≤ ~10k even at sf1), so the encode stays ~2^24 — far
+# from BIGINT range.
+_LPA_B = 1 << 20
+
+
+def _lpa_round_sql(labels_rel: str, adj_rel: str) -> str:
+    """One synchronous label-propagation round: each node adopts its
+    neighbors' most frequent label, ties broken by the SMALLEST label —
+    the deterministic variant of Raghavan et al.'s LPA that both engines
+    replay bit-identically (the random-order async variant is not
+    reproducible, so it could never be oracle-checked)."""
+    return f"""
+        SELECT b AS node_id,
+               CAST({_LPA_B - 1} - (MAX(cnt * {_LPA_B} + {_LPA_B - 1} - label)
+                    % {_LPA_B}) AS BIGINT) AS label
+        FROM (
+            SELECT e.b, l.label, COUNT(*) AS cnt
+            FROM {adj_rel} e JOIN {labels_rel} l ON l.node_id = e.a
+            GROUP BY e.b, l.label
+        ) neigh
+        GROUP BY b
+    """
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    mutual-kNN supplier co-purchase graph (same sparsified adjacency the
+    triangle count materializes — shared barrier). ``LPA_ROUNDS`` fixed
+    rounds from label(v)=v, then a per-community roll-up.
+
+    Scale posture: the adjacency is degree-bounded (≤ TRIANGLE_KNN_K per
+    node) and built once behind the session barrier; each round is one
+    equi-join of the label relation against the edges (keyed by node —
+    uniform) plus two partial-aggregated groupBys; rounds are a fixed
+    constant, so the plan depth is linear (the pagerank precedent).
+    The mode-argmax is the house integer-encode trick, so the oracle
+    unrolls the SAME rounds as CTE stages."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    adj = cached_barrier_view(
+        spark,
+        sf_dir,
+        "tri_adj",
+        lambda: spark.sql(_triangle_adj_sql(
+            "(SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)"
+        )),
+        tables=("lineitem",),
+    )
+    labels = f"(SELECT DISTINCT a AS node_id, CAST(a AS BIGINT) AS label FROM {adj})"
+    for _ in range(LPA_ROUNDS):
+        labels = f"({_lpa_round_sql(labels, adj)})"
+    return spark.sql(f"""
+        SELECT label AS community_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               MIN(node_id) AS min_member,
+               MAX(node_id) AS max_member
+        FROM {labels} final
+        GROUP BY label
+        ORDER BY community_id
+    """)
+
+
+def _lpa_duck_sql() -> str:
+    adj_body = _triangle_adj_sql(
+        "(SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)"
+    )
+    parts = [
+        f"tri_adj AS ({adj_body})",
+        "l0 AS (SELECT DISTINCT a AS node_id, CAST(a AS BIGINT) AS label"
+        " FROM tri_adj)",
+    ]
+    for i in range(1, LPA_ROUNDS + 1):
+        parts.append(f"l{i} AS ({_lpa_round_sql(f'l{i - 1}', 'tri_adj')})")
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT label AS community_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               MIN(node_id) AS min_member,
+               MAX(node_id) AS max_member
+        FROM l{LPA_ROUNDS}
+        GROUP BY label
+        ORDER BY community_id
+    """
+
+
+GRAPH_LABEL_PROPAGATION_SQL = _lpa_duck_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
     "graph_triangle_count": (graph_triangle_count, GRAPH_TRIANGLE_COUNT_SQL),
+    "graph_label_propagation": (
+        graph_label_propagation,
+        GRAPH_LABEL_PROPAGATION_SQL,
+    ),
 }

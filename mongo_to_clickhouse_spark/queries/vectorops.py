@@ -2392,8 +2392,148 @@ DEDUP_SEMDEDUP_MATMUL_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# sample_coreset_kcenter — greedy k-center (Gonzalez) coreset selection
+# ---------------------------------------------------------------------------
+
+KCENTER_K = 6  # fixed selection rounds; each is one pass over the points
+
+
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embeddings (Gonzalez 1985, the
+    2-approximation every diversity/coreset sampler builds on): seed
+    with the smallest vec_id, then ``KCENTER_K - 1`` times pick the
+    point FARTHEST from the chosen set (exact integer-micro squared L2;
+    ties broken by the smallest vec_id), tracking the covering radius.
+
+    Emits one row per selection round: the chosen center and the
+    covering radius (max over points of the distance to the nearest
+    chosen center) AFTER that center joins the set — the classic
+    farthest-point-traversal diagnostic curve a data-curation pipeline
+    reads to size its coreset.
+
+    EXACT-INTEGER discipline as emb_kmeans_lloyd: micro-scaled values,
+    BIGINT squared distances, argmax as (max distance, then min id) in
+    two 1-row aggregates — no encode needed, so no overflow bound.
+
+    Scale posture: the point relation shuffles once (shared km_pts
+    barrier); each round is a 64-row coordinate broadcast + one
+    partial-aggregated pass over the points + two 1-row reduces; the
+    running min-distance relation is checkpointed per round (it is
+    referenced 3× by the next round — the kmeans/pagerank barrier
+    discipline), keeping plan depth linear in the fixed K."""
+    pts = _km_pts_barrier(spark, sf_dir)
+
+    def d2_to(sel: DataFrame) -> DataFrame:
+        coords = pts.join(
+            F.broadcast(sel), pts.vec_id == sel.cid
+        ).select("j", F.col("v").alias("cv"))
+        return (
+            pts.join(F.broadcast(coords), "j")
+            .groupBy("vec_id")
+            .agg(
+                F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv")))
+                .cast("bigint")
+                .alias("d2")
+            )
+        )
+
+    from mongo_to_clickhouse_spark.operators.materialize import barrier
+
+    sel = pts.agg(F.min("vec_id").alias("cid"))
+    dmin = d2_to(sel)
+    rows: list[DataFrame] = []
+    for r in range(1, KCENTER_K):
+        dmin = barrier(dmin)
+        mx = dmin.agg(F.max("d2").alias("mx"))
+        rows.append(
+            sel.crossJoin(F.broadcast(mx)).select(
+                F.lit(r - 1).alias("round"),
+                F.col("cid").alias("center_vec_id"),
+                F.col("mx").alias("radius_after_d2"),
+            )
+        )
+        sel = (
+            dmin.join(F.broadcast(mx), dmin.d2 == mx.mx)
+            .agg(F.min("vec_id").alias("cid"))
+        )
+        dnew = d2_to(sel).withColumnRenamed("d2", "d2n")
+        dmin = dmin.join(dnew, "vec_id").select(
+            "vec_id", F.least(F.col("d2"), F.col("d2n")).alias("d2")
+        )
+    mx_final = barrier(dmin).agg(F.max("d2").alias("mx"))
+    rows.append(
+        sel.crossJoin(F.broadcast(mx_final)).select(
+            F.lit(KCENTER_K - 1).alias("round"),
+            F.col("cid").alias("center_vec_id"),
+            F.col("mx").alias("radius_after_d2"),
+        )
+    )
+    out = rows[0]
+    for r_df in rows[1:]:
+        out = out.unionAll(r_df)
+    return out.orderBy("round")
+
+
+def _kcenter_duck_sql() -> str:
+    parts = [
+        f"""pts AS (
+            SELECT vec_id, j,
+                   CAST(round(CAST(embedding[j] AS DOUBLE) * 1000000)
+                        AS BIGINT) AS v
+            FROM (SELECT vec_id, embedding,
+                         unnest(range(1, {_KM_DIM + 1})) AS j
+                  FROM embeddings)
+        )""",
+        "c0 AS (SELECT MIN(vec_id) AS cid FROM pts)",
+        """co0 AS (SELECT j, v AS cv FROM pts, c0 WHERE vec_id = cid)""",
+        """dm0 AS (
+            SELECT p.vec_id, CAST(SUM((p.v - c.cv) * (p.v - c.cv)) AS BIGINT) AS d2
+            FROM pts p JOIN co0 c ON p.j = c.j GROUP BY p.vec_id
+        )""",
+    ]
+    for r in range(1, KCENTER_K):
+        parts.append(f"mx{r} AS (SELECT MAX(d2) AS mx FROM dm{r - 1})")
+        parts.append(
+            f"c{r} AS (SELECT MIN(vec_id) AS cid FROM dm{r - 1}, mx{r}"
+            f" WHERE d2 = mx)"
+        )
+        parts.append(
+            f"co{r} AS (SELECT j, v AS cv FROM pts, c{r} WHERE vec_id = cid)"
+        )
+        parts.append(f"""dn{r} AS (
+            SELECT p.vec_id, CAST(SUM((p.v - c.cv) * (p.v - c.cv)) AS BIGINT) AS d2
+            FROM pts p JOIN co{r} c ON p.j = c.j GROUP BY p.vec_id
+        )""")
+        parts.append(f"""dm{r} AS (
+            SELECT a.vec_id, LEAST(a.d2, b.d2) AS d2
+            FROM dm{r - 1} a JOIN dn{r} b ON a.vec_id = b.vec_id
+        )""")
+    parts.append(
+        f"mx{KCENTER_K} AS (SELECT MAX(d2) AS mx FROM dm{KCENTER_K - 1})"
+    )
+    selects = [
+        f"SELECT CAST({r} AS INTEGER) AS round,"
+        f" (SELECT cid FROM c{r}) AS center_vec_id,"
+        f" (SELECT mx FROM mx{r + 1}) AS radius_after_d2"
+        for r in range(KCENTER_K)
+    ]
+    return f"""
+        WITH {", ".join(parts)}
+        {" UNION ALL ".join(selects)}
+        ORDER BY round
+    """
+
+
+SAMPLE_CORESET_KCENTER_SQL = _kcenter_duck_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_TOPK_SQL),
+    "sample_coreset_kcenter": (
+        sample_coreset_kcenter,
+        SAMPLE_CORESET_KCENTER_SQL,
+    ),
     "dedup_semdedup_matmul": (
         dedup_semdedup_matmul,
         DEDUP_SEMDEDUP_MATMUL_SQL,
