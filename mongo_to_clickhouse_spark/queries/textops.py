@@ -556,7 +556,148 @@ TEXT_FEATURE_HASHING_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# text_cdc_chunking — content-defined chunking (rolling-hash boundaries)
+# ---------------------------------------------------------------------------
+
+CDC_WINDOW = 8      # rolling-hash window (chars)
+CDC_BASE = 31       # polynomial base
+CDC_DIVISOR = 64    # boundary when hash % divisor == 0 (~64-char chunks)
+CDC_TOP_K = 20
+_CDC_POWS = [CDC_BASE**k for k in range(CDC_WINDOW)]
+
+
+def text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rolling-hash boundary rule behind
+    rsync/LBFS/FastCDC, and the chunk-level dedup primitive FineWeb-class
+    pipelines use between paragraph- and document-granularity): a chunk
+    boundary falls after position i whenever the polynomial hash of the
+    trailing ``CDC_WINDOW`` chars ≡ 0 (mod ``CDC_DIVISOR``) — so
+    boundaries survive insertions/deletions elsewhere in the document,
+    unlike fixed-width windows. Emits the top-{CDC_TOP_K} chunks by
+    corpus frequency (the duplicated-content report).
+
+    EXACT-INTEGER: the hash is the plain polynomial value over ASCII
+    codes (< 2^45 at W=8 — no modulus needed), so both engines agree
+    bit-for-bit.
+
+    Scale posture: boundary detection runs IN-ROW over array
+    expressions (transform/filter/aggregate — JVM codegen, no Python,
+    no per-char row explosion); only the resulting ~len/{CDC_DIVISOR}
+    chunks per doc are exploded, then ONE uniform-keyed groupBy on the
+    chunk text + TakeOrderedAndProject. At 100 TB this is scan + one
+    bounded shuffle — the cheapest near-dup reducer after URL/exact
+    hashing. No min/max chunk-length clamp: the clamp would make
+    boundaries sequential (FastCDC's skip rule), breaking the
+    per-position independence that makes this embarrassingly parallel;
+    divisor tuning plays that role here."""
+    # Spark evaluates higher-order-function lambdas interpreted, and
+    # projection collapse inlines referenced array columns INTO lambda
+    # bodies (re-evaluated per element — the explode-recompute trap, see
+    # operators/materialize.py). So the boundary lambda references ONLY
+    # the leaf `text` column with the window polynomial UNROLLED (8
+    # substring·power terms, no inner lambda, no allocation) — measured
+    # faster than both a codes-array formulation (inline recompute,
+    # >300 s at sf0.001) and a rolling struct-accumulator fold (~30 s;
+    # interpreted lambdas pay per struct/array allocation).
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier,
+    )
+
+    poly = " + ".join(
+        f"ascii(substring(text, i - {k}, 1)) * {p}L"
+        for k, p in enumerate(_CDC_POWS)
+    )
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        return docs.selectExpr(
+            "doc_id",
+            "text",
+            f"""CASE WHEN length(text) < {CDC_WINDOW}
+                     THEN cast(array() as array<int>)
+                ELSE filter(sequence({CDC_WINDOW}, length(text)),
+                            i -> ({poly}) % {CDC_DIVISOR} = 0)
+                END AS bnds""",
+        )
+
+    # checkpoint the boundary relation: the chunk-slicing lambdas below
+    # reference it several times per row — inlined, Spark would re-run
+    # the whole rolling fold per reference (measured 30× at sf0.001)
+    staged = (
+        cached_barrier(spark, sf_dir, "cdc_bnds", build)
+        .selectExpr(
+            "doc_id",
+            "text",
+            "concat(array(0), bnds, array(length(text))) AS b2",
+        )
+        .selectExpr(
+            "doc_id",
+            """filter(transform(sequence(1, size(b2) - 1),
+                      j -> substring(text, element_at(b2, j) + 1,
+                           element_at(b2, j + 1) - element_at(b2, j))),
+                      c -> c != '') AS chunks""",
+        )
+        .select("doc_id", F.explode("chunks").alias("chunk"))
+    )
+    return (
+        staged.groupBy("chunk")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .select(
+            "chunk",
+            F.length("chunk").cast("int").alias("chunk_len"),
+            "n_occurrences",
+            "n_docs",
+        )
+        .orderBy(F.desc("n_occurrences"), "chunk")
+        .limit(CDC_TOP_K)
+    )
+
+
+TEXT_CDC_CHUNKING_SQL = f"""
+    WITH staged AS (
+        SELECT doc_id, text,
+               list_transform(range(1, length(text) + 1),
+                              i -> ascii(substring(text, i, 1))) AS codes
+        FROM documents
+    ),
+    bounds AS (
+        SELECT doc_id, text,
+               [CAST(0 AS BIGINT)]
+               || list_filter(range({CDC_WINDOW}, length(text) + 1),
+                      i -> list_sum(list_transform(
+                               range(0, {CDC_WINDOW}),
+                               k -> codes[i - k]
+                                    * ([{", ".join(str(p) for p in _CDC_POWS)}])[k + 1]))
+                           % {CDC_DIVISOR} = 0)
+               || [length(text)] AS b2
+        FROM staged
+    ),
+    chunks AS (
+        SELECT doc_id, unnest(
+                   list_filter(
+                       list_transform(range(1, len(b2)),
+                           j -> substring(text, b2[j] + 1,
+                                          b2[j + 1] - b2[j])),
+                       c -> c != '')) AS chunk
+        FROM bounds
+    )
+    SELECT chunk,
+           CAST(length(chunk) AS INTEGER) AS chunk_len,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM chunks
+    GROUP BY chunk
+    ORDER BY n_occurrences DESC, chunk
+    LIMIT {CDC_TOP_K}
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "text_cdc_chunking": (text_cdc_chunking, TEXT_CDC_CHUNKING_SQL),
     "text_feature_hashing": (text_feature_hashing, TEXT_FEATURE_HASHING_SQL),
     "text_ngram_freq": (text_ngram_freq, TEXT_NGRAM_FREQ_SQL),
     "scalar_array_ops": (scalar_array_ops, SCALAR_ARRAY_OPS_SQL),

@@ -522,7 +522,184 @@ TOKENIZER_BPE_MERGE_ROUNDS_SQL = _bpe_merge_duck_sql()
 TOKENIZER_BPE_APPLY_SQL = _bpe_merge_duck_sql(apply_final_merge=True)
 
 
+# ---------------------------------------------------------------------------
+# tokenizer_wordpiece_apply — greedy longest-match-first WordPiece encode
+# ---------------------------------------------------------------------------
+
+WP_MAXLEN = 3       # max piece length considered (candidate lengths 1..3)
+WP_VOCAB = 200      # vocabulary size per side (start / '##' continuation)
+WP_MAX_PIECES = 8   # encode rounds; leftovers after that emit [TRUNC]
+WP_TOP_K = 30
+
+
+def _wp_vocab_sql(words_rel: str) -> str:
+    """Deterministic WordPiece vocabulary: every ≤WP_MAXLEN-char
+    substring of the distinct-word table, corpus-weighted, split into
+    start pieces (position 1) and continuation pieces (elsewhere — the
+    ``##`` side), keeping the WP_VOCAB most frequent per side (ties by
+    piece text). This is the frequency-seeded stand-in for a trained
+    WordPiece vocab; the operator under test is the greedy ENCODE."""
+    return f"""
+        SELECT is_start, piece, length(piece) AS len
+        FROM (
+            SELECT is_start, piece,
+                   ROW_NUMBER() OVER (PARTITION BY is_start
+                                      ORDER BY freq DESC, piece) AS rk
+            FROM (
+                SELECT p = 1 AS is_start, substring(w, p, l) AS piece,
+                       SUM(cnt) AS freq
+                FROM (SELECT w, cnt, p, l
+                      FROM {words_rel}
+                      {{POS_EXPLODE}}
+                      ) cand
+                WHERE p + l - 1 <= length(w)
+                GROUP BY p = 1, substring(w, p, l)
+            ) counted
+        ) ranked
+        WHERE rk <= {WP_VOCAB}
+    """
+
+
+def _wp_round_sql(st_rel: str, vocab_rel: str, hint: str = "") -> str:
+    """One greedy step: per unfinished word, the LONGEST vocab piece
+    prefixing the remainder (NULL when none — the [UNK] path)."""
+    return f"""
+        SELECT {hint} s.w, s.cnt, s.rem, s.is_start, MAX(v.len) AS bl
+        FROM {st_rel} s
+        LEFT JOIN {vocab_rel} v
+          ON v.is_start = s.is_start
+         AND v.piece = substring(s.rem, 1, v.len)
+        WHERE s.rem != ''
+        GROUP BY s.w, s.cnt, s.rem, s.is_start
+    """
+
+
+_WP_EMIT = """
+    SELECT CASE WHEN bl IS NULL THEN '[UNK]'
+                WHEN is_start THEN substring(rem, 1, bl)
+                ELSE concat('##', substring(rem, 1, bl)) END AS piece,
+           cnt
+    FROM {m}
+"""
+
+_WP_NEXT = """
+    SELECT w, cnt,
+           CASE WHEN bl IS NULL THEN '' ELSE substr(rem, bl + 1) END AS rem,
+           false AS is_start
+    FROM {m}
+"""
+
+
+def tokenizer_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match-first WordPiece ENCODE (the BERT tokenizer's
+    serving algorithm, Wu et al. 2016): per word, repeatedly take the
+    longest vocabulary piece that prefixes the remainder — first match
+    as a start piece, then as ``##`` continuations; no match → [UNK],
+    leftovers after WP_MAX_PIECES rounds → [TRUNC]. Returns the
+    top-{WP_TOP_K} (piece, corpus-weighted occurrences).
+
+    Distributed shape (same property that makes the BPE tier trainable
+    at 100 TB): everything runs on the DISTINCT-WORD frequency table —
+    one corpus shuffle total via the shared token barrier — so each
+    greedy round is one broadcast join of the ≤2·WP_VOCAB-row vocab
+    against the vocabulary-sized remainder relation + a word-keyed
+    aggregate; rounds are a fixed constant with a per-round checkpoint
+    (the kmeans/pagerank discipline). The longest-match argmax is
+    MAX(len) over the candidate join — no encode arithmetic needed."""
+    from mongo_to_clickhouse_spark.operators.materialize import barrier
+
+    view = _toks_view(spark, sf_dir)
+    words = barrier(spark.sql(f"""
+        SELECT word AS w, COUNT(*) AS cnt
+        FROM (SELECT explode(toks) AS word FROM {view})
+        WHERE word != ''
+        GROUP BY word
+    """))
+    words.createOrReplaceTempView("wp_words")
+    vocab = barrier(spark.sql(
+        _wp_vocab_sql("wp_words").replace(
+            "{POS_EXPLODE}",
+            "LATERAL VIEW explode(sequence(1, length(w))) tp AS p "
+            f"LATERAL VIEW explode(sequence(1, {WP_MAXLEN})) tl AS l",
+        )
+    ))
+    vocab.createOrReplaceTempView("wp_vocab")
+    spark.sql(
+        "SELECT w, cnt, w AS rem, true AS is_start FROM wp_words"
+    ).createOrReplaceTempView("wp_st0")
+    emits = []
+    for r in range(1, WP_MAX_PIECES + 1):
+        m = barrier(spark.sql(_wp_round_sql(
+            f"wp_st{r - 1}", "wp_vocab", hint="/*+ BROADCAST(v) */"
+        )))
+        m.createOrReplaceTempView(f"wp_m{r}")
+        emits.append(spark.sql(_WP_EMIT.format(m=f"wp_m{r}")))
+        spark.sql(_WP_NEXT.format(m=f"wp_m{r}")).createOrReplaceTempView(
+            f"wp_st{r}"
+        )
+    emits.append(spark.sql(f"""
+        SELECT '[TRUNC]' AS piece, cnt FROM wp_st{WP_MAX_PIECES}
+        WHERE rem != ''
+    """))
+    from functools import reduce
+
+    allp = reduce(lambda x, y: x.unionByName(y), emits)
+    return (
+        allp.groupBy("piece")
+        .agg(F.sum("cnt").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "piece")
+        .limit(WP_TOP_K)
+    )
+
+
+def _wordpiece_duck_sql() -> str:
+    parts = [
+        """wp_words AS (
+            SELECT word AS w, COUNT(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word != ''
+            GROUP BY word
+        )""",
+        "wp_vocab AS ("
+        + _wp_vocab_sql("wp_words").replace(
+            "{POS_EXPLODE}",
+            ", unnest(range(1, length(w) + 1)) AS t1(p),"
+            f" unnest(range(1, {WP_MAXLEN + 1})) AS t2(l)",
+        )
+        + ")",
+        "wp_st0 AS (SELECT w, cnt, w AS rem, true AS is_start FROM wp_words)",
+    ]
+    sel_emits = []
+    for r in range(1, WP_MAX_PIECES + 1):
+        parts.append(
+            f"wp_m{r} AS ({_wp_round_sql(f'wp_st{r - 1}', 'wp_vocab')})"
+        )
+        parts.append(f"wp_e{r} AS ({_WP_EMIT.format(m=f'wp_m{r}')})")
+        parts.append(f"wp_st{r} AS ({_WP_NEXT.format(m=f'wp_m{r}')})")
+        sel_emits.append(f"SELECT piece, cnt FROM wp_e{r}")
+    sel_emits.append(
+        f"SELECT '[TRUNC]' AS piece, cnt FROM wp_st{WP_MAX_PIECES}"
+        f" WHERE rem != ''"
+    )
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+        FROM ({" UNION ALL ".join(sel_emits)})
+        GROUP BY piece
+        ORDER BY n_occurrences DESC, piece
+        LIMIT {WP_TOP_K}
+    """
+
+
+TOKENIZER_WORDPIECE_APPLY_SQL = _wordpiece_duck_sql()
+
+
 QUERIES = {
+    "tokenizer_wordpiece_apply": (
+        tokenizer_wordpiece_apply,
+        TOKENIZER_WORDPIECE_APPLY_SQL,
+    ),
     "tokenizer_bpe_pair_counts": (
         tokenizer_bpe_pair_counts,
         TOKENIZER_BPE_PAIR_COUNTS_SQL,
