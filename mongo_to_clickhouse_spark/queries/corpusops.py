@@ -783,7 +783,85 @@ CORPUS_IMPORTANCE_DSIR_SQL = _dsir_body_sql(
 )
 
 
+# ---------------------------------------------------------------------------
+# corpus_perplexity_buckets — CCNet head/middle/tail partitioning
+# ---------------------------------------------------------------------------
+
+PPL_BUCKETS = 3  # CCNet's head / middle / tail
+
+
+def _ppl_bucket_body(toks_sql: str) -> str:
+    """Engine-shared body: per-doc integer micro-NLL (same unigram model
+    as text_perplexity_unigram; the mean is an EXPLICIT floor of the
+    double division, because DuckDB ROUNDS on double→BIGINT casts while
+    Spark truncates — the off-by-one this pins), NTILE-bucketed ascending —
+    bucket 1 is CCNet's 'head' (closest to the corpus distribution),
+    bucket {PPL_BUCKETS} the 'tail' a curation pipeline drops first."""
+    return f"""
+        WITH toks AS ({toks_sql}),
+        vocab AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word),
+        total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM vocab),
+        model AS (
+            SELECT word,
+                   CAST(round(ln(cnt / CAST(n_total AS DOUBLE)) * 1e6)
+                        AS BIGINT) AS logp_micro
+            FROM vocab CROSS JOIN total
+        ),
+        perdoc AS (
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(floor(-SUM(m.logp_micro) / CAST(COUNT(*) AS DOUBLE))
+                        AS BIGINT) AS nll_micro
+            FROM toks t JOIN model m ON t.word = m.word
+            GROUP BY t.doc_id
+        ),
+        bucketed AS (
+            SELECT doc_id, n_tokens, nll_micro,
+                   NTILE({PPL_BUCKETS})
+                       OVER (ORDER BY nll_micro, doc_id) AS bucket
+            FROM perdoc
+        )
+        SELECT CAST(bucket AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+               MIN(nll_micro) AS min_nll_micro,
+               MAX(nll_micro) AS max_nll_micro
+        FROM bucketed
+        GROUP BY bucket
+        ORDER BY bucket
+    """
+
+
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity partitioning (Wenzek et al. 2020): score
+    every document with the corpus unigram LM, then split the corpus
+    into {PPL_BUCKETS} equal-size buckets by ascending NLL — the
+    head/middle/tail grading CCNet uses to keep the well-modeled slice
+    of a crawl. Reports per-bucket size, token mass, and NLL range.
+
+    Scale posture: identical to text_perplexity_unigram (one corpus
+    explode, vocab groupBy, token→model equi-join) plus ONE global
+    NTILE. The NTILE window is unpartitioned by definition (a corpus-
+    wide quantile split); at 100 TB the same report would swap it for
+    approx-percentile cut points — here the exact form IS the point,
+    because it hash-checks. The integer division in nll_micro truncates
+    identically in both engines (non-negative operands)."""
+    view = _toks_view(spark, sf_dir)
+    return spark.sql(_ppl_bucket_body(
+        f"SELECT doc_id, explode(toks) AS word FROM {view}"
+    ))
+
+
+CORPUS_PERPLEXITY_BUCKETS_SQL = _ppl_bucket_body(
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents"
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "corpus_perplexity_buckets": (
+        corpus_perplexity_buckets,
+        CORPUS_PERPLEXITY_BUCKETS_SQL,
+    ),
     "text_repetition_filter": (text_repetition_filter, TEXT_REPETITION_FILTER_SQL),
     "corpus_importance_dsir": (
         corpus_importance_dsir,

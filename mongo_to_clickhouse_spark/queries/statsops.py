@@ -479,7 +479,93 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_CUSUM_CHANGEPOINT_SQL = _cusum_sql("duck")
 
 
+# ---------------------------------------------------------------------------
+# sample_ks_drift — two-sample Kolmogorov–Smirnov distribution drift
+# ---------------------------------------------------------------------------
+
+KS_BIN_INV = 10       # ECDF grid: 0.1-wide value bins
+KS_CRIT_COEFF = 1.358  # c(alpha = 0.05) for the two-sample KS bound
+
+
+def _ks_body(events_rel: str) -> str:
+    """Engine-shared two-sample KS: split A/B by event_id parity, build
+    both ECDFs on a quantized value grid, take the max gap. The grid
+    makes the statistic a deterministic integer (exact cross-multiplied
+    counts, floor to ppm) AND bounds the sort: the cumulative window
+    runs over ≤ range·{KS_BIN_INV} bins, not over every row — the same
+    trick the histogram/quantile tier uses to keep a global order
+    scalable. Grid-KS lower-bounds exact KS (gaps inside a bin are
+    invisible), which is the standard production trade."""
+    return f"""
+        WITH pts AS (
+            SELECT CAST(floor(value * {KS_BIN_INV}) AS BIGINT) AS bin,
+                   CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS a
+            FROM {events_rel} WHERE value IS NOT NULL
+        ),
+        binned AS (
+            SELECT bin,
+                   CAST(SUM(a) AS BIGINT) AS ca_i,
+                   CAST(SUM(1 - a) AS BIGINT) AS cb_i
+            FROM pts GROUP BY bin
+        ),
+        totals AS (
+            SELECT CAST(SUM(ca_i) AS BIGINT) AS na,
+                   CAST(SUM(cb_i) AS BIGINT) AS nb
+            FROM binned
+        ),
+        ecdf AS (
+            SELECT SUM(ca_i) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS ca,
+                   SUM(cb_i) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cb
+            FROM binned
+        ),
+        stat AS (
+            SELECT MAX(CAST(floor(ABS(ca * nb - cb * na) * 1e6
+                                  / CAST(na * nb AS DOUBLE)) AS BIGINT))
+                       AS ks_ppm
+            FROM ecdf CROSS JOIN totals
+        )
+        SELECT na AS n_a, nb AS n_b, ks_ppm,
+               CAST(round({KS_CRIT_COEFF}
+                    * sqrt((na + nb) / CAST(na * nb AS DOUBLE)) * 1e6)
+                    AS BIGINT) AS crit_ppm,
+               ks_ppm > CAST(round({KS_CRIT_COEFF}
+                    * sqrt((na + nb) / CAST(na * nb AS DOUBLE)) * 1e6)
+                    AS BIGINT) AS drift_detected
+        FROM stat CROSS JOIN totals
+    """
+
+
+def sample_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test between the A/B halves
+    of the event stream (the train-vs-eval / yesterday-vs-today
+    distribution check a data-validation stage runs before training):
+    KS statistic over a quantized value grid, compared to the
+    alpha=0.05 critical bound.
+
+    Exactness: counts are exact integers; the statistic is an exact
+    cross-multiplication floored to ppm; the only floats are one
+    correctly-rounded sqrt and IEEE double divisions below 2^53 — both
+    engines agree bit-for-bit (see _ks_body for the floor-vs-round cast
+    pin).
+
+    Scale posture: one scan + one bin groupBy (bounded keys) + a window
+    over the BIN relation (≤ range·{KS_BIN_INV} rows however large the
+    corpus), two 1-row broadcasts. The parity split is hash-style
+    deterministic, so the test is reproducible across cluster sizes."""
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("ks_events_src")
+    return spark.sql(_ks_body("ks_events_src"))
+
+
+SAMPLE_KS_DRIFT_SQL = _ks_body("events")
+
+
 QUERIES: dict[str, tuple] = {
+    "sample_ks_drift": (sample_ks_drift, SAMPLE_KS_DRIFT_SQL),
     "agg_regr_ols": (agg_regr_ols, AGG_REGR_OLS_SQL),
     "events_cusum_changepoint": (
         events_cusum_changepoint,
