@@ -76,6 +76,10 @@ HEADLINE = [
     "agg_kmv_theta_sketch",        # KMV theta union/intersection (round 5)
     "graph_triangle_count",        # k-NN-sparsified triangle count (round 5)
     "pipeline_shard_shuffle",      # deterministic training shards (round 5)
+    "graph_label_propagation",     # 4-round sync min-label LPA (round 5b)
+    "sample_coreset_kcenter",      # greedy k-center coreset (round 5b)
+    "tokenizer_wordpiece_apply",   # greedy WordPiece encode (round 5b)
+    "events_sequence_match",       # ClickHouse sequenceMatch/Count (round 5b)
 ]
 
 

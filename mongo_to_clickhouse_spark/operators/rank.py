@@ -39,6 +39,28 @@ def _default_partitions(spark: SparkSession, df: DataFrame) -> int:
             return 200
 
 
+def _stable_parted(df: DataFrame, n: int, order_by: list[Column]) -> DataFrame:
+    """Range-partition + tag ``__pid`` — CHECKPOINTED.
+
+    The barrier is load-bearing, not an optimization: the tagged
+    relation is consumed by TWO subtrees (local ranks and per-partition
+    counts/totals), and ``repartitionByRange`` derives its boundaries
+    from a RANDOM sample (``rangeExchange.sampleSizePerPartition``, 100
+    rows/partition) — once the input exceeds the sample capacity, two
+    independent evaluations draw different samples, the two subtrees
+    disagree about ``__pid``, and ranks silently corrupt (observed at
+    5 000 rows × 8 partitions: duplicate/gapped global ranks,
+    run-to-run nondeterminism). Materializing the tagged rows once
+    makes both consumers read the SAME partitioning."""
+    from mongo_to_clickhouse_spark.operators.materialize import barrier
+
+    return barrier(
+        df.repartitionByRange(n, *order_by).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+
+
 def _partition_offsets(per_pid: DataFrame, value_col: str) -> DataFrame:
     """offset(p) = Σ value over partitions before p, as a triangular
     self-join over the partition-count-sized relation (n rows == shuffle
@@ -72,9 +94,7 @@ def distributed_global_rank(
     """
     spark = df.sparkSession
     n = num_partitions or _default_partitions(spark, df)
-    parted = df.repartitionByRange(n, *order_by).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    parted = _stable_parted(df, n, order_by)
     local = parted.withColumn(
         "__lrank",
         F.row_number().over(Window.partitionBy("__pid").orderBy(*order_by)),
@@ -105,9 +125,7 @@ def distributed_prefix_sum(
     exactly whenever ``order_by`` is a total order."""
     spark = df.sparkSession
     n = num_partitions or _default_partitions(spark, df)
-    parted = df.repartitionByRange(n, *order_by).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    parted = _stable_parted(df, n, order_by)
     hi = -1 if exclusive else Window.currentRow
     local = parted.withColumn(
         "__lsum",

@@ -790,13 +790,11 @@ CORPUS_IMPORTANCE_DSIR_SQL = _dsir_body_sql(
 PPL_BUCKETS = 3  # CCNet's head / middle / tail
 
 
-def _ppl_bucket_body(toks_sql: str) -> str:
-    """Engine-shared body: per-doc integer micro-NLL (same unigram model
-    as text_perplexity_unigram; the mean is an EXPLICIT floor of the
-    double division, because DuckDB ROUNDS on double→BIGINT casts while
-    Spark truncates — the off-by-one this pins), NTILE-bucketed ascending —
-    bucket 1 is CCNet's 'head' (closest to the corpus distribution),
-    bucket {PPL_BUCKETS} the 'tail' a curation pipeline drops first."""
+def _ppl_perdoc_body(toks_sql: str) -> str:
+    """Engine-shared front half: per-doc integer micro-NLL (same unigram
+    model as text_perplexity_unigram; the mean is an EXPLICIT floor of
+    the double division, because DuckDB ROUNDS on double→BIGINT casts
+    while Spark truncates — the off-by-one this pins)."""
     return f"""
         WITH toks AS ({toks_sql}),
         vocab AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word),
@@ -806,30 +804,26 @@ def _ppl_bucket_body(toks_sql: str) -> str:
                    CAST(round(ln(cnt / CAST(n_total AS DOUBLE)) * 1e6)
                         AS BIGINT) AS logp_micro
             FROM vocab CROSS JOIN total
-        ),
-        perdoc AS (
-            SELECT t.doc_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
-                   CAST(floor(-SUM(m.logp_micro) / CAST(COUNT(*) AS DOUBLE))
-                        AS BIGINT) AS nll_micro
-            FROM toks t JOIN model m ON t.word = m.word
-            GROUP BY t.doc_id
-        ),
-        bucketed AS (
-            SELECT doc_id, n_tokens, nll_micro,
-                   NTILE({PPL_BUCKETS})
-                       OVER (ORDER BY nll_micro, doc_id) AS bucket
-            FROM perdoc
         )
-        SELECT CAST(bucket AS INTEGER) AS bucket,
-               CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
-               MIN(nll_micro) AS min_nll_micro,
-               MAX(nll_micro) AS max_nll_micro
-        FROM bucketed
-        GROUP BY bucket
-        ORDER BY bucket
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(floor(-SUM(m.logp_micro) / CAST(COUNT(*) AS DOUBLE))
+                    AS BIGINT) AS nll_micro
+        FROM toks t JOIN model m ON t.word = m.word
+        GROUP BY t.doc_id
     """
+
+
+_PPL_ROLLUP = f"""
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+           MIN(nll_micro) AS min_nll_micro,
+           MAX(nll_micro) AS max_nll_micro
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+"""
 
 
 def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -839,22 +833,60 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     head/middle/tail grading CCNet uses to keep the well-modeled slice
     of a crawl. Reports per-bucket size, token mass, and NLL range.
 
-    Scale posture: identical to text_perplexity_unigram (one corpus
-    explode, vocab groupBy, token→model equi-join) plus ONE global
-    NTILE. The NTILE window is unpartitioned by definition (a corpus-
-    wide quantile split); at 100 TB the same report would swap it for
-    approx-percentile cut points — here the exact form IS the point,
-    because it hash-checks. The integer division in nll_micro truncates
-    identically in both engines (non-negative operands)."""
+    Scale posture: the front half is text_perplexity_unigram's plan
+    (one corpus explode, vocab groupBy, token→model equi-join). The
+    equal-size split is a global order by definition — but NOT a global
+    NTILE window (a no-partition WindowExec serializes the corpus
+    through one task, the class tests/test_plan_hygiene.py bans):
+    the Spark side computes a distributed two-pass global rank
+    (operators/rank.py — range partition, local row_number, offset
+    join) and derives the bucket from NTILE's piecewise arithmetic
+    (first n % k buckets get ⌈n/k⌉ rows) against a 1-row broadcast
+    count; the oracle uses DuckDB's actual NTILE, so the parity check
+    PROVES the rank+arithmetic decomposition equals the window form."""
+    from mongo_to_clickhouse_spark.operators.materialize import barrier
+    from mongo_to_clickhouse_spark.operators.rank import (
+        distributed_global_rank,
+    )
+
     view = _toks_view(spark, sf_dir)
-    return spark.sql(_ppl_bucket_body(
+    perdoc = barrier(spark.sql(_ppl_perdoc_body(
         f"SELECT doc_id, explode(toks) AS word FROM {view}"
-    ))
+    )))
+    ranked = distributed_global_rank(
+        perdoc, [F.col("nll_micro"), F.col("doc_id")], rank_col="r"
+    )
+    tot = perdoc.agg(F.count("*").cast("bigint").alias("n"))
+    k = PPL_BUCKETS
+    bucketed = ranked.crossJoin(F.broadcast(tot)).selectExpr(
+        "n_tokens",
+        "nll_micro",
+        # NTILE(k): q = n DIV k rows per bucket, first m = n % k buckets
+        # take one extra; CASE branches keep the q = 0 division unused
+        f"""CASE WHEN r <= (n DIV {k} + 1) * (n % {k})
+                 THEN (r - 1) DIV (n DIV {k} + 1) + 1
+                 ELSE (n % {k})
+                      + (r - (n DIV {k} + 1) * (n % {k}) - 1)
+                        DIV (n DIV {k}) + 1
+            END AS bucket""",
+    )
+    bucketed.createOrReplaceTempView("ppl_bucketed")
+    return spark.sql(_PPL_ROLLUP.replace("FROM bucketed", "FROM ppl_bucketed"))
 
 
-CORPUS_PERPLEXITY_BUCKETS_SQL = _ppl_bucket_body(
-    "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents"
-)
+CORPUS_PERPLEXITY_BUCKETS_SQL = f"""
+    WITH perdoc AS ({_ppl_perdoc_body(
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS word"
+        " FROM documents"
+    )}),
+    bucketed AS (
+        SELECT n_tokens, nll_micro,
+               NTILE({PPL_BUCKETS}) OVER (ORDER BY nll_micro, doc_id)
+                   AS bucket
+        FROM perdoc
+    )
+    {_PPL_ROLLUP}
+"""
 
 
 QUERIES: dict[str, tuple] = {

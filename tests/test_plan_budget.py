@@ -13,7 +13,10 @@ import pytest
 
 from mongo_to_clickhouse_spark.plans.meta import plan_counters
 from mongo_to_clickhouse_spark.queries.dedupops import dedup_cluster_components
-from mongo_to_clickhouse_spark.queries.graphops import graph_pagerank
+from mongo_to_clickhouse_spark.queries.graphops import (
+    graph_label_propagation,
+    graph_pagerank,
+)
 from mongo_to_clickhouse_spark.queries.textops import text_bm25_topk
 from mongo_to_clickhouse_spark.queries.tokenizerops import (
     tokenizer_bpe_merge_rounds,
@@ -22,6 +25,7 @@ from mongo_to_clickhouse_spark.queries.vectorops import (
     emb_kmeans_lloyd,
     emb_pca_power_iteration,
     emb_pca_power_matfree,
+    sample_coreset_kcenter,
 )
 
 # generous headroom above the current linear-plan shuffle counts, far
@@ -39,6 +43,8 @@ BUDGETS = [
     # dl/df/qterms/stats all derive from the single checkpointed tf
     # relation; a new pass over the token barrier shows up here first
     (text_bm25_topk, 10),
+    (graph_label_propagation, 20),  # 4 shuffles/round × 4 LPA rounds
+    (sample_coreset_kcenter, 22),   # ~3 shuffles/round × 6 greedy rounds
 ]
 
 

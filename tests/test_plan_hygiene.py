@@ -54,6 +54,9 @@ _BOUNDED_WINDOW_WHITELIST = {
     # ntile window runs over the per-supplier revenue AGGREGATE:
     # |suppliers| rows (dim cardinality), not lineitem rows
     "profile_pareto_revenue",
+    # ECDF windows run over the quantized BIN aggregate: ≤ value-range ×
+    # KS_BIN_INV rows (metric range, not corpus size)
+    "sample_ks_drift",
 }
 
 
