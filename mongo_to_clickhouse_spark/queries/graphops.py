@@ -339,8 +339,79 @@ def _lpa_duck_sql() -> str:
 GRAPH_LABEL_PROPAGATION_SQL = _lpa_duck_sql()
 
 
+_JACC_TOPK = 20
+
+
+def _graph_jaccard_sql(adj_rel: str) -> str:
+    """Neighborhood Jaccard over the mutual-kNN adjacency: for node
+    pairs sharing ≥1 neighbor, |N(a)∩N(b)| via the wedge join (bounded
+    by n·K²/2 — the same sparsification bound the triangle count
+    rides), |N(a)∪N(b)| by inclusion-exclusion over the degree
+    relation, similarity in exact integer ppm."""
+    return f"""
+        SELECT a, b, inter,
+               CAST(floor(inter * 1000000
+                          / CAST(da + db - inter AS DOUBLE)) AS BIGINT)
+                   AS jaccard_ppm
+        FROM (
+            SELECT w1.b AS a, w2.b AS b, CAST(COUNT(*) AS BIGINT) AS inter
+            FROM {adj_rel} w1 JOIN {adj_rel} w2
+              ON w1.a = w2.a AND w1.b < w2.b
+            GROUP BY w1.b, w2.b
+        ) wedges
+        JOIN (SELECT a AS na, CAST(COUNT(*) AS BIGINT) AS da
+              FROM {adj_rel} GROUP BY a) d1 ON na = a
+        JOIN (SELECT a AS nb, CAST(COUNT(*) AS BIGINT) AS db
+              FROM {adj_rel} GROUP BY a) d2 ON nb = b
+        ORDER BY jaccard_ppm DESC, a, b
+        LIMIT {_JACC_TOPK}
+    """
+
+
+def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural node similarity (the link-prediction / entity-merge
+    primitive): neighborhood Jaccard over the shared mutual-kNN
+    supplier adjacency, top-{_JACC_TOPK} pairs.
+
+    Scale posture: same barrier + wedge-join shape as
+    graph_triangle_count (degree ≤ K by construction, so the candidate
+    pair space is ≤ n·K²/2 at any corpus size); two degree-relation
+    equi-joins; TakeOrderedAndProject top-k. The ppm ratio is an
+    explicit floor of an exact-below-2^53 double division (both
+    engines' `/` is double; DuckDB ROUNDS on double→BIGINT casts,
+    Spark truncates — the floor pins them equal)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    adj = cached_barrier_view(
+        spark,
+        sf_dir,
+        "tri_adj",
+        lambda: spark.sql(_triangle_adj_sql(
+            "(SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)"
+        )),
+        tables=("lineitem",),
+    )
+    return spark.sql(_graph_jaccard_sql(adj))
+
+
+GRAPH_JACCARD_SIMILARITY_SQL = (
+    "WITH tri_adj AS ("
+    + _triangle_adj_sql("(SELECT DISTINCT l_orderkey, l_suppkey"
+                        " FROM lineitem)")
+    + ") "
+    + _graph_jaccard_sql("tri_adj")
+)
+
+
 QUERIES: dict[str, tuple] = {
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
+    "graph_jaccard_similarity": (
+        graph_jaccard_similarity,
+        GRAPH_JACCARD_SIMILARITY_SQL,
+    ),
     "graph_triangle_count": (graph_triangle_count, GRAPH_TRIANGLE_COUNT_SQL),
     "graph_label_propagation": (
         graph_label_propagation,

@@ -617,7 +617,132 @@ PIPELINE_PACK_SEQUENCES_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# multimodal_phash_dedup — perceptual-hash near-dup over media features
+# ---------------------------------------------------------------------------
+
+PHASH_L1_MICRO = 300_000  # verify bound: total feature L1 distance (micro)
+_PHASH_TOPK = 50
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup — the aHash/pHash pipeline shape over
+    the multimodal feature tier: per payload, a mean-centered sign
+    signature ({FEATURE_DIM} bits) from the extracted features;
+    candidates ONLY from signature buckets expanded by single-bit
+    multi-probe (Hamming ≤ 1 — no all-pairs space); candidates verified
+    by exact integer-micro feature L1 distance. Returns the candidate
+    pairs nearest-first with their Hamming/L1 distances and the verify
+    verdict (`confirmed`) — the report a dedup run reviews to tune the
+    verify bound.
+
+    Scale posture: ONE Arrow pass extracts features (mapInPandas,
+    behind a checkpoint so the probe/build self-join reads the kernel
+    output once); the candidate join is an equi-join on the signature
+    (9 probes per payload — identity + 8 single-bit flips); bucket
+    population scales as N/2^bits, so real deployments raise the bit
+    width (64-bit pHash) exactly like LSH raises bands. The verify is
+    exact because features are 6-dp rounded: ×1e6 round-trips to
+    integers identically in both engines."""
+    from mongo_to_clickhouse_spark.operators.materialize import barrier
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(media_table(docs))
+    sigs = barrier(
+        feats.selectExpr(
+            "doc_id",
+            "features",
+            f"aggregate(features, 0D, (a, x) -> a + x) / {FEATURE_DIM}.0D"
+            " AS m",
+        ).selectExpr(
+            "doc_id",
+            "features",
+            f"""aggregate(sequence(0, {FEATURE_DIM - 1}), 0,
+                 (acc, k) -> acc + IF(element_at(features, k + 1) > m,
+                                      shiftleft(1, k), 0)) AS sig""",
+        )
+    )
+    probes = sigs.selectExpr(
+        "doc_id AS a_doc",
+        "features AS fa",
+        "sig AS sa",
+        f"""explode(concat(array(sig),
+             transform(sequence(0, {FEATURE_DIM - 1}),
+                       k -> sig ^ shiftleft(1, k)))) AS probe""",
+    )
+    build = sigs.selectExpr("doc_id AS b_doc", "features AS fb", "sig AS sb")
+    pairs = probes.join(
+        build,
+        (F.col("probe") == F.col("sb")) & (F.col("a_doc") < F.col("b_doc")),
+    )
+    return (
+        pairs.selectExpr(
+            "a_doc",
+            "b_doc",
+            "bit_count(sa ^ sb) AS hamming",
+            """aggregate(zip_with(fa, fb,
+                 (x, y) -> abs(CAST(round((x - y) * 1e6) AS BIGINT))),
+                 0L, (a, x) -> a + x) AS l1_micro""",
+        )
+        .withColumn(
+            "confirmed", F.col("l1_micro") <= PHASH_L1_MICRO
+        )
+        .orderBy("l1_micro", "a_doc", "b_doc")
+        .limit(_PHASH_TOPK)
+    )
+
+
+def _phash_duck_sql() -> str:
+    sig_terms = " + ".join(
+        f"(CASE WHEN f[{k + 1}] > m THEN {1 << k} ELSE 0 END)"
+        for k in range(FEATURE_DIM)
+    )
+    l1_terms = " + ".join(
+        f"abs(CAST(round((p.fa[{k + 1}] - b.f[{k + 1}]) * 1e6) AS BIGINT))"
+        for k in range(FEATURE_DIM)
+    )
+    probe_list = ", ".join(
+        ["sig"] + [f"xor(sig, {1 << k})" for k in range(FEATURE_DIM)]
+    )
+    return f"""
+        WITH feats AS (
+            SELECT doc_id, [{_DUCK_FEATURES}] AS f
+            FROM documents
+            WHERE octet_length(encode(text)) > 0
+        ),
+        sigs AS (
+            SELECT doc_id, f, CAST({sig_terms} AS INTEGER) AS sig
+            FROM (SELECT doc_id, f, list_sum(f) / {FEATURE_DIM}.0 AS m
+                  FROM feats)
+        ),
+        probes AS (
+            SELECT doc_id AS a_doc, f AS fa, sig AS sa,
+                   unnest([{probe_list}]) AS probe
+            FROM sigs
+        ),
+        pairs AS (
+            SELECT p.a_doc, b.doc_id AS b_doc,
+                   CAST(bit_count(xor(p.sa, b.sig)) AS INTEGER) AS hamming,
+                   ({l1_terms}) AS l1_micro
+            FROM probes p JOIN sigs b
+              ON p.probe = b.sig AND p.a_doc < b.doc_id
+        )
+        SELECT a_doc, b_doc, hamming, CAST(l1_micro AS BIGINT) AS l1_micro,
+               l1_micro <= {PHASH_L1_MICRO} AS confirmed
+        FROM pairs
+        ORDER BY l1_micro, a_doc, b_doc
+        LIMIT {_PHASH_TOPK}
+    """
+
+
+MULTIMODAL_PHASH_DEDUP_SQL = _phash_duck_sql()
+
+
 QUERIES: dict[str, tuple] = {
+    "multimodal_phash_dedup": (
+        multimodal_phash_dedup,
+        MULTIMODAL_PHASH_DEDUP_SQL,
+    ),
     "backfill_timerange": (backfill_timerange, BACKFILL_TIMERANGE_SQL),
     "pipeline_training_corpus": (
         pipeline_training_corpus,
