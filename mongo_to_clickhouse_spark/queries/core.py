@@ -742,6 +742,82 @@ def source_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read — the lakehouse concern a schemaless Mongo
+    source (reference src/main.rs:320: BSON documents with optional
+    fields) forces on its sink: two parquet GENERATIONS are staged (old
+    writers: doc_id/text/lang; new writers: doc_id/text/source/n_chars
+    — a column dropped AND two added), read back as ONE relation with
+    ``mergeSchema``, and audited per generation: row counts, per-column
+    presence, and a content signature. The absent columns must surface
+    as NULLs of the merged schema — a reader that drops generation-1
+    rows or misaligns columns hash-mismatches.
+
+    Scale posture: mergeSchema unions footer schemas at planning time
+    (no data pass); the audit is one scan + a 2-group aggregate. The
+    staging write is memoized per (session, sf_dir) like the other
+    layout demos."""
+    from mongo_to_clickhouse_spark.io import cached_work_dir
+
+    def build(root):
+        docs = load_table(spark, sf_dir, "documents")
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "text", "lang"
+        ).coalesce(2).write.mode("overwrite").parquet(
+            os.path.join(root, "docs", "gen=1")
+        )
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "text", "source", "n_chars"
+        ).coalesce(2).write.mode("overwrite").parquet(
+            os.path.join(root, "docs", "gen=2")
+        )
+
+    root = cached_work_dir("schema-merge", sf_dir, ("documents",), build)
+    merged = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(root, "docs")
+    )
+    sig = (
+        F.expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
+        % 1_000_000_000_000
+    )
+    return (
+        merged.groupBy(
+            (F.col("doc_id") % 2 + 1).cast("int").alias("generation")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count("lang").cast("bigint").alias("lang_present"),
+            F.count("source").cast("bigint").alias("source_present"),
+            F.count("n_chars").cast("bigint").alias("n_chars_present"),
+            F.sum(sig).cast("bigint").alias("text_sig"),
+        )
+        .orderBy("generation")
+    )
+
+
+SOURCE_SCHEMA_MERGE_SQL = """
+    WITH merged AS (
+        SELECT doc_id, text, lang,
+               CAST(NULL AS VARCHAR) AS source,
+               CAST(NULL AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang, source, n_chars
+        FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT CAST(doc_id % 2 + 1 AS INTEGER) AS generation,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(lang) AS BIGINT) AS lang_present,
+           CAST(COUNT(source) AS BIGINT) AS source_present,
+           CAST(COUNT(n_chars) AS BIGINT) AS n_chars_present,
+           CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+                    % 1000000000000) AS BIGINT) AS text_sig
+    FROM merged
+    GROUP BY doc_id % 2 + 1
+    ORDER BY generation
+"""
+
+
 def scalar_interval_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/interval arithmetic surface over order dates: day offsets,
     day difference to a fixed anchor, month-end snap, quarter start,
@@ -883,6 +959,7 @@ QUERIES: dict[str, tuple] = {
     # same accounting contract as jsonl: the oracle reads the ORIGINAL
     # table, so the CSV round-trip must be byte-lossless to match
     "source_csv_scan": (source_csv_scan, SOURCE_JSONL_SCAN_SQL),
+    "source_schema_merge": (source_schema_merge, SOURCE_SCHEMA_MERGE_SQL),
     "sink_clickhouse_insert": (sink_clickhouse_insert, SINK_CLICKHOUSE_INSERT_SQL),
     "sink_dual_table_split": (sink_dual_table_split, SINK_DUAL_TABLE_SPLIT_SQL),
     "sink_partitioned_parquet": (sink_partitioned_parquet, SINK_PARTITIONED_PARQUET_SQL),

@@ -406,8 +406,108 @@ GRAPH_JACCARD_SIMILARITY_SQL = (
 )
 
 
+BFS_ROUNDS = 4
+
+
+def _bfs_round_sql(dist_rel: str, adj_rel: str) -> str:
+    """One BFS relaxation: d_r(v) = min(d_{r-1}(v), min over in-neighbors
+    d_{r-1}(u) + 1) — the Bellman-Ford/Pregel step for unit weights."""
+    return f"""
+        SELECT node_id, CAST(MIN(d) AS INTEGER) AS d
+        FROM (
+            SELECT node_id, d FROM {dist_rel}
+            UNION ALL
+            SELECT e.b AS node_id, s.d + 1 AS d
+            FROM {dist_rel} s JOIN {adj_rel} e ON e.a = s.node_id
+        ) relaxed
+        GROUP BY node_id
+    """
+
+
+def graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS depth layers from the smallest supplier node over the shared
+    mutual-kNN adjacency — the reachability/shortest-hop kernel (unit
+    weights) next to PageRank/CC/LPA/triangles. ``BFS_ROUNDS`` fixed
+    relaxations, then a per-depth histogram with unreached nodes at
+    depth -1 (the frontier diagnostic: how much of the graph each hop
+    ring covers).
+
+    Scale posture: each relaxation is one equi-join of the distance
+    relation against the degree-bounded adjacency + a min-aggregate;
+    the relation is referenced twice per round (keep + relax), so every
+    round lands on a checkpoint barrier — the kmeans/pagerank
+    discipline that keeps the DAG linear in rounds."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        barrier,
+        cached_barrier_view,
+    )
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    adj = cached_barrier_view(
+        spark,
+        sf_dir,
+        "tri_adj",
+        lambda: spark.sql(_triangle_adj_sql(
+            "(SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)"
+        )),
+        tables=("lineitem",),
+    )
+    dist = spark.sql(
+        f"SELECT MIN(a) AS node_id, CAST(0 AS INTEGER) AS d FROM {adj}"
+    )
+    for r in range(1, BFS_ROUNDS + 1):
+        dist = barrier(dist)
+        dist.createOrReplaceTempView(f"bfs_d{r - 1}")
+        dist = spark.sql(_bfs_round_sql(f"bfs_d{r - 1}", adj))
+    dist.createOrReplaceTempView("bfs_final")
+    return spark.sql(f"""
+        SELECT depth,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               MIN(node_id) AS min_node,
+               MAX(node_id) AS max_node
+        FROM (
+            SELECT n.node_id, CAST(COALESCE(f.d, -1) AS INTEGER) AS depth
+            FROM (SELECT DISTINCT a AS node_id FROM {adj}) n
+            LEFT JOIN bfs_final f ON f.node_id = n.node_id
+        ) layered
+        GROUP BY depth
+        ORDER BY depth
+    """)
+
+
+def _bfs_duck_sql() -> str:
+    adj_body = _triangle_adj_sql(
+        "(SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)"
+    )
+    parts = [
+        f"tri_adj AS ({adj_body})",
+        "d0 AS (SELECT MIN(a) AS node_id, CAST(0 AS INTEGER) AS d"
+        " FROM tri_adj)",
+    ]
+    for r in range(1, BFS_ROUNDS + 1):
+        parts.append(f"d{r} AS ({_bfs_round_sql(f'd{r - 1}', 'tri_adj')})")
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT depth,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               MIN(node_id) AS min_node,
+               MAX(node_id) AS max_node
+        FROM (
+            SELECT n.node_id, CAST(COALESCE(f.d, -1) AS INTEGER) AS depth
+            FROM (SELECT DISTINCT a AS node_id FROM tri_adj) n
+            LEFT JOIN d{BFS_ROUNDS} f ON f.node_id = n.node_id
+        ) layered
+        GROUP BY depth
+        ORDER BY depth
+    """
+
+
+GRAPH_BFS_DEPTH_SQL = _bfs_duck_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
+    "graph_bfs_depth": (graph_bfs_depth, GRAPH_BFS_DEPTH_SQL),
     "graph_jaccard_similarity": (
         graph_jaccard_similarity,
         GRAPH_JACCARD_SIMILARITY_SQL,

@@ -564,8 +564,68 @@ def sample_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_KS_DRIFT_SQL = _ks_body("events")
 
 
+# ---------------------------------------------------------------------------
+# agg_weighted_percentile — ClickHouse quantileExactWeighted
+# ---------------------------------------------------------------------------
+
+
+def _weighted_pct_body(events_rel: str) -> str:
+    """Engine-shared exact weighted percentiles per event type: the
+    smallest value whose cumulative weight reaches q·W (ClickHouse
+    quantileExactWeighted semantics). Weights are deterministic
+    (user_id % 5 + 1 — a stand-in for a sample/importance weight
+    column); the threshold compare is exact integer cross-multiplied
+    (cw·100 ≥ q·W), no float quantile math anywhere."""
+    return f"""
+        WITH pts AS (
+            SELECT event_type, value, event_id,
+                   CAST(user_id % 5 + 1 AS BIGINT) AS w
+            FROM {events_rel} WHERE value IS NOT NULL
+        ),
+        cum AS (
+            SELECT event_type, value, w,
+                   SUM(w) OVER (PARTITION BY event_type
+                                ORDER BY value, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cw,
+                   SUM(w) OVER (PARTITION BY event_type) AS tw
+            FROM pts
+        )
+        SELECT event_type,
+               CAST(SUM(w) AS BIGINT) AS total_weight,
+               MIN(CASE WHEN cw * 100 >= 50 * tw THEN value END) AS p50_w,
+               MIN(CASE WHEN cw * 100 >= 95 * tw THEN value END) AS p95_w,
+               MAX(value) AS p100
+        FROM cum
+        GROUP BY event_type
+        ORDER BY event_type
+    """
+
+
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted percentiles (ClickHouse ``quantileExactWeighted``,
+    the estimator a stratified/importance-weighted sample requires —
+    unweighted percentile_cont over resampled data is biased).
+
+    Scale posture: one shuffle keyed by event_type; both windows ride
+    the same partitioning (cumulative + total in one pass); the
+    per-type reduce is the same exchange. Weighted quantiles don't
+    decompose into partial aggregates, so the per-key sort is inherent
+    — exactly ClickHouse's own memory contract for the function."""
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("wp_events_src")
+    return spark.sql(_weighted_pct_body("wp_events_src"))
+
+
+AGG_WEIGHTED_PERCENTILE_SQL = _weighted_pct_body("events")
+
+
 QUERIES: dict[str, tuple] = {
     "sample_ks_drift": (sample_ks_drift, SAMPLE_KS_DRIFT_SQL),
+    "agg_weighted_percentile": (
+        agg_weighted_percentile,
+        AGG_WEIGHTED_PERCENTILE_SQL,
+    ),
     "agg_regr_ols": (agg_regr_ols, AGG_REGR_OLS_SQL),
     "events_cusum_changepoint": (
         events_cusum_changepoint,
