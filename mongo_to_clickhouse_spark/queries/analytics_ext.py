@@ -451,7 +451,103 @@ def events_daily_ma_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_DAILY_MA_RESIDUAL_SQL = _daily_ma_sql("duck")
 
 
+# ---------------------------------------------------------------------------
+# events_timeseries_gap_fill — ClickHouse ORDER BY ... WITH FILL + LOCF
+# ---------------------------------------------------------------------------
+
+
+def events_timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series per event type: missing calendar days are
+    materialized (ClickHouse ``WITH FILL``), zero-filled for counts and
+    LOCF-filled (``INTERPOLATE``-style carry-forward) for the running
+    value — what every dashboard/forecast consumer needs before
+    resampling. Money is exact integer cents.
+
+    Scale posture: the rollup is one partial-aggregated shuffle; the
+    calendar is generated per type from its own (min, max) day — a
+    |types|-row aggregate exploded to |types|·|days| rows, NOT a scan
+    fan-out; the LOCF window partitions by event_type. At 100 TB the
+    dense frame is bounded by types × calendar days, independent of
+    event count."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.col("event_type"), F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+    )
+    cal = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+        )
+    )
+    dense = cal.join(daily, ["event_type", "day"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce("sum_cents", F.lit(0)).cast("bigint").alias("sum_cents"),
+        F.last("sum_cents", ignorenulls=True)
+        .over(w)
+        .cast("bigint")
+        .alias("locf_cents"),
+        F.col("n_events").isNull().alias("is_filled"),
+    ).orderBy("event_type", "day")
+
+
+EVENTS_TIMESERIES_GAP_FILL_SQL = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    cal AS (
+        SELECT event_type,
+               CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+              FROM daily GROUP BY event_type)
+    ),
+    dense AS (
+        SELECT c.event_type, c.day, d.n_events, d.sum_cents
+        FROM cal c LEFT JOIN daily d
+          ON d.event_type = c.event_type AND d.day = c.day
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(sum_cents, 0) AS BIGINT) AS sum_cents,
+           CAST(LAST_VALUE(sum_cents IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS locf_cents,
+           n_events IS NULL AS is_filled
+    FROM dense
+    ORDER BY event_type, day
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "events_timeseries_gap_fill": (
+        events_timeseries_gap_fill,
+        EVENTS_TIMESERIES_GAP_FILL_SQL,
+    ),
     "events_daily_ma_residual": (
         events_daily_ma_residual,
         EVENTS_DAILY_MA_RESIDUAL_SQL,

@@ -2528,8 +2528,150 @@ def _kcenter_duck_sql() -> str:
 SAMPLE_CORESET_KCENTER_SQL = _kcenter_duck_sql()
 
 
+# ---------------------------------------------------------------------------
+# emb_jl_projection — Johnson–Lindenstrauss random projection + eval
+# ---------------------------------------------------------------------------
+
+JL_DIM = 16        # target dimensionality
+JL_PROBE_MOD = 31  # distortion eval over vec_id % 31 == 0 probes
+
+
+def emb_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss projection (Achlioptas ±1 variant): project
+    the {_KM_DIM}-dim embeddings to {JL_DIM} dims through a
+    deterministic md5-derived ±1 sign matrix, then measure pairwise
+    distance distortion over a modulus-selected probe set —
+    E[‖Pa−Pb‖²] = k·‖a−b‖², so ratio_ppm ≈ 1e6 when the projection is
+    healthy. The dimensionality-reduction preprocessing step in front
+    of clustering/ANN when raw dims are large.
+
+    EXACT-INTEGER: signs are ±1, so projected coordinates are exact
+    BIGINT micro sums; both distance sums are exact; only the final
+    ratio touches doubles (identical IEEE ops on identical integers in
+    both engines, explicit floor for the cast divergence).
+
+    Scale posture: the sign matrix is a generated {_KM_DIM}×{JL_DIM}
+    broadcast (never materialized per row); projection is one equi-join
+    + partial-aggregated groupBy over the shared km_pts barrier; the
+    distortion eval joins only the probe slice (|probes|² pairs,
+    modulus-bounded)."""
+    pts = _km_pts_barrier(spark, sf_dir)
+    signs = spark.sql(f"""
+        SELECT j, k,
+               CAST(1 - 2 * (CAST(conv(substring(md5(
+                       concat('jl_', CAST(j AS STRING), '_',
+                              CAST(k AS STRING))), 1, 4), 16, 10)
+                    AS BIGINT) % 2) AS BIGINT) AS s
+        FROM (SELECT explode(sequence(1, {_KM_DIM})) AS j)
+        LATERAL VIEW explode(sequence(1, {JL_DIM})) tk AS k
+    """)
+    proj = (
+        pts.join(F.broadcast(signs), "j")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.col("s") * F.col("v")).alias("p"))
+    )
+    probes_o = pts.filter(F.col("vec_id") % JL_PROBE_MOD == 0)
+    probes_p = proj.filter(F.col("vec_id") % JL_PROBE_MOD == 0)
+    a, b = probes_o.alias("a"), probes_o.alias("b")
+    orig = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("a_vec"), F.col("b.vec_id").alias("b_vec")
+        )
+        .agg(
+            F.sum(
+                (F.col("a.v") - F.col("b.v")) * (F.col("a.v") - F.col("b.v"))
+            ).alias("orig_d2")
+        )
+    )
+    pa, pb = probes_p.alias("pa"), probes_p.alias("pb")
+    prj = (
+        pa.join(
+            pb,
+            (F.col("pa.k") == F.col("pb.k"))
+            & (F.col("pa.vec_id") < F.col("pb.vec_id")),
+        )
+        .groupBy(
+            F.col("pa.vec_id").alias("a_vec"),
+            F.col("pb.vec_id").alias("b_vec"),
+        )
+        .agg(
+            F.sum(
+                (F.col("pa.p") - F.col("pb.p")) * (F.col("pa.p") - F.col("pb.p"))
+            ).alias("proj_d2")
+        )
+    )
+    return (
+        orig.join(prj, ["a_vec", "b_vec"])
+        .selectExpr(
+            "a_vec",
+            "b_vec",
+            "CAST(orig_d2 AS BIGINT) AS orig_d2",
+            "CAST(proj_d2 AS BIGINT) AS proj_d2",
+            f"""CASE WHEN orig_d2 = 0 THEN NULL
+                ELSE CAST(floor(CAST(proj_d2 AS DOUBLE) * 1e6
+                     / ({JL_DIM} * CAST(orig_d2 AS DOUBLE))) AS BIGINT)
+                END AS ratio_ppm""",
+        )
+        .orderBy("a_vec", "b_vec")
+    )
+
+
+EMB_JL_PROJECTION_SQL = f"""
+    WITH pts AS (
+        SELECT vec_id, j,
+               CAST(round(CAST(embedding[j] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS v
+        FROM (SELECT vec_id, embedding,
+                     unnest(range(1, {_KM_DIM + 1})) AS j
+              FROM embeddings)
+    ),
+    signs AS (
+        SELECT j, k,
+               CAST(1 - 2 * (CAST(('0x' || substr(md5(
+                        'jl_' || j || '_' || k), 1, 4)) AS BIGINT) % 2)
+                    AS BIGINT) AS s
+        FROM (SELECT unnest(range(1, {_KM_DIM + 1})) AS j),
+             (SELECT unnest(range(1, {JL_DIM + 1})) AS k)
+    ),
+    proj AS (
+        SELECT p.vec_id, s.k, CAST(SUM(s.s * p.v) AS BIGINT) AS p
+        FROM pts p JOIN signs s ON s.j = p.j
+        GROUP BY p.vec_id, s.k
+    ),
+    orig AS (
+        SELECT a.vec_id AS a_vec, b.vec_id AS b_vec,
+               CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS orig_d2
+        FROM pts a JOIN pts b
+          ON a.j = b.j AND a.vec_id < b.vec_id
+        WHERE a.vec_id % {JL_PROBE_MOD} = 0 AND b.vec_id % {JL_PROBE_MOD} = 0
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    prj AS (
+        SELECT a.vec_id AS a_vec, b.vec_id AS b_vec,
+               CAST(SUM((a.p - b.p) * (a.p - b.p)) AS BIGINT) AS proj_d2
+        FROM proj a JOIN proj b
+          ON a.k = b.k AND a.vec_id < b.vec_id
+        WHERE a.vec_id % {JL_PROBE_MOD} = 0 AND b.vec_id % {JL_PROBE_MOD} = 0
+        GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT o.a_vec, o.b_vec, o.orig_d2, p.proj_d2,
+           CASE WHEN o.orig_d2 = 0 THEN NULL
+                ELSE CAST(floor(CAST(p.proj_d2 AS DOUBLE) * 1e6
+                     / ({JL_DIM} * CAST(o.orig_d2 AS DOUBLE))) AS BIGINT)
+           END AS ratio_ppm
+    FROM orig o JOIN prj p ON p.a_vec = o.a_vec AND p.b_vec = o.b_vec
+    ORDER BY o.a_vec, o.b_vec
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_TOPK_SQL),
+    "emb_jl_projection": (emb_jl_projection, EMB_JL_PROJECTION_SQL),
     "sample_coreset_kcenter": (
         sample_coreset_kcenter,
         SAMPLE_CORESET_KCENTER_SQL,
