@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, Row, SparkSession
@@ -673,7 +674,82 @@ STREAM_TRANSFORM_WITH_STATE_SQL = """
 """
 
 
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained stateful operators in ONE streaming query (the
+    Spark-3.4+ multiple-stateful-operators capability): hourly tumbling
+    counts per event type cascaded into a daily rollup via
+    ``window(window_time(w), '1 day')`` — the continuous-aggregate
+    hierarchy (hypertable 1h → 1d) every metrics pipeline maintains,
+    here incrementally in a single query instead of two jobs.
+
+    Append-mode horizon semantics, mirrored EXACTLY by the oracle: a
+    daily window emits once the watermark passes its end — at drain
+    time the final (still-open) day has not been emitted yet; a
+    continuous deployment emits it on the next day's data. (Closing it
+    with far-future sentinel rows does NOT work for chained aggs: the
+    second operator's late-record filter is the watermark that the
+    sentinel just advanced, so the last day's hourly emissions arrive
+    "late" and are dropped — measured, not theorized. The horizon IS
+    the correct production contract.) The emitted prefix is
+    deterministic, so the memory-sink contents hash-match the oracle's
+    closed-day rollup."""
+    from mongo_to_clickhouse_spark.streaming.pipeline import EVENTS_SCHEMA
+
+    src, _work = stage_events_source(sf_dir, prefix="chw")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+    )
+    hourly = stream.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n_hourly"))
+    daily = hourly.groupBy(
+        F.window(F.window_time("w"), "1 day").alias("d"), "event_type"
+    ).agg(
+        F.sum("n_hourly").cast("bigint").alias("n_daily"),
+        F.count("*").cast("bigint").alias("n_hours"),
+    )
+    name = f"chw_{uuid.uuid4().hex[:8]}"
+    q = (
+        daily.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drained(q)
+    return spark.table(name).select(
+        F.date_format("d.start", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_daily",
+        "n_hours",
+    ).orderBy("day", "event_type")
+
+
+# the oracle rolls up only CLOSED days: the drain-time watermark is
+# max(ts) - 1 h, and a daily window emits when the watermark passes its
+# end — the final day is still open (see the operator docstring)
+STREAM_CHAINED_WINDOWS_SQL = """
+    WITH horizon AS (
+        SELECT MAX(ts) - INTERVAL 1 HOUR AS wm FROM events
+    )
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_daily,
+           CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_hours
+    FROM events, horizon
+    WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "stream_chained_windows": (
+        stream_chained_windows,
+        STREAM_CHAINED_WINDOWS_SQL,
+    ),
     "source_changestream": (source_changestream, None),
     "stream_stream_join": (stream_stream_join, None),
     "stream_stream_outer_join": (stream_stream_outer_join, None),
