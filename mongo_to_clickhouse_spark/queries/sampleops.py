@@ -59,6 +59,112 @@ def _hash60_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
 
 
+BOOT_B = 32  # Poisson-bootstrap resamples
+# Poisson(1) inverse-CDF thresholds in micro units: weight = number of
+# thresholds at or below the row's uniform draw (branch-free, 0..8)
+_POIS_CUM_MICRO = (
+    367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990,
+)
+
+
+def _bootstrap_body(events_rel: str, gen_b: str) -> str:
+    """Engine-shared Poisson bootstrap over the event values: each (row,
+    resample) pair draws a deterministic hash-uniform, maps it through
+    the Poisson(1) inverse CDF to a replication weight (the distributed
+    bootstrap — no global multinomial coordination, rows independent),
+    aggregates each resample's weighted mean in exact cents, and ranks
+    the {BOOT_B} means with a triangular self-join (32-row relation —
+    no global window). ``gen_b`` is the dialect-specific 1..B generator
+    applied per input row."""
+    w_terms = " + ".join(
+        f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in _POIS_CUM_MICRO
+    )
+    h = (
+        "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '_' ||"
+        " CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+        WITH pts AS (
+            SELECT event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM {events_rel} WHERE value IS NOT NULL
+        ),
+        draws AS (
+            SELECT cents, b, {h} % 1000000 AS u
+            FROM (SELECT event_id, cents, b FROM pts {gen_b}) expanded
+        ),
+        resamples AS (
+            SELECT b,
+                   CAST(SUM(({w_terms}) * cents) AS BIGINT) AS sum_cents,
+                   CAST(SUM({w_terms}) AS BIGINT) AS n_eff
+            FROM draws GROUP BY b
+        ),
+        means AS (
+            SELECT b,
+                   CAST(floor(sum_cents * 10000.0
+                              / CAST(n_eff AS DOUBLE)) AS BIGINT) AS m
+            FROM resamples
+        ),
+        ranked AS (
+            SELECT a.b, a.m,
+                   1 + CAST(COUNT(CASE WHEN o.m < a.m
+                                  OR (o.m = a.m AND o.b < a.b)
+                                  THEN 1 END) AS BIGINT) AS r
+            FROM means a CROSS JOIN means o
+            GROUP BY a.b, a.m
+        ),
+        point AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(floor(SUM(cents) * 10000.0
+                              / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+                       AS point_mean_micro
+            FROM pts
+        )
+        SELECT p.n_rows, p.point_mean_micro,
+               (SELECT m FROM ranked WHERE r = 2) AS boot_p05_micro,
+               (SELECT m FROM ranked WHERE r = {BOOT_B - 1})
+                   AS boot_p95_micro,
+               (SELECT m FROM ranked WHERE r = {BOOT_B - 1})
+               - (SELECT m FROM ranked WHERE r = 2) AS ci_width_micro
+        FROM point p
+    """
+
+
+def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean event value via the
+    POISSON bootstrap (Chamandy et al., the only bootstrap that
+    distributes: classic resampling needs a global multinomial draw per
+    resample, Poisson(1) weights make every row independent — one pass,
+    mergeable, reproducible from the hash seed). {BOOT_B} deterministic
+    resamples; CI from the 2nd/31st ranked means (~94% coverage).
+
+    Scale posture: the fan-out is a constant ×{BOOT_B} map (no shuffle
+    until the B-group aggregate, which partial-aggregates map-side to
+    {BOOT_B} groups); ranking is a {BOOT_B}²-pair self-join over a
+    {BOOT_B}-row relation. Exactness: weights and cent sums are exact
+    integers; the mean is an explicit floor of a <2^53 double
+    division."""
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("boot_events_src")
+    body = _bootstrap_body(
+        "boot_events_src",
+        f"LATERAL VIEW explode(sequence(1, {BOOT_B})) tb AS b",
+    )
+    # Spark's md5 arg + hex-parse spellings differ from DuckDB's
+    body = body.replace(
+        "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '_' ||"
+        " CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)",
+        "CAST(conv(substring(md5(concat(CAST(event_id AS STRING), '_',"
+        " CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT)",
+    )
+    return spark.sql(body)
+
+
+SAMPLE_BOOTSTRAP_CI_SQL = _bootstrap_body(
+    "events", f", unnest(range(1, {BOOT_B + 1})) AS tb(b)"
+)
+
+
 def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~10% Bernoulli sample of documents: keep rows whose
     md5(doc_id) bucket falls under SAMPLE_PCT. A pure filter — no shuffle,
@@ -627,6 +733,7 @@ QUERIES: dict[str, tuple] = {
         domain_budget_waterfill,
         DOMAIN_BUDGET_WATERFILL_SQL,
     ),
+    "sample_bootstrap_ci": (sample_bootstrap_ci, SAMPLE_BOOTSTRAP_CI_SQL),
     "sample_hash_bernoulli": (sample_hash_bernoulli, SAMPLE_HASH_BERNOULLI_SQL),
     "sample_stratified": (sample_stratified, SAMPLE_STRATIFIED_SQL),
     "domain_mix_sampler": (domain_mix_sampler, DOMAIN_MIX_SAMPLER_SQL),

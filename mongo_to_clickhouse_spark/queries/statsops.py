@@ -620,8 +620,104 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_WEIGHTED_PERCENTILE_SQL = _weighted_pct_body("events")
 
 
+# ---------------------------------------------------------------------------
+# events_markov_stationary — stationary distribution of the type chain
+# ---------------------------------------------------------------------------
+
+MARKOV_ROUNDS = 4
+_MK_INIT = 1_000_000  # initial probability mass per state, micro units
+
+
+def _markov_round_sql(pi_rel: str) -> str:
+    """π_{r+1}(t) = Σ_s π_r(s)·p(s→t), micro arithmetic with an explicit
+    per-term floor of the double division — both engines perform the
+    identical IEEE ops on identical integers, so the unrolled oracle is
+    bit-identical (DuckDB would ROUND a bare double→BIGINT cast)."""
+    return f"""
+        SELECT t.to_type AS event_type,
+               CAST(SUM(CAST(floor(p.pi * t.p_micro / 1000000.0) AS BIGINT))
+                    AS BIGINT) AS pi
+        FROM {pi_rel} p JOIN mk_trans t ON t.from_type = p.event_type
+        GROUP BY t.to_type
+    """
+
+
+_MK_TRANS_SQL = """
+    SELECT from_type, to_type,
+           CAST(floor(cnt * 1000000 / CAST(out_total AS DOUBLE)) AS BIGINT)
+               AS p_micro
+    FROM (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(COUNT(*)) OVER (PARTITION BY from_type) AS BIGINT)
+                   AS out_total
+        FROM (
+            SELECT event_type AS from_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type
+            FROM {EV}
+        ) seq
+        WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    ) counted
+"""
+
+
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain: power-
+    iterate π over the transition matrix events_path_transitions
+    derives — where user attention settles in the long run (the chain's
+    steady state, the quantity funnel analyses approximate). Fixed
+    ``MARKOV_ROUNDS`` exact-integer rounds from a uniform start; the
+    oracle unrolls the SAME rounds (pagerank recipe).
+
+    Scale posture: the per-user lead() is the one corpus-sized shuffle
+    (same as path_transitions); everything after runs on the
+    |types|²-row transition relation — driver-free, broadcast-sized.
+    Truncation loses ≤1 micro per (state, round): deterministic,
+    identical in both engines, and irrelevant to the ranking."""
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("mk_events_src")
+    spark.sql(
+        _MK_TRANS_SQL.replace("{EV}", "mk_events_src")
+    ).createOrReplaceTempView("mk_trans")
+    pi = (
+        f"(SELECT from_type AS event_type, CAST({_MK_INIT} AS BIGINT) AS pi"
+        f" FROM mk_trans GROUP BY from_type)"
+    )
+    for _ in range(MARKOV_ROUNDS):
+        pi = f"({_markov_round_sql(pi)})"
+    return spark.sql(f"""
+        SELECT event_type, pi AS pi_micro
+        FROM {pi} final
+        ORDER BY pi_micro DESC, event_type
+    """)
+
+
+def _markov_duck_sql() -> str:
+    parts = [
+        "mk_trans AS (" + _MK_TRANS_SQL.replace("{EV}", "events") + ")",
+        f"pi0 AS (SELECT from_type AS event_type,"
+        f" CAST({_MK_INIT} AS BIGINT) AS pi FROM mk_trans GROUP BY from_type)",
+    ]
+    for r in range(1, MARKOV_ROUNDS + 1):
+        parts.append(f"pi{r} AS ({_markov_round_sql(f'pi{r - 1}')})")
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT event_type, pi AS pi_micro
+        FROM pi{MARKOV_ROUNDS}
+        ORDER BY pi_micro DESC, event_type
+    """
+
+
+EVENTS_MARKOV_STATIONARY_SQL = _markov_duck_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "sample_ks_drift": (sample_ks_drift, SAMPLE_KS_DRIFT_SQL),
+    "events_markov_stationary": (
+        events_markov_stationary,
+        EVENTS_MARKOV_STATIONARY_SQL,
+    ),
     "agg_weighted_percentile": (
         agg_weighted_percentile,
         AGG_WEIGHTED_PERCENTILE_SQL,
