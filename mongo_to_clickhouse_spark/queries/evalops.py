@@ -182,7 +182,132 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_zipf_sql("spark"))
 
 
+# ---------------------------------------------------------------------------
+# eval_lsh_banding_curve — the (bands × rows) tuning sweep
+# ---------------------------------------------------------------------------
+
+BANDING_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))  # bands, rows/band
+
+
+def _param_band_sql(bands: int, rows: int, sigs_rel: str, cast_str: str) -> str:
+    parts = []
+    for b in range(bands):
+        cols = ", ".join(
+            f"CAST(mh{b * rows + i} AS {cast_str})" for i in range(rows)
+        )
+        parts.append(
+            f"SELECT doc_id, {b} AS band_idx,"
+            f" md5(concat_ws(',', {cols})) AS band_sig FROM {sigs_rel}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _banding_cfg_sql(
+    bands: int, rows: int, sigs_rel: str, exact_rel: str, cast_str: str
+) -> str:
+    """One sweep point: candidates from the (bands × rows) split of the
+    SAME signatures, LEFT-joined once against the exact ground truth so
+    candidate count and hit count come out of a single pass."""
+    return f"""
+        SELECT {bands} AS n_bands, {rows} AS rows_per_band,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(COUNT(e.a_id) AS BIGINT) AS n_common
+        FROM (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM ({_param_band_sql(bands, rows, sigs_rel, cast_str)}) a
+            JOIN ({_param_band_sql(bands, rows, sigs_rel, cast_str)}) b
+              ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+        ) c
+        LEFT JOIN {exact_rel} e ON e.a_id = c.a_id AND e.b_id = c.b_id
+    """
+
+
+def _banding_final_sql(cfg_union: str, exact_rel: str) -> str:
+    return f"""
+        WITH sweep AS ({cfg_union}),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ne FROM {exact_rel})
+        SELECT n_bands, rows_per_band, n_candidates, n_common,
+               ne AS n_exact_pairs,
+               CAST(CASE WHEN n_candidates > 0 THEN floor(
+                        n_common * 1000000.0 / n_candidates)
+                    ELSE 0 END AS BIGINT) AS precision_ppm,
+               CAST(CASE WHEN ne > 0 THEN floor(n_common * 1000000.0 / ne)
+                    ELSE 0 END AS BIGINT) AS recall_ppm
+        FROM sweep CROSS JOIN tot
+        ORDER BY n_bands DESC
+    """
+
+
+def eval_lsh_banding_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banding-parameter TUNING CURVE: re-band the one set of MinHash
+    signatures at {BANDING_CONFIGS} and report candidate volume,
+    precision and recall (exact ppm) against the exact-Jaccard ground
+    truth for every setting in one relation — the S-curve trade
+    (more/narrower bands → recall↑ candidates↑) measured instead of
+    eyeballed. This is the report that justifies the production
+    (bands, rows) choice; eval_lsh_recall ships the chosen point.
+
+    Scale posture: signatures are computed ONCE behind the session
+    barrier and re-banded (a width-{{16}} projection per config); each
+    config is one equi-join on (band_idx, band_sig) — never all-pairs —
+    and one LEFT join against the (small) ground-truth pair set, so the
+    sweep costs ≈ 4× the single-point report, not 4× the corpus."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+    from mongo_to_clickhouse_spark.queries.dedupops import (
+        _minhash_full_sql,
+        _shingled_view,
+        dedup_ngram_jaccard,
+    )
+
+    shingled = _shingled_view(spark, sf_dir)
+    cached_barrier_view(
+        spark, sf_dir, "lsh_sigs_mat",
+        lambda: spark.sql(
+            _minhash_full_sql("spark", "sigs", shingled_from=shingled)
+        ),
+    )
+    cached_barrier_view(
+        spark, sf_dir, "eval_exact_pairs",
+        lambda: dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id"),
+    )
+    union = " UNION ALL ".join(
+        _banding_cfg_sql(b, r, "lsh_sigs_mat", "eval_exact_pairs", "STRING")
+        for b, r in BANDING_CONFIGS
+    )
+    return spark.sql(_banding_final_sql(union, "eval_exact_pairs"))
+
+
+def _banding_curve_oracle() -> str:
+    from mongo_to_clickhouse_spark.queries.dedupops import (
+        DEDUP_NGRAM_JACCARD_SQL,
+        _minhash_full_sql,
+    )
+
+    sigs = _minhash_full_sql("duck", "sigs")
+    union = " UNION ALL ".join(
+        _banding_cfg_sql(b, r, "sigs_mat", "exact", "VARCHAR")
+        for b, r in BANDING_CONFIGS
+    )
+    final = _banding_final_sql(union, "exact")
+    # hoist the shared relations in front of the sweep's WITH
+    return (
+        f"WITH sigs_mat AS ({sigs}), "
+        f"exact AS (SELECT a_id, b_id FROM ({DEDUP_NGRAM_JACCARD_SQL})), "
+        + final.strip()[len("WITH"):]
+    )
+
+
+EVAL_LSH_BANDING_CURVE_SQL = _banding_curve_oracle()
+
+
 QUERIES: dict[str, tuple] = {
+    "eval_lsh_banding_curve": (
+        eval_lsh_banding_curve,
+        EVAL_LSH_BANDING_CURVE_SQL,
+    ),
     "eval_langid_confusion": (eval_langid_confusion, _langid_confusion_oracle()),
     "eval_lsh_recall": (eval_lsh_recall, _lsh_recall_oracle()),
     "corpus_zipf_slope": (corpus_zipf_slope, _zipf_sql("duck")),

@@ -1019,7 +1019,105 @@ JOIN_RUNTIME_BLOOM_FILTER_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# join_spatial_grid — grid-bucketed spatial distance join
+# ---------------------------------------------------------------------------
+
+SPATIAL_RADIUS = 150   # match radius, integer coordinate units
+_SPATIAL_TOPK = 50
+_GRID_SPAN = 10_000    # coordinate domain [0, span)
+
+
+def _spatial_pts_spark(rel: str, key: str) -> str:
+    h = ("CAST(conv(substring(md5(concat('{ax}', CAST(" + key
+         + " AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+    return f"""
+        SELECT {key} AS k,
+               {h.format(ax="x")} % {_GRID_SPAN} AS x,
+               {h.format(ax="y")} % {_GRID_SPAN} AS y
+        FROM {rel}
+    """
+
+
+def _spatial_pts_duck(rel: str, key: str) -> str:
+    h = ("CAST(('0x' || substr(md5('{ax}' || CAST(" + key
+         + " AS VARCHAR)), 1, 15)) AS BIGINT)")
+    return f"""
+        SELECT {key} AS k,
+               {h.format(ax="x")} % {_GRID_SPAN} AS x,
+               {h.format(ax="y")} % {_GRID_SPAN} AS y
+        FROM {rel}
+    """
+
+
+def _spatial_body(intdiv: str, gen_dx: str, gen_dy: str) -> str:
+    r = SPATIAL_RADIUS
+    return f"""
+    probes AS (
+        SELECT k AS a_key, x AS ax, y AS ay,
+               (x {intdiv} {r} + dx) AS cx,
+               (y {intdiv} {r} + dy) AS cy
+        FROM cust_pts, (SELECT {gen_dx}) dxs, (SELECT {gen_dy}) dys
+    ),
+    cells AS (
+        SELECT k AS b_key, x AS bx, y AS by,
+               x {intdiv} {r} AS cx, y {intdiv} {r} AS cy
+        FROM supp_pts
+    ),
+    pairs AS (
+        SELECT p.a_key, c.b_key,
+               CAST((p.ax - c.bx) * (p.ax - c.bx)
+                    + (p.ay - c.by) * (p.ay - c.by) AS BIGINT) AS d2
+        FROM probes p JOIN cells c ON c.cx = p.cx AND c.cy = p.cy
+        WHERE (p.ax - c.bx) * (p.ax - c.bx)
+              + (p.ay - c.by) * (p.ay - c.by)
+              <= {r * r}
+    )
+    SELECT a_key, b_key, d2
+    FROM pairs
+    ORDER BY d2, a_key, b_key
+    LIMIT {_SPATIAL_TOPK}
+"""
+
+
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial distance join (radius {SPATIAL_RADIUS}) between the
+    customer and supplier point sets via GRID BUCKETING — the standard
+    distributed spatial-join decomposition (the GeoSpark/Sedona shape):
+    cell side = radius, each left point probes its 3×3 cell
+    neighborhood, candidates meet in an EQUI-join on the cell key, the
+    exact integer circle test filters — never an all-pairs theta join.
+    Coordinates are md5-synthesized integers (the fixture has no geo
+    columns — same synthesis discipline as the URL/op-log operators).
+
+    Scale posture: the probe fan-out is a constant ×9; the join is
+    hash-partitioned on uniform md5-derived cells; candidate volume
+    scales with local density (points per cell), exactly the knob the
+    radius/cell ratio tunes. All-integer arithmetic end to end."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sp_cust")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("sp_supp")
+    return spark.sql(
+        "WITH cust_pts AS (" + _spatial_pts_spark("sp_cust", "c_custkey")
+        + "), supp_pts AS (" + _spatial_pts_spark("sp_supp", "s_suppkey")
+        + "), " + _spatial_body(
+            "DIV",
+            "explode(array(-1, 0, 1)) AS dx",
+            "explode(array(-1, 0, 1)) AS dy",
+        )
+    )
+
+
+JOIN_SPATIAL_GRID_SQL = (
+    "WITH cust_pts AS (" + _spatial_pts_duck("customer", "c_custkey")
+    + "), supp_pts AS (" + _spatial_pts_duck("supplier", "s_suppkey")
+    + "), " + _spatial_body(
+        "//", "unnest([-1, 0, 1]) AS dx", "unnest([-1, 0, 1]) AS dy"
+    )
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "join_spatial_grid": (join_spatial_grid, JOIN_SPATIAL_GRID_SQL),
     "join_asof": (join_asof, JOIN_ASOF_SQL),
     "join_asof_tolerance": (join_asof_tolerance, JOIN_ASOF_TOLERANCE_SQL),
     "join_asof_forward": (join_asof_forward, JOIN_ASOF_FORWARD_SQL),
