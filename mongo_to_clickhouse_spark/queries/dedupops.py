@@ -1232,7 +1232,126 @@ DEDUP_SUBSTRING_SPANS_SQL = _substring_spans_body(
 )
 
 
+# ---------------------------------------------------------------------------
+# pipeline_dedup_cascade — tiered dedup attribution (which tier removes what)
+# ---------------------------------------------------------------------------
+
+
+def _cascade_body(sha_expr: str, labels_rel: str) -> str:
+    """Engine-shared sequential cascade: tier 1 exact-content, tier 2
+    canonical-URL among tier-1 survivors, tier 3 near-dup component
+    among tier-2 survivors — each doc attributed to the FIRST tier that
+    removes it (min-doc_id keeps at every tier). The which-tier-does-
+    the-work report a dedup pipeline reviews before paying for the next,
+    more expensive tier (the cheap tiers should eat most duplicates)."""
+    canonical = """
+        regexp_replace(
+            regexp_replace(
+                lower(regexp_extract(no_junk, '^([^/]*//[^/]*)', 1))
+                    || regexp_replace(no_junk, '^[^/]*//[^/]*', ''),
+                '://www\\.', '://'),
+            '/+$', '')
+    """
+    raw_url = """
+        (CASE WHEN doc_id % 2 = 1
+              THEN 'HTTPS://WWW.' || upper(source) || '.Example.COM'
+              ELSE 'https://' || source || '.example.com' END)
+        || '/articles/' || CAST(doc_id % 100 AS VARCHAR)
+        || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=x' ELSE '' END)
+        || (CASE WHEN doc_id % 7 = 0 THEN '#section2' ELSE '' END)
+    """
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {sha_expr} AS h,
+                   {canonical} AS canonical_url
+            FROM (SELECT doc_id, text, source,
+                         split_part(split_part({raw_url}, '#', 1), '?', 1)
+                             AS no_junk
+                  FROM documents)
+        ),
+        m1 AS (
+            SELECT doc_id, canonical_url,
+                   MIN(doc_id) OVER (PARTITION BY h) AS k1
+            FROM base
+        ),
+        s1 AS (SELECT doc_id, canonical_url FROM m1 WHERE doc_id = k1),
+        m2 AS (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY canonical_url) AS k2
+            FROM s1
+        ),
+        s2 AS (SELECT doc_id FROM m2 WHERE doc_id = k2),
+        m3 AS (
+            SELECT s2.doc_id,
+                   MIN(s2.doc_id) OVER (
+                       PARTITION BY COALESCE(l.component_id, s2.doc_id))
+                       AS k3
+            FROM s2 LEFT JOIN {labels_rel} l ON l.node_id = s2.doc_id
+        ),
+        s3 AS (SELECT doc_id FROM m3 WHERE doc_id = k3),
+        counts AS (
+            SELECT CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n0,
+                   CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n1,
+                   CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n2,
+                   CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n3
+        )
+        SELECT 0 AS tier, 'input' AS tier_name,
+               CAST(0 AS BIGINT) AS n_removed, n0 AS n_remaining FROM counts
+        UNION ALL
+        SELECT 1, 'exact_content', n0 - n1, n1 FROM counts
+        UNION ALL
+        SELECT 2, 'canonical_url', n1 - n2, n2 FROM counts
+        UNION ALL
+        SELECT 3, 'near_dup_component', n2 - n3, n3 FROM counts
+        ORDER BY tier
+    """
+
+
+def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _cascade_body. Scale posture: tier 1-2 are hash-partitioned
+    windows over bounded groups (content hash / canonical URL); tier 3
+    reuses the memoized CC labels (the LSH + hash-min iteration runs
+    once per session); the accounting is four scalar counts over the
+    survivor chain — Spark shares the chain's scan via the WITH, and
+    every tier's shuffle key is uniform. This is the production
+    cheapest-tier-first dedup ordering with its audit trail."""
+    _register_docs(spark, sf_dir)
+    _cc_labels(spark, sf_dir).createOrReplaceTempView("cascade_cc_labels")
+    return spark.sql(_cascade_body("sha2(text, 256)", "cascade_cc_labels"))
+
+
+def _cascade_oracle() -> str:
+    labels = f"""
+        WITH RECURSIVE
+        edges AS (SELECT a_id, b_id FROM ({DEDUP_MINHASH_LSH_PAIRS_SQL})),
+        sym AS (
+            SELECT a_id AS u, b_id AS v FROM edges
+            UNION
+            SELECT b_id AS u, a_id AS v FROM edges
+        ),
+        reach(node_id, lbl) AS (
+            SELECT u, u FROM sym
+            UNION
+            SELECT s.u, r.lbl FROM sym s JOIN reach r ON s.v = r.node_id
+        )
+        SELECT node_id, MIN(lbl) AS component_id FROM reach GROUP BY node_id
+    """
+    body = _cascade_body("sha256(text)", "cc_labels")
+    return (
+        f"WITH cc_labels AS ({labels}), "
+        + body.strip()[len("WITH"):]
+    )
+
+
+PIPELINE_DEDUP_CASCADE_SQL = _cascade_oracle()
+
+
 QUERIES: dict[str, tuple] = {
+    "pipeline_dedup_cascade": (
+        pipeline_dedup_cascade,
+        PIPELINE_DEDUP_CASCADE_SQL,
+    ),
     "dedup_cluster_components": (dedup_cluster_components, DEDUP_CLUSTER_COMPONENTS_SQL),
     "dedup_minhash_approx": (dedup_minhash_approx, DEDUP_MINHASH_APPROX_SQL),
     "dedup_minhash_lsh_pairs": (dedup_minhash_lsh_pairs, DEDUP_MINHASH_LSH_PAIRS_SQL),
