@@ -1256,7 +1256,7 @@ def _cascade_body(sha_expr: str, labels_rel: str) -> str:
         (CASE WHEN doc_id % 2 = 1
               THEN 'HTTPS://WWW.' || upper(source) || '.Example.COM'
               ELSE 'https://' || source || '.example.com' END)
-        || '/articles/' || CAST(doc_id % 100 AS VARCHAR)
+        || '/articles/' || CAST(doc_id % 100 AS STRING)
         || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
         || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=x' ELSE '' END)
         || (CASE WHEN doc_id % 7 = 0 THEN '#section2' ELSE '' END)

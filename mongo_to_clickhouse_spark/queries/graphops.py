@@ -505,9 +505,128 @@ def _bfs_duck_sql() -> str:
 GRAPH_BFS_DEPTH_SQL = _bfs_duck_sql()
 
 
+KCORE_K = 4        # the core degree threshold being peeled against
+KCORE_ROUNDS = 4   # fixed peeling rounds (degree ≤ TRIANGLE_KNN_K ⇒ fast
+#                    convergence; unpeeled-after-R nodes report as core)
+
+
+def _kcore_round_sql(alive_rel: str, adj_rel: str) -> str:
+    """One peeling round: keep exactly the nodes with ≥ {KCORE_K}
+    neighbors still alive — the Matula–Beck k-core iteration step,
+    synchronous so both engines replay it bit-identically."""
+    return f"""
+        SELECT e.a AS node_id
+        FROM {adj_rel} e
+        JOIN {alive_rel} x ON x.node_id = e.a
+        JOIN {alive_rel} y ON y.node_id = e.b
+        GROUP BY e.a
+        HAVING COUNT(*) >= {KCORE_K}
+    """
+
+
+def graph_kcore_onion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onion decomposition of the supplier co-purchase graph: peel
+    nodes of degree < {KCORE_K} for {KCORE_ROUNDS} synchronous rounds;
+    a node's LAYER is the round it was peeled in (1-based), survivors
+    form the {KCORE_K}-core (layer -1). The layer histogram is the
+    "onion spectrum" — the graph-robustness profile a curation stage
+    uses to find tightly-coupled duplicate farms vs peripheral docs
+    (k-core is also the standard seed filter before community
+    detection).
+
+    Scale posture: rides the SAME degree-bounded mutual-kNN adjacency
+    barrier as triangles/LPA/BFS (built once per session); each round
+    is two equi-joins of the alive set against the adjacency + one
+    partial-aggregated HAVING — all keyed by node id (uniform). The
+    alive relation is referenced twice per round (both join sides) and
+    by the final layer count, so every round lands on a reliable
+    checkpoint barrier (the kmeans/pagerank discipline). Layer = how
+    many alive sets contain the node — a union of {KCORE_ROUNDS}+1
+    checkpointed leaf scans, no recomputation."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        barrier,
+        cached_barrier_view,
+    )
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    adj = cached_barrier_view(
+        spark,
+        sf_dir,
+        "tri_adj",
+        lambda: spark.sql(_triangle_adj_sql(
+            "(SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)"
+        )),
+        tables=("lineitem",),
+    )
+    alive = spark.sql(f"SELECT DISTINCT a AS node_id FROM {adj}")
+    names = []
+    for r in range(KCORE_ROUNDS + 1):
+        alive = barrier(alive)
+        name = f"kcore_a{r}"
+        alive.createOrReplaceTempView(name)
+        names.append(name)
+        if r < KCORE_ROUNDS:
+            alive = spark.sql(_kcore_round_sql(name, adj))
+    union = " UNION ALL ".join(f"SELECT node_id FROM {n}" for n in names)
+    return spark.sql(f"""
+        SELECT layer,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               MIN(node_id) AS min_node,
+               MAX(node_id) AS max_node
+        FROM (
+            SELECT node_id,
+                   CASE WHEN COUNT(*) = {KCORE_ROUNDS + 1}
+                        THEN CAST(-1 AS INTEGER)
+                        ELSE CAST(COUNT(*) AS INTEGER) END AS layer
+            FROM ({union}) tagged
+            GROUP BY node_id
+        ) layered
+        GROUP BY layer
+        ORDER BY layer
+    """)
+
+
+def _kcore_duck_sql() -> str:
+    adj_body = _triangle_adj_sql(
+        "(SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)"
+    )
+    parts = [
+        f"tri_adj AS ({adj_body})",
+        "a0 AS (SELECT DISTINCT a AS node_id FROM tri_adj)",
+    ]
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f"a{r} AS ({_kcore_round_sql(f'a{r - 1}', 'tri_adj')})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT node_id FROM a{r}" for r in range(KCORE_ROUNDS + 1)
+    )
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT layer,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               MIN(node_id) AS min_node,
+               MAX(node_id) AS max_node
+        FROM (
+            SELECT node_id,
+                   CASE WHEN COUNT(*) = {KCORE_ROUNDS + 1}
+                        THEN CAST(-1 AS INTEGER)
+                        ELSE CAST(COUNT(*) AS INTEGER) END AS layer
+            FROM ({union}) tagged
+            GROUP BY node_id
+        ) layered
+        GROUP BY layer
+        ORDER BY layer
+    """
+
+
+GRAPH_KCORE_ONION_SQL = _kcore_duck_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
     "graph_bfs_depth": (graph_bfs_depth, GRAPH_BFS_DEPTH_SQL),
+    "graph_kcore_onion": (graph_kcore_onion, GRAPH_KCORE_ONION_SQL),
     "graph_jaccard_similarity": (
         graph_jaccard_similarity,
         GRAPH_JACCARD_SIMILARITY_SQL,

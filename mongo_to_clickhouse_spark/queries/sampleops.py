@@ -679,6 +679,126 @@ def domain_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOMAIN_BUDGET_WATERFILL_SQL = _waterfill_sql("duck")
 
 
+NEYMAN_BUDGET_PCT = 10   # total sample = 10% of the order population
+
+
+def _neyman_sql(engine: str) -> str:
+    """Neyman-optimal stratified allocation + the draw itself.
+
+    n_h ∝ N_h·S_h (the variance-minimizing allocation for a fixed total
+    sample size — Neyman 1934), with the fractional allocation resolved
+    to integers by the LARGEST-REMAINDER method so Σn_h equals the
+    budget exactly.
+
+    Exactness: values are floored to hecto-dollars so the per-stratum
+    power sums stay exact BIGINTs far below 2^63 (n·Σx² ≤ ~6e17 at
+    sf1); S_h touches doubles only at the |strata|-row level (one
+    correctly-rounded sqrt, immediately rounded to micro); the
+    allocation arithmetic is exact integer cross-multiplication (all
+    operands non-negative, so Spark's trunc-DIV and DuckDB's floor-//
+    agree). The draw is the house md5-rank: deterministic on any
+    cluster size, identically computable by DuckDB."""
+    intdiv = "DIV" if engine == "spark" else "//"
+    h = (
+        "CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))"
+        " AS BIGINT)"
+        if engine != "spark"
+        else "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 15),"
+        " 16, 10) AS BIGINT)"
+    )
+    return f"""
+        WITH vals AS (
+            SELECT o_orderpriority AS stratum, o_orderkey,
+                   CAST(floor(o_totalprice / 100.0) AS BIGINT) AS x
+            FROM orders
+        ),
+        strat AS (
+            SELECT stratum,
+                   CAST(COUNT(*) AS BIGINT) AS big_n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(x * x) AS BIGINT) AS sx2
+            FROM vals GROUP BY stratum
+        ),
+        sized AS (
+            SELECT stratum, big_n,
+                   CAST(round(sqrt((big_n * sx2 - sx * sx)
+                              / CAST(big_n * (big_n - 1) AS DOUBLE)) * 1e6)
+                        AS BIGINT) AS s_micro
+            FROM strat
+        ),
+        budget AS (
+            SELECT (SUM(big_n) * {NEYMAN_BUDGET_PCT}) {intdiv} 100
+                       AS n_total
+            FROM sized
+        ),
+        weighted AS (
+            SELECT stratum, big_n, s_micro,
+                   big_n * s_micro AS w,
+                   SUM(big_n * s_micro) OVER () AS tw
+            FROM sized
+        ),
+        base AS (
+            SELECT stratum, big_n, s_micro, w, tw, n_total,
+                   (n_total * w) {intdiv} tw AS n_base,
+                   (n_total * w) % tw AS rem
+            FROM weighted CROSS JOIN budget
+        ),
+        alloc AS (
+            SELECT stratum, big_n, s_micro,
+                   LEAST(big_n,
+                         n_base + CASE WHEN ROW_NUMBER() OVER (
+                                 ORDER BY rem DESC, stratum)
+                             <= n_total - SUM(n_base) OVER ()
+                             THEN 1 ELSE 0 END) AS n_alloc
+            FROM base
+        ),
+        ranked AS (
+            SELECT v.stratum, v.x,
+                   ROW_NUMBER() OVER (PARTITION BY v.stratum
+                                      ORDER BY {h}, v.o_orderkey) AS r
+            FROM vals v
+        ),
+        drawn AS (
+            SELECT r.stratum,
+                   CAST(COUNT(*) AS BIGINT) AS n_drawn,
+                   CAST(SUM(r.x) AS BIGINT) AS sum_drawn
+            FROM ranked r JOIN alloc a ON a.stratum = r.stratum
+            WHERE r.r <= a.n_alloc
+            GROUP BY r.stratum
+        )
+        SELECT a.stratum, a.big_n AS stratum_size, a.s_micro,
+               CAST(a.n_alloc AS BIGINT) AS n_alloc, d.n_drawn,
+               CAST(floor(d.sum_drawn * 1000000.0
+                          / CAST(d.n_drawn AS DOUBLE)) AS BIGINT)
+                   AS mean_drawn_hecto_micro
+        FROM alloc a JOIN drawn d ON d.stratum = a.stratum
+        ORDER BY a.stratum
+    """
+
+
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling over orders (strata =
+    o_orderpriority, measurement = order value): allocate a
+    {NEYMAN_BUDGET_PCT}% total budget across strata proportional to
+    N_h·S_h — the allocation that minimizes the estimator variance for
+    a fixed sample size — then DRAW the sample deterministically by
+    md5-rank within each stratum. The survey-sampling companion to
+    ``sample_stratified`` (fixed rates) and ``sample_weighted_pps``
+    (size-proportional inclusion).
+
+    Scale posture: one scan → |strata| rows; all allocation math is
+    window arithmetic over that tiny relation; the draw is one
+    per-stratum rank window (partitions bounded by stratum sizes — for
+    heavy strata the rank could ride ``distributed_global_rank``, not
+    needed at priority-cardinality strata) + a broadcast join against
+    the 5-row allocation."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_neyman_sql("spark"))
+
+
+SAMPLE_NEYMAN_ALLOCATION_SQL = _neyman_sql("duck")
+
+
 SKEW_TOPK = 10
 
 
@@ -728,6 +848,10 @@ PROFILE_SKEW_REPORT_SQL = _skew_sql("duck")
 
 
 QUERIES: dict[str, tuple] = {
+    "sample_neyman_allocation": (
+        sample_neyman_allocation,
+        SAMPLE_NEYMAN_ALLOCATION_SQL,
+    ),
     "profile_skew_report": (profile_skew_report, PROFILE_SKEW_REPORT_SQL),
     "domain_budget_waterfill": (
         domain_budget_waterfill,

@@ -712,8 +712,119 @@ def _markov_duck_sql() -> str:
 EVENTS_MARKOV_STATIONARY_SQL = _markov_duck_sql()
 
 
+# ---------------------------------------------------------------------------
+# sample_psi_drift — Population Stability Index distribution monitor
+# ---------------------------------------------------------------------------
+
+PSI_BIN_INV = 10        # same 0.1-wide value grid as the KS test
+PSI_TOP_BINS = 5        # per-bin contribution rows reported next to the total
+_PSI_WARN_MICRO = 100_000   # PSI > 0.1  — "monitor" threshold (industry rule)
+_PSI_ALERT_MICRO = 200_000  # PSI > 0.25 is the classic alert; 0.2 used here
+
+
+def _psi_body(events_rel: str) -> str:
+    """Engine-shared Population Stability Index between the A/B halves
+    of the event stream (split by event_id parity — the same
+    deterministic split the KS test uses, so the two monitors are
+    directly comparable on identical cohorts).
+
+    PSI = Σ_bins (p_i - q_i) · ln(p_i / q_i), with Laplace +1 smoothing
+    at the bin level so empty bins contribute finitely (the standard
+    production guard — without it a single unseen bin is ±∞).
+
+    Exactness contract (the house micro-nats discipline, see
+    corpusops DSIR): counts are exact integers; p/q proportions are
+    exact floors to ppm; ln() is evaluated ONCE per bin on an IEEE
+    double ratio of exact integers below 2^53 (correctly-rounded libm
+    in both engines) and immediately rounded to integer micro-nats, so
+    the final sum is pure BIGINT arithmetic — bit-identical across
+    engines and cluster sizes."""
+    return f"""
+        WITH pts AS (
+            SELECT CAST(floor(value * {PSI_BIN_INV}) AS BIGINT) AS bin,
+                   CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS a
+            FROM {events_rel} WHERE value IS NOT NULL
+        ),
+        binned AS (
+            SELECT bin,
+                   CAST(SUM(a) AS BIGINT) AS ca_i,
+                   CAST(SUM(1 - a) AS BIGINT) AS cb_i
+            FROM pts GROUP BY bin
+        ),
+        totals AS (
+            SELECT CAST(SUM(ca_i) AS BIGINT) AS na,
+                   CAST(SUM(cb_i) AS BIGINT) AS nb,
+                   CAST(COUNT(*) AS BIGINT) AS nbins
+            FROM binned
+        ),
+        contrib AS (
+            SELECT bin,
+                   CAST(floor((ca_i + 1) * 1000000.0
+                              / CAST(na + nbins AS DOUBLE)) AS BIGINT)
+                       AS p_ppm,
+                   CAST(floor((cb_i + 1) * 1000000.0
+                              / CAST(nb + nbins AS DOUBLE)) AS BIGINT)
+                       AS q_ppm,
+                   CAST(round(ln(((ca_i + 1) * (nb + nbins))
+                                 / CAST((cb_i + 1) * (na + nbins)
+                                        AS DOUBLE)) * 1e6) AS BIGINT)
+                       AS ln_micro
+            FROM binned CROSS JOIN totals
+        ),
+        per_bin AS (
+            SELECT bin,
+                   (p_ppm - q_ppm) * ln_micro AS raw
+            FROM contrib
+        ),
+        total AS (
+            SELECT CAST(-999 AS BIGINT) AS bin,
+                   CAST(floor(SUM(raw) / 1000000.0) AS BIGINT) AS psi_micro,
+                   na, nb
+            FROM per_bin CROSS JOIN totals
+            GROUP BY na, nb
+        )
+        SELECT bin, psi_micro,
+               psi_micro > {_PSI_WARN_MICRO} AS warn,
+               psi_micro > {_PSI_ALERT_MICRO} AS alert,
+               na AS n_a, nb AS n_b
+        FROM total
+        UNION ALL
+        SELECT bin, psi_micro, NULL AS warn, NULL AS alert,
+               NULL AS n_a, NULL AS n_b
+        FROM (
+            SELECT bin,
+                   CAST(floor(raw / 1000000.0) AS BIGINT) AS psi_micro
+            FROM per_bin
+            ORDER BY ABS(raw) DESC, bin
+            LIMIT {PSI_TOP_BINS}
+        ) top_bins
+        ORDER BY bin
+    """
+
+
+def sample_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the A/B halves of the event
+    stream — the model-monitoring twin of ``sample_ks_drift`` (PSI is
+    the industry's feature-drift scalar; KS is the distribution test).
+    Emits the total (bin = -999 sentinel, with warn/alert flags at
+    0.1 / 0.2) plus the top-{PSI_TOP_BINS} contributing bins, so an
+    alert is immediately attributable to the value range that moved.
+
+    Scale posture: one scan + one bounded-key bin groupBy; everything
+    after the bin aggregate runs on a ≤ range·{PSI_BIN_INV}-row
+    relation (two 1-row broadcast joins, a top-k). The split is
+    hash-style deterministic — reproducible on any cluster size."""
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("psi_events_src")
+    return spark.sql(_psi_body("psi_events_src"))
+
+
+SAMPLE_PSI_DRIFT_SQL = _psi_body("events")
+
+
 QUERIES: dict[str, tuple] = {
     "sample_ks_drift": (sample_ks_drift, SAMPLE_KS_DRIFT_SQL),
+    "sample_psi_drift": (sample_psi_drift, SAMPLE_PSI_DRIFT_SQL),
     "events_markov_stationary": (
         events_markov_stationary,
         EVENTS_MARKOV_STATIONARY_SQL,

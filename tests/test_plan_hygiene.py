@@ -57,6 +57,11 @@ _BOUNDED_WINDOW_WHITELIST = {
     # ECDF windows run over the quantized BIN aggregate: ≤ value-range ×
     # KS_BIN_INV rows (metric range, not corpus size)
     "sample_ks_drift",
+    # allocation windows (total weight / largest-remainder rank) run over
+    # the per-stratum AGGREGATE: |o_orderpriority| = 5 rows; the only
+    # corpus-sized window is the per-stratum draw rank, which IS
+    # partitioned (by stratum)
+    "sample_neyman_allocation",
 }
 
 
