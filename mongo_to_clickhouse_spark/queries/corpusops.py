@@ -889,7 +889,114 @@ CORPUS_PERPLEXITY_BUCKETS_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# text_collocations_pmi — top bigram collocations by pointwise mutual info
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5    # classic collocation floor: rare pairs have unstable PMI
+PMI_TOPK = 20
+
+
+def _pmi_sql(engine: str) -> str:
+    """Top-{PMI_TOPK} bigram collocations by PMI (Church & Hanks 1990):
+
+        PMI(w1, w2) = ln( p(w1 w2) / (p(w1 ·) · p(· w2)) )
+
+    with the marginals taken positionally from the bigram relation
+    itself (p(w1 ·) = c1/N, p(· w2) = c2/N, p = c12/N), so everything
+    derives from ONE bigram-type aggregate: c1/c2 from w1-/w2-
+    partitioned windows, N from a 1-row total broadcast-joined back
+    (never an empty-frame window — the type relation is vocab²-bounded,
+    which is NOT small enough to serialize through one task at 100 TB).
+    The collocation floor c12 ≥ {PMI_MIN_COUNT} is applied AFTER the
+    marginals (the textbook order — filtering first would bias them).
+
+    Exactness: counts exact BIGINTs; the PMI argument is evaluated as
+    (c12/c1)·(N/c2) in doubles — two exact-integer divisions and one
+    product, a fixed expression both engines evaluate identically on
+    identical inputs (avoids the c12·N BIGINT overflow at trillion-
+    token corpora) — then ln once, rounded to integer micro-nats."""
+    if engine == "spark":
+        tok = "element_at(toks, CAST(i AS INT))"
+        tok2 = "element_at(toks, CAST(i AS INT) + 1)"
+        gen = ("LATERAL VIEW explode(CASE WHEN size(toks) >= 2 THEN "
+               "sequence(1, size(toks) - 1) ELSE array() END) AS i")
+        from_docs = "docs_toks"
+    else:
+        tok = "toks[i]"
+        tok2 = "toks[i + 1]"
+        gen = (", unnest(CASE WHEN len(toks) >= 2 THEN "
+               "range(1, len(toks)) ELSE [] END) AS t(i)")
+        from_docs = ("(SELECT doc_id, string_split(text, ' ') AS toks"
+                     " FROM documents)")
+    types_body = f"""
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM (SELECT {tok} AS w1, {tok2} AS w2
+              FROM {from_docs} {gen}) bg
+        GROUP BY w1, w2
+    """
+    if engine == "spark":
+        # the type relation arrives pre-materialized as the pmi_types
+        # view (barrier) — referenced twice below as cheap leaf scans
+        return _pmi_score_sql("pmi_types")
+    return f"WITH pmi_types AS ({types_body}) " + _pmi_score_sql("pmi_types")
+
+
+def _pmi_score_sql(types_rel: str) -> str:
+    return f"""
+        SELECT w1, w2, c12 AS pair_count,
+               CAST(round(ln((c12 / CAST(c1 AS DOUBLE))
+                             * (n / CAST(c2 AS DOUBLE))) * 1e6)
+                    AS BIGINT) AS pmi_micro
+        FROM (
+            SELECT w1, w2, c12,
+                   CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+                   CAST(SUM(c12) OVER (PARTITION BY w2) AS BIGINT) AS c2,
+                   n
+            FROM {types_rel}
+            CROSS JOIN (SELECT CAST(SUM(c12) AS BIGINT) AS n
+                        FROM {types_rel}) tot
+        ) marg
+        WHERE c12 >= {PMI_MIN_COUNT}
+        ORDER BY pmi_micro DESC, w1, w2
+        LIMIT {PMI_TOPK}
+    """
+
+
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by PMI — see _pmi_sql.
+
+    Scale posture: one positional bigram explode off the memoized token
+    barrier (never materializing gram arrays), one (w1, w2) type
+    aggregate (map-side combined, vocabulary²-bounded not corpus-
+    bounded) landed on a reliable checkpoint barrier, two vocabulary-
+    partitioned windows + one 1-row total broadcast over that TYPE
+    relation, and a TakeOrderedAndProject top-k."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    view = _toks_view(spark, sf_dir)
+    tok = "element_at(toks, CAST(i AS INT))"
+    tok2 = "element_at(toks, CAST(i AS INT) + 1)"
+    gen = ("LATERAL VIEW explode(CASE WHEN size(toks) >= 2 THEN "
+           "sequence(1, size(toks) - 1) ELSE array() END) AS i")
+    types_sql = f"""
+        SELECT {tok} AS w1, {tok2} AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM {view} {gen}
+        GROUP BY 1, 2
+    """
+    cached_barrier_view(
+        spark, sf_dir, "pmi_types", lambda: spark.sql(types_sql)
+    )
+    return spark.sql(_pmi_sql("spark"))
+
+
+TEXT_COLLOCATIONS_PMI_SQL = _pmi_sql("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "text_collocations_pmi": (text_collocations_pmi, TEXT_COLLOCATIONS_PMI_SQL),
     "corpus_perplexity_buckets": (
         corpus_perplexity_buckets,
         CORPUS_PERPLEXITY_BUCKETS_SQL,

@@ -303,7 +303,80 @@ def _banding_curve_oracle() -> str:
 EVAL_LSH_BANDING_CURVE_SQL = _banding_curve_oracle()
 
 
+# ---------------------------------------------------------------------------
+# eval_score_auc — ROC AUC of a score column as a rank statistic
+# ---------------------------------------------------------------------------
+
+
+def _auc_body(docs_rel: str) -> str:
+    """Engine-shared ROC AUC of the document-length score discriminating
+    English documents (positive class lang = 'en') — the Mann–Whitney U
+    rank formulation with the exact midrank tie correction:
+
+        U = Σ_s pos_s · (neg_below_s + neg_s / 2)
+
+    computed ×2 so every term stays integer (U2 = Σ pos_s·(2·neg_below
+    + neg_s)); AUC = U2 / (2·n_pos·n_neg). This is how a curation
+    pipeline scores ANY ranking signal (quality score, perplexity,
+    classifier margin) against a label column without materializing the
+    ROC curve — one aggregate per distinct score value, no per-pair
+    work.
+
+    Exactness: all counts and U2 are exact BIGINTs; the final ratio is
+    ONE double division of exact integers (correctly rounded, identical
+    in both engines) floored to ppm — exact while 2·n_pos·n_neg and U2
+    stay below 2^53 (~9e7 docs per class; beyond that the house
+    DECIMAL(38,0) widening applies)."""
+    return f"""
+        WITH scored AS (
+            SELECT n_chars AS score,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+            FROM {docs_rel}
+        ),
+        by_score AS (
+            SELECT score,
+                   CAST(SUM(pos) AS BIGINT) AS pos_s,
+                   CAST(SUM(1 - pos) AS BIGINT) AS neg_s
+            FROM scored GROUP BY score
+        ),
+        cum AS (
+            SELECT score, pos_s, neg_s,
+                   CAST(SUM(neg_s) OVER (ORDER BY score) - neg_s
+                        AS BIGINT) AS neg_below
+            FROM by_score
+        )
+        SELECT CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+               CAST(SUM(neg_s) AS BIGINT) AS n_neg,
+               CAST(floor(SUM(pos_s * (2 * neg_below + neg_s))
+                          / (2.0 * SUM(pos_s) * SUM(neg_s)) * 1000000)
+                    AS BIGINT) AS auc_ppm,
+               CAST(floor(SUM(pos_s * (2 * neg_below + neg_s))
+                          / (2.0 * SUM(pos_s) * SUM(neg_s)) * 2000000)
+                    AS BIGINT) - 1000000 AS gini_ppm
+        FROM cum
+    """
+
+
+def eval_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC + Gini of document length as an English-detector — see
+    _auc_body for the rank-statistic formulation.
+
+    Scale posture: one scan → one groupBy on the score value (grid
+    bounded by the n_chars range, NOT corpus size); the running-sum
+    window and the final 1-row aggregate run over that bounded
+    relation. Evaluating a trained quality classifier's AUC at 100 TB
+    is exactly this plan with the score column swapped."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "auc_docs_src"
+    )
+    return spark.sql(_auc_body("auc_docs_src"))
+
+
+EVAL_SCORE_AUC_SQL = _auc_body("documents")
+
+
 QUERIES: dict[str, tuple] = {
+    "eval_score_auc": (eval_score_auc, EVAL_SCORE_AUC_SQL),
     "eval_lsh_banding_curve": (
         eval_lsh_banding_curve,
         EVAL_LSH_BANDING_CURVE_SQL,

@@ -623,10 +623,172 @@ def _kcore_duck_sql() -> str:
 GRAPH_KCORE_ONION_SQL = _kcore_duck_sql()
 
 
+HITS_ROUNDS = 4
+_HITS_TOPK = 10
+_HITS_INIT = 1_000_000   # initial hub mass, micro units
+
+
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) on the DIRECTED
+    purchase graph cust → supp: authority(s) = Σ hub(c) over buyers,
+    hub(c) = Σ authority(s) over sellers, {HITS_ROUNDS} synchronous
+    rounds, each side max-normalized back to the 1e6 micro scale. The
+    directed counterpart of ``graph_pagerank`` (which runs on the
+    symmetrized graph): hubs are broad buyers, authorities are
+    widely-bought-from suppliers. Emits the top-{_HITS_TOPK} of each
+    side tagged 'hub' / 'authority'.
+
+    Exactness: scores are micro-scaled BIGINTs; per-round normalization
+    is integer ``(score·1e6) DIV max`` — exact while raw sums stay
+    below 2^63/1e6 ≈ 9.2e12, i.e. in-degrees to ~9e6 at full mass (the
+    same documented BIGINT envelope as the covariance power sums; the
+    DECIMAL(38,0) widening switch pattern applies beyond it). Both
+    engines replay the identical integer rounds, so the DuckDB oracle
+    just unrolls them.
+
+    Scale posture: reuses the memoized distinct (cust, supp) pair
+    barrier from ``graph_pagerank`` (one join+distinct per session);
+    each half-round is one equi-join of the score relation against the
+    pairs (uniform keys) + one partial-aggregated groupBy + a 1-row max
+    broadcast — no quadratic term anywhere. Raw-sum relations land on
+    reliable checkpoint barriers (referenced by both the normalize and
+    the max), the kmeans/pagerank discipline."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        barrier,
+        cached_barrier,
+    )
+
+    def build():
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        )
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(
+                F.col("o_custkey").alias("cust"),
+                (F.col("l_suppkey") + _SUPP_BASE).alias("supp"),
+            )
+            .distinct()
+        )
+
+    pairs = cached_barrier(
+        spark, sf_dir, "pr_pairs", build, tables=("lineitem", "orders")
+    )
+
+    def _normalize(raw, key):
+        raw = barrier(raw)
+        mx = raw.agg(F.max("raw").alias("mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            key, F.expr("(raw * 1000000) DIV mx").alias("score")
+        )
+
+    hubs = (
+        pairs.select("cust").distinct()
+        .select("cust", F.lit(_HITS_INIT).cast("bigint").alias("score"))
+    )
+    auths = None
+    for _ in range(HITS_ROUNDS):
+        auths = _normalize(
+            pairs.join(hubs, "cust")
+            .groupBy("supp")
+            .agg(F.sum("score").alias("raw")),
+            "supp",
+        )
+        hubs = _normalize(
+            pairs.join(auths, "supp")
+            .groupBy("cust")
+            .agg(F.sum("score").alias("raw")),
+            "cust",
+        )
+    tagged = hubs.select(
+        F.lit("hub").alias("side"),
+        F.col("cust").alias("node_id"),
+        F.col("score").alias("score_micro"),
+    ).unionAll(
+        auths.select(
+            F.lit("authority").alias("side"),
+            F.col("supp").alias("node_id"),
+            F.col("score").alias("score_micro"),
+        )
+    )
+    tagged.createOrReplaceTempView("hits_tagged")
+    return spark.sql(f"""
+        SELECT side, node_id, score_micro FROM (
+            SELECT side, node_id, score_micro,
+                   ROW_NUMBER() OVER (PARTITION BY side
+                                      ORDER BY score_micro DESC, node_id)
+                       AS r
+            FROM hits_tagged
+        ) WHERE r <= {_HITS_TOPK}
+        ORDER BY side, score_micro DESC, node_id
+    """)
+
+
+def _hits_duck_sql() -> str:
+    parts = [
+        f"""pairs AS (
+            SELECT DISTINCT o_custkey AS cust,
+                   l_suppkey + {_SUPP_BASE} AS supp
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        )""",
+        f"""h0 AS (
+            SELECT DISTINCT cust, CAST({_HITS_INIT} AS BIGINT) AS score
+            FROM pairs
+        )""",
+    ]
+    # each CTE references its predecessor exactly ONCE (the max comes
+    # from a window over the same scan, not a second scalar-subquery
+    # reference) — a doubly-referenced stage would let CTE inlining
+    # double the plan per round (exponential, the kmeans/pagerank
+    # unrolled-oracle lesson)
+    for i in range(1, HITS_ROUNDS + 1):
+        parts.append(f"""ar{i} AS (
+            SELECT p.supp, CAST(SUM(h.score) AS BIGINT) AS raw
+            FROM pairs p JOIN h{i - 1} h ON h.cust = p.cust
+            GROUP BY p.supp
+        )""")
+        parts.append(f"""a{i} AS (
+            SELECT supp, (raw * 1000000) // MAX(raw) OVER () AS score
+            FROM ar{i}
+        )""")
+        parts.append(f"""hr{i} AS (
+            SELECT p.cust, CAST(SUM(a.score) AS BIGINT) AS raw
+            FROM pairs p JOIN a{i} a ON a.supp = p.supp
+            GROUP BY p.cust
+        )""")
+        parts.append(f"""h{i} AS (
+            SELECT cust, (raw * 1000000) // MAX(raw) OVER () AS score
+            FROM hr{i}
+        )""")
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT side, node_id, score_micro FROM (
+            SELECT side, node_id, score_micro,
+                   ROW_NUMBER() OVER (PARTITION BY side
+                                      ORDER BY score_micro DESC, node_id)
+                       AS r
+            FROM (
+                SELECT 'hub' AS side, cust AS node_id, score AS score_micro
+                FROM h{HITS_ROUNDS}
+                UNION ALL
+                SELECT 'authority', supp, score FROM a{HITS_ROUNDS}
+            ) tagged
+        ) ranked WHERE r <= {_HITS_TOPK}
+        ORDER BY side, score_micro DESC, node_id
+    """
+
+
+GRAPH_HITS_SCORES_SQL = _hits_duck_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
     "graph_bfs_depth": (graph_bfs_depth, GRAPH_BFS_DEPTH_SQL),
     "graph_kcore_onion": (graph_kcore_onion, GRAPH_KCORE_ONION_SQL),
+    "graph_hits_scores": (graph_hits_scores, GRAPH_HITS_SCORES_SQL),
     "graph_jaccard_similarity": (
         graph_jaccard_similarity,
         GRAPH_JACCARD_SIMILARITY_SQL,

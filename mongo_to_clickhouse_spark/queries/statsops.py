@@ -822,7 +822,105 @@ def sample_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_PSI_DRIFT_SQL = _psi_body("events")
 
 
+# ---------------------------------------------------------------------------
+# events_autocorrelation — ACF of the daily event-count series
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7    # report r_1 .. r_7 (the weekly-seasonality window)
+
+
+def _acf_body(events_rel: str) -> str:
+    """Engine-shared autocorrelation function of the daily event-count
+    series at lags 1..{ACF_MAX_LAG}:
+
+        r_k = Σ_t c_t·c_(t+k) / Σ_t c_t²   with c_t = x_t − ⌊mean⌋
+
+    — the seasonality probe a pipeline runs before picking rollup
+    windows (a weekly cycle shows as a spike at lag 7). Centering uses
+    the FLOOR of the mean (one exact BIGINT division), so every c_t is
+    an exact integer and both numerator and denominator are exact
+    BIGINT sums — bit-identical across engines and cluster sizes while
+    daily counts stay below ~3e8 (c² ≈ 1e17·days < 2^63; the house
+    DECIMAL widening applies beyond). The final ratio is one double
+    division of exact integers, floored to ppm. Lag alignment is an
+    equi-join on (day_index + k), never a window.
+
+    ``events_rel`` must already BE the (day_idx, x) daily relation —
+    the Spark side materializes it on a checkpoint barrier because the
+    body references it four times (two lag sides, the mean, the
+    denominator), and each reference must be a |days|-row leaf scan,
+    not a recomputed pass over the event log."""
+    return f"""
+        WITH daily AS (SELECT day_idx, x FROM {events_rel}),
+        centered AS (
+            SELECT day_idx,
+                   x - (SELECT SUM(x) {{intdiv}} COUNT(*) FROM daily) AS c
+            FROM daily
+        ),
+        lags AS (
+            SELECT a.day_idx, l.lag, a.c AS c0, b.c AS ck
+            FROM centered a
+            JOIN (SELECT * FROM (VALUES {", ".join(f"({k})" for k in range(1, ACF_MAX_LAG + 1))}) v(lag)) l
+              ON TRUE
+            JOIN centered b ON b.day_idx = a.day_idx + l.lag
+        ),
+        denom AS (
+            SELECT CAST(SUM(c * c) AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n_days
+            FROM centered
+        )
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(floor(SUM(c0 * ck) / CAST(d AS DOUBLE) * 1000000)
+                    AS BIGINT) AS acf_ppm,
+               n_days
+        FROM lags CROSS JOIN denom
+        GROUP BY lag, d, n_days
+        ORDER BY lag
+    """
+
+
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-series ACF at lags 1..{ACF_MAX_LAG} — see _acf_body.
+
+    Scale posture: one scan → day-keyed COUNT (map-side combined,
+    |days|-bounded output); everything downstream — the centering
+    subtract, the {ACF_MAX_LAG}-way lag fan-out, the lag equi-join and
+    the per-lag aggregate — runs on the |days|-row relation (calendar-
+    bounded, independent of event volume)."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    def build():
+        return load_table(spark, sf_dir, "events").selectExpr(
+            "CAST(floor(unix_micros(CAST(ts AS TIMESTAMP)) / 86400000000)"
+            " AS BIGINT) AS day_idx"
+        ).groupBy("day_idx").agg(F.count("*").cast("bigint").alias("x"))
+
+    cached_barrier_view(
+        spark, sf_dir, "acf_daily", build, tables=("events",)
+    )
+    return spark.sql(_acf_body("acf_daily").replace("{intdiv}", "DIV"))
+
+
+_ACF_DAILY_DUCK = """
+    (SELECT CAST(floor(CAST(epoch_us(ts) AS BIGINT) / 86400000000)
+                 AS BIGINT) AS day_idx,
+            CAST(COUNT(*) AS BIGINT) AS x
+     FROM events GROUP BY 1)
+"""
+
+EVENTS_AUTOCORRELATION_SQL = _acf_body(_ACF_DAILY_DUCK).replace(
+    "{intdiv}", "//"
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "events_autocorrelation": (
+        events_autocorrelation,
+        EVENTS_AUTOCORRELATION_SQL,
+    ),
     "sample_ks_drift": (sample_ks_drift, SAMPLE_KS_DRIFT_SQL),
     "sample_psi_drift": (sample_psi_drift, SAMPLE_PSI_DRIFT_SQL),
     "events_markov_stationary": (

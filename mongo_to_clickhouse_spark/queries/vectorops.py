@@ -2669,7 +2669,216 @@ EMB_JL_PROJECTION_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# sim_mmr_diversify — Maximal Marginal Relevance diversified retrieval
+# ---------------------------------------------------------------------------
+
+MMR_PROBES = 3     # query vectors: vec_id < MMR_PROBES
+MMR_POOL = 20      # relevance-ranked candidate pool per query
+MMR_SELECT = 5     # greedy selections per query
+# λ = 0.7 as the integer pair (7, 3): score = 7·rel − 3·maxdiv, a
+# "deci-micro" scale — exact integer arithmetic, no float λ anywhere
+
+
+def _mmr_rounds_sql(pool_rel: str, pp_rel: str, r: int) -> str:
+    """One greedy MMR round: among pool members not yet selected, score
+    = 7·sim(q,c) − 3·max over selected s of sim(c,s), pick the argmax
+    (ties by candidate id). Engine-shared — both sides replay identical
+    integer rounds over identical micro-cosine relations."""
+    return f"""
+        SELECT probe_id, cand_id, {r} AS sel_round, score AS score_dmicro
+        FROM (
+            SELECT probe_id, cand_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY score DESC, cand_id) AS rk
+            FROM (
+                SELECT p.probe_id, p.cand_id,
+                       7 * p.simq_micro - 3 * MAX(pp.sim_micro) AS score
+                FROM {pool_rel} p
+                JOIN {pp_rel} pp
+                  ON pp.probe_id = p.probe_id AND pp.c1 = p.cand_id
+                JOIN mmr_sel_{r - 1} s
+                  ON s.probe_id = pp.probe_id AND s.cand_id = pp.c2
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM mmr_sel_{r - 1} z
+                    WHERE z.probe_id = p.probe_id
+                      AND z.cand_id = p.cand_id)
+                GROUP BY p.probe_id, p.cand_id, p.simq_micro
+            ) scored
+        ) ranked WHERE rk = 1
+    """
+
+
+def _mmr_sel0_sql(pool_rel: str) -> str:
+    # the first MMR pick is pure relevance (no diversity term yet)
+    return f"""
+        SELECT probe_id, cand_id, 0 AS sel_round,
+               7 * simq_micro AS score_dmicro
+        FROM (
+            SELECT probe_id, cand_id, simq_micro,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY simq_micro DESC, cand_id)
+                       AS rk
+            FROM {pool_rel}
+        ) ranked WHERE rk = 1
+    """
+
+
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    diversified top-{MMR_SELECT} retrieval for {MMR_PROBES} query
+    vectors: greedily pick argmax λ·sim(q,c) − (1−λ)·max_{{s∈S}}
+    sim(c,s) with λ = 0.7 — the standard diversity re-ranker in front
+    of an LLM context window (pure top-k returns near-duplicates; MMR
+    trades relevance for coverage).
+
+    Exactness: cosines are rounded ONCE to integer micro at pool/pair
+    build; λ is the integer pair (7,3); every greedy round is pure
+    BIGINT arithmetic with id tie-breaks — bit-identical in both
+    engines, so the DuckDB oracle unrolls the same {MMR_SELECT} rounds.
+
+    Scale posture: relevance ranking is the probe-broadcast scan of
+    ``sim_cosine_topk`` (linear per probe) cut to a {MMR_POOL}-member
+    pool per query via a rank-limit window (WindowGroupLimit); the
+    quadratic diversity term is confined to pool×pool WITHIN each
+    probe — {MMR_POOL}²·|probes| pairs by construction, never
+    corpus². Pool and pair relations land on reliable checkpoint
+    barriers (each greedy round references them; rounds are
+    {MMR_SELECT}-fixed with ≤|probes| rows of state)."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        barrier,
+        cached_barrier_view,
+    )
+
+    def build_pool():
+        emb = _emb_with_norm(spark, sf_dir)
+        probes = emb.filter(F.col("vec_id") < MMR_PROBES).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("p_emb"),
+            F.col("nrm").alias("p_nrm"),
+        )
+        cands = emb.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+        simq = F.round(
+            cosine_with_norms(
+                F.col("p_emb"), F.col("c_emb"),
+                F.col("p_nrm"), F.col("c_nrm"),
+            ) * 1_000_000
+        ).cast("bigint")
+        w = Window.partitionBy("probe_id").orderBy(
+            F.col("simq_micro").desc(), F.col("cand_id")
+        )
+        return (
+            F.broadcast(probes)
+            .crossJoin(cands)
+            .filter(F.col("probe_id") != F.col("cand_id"))
+            .select(
+                "probe_id", "cand_id", simq.alias("simq_micro"),
+                "c_emb", "c_nrm",
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= MMR_POOL)
+            .drop("rk")
+        )
+
+    cached_barrier_view(
+        spark, sf_dir, "mmr_pool_full", build_pool, tables=("embeddings",)
+    )
+
+    def build_pp():
+        p1 = spark.table("mmr_pool_full").select(
+            "probe_id",
+            F.col("cand_id").alias("c1"),
+            F.col("c_emb").alias("e1"),
+            F.col("c_nrm").alias("n1"),
+        )
+        p2 = spark.table("mmr_pool_full").select(
+            "probe_id",
+            F.col("cand_id").alias("c2"),
+            F.col("c_emb").alias("e2"),
+            F.col("c_nrm").alias("n2"),
+        )
+        sim = F.round(
+            cosine_with_norms(
+                F.col("e1"), F.col("e2"), F.col("n1"), F.col("n2")
+            ) * 1_000_000
+        ).cast("bigint")
+        return (
+            p1.join(p2, "probe_id")
+            .filter(F.col("c1") != F.col("c2"))
+            .select("probe_id", "c1", "c2", sim.alias("sim_micro"))
+        )
+
+    cached_barrier_view(
+        spark, sf_dir, "mmr_pp", build_pp, tables=("embeddings",)
+    )
+    spark.sql(
+        "SELECT probe_id, cand_id, simq_micro FROM mmr_pool_full"
+    ).createOrReplaceTempView("mmr_pool")
+
+    sel = spark.sql(_mmr_sel0_sql("mmr_pool"))
+    for r in range(1, MMR_SELECT):
+        sel = barrier(sel)
+        sel.createOrReplaceTempView(f"mmr_sel_{r - 1}")
+        picked = spark.sql(_mmr_rounds_sql("mmr_pool", "mmr_pp", r))
+        sel = sel.unionAll(picked)
+    return sel.orderBy("probe_id", "sel_round")
+
+
+def _mmr_duck_sql() -> str:
+    pool = f"""
+        SELECT probe_id, cand_id, simq_micro FROM (
+            SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+                   CAST(round({_pair_cosine_sql()} * 1000000) AS BIGINT)
+                       AS simq_micro,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY CAST(round({_pair_cosine_sql()} * 1000000)
+                                     AS BIGINT) DESC, b.vec_id) AS rk
+            FROM e a JOIN e b
+              ON a.vec_id < {MMR_PROBES} AND a.vec_id <> b.vec_id
+        ) ranked WHERE rk <= {MMR_POOL}
+    """
+    pp = f"""
+        SELECT p1.probe_id, p1.cand_id AS c1, p2.cand_id AS c2,
+               CAST(round(list_dot_product(
+                        CAST(x.embedding AS DOUBLE[]),
+                        CAST(y.embedding AS DOUBLE[]))
+                    / (x.nrm * y.nrm) * 1000000) AS BIGINT) AS sim_micro
+        FROM pool p1
+        JOIN pool p2 ON p2.probe_id = p1.probe_id
+                    AND p2.cand_id <> p1.cand_id
+        JOIN e x ON x.vec_id = p1.cand_id
+        JOIN e y ON y.vec_id = p2.cand_id
+    """
+    parts = [
+        f"e AS ({_EMB_NORM_CTE})",
+        f"pool AS ({pool})",
+        f"pp AS ({pp})",
+        f"mmr_sel_0 AS ({_mmr_sel0_sql('pool')})",
+    ]
+    for r in range(1, MMR_SELECT):
+        parts.append(f"""mmr_sel_{r} AS (
+            SELECT * FROM mmr_sel_{r - 1}
+            UNION ALL
+            {_mmr_rounds_sql("pool", "pp", r)}
+        )""")
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT probe_id, cand_id, sel_round, score_dmicro
+        FROM mmr_sel_{MMR_SELECT - 1}
+        ORDER BY probe_id, sel_round
+    """
+
+
+SIM_MMR_DIVERSIFY_SQL = _mmr_duck_sql()
+
+
 QUERIES: dict[str, tuple] = {
+    "sim_mmr_diversify": (sim_mmr_diversify, SIM_MMR_DIVERSIFY_SQL),
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_TOPK_SQL),
     "emb_jl_projection": (emb_jl_projection, EMB_JL_PROJECTION_SQL),
     "sample_coreset_kcenter": (

@@ -62,6 +62,9 @@ _BOUNDED_WINDOW_WHITELIST = {
     # corpus-sized window is the per-stratum draw rank, which IS
     # partitioned (by stratum)
     "sample_neyman_allocation",
+    # the running-negatives window runs over the per-score AGGREGATE:
+    # bounded by the n_chars value grid, not the corpus
+    "eval_score_auc",
 }
 
 

@@ -164,3 +164,265 @@ def test_psi_identical_halves_zero(spark, tmp_path):
     (total,) = [r for r in rows if r["bin"] == -999]
     assert total["psi_micro"] == 0
     assert not total["warn"] and not total["alert"]
+
+
+# ---------------------------------------------------------------------------
+# graph_hits_scores
+# ---------------------------------------------------------------------------
+
+
+def test_hits_planted_hub_and_authority(spark, tmp_path):
+    # Suppliers {1, 2}; customers {10, 11, 12}. Everyone buys from
+    # supplier 1; only customer 10 also buys from supplier 2. So
+    # supplier 1 is the max authority (score 1e6 after normalization)
+    # and customer 10 — the broadest buyer — the max hub.
+    from mongo_to_clickhouse_spark.queries.graphops import (
+        _SUPP_BASE,
+        graph_hits_scores,
+    )
+
+    purchases = [(10, 1), (11, 1), (12, 1), (10, 2)]
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(range(len(purchases)), pa.int64()),
+            "o_custkey": pa.array([c for c, _ in purchases], pa.int64()),
+        }
+    )
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(range(len(purchases)), pa.int64()),
+            "l_suppkey": pa.array([s for _, s in purchases], pa.int64()),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(orders, os.path.join(sf, "orders.parquet"))
+    pq.write_table(lineitem, os.path.join(sf, "lineitem.parquet"))
+    rows = graph_hits_scores(spark, sf).collect()
+    auth = [r for r in rows if r["side"] == "authority"]
+    hubs = [r for r in rows if r["side"] == "hub"]
+    assert auth[0]["node_id"] == _SUPP_BASE + 1
+    assert auth[0]["score_micro"] == 1_000_000
+    assert auth[1]["node_id"] == _SUPP_BASE + 2
+    assert auth[1]["score_micro"] < 1_000_000
+    assert hubs[0]["node_id"] == 10 and hubs[0]["score_micro"] == 1_000_000
+    # the two single-supplier buyers tie below the hub
+    assert {hubs[1]["node_id"], hubs[2]["node_id"]} == {11, 12}
+    assert hubs[1]["score_micro"] == hubs[2]["score_micro"] < 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# eval_score_auc
+# ---------------------------------------------------------------------------
+
+
+def _write_docs(tmp_path, rows):
+    """rows: list of (doc_id, text, lang, n_chars)."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _, _, _ in rows], pa.int64()),
+            "text": pa.array([t for _, t, _, _ in rows], pa.string()),
+            "lang": pa.array([la for _, _, la, _ in rows], pa.string()),
+            "source": pa.array(["src0"] * len(rows), pa.string()),
+            "n_chars": pa.array([n for _, _, _, n in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_auc_perfect_separation(spark, tmp_path):
+    from mongo_to_clickhouse_spark.queries.evalops import eval_score_auc
+
+    rows = [(i, "x", "en", 100 + i) for i in range(10)]
+    rows += [(100 + i, "x", "de", 10 + i) for i in range(15)]
+    (r,) = eval_score_auc(spark, _write_docs(tmp_path, rows)).collect()
+    assert r["n_pos"] == 10 and r["n_neg"] == 15
+    assert r["auc_ppm"] == 1_000_000 and r["gini_ppm"] == 1_000_000
+
+
+def test_auc_all_tied_is_half(spark, tmp_path):
+    from mongo_to_clickhouse_spark.queries.evalops import eval_score_auc
+
+    rows = [(i, "x", "en" if i % 2 == 0 else "fr", 42) for i in range(20)]
+    (r,) = eval_score_auc(spark, _write_docs(tmp_path, rows)).collect()
+    # every pair is a tie -> midrank U = n1*n0/2 exactly
+    assert r["auc_ppm"] == 500_000 and r["gini_ppm"] == 0
+
+
+def test_auc_hand_computed(spark, tmp_path):
+    from mongo_to_clickhouse_spark.queries.evalops import eval_score_auc
+
+    # pos scores {3, 1}, neg scores {2, 1}:
+    # pairs: (3>2)=1 (3>1)=1 (1<2)=0 (1=1)=.5 -> U = 2.5, AUC = 0.625
+    rows = [(0, "x", "en", 3), (1, "x", "en", 1),
+            (2, "x", "de", 2), (3, "x", "de", 1)]
+    (r,) = eval_score_auc(spark, _write_docs(tmp_path, rows)).collect()
+    assert r["auc_ppm"] == 625_000
+
+
+# ---------------------------------------------------------------------------
+# text_collocations_pmi
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_planted_collocation(spark, tmp_path):
+    import math
+
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.corpusops import (
+        text_collocations_pmi,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # two bigram types, 6 occurrences each, words never cross-attached:
+    # PMI = ln(c12*N / (c1*c2)) = ln(6*12 / 36) = ln 2 for both pairs
+    rows = [(i, "new york", "en", 8) for i in range(6)]
+    rows += [(10 + i, "hong kong", "en", 9) for i in range(6)]
+    out = text_collocations_pmi(spark, _write_docs(tmp_path, rows)).collect()
+    expect = round(math.log(2.0) * 1e6)
+    got = {(r["w1"], r["w2"]): (r["pair_count"], r["pmi_micro"]) for r in out}
+    assert got == {
+        ("hong", "kong"): (6, expect),
+        ("new", "york"): (6, expect),
+    }
+
+
+# ---------------------------------------------------------------------------
+# events_autocorrelation
+# ---------------------------------------------------------------------------
+
+
+def test_acf_period_two_series(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.statsops import (
+        events_autocorrelation,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # 14 days alternating 10/20 events: mean 15, centered ±5.
+    # lag 1: 13 pairs, each product -25 -> floor(-325/350*1e6) = -928572
+    # lag 2: 12 pairs, each product +25 -> floor(+300/350*1e6) = +857142
+    ts, n = [], 0
+    for day in range(14):
+        cnt = 10 if day % 2 == 0 else 20
+        for _ in range(cnt):
+            ts.append(_T0 + dt.timedelta(days=day, seconds=n % 3600))
+            n += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([i % 5 for i in range(n)], pa.int64()),
+            "event_type": pa.array(["view"] * n, pa.string()),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "events.parquet"))
+    got = {
+        r["lag"]: (r["n_pairs"], r["acf_ppm"], r["n_days"])
+        for r in events_autocorrelation(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (13, -928572, 14)
+    assert got[2] == (12, 857142, 14)
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7}
+
+
+# ---------------------------------------------------------------------------
+# sim_mmr_diversify
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_matches_numpy_reference(spark, tmp_path):
+    import numpy as np
+
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.vectorops import (
+        MMR_POOL,
+        MMR_PROBES,
+        MMR_SELECT,
+        sim_mmr_diversify,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # 12 vectors incl. a planted near-duplicate pair (ids 3, 4) that
+    # pure relevance would pick back-to-back; the numpy reference
+    # replays the same integer-micro greedy rounds.
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((12, 8)).astype(np.float64)
+    # probe 0 sees twins (3, 4) as most relevant (cos ≈ .857, mutual
+    # cos ≈ 1) and candidate 5 as nearly-as-relevant (cos ≈ .844) but
+    # DIVERSE from the twins (cos ≈ .447): round 1 must pick 5 because
+    # 7·.844 − 3·.447 > 7·.857 − 3·1.0
+    vecs[0] = np.array([1, 0, 0, 0, 0, 0, 0.6, 0])
+    vecs[3] = np.array([1, 0.01, 0, 0, 0, 0, 0, 0])
+    vecs[4] = vecs[3] + np.array([0, 0.001, 0, 0, 0, 0, 0, 0])
+    vecs[5] = np.array([0.5, 0, 0, 0, 0, 0, 1.0, 0])
+    emb32 = vecs.astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(12), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in emb32],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * 12, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "embeddings.parquet"))
+
+    # numpy reference with the SAME micro rounding + integer lambda
+    v = emb32.astype(np.float64)
+    nrm = np.sqrt((v * v).sum(axis=1))
+
+    def simm(i, j):
+        c = float(v[i] @ v[j]) / (nrm[i] * nrm[j])
+        import decimal
+        return int(
+            decimal.Decimal(c * 1_000_000).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    expect = []
+    for p in range(MMR_PROBES):
+        pool = sorted(
+            (i for i in range(12) if i != p),
+            key=lambda i: (-simm(p, i), i),
+        )[:MMR_POOL]
+        sel = [max(pool, key=lambda i: (simm(p, i), -i))]
+        expect.append((p, sel[0], 0, 7 * simm(p, sel[0])))
+        for r in range(1, MMR_SELECT):
+            best = None
+            for c in pool:
+                if c in sel:
+                    continue
+                score = 7 * simm(p, c) - 3 * max(simm(c, s) for s in sel)
+                if best is None or (score, -c) > (best[1], -best[0]):
+                    best = (c, score)
+            sel.append(best[0])
+            expect.append((p, best[0], r, best[1]))
+
+    got = [
+        (r["probe_id"], r["cand_id"], r["sel_round"], r["score_dmicro"])
+        for r in sim_mmr_diversify(spark, str(tmp_path)).collect()
+    ]
+    assert sorted(got) == sorted(expect)
+    # diversification defers the near-twin: probe 0 picks one of the
+    # planted pair first on pure relevance, but the round-1 pick is NOT
+    # the other twin (pure top-k would take them back-to-back)
+    by_round = {r: c for p, c, r, _ in got if p == 0}
+    assert by_round[0] in (3, 4)
+    assert by_round[1] == 5
