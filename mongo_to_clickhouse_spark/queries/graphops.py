@@ -590,13 +590,19 @@ def _kcore_duck_sql() -> str:
     adj_body = _triangle_adj_sql(
         "(SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)"
     )
+    # every alive set is referenced THREE times (both join sides of the
+    # next round + the final layer union) — force MATERIALIZED so CTE
+    # inlining can't triple the plan per round (3^rounds blowup,
+    # measured as a hang at sf0.1; the Spark side checkpoints the same
+    # relations for the same reason)
     parts = [
-        f"tri_adj AS ({adj_body})",
-        "a0 AS (SELECT DISTINCT a AS node_id FROM tri_adj)",
+        f"tri_adj AS MATERIALIZED ({adj_body})",
+        "a0 AS MATERIALIZED (SELECT DISTINCT a AS node_id FROM tri_adj)",
     ]
     for r in range(1, KCORE_ROUNDS + 1):
         parts.append(
-            f"a{r} AS ({_kcore_round_sql(f'a{r - 1}', 'tri_adj')})"
+            f"a{r} AS MATERIALIZED "
+            f"({_kcore_round_sql(f'a{r - 1}', 'tri_adj')})"
         )
     union = " UNION ALL ".join(
         f"SELECT node_id FROM a{r}" for r in range(KCORE_ROUNDS + 1)

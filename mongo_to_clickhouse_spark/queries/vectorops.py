@@ -2854,14 +2854,18 @@ def _mmr_duck_sql() -> str:
         JOIN e x ON x.vec_id = p1.cand_id
         JOIN e y ON y.vec_id = p2.cand_id
     """
+    # pool/pp and every selection state are multiply referenced per
+    # greedy round — MATERIALIZED stops CTE inlining from exponentiating
+    # the plan (same fix as the k-core oracle; the Spark side
+    # checkpoints the same relations)
     parts = [
-        f"e AS ({_EMB_NORM_CTE})",
-        f"pool AS ({pool})",
-        f"pp AS ({pp})",
-        f"mmr_sel_0 AS ({_mmr_sel0_sql('pool')})",
+        f"e AS MATERIALIZED ({_EMB_NORM_CTE})",
+        f"pool AS MATERIALIZED ({pool})",
+        f"pp AS MATERIALIZED ({pp})",
+        f"mmr_sel_0 AS MATERIALIZED ({_mmr_sel0_sql('pool')})",
     ]
     for r in range(1, MMR_SELECT):
-        parts.append(f"""mmr_sel_{r} AS (
+        parts.append(f"""mmr_sel_{r} AS MATERIALIZED (
             SELECT * FROM mmr_sel_{r - 1}
             UNION ALL
             {_mmr_rounds_sql("pool", "pp", r)}
