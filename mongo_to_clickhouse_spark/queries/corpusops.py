@@ -995,7 +995,130 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_COLLOCATIONS_PMI_SQL = _pmi_sql("duck")
 
 
+# ---------------------------------------------------------------------------
+# text_ngram_novelty — per-doc share of corpus-first n-grams
+# ---------------------------------------------------------------------------
+
+NOVELTY_N = 8    # same gram size as the decontamination tier
+
+
+def _novelty_body(grams_rel: str) -> str:
+    """Engine-shared novelty attribution: a document's novelty is the
+    share of its DISTINCT {NOVELTY_N}-grams whose corpus-wide first
+    occurrence (min doc_id) is this document — the curation signal that
+    separates template/boilerplate re-emissions (novelty → 0) from
+    genuinely new material, and the additive accounting behind
+    "dedup removed X% of the corpus' novel mass". Exact integer counts;
+    the ratio is one exact-int division floored to ppm."""
+    return f"""
+        WITH dg AS (
+            SELECT DISTINCT doc_id, gram_h FROM {grams_rel}
+        ),
+        attributed AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY gram_h)
+                        THEN 1 ELSE 0 END AS novel
+            FROM dg
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(novel) AS BIGINT) AS n_novel,
+               CAST(SUM(novel) * 1000000 {{intdiv}} COUNT(*) AS BIGINT)
+                   AS novelty_ppm
+        FROM attributed
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — see _novelty_body.
+
+    Scale posture: rides the memoized {NOVELTY_N}-gram barrier shared
+    with decontamination/repetition; one per-doc distinct, one
+    gram-partitioned window (vocabulary-bounded partitions — a hub gram
+    costs one linear spillable sort partition, the decontam trade), one
+    doc-keyed aggregate. No pair space anywhere."""
+    gview = _gram_view(spark, sf_dir, NOVELTY_N)
+    return spark.sql(
+        _novelty_body(gview).replace("{intdiv}", "DIV")
+    )
+
+
+TEXT_NGRAM_NOVELTY_SQL = _novelty_body(
+    f"({_gram_hashes_duck(NOVELTY_N)})"
+).replace("{intdiv}", "//")
+
+
+# ---------------------------------------------------------------------------
+# corpus_mix_entropy — domain-mixture diversity report
+# ---------------------------------------------------------------------------
+
+
+def _mix_entropy_body(docs_rel: str) -> str:
+    """Engine-shared Shannon entropy of the source mixture with the
+    effective-domain count exp(H) (the "perplexity of the mix") — the
+    one-glance diversity dashboard for a pretraining mixture (entropy
+    collapse = one provider dominating). Per-source terms p·(−ln p) are
+    each ONE double expression over exact counts rounded to micro-nats,
+    so the entropy total is an exact BIGINT sum; exp is evaluated once
+    on the micro total."""
+    return f"""
+        WITH cnt AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM {docs_rel} GROUP BY source
+        ),
+        terms AS (
+            SELECT source, n_docs,
+                   CAST(n_docs * 1000000 {{intdiv}} n AS BIGINT) AS share_ppm,
+                   CAST(round((n_docs / (1.0 * n))
+                              * (-ln(n_docs / (1.0 * n))) * 1e6)
+                        AS BIGINT) AS term_micro
+            FROM cnt
+            CROSS JOIN (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM cnt) t
+        )
+        SELECT source, n_docs, share_ppm, term_micro,
+               entropy_micro, eff_domains_micro
+        FROM (
+            SELECT '__total__' AS source,
+                   CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+                   CAST(1000000 AS BIGINT) AS share_ppm,
+                   CAST(NULL AS BIGINT) AS term_micro,
+                   CAST(SUM(term_micro) AS BIGINT) AS entropy_micro,
+                   CAST(round(exp(SUM(term_micro) / 1e6) * 1e6) AS BIGINT)
+                       AS eff_domains_micro,
+                   0 AS pick
+            FROM terms
+            UNION ALL
+            SELECT source, n_docs, share_ppm, term_micro,
+                   NULL, NULL, 1
+            FROM terms
+        ) unioned
+        ORDER BY pick, n_docs DESC, source
+    """
+
+
+def corpus_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture entropy + effective domains — see
+    _mix_entropy_body. One scan → |sources|-bounded aggregate; all
+    downstream arithmetic runs on that bounded relation (1-row total
+    broadcast, no corpus-sized window)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "mix_docs_src"
+    )
+    return spark.sql(
+        _mix_entropy_body("mix_docs_src").replace("{intdiv}", "DIV")
+    )
+
+
+CORPUS_MIX_ENTROPY_SQL = _mix_entropy_body("documents").replace(
+    "{intdiv}", "//"
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "text_ngram_novelty": (text_ngram_novelty, TEXT_NGRAM_NOVELTY_SQL),
+    "corpus_mix_entropy": (corpus_mix_entropy, CORPUS_MIX_ENTROPY_SQL),
     "text_collocations_pmi": (text_collocations_pmi, TEXT_COLLOCATIONS_PMI_SQL),
     "corpus_perplexity_buckets": (
         corpus_perplexity_buckets,

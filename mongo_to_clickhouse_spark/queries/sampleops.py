@@ -847,7 +847,161 @@ def profile_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROFILE_SKEW_REPORT_SQL = _skew_sql("duck")
 
 
+SYSTEMATIC_INTERVAL = 10   # keep every 10th row of the hash-ordered frame
+
+
+def sample_systematic_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every-k-th) sampling of orders: rank the population
+    under the deterministic total order (md5 hash, key) and keep ranks
+    ≡ 1 (mod {SYSTEMATIC_INTERVAL}) — the classic equal-interval design
+    (hash order makes the implicit stratification uniform rather than
+    insertion-ordered). Reported per priority stratum so the draw's
+    balance is auditable next to the Bernoulli/stratified/Neyman tiers.
+
+    Scale posture: the global rank rides the two-pass range-partitioned
+    sort-rank (operators/rank.py — per-partition row_numbers + 32-row
+    triangular offsets), never a no-partition window; the mod filter is
+    a narrow map and the audit groupBy shuffles on the 5-value priority
+    key. (hash, key) is a total order, so the decomposition equals the
+    oracle's naive global row_number exactly."""
+    from mongo_to_clickhouse_spark.operators.rank import (
+        distributed_global_rank,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.expr("CAST(floor(o_totalprice / 100.0) AS BIGINT)").alias("hecto"),
+        _hash60(F.col("o_orderkey")).alias("h"),
+    )
+    ranked = distributed_global_rank(
+        orders, [F.col("h"), F.col("o_orderkey")], rank_col="rk"
+    )
+    return (
+        ranked.filter((F.col("rk") % SYSTEMATIC_INTERVAL) == 1)
+        .groupBy(F.col("o_orderpriority").alias("stratum"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_drawn"),
+            F.sum("hecto").cast("bigint").alias("sum_hecto"),
+            F.min("rk").cast("bigint").alias("first_rank"),
+            F.max("rk").cast("bigint").alias("last_rank"),
+        )
+        .orderBy("stratum")
+    )
+
+
+SAMPLE_SYSTEMATIC_INTERVAL_SQL = f"""
+    WITH ranked AS (
+        SELECT o_orderpriority AS stratum,
+               CAST(floor(o_totalprice / 100.0) AS BIGINT) AS hecto,
+               row_number() OVER (
+                   ORDER BY {_hash60_sql("o_orderkey")}, o_orderkey) AS rk
+        FROM orders
+    )
+    SELECT stratum,
+           CAST(COUNT(*) AS BIGINT) AS n_drawn,
+           CAST(SUM(hecto) AS BIGINT) AS sum_hecto,
+           CAST(MIN(rk) AS BIGINT) AS first_rank,
+           CAST(MAX(rk) AS BIGINT) AS last_rank
+    FROM ranked
+    WHERE rk % {SYSTEMATIC_INTERVAL} = 1
+    GROUP BY stratum
+    ORDER BY stratum
+"""
+
+
+CHI2_TOP_CELLS = 5
+
+
+def _chi2_body(docs_rel: str) -> str:
+    """Engine-shared chi-square test of independence between document
+    language and source (the does-my-mix-drift-by-provider audit):
+
+        X² = Σ_cells (O·N − R·C)² / (N·R·C)
+
+    — the expected-count form cleared of the E denominator so every
+    operand is an exact BIGINT count; each cell's contribution is ONE
+    double expression over exact integers, ROUNDED (not floored) to
+    micro — the quotient lands exactly on integers whenever n·r·c
+    divides the squared deviation, and floor amplifies a 1-ulp
+    cross-engine wobble at those boundaries while round() is stable —
+    and the total is a pure BIGINT sum.
+    Emits the total (sentinel '__total__' row, with dof = (r−1)(c−1))
+    plus the top-{CHI2_TOP_CELLS} contributing cells so a significant
+    statistic is immediately attributable."""
+    return f"""
+        WITH cells AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+            FROM {docs_rel}
+            GROUP BY lang, source
+        ),
+        marg AS (
+            SELECT lang, source, o,
+                   CAST(SUM(o) OVER (PARTITION BY lang) AS BIGINT) AS r,
+                   CAST(SUM(o) OVER (PARTITION BY source) AS BIGINT) AS c,
+                   n, n_langs, n_sources
+            FROM cells
+            CROSS JOIN (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                               CAST(COUNT(DISTINCT lang) AS BIGINT)
+                                   AS n_langs,
+                               CAST(COUNT(DISTINCT source) AS BIGINT)
+                                   AS n_sources
+                        FROM cells) tot
+        ),
+        contrib AS (
+            SELECT lang, source, o,
+                   CAST(round(
+                       ((o * n - r * c) / (1.0 * n))
+                       * ((o * n - r * c) / (1.0 * r * c)) * 1000000)
+                       AS BIGINT) AS contrib_micro,
+                   n, n_langs, n_sources
+            FROM marg
+        )
+        SELECT lang, source, n_obs, chi2_micro, dof FROM (
+            SELECT '__total__' AS lang, '__total__' AS source,
+                   n AS n_obs,
+                   CAST(SUM(contrib_micro) AS BIGINT) AS chi2_micro,
+                   CAST((n_langs - 1) * (n_sources - 1) AS BIGINT) AS dof,
+                   0 AS pick
+            FROM contrib
+            GROUP BY n, n_langs, n_sources
+            UNION ALL
+            SELECT lang, source, o, contrib_micro, NULL, rk FROM (
+                SELECT lang, source, o, contrib_micro,
+                       ROW_NUMBER() OVER (ORDER BY contrib_micro DESC,
+                                          lang, source) AS rk
+                FROM contrib
+            ) ranked WHERE rk <= {CHI2_TOP_CELLS}
+        ) unioned
+        ORDER BY pick, chi2_micro DESC, lang, source
+    """
+
+
+def profile_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of lang × source — see _chi2_body.
+
+    Scale posture: one scan → one (lang, source) cell aggregate
+    (map-side combined, |langs|·|sources|-bounded); the marginal
+    windows, 1-row total broadcast, the ranking window and the final
+    sum all run over that bounded contingency relation — the same
+    boundedness class as the PSI/KS monitors."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "chi2_docs_src"
+    )
+    return spark.sql(_chi2_body("chi2_docs_src"))
+
+
+PROFILE_CHI2_INDEPENDENCE_SQL = _chi2_body("documents")
+
+
 QUERIES: dict[str, tuple] = {
+    "profile_chi2_independence": (
+        profile_chi2_independence,
+        PROFILE_CHI2_INDEPENDENCE_SQL,
+    ),
+    "sample_systematic_interval": (
+        sample_systematic_interval,
+        SAMPLE_SYSTEMATIC_INTERVAL_SQL,
+    ),
     "sample_neyman_allocation": (
         sample_neyman_allocation,
         SAMPLE_NEYMAN_ALLOCATION_SQL,

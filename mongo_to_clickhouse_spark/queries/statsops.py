@@ -916,7 +916,75 @@ EVENTS_AUTOCORRELATION_SQL = _acf_body(_ACF_DAILY_DUCK).replace(
 )
 
 
+# ---------------------------------------------------------------------------
+# events_theil_sen_trend — robust slope of the daily-count series
+# ---------------------------------------------------------------------------
+
+
+def _theil_sen_body(daily_rel: str) -> str:
+    """Engine-shared Theil–Sen trend estimator over the daily series:
+    the MEDIAN of all pairwise slopes (x_b − x_a)/(d_b − d_a) — robust
+    to ~29% outliers where OLS (agg_regr_ols) is not; the volume-trend
+    monitor that ignores a flash-crowd day. Slopes are floored to
+    integer micro via ONE double division of exact BIGINTs; the median
+    of an even count is the floor-average of the two middle slopes —
+    fully integer-deterministic in both engines."""
+    return f"""
+        WITH daily AS (SELECT day_idx, x FROM {daily_rel}),
+        slopes AS (
+            SELECT CAST(floor((b.x - a.x) * 1000000.0
+                              / (b.day_idx - a.day_idx)) AS BIGINT) AS s
+            FROM daily a JOIN daily b ON b.day_idx > a.day_idx
+        ),
+        ranked AS (
+            SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rk,
+                   COUNT(*) OVER () AS np
+            FROM slopes
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+               CAST(MAX(np) AS BIGINT) AS n_pairs,
+               CAST(floor((MIN(CASE WHEN rk = (np + 1) // 2 THEN s END)
+                           + MIN(CASE WHEN rk = (np + 2) // 2 THEN s END))
+                          / 2.0) AS BIGINT) AS ts_slope_micro
+        FROM ranked
+    """
+
+
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust daily-volume trend — see _theil_sen_body.
+
+    Scale posture: rides the SAME checkpointed daily rollup as
+    ``events_autocorrelation`` (one event scan per session); the
+    pairwise-slope join and the median rank window run over |days|² / 2
+    rows — calendar²-bounded (a decade is ~6.7M pairs), independent of
+    event volume."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    def build():
+        return load_table(spark, sf_dir, "events").selectExpr(
+            "CAST(floor(unix_micros(CAST(ts AS TIMESTAMP)) / 86400000000)"
+            " AS BIGINT) AS day_idx"
+        ).groupBy("day_idx").agg(F.count("*").cast("bigint").alias("x"))
+
+    cached_barrier_view(
+        spark, sf_dir, "acf_daily", build, tables=("events",)
+    )
+    sql = _theil_sen_body("acf_daily").replace("(np + 1) // 2",
+                                               "(np + 1) DIV 2").replace(
+        "(np + 2) // 2", "(np + 2) DIV 2")
+    return spark.sql(sql)
+
+
+EVENTS_THEIL_SEN_TREND_SQL = _theil_sen_body(_ACF_DAILY_DUCK)
+
+
 QUERIES: dict[str, tuple] = {
+    "events_theil_sen_trend": (
+        events_theil_sen_trend,
+        EVENTS_THEIL_SEN_TREND_SQL,
+    ),
     "events_autocorrelation": (
         events_autocorrelation,
         EVENTS_AUTOCORRELATION_SQL,

@@ -65,6 +65,12 @@ _BOUNDED_WINDOW_WHITELIST = {
     # the running-negatives window runs over the per-score AGGREGATE:
     # bounded by the n_chars value grid, not the corpus
     "eval_score_auc",
+    # the cell-ranking window runs over the lang × source CONTINGENCY
+    # aggregate: |langs|·|sources| rows
+    "profile_chi2_independence",
+    # the median-rank window runs over the pairwise-slope relation of
+    # the DAILY rollup: |days|²/2 rows (calendar-bounded)
+    "events_theil_sen_trend",
 }
 
 

@@ -426,3 +426,205 @@ def test_mmr_matches_numpy_reference(spark, tmp_path):
     by_round = {r: c for p, c, r, _ in got if p == 0}
     assert by_round[0] in (3, 4)
     assert by_round[1] == 5
+
+
+# ---------------------------------------------------------------------------
+# sample_systematic_interval
+# ---------------------------------------------------------------------------
+
+
+def test_systematic_draws_every_kth(spark, tmp_path):
+    from mongo_to_clickhouse_spark.queries.sampleops import (
+        SYSTEMATIC_INTERVAL,
+        sample_systematic_interval,
+    )
+
+    rows = [(i, 100.0, "P") for i in range(200)]
+    out = sample_systematic_interval(
+        spark, _write_orders(tmp_path, rows)
+    ).collect()
+    (r,) = out
+    # 200 rows / interval 10 -> exactly 20 drawn, ranks 1, 11, ..., 191
+    assert r["n_drawn"] == 200 // SYSTEMATIC_INTERVAL
+    assert r["first_rank"] == 1
+    assert r["last_rank"] == 191
+
+
+# ---------------------------------------------------------------------------
+# profile_chi2_independence
+# ---------------------------------------------------------------------------
+
+
+def _write_docs_ls(tmp_path, rows):
+    """rows: list of (doc_id, lang, source)."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _, _ in rows], pa.int64()),
+            "text": pa.array(["x"] * len(rows), pa.string()),
+            "lang": pa.array([la for _, la, _ in rows], pa.string()),
+            "source": pa.array([s for _, _, s in rows], pa.string()),
+            "n_chars": pa.array([1] * len(rows), pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_chi2_independent_mix_is_zero(spark, tmp_path):
+    from mongo_to_clickhouse_spark.queries.sampleops import (
+        profile_chi2_independence,
+    )
+
+    # perfectly proportional 2x2 mix -> every O equals E -> X^2 = 0
+    rows = []
+    i = 0
+    for lang, src, n in [("en", "a", 40), ("en", "b", 60),
+                         ("fr", "a", 20), ("fr", "b", 30)]:
+        for _ in range(n):
+            rows.append((i, lang, src))
+            i += 1
+    out = profile_chi2_independence(
+        spark, _write_docs_ls(tmp_path, rows)
+    ).collect()
+    total = out[0]
+    assert total["lang"] == "__total__"
+    assert total["chi2_micro"] == 0 and total["dof"] == 1
+    assert total["n_obs"] == 150
+
+
+def test_chi2_hand_computed_2x2(spark, tmp_path):
+    from mongo_to_clickhouse_spark.queries.sampleops import (
+        profile_chi2_independence,
+    )
+
+    # counts [[30,10],[10,30]]: N=80, all margins 40,
+    # E=20 for every cell -> X^2 = 4 * (10^2/20) = 20
+    rows = []
+    i = 0
+    for lang, src, n in [("en", "a", 30), ("en", "b", 10),
+                         ("fr", "a", 10), ("fr", "b", 30)]:
+        for _ in range(n):
+            rows.append((i, lang, src))
+            i += 1
+    out = profile_chi2_independence(
+        spark, _write_docs_ls(tmp_path, rows)
+    ).collect()
+    total = out[0]
+    assert total["chi2_micro"] == 20_000_000 and total["dof"] == 1
+    # each cell contributes exactly 5.0
+    cells = [r for r in out if r["lang"] != "__total__"]
+    assert all(c["chi2_micro"] == 5_000_000 for c in cells)
+
+
+# ---------------------------------------------------------------------------
+# events_theil_sen_trend
+# ---------------------------------------------------------------------------
+
+
+def _write_daily_events(tmp_path, day_counts):
+    ts = []
+    for day, cnt in enumerate(day_counts):
+        for j in range(cnt):
+            ts.append(_T0 + dt.timedelta(days=day, seconds=j))
+    n = len(ts)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([i % 5 for i in range(n)], pa.int64()),
+            "event_type": pa.array(["view"] * n, pa.string()),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "events.parquet"))
+    return str(tmp_path)
+
+
+def test_theil_sen_robust_to_outlier_day(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.statsops import (
+        events_theil_sen_trend,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # counts 10,12,14,...,24 (+2/day) with day 3 exploded to 500:
+    # the pairwise-slope median stays exactly 2/day where OLS would not
+    counts = [10 + 2 * d for d in range(8)]
+    counts[3] = 500
+    (r,) = events_theil_sen_trend(
+        spark, _write_daily_events(tmp_path, counts)
+    ).collect()
+    assert r["n_days"] == 8 and r["n_pairs"] == 28
+    assert r["ts_slope_micro"] == 2_000_000
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_novelty / corpus_mix_entropy
+# ---------------------------------------------------------------------------
+
+
+def _write_docs_text(tmp_path, rows):
+    """rows: list of (doc_id, text, source)."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _, _ in rows], pa.int64()),
+            "text": pa.array([t for _, t, _ in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([s for _, _, s in rows], pa.string()),
+            "n_chars": pa.array(
+                [len(t) for _, t, _ in rows], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_ngram_novelty_first_vs_copy(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.corpusops import (
+        text_ngram_novelty,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    base = " ".join(f"w{i}" for i in range(12))       # 5 distinct 8-grams
+    fresh = " ".join(f"v{i}" for i in range(12))
+    rows = [(0, base, "a"), (1, base, "a"), (2, fresh, "a")]
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_ppm"])
+        for r in text_ngram_novelty(spark, _write_docs_text(tmp_path, rows))
+        .collect()
+    }
+    assert got[0] == (5, 5, 1_000_000)   # corpus-first occurrences
+    assert got[1] == (5, 0, 0)           # verbatim re-emission
+    assert got[2] == (5, 5, 1_000_000)
+
+
+def test_mix_entropy_uniform_and_skewed(spark, tmp_path):
+    import math
+
+    from mongo_to_clickhouse_spark.queries.corpusops import (
+        corpus_mix_entropy,
+    )
+
+    # uniform over 4 sources: H = ln 4, effective domains = 4
+    rows = [(i, "x", f"s{i % 4}") for i in range(400)]
+    out = corpus_mix_entropy(
+        spark, _write_docs_text(tmp_path, rows)
+    ).collect()
+    total = out[0]
+    assert total["source"] == "__total__"
+    expect_h = 4 * round(0.25 * -math.log(0.25) * 1e6)
+    assert total["entropy_micro"] == expect_h
+    assert abs(total["eff_domains_micro"] - 4_000_000) < 50
+    assert len(out) == 5
+    assert all(r["share_ppm"] == 250_000 for r in out[1:])
