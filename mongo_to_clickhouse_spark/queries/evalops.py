@@ -375,7 +375,194 @@ def eval_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVAL_SCORE_AUC_SQL = _auc_body("documents")
 
 
+# ---------------------------------------------------------------------------
+# eval_centroid_classifier — nearest-centroid (Rocchio) confusion report
+# ---------------------------------------------------------------------------
+
+
+def _centroid_clf_body(unnested_rel: str) -> str:
+    """Engine-shared nearest-centroid classifier over the labeled
+    embeddings: per-label centroids are exact micro-integer means
+    (floor of the micro sum over the count — one exact BIGINT
+    division), squared distances are pure BIGINT sums over the
+    dimension join, and the predicted label is the distance argmin
+    with label tie-break. The output is the confusion matrix — the
+    eval a curation team runs to decide whether embedding clusters
+    track the taxonomy before trusting cluster-level filters.
+
+    ``unnested_rel`` provides (vec_id, label, i, v_micro) rows."""
+    return f"""
+        WITH pts AS (SELECT vec_id, label, i, v_micro FROM {unnested_rel}),
+        cents AS (
+            -- floor() of the double quotient, NOT integer DIV: micro
+            -- sums go negative and Spark's DIV truncates toward zero
+            -- while DuckDB's // floors
+            SELECT label AS c_label, i,
+                   CAST(floor(SUM(v_micro) / (1.0 * COUNT(*)))
+                        AS BIGINT) AS c_micro
+            FROM pts GROUP BY label, i
+        ),
+        dists AS (
+            SELECT p.vec_id, p.label, c.c_label,
+                   SUM((p.v_micro - c.c_micro) * (p.v_micro - c.c_micro))
+                       AS d2
+            FROM pts p JOIN cents c ON c.i = p.i
+            GROUP BY p.vec_id, p.label, c.c_label
+        ),
+        pred AS (
+            SELECT vec_id, label AS true_label, c_label AS pred_label
+            FROM (
+                SELECT vec_id, label, c_label,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, c_label) AS rk
+                FROM dists
+            ) ranked WHERE rk = 1
+        )
+        SELECT true_label, pred_label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM pred
+        GROUP BY true_label, pred_label
+        ORDER BY true_label, pred_label
+    """
+
+
+def eval_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid confusion matrix — see _centroid_clf_body.
+
+    Scale posture: one dimension explode (n·d rows, the covariance-
+    family shape) landed on a checkpoint barrier (referenced by the
+    centroid aggregate AND the distance join); centroids are
+    |labels|·d rows broadcast to the distance join; the argmin window
+    partitions by vec_id over |labels| rows each. No pair space — the
+    candidate set per vector is the label set."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    def build():
+        load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+            "clf_emb_src"
+        )
+        return spark.sql("""
+            SELECT vec_id, label, i,
+                   CAST(round(CAST(element_at(embedding, CAST(i AS INT))
+                                   AS DOUBLE) * 1e6) AS BIGINT) AS v_micro
+            FROM clf_emb_src
+            LATERAL VIEW explode(sequence(1, size(embedding))) AS i
+        """)
+
+    cached_barrier_view(
+        spark, sf_dir, "clf_points", build, tables=("embeddings",)
+    )
+    return spark.sql(_centroid_clf_body("clf_points"))
+
+
+EVAL_CENTROID_CLASSIFIER_SQL = _centroid_clf_body(
+    """(
+        SELECT vec_id, label, i,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS v_micro
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    )"""
+)
+
+
+# ---------------------------------------------------------------------------
+# eval_retrieval_mrr — ranking-aware index quality (MRR of the true NN)
+# ---------------------------------------------------------------------------
+
+
+def _mrr_body(topk_rel: str, cand_rel: str, intdiv: str, topk: int) -> str:
+    """Engine-shared Mean Reciprocal Rank of the exact nearest neighbor
+    inside the LSH index's exact-sim-ranked candidate list — the
+    ranking-aware companion to ``eval_lsh_recall`` (candidate recall
+    says the NN is *somewhere* in the bucket; MRR says whether the
+    re-ranker will actually surface it first). Reciprocal ranks in
+    exact ppm (1000000 {intdiv} rank), mean as one BIGINT division."""
+    return f"""
+        WITH truth AS (
+            SELECT probe_id, neighbor_id FROM {topk_rel} WHERE rank = 1
+        ),
+        rankedc AS (
+            SELECT probe_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY sim DESC, neighbor_id) AS rk
+            FROM {cand_rel}
+        ),
+        per_probe AS (
+            SELECT t.probe_id, MIN(r.rk) AS nn_rank
+            FROM truth t LEFT JOIN rankedc r
+              ON r.probe_id = t.probe_id
+             AND r.neighbor_id = t.neighbor_id
+            GROUP BY t.probe_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(SUM(CASE WHEN nn_rank IS NULL THEN 0
+                             ELSE 1000000 {intdiv} nn_rank END)
+                    {intdiv} COUNT(*) AS BIGINT) AS mrr_ppm,
+               CAST(SUM(CASE WHEN nn_rank <= {topk} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit_at_k,
+               CAST(SUM(CASE WHEN nn_rank IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nn_retrieved
+        FROM per_probe
+    """
+
+
+def eval_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR of the LSH index against exact ground truth — see _mrr_body.
+
+    Scale posture: composes two memoized relations (exact top-k, LSH
+    candidates) via checkpoint barriers; the candidate-ranking window
+    partitions by probe over bucket-bounded candidate lists; the final
+    report is a |probes|-row aggregate."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+    from mongo_to_clickhouse_spark.queries.vectorops import (
+        sim_ann_lsh,
+        sim_cosine_topk,
+    )
+
+    cached_barrier_view(
+        spark, sf_dir, "mrr_truth",
+        lambda: sim_cosine_topk(spark, sf_dir),
+        tables=("embeddings",),
+    )
+    cached_barrier_view(
+        spark, sf_dir, "mrr_cands",
+        lambda: sim_ann_lsh(spark, sf_dir),
+        tables=("embeddings",),
+    )
+    from mongo_to_clickhouse_spark.queries.vectorops import TOPK
+
+    return spark.sql(_mrr_body("mrr_truth", "mrr_cands", "DIV", TOPK))
+
+
+def _mrr_oracle() -> str:
+    from mongo_to_clickhouse_spark.queries.vectorops import (
+        SIM_ANN_LSH_SQL,
+        SIM_COSINE_TOPK_SQL,
+        TOPK,
+    )
+
+    return (
+        f"WITH mrr_truth AS MATERIALIZED ({SIM_COSINE_TOPK_SQL}), "
+        f"mrr_cands AS MATERIALIZED ({SIM_ANN_LSH_SQL}), "
+        + _mrr_body("mrr_truth", "mrr_cands", "//", TOPK).strip()[
+            len("WITH"):
+        ]
+    )
+
+
+EVAL_RETRIEVAL_MRR_SQL = _mrr_oracle()
+
+
 QUERIES: dict[str, tuple] = {
+    "eval_centroid_classifier": (
+        eval_centroid_classifier,
+        EVAL_CENTROID_CLASSIFIER_SQL,
+    ),
+    "eval_retrieval_mrr": (eval_retrieval_mrr, EVAL_RETRIEVAL_MRR_SQL),
     "eval_score_auc": (eval_score_auc, EVAL_SCORE_AUC_SQL),
     "eval_lsh_banding_curve": (
         eval_lsh_banding_curve,

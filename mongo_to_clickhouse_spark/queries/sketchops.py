@@ -570,7 +570,98 @@ AGG_KMV_THETA_SKETCH_SQL = (
 )
 
 
+def _bitmap_rollup_sql(engine: str, daily_rel: str | None = None) -> str:
+    """Exact distinct-user rollup day → week → total from ONE bitmap
+    relation: per-(day, word) BIT_OR bitmaps are the only corpus
+    aggregate; the week and total tiers RE-MERGE those words (OR is
+    lossless for set union), so climbing the time hierarchy costs
+    |days|·words rows, never a second event scan — the property that
+    makes bitmap/HLL state the warehouse pattern for distinct-count
+    rollups (ClickHouse groupBitmapMergeState, Druid). COUNT(DISTINCT)
+    per tier would instead re-shuffle the events three times.
+
+    Exactness: popcounts of OR-merged words are exactly the distinct
+    counts (62 usable bits/word — DuckDB raises on shifts into the
+    BIGINT sign bits)."""
+    if engine == "spark":
+        one = "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))"
+        intdiv = "DIV"
+        epoch = "unix_micros(CAST(ts AS TIMESTAMP))"
+    else:
+        one = "(CAST(1 AS BIGINT) << CAST(user_id % 62 AS INT))"
+        intdiv = "//"
+        epoch = "CAST(epoch_us(ts) AS BIGINT)"
+    daily = daily_rel or f"""(
+        SELECT CAST(floor({epoch} / 86400000000) AS BIGINT) AS day_idx,
+               user_id {intdiv} 62 AS w,
+               BIT_OR({one}) AS word
+        FROM events
+        GROUP BY 1, 2
+    )"""
+    return f"""
+        WITH daily AS (SELECT day_idx, w, word FROM {daily}),
+        tiers AS (
+            SELECT 'day' AS tier, day_idx AS bucket,
+                   CAST(SUM(bit_count(word)) AS BIGINT) AS n_distinct
+            FROM daily GROUP BY day_idx
+            UNION ALL
+            SELECT 'week', day_idx {intdiv} 7,
+                   CAST(SUM(bit_count(word)) AS BIGINT)
+            FROM (SELECT day_idx {intdiv} 7 AS day_idx, w,
+                         BIT_OR(word) AS word
+                  FROM daily GROUP BY 1, 2) wk
+            GROUP BY day_idx
+            UNION ALL
+            SELECT 'total', CAST(-1 AS BIGINT),
+                   CAST(SUM(bit_count(word)) AS BIGINT)
+            FROM (SELECT w, BIT_OR(word) AS word FROM daily GROUP BY w) t
+        )
+        SELECT tier, bucket, n_distinct
+        FROM tiers
+        ORDER BY tier, bucket
+    """
+
+
+def agg_bitmap_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day → week → total exact distinct-user rollup by bitmap re-merge
+    — see _bitmap_rollup_sql. Scale posture: ONE event-scan aggregate
+    keyed (day, word) — uniform, map-side combined — lands on a
+    checkpoint barrier; the three tiers re-aggregate that |days|·words
+    relation (id-space/62 words, sparse). The shape a 100 TB events
+    store uses to serve every distinct-count dashboard from one
+    materialization."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    def build():
+        load_table(spark, sf_dir, "events").createOrReplaceTempView(
+            "rollup_events_src"
+        )
+        return spark.sql("""
+            SELECT CAST(floor(unix_micros(CAST(ts AS TIMESTAMP))
+                              / 86400000000) AS BIGINT) AS day_idx,
+                   user_id DIV 62 AS w,
+                   BIT_OR(shiftleft(CAST(1 AS BIGINT),
+                                    CAST(user_id % 62 AS INT))) AS word
+            FROM rollup_events_src
+            GROUP BY 1, 2
+        """)
+
+    cached_barrier_view(
+        spark, sf_dir, "bitmap_daily_words", build, tables=("events",)
+    )
+    return spark.sql(_bitmap_rollup_sql("spark", "bitmap_daily_words"))
+
+
+AGG_BITMAP_ROLLUP_MERGE_SQL = _bitmap_rollup_sql("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "agg_bitmap_rollup_merge": (
+        agg_bitmap_rollup_merge,
+        AGG_BITMAP_ROLLUP_MERGE_SQL,
+    ),
     "agg_heavy_hitters": (agg_heavy_hitters, AGG_HEAVY_HITTERS_SQL),
     "agg_count_min_sketch": (agg_count_min_sketch, AGG_COUNT_MIN_SKETCH_SQL),
     "agg_hll_sketch_explicit": (

@@ -980,7 +980,69 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_THEIL_SEN_TREND_SQL = _theil_sen_body(_ACF_DAILY_DUCK)
 
 
+# ---------------------------------------------------------------------------
+# events_seasonality_weekly — day-of-week profile of the daily series
+# ---------------------------------------------------------------------------
+
+
+def _weekly_body(daily_rel: str) -> str:
+    """Engine-shared weekly seasonality profile: the daily-count series
+    grouped by day-of-week (epoch-day mod 7), each cell carrying the
+    mean and the within-cell variance — the additive half of a
+    one-way-ANOVA decomposition and the poor-man's STL seasonal
+    component a pipeline checks before choosing rollup windows.
+
+    Exactness: mean_micro = ⌊S·1e6/n⌋ (exact BIGINT — counts are
+    non-negative so truncation IS floor in both engines); the
+    population variance comes from the n²-scaled central power sum
+    n·Σx² − S² (exact BIGINT, the covariance-family discipline) with
+    ONE double division floored to micro."""
+    return f"""
+        WITH daily AS (SELECT day_idx, x FROM {daily_rel})
+        SELECT day_idx % 7 AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(x) * 1000000 {{intdiv}} COUNT(*) AS BIGINT)
+                   AS mean_micro,
+               CAST(floor((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                          * 1000000.0 / (1.0 * COUNT(*) * COUNT(*)))
+                    AS BIGINT) AS var_micro
+        FROM daily
+        GROUP BY day_idx % 7
+        ORDER BY dow
+    """
+
+
+def events_seasonality_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile — see _weekly_body. Rides the
+    SAME checkpointed daily rollup as the ACF/Theil–Sen monitors (one
+    event scan per session); the profile is a 7-key aggregate over the
+    |days|-row relation."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    def build():
+        return load_table(spark, sf_dir, "events").selectExpr(
+            "CAST(floor(unix_micros(CAST(ts AS TIMESTAMP)) / 86400000000)"
+            " AS BIGINT) AS day_idx"
+        ).groupBy("day_idx").agg(F.count("*").cast("bigint").alias("x"))
+
+    cached_barrier_view(
+        spark, sf_dir, "acf_daily", build, tables=("events",)
+    )
+    return spark.sql(_weekly_body("acf_daily").replace("{intdiv}", "DIV"))
+
+
+EVENTS_SEASONALITY_WEEKLY_SQL = _weekly_body(_ACF_DAILY_DUCK).replace(
+    "{intdiv}", "//"
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "events_seasonality_weekly": (
+        events_seasonality_weekly,
+        EVENTS_SEASONALITY_WEEKLY_SQL,
+    ),
     "events_theil_sen_trend": (
         events_theil_sen_trend,
         EVENTS_THEIL_SEN_TREND_SQL,

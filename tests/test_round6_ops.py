@@ -628,3 +628,167 @@ def test_mix_entropy_uniform_and_skewed(spark, tmp_path):
     assert abs(total["eff_domains_micro"] - 4_000_000) < 50
     assert len(out) == 5
     assert all(r["share_ppm"] == 250_000 for r in out[1:])
+
+
+# ---------------------------------------------------------------------------
+# agg_bitmap_rollup_merge
+# ---------------------------------------------------------------------------
+
+
+def test_bitmap_rollup_union_semantics(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.sketchops import (
+        agg_bitmap_rollup_merge,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # align the fixture start to the epoch-week grid so "days 0..6"
+    # IS one rollup week (week = epoch_day DIV 7)
+    epoch_days = (_T0 - dt.datetime(1970, 1, 1)).days
+    t0 = _T0 + dt.timedelta(days=(7 - epoch_days % 7) % 7)
+    # days 0..6: disjoint user blocks of 5 -> week-0 distinct = 35;
+    # days 7..13: the SAME users {0..4} every day -> week-1 distinct = 5
+    # (the OR-merge must dedupe across days); total = 35 (block users
+    # 0..34 include 0..4).
+    rows = []
+    for day in range(7):
+        for u in range(day * 5, day * 5 + 5):
+            rows.append((day, u))
+    for day in range(7, 14):
+        for u in range(5):
+            rows.append((day, u))
+    n = len(rows)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [t0 + dt.timedelta(days=d) for d, _ in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([u for _, u in rows], pa.int64()),
+            "event_type": pa.array(["view"] * n, pa.string()),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "events.parquet"))
+    rows_out = agg_bitmap_rollup_merge(spark, str(tmp_path)).collect()
+    days = {r["bucket"]: r["n_distinct"] for r in rows_out
+            if r["tier"] == "day"}
+    weeks = sorted(
+        r["n_distinct"] for r in rows_out if r["tier"] == "week"
+    )
+    (total,) = [r["n_distinct"] for r in rows_out if r["tier"] == "total"]
+    assert all(v == 5 for v in days.values()) and len(days) == 14
+    assert weeks == [5, 35]
+    assert total == 35
+
+
+# ---------------------------------------------------------------------------
+# eval_centroid_classifier
+# ---------------------------------------------------------------------------
+
+
+def _write_embeddings(tmp_path, vecs, labels):
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_centroid_classifier_confusion(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.evalops import (
+        eval_centroid_classifier,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # label 0 clusters near (1,0), label 1 near (0,1); one label-0
+    # point planted AT (0,1) -> exactly one off-diagonal cell
+    vecs = [(1.0, 0.05), (1.0, -0.05), (0.95, 0.0),
+            (0.05, 1.0), (-0.05, 1.0), (0.0, 0.95),
+            (0.0, 1.0)]
+    labels = [0, 0, 0, 1, 1, 1, 0]
+    got = {
+        (r["true_label"], r["pred_label"]): r["n_vecs"]
+        for r in eval_centroid_classifier(
+            spark, _write_embeddings(tmp_path, vecs, labels)
+        ).collect()
+    }
+    assert got == {(0, 0): 3, (0, 1): 1, (1, 1): 3}
+
+
+# ---------------------------------------------------------------------------
+# eval_retrieval_mrr
+# ---------------------------------------------------------------------------
+
+
+def test_mrr_perfect_on_identical_vectors(spark, tmp_path):
+    from mongo_to_clickhouse_spark.config import TUNING
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.evalops import eval_retrieval_mrr
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # all vectors identical: every sim ties at 1.0, the true NN and the
+    # candidate ranking both tie-break by lowest id, so the NN is
+    # always retrieved at rank 1 -> MRR exactly 1.0
+    # vectors must be 64-dim: the LSH hyperplanes are fixed at the
+    # fixture dim and a shorter array nulls the band signatures
+    n = max(TUNING.ann_probes + 5, 16)
+    vecs = [tuple(float(1 + (i % 7)) for i in range(64))] * n
+    (r,) = eval_retrieval_mrr(
+        spark, _write_embeddings(tmp_path, vecs, [0] * n)
+    ).collect()
+    assert r["n_probes"] == TUNING.ann_probes
+    assert r["mrr_ppm"] == 1_000_000
+    assert r["n_hit_at_k"] == TUNING.ann_probes
+    assert r["n_nn_retrieved"] == TUNING.ann_probes
+
+
+# ---------------------------------------------------------------------------
+# events_seasonality_weekly
+# ---------------------------------------------------------------------------
+
+
+def test_weekly_profile_mean_and_variance(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.statsops import (
+        events_seasonality_weekly,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # day d and d+7 share a dow; counts 10 vs 20 -> mean 15, population
+    # variance 25 for every dow cell
+    counts = [10] * 7 + [20] * 7
+    got = {
+        r["dow"]: (r["n_days"], r["mean_micro"], r["var_micro"])
+        for r in events_seasonality_weekly(
+            spark, _write_daily_events(tmp_path, counts)
+        ).collect()
+    }
+    assert len(got) == 7
+    assert all(v == (2, 15_000_000, 25_000_000) for v in got.values())
