@@ -519,7 +519,8 @@ def eval_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         cached_barrier_view,
     )
     from mongo_to_clickhouse_spark.queries.vectorops import (
-        sim_ann_lsh,
+        TOPK,
+        lsh_cands_view,
         sim_cosine_topk,
     )
 
@@ -528,14 +529,8 @@ def eval_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: sim_cosine_topk(spark, sf_dir),
         tables=("embeddings",),
     )
-    cached_barrier_view(
-        spark, sf_dir, "mrr_cands",
-        lambda: sim_ann_lsh(spark, sf_dir),
-        tables=("embeddings",),
-    )
-    from mongo_to_clickhouse_spark.queries.vectorops import TOPK
-
-    return spark.sql(_mrr_body("mrr_truth", "mrr_cands", "DIV", TOPK))
+    cands = lsh_cands_view(spark, sf_dir)
+    return spark.sql(_mrr_body("mrr_truth", cands, "DIV", TOPK))
 
 
 def _mrr_oracle() -> str:

@@ -738,7 +738,75 @@ def _phash_duck_sql() -> str:
 MULTIMODAL_PHASH_DEDUP_SQL = _phash_duck_sql()
 
 
+# ---------------------------------------------------------------------------
+# pipeline_filter_overlap_matrix — which curation rules kill what, jointly
+# ---------------------------------------------------------------------------
+
+_FOM_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def _filter_overlap_sql(engine: str) -> str:
+    """Engine-shared rule-overlap matrix for the curation battery: each
+    document evaluates four kill rules into a bitmask (1 = too short,
+    2 = low lexical diversity, 4 = stopword-heavy, 8 = non-English) and
+    the report is the mask histogram — the joint-kill accounting a
+    pipeline reads before paying for a new filter (a rule whose kills
+    are fully covered by cheaper rules adds nothing; `mask = 0` is the
+    surviving corpus). Rule thresholds are integer cross-
+    multiplications (no ratio doubles), so the mask is exact in both
+    engines."""
+    if engine == "spark":
+        nlen, dlen = "size(toks)", "size(array_distinct(toks))"
+        stop = f"size(filter(toks, t -> t IN {_FOM_STOPWORDS!r}))"
+        split = "split(text, ' ')"
+    else:
+        nlen, dlen = "len(toks)", "len(list_distinct(toks))"
+        stop = f"len(list_filter(toks, t -> t IN {_FOM_STOPWORDS!r}))"
+        split = "string_split(text, ' ')"
+    return f"""
+        WITH masked AS (
+            SELECT (CASE WHEN {nlen} < 12 THEN 1 ELSE 0 END)
+                 + (CASE WHEN {dlen} * 10 <= {nlen} * 6 THEN 2 ELSE 0 END)
+                 + (CASE WHEN {stop} * 2 >= {nlen} THEN 4 ELSE 0 END)
+                 + (CASE WHEN lang <> 'en' THEN 8 ELSE 0 END) AS mask
+            FROM (SELECT lang, {split} AS toks FROM documents)
+        )
+        SELECT mask,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               mask % 2 = 1 AS r_short,
+               (mask {{intdiv}} 2) % 2 = 1 AS r_low_diversity,
+               (mask {{intdiv}} 4) % 2 = 1 AS r_stop_heavy,
+               (mask {{intdiv}} 8) % 2 = 1 AS r_non_english
+        FROM masked
+        GROUP BY mask
+        ORDER BY mask
+    """
+
+
+def pipeline_filter_overlap_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curation-rule joint-kill matrix — see _filter_overlap_sql. One
+    scan, per-doc narrow expressions, one 16-key groupBy: the whole
+    audit is a single map-side-combined aggregate at any corpus size."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(
+        _filter_overlap_sql("spark").replace("{intdiv}", "DIV")
+    )
+
+
+PIPELINE_FILTER_OVERLAP_MATRIX_SQL = _filter_overlap_sql("duck").replace(
+    "{intdiv}", "//"
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "pipeline_filter_overlap_matrix": (
+        pipeline_filter_overlap_matrix,
+        PIPELINE_FILTER_OVERLAP_MATRIX_SQL,
+    ),
     "multimodal_phash_dedup": (
         multimodal_phash_dedup,
         MULTIMODAL_PHASH_DEDUP_SQL,

@@ -698,7 +698,85 @@ def window_gaps_islands_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINDOW_GAPS_ISLANDS_BUCKETED_SQL = _gaps_islands_sql("duck")
 
 
+COALESCE_SPAN_US = 300_000_000   # each event opens a 5-minute interval
+
+
+def _interval_coalesce_sql(engine: str) -> str:
+    """Engine-shared interval coalescing: every event opens a
+    [ts, ts+5min) span; overlapping spans per user merge into maximal
+    covered intervals (the continuous-time twin of gaps-and-islands —
+    the \"total active time\" query behind billing, on-call coverage and
+    session-overlap audits). New-island detection is the running MAX of
+    prior interval ends; within an island the union is contiguous, so
+    covered time = MAX(end) − MIN(start) per island — all exact µs
+    BIGINTs."""
+    epoch = (
+        "unix_micros(CAST(ts AS TIMESTAMP))"
+        if engine == "spark"
+        else "CAST(epoch_us(ts) AS BIGINT)"
+    )
+    return f"""
+        WITH sp AS (
+            SELECT user_id, event_id, {epoch} AS s,
+                   {epoch} + {COALESCE_SPAN_US} AS f
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, s, f,
+                   CASE WHEN MAX(f) OVER (
+                            PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) IS NULL
+                          OR s > MAX(f) OVER (
+                            PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS nw,
+                   event_id
+            FROM sp
+        ),
+        islands AS (
+            SELECT user_id, s, f,
+                   SUM(nw) OVER (PARTITION BY user_id
+                                 ORDER BY s, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS g
+            FROM flagged
+        ),
+        merged AS (
+            SELECT user_id, g,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MAX(f) - MIN(s) AS covered
+            FROM islands GROUP BY user_id, g
+        )
+        SELECT user_id,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(covered) AS BIGINT) AS covered_us
+        FROM merged
+        GROUP BY user_id
+        ORDER BY user_id
+    """
+
+
+def window_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user merged-interval coverage — see _interval_coalesce_sql.
+
+    Scale posture: one scan, then two user-partitioned running windows
+    (per-user partitions — uniform user keys, the sessionize shape) and
+    two user-keyed aggregates. Nothing global, nothing quadratic; the
+    only shuffle is on user_id."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_interval_coalesce_sql("spark"))
+
+
+WINDOW_INTERVAL_COALESCE_SQL = _interval_coalesce_sql("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "window_interval_coalesce": (
+        window_interval_coalesce,
+        WINDOW_INTERVAL_COALESCE_SQL,
+    ),
     "tpch_q1_pricing_summary": (tpch_q1_pricing_summary, TPCH_Q1_SQL),
     "window_gaps_islands_bucketed": (
         window_gaps_islands_bucketed,

@@ -695,7 +695,100 @@ def _wordpiece_duck_sql() -> str:
 TOKENIZER_WORDPIECE_APPLY_SQL = _wordpiece_duck_sql()
 
 
+# ---------------------------------------------------------------------------
+# tokenizer_vocab_coverage_curve — occurrence coverage vs vocab size
+# ---------------------------------------------------------------------------
+
+VOCAB_CURVE_KS = (64, 256, 1024, 4096)
+
+
+def _vocab_curve_tail_sql(ranked_rel: str, intdiv: str) -> str:
+    """Shared back half: given (freq, rk) token types ranked by
+    (freq DESC, word), emit one row per candidate vocab size K with the
+    share of token OCCURRENCES a top-K vocabulary covers — the curve a
+    tokenizer team reads to pick vocab size (the Zipf head covers most
+    mass; the tail buys OOV headroom). One pass computes every K's
+    conditional sum; coverage in exact ppm."""
+    cover_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN rk <= {k} THEN freq ELSE 0 END) AS BIGINT)"
+        f" AS c{k}"
+        for k in VOCAB_CURVE_KS
+    )
+    case_cov = " ".join(
+        f"WHEN {k} THEN c{k}" for k in VOCAB_CURVE_KS
+    )
+    values = ", ".join(f"({k})" for k in VOCAB_CURVE_KS)
+    return f"""
+        SELECT vocab_k,
+               CAST(CASE WHEN vocab_k < n_types THEN vocab_k
+                         ELSE n_types END AS BIGINT) AS n_types_in_vocab,
+               CAST((CASE vocab_k {case_cov} END) * 1000000 {intdiv} total
+                    AS BIGINT) AS covered_ppm,
+               CAST(1000000 - (CASE vocab_k {case_cov} END) * 1000000
+                    {intdiv} total AS BIGINT) AS oov_ppm
+        FROM (
+            SELECT CAST(SUM(freq) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_types, {cover_cols}
+            FROM {ranked_rel}
+        ) agg
+        CROSS JOIN (SELECT * FROM (VALUES {values}) v(vocab_k)) ks
+        ORDER BY vocab_k
+    """
+
+
+def tokenizer_vocab_coverage_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Vocab-size coverage curve — see _vocab_curve_tail_sql.
+
+    Scale posture: one wordcount aggregate (vocabulary-bounded,
+    map-side combined) ranked by the two-pass distributed sort-rank
+    (operators/rank.py — at web scale the vocabulary is billions of
+    types and a global ROW_NUMBER window would serialize them through
+    one task), landed on a checkpoint barrier; the curve itself is ONE
+    pass of conditional sums over that relation fanned to
+    {len(VOCAB_CURVE_KS)} rows by a literal VALUES join."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+    from mongo_to_clickhouse_spark.operators.rank import (
+        distributed_global_rank,
+    )
+
+    def build():
+        from mongo_to_clickhouse_spark.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        freq = (
+            docs.selectExpr("explode(split(text, ' ')) AS word")
+            .groupBy("word")
+            .agg(F.count("*").cast("bigint").alias("freq"))
+        )
+        return distributed_global_rank(
+            freq, [F.col("freq").desc(), F.col("word")], rank_col="rk"
+        ).select("freq", "rk")
+
+    cached_barrier_view(spark, sf_dir, "vocab_ranked", build)
+    return spark.sql(_vocab_curve_tail_sql("vocab_ranked", "DIV"))
+
+
+TOKENIZER_VOCAB_COVERAGE_CURVE_SQL = _vocab_curve_tail_sql(
+    """(
+        SELECT freq, row_number() OVER (ORDER BY freq DESC, word) AS rk
+        FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+              FROM (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents) w
+              GROUP BY word) f
+    )""",
+    "//",
+)
+
+
 QUERIES = {
+    "tokenizer_vocab_coverage_curve": (
+        tokenizer_vocab_coverage_curve,
+        TOKENIZER_VOCAB_COVERAGE_CURVE_SQL,
+    ),
     "tokenizer_wordpiece_apply": (
         tokenizer_wordpiece_apply,
         TOKENIZER_WORDPIECE_APPLY_SQL,

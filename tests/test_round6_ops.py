@@ -792,3 +792,180 @@ def test_weekly_profile_mean_and_variance(spark, tmp_path):
     }
     assert len(got) == 7
     assert all(v == (2, 15_000_000, 25_000_000) for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# pipeline_filter_overlap_matrix
+# ---------------------------------------------------------------------------
+
+
+def test_filter_overlap_masks(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.queries.pipelineops import (
+        pipeline_filter_overlap_matrix,
+    )
+
+    clear_scan_cache()
+    long_clean = " ".join(f"tok{i}" for i in range(20))          # passes all
+    short_en = "just a few words here"                           # short only
+    stop_heavy = "the a of and to in " * 4 + "x y z " * 2        # stops+rep?
+    rows = [
+        (0, long_clean, "en", len(long_clean)),
+        (1, short_en, "en", len(short_en)),
+        (2, long_clean, "fr", len(long_clean)),                  # non-en only
+    ]
+    got = {
+        r["mask"]: r["n_docs"]
+        for r in pipeline_filter_overlap_matrix(
+            spark, _write_docs(tmp_path, rows)
+        ).collect()
+    }
+    assert got[0] == 1          # the clean doc survives every rule
+    assert got[1] == 1          # short-only doc -> bit 1 alone
+    assert got[8] == 1          # non-English alone -> bit 8
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_vocab_coverage_curve
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_curve_zipf_head(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.tokenizerops import (
+        VOCAB_CURVE_KS,
+        tokenizer_vocab_coverage_curve,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # 64 head types with 100 occurrences each; 200 tail singletons.
+    # top-64 covers 6400/6600; any K >= 264 covers everything.
+    text_head = " ".join(f"h{i:02d}" for i in range(64))
+    docs = [(d, text_head, "en", 1) for d in range(100)]
+    tail = " ".join(f"t{i:03d}" for i in range(200))
+    docs.append((100, tail, "en", 1))
+    got = {
+        r["vocab_k"]: (r["n_types_in_vocab"], r["covered_ppm"], r["oov_ppm"])
+        for r in tokenizer_vocab_coverage_curve(
+            spark, _write_docs(tmp_path, docs)
+        ).collect()
+    }
+    assert set(got) == set(VOCAB_CURVE_KS)
+    assert got[64] == (64, 6400 * 1_000_000 // 6600,
+                       1_000_000 - 6400 * 1_000_000 // 6600)
+    assert got[1024] == (264, 1_000_000, 0)
+
+
+# ---------------------------------------------------------------------------
+# window_interval_coalesce
+# ---------------------------------------------------------------------------
+
+
+def test_interval_coalesce_merges_overlaps(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.queries.relational_ext import (
+        COALESCE_SPAN_US,
+        window_interval_coalesce,
+    )
+
+    clear_scan_cache()
+    # user 1: events at 0s and 100s (overlap -> one span covering
+    # 100s + 300s); user 2: events at 0s and 1000s (disjoint -> two
+    # full spans)
+    evts = [(1, 0), (1, 100), (2, 0), (2, 1000)]
+    n = len(evts)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [_T0 + dt.timedelta(seconds=s) for _, s in evts],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([u for u, _ in evts], pa.int64()),
+            "event_type": pa.array(["view"] * n, pa.string()),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "events.parquet"))
+    got = {
+        r["user_id"]: (r["n_events"], r["n_spans"], r["covered_us"])
+        for r in window_interval_coalesce(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (2, 1, 100_000_000 + COALESCE_SPAN_US)
+    assert got[2] == (2, 2, 2 * COALESCE_SPAN_US)
+
+
+# ---------------------------------------------------------------------------
+# emb_residual_quantize
+# ---------------------------------------------------------------------------
+
+
+def test_rvq_error_ladder_descends(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.vectorops import (
+        RQ_MOD1,
+        emb_residual_quantize,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # two tight clusters around the two level-1 donors (ids 0 and 50):
+    # level-1 residuals are tiny, so mse must drop by orders of
+    # magnitude at level 1 and not increase at level 2
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((2, 8)) * 2.0
+    vecs, labels = [], []
+    for vid in range(120):
+        c = base[0] if vid < RQ_MOD1 else base[1]
+        vecs.append(tuple(c + rng.standard_normal(8) * 0.01))
+        labels.append(0)
+    (l0, l1, l2) = sorted(
+        emb_residual_quantize(
+            spark, _write_embeddings(tmp_path, vecs, labels)
+        ).collect(),
+        key=lambda r: r["level"],
+    )
+    assert l0["level"] == 0 and l0["n_codes"] == 3  # ids 0, 50, 100
+    assert l1["mse_milli2"] < l0["mse_milli2"] // 100
+    assert l2["mse_milli2"] <= l1["mse_milli2"]
+
+
+# ---------------------------------------------------------------------------
+# sim_range_search_radius
+# ---------------------------------------------------------------------------
+
+
+def test_range_search_counts_within_radius(spark, tmp_path):
+    from mongo_to_clickhouse_spark.config import TUNING
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.vectorops import (
+        sim_range_search_radius,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # identical 64-dim vectors: every candidate sim = 1.0 >= tau, and
+    # every probe's bucket holds everyone else
+    n = max(TUNING.ann_probes + 5, 16)
+    vecs = [tuple(float(1 + (i % 5)) for i in range(64))] * n
+    got = sim_range_search_radius(
+        spark, _write_embeddings(tmp_path, vecs, [0] * n)
+    ).collect()
+    assert len(got) == TUNING.ann_probes
+    for r in got:
+        assert r["n_in_radius"] == n - 1
+        assert r["max_sim_micro"] == 1_000_000
+        assert r["sum_sim_micro"] == (n - 1) * 1_000_000
