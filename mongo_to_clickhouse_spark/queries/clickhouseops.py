@@ -429,7 +429,71 @@ SCALAR_URL_PARSE_SQL = r"""
 """
 
 
+# ---------------------------------------------------------------------------
+# scalar_ipv4_ops — the ClickHouse IPv4 function family
+# ---------------------------------------------------------------------------
+
+
+def _ipv4_sql(engine: str) -> str:
+    """ClickHouse's IPv4 function family (IPv4NumToString /
+    IPv4StringToNum / CIDR membership / subnet truncation) as pure
+    integer+string expressions. Addresses derive deterministically from
+    user ids by the Knuth multiplicative hash folded into the 32-bit
+    space — exact BIGINT arithmetic in both engines, so the whole tier
+    (including the string round-trip) is hash-checkable."""
+    intdiv = "DIV" if engine == "spark" else "//"
+    o = [
+        f"(ip {intdiv} 16777216) % 256",
+        f"(ip {intdiv} 65536) % 256",
+        f"(ip {intdiv} 256) % 256",
+        "ip % 256",
+    ]
+    ip_str = (
+        "CAST(" + o[0] + " AS STRING) || '.' || CAST(" + o[1]
+        + " AS STRING) || '.' || CAST(" + o[2] + " AS STRING)"
+        + " || '.' || CAST(" + o[3] + " AS STRING)"
+        if engine == "spark"
+        else "CAST(" + o[0] + " AS VARCHAR) || '.' || CAST(" + o[1]
+        + " AS VARCHAR) || '.' || CAST(" + o[2] + " AS VARCHAR)"
+        + " || '.' || CAST(" + o[3] + " AS VARCHAR)"
+    )
+    return f"""
+        WITH ips AS (
+            SELECT DISTINCT user_id,
+                   (user_id * 2654435761) % 4294967296 AS ip
+            FROM events
+        ),
+        parts AS (
+            SELECT user_id, ip, {ip_str} AS ip_str,
+                   ({o[0]}) * 16777216 + ({o[1]}) * 65536
+                       + ({o[2]}) * 256 + (ip % 256) AS ip_roundtrip,
+                   (ip {intdiv} 16777216) % 256 = 10 AS in_10_slash_8,
+                   (ip {intdiv} 256) * 256 AS subnet_24,
+                   (ip {intdiv} 65536) * 65536 AS subnet_16
+            FROM ips
+        )
+        SELECT user_id, ip, ip_str,
+               ip_roundtrip = ip AS roundtrip_ok,
+               in_10_slash_8, subnet_24, subnet_16
+        FROM parts
+        ORDER BY user_id
+        LIMIT 200
+    """
+
+
+def scalar_ipv4_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse IPv4 scalar tier — see _ipv4_sql. One distinct-user
+    aggregate, then pure narrow maps; TakeOrderedAndProject caps the
+    report."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ipv4_sql("spark"))
+
+
+SCALAR_IPV4_OPS_SQL = _ipv4_sql("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "scalar_ipv4_ops": (scalar_ipv4_ops, SCALAR_IPV4_OPS_SQL),
     "events_sequence_match": (events_sequence_match, EVENTS_SEQUENCE_MATCH_SQL),
     "events_retention_conditions": (
         events_retention_conditions,

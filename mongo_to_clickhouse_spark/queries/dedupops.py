@@ -1233,6 +1233,109 @@ DEDUP_SUBSTRING_SPANS_SQL = _substring_spans_body(
 
 
 # ---------------------------------------------------------------------------
+# dedup_substring_apply — ExactSubstr REMOVAL (the apply half of spans)
+# ---------------------------------------------------------------------------
+
+
+def _substring_apply_body(dialect: str, wins_src: str, toks_src: str) -> str:
+    """Engine-shared ExactSubstr removal (Lee et al. §4.1 apply step):
+    every {WINDOW_TOKENS}-token window duplicated ACROSS documents is
+    excised from every document except the window hash's owner (the
+    min-doc_id first occurrence keeps its text intact — cross-document
+    dedup, not within-document compression). Removal positions expand
+    window→token coverage by a constant {WINDOW_TOKENS}-way fan-out;
+    the rebuilt text is reported as md5 over the kept tokens in
+    position order plus before/after token accounting, so the oracle
+    hash-checks the actual surviving text byte-for-byte."""
+    intdiv = "DIV" if dialect == "spark" else "//"
+    if dialect == "spark":
+        gen_k = (f"LATERAL VIEW explode(sequence(0, {WINDOW_TOKENS - 1}))"
+                 " AS k")
+        rebuild = ("md5(concat_ws(' ', transform(array_sort("
+                   "collect_list(CASE WHEN rm.doc_id IS NULL THEN"
+                   " struct(t.pos, t.tok) END)), s -> s.tok)))")
+    else:
+        gen_k = f", unnest(range(0, {WINDOW_TOKENS})) AS kk(k)"
+        rebuild = ("md5(coalesce(string_agg(CASE WHEN rm.doc_id IS NULL"
+                   " THEN t.tok END, ' ' ORDER BY t.pos), ''))")
+    return f"""
+        WITH wins AS ({wins_src}),
+        owners AS (
+            SELECT wh, MIN(doc_id) AS owner_doc
+            FROM wins GROUP BY wh HAVING MIN(doc_id) != MAX(doc_id)
+        ),
+        removal_wins AS (
+            SELECT w.doc_id, w.pos
+            FROM wins w JOIN owners o
+              ON o.wh = w.wh AND w.doc_id != o.owner_doc
+        ),
+        removed AS (
+            SELECT DISTINCT doc_id, pos + k AS pos
+            FROM removal_wins {gen_k}
+        ),
+        toks AS ({toks_src})
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens_before,
+               CAST(SUM(CASE WHEN rm.doc_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_tokens_after,
+               CAST(SUM(CASE WHEN rm.doc_id IS NULL THEN 0 ELSE 1 END)
+                    * 1000000 {intdiv} COUNT(*) AS BIGINT) AS removed_ppm,
+               {rebuild} AS cleaned_md5
+        FROM toks t
+        LEFT JOIN removed rm
+          ON rm.doc_id = t.doc_id AND rm.pos = t.pos
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+    """
+
+
+def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicated-span REMOVAL — see _substring_apply_body.
+
+    Scale posture: windows come off the same memoized window-hash array
+    barrier as ``dedup_substring_spans`` (one corpus transform per
+    session); the owner aggregate and removal semi-join are keyed by
+    the uniform 60-bit window hash; coverage expansion is a constant
+    {WINDOW_TOKENS}-way fan-out of only the REMOVAL windows; the
+    rebuild is ONE pass over the positional token relation (counts and
+    the ordered md5 in the same doc-keyed aggregate)."""
+    wview = _window_arr_view(spark, sf_dir)
+    # posexplode is 0-based; window positions elsewhere are 1-based
+    wins = f"""
+        SELECT doc_id, pos0 + 1 AS pos, wh FROM (
+            SELECT doc_id, posexplode(whs) AS (pos0, wh) FROM {wview}
+        ) x
+    """
+    toks = f"""
+        SELECT doc_id, pos0 + 1 AS pos, tok FROM (
+            SELECT doc_id, posexplode(split(text, ' ')) AS (pos0, tok)
+            FROM (SELECT doc_id, text FROM ({_planted_corpus('spark')}))
+        ) y
+    """
+    return spark.sql(_substring_apply_body("spark", wins, toks))
+
+
+DEDUP_SUBSTRING_APPLY_SQL = _substring_apply_body(
+    "duck",
+    f"""
+    SELECT doc_id, i AS pos,
+           CAST(('0x' || substr(md5(array_to_string(t[i:i+{WINDOW_TOKENS - 1}], ' ')), 1, 15))
+                AS BIGINT) AS wh
+    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {WINDOW_TOKENS - 1})) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS t
+                FROM ({_planted_corpus('duck')}))
+          WHERE len(t) >= {WINDOW_TOKENS})
+    """,
+    f"""
+    SELECT doc_id, i AS pos, t[i] AS tok
+    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS t
+                FROM ({_planted_corpus('duck')})))
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # pipeline_dedup_cascade — tiered dedup attribution (which tier removes what)
 # ---------------------------------------------------------------------------
 
@@ -1360,6 +1463,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_url_canonical": (dedup_url_canonical, DEDUP_URL_CANONICAL_SQL),
     "dedup_substring_spans": (dedup_substring_spans, DEDUP_SUBSTRING_SPANS_SQL),
+    "dedup_substring_apply": (dedup_substring_apply, DEDUP_SUBSTRING_APPLY_SQL),
     "pipeline_dedup_lsh_apply": (
         pipeline_dedup_lsh_apply,
         PIPELINE_DEDUP_LSH_APPLY_SQL,

@@ -790,7 +790,123 @@ def _hits_duck_sql() -> str:
 GRAPH_HITS_SCORES_SQL = _hits_duck_sql()
 
 
+CLOSENESS_SOURCES = 4    # sampled BFS sources (Eppstein–Wang estimator)
+CLOSENESS_ROUNDS = 4     # same fixed hop budget as graph_bfs_depth
+_CLOSE_TOPK = 20
+
+
+def _closeness_round_sql(dist_rel: str, adj_rel: str) -> str:
+    """One multi-source relaxation: same Bellman–Ford step as
+    graph_bfs_depth with the state keyed (src, node)."""
+    return f"""
+        SELECT src, node_id, CAST(MIN(d) AS INTEGER) AS d
+        FROM (
+            SELECT src, node_id, d FROM {dist_rel}
+            UNION ALL
+            SELECT s.src, e.b AS node_id, s.d + 1 AS d
+            FROM {dist_rel} s JOIN {adj_rel} e ON e.a = s.node_id
+        ) relaxed
+        GROUP BY src, node_id
+    """
+
+
+def _closeness_tail_sql(dist_rel: str) -> str:
+    # harmonic centrality estimate: Σ_s 1/d(s, v) over the sampled
+    # sources (d ≥ 1) — harmonic handles unreached sources gracefully
+    # where classic closeness needs an infinite-distance convention
+    return f"""
+        SELECT node_id,
+               CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sources_reached,
+               CAST(SUM(CASE WHEN d > 0 THEN 1000000 {{intdiv}} d
+                             ELSE 0 END) AS BIGINT) AS harmonic_micro
+        FROM {dist_rel}
+        GROUP BY node_id
+        ORDER BY harmonic_micro DESC, node_id
+        LIMIT {_CLOSE_TOPK}
+    """
+
+
+def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic closeness centrality (Eppstein–Wang style): BFS
+    from the {CLOSENESS_SOURCES} smallest nodes of the shared mutual-kNN
+    supplier graph, {CLOSENESS_ROUNDS} synchronous relaxations, then
+    per-node Σ 1/d over the sources — the estimator that makes
+    centrality affordable when exact all-pairs BFS is O(n·m). Top
+    {_CLOSE_TOPK} central nodes reported.
+
+    Exactness: distances are exact hop integers; each 1/d term is one
+    integer division of 1e6 (both engines truncate positive operands
+    identically), so the score sum is pure BIGINT.
+
+    Scale posture: the state relation is |sources|·|nodes| keyed
+    (src, node) — sampling bounds the multiplier by construction; each
+    round is the BFS equi-join + min-aggregate over the shared
+    degree-bounded adjacency barrier, checkpointed per round (the
+    kmeans/pagerank discipline)."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        barrier,
+        cached_barrier_view,
+    )
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    adj = cached_barrier_view(
+        spark,
+        sf_dir,
+        "tri_adj",
+        lambda: spark.sql(_triangle_adj_sql(
+            "(SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)"
+        )),
+        tables=("lineitem",),
+    )
+    dist = spark.sql(f"""
+        SELECT node_id AS src, node_id, CAST(0 AS INTEGER) AS d
+        FROM (SELECT DISTINCT a AS node_id FROM {adj}
+              ORDER BY node_id LIMIT {CLOSENESS_SOURCES}) srcs
+    """)
+    for r in range(1, CLOSENESS_ROUNDS + 1):
+        dist = barrier(dist)
+        dist.createOrReplaceTempView(f"close_d{r - 1}")
+        dist = spark.sql(_closeness_round_sql(f"close_d{r - 1}", adj))
+    dist.createOrReplaceTempView("close_final")
+    return spark.sql(
+        _closeness_tail_sql("close_final").replace("{intdiv}", "DIV")
+    )
+
+
+def _closeness_duck_sql() -> str:
+    adj_body = _triangle_adj_sql(
+        "(SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)"
+    )
+    parts = [
+        f"tri_adj AS MATERIALIZED ({adj_body})",
+        f"""d0 AS MATERIALIZED (
+            SELECT node_id AS src, node_id, CAST(0 AS INTEGER) AS d
+            FROM (SELECT DISTINCT a AS node_id FROM tri_adj
+                  ORDER BY node_id LIMIT {CLOSENESS_SOURCES}) srcs
+        )""",
+    ]
+    for r in range(1, CLOSENESS_ROUNDS + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED "
+            f"({_closeness_round_sql(f'd{r - 1}', 'tri_adj')})"
+        )
+    return (
+        f"WITH {', '.join(parts)} "
+        + _closeness_tail_sql(f"d{CLOSENESS_ROUNDS}").replace(
+            "{intdiv}", "//"
+        )
+    )
+
+
+GRAPH_CLOSENESS_SAMPLED_SQL = _closeness_duck_sql()
+
+
 QUERIES: dict[str, tuple] = {
+    "graph_closeness_sampled": (
+        graph_closeness_sampled,
+        GRAPH_CLOSENESS_SAMPLED_SQL,
+    ),
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
     "graph_bfs_depth": (graph_bfs_depth, GRAPH_BFS_DEPTH_SQL),
     "graph_kcore_onion": (graph_kcore_onion, GRAPH_KCORE_ONION_SQL),

@@ -802,7 +802,99 @@ PIPELINE_FILTER_OVERLAP_MATRIX_SQL = _filter_overlap_sql("duck").replace(
 )
 
 
+# ---------------------------------------------------------------------------
+# pipeline_budget_prefix_select — best-docs-first selection under a budget
+# ---------------------------------------------------------------------------
+
+BUDGET_SHARE_PCT = 10   # select until 10% of corpus tokens are spent
+
+
+def _budget_select_tail_sql(cum_rel: str, intdiv: str) -> str:
+    """Shared back half over (doc_id, toks, density_ppm, cum) rows where
+    ``cum`` is the EXCLUSIVE running token sum under (density DESC,
+    doc_id): keep every doc whose prefix fits the {BUDGET_SHARE_PCT}%
+    token budget — the greedy knapsack relaxation behind quality-first
+    data selection under a fixed training-token budget (the
+    data-constrained-scaling selection rule). Admission is the exact
+    integer cross-multiplication cum·100 < total·{BUDGET_SHARE_PCT}."""
+    return f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_selected,
+               CAST(SUM(toks) AS BIGINT) AS tokens_selected,
+               CAST(MAX(total) AS BIGINT) AS total_tokens,
+               CAST(SUM(toks) * 1000000 {intdiv} MAX(total) AS BIGINT)
+                   AS share_ppm,
+               CAST(MIN(density_ppm) AS BIGINT) AS admission_density_ppm
+        FROM (
+            SELECT c.*, t.total
+            FROM {cum_rel} c
+            CROSS JOIN (SELECT CAST(SUM(toks) AS BIGINT) AS total
+                        FROM {cum_rel}) t
+        ) x
+        WHERE cum * 100 < total * {BUDGET_SHARE_PCT}
+    """
+
+
+def pipeline_budget_prefix_select(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Greedy best-density-first selection under a token budget — see
+    _budget_select_tail_sql.
+
+    Scale posture: per-doc density (lexical diversity in exact ppm) is
+    a narrow map; the running token sum under the (density DESC,
+    doc_id) total order rides the two-pass distributed prefix sum
+    (operators/rank.py) — never a no-partition window — landed on a
+    checkpoint barrier (referenced by the admission filter AND the
+    budget total); the report is one 1-row aggregate."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+    from mongo_to_clickhouse_spark.operators.rank import (
+        distributed_prefix_sum,
+    )
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        scored = docs.selectExpr(
+            "doc_id",
+            "CAST(size(split(text, ' ')) AS BIGINT) AS toks",
+            "CAST(size(array_distinct(split(text, ' '))) * 1000000"
+            " DIV size(split(text, ' ')) AS BIGINT) AS density_ppm",
+        )
+        return distributed_prefix_sum(
+            scored,
+            [F.col("density_ppm").desc(), F.col("doc_id")],
+            value_col="toks",
+            out_col="cum",
+        )
+
+    cached_barrier_view(spark, sf_dir, "budget_cum", build)
+    return spark.sql(_budget_select_tail_sql("budget_cum", "DIV"))
+
+
+PIPELINE_BUDGET_PREFIX_SELECT_SQL = (
+    "WITH budget_cum AS MATERIALIZED ("
+    "  SELECT doc_id, toks, density_ppm,"
+    "         CAST(COALESCE(SUM(toks) OVER ("
+    "             ORDER BY density_ppm DESC, doc_id"
+    "             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+    "              AS BIGINT) AS cum"
+    "  FROM (SELECT doc_id,"
+    "               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,"
+    "               CAST(len(list_distinct(string_split(text, ' ')))"
+    "                    * 1000000 // len(string_split(text, ' '))"
+    "                    AS BIGINT) AS density_ppm"
+    "        FROM documents) scored"
+    ") "
+    + _budget_select_tail_sql("budget_cum", "//")
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "pipeline_budget_prefix_select": (
+        pipeline_budget_prefix_select,
+        PIPELINE_BUDGET_PREFIX_SELECT_SQL,
+    ),
     "pipeline_filter_overlap_matrix": (
         pipeline_filter_overlap_matrix,
         PIPELINE_FILTER_OVERLAP_MATRIX_SQL,

@@ -993,7 +993,76 @@ def profile_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROFILE_CHI2_INDEPENDENCE_SQL = _chi2_body("documents")
 
 
+def _ht_body(engine: str) -> str:
+    """Engine-shared Horvitz–Thompson estimation of the corpus token
+    total from the PPS sample: each sampled doc contributes y_i/π_i
+    with π_i = min(1, n_chars/{PPS_SCALE:.0f}) — the inverse-inclusion
+    weighting that makes any unequal-probability sample unbiased, and
+    the estimation-theory half the ``sample_weighted_pps`` draw needs
+    to be USEFUL (an unweighted mean over a PPS sample is biased toward
+    long docs). True total rides along so the report carries its own
+    error.
+
+    Exactness: selection is the established integer-space hash
+    comparison; contributions floor(tokens·SCALE·1e6/n_chars) are ONE
+    double expression over exact integers per row; sums are BIGINT."""
+    if engine == "spark":
+        h = ("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),"
+             " 16, 10) AS BIGINT)")
+        ntok = "size(split(text, ' '))"
+    else:
+        h = _hash60_sql("doc_id")
+        ntok = "len(string_split(text, ' '))"
+    return f"""
+        WITH pop AS (
+            SELECT doc_id, n_chars,
+                   CAST({ntok} AS BIGINT) AS toks,
+                   CAST({h} AS DOUBLE) * {PPS_SCALE}
+                       < CAST(n_chars AS DOUBLE) * {HASH_SPACE} AS picked
+            FROM documents
+        ),
+        est AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_population,
+                   CAST(SUM(CASE WHEN picked THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_sampled,
+                   CAST(SUM(toks) AS BIGINT) AS true_total_tokens,
+                   CAST(SUM(CASE WHEN picked THEN
+                            CAST(floor(toks * {PPS_SCALE} * 1000000.0
+                                       / (CASE WHEN n_chars
+                                               >= {PPS_SCALE:.0f}
+                                               THEN {PPS_SCALE:.0f}
+                                               ELSE n_chars END))
+                                 AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS ht_estimate_micro
+            FROM pop
+        )
+        SELECT n_population, n_sampled, true_total_tokens,
+               ht_estimate_micro,
+               CAST(floor(abs(ht_estimate_micro / 1000000.0
+                              - true_total_tokens) * 1000000.0
+                          / true_total_tokens) AS BIGINT) AS error_ppm
+        FROM est
+    """
+
+
+def sample_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HT token-total estimate from the PPS sample — see _ht_body. One
+    scan, narrow per-row expressions, one 1-row aggregate: map-only at
+    any scale (the same plan family as the samplers it audits)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_ht_body("spark"))
+
+
+SAMPLE_HORVITZ_THOMPSON_SQL = _ht_body("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "sample_horvitz_thompson": (
+        sample_horvitz_thompson,
+        SAMPLE_HORVITZ_THOMPSON_SQL,
+    ),
     "profile_chi2_independence": (
         profile_chi2_independence,
         PROFILE_CHI2_INDEPENDENCE_SQL,

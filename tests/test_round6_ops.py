@@ -969,3 +969,164 @@ def test_range_search_counts_within_radius(spark, tmp_path):
         assert r["n_in_radius"] == n - 1
         assert r["max_sim_micro"] == 1_000_000
         assert r["sum_sim_micro"] == (n - 1) * 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring_apply
+# ---------------------------------------------------------------------------
+
+
+def test_substring_apply_removes_copy_keeps_owner(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.dedupops import (
+        dedup_substring_apply,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # doc 1 and doc 2 are verbatim copies (12 tokens; every 8-token
+    # window duplicated, coverage = all 12 tokens). The min-doc owner
+    # (1) keeps its text; doc 2 is fully excised. doc 3 is untouched.
+    # ids avoid %50==0 so _planted_corpus adds no mutated twins.
+    base = " ".join(f"w{i}" for i in range(12))
+    fresh = " ".join(f"z{i}" for i in range(12))
+    rows = [(1, base, "en", len(base)), (2, base, "en", len(base)),
+            (3, fresh, "en", len(fresh))]
+    got = {
+        r["doc_id"]: (r["n_tokens_before"], r["n_tokens_after"],
+                      r["removed_ppm"])
+        for r in dedup_substring_apply(
+            spark, _write_docs(tmp_path, rows)
+        ).collect()
+    }
+    assert got[1] == (12, 12, 0)
+    assert got[2] == (12, 0, 1_000_000)
+    assert got[3] == (12, 12, 0)
+
+
+# ---------------------------------------------------------------------------
+# graph_closeness_sampled
+# ---------------------------------------------------------------------------
+
+
+def test_closeness_path_graph(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.graphops import (
+        graph_closeness_sampled,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # path 1-2-3-4-5-6; sources = the 4 smallest nodes {1,2,3,4}.
+    # harmonic(2) = 1/1 + 1/1 + 1/2 (+ 0 for itself) = 2.5
+    # harmonic(3) = 1/2 + 1/1 + 1/1 = 2.5; ties broken by node id.
+    pairs, oid = [], 0
+    for a, b in [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]:
+        for _ in range(3):
+            pairs.append((oid, a))
+            pairs.append((oid, b))
+            oid += 1
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array([o for o, _ in pairs], pa.int64()),
+            "l_suppkey": pa.array([s for _, s in pairs], pa.int64()),
+        }
+    )
+    pq.write_table(lineitem, os.path.join(str(tmp_path), "lineitem.parquet"))
+    rows = graph_closeness_sampled(spark, str(tmp_path)).collect()
+    got = {r["node_id"]: (r["n_sources_reached"], r["harmonic_micro"])
+           for r in rows}
+    assert got[2] == (3, 2_500_000)
+    assert got[3] == (3, 2_500_000)
+    # node 5: d to {1,2,3,4} = 4,3,2,1 -> 1/4+1/3+1/2+1
+    assert got[5] == (4, 250_000 + 333_333 + 500_000 + 1_000_000)
+    assert rows[0]["node_id"] == 2  # top by score, tie to smaller id
+
+
+# ---------------------------------------------------------------------------
+# sample_horvitz_thompson
+# ---------------------------------------------------------------------------
+
+
+def test_ht_self_consistent_at_uniform_pi(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.queries.sampleops import (
+        sample_horvitz_thompson,
+    )
+
+    clear_scan_cache()
+    # all docs: n_chars 200 -> pi = 0.1; 7 tokens each -> each sampled
+    # doc contributes exactly 7*2000/200 = 70 tokens (7e7 micro)
+    text = "a b c d e f g"
+    rows = [(i, text, "en", 200) for i in range(500)]
+    (r,) = sample_horvitz_thompson(
+        spark, _write_docs(tmp_path, rows)
+    ).collect()
+    assert r["n_population"] == 500
+    assert r["true_total_tokens"] == 3500
+    assert 20 <= r["n_sampled"] <= 90          # ~10% hash Bernoulli
+    assert r["ht_estimate_micro"] == r["n_sampled"] * 70_000_000
+
+
+# ---------------------------------------------------------------------------
+# pipeline_budget_prefix_select
+# ---------------------------------------------------------------------------
+
+
+def test_budget_select_takes_densest_prefix(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.pipelineops import (
+        pipeline_budget_prefix_select,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # 10 docs x 10 tokens = 100 total; budget 10% = 10 tokens. Doc 5 is
+    # the only all-distinct doc (density 1e6) -> selected alone (the
+    # next doc's exclusive cum = 10, not < 10).
+    dense = " ".join(f"u{i}" for i in range(10))
+    dull = " ".join(["x"] * 10)
+    rows = [(i, dense if i == 5 else dull, "en", 30) for i in range(10)]
+    (r,) = pipeline_budget_prefix_select(
+        spark, _write_docs(tmp_path, rows)
+    ).collect()
+    assert r["n_selected"] == 1
+    assert r["tokens_selected"] == 10
+    assert r["total_tokens"] == 100
+    assert r["admission_density_ppm"] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# scalar_ipv4_ops
+# ---------------------------------------------------------------------------
+
+
+def test_ipv4_roundtrip_and_octets(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.queries.clickhouseops import (
+        scalar_ipv4_ops,
+    )
+
+    clear_scan_cache()
+    values = [1.0] * 8
+    sf = _write_events(tmp_path, values)   # user_id = i % 7
+    rows = scalar_ipv4_ops(spark, sf).collect()
+    assert len(rows) == 7
+    for r in rows:
+        ip = (r["user_id"] * 2654435761) % (1 << 32)
+        assert r["ip"] == ip
+        octs = [(ip >> 24) & 255, (ip >> 16) & 255, (ip >> 8) & 255,
+                ip & 255]
+        assert r["ip_str"] == ".".join(map(str, octs))
+        assert r["roundtrip_ok"]
+        assert r["in_10_slash_8"] == (octs[0] == 10)
+        assert r["subnet_24"] == (ip >> 8) << 8
