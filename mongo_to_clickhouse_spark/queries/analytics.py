@@ -248,7 +248,77 @@ TEXT_RARITY_SQL = """
 """
 
 
+def _ltv_curve_sql(engine: str) -> str:
+    """Engine-shared cohort LTV curve: users cohorted by first-event
+    week, purchase revenue accumulated per (cohort, weeks-since) cell,
+    cumulative LTV-per-user in exact micro-dollars — the lifetime-value
+    triangle finance reads next to the retention triangle (retention
+    says who comes back; LTV says what that's worth). Revenue floors to
+    exact cents once; the cumulative window runs over the (cohort ×
+    weeks) AGGREGATE, partitioned by cohort; LTV divides by the cohort
+    size with one exact integer division."""
+    epoch = (
+        "unix_micros(CAST(ts AS TIMESTAMP))"
+        if engine == "spark"
+        else "CAST(epoch_us(ts) AS BIGINT)"
+    )
+    intdiv = "DIV" if engine == "spark" else "//"
+    wk = f"CAST(floor({epoch} / 604800000000) AS BIGINT)"
+    return f"""
+        WITH ev AS (
+            SELECT user_id, event_type, {wk} AS wk,
+                   CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        cohorts AS (
+            SELECT user_id, MIN(wk) AS cohort_wk
+            FROM ev GROUP BY user_id
+        ),
+        sizes AS (
+            SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM cohorts GROUP BY cohort_wk
+        ),
+        cells AS (
+            SELECT c.cohort_wk, e.wk - c.cohort_wk AS week_since,
+                   CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                                 THEN e.cents ELSE 0 END) AS BIGINT)
+                       AS rev_cents
+            FROM ev e JOIN cohorts c ON c.user_id = e.user_id
+            GROUP BY c.cohort_wk, e.wk - c.cohort_wk
+        ),
+        cum AS (
+            SELECT cohort_wk, week_since,
+                   CAST(SUM(rev_cents) OVER (
+                       PARTITION BY cohort_wk ORDER BY week_since)
+                       AS BIGINT) AS cum_cents
+            FROM cells
+        )
+        SELECT m.cohort_wk, m.week_since, s.n_users, m.cum_cents,
+               CAST(m.cum_cents * 10000 {intdiv} s.n_users AS BIGINT)
+                   AS ltv_micro_per_user
+        FROM cum m JOIN sizes s ON s.cohort_wk = m.cohort_wk
+        ORDER BY m.cohort_wk, m.week_since
+    """
+
+
+def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle — see _ltv_curve_sql. One
+    user-keyed cohort aggregate, one (cohort, week)-keyed revenue
+    aggregate, then windows over the weeks-bounded cell relation and a
+    broadcast-sized cohort-size join. Same shuffle family as
+    retention_cohorts."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ltv_curve_sql("spark"))
+
+
+EVENTS_COHORT_LTV_CURVE_SQL = _ltv_curve_sql("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "events_cohort_ltv_curve": (
+        events_cohort_ltv_curve,
+        EVENTS_COHORT_LTV_CURVE_SQL,
+    ),
     "funnel_signup_purchase": (funnel_signup_purchase, FUNNEL_SQL),
     "events_windowed_funnel": (
         events_windowed_funnel,

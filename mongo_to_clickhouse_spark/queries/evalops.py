@@ -552,7 +552,173 @@ def _mrr_oracle() -> str:
 EVAL_RETRIEVAL_MRR_SQL = _mrr_oracle()
 
 
+# ---------------------------------------------------------------------------
+# eval_quantization_recall — does int8 storage change who you retrieve?
+# ---------------------------------------------------------------------------
+
+
+def _quant_recall_tail_sql(pairs_rel: str, intdiv: str, topk: int) -> str:
+    """Shared tail over (probe_id, neighbor_id, exact_micro, quant_micro)
+    pairs: top-{topk} under the exact cosine vs under the DEQUANTIZED
+    int8 similarity, per-probe overlap in exact ppm — the serving
+    decision behind ``emb_quantize_int8`` (recall loss is the price of
+    4× smaller vectors; this measures it). Rankings tie-break by
+    neighbor id in both orders."""
+    return f"""
+        WITH ranked AS (
+            SELECT probe_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY exact_micro DESC,
+                                               neighbor_id) AS re,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY quant_micro DESC,
+                                               neighbor_id) AS rq
+            FROM {pairs_rel}
+        )
+        SELECT probe_id,
+               CAST(SUM(CASE WHEN re <= {topk} AND rq <= {topk}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+               CAST(SUM(CASE WHEN re <= {topk} AND rq <= {topk}
+                             THEN 1 ELSE 0 END) * 1000000
+                    {intdiv} {topk} AS BIGINT) AS recall_ppm
+        FROM ranked
+        GROUP BY probe_id
+        ORDER BY probe_id
+    """
+
+
+def eval_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantization retrieval recall — see _quant_recall_tail_sql.
+
+    Scale posture: the probe-broadcast pair scan computes the exact
+    cosine AND the dequantized int8 similarity in ONE pass (codes are
+    in-row array expressions, dots are sequential folds — JVM-side, no
+    UDF), landed on a checkpoint barrier; both rank windows partition
+    by probe (WindowGroupLimit heaps). Quantized dots are exact
+    integers; both similarities round to micro before ranking."""
+    from mongo_to_clickhouse_spark.functions.vectors import (
+        cosine_with_norms,
+        norm,
+    )
+    from mongo_to_clickhouse_spark.io import load_table as _lt
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+    from mongo_to_clickhouse_spark.queries.vectorops import N_PROBES, TOPK
+
+    def build():
+        emb = _lt(spark, sf_dir, "embeddings")
+        scale = (
+            F.array_max(
+                F.transform(F.col("embedding"),
+                            lambda v: F.abs(v.cast("double")))
+            ) / F.lit(127.0)
+        )
+        q = F.transform(
+            F.col("embedding"),
+            lambda v: F.when(
+                F.col("scale") > 0,
+                F.round(v.cast("double") / F.col("scale")).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        base = (
+            emb.withColumn("scale", scale)
+            .withColumn("q", q)
+            .withColumn("nrm", norm(F.col("embedding")))
+        )
+        probes = base.select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("p_emb"),
+            F.col("q").alias("p_q"),
+            F.col("scale").alias("p_scale"),
+            F.col("nrm").alias("p_nrm"),
+        ).filter(F.col("probe_id") < N_PROBES)
+        cands = base.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("q").alias("c_q"),
+            F.col("scale").alias("c_scale"),
+            F.col("nrm").alias("c_nrm"),
+        )
+        dotq = F.aggregate(
+            F.zip_with(F.col("p_q"), F.col("c_q"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        exact = F.round(
+            cosine_with_norms(
+                F.col("p_emb"), F.col("c_emb"),
+                F.col("p_nrm"), F.col("c_nrm"),
+            ) * 1_000_000
+        ).cast("bigint")
+        quant = F.round(
+            dotq.cast("double") * F.col("p_scale") * F.col("c_scale")
+            / (F.col("p_nrm") * F.col("c_nrm")) * 1_000_000
+        ).cast("bigint")
+        return (
+            F.broadcast(probes)
+            .crossJoin(cands)
+            .filter(F.col("probe_id") != F.col("neighbor_id"))
+            .select(
+                "probe_id", "neighbor_id",
+                exact.alias("exact_micro"), quant.alias("quant_micro"),
+            )
+        )
+
+    cached_barrier_view(
+        spark, sf_dir, "quant_pairs", build, tables=("embeddings",)
+    )
+    return spark.sql(_quant_recall_tail_sql("quant_pairs", "DIV", TOPK))
+
+
+def _quant_recall_oracle() -> str:
+    from mongo_to_clickhouse_spark.queries.vectorops import N_PROBES, TOPK
+
+    pairs = f"""
+        SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+               CAST(round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[]))
+                          / (a.nrm * b.nrm) * 1000000) AS BIGINT)
+                   AS exact_micro,
+               CAST(round(list_dot_product(CAST(a.q AS DOUBLE[]),
+                                           CAST(b.q AS DOUBLE[]))
+                          * a.scale * b.scale / (a.nrm * b.nrm)
+                          * 1000000) AS BIGINT) AS quant_micro
+        FROM e a JOIN e b
+          ON a.vec_id < {N_PROBES} AND a.vec_id <> b.vec_id
+    """
+    e = """
+        SELECT vec_id, embedding,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm,
+               scale,
+               list_transform(embedding,
+                   v -> CASE WHEN scale > 0
+                             THEN CAST(round(CAST(v AS DOUBLE) / scale)
+                                       AS BIGINT)
+                             ELSE 0 END) AS q
+        FROM (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                       v -> abs(CAST(v AS DOUBLE)))) / 127.0 AS scale
+            FROM embeddings
+        ) s
+    """
+    return (
+        f"WITH e AS MATERIALIZED ({e}), "
+        f"qpairs AS MATERIALIZED ({pairs}), "
+        + _quant_recall_tail_sql("qpairs", "//", TOPK).strip()[len("WITH"):]
+    )
+
+
+EVAL_QUANTIZATION_RECALL_SQL = _quant_recall_oracle()
+
+
 QUERIES: dict[str, tuple] = {
+    "eval_quantization_recall": (
+        eval_quantization_recall,
+        EVAL_QUANTIZATION_RECALL_SQL,
+    ),
     "eval_centroid_classifier": (
         eval_centroid_classifier,
         EVAL_CENTROID_CLASSIFIER_SQL,

@@ -902,7 +902,83 @@ def _closeness_duck_sql() -> str:
 GRAPH_CLOSENESS_SAMPLED_SQL = _closeness_duck_sql()
 
 
+def _assortativity_tail_sql(adj_rel: str) -> str:
+    """Shared tail: Pearson degree assortativity r over the directed
+    edge list (Newman 2002) — do high-degree nodes link to high-degree
+    nodes? The one-number robustness/topology fingerprint next to the
+    onion spectrum (assortative graphs fall apart differently under
+    dedup pruning than disassortative ones). Degrees are k-NN-bounded
+    (≤{TRIANGLE_KNN_K}) so every power sum is exact BIGINT; r is one
+    double expression over exact sums, rounded to ppm."""
+    return f"""
+        deg AS (
+            SELECT a AS node_id, CAST(COUNT(*) AS BIGINT) AS d
+            FROM {adj_rel} GROUP BY a
+        ),
+        epairs AS (
+            SELECT da.d AS x, db.d AS y
+            FROM {adj_rel} e
+            JOIN deg da ON da.node_id = e.a
+            JOIN deg db ON db.node_id = e.b
+        ),
+        sums AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy
+            FROM epairs
+        )
+        SELECT m AS n_directed_edges,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+               CAST(round((m * sxy - sx * sy) * 1000000.0
+                          / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                             * sqrt(CAST(m * syy - sy * sy AS DOUBLE))))
+                    AS BIGINT) AS assortativity_ppm
+        FROM sums
+    """
+
+
+def graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity of the supplier co-purchase graph — see
+    _assortativity_tail_sql. Rides the shared adjacency barrier; the
+    degree aggregate and the two degree joins are keyed by node id
+    (uniform, k-NN-bounded fan-out); the report is one 1-row moment
+    aggregate."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    adj = cached_barrier_view(
+        spark,
+        sf_dir,
+        "tri_adj",
+        lambda: spark.sql(_triangle_adj_sql(
+            "(SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)"
+        )),
+        tables=("lineitem",),
+    )
+    return spark.sql("WITH " + _assortativity_tail_sql(adj))
+
+
+GRAPH_DEGREE_ASSORTATIVITY_SQL = (
+    "WITH tri_adj AS MATERIALIZED ("
+    + _triangle_adj_sql("(SELECT DISTINCT l_orderkey, l_suppkey"
+                        " FROM lineitem)")
+    + "), "
+    + _assortativity_tail_sql("tri_adj")
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "graph_degree_assortativity": (
+        graph_degree_assortativity,
+        GRAPH_DEGREE_ASSORTATIVITY_SQL,
+    ),
     "graph_closeness_sampled": (
         graph_closeness_sampled,
         GRAPH_CLOSENESS_SAMPLED_SQL,

@@ -713,6 +713,106 @@ EVENTS_MARKOV_STATIONARY_SQL = _markov_duck_sql()
 
 
 # ---------------------------------------------------------------------------
+# events_entropy_rate — Markov-chain entropy rate (how predictable are
+# user journeys)
+# ---------------------------------------------------------------------------
+
+
+def _entropy_rate_tail_sql(pi_rel: str) -> str:
+    """Shared tail over the mk_trans transition relation + the
+    power-iterated stationary distribution: per-state conditional
+    entropy H_i = Σ_j p_ij·(−ln p_ij), and the chain's entropy rate
+    H = Σ_i π̂_i·H_i (π̂ normalized over the truncated micro masses) —
+    the information-theoretic "how predictable is the next event"
+    scalar behind journey modeling and sessionization cost estimates.
+    Each −ln p is ONE double ln on an exact micro integer, rounded to
+    micro-nats; products/sums are BIGINT; the final normalization is
+    one double division. Zero-probability edges (p_micro = 0 after
+    truncation, possible only when out-degree totals exceed 1e6× an
+    edge count) contribute 0 by the CASE guard — the measure-zero
+    convention."""
+    return f"""
+        percond AS (
+            SELECT from_type AS event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_out,
+                   CAST(SUM(CASE WHEN p_micro > 0 THEN
+                       CAST(floor(p_micro * CAST(round(
+                           -ln(p_micro / 1000000.0) * 1e6) AS BIGINT)
+                           / 1000000.0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS h_cond_micro
+            FROM mk_trans
+            GROUP BY from_type
+        ),
+        pinorm AS (
+            SELECT p.event_type, p.pi,
+                   SUM(p.pi) OVER () AS pi_sum
+            FROM {pi_rel} p
+        )
+        SELECT event_type, pi_micro, n_out, h_cond_micro,
+               entropy_rate_micro
+        FROM (
+            SELECT '__chain__' AS event_type,
+                   CAST(1000000 AS BIGINT) AS pi_micro,
+                   CAST(SUM(c.n_out) AS BIGINT) AS n_out,
+                   CAST(NULL AS BIGINT) AS h_cond_micro,
+                   CAST(floor(SUM(n.pi * c.h_cond_micro)
+                              / CAST(MAX(n.pi_sum) AS DOUBLE))
+                        AS BIGINT) AS entropy_rate_micro,
+                   0 AS pick
+            FROM pinorm n JOIN percond c ON c.event_type = n.event_type
+            UNION ALL
+            SELECT n.event_type,
+                   CAST(floor(n.pi * 1000000.0 / n.pi_sum) AS BIGINT),
+                   c.n_out, c.h_cond_micro, NULL, 1
+            FROM pinorm n JOIN percond c ON c.event_type = n.event_type
+        ) unioned
+        ORDER BY pick, event_type
+    """
+
+
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov entropy rate of the user-journey chain — see
+    _entropy_rate_tail_sql. Reuses the mk_trans transition relation and
+    the same {MARKOV_ROUNDS}-round integer power iteration as
+    ``events_markov_stationary``; everything after the one corpus lead()
+    shuffle runs on the |types|²-row relation. The pi-sum window runs
+    over |types| rows (bounded)."""
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("mk_events_src")
+    spark.sql(
+        _MK_TRANS_SQL.replace("{EV}", "mk_events_src")
+    ).createOrReplaceTempView("mk_trans")
+    pi = (
+        f"(SELECT from_type AS event_type, CAST({_MK_INIT} AS BIGINT) AS pi"
+        f" FROM mk_trans GROUP BY from_type)"
+    )
+    for _ in range(MARKOV_ROUNDS):
+        pi = f"({_markov_round_sql(pi)})"
+    return spark.sql(
+        "WITH " + _entropy_rate_tail_sql(pi)
+    )
+
+
+def _entropy_rate_duck_sql() -> str:
+    parts = [
+        "mk_trans AS MATERIALIZED ("
+        + _MK_TRANS_SQL.replace("{EV}", "events") + ")",
+        f"pi0 AS (SELECT from_type AS event_type,"
+        f" CAST({_MK_INIT} AS BIGINT) AS pi FROM mk_trans"
+        f" GROUP BY from_type)",
+    ]
+    for r in range(1, MARKOV_ROUNDS + 1):
+        parts.append(f"pi{r} AS ({_markov_round_sql(f'pi{r - 1}')})")
+    return (
+        f"WITH {', '.join(parts)}, "
+        + _entropy_rate_tail_sql(f"pi{MARKOV_ROUNDS}")
+    )
+
+
+EVENTS_ENTROPY_RATE_SQL = _entropy_rate_duck_sql()
+
+
+# ---------------------------------------------------------------------------
 # sample_psi_drift — Population Stability Index distribution monitor
 # ---------------------------------------------------------------------------
 
@@ -1039,6 +1139,7 @@ EVENTS_SEASONALITY_WEEKLY_SQL = _weekly_body(_ACF_DAILY_DUCK).replace(
 
 
 QUERIES: dict[str, tuple] = {
+    "events_entropy_rate": (events_entropy_rate, EVENTS_ENTROPY_RATE_SQL),
     "events_seasonality_weekly": (
         events_seasonality_weekly,
         EVENTS_SEASONALITY_WEEKLY_SQL,

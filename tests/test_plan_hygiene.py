@@ -71,6 +71,9 @@ _BOUNDED_WINDOW_WHITELIST = {
     # the median-rank window runs over the pairwise-slope relation of
     # the DAILY rollup: |days|²/2 rows (calendar-bounded)
     "events_theil_sen_trend",
+    # the pi-normalization window runs over the stationary-distribution
+    # relation: |event types| rows
+    "events_entropy_rate",
 }
 
 

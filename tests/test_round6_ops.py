@@ -1130,3 +1130,191 @@ def test_ipv4_roundtrip_and_octets(spark, tmp_path):
         assert r["roundtrip_ok"]
         assert r["in_10_slash_8"] == (octs[0] == 10)
         assert r["subnet_24"] == (ip >> 8) << 8
+
+
+# ---------------------------------------------------------------------------
+# events_entropy_rate
+# ---------------------------------------------------------------------------
+
+
+def _write_typed_events(tmp_path, seq):
+    """seq: list of (user_id, seconds, event_type)."""
+    n = len(seq)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [_T0 + dt.timedelta(seconds=s) for _, s, _ in seq],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([u for u, _, _ in seq], pa.int64()),
+            "event_type": pa.array([t for _, _, t in seq], pa.string()),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "events.parquet"))
+    return str(tmp_path)
+
+
+def test_entropy_rate_deterministic_chain_is_zero(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.queries.statsops import (
+        events_entropy_rate,
+    )
+
+    clear_scan_cache()
+    # every transition deterministic (a->b->a->b...): all p = 1,
+    # -ln 1 = 0 -> entropy rate exactly 0
+    seq = []
+    for u in range(5):
+        for i in range(10):
+            seq.append((u, i, "a" if i % 2 == 0 else "b"))
+    rows = events_entropy_rate(
+        spark, _write_typed_events(tmp_path, seq)
+    ).collect()
+    (chain,) = [r for r in rows if r["event_type"] == "__chain__"]
+    assert chain["entropy_rate_micro"] == 0
+    per = {r["event_type"]: r["h_cond_micro"] for r in rows
+           if r["event_type"] != "__chain__"}
+    assert per == {"a": 0, "b": 0}
+
+
+def test_entropy_rate_uniform_binary_is_ln2(spark, tmp_path):
+    import math
+
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.queries.statsops import (
+        events_entropy_rate,
+    )
+
+    clear_scan_cache()
+    # from every state the next event is a or b with exactly p = 1/2
+    # (period-4 pattern a a b b: transitions a->a, a->b, b->b, b->a
+    # each occur equally often) -> H = ln 2
+    seq = []
+    for u in range(4):
+        for i in range(41):
+            t = "a" if (i % 4) in (0, 1) else "b"
+            seq.append((u, i, t))
+    rows = events_entropy_rate(
+        spark, _write_typed_events(tmp_path, seq)
+    ).collect()
+    (chain,) = [r for r in rows if r["event_type"] == "__chain__"]
+    expect = round(math.log(2) * 1e6)
+    assert abs(chain["entropy_rate_micro"] - expect) <= 5
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_assortativity
+# ---------------------------------------------------------------------------
+
+
+def test_assortativity_star_is_negative(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.graphops import (
+        graph_degree_assortativity,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # star hub 1 with leaves 2..6: every edge joins degree 5 to degree
+    # 1 -> perfectly disassortative, r = -1
+    pairs, oid = [], 0
+    for leaf in (2, 3, 4, 5, 6):
+        for _ in range(3):
+            pairs.append((oid, 1))
+            pairs.append((oid, leaf))
+            oid += 1
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array([o for o, _ in pairs], pa.int64()),
+            "l_suppkey": pa.array([s for _, s in pairs], pa.int64()),
+        }
+    )
+    pq.write_table(lineitem, os.path.join(str(tmp_path), "lineitem.parquet"))
+    (r,) = graph_degree_assortativity(spark, str(tmp_path)).collect()
+    assert r["n_nodes"] == 6 and r["n_directed_edges"] == 10
+    assert r["assortativity_ppm"] == -1_000_000
+
+
+# ---------------------------------------------------------------------------
+# events_cohort_ltv_curve
+# ---------------------------------------------------------------------------
+
+
+def test_ltv_curve_accumulates(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.queries.analytics import (
+        events_cohort_ltv_curve,
+    )
+
+    clear_scan_cache()
+    # one cohort of 2 users; purchases of $1.00 in week 0 and $2.00 in
+    # week 1 per user -> cum cents 200, 600; LTV/user 1.0, 3.0 dollars
+    week = 7 * 24 * 3600
+    seq, n = [], 0
+    rows = []
+    for u in (1, 2):
+        rows.append((u, 10, "purchase", 1.0))
+        rows.append((u, week + 10, "purchase", 2.0))
+        rows.append((u, week + 20, "view", 5.0))    # non-purchase ignored
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [_T0 + dt.timedelta(seconds=s) for _, s, _, _ in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([u for u, _, _, _ in rows], pa.int64()),
+            "event_type": pa.array([t for _, _, t, _ in rows], pa.string()),
+            "value": pa.array([v for _, _, _, v in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "events.parquet"))
+    got = {
+        r["week_since"]: (r["n_users"], r["cum_cents"],
+                          r["ltv_micro_per_user"])
+        for r in events_cohort_ltv_curve(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == (2, 200, 1_000_000)
+    assert got[1] == (2, 600, 3_000_000)
+
+
+# ---------------------------------------------------------------------------
+# eval_quantization_recall
+# ---------------------------------------------------------------------------
+
+
+def test_quant_recall_perfect_on_axis_vectors(spark, tmp_path):
+    from mongo_to_clickhouse_spark.config import TUNING
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.evalops import (
+        eval_quantization_recall,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # scaled copies of a few distinct directions: int8 quantization of
+    # v and 2v yields the SAME codes, so quantized and exact rankings
+    # agree -> recall exactly 1.0 for every probe
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    dirs = rng.standard_normal((8, 16))
+    vecs = []
+    for i in range(32):
+        vecs.append(tuple(dirs[i % 8] * (1.0 + (i // 8))))
+    (rows) = eval_quantization_recall(
+        spark, _write_embeddings(tmp_path, vecs, [0] * 32)
+    ).collect()
+    assert len(rows) == TUNING.ann_probes
+    for r in rows:
+        assert r["recall_ppm"] == 1_000_000
