@@ -657,7 +657,98 @@ def agg_bitmap_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_BITMAP_ROLLUP_MERGE_SQL = _bitmap_rollup_sql("duck")
 
 
+def _moments_rollup_sql(engine: str, daily_rel: str | None = None) -> str:
+    """Exact mean/variance rollup day → week → total from ONE daily
+    moment-state relation (n, Σx, Σx²) — the Chan/Welford mergeability
+    story as plain relational algebra: moment states ADD, so the week
+    and total tiers are sums of the daily relation, never a second
+    event scan (the same serve-every-window-from-one-materialization
+    shape as the bitmap rollup, for continuous metrics). Values floor
+    to exact cents once; per-tier variance is the n²-scaled central
+    form (n·Σx² − (Σx)²) with ONE double division floored to micro —
+    exact BIGINTs throughout (cents² sums bound the envelope the same
+    way the covariance tier documents)."""
+    if engine == "spark":
+        epoch = "unix_micros(CAST(ts AS TIMESTAMP))"
+    else:
+        epoch = "CAST(epoch_us(ts) AS BIGINT)"
+    intdiv = "DIV" if engine == "spark" else "//"
+    daily = daily_rel or f"""(
+        SELECT CAST(floor({epoch} / 86400000000) AS BIGINT) AS day_idx,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS s,
+               CAST(SUM(CAST(floor(value * 100) AS BIGINT)
+                        * CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS s2
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1
+    )"""
+    return f"""
+        WITH daily AS (SELECT day_idx, n, s, s2 FROM {daily}),
+        tiers AS (
+            SELECT 'day' AS tier, day_idx AS bucket, n, s, s2 FROM daily
+            UNION ALL
+            SELECT 'week', day_idx {intdiv} 7,
+                   CAST(SUM(n) AS BIGINT), CAST(SUM(s) AS BIGINT),
+                   CAST(SUM(s2) AS BIGINT)
+            FROM daily GROUP BY day_idx {intdiv} 7
+            UNION ALL
+            SELECT 'total', CAST(-1 AS BIGINT),
+                   CAST(SUM(n) AS BIGINT), CAST(SUM(s) AS BIGINT),
+                   CAST(SUM(s2) AS BIGINT)
+            FROM daily
+        )
+        SELECT tier, bucket, n,
+               CAST(s * 10000 {intdiv} n AS BIGINT) AS mean_micro,
+               -- cents² → micro of value²: ×1e-4 (cent²→unit²) ×1e6
+               CAST(floor((n * s2 - s * s) * 100.0 / (1.0 * n * n))
+                    AS BIGINT) AS var_micro
+        FROM tiers
+        ORDER BY tier, bucket
+    """
+
+
+def agg_moments_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day → week → total exact mean/variance by moment-state re-merge
+    — see _moments_rollup_sql. ONE event-scan aggregate keyed by day
+    (uniform, map-side combined) lands on a checkpoint barrier; the
+    three tiers re-aggregate the |days|-row state relation."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    def build():
+        load_table(spark, sf_dir, "events").createOrReplaceTempView(
+            "mom_events_src"
+        )
+        return spark.sql("""
+            SELECT CAST(floor(unix_micros(CAST(ts AS TIMESTAMP))
+                              / 86400000000) AS BIGINT) AS day_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                       AS s,
+                   CAST(SUM(CAST(floor(value * 100) AS BIGINT)
+                            * CAST(floor(value * 100) AS BIGINT))
+                        AS BIGINT) AS s2
+            FROM mom_events_src WHERE value IS NOT NULL
+            GROUP BY 1
+        """)
+
+    cached_barrier_view(
+        spark, sf_dir, "moments_daily", build, tables=("events",)
+    )
+    return spark.sql(_moments_rollup_sql("spark", "moments_daily"))
+
+
+AGG_MOMENTS_ROLLUP_MERGE_SQL = _moments_rollup_sql("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "agg_moments_rollup_merge": (
+        agg_moments_rollup_merge,
+        AGG_MOMENTS_ROLLUP_MERGE_SQL,
+    ),
     "agg_bitmap_rollup_merge": (
         agg_bitmap_rollup_merge,
         AGG_BITMAP_ROLLUP_MERGE_SQL,

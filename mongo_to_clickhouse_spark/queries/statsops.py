@@ -1138,7 +1138,91 @@ EVENTS_SEASONALITY_WEEKLY_SQL = _weekly_body(_ACF_DAILY_DUCK).replace(
 )
 
 
+# ---------------------------------------------------------------------------
+# events_resample_interpolate — linear resampling onto the hourly grid
+# ---------------------------------------------------------------------------
+
+
+def _resample_sql(engine: str) -> str:
+    """Engine-shared linear resampling: each consecutive same-day event
+    pair (per type, ordered by time) emits the hour boundaries strictly
+    inside its interval, valued by exact linear interpolation — the
+    irregular-series → regular-grid step in front of any windowed
+    model (the WITH FILL/LOCF tier carries values; this one actually
+    interpolates). Values floor to exact cents once; the interpolation
+    ratio is ONE double division of exact µs integers, the blend
+    rounded to micro.
+
+    Scale posture: the LEAD window partitions by (type, day) — the
+    gaps-and-islands bucket-clipping trick, so no partition exceeds a
+    day of one type's events (boundaries at day edges are clipped,
+    documented); the boundary fan-out is bounded by hours-per-gap ≤ 24
+    per pair."""
+    if engine == "spark":
+        epoch = "unix_micros(CAST(ts AS TIMESTAMP))"
+        gen = ("LATERAL VIEW explode(sequence(CAST(h0 AS BIGINT) + 1,"
+               " CAST(h1 AS BIGINT))) AS h")
+    else:
+        epoch = "CAST(epoch_us(ts) AS BIGINT)"
+        gen = ", unnest(range(h0 + 1, h1 + 1)) AS gh(h)"
+    intdiv = "DIV" if engine == "spark" else "//"
+    return f"""
+        WITH pts AS (
+            SELECT event_type, {epoch} AS t,
+                   CAST(floor(value * 100) AS BIGINT) AS v,
+                   {epoch} {intdiv} 86400000000 AS day_idx,
+                   event_id
+            FROM events WHERE value IS NOT NULL
+        ),
+        pairs AS (
+            SELECT event_type, t AS t0, v AS v0,
+                   LEAD(t) OVER (PARTITION BY event_type, day_idx
+                                 ORDER BY t, event_id) AS t1,
+                   LEAD(v) OVER (PARTITION BY event_type, day_idx
+                                 ORDER BY t, event_id) AS v1
+            FROM pts
+        ),
+        spans AS (
+            SELECT event_type, t0, v0, t1, v1,
+                   t0 {intdiv} 3600000000 AS h0,
+                   (t1 - 1) {intdiv} 3600000000 AS h1
+            FROM pairs WHERE t1 IS NOT NULL AND t1 > t0
+        ),
+        grid AS (
+            SELECT event_type, h,
+                   CAST(round(v0 * 10000.0 + (v1 - v0) * 10000.0
+                              * ((h * 3600000000 - t0)
+                                 / CAST(t1 - t0 AS DOUBLE)))
+                        AS BIGINT) AS value_micro
+            FROM spans {gen}
+            WHERE h * 3600000000 > t0 AND h * 3600000000 < t1
+        )
+        SELECT event_type, CAST(h AS BIGINT) AS hour_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_sources,
+               CAST(MIN(value_micro) AS BIGINT) AS value_micro
+        FROM grid
+        GROUP BY event_type, h
+        ORDER BY event_type, hour_idx
+    """
+
+
+def events_resample_interpolate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hourly linear resampling of the per-type value series — see
+    _resample_sql."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_resample_sql("spark"))
+
+
+EVENTS_RESAMPLE_INTERPOLATE_SQL = _resample_sql("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "events_resample_interpolate": (
+        events_resample_interpolate,
+        EVENTS_RESAMPLE_INTERPOLATE_SQL,
+    ),
     "events_entropy_rate": (events_entropy_rate, EVENTS_ENTROPY_RATE_SQL),
     "events_seasonality_weekly": (
         events_seasonality_weekly,

@@ -1318,3 +1318,145 @@ def test_quant_recall_perfect_on_axis_vectors(spark, tmp_path):
     assert len(rows) == TUNING.ann_probes
     for r in rows:
         assert r["recall_ppm"] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# agg_moments_rollup_merge
+# ---------------------------------------------------------------------------
+
+
+def test_moments_rollup_exact_mean_var(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.sketchops import (
+        agg_moments_rollup_merge,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # week-aligned start; day 0: values {1, 3} (mean 2, var 1);
+    # day 7: values {2, 2} (var 0). total: {1,3,2,2} mean 2, var 0.5
+    epoch_days = (_T0 - dt.datetime(1970, 1, 1)).days
+    t0 = _T0 + dt.timedelta(days=(7 - epoch_days % 7) % 7)
+    rows = [(0, 1.0), (0, 3.0), (7, 2.0), (7, 2.0)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(4), pa.int64()),
+            "ts": pa.array(
+                [t0 + dt.timedelta(days=d) for d, _ in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1] * 4, pa.int64()),
+            "event_type": pa.array(["view"] * 4, pa.string()),
+            "value": pa.array([v for _, v in rows], pa.float64()),
+            "props": pa.array(["{}"] * 4, pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "events.parquet"))
+    out = agg_moments_rollup_merge(spark, str(tmp_path)).collect()
+    by = {(r["tier"], r["bucket"]): (r["n"], r["mean_micro"],
+                                     r["var_micro"]) for r in out}
+    days = sorted(b for t, b in by if t == "day")
+    assert by[("day", days[0])] == (2, 2_000_000, 1_000_000)
+    assert by[("day", days[1])] == (2, 2_000_000, 0)
+    assert by[("total", -1)] == (4, 2_000_000, 500_000)
+    # week tier re-merges the same daily states
+    weeks = [(t, b) for t, b in by if t == "week"]
+    assert len(weeks) == 2
+
+
+# ---------------------------------------------------------------------------
+# events_resample_interpolate
+# ---------------------------------------------------------------------------
+
+
+def test_resample_linear_interpolation(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.queries.statsops import (
+        events_resample_interpolate,
+    )
+
+    clear_scan_cache()
+    # one type, one day: value 10.0 at 00:30, 20.0 at 03:30. Hour
+    # boundaries 1, 2, 3 fall inside: interpolated 11.666.., 15, 18.333..
+    day0 = dt.datetime(2024, 6, 1)
+    rows = [(day0 + dt.timedelta(minutes=30), 10.0),
+            (day0 + dt.timedelta(hours=3, minutes=30), 20.0)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(2), pa.int64()),
+            "ts": pa.array([t for t, _ in rows], pa.timestamp("us")),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "event_type": pa.array(["view", "view"], pa.string()),
+            "value": pa.array([v for _, v in rows], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "events.parquet"))
+    got = {
+        r["hour_idx"] % 24: r["value_micro"]
+        for r in events_resample_interpolate(spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 3
+    # t0=30min, t1=210min; boundary at 60/120/180 min
+    def expect(m):
+        return round(10_000_000 + 10_000_000 * (m - 30) / 180.0)
+    assert got[1] == expect(60)
+    assert got[2] == expect(120)
+    assert got[3] == expect(180)
+
+
+# ---------------------------------------------------------------------------
+# window_fifo_allocation
+# ---------------------------------------------------------------------------
+
+
+def test_fifo_matched_equals_min_supply_demand(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.queries.joinops import (
+        window_fifo_allocation,
+    )
+
+    clear_scan_cache()
+    # part 1: lots 10+20 against issues 5+5+15 -> matched 25,
+    #   5 unmatched supply (FIFO pairs: lot1->i1,i2; lot1+lot2->i3)
+    # part 2: lots 10 against issues 40 -> matched 10, 30 short
+    rows = [
+        (1, "N", 10, 0), (1, "N", 20, 1),
+        (1, "R", 5, 0), (1, "R", 5, 1), (1, "R", 15, 2),
+        (2, "N", 10, 0), (2, "R", 40, 0),
+    ]
+    n = len(rows)
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array(range(n), pa.int64()),
+            "l_partkey": pa.array([p for p, _, _, _ in rows], pa.int64()),
+            "l_suppkey": pa.array([1] * n, pa.int64()),
+            "l_linenumber": pa.array([1] * n, pa.int32()),
+            "l_quantity": pa.array(
+                [float(q) for _, _, q, _ in rows], pa.float64()
+            ),
+            "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array([s for _, s, _, _ in rows],
+                                     pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array(
+                [_T0 + dt.timedelta(days=d) for _, _, _, d in rows],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
+    got = {
+        r["part"]: (r["supply_qty"], r["demand_qty"], r["matched_qty"],
+                    r["unmatched_supply"], r["unmatched_demand"],
+                    r["n_lot_issue_pairs"])
+        for r in window_fifo_allocation(spark, str(tmp_path)).collect()
+    }
+    # lot (0,10] meets issues (0,5], (5,10]; lot (10,30] meets (10,25]
+    assert got[1] == (30, 25, 25, 5, 0, 3)
+    assert got[2] == (10, 40, 10, 0, 30, 1)
