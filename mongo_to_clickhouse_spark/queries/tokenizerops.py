@@ -696,6 +696,248 @@ TOKENIZER_WORDPIECE_APPLY_SQL = _wordpiece_duck_sql()
 
 
 # ---------------------------------------------------------------------------
+# tokenizer_unigram_viterbi — SentencePiece-style unigram LM (hard-EM round)
+# ---------------------------------------------------------------------------
+
+UNI_MAXLEN = 10      # words truncate to 10 chars (the WP [TRUNC] discipline)
+UNI_PIECE_MAX = 4    # candidate piece lengths 1..4
+UNI_MIN_FREQ = 3     # seed-vocab frequency floor (single chars always kept)
+UNI_TOPK = 30
+
+
+def _uni_vocab_sql(subs_rel: str) -> str:
+    """Seed unigram vocabulary: substring candidates above the
+    frequency floor plus ALL single characters (the SentencePiece
+    character-coverage guarantee — every word stays segmentable), each
+    scored ln(pf / total) in exact micro-nats over the kept set."""
+    return f"""
+        SELECT piece, pf,
+               CAST(round(ln(pf / CAST(tot AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS score
+        FROM (
+            SELECT piece, pf, SUM(pf) OVER () AS tot
+            FROM (
+                SELECT piece, CAST(SUM(cnt) AS BIGINT) AS pf
+                FROM {subs_rel}
+                GROUP BY piece
+            ) counted
+            WHERE pf >= {UNI_MIN_FREQ} OR length(piece) = 1
+        ) kept
+    """
+
+
+def _uni_fwd_sql(edges_rel: str, prev_rel: str, j: int) -> str:
+    """One Viterbi forward step: best[{j}] = max over in-edges (i → {j})
+    of best[i] + ln p(piece), argmax row kept with the deterministic
+    (score, longer-piece, piece, i) tie-break."""
+    return f"""
+        SELECT w, j, s, from_i, piece FROM (
+            SELECT e.w, CAST({j} AS INTEGER) AS j,
+                   p.s + e.score AS s, e.i AS from_i, e.piece,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.w
+                       ORDER BY p.s + e.score DESC,
+                                length(e.piece) DESC, e.piece, e.i) AS rk
+            FROM {edges_rel} e
+            JOIN {prev_rel} p ON p.w = e.w AND p.j = e.i
+            WHERE e.j = {j}
+        ) ranked WHERE rk = 1
+    """
+
+
+def _uni_hop_sql(cur_rel: str, states_rel: str) -> str:
+    """One backtrack hop: read the argmax choice ending at the current
+    position, emit its piece, move to the choice's start."""
+    return f"""
+        SELECT c.w, c.cnt, b.from_i AS cur, b.piece
+        FROM {cur_rel} c
+        JOIN {states_rel} b ON b.w = c.w AND b.j = c.cur
+        WHERE c.cur > 0
+    """
+
+
+_UNI_RESULT_SQL = """
+    SELECT piece,
+           CAST(expected_count AS BIGINT) AS expected_count,
+           CAST(round(ln(expected_count / tot) * 1e6)
+                AS BIGINT) AS m_step_score_micro
+    FROM (SELECT piece, SUM(cnt) AS expected_count
+          FROM {pieces} GROUP BY piece) agg
+    CROSS JOIN (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot
+                FROM {pieces}) t
+    ORDER BY expected_count DESC, piece
+    LIMIT {topk}
+"""
+
+
+def tokenizer_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer, one hard-EM round
+    (Kudo 2018, Viterbi variant): seed piece probabilities from
+    corpus substring frequencies, segment every word by exact Viterbi
+    DP under those scores (best[j] = max over pieces ending at j of
+    best[i] + ln p), then re-estimate piece scores from the chosen
+    segmentations — the E-step counts and M-step scores of unigram
+    training, with the soft forward-backward replaced by the argmax
+    path (hard EM, the standard fast variant). Completes the tokenizer
+    tier: BPE trains by merges, WordPiece encodes greedily, unigram
+    segments GLOBALLY OPTIMALLY per word.
+
+    Exactness: scores are micro-nat integers (ln evaluated once per
+    vocab piece on exact counts); the DP is pure BIGINT addition with
+    a fully deterministic argmax tie-break, so both engines replay
+    identical paths and the DuckDB oracle unrolls the same
+    {UNI_MAXLEN} forward + {UNI_MAXLEN} backtrack stages.
+
+    Scale posture: everything runs on the DISTINCT-WORD frequency
+    table (one corpus shuffle via the shared token barrier — the BPE
+    tier's trainability property); per forward stage one equi-join of
+    the ≤{UNI_PIECE_MAX}-fanin edge relation against the previous
+    state + a word-partitioned argmax window; stages are fixed
+    constants, each on a checkpoint barrier."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        barrier,
+        cached_barrier_view,
+    )
+
+    view = _toks_view(spark, sf_dir)
+
+    def build_words():
+        return spark.sql(f"""
+            SELECT substring(word, 1, {UNI_MAXLEN}) AS w,
+                   CAST(SUM(cnt) AS BIGINT) AS cnt
+            FROM (SELECT word, COUNT(*) AS cnt
+                  FROM (SELECT explode(toks) AS word FROM {view})
+                  WHERE word != '' GROUP BY word) full_words
+            GROUP BY substring(word, 1, {UNI_MAXLEN})
+        """)
+
+    cached_barrier_view(spark, sf_dir, "uni_words", build_words)
+
+    def build_edges():
+        spark.sql(f"""
+            SELECT w, cnt, i, i + l AS j, substring(w, i + 1, l) AS piece
+            FROM uni_words
+            LATERAL VIEW explode(sequence(0, {UNI_MAXLEN - 1})) AS i
+            LATERAL VIEW explode(sequence(1, {UNI_PIECE_MAX})) AS l
+            WHERE i + l <= length(w)
+        """).createOrReplaceTempView("uni_subs")
+        spark.sql(_uni_vocab_sql("uni_subs")).createOrReplaceTempView(
+            "uni_vocab"
+        )
+        return spark.sql("""
+            SELECT /*+ BROADCAST(v) */ s.w, s.i, s.j, s.piece, v.score
+            FROM uni_subs s JOIN uni_vocab v ON v.piece = s.piece
+        """)
+
+    cached_barrier_view(spark, sf_dir, "uni_edges", build_edges)
+
+    spark.sql(
+        "SELECT DISTINCT w, CAST(0 AS INTEGER) AS j,"
+        " CAST(0 AS BIGINT) AS s, CAST(0 AS INTEGER) AS from_i,"
+        " '' AS piece FROM uni_edges"
+    ).createOrReplaceTempView("uni_f0")
+    for j in range(1, UNI_MAXLEN + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT w, j, s FROM uni_f{i}"
+            for i in range(max(0, j - UNI_PIECE_MAX), j)
+        )
+        fj = barrier(spark.sql(_uni_fwd_sql("uni_edges", f"({prev})", j)))
+        fj.createOrReplaceTempView(f"uni_f{j}")
+    states = " UNION ALL ".join(
+        f"SELECT w, j, from_i, piece FROM uni_f{j}"
+        for j in range(1, UNI_MAXLEN + 1)
+    )
+    spark.sql(states).createOrReplaceTempView("uni_states")
+    spark.sql(f"""
+        SELECT w, cnt, CAST(LEAST(length(w), {UNI_MAXLEN}) AS INTEGER)
+                   AS cur
+        FROM uni_words
+    """).createOrReplaceTempView("uni_cur0")
+    emits = []
+    for r in range(1, UNI_MAXLEN + 1):
+        hop = barrier(spark.sql(_uni_hop_sql(f"uni_cur{r - 1}",
+                                             "uni_states")))
+        hop.createOrReplaceTempView(f"uni_hop{r}")
+        emits.append(f"SELECT piece, cnt FROM uni_hop{r}")
+        spark.sql(
+            f"SELECT w, cnt, cur FROM uni_hop{r}"
+        ).createOrReplaceTempView(f"uni_cur{r}")
+    return spark.sql(_UNI_RESULT_SQL.format(
+        pieces="(" + " UNION ALL ".join(emits) + ")", topk=UNI_TOPK
+    ))
+
+
+def _unigram_duck_sql() -> str:
+    parts = [
+        f"""uni_words AS MATERIALIZED (
+            SELECT substring(word, 1, {UNI_MAXLEN}) AS w,
+                   CAST(SUM(cnt) AS BIGINT) AS cnt
+            FROM (SELECT word, COUNT(*) AS cnt
+                  FROM (SELECT unnest(string_split(text, ' ')) AS word
+                        FROM documents) uw
+                  WHERE word != '' GROUP BY word) full_words
+            GROUP BY substring(word, 1, {UNI_MAXLEN})
+        )""",
+        f"""uni_subs AS MATERIALIZED (
+            SELECT w, cnt, i, i + l AS j, substring(w, i + 1, l) AS piece
+            FROM uni_words,
+                 unnest(range(0, {UNI_MAXLEN})) AS ti(i),
+                 unnest(range(1, {UNI_PIECE_MAX + 1})) AS tl(l)
+            WHERE i + l <= length(w)
+        )""",
+        f"uni_vocab AS MATERIALIZED ({_uni_vocab_sql('uni_subs')})",
+        """uni_edges AS MATERIALIZED (
+            SELECT s.w, s.i, s.j, s.piece, v.score
+            FROM uni_subs s JOIN uni_vocab v ON v.piece = s.piece
+        )""",
+        """uni_f0 AS MATERIALIZED (
+            SELECT DISTINCT w, CAST(0 AS INTEGER) AS j,
+                   CAST(0 AS BIGINT) AS s, CAST(0 AS INTEGER) AS from_i,
+                   '' AS piece FROM uni_edges
+        )""",
+    ]
+    for j in range(1, UNI_MAXLEN + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT w, j, s FROM uni_f{i}"
+            for i in range(max(0, j - UNI_PIECE_MAX), j)
+        )
+        parts.append(
+            f"uni_f{j} AS MATERIALIZED "
+            f"({_uni_fwd_sql('uni_edges', f'({prev})', j)})"
+        )
+    states = " UNION ALL ".join(
+        f"SELECT w, j, from_i, piece FROM uni_f{j}"
+        for j in range(1, UNI_MAXLEN + 1)
+    )
+    parts.append(f"uni_states AS MATERIALIZED ({states})")
+    parts.append(f"""uni_cur0 AS MATERIALIZED (
+        SELECT w, cnt, CAST(LEAST(length(w), {UNI_MAXLEN}) AS INTEGER)
+                   AS cur
+        FROM uni_words
+    )""")
+    emits = []
+    for r in range(1, UNI_MAXLEN + 1):
+        parts.append(
+            f"uni_hop{r} AS MATERIALIZED "
+            f"({_uni_hop_sql(f'uni_cur{r - 1}', 'uni_states')})"
+        )
+        emits.append(f"SELECT piece, cnt FROM uni_hop{r}")
+        parts.append(
+            f"uni_cur{r} AS MATERIALIZED "
+            f"(SELECT w, cnt, cur FROM uni_hop{r})"
+        )
+    return (
+        f"WITH {', '.join(parts)} "
+        + _UNI_RESULT_SQL.format(
+            pieces="(" + " UNION ALL ".join(emits) + ")", topk=UNI_TOPK
+        )
+    )
+
+
+TOKENIZER_UNIGRAM_VITERBI_SQL = _unigram_duck_sql()
+
+
+# ---------------------------------------------------------------------------
 # tokenizer_vocab_coverage_curve — occurrence coverage vs vocab size
 # ---------------------------------------------------------------------------
 
@@ -785,6 +1027,10 @@ TOKENIZER_VOCAB_COVERAGE_CURVE_SQL = _vocab_curve_tail_sql(
 
 
 QUERIES = {
+    "tokenizer_unigram_viterbi": (
+        tokenizer_unigram_viterbi,
+        TOKENIZER_UNIGRAM_VITERBI_SQL,
+    ),
     "tokenizer_vocab_coverage_curve": (
         tokenizer_vocab_coverage_curve,
         TOKENIZER_VOCAB_COVERAGE_CURVE_SQL,

@@ -1460,3 +1460,62 @@ def test_fifo_matched_equals_min_supply_demand(spark, tmp_path):
     # lot (0,10] meets issues (0,5], (5,10]; lot (10,30] meets (10,25]
     assert got[1] == (30, 25, 25, 5, 0, 3)
     assert got[2] == (10, 40, 10, 0, 30, 1)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_unigram_viterbi
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_viterbi_prefers_whole_word_piece(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.tokenizerops import (
+        tokenizer_unigram_viterbi,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # corpus = the single word "abab" x10: ln p('abab') = ln(10/110)
+    # beats 2*ln p('ab') = 2*ln(20/110), so Viterbi keeps the whole
+    # word as ONE piece
+    rows = [(i, "abab", "en", 4) for i in range(10)]
+    out = tokenizer_unigram_viterbi(
+        spark, _write_docs(tmp_path, rows)
+    ).collect()
+    got = {r["piece"]: r["expected_count"] for r in out}
+    assert got == {"abab": 10}
+
+
+def test_unigram_viterbi_char_conservation(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.tokenizerops import (
+        UNI_MAXLEN,
+        tokenizer_unigram_viterbi,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # any Viterbi segmentation partitions each (truncated) word exactly:
+    # sum over pieces of len*count == sum over words of min(len, cap)*freq
+    texts = ["hello world", "hello there world", "a hello longishword",
+             "supercalifragilistic world a a"]
+    rows = [(i, texts[i % len(texts)], "en", 20) for i in range(12)]
+    out = tokenizer_unigram_viterbi(
+        spark, _write_docs(tmp_path, rows)
+    ).collect()
+    covered = sum(len(r["piece"]) * r["expected_count"] for r in out)
+    expect = 0
+    for i in range(12):
+        for w in texts[i % len(texts)].split(" "):
+            expect += min(len(w), UNI_MAXLEN)
+    assert covered == expect
+    # every piece is a substring of some corpus word
+    words = {w for t in texts for w in t.split(" ")}
+    for r in out:
+        assert any(r["piece"] in w for w in words)
