@@ -1218,7 +1218,124 @@ def events_resample_interpolate(
 EVENTS_RESAMPLE_INTERPOLATE_SQL = _resample_sql("duck")
 
 
+# ---------------------------------------------------------------------------
+# agg_ttest_welch — two-sample Welch t-test between the A/B halves
+# ---------------------------------------------------------------------------
+
+_T_CRIT_MILLI = 1960   # |t| > 1.96: the large-df 5% two-sided bound
+
+
+def _welch_body(events_rel: str) -> str:
+    """Engine-shared Welch two-sample t-test on the event values
+    between the deterministic A/B halves (event_id parity — the same
+    cohorts as the KS/PSI monitors, completing the drift-test family:
+    KS for shape, PSI for binned mass, Welch for the MEAN under unequal
+    variances). Sample variances use the Bessel n−1 form from exact
+    cent power sums; t and the Welch–Satterthwaite df are each ONE
+    fixed double expression over exact BIGINTs, reported in milli."""
+    return f"""
+        WITH sides AS (
+            SELECT CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+                   CAST(floor(value * 100) AS BIGINT) AS x
+            FROM {events_rel} WHERE value IS NOT NULL
+        ),
+        m AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(SUM(x * x) AS BIGINT) AS s2
+            FROM sides GROUP BY g
+        ),
+        wide AS (
+            SELECT MAX(CASE WHEN g = 'a' THEN n END) AS na,
+                   MAX(CASE WHEN g = 'a' THEN s END) AS sa,
+                   MAX(CASE WHEN g = 'a' THEN s2 END) AS sa2,
+                   MAX(CASE WHEN g = 'b' THEN n END) AS nb,
+                   MAX(CASE WHEN g = 'b' THEN s END) AS sb,
+                   MAX(CASE WHEN g = 'b' THEN s2 END) AS sb2
+            FROM m
+        ),
+        stats AS (
+            -- 1eN literals, NOT 100.0/10000.0: Spark parses decimal-
+            -- point literals as DECIMAL and the scale-truncating
+            -- division diverges from DuckDB's double path
+            SELECT na, nb,
+                   sa / (1e2 * na) AS ma,
+                   sb / (1e2 * nb) AS mb,
+                   (na * sa2 - sa * sa) / (1e4 * na * (na - 1)) AS va,
+                   (nb * sb2 - sb * sb) / (1e4 * nb * (nb - 1)) AS vb
+            FROM wide
+        )
+        SELECT na AS n_a, nb AS n_b,
+               CAST(round(ma * 1e6) AS BIGINT) AS mean_a_micro,
+               CAST(round(mb * 1e6) AS BIGINT) AS mean_b_micro,
+               CAST(round((ma - mb) / sqrt(va / na + vb / nb) * 1000)
+                    AS BIGINT) AS t_milli,
+               CAST(round((va / na + vb / nb) * (va / na + vb / nb)
+                          / ((va / na) * (va / na) / (na - 1)
+                             + (vb / nb) * (vb / nb) / (nb - 1)) * 1000)
+                    AS BIGINT) AS df_milli,
+               abs(CAST(round((ma - mb) / sqrt(va / na + vb / nb) * 1000)
+                        AS BIGINT)) > {_T_CRIT_MILLI} AS significant
+        FROM stats
+    """
+
+
+def agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test — see _welch_body. One scan, one 2-key
+    aggregate, everything downstream on a 1-row relation."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "welch_events_src"
+    )
+    return spark.sql(_welch_body("welch_events_src"))
+
+
+AGG_TTEST_WELCH_SQL = _welch_body("events")
+
+
+# ---------------------------------------------------------------------------
+# events_top_paths — most-travelled 3-step journeys (the Sankey feed)
+# ---------------------------------------------------------------------------
+
+PATHS_TOPK = 15
+
+
+def _top_paths_sql(events_rel: str) -> str:
+    """Per-user ordered 3-step event paths counted corpus-wide — the
+    relation behind every journey Sankey / flow diagram (and the 3-gram
+    extension of the transition matrix). Two LEADs in one user-
+    partitioned window pass, one path-keyed aggregate (≤|types|³ keys),
+    TakeOrderedAndProject top-{PATHS_TOPK}."""
+    return f"""
+        SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n_paths
+        FROM (
+            SELECT event_type AS t1,
+                   LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS t2,
+                   LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS t3
+            FROM {events_rel}
+        ) seq
+        WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        GROUP BY t1, t2, t3
+        ORDER BY n_paths DESC, t1, t2, t3
+        LIMIT {PATHS_TOPK}
+    """
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step user journeys — see _top_paths_sql."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "paths_events_src"
+    )
+    return spark.sql(_top_paths_sql("paths_events_src"))
+
+
+EVENTS_TOP_PATHS_SQL = _top_paths_sql("events")
+
+
 QUERIES: dict[str, tuple] = {
+    "agg_ttest_welch": (agg_ttest_welch, AGG_TTEST_WELCH_SQL),
+    "events_top_paths": (events_top_paths, EVENTS_TOP_PATHS_SQL),
     "events_resample_interpolate": (
         events_resample_interpolate,
         EVENTS_RESAMPLE_INTERPOLATE_SQL,

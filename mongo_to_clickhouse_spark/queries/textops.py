@@ -696,7 +696,73 @@ TEXT_CDC_CHUNKING_SQL = f"""
 """
 
 
+def _ocr_noise_sql(engine: str) -> str:
+    """Engine-shared OCR/extraction-noise filter (the C4/RefinedWeb
+    character-class rules): digit share, non-alphanumeric share and
+    mean word length per document, each thresholded by exact integer
+    cross-multiplication (no ratio doubles) into a reason bitmask —
+    the cheap first gate in front of the LM-based quality tiers (OCR
+    artifacts show as digit/symbol storms and absurd word lengths
+    before any model sees them).
+
+    Class counts come from length deltas of regexp_replace strips —
+    one narrow map, identical regex semantics in both engines."""
+    toks = "split(text, ' ')" if engine == "spark" else \
+        "string_split(text, ' ')"
+    nlen = "size" if engine == "spark" else "len"
+    return f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_txt,
+                   CAST(length(text)
+                        - length(regexp_replace(text, '[0-9]', ''))
+                        AS BIGINT) AS n_digits,
+                   CAST(length(text)
+                        - length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))
+                        AS BIGINT) AS n_symbols,
+                   CAST({nlen}({toks}) AS BIGINT) AS n_words
+            FROM documents
+        ),
+        flagged AS (
+            SELECT doc_id, n_chars_txt, n_digits, n_symbols, n_words,
+                   (CASE WHEN n_digits * 5 > n_chars_txt
+                         THEN 1 ELSE 0 END)
+                 + (CASE WHEN n_symbols * 10 > n_chars_txt * 3
+                         THEN 2 ELSE 0 END)
+                 + (CASE WHEN n_chars_txt - (n_words - 1) > n_words * 12
+                         THEN 4 ELSE 0 END)
+                 + (CASE WHEN n_chars_txt - (n_words - 1) < n_words * 2
+                         THEN 8 ELSE 0 END) AS reason_mask
+            FROM scored
+        )
+        SELECT doc_id,
+               CAST(n_digits * 1000000 {{intdiv}} n_chars_txt AS BIGINT)
+                   AS digit_ppm,
+               CAST(n_symbols * 1000000 {{intdiv}} n_chars_txt AS BIGINT)
+                   AS symbol_ppm,
+               reason_mask,
+               reason_mask > 0 AS flagged
+        FROM flagged
+        ORDER BY doc_id
+    """
+
+
+def text_ocr_noise_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class OCR-noise gate — see _ocr_noise_sql. Pure narrow
+    map over one scan; at 100 TB this fuses into the read with zero
+    exchange."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_ocr_noise_sql("spark").replace("{intdiv}", "DIV"))
+
+
+TEXT_OCR_NOISE_FILTER_SQL = _ocr_noise_sql("duck").replace("{intdiv}", "//")
+
+
 QUERIES: dict[str, tuple] = {
+    "text_ocr_noise_filter": (text_ocr_noise_filter,
+                              TEXT_OCR_NOISE_FILTER_SQL),
     "text_cdc_chunking": (text_cdc_chunking, TEXT_CDC_CHUNKING_SQL),
     "text_feature_hashing": (text_feature_hashing, TEXT_FEATURE_HASHING_SQL),
     "text_ngram_freq": (text_ngram_freq, TEXT_NGRAM_FREQ_SQL),

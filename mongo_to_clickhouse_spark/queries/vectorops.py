@@ -2882,6 +2882,173 @@ SIM_MMR_DIVERSIFY_SQL = _mmr_duck_sql()
 
 
 # ---------------------------------------------------------------------------
+# sim_greedy_graph_search — graph-based ANN (the HNSW search pattern)
+# ---------------------------------------------------------------------------
+
+GREEDY_ROUNDS = 4
+
+
+def _greedy_round_sql(cur_rel: str, knn_rel: str, pairs_rel: str,
+                      r: int) -> str:
+    """One greedy hop: candidates = current node ∪ its k-NN-graph
+    neighbors; move to the candidate most similar to the query (ties
+    to the smaller id) — the navigable-graph descent HNSW/NSG layers
+    run, here over the LSH-built k-NN graph."""
+    return f"""
+        SELECT probe_id, cur, sim_micro FROM (
+            SELECT c.probe_id, cand.cand AS cur, p.sim_micro,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.probe_id
+                       ORDER BY p.sim_micro DESC, cand.cand) AS rk
+            FROM {cur_rel} c
+            JOIN (
+                SELECT vec_id AS node, neighbor_id AS cand FROM {knn_rel}
+                UNION ALL
+                SELECT DISTINCT vec_id, vec_id FROM {knn_rel}
+            ) cand ON cand.node = c.cur
+            JOIN {pairs_rel} p
+              ON p.probe_id = c.probe_id AND p.cand = cand.cand
+        ) ranked WHERE rk = 1
+    """
+
+
+def sim_greedy_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy graph-descent ANN search (the HNSW/NSG search pattern,
+    single layer): start every query at a fixed entry node (the max
+    vec_id) and hop {GREEDY_ROUNDS} times to the neighbor most similar
+    to the query over the LSH-built k-NN graph — the third retrieval
+    architecture next to the bucketed (LSH/IVF) and quantized (PQ)
+    tiers. The in-band eval joins the exact nearest neighbor so the
+    report carries its own success flag (greedy descent on a sparse
+    graph can stall in local optima — that's the measured trade).
+
+    Exactness: query↔candidate cosines round ONCE to micro in a
+    materialized pair relation; every hop is integer comparison with
+    id tie-breaks, so both engines replay identical walks.
+
+    Scale posture: the k-NN graph artifact is the memoized banded
+    build (Σ|bucket|², never N²); per hop each query touches ≤ K+1
+    candidates via two equi-joins — at serving scale this is the
+    O(queries·K·hops) pattern that makes graph ANN cheap; the pair
+    relation is probe-broadcast × candidate-scan (probe set bounded)."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        barrier,
+        cached_barrier_view,
+    )
+
+    cached_barrier_view(
+        spark, sf_dir, "knn_graph",
+        lambda: sim_knn_graph_lsh(spark, sf_dir),
+        tables=("embeddings",),
+    )
+
+    def build_pairs():
+        emb = _emb_with_norm(spark, sf_dir)
+        probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("p_emb"),
+            F.col("nrm").alias("p_nrm"),
+        )
+        cands = emb.select(
+            F.col("vec_id").alias("cand"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+        sim = F.round(
+            cosine_with_norms(
+                F.col("p_emb"), F.col("c_emb"),
+                F.col("p_nrm"), F.col("c_nrm"),
+            ) * 1_000_000
+        ).cast("bigint")
+        return (
+            F.broadcast(probes)
+            .crossJoin(cands)
+            .filter(F.col("probe_id") != F.col("cand"))
+            .select("probe_id", "cand", sim.alias("sim_micro"))
+        )
+
+    cached_barrier_view(
+        spark, sf_dir, "greedy_pairs", build_pairs, tables=("embeddings",)
+    )
+    cur = spark.sql("""
+        SELECT p.probe_id, e.cur, CAST(-2000000 AS BIGINT) AS sim_micro
+        FROM (SELECT DISTINCT probe_id FROM greedy_pairs) p
+        CROSS JOIN (SELECT MAX(vec_id) AS cur FROM knn_graph) e
+    """)
+    for r in range(1, GREEDY_ROUNDS + 1):
+        cur = barrier(cur)
+        cur.createOrReplaceTempView(f"greedy_cur{r - 1}")
+        cur = spark.sql(_greedy_round_sql(
+            f"greedy_cur{r - 1}", "knn_graph", "greedy_pairs", r
+        ))
+    cur.createOrReplaceTempView("greedy_final")
+    return spark.sql("""
+        SELECT f.probe_id, f.cur AS found_node, f.sim_micro,
+               t.nn AS exact_nn, f.cur = t.nn AS is_exact_nn
+        FROM greedy_final f
+        JOIN (
+            SELECT probe_id, cand AS nn FROM (
+                SELECT probe_id, cand,
+                       ROW_NUMBER() OVER (PARTITION BY probe_id
+                                          ORDER BY sim_micro DESC, cand)
+                           AS rk
+                FROM greedy_pairs
+            ) x WHERE rk = 1
+        ) t ON t.probe_id = f.probe_id
+        ORDER BY f.probe_id
+    """)
+
+
+def _greedy_duck_sql() -> str:
+    pairs = f"""
+        SELECT a.vec_id AS probe_id, b.vec_id AS cand,
+               CAST(round({_pair_cosine_sql()} * 1000000) AS BIGINT)
+                   AS sim_micro
+        FROM ge a JOIN ge b
+          ON a.vec_id < {N_PROBES} AND a.vec_id <> b.vec_id
+    """
+    # NOTE: the embedded knn-graph SQL carries its own WITH chain whose
+    # first CTE is named `e` — the outer norm CTE must NOT reuse that
+    # name (DuckDB's resolver trips an internal recursive-CTE assertion
+    # on the shadowing)
+    parts = [
+        f"ge AS MATERIALIZED ({_EMB_NORM_CTE})",
+        f"knn_graph AS MATERIALIZED ({SIM_KNN_GRAPH_LSH_SQL})",
+        f"greedy_pairs AS MATERIALIZED ({pairs})",
+        """greedy_cur0 AS MATERIALIZED (
+            SELECT p.probe_id, e2.cur, CAST(-2000000 AS BIGINT)
+                       AS sim_micro
+            FROM (SELECT DISTINCT probe_id FROM greedy_pairs) p
+            CROSS JOIN (SELECT MAX(vec_id) AS cur FROM knn_graph) e2
+        )""",
+    ]
+    for r in range(1, GREEDY_ROUNDS + 1):
+        parts.append(
+            f"greedy_cur{r} AS MATERIALIZED "
+            f"({_greedy_round_sql(f'greedy_cur{r - 1}', 'knn_graph', 'greedy_pairs', r)})"
+        )
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT f.probe_id, f.cur AS found_node, f.sim_micro,
+               t.nn AS exact_nn, f.cur = t.nn AS is_exact_nn
+        FROM greedy_cur{GREEDY_ROUNDS} f
+        JOIN (
+            SELECT probe_id, cand AS nn FROM (
+                SELECT probe_id, cand,
+                       ROW_NUMBER() OVER (PARTITION BY probe_id
+                                          ORDER BY sim_micro DESC, cand)
+                           AS rk
+                FROM greedy_pairs
+            ) x WHERE rk = 1
+        ) t ON t.probe_id = f.probe_id
+        ORDER BY f.probe_id
+    """
+
+
+SIM_GREEDY_GRAPH_SEARCH_SQL = _greedy_duck_sql()
+
+
+# ---------------------------------------------------------------------------
 # sim_range_search_radius — all neighbors within a cosine radius
 # ---------------------------------------------------------------------------
 
@@ -3174,6 +3341,10 @@ EMB_RESIDUAL_QUANTIZE_SQL = (
 
 
 QUERIES: dict[str, tuple] = {
+    "sim_greedy_graph_search": (
+        sim_greedy_graph_search,
+        SIM_GREEDY_GRAPH_SEARCH_SQL,
+    ),
     "sim_range_search_radius": (
         sim_range_search_radius,
         SIM_RANGE_SEARCH_RADIUS_SQL,

@@ -1519,3 +1519,129 @@ def test_unigram_viterbi_char_conservation(spark, tmp_path):
     words = {w for t in texts for w in t.split(" ")}
     for r in out:
         assert any(r["piece"] in w for w in words)
+
+
+# ---------------------------------------------------------------------------
+# sim_greedy_graph_search
+# ---------------------------------------------------------------------------
+
+
+def test_greedy_search_identical_vectors_finds_nn(spark, tmp_path):
+    from mongo_to_clickhouse_spark.config import TUNING
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.vectorops import (
+        sim_greedy_graph_search,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # identical vectors: the knn graph links everyone to the smallest
+    # ids, so one hop from the max-id entry reaches each probe's exact
+    # NN (the smallest other id)
+    n = max(TUNING.ann_probes + 6, 18)
+    vecs = [tuple(float(2 + (i % 3)) for i in range(64))] * n
+    rows = sim_greedy_graph_search(
+        spark, _write_embeddings(tmp_path, vecs, [0] * n)
+    ).collect()
+    assert len(rows) == TUNING.ann_probes
+    for r in rows:
+        assert r["exact_nn"] == (1 if r["probe_id"] == 0 else 0)
+        assert r["is_exact_nn"]
+        assert r["sim_micro"] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# agg_ttest_welch
+# ---------------------------------------------------------------------------
+
+
+def test_welch_identical_halves_insignificant(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.queries.statsops import agg_ttest_welch
+
+    clear_scan_cache()
+    # consecutive (even, odd) pairs share each value -> identical
+    # samples, t exactly 0
+    values = [float(10 + ((i // 2) % 5)) for i in range(400)]
+    (r,) = agg_ttest_welch(spark, _write_events(tmp_path, values)).collect()
+    assert r["n_a"] == 200 and r["n_b"] == 200
+    assert r["mean_a_micro"] == r["mean_b_micro"]
+    assert r["t_milli"] == 0 and not r["significant"]
+
+
+def test_welch_shifted_halves_significant(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.queries.statsops import agg_ttest_welch
+
+    clear_scan_cache()
+    # A around 10, B around 20, tiny within-group variance
+    values = [
+        (10.0 + (i % 4) * 0.1) if i % 2 == 0 else (20.0 + (i % 4) * 0.1)
+        for i in range(400)
+    ]
+    (r,) = agg_ttest_welch(spark, _write_events(tmp_path, values)).collect()
+    assert r["t_milli"] < -100_000    # enormous |t|
+    assert r["significant"]
+    assert r["mean_b_micro"] - r["mean_a_micro"] > 9_000_000
+
+
+# ---------------------------------------------------------------------------
+# events_top_paths
+# ---------------------------------------------------------------------------
+
+
+def test_top_paths_planted_journey(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.queries.statsops import events_top_paths
+
+    clear_scan_cache()
+    # 10 users each do signup -> view -> purchase (one dominant path,
+    # plus no other 3-window), 3 users do view -> view -> error
+    seq = []
+    for u in range(10):
+        for i, t in enumerate(["signup", "view", "purchase"]):
+            seq.append((u, i, t))
+    for u in range(100, 103):
+        for i, t in enumerate(["view", "view", "error"]):
+            seq.append((u, i, t))
+    rows = events_top_paths(
+        spark, _write_typed_events(tmp_path, seq)
+    ).collect()
+    assert (rows[0]["t1"], rows[0]["t2"], rows[0]["t3"],
+            rows[0]["n_paths"]) == ("signup", "view", "purchase", 10)
+    assert (rows[1]["t1"], rows[1]["t2"], rows[1]["t3"],
+            rows[1]["n_paths"]) == ("view", "view", "error", 3)
+    assert len(rows) == 2
+
+
+# ---------------------------------------------------------------------------
+# text_ocr_noise_filter
+# ---------------------------------------------------------------------------
+
+
+def test_ocr_filter_reason_bits(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.queries.textops import (
+        text_ocr_noise_filter,
+    )
+
+    clear_scan_cache()
+    clean = "this is a perfectly normal sentence with usual words"
+    digits = "4711 0815 99999 123456 777 88 999 000 111 222"
+    symbols = "@@@ ### $$$ %%% ^^^ &&& *** ((( ))) !!!"
+    rows = [(0, clean, "en", len(clean)),
+            (1, digits, "en", len(digits)),
+            (2, symbols, "en", len(symbols))]
+    got = {
+        r["doc_id"]: (r["reason_mask"], r["flagged"])
+        for r in text_ocr_noise_filter(
+            spark, _write_docs(tmp_path, rows)
+        ).collect()
+    }
+    assert got[0] == (0, False)
+    assert got[1][0] & 1            # digit storm
+    assert got[2][0] & 2            # symbol storm
+    assert got[1][1] and got[2][1]
