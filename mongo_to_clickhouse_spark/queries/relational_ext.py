@@ -772,7 +772,66 @@ def window_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINDOW_INTERVAL_COALESCE_SQL = _interval_coalesce_sql("duck")
 
 
+def _skyline_sql(engine: str) -> str:
+    """Engine-shared 2-D skyline (Pareto frontier) per order priority:
+    the orders not dominated by any other on (maximize total price,
+    maximize recency) — the classic skyline operator (Börzsönyi 2001)
+    via the sort-scan reduction: order by price DESC within the group,
+    keep rows whose date strictly exceeds the running date-max of all
+    higher-priced rows (ties on price resolved by the same scan). One
+    group-partitioned window, no pair join — the O(n log n) plan, not
+    the O(n²) dominance join.
+
+    Exactness: price compares in exact cents, dates in exact epoch
+    days; the running max is frame-exclusive so equal-price rows don't
+    shadow each other (both survive unless genuinely dominated)."""
+    epoch = (
+        "CAST(floor(unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+        " / 86400000000) AS BIGINT)"
+        if engine == "spark"
+        else "CAST(floor(CAST(epoch_us(o_orderdate) AS BIGINT)"
+        " / 86400000000) AS BIGINT)"
+    )
+    return f"""
+        WITH pts AS (
+            SELECT o_orderpriority AS grp, o_orderkey,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+                   {epoch} AS day
+            FROM orders
+        ),
+        scanned AS (
+            SELECT grp, o_orderkey, cents, day,
+                   MAX(day) OVER (
+                       PARTITION BY grp
+                       ORDER BY cents DESC, day DESC, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS best_day_above
+            FROM pts
+        )
+        SELECT grp, o_orderkey, cents, day
+        FROM scanned
+        WHERE best_day_above IS NULL OR day > best_day_above
+        ORDER BY grp, cents DESC, o_orderkey
+    """
+
+
+def window_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Pareto frontier over (price, recency) — see
+    _skyline_sql. The window partitions by the 5-value priority group:
+    at scale the sort-scan runs per group partition (for giant groups
+    the gaps-and-islands bucket-clipping or a presort-sample pass
+    applies — frontier sizes are tiny, O(log n) expected under random
+    orders, so the output never explodes)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_skyline_sql("spark"))
+
+
+WINDOW_SKYLINE_PARETO_SQL = _skyline_sql("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "window_skyline_pareto": (window_skyline_pareto,
+                              WINDOW_SKYLINE_PARETO_SQL),
     "window_interval_coalesce": (
         window_interval_coalesce,
         WINDOW_INTERVAL_COALESCE_SQL,

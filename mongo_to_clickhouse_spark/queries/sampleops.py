@@ -1058,7 +1058,66 @@ def sample_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_HORVITZ_THOMPSON_SQL = _ht_body("duck")
 
 
+def _dataset_diff_sql(engine: str) -> str:
+    """Engine-shared dataset-version diff: v2 derives from v1 by the
+    deterministic edit script every 13th doc's text is PERTURBED, every
+    17th doc is DROPPED (drop wins on common multiples) and every 19th
+    doc spawns a NEW id — then the diff is one doc-keyed FULL OUTER
+    JOIN comparing content hashes,
+    classified added/removed/changed/unchanged with per-class counts
+    and char mass. This is the version-audit a dataset registry runs
+    between releases (the read-side twin of sink_merge_upsert's write
+    path); at 100 TB it is one co-partitioned join on the uniform doc
+    key."""
+    concat = "||" if engine != "spark" else "||"
+    return f"""
+        WITH v1 AS (
+            SELECT doc_id, md5(text) AS h, n_chars FROM documents
+        ),
+        v2 AS (
+            SELECT doc_id,
+                   md5(CASE WHEN doc_id % 13 = 0
+                            THEN text {concat} ' [edited]'
+                            ELSE text END) AS h,
+                   n_chars
+            FROM documents
+            WHERE doc_id % 17 != 0
+            UNION ALL
+            SELECT doc_id + 10000000, md5(text {concat} ' [new]'), n_chars
+            FROM documents WHERE doc_id % 19 = 0
+        ),
+        classed AS (
+            SELECT CASE
+                     WHEN v1.doc_id IS NULL THEN 'added'
+                     WHEN v2.doc_id IS NULL THEN 'removed'
+                     WHEN v1.h != v2.h THEN 'changed'
+                     ELSE 'unchanged'
+                   END AS class,
+                   COALESCE(v1.n_chars, v2.n_chars) AS n_chars
+            FROM v1 FULL OUTER JOIN v2 ON v2.doc_id = v1.doc_id
+        )
+        SELECT class,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS char_mass
+        FROM classed
+        GROUP BY class
+        ORDER BY class
+    """
+
+
+def profile_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-to-release dataset diff — see _dataset_diff_sql."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_dataset_diff_sql("spark"))
+
+
+PROFILE_DATASET_DIFF_SQL = _dataset_diff_sql("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "profile_dataset_diff": (profile_dataset_diff, PROFILE_DATASET_DIFF_SQL),
     "sample_horvitz_thompson": (
         sample_horvitz_thompson,
         SAMPLE_HORVITZ_THOMPSON_SQL,

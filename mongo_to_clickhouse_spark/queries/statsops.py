@@ -1333,7 +1333,161 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_TOP_PATHS_SQL = _top_paths_sql("events")
 
 
+# ---------------------------------------------------------------------------
+# agg_wilson_interval — binomial confidence intervals per event type
+# ---------------------------------------------------------------------------
+
+# z for 95% two-sided — CAST'd because Spark parses bare decimal-point
+# literals as DECIMAL (the scale-truncating-division trap Welch hit)
+_WILSON_Z = "CAST(1.959963985 AS DOUBLE)"
+WILSON_VALUE_CUT = 5.0      # "conversion" = value above this
+
+
+def _wilson_body(events_rel: str) -> str:
+    """Engine-shared Wilson score intervals for per-type conversion
+    rates (conversion = value > {WILSON_VALUE_CUT}): the interval that
+    stays inside [0,1] and behaves at small n where the naive Wald
+    interval fails — the standard A/B dashboard bound. Counts are
+    exact; the Wilson formula is one fixed double expression per type
+    (z as a literal both engines parse to the same double), floored to
+    ppm."""
+    z = _WILSON_Z
+    return f"""
+        WITH counts AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN value > {WILSON_VALUE_CUT}
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS k
+            FROM {events_rel} WHERE value IS NOT NULL
+            GROUP BY event_type
+        )
+        SELECT event_type, n, k,
+               CAST(k * 1000000 {{intdiv}} n AS BIGINT) AS rate_ppm,
+               CAST(floor(
+                   ((k + {z} * {z} / 2) / (n + {z} * {z})
+                    - {z} / (n + {z} * {z})
+                      * sqrt(k * (n - k) / (1e0 * n)
+                             + {z} * {z} / 4)) * 1000000)
+                    AS BIGINT) AS wilson_lo_ppm,
+               CAST(floor(
+                   ((k + {z} * {z} / 2) / (n + {z} * {z})
+                    + {z} / (n + {z} * {z})
+                      * sqrt(k * (n - k) / (1e0 * n)
+                             + {z} * {z} / 4)) * 1000000)
+                    AS BIGINT) AS wilson_hi_ppm
+        FROM counts
+        ORDER BY event_type
+    """
+
+
+def agg_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Wilson 95% conversion intervals — see _wilson_body.
+    One scan, one |types|-key aggregate, narrow per-row arithmetic."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "wilson_events_src"
+    )
+    return spark.sql(
+        _wilson_body("wilson_events_src").replace("{intdiv}", "DIV")
+    )
+
+
+AGG_WILSON_INTERVAL_SQL = _wilson_body("events").replace("{intdiv}", "//")
+
+
+# ---------------------------------------------------------------------------
+# events_anomaly_mad_daily — robust (median/MAD) daily anomaly flags
+# ---------------------------------------------------------------------------
+
+MAD_K_X10000 = 3 * 14826   # 3 × the 1.4826 normal-consistency constant
+
+
+def _mad_body(daily_rel: str) -> str:
+    """Engine-shared robust anomaly detection on the per-type DAILY
+    series: flag days where |x − median| · 10000 > {MAD_K_X10000} · MAD
+    — the median/MAD rule that survives the very outliers a z-score's
+    own mean/σ absorb (the reason monitoring stacks pair it with
+    events_anomaly_zscore). Medians are exact low-of-middle ranks
+    (deterministic, no interpolation doubles); everything is BIGINT
+    cross-multiplication.
+
+    ``daily_rel`` provides (event_type, day_idx, x)."""
+    return f"""
+        WITH daily AS (SELECT event_type, day_idx, x FROM {daily_rel}),
+        med AS (
+            SELECT event_type, x AS m FROM (
+                SELECT event_type, x,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY x, day_idx) AS rk,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM daily
+            ) r WHERE rk = (n + 1) {{intdiv}} 2
+        ),
+        devs AS (
+            SELECT d.event_type, d.day_idx, d.x, m.m,
+                   ABS(d.x - m.m) AS dev
+            FROM daily d JOIN med m ON m.event_type = d.event_type
+        ),
+        mad AS (
+            SELECT event_type, dev AS mad FROM (
+                SELECT event_type, dev,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY dev, day_idx) AS rk,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM devs
+            ) r WHERE rk = (n + 1) {{intdiv}} 2
+        )
+        -- GREATEST(mad, 1): a heavily-repeated median collapses MAD
+        -- to 0 and the bare rule would flag every non-median day; the
+        -- one-unit floor is the standard degenerate-MAD guard
+        SELECT d.event_type, d.day_idx, d.x, d.m AS median_x,
+               a.mad,
+               d.dev * 10000 > {MAD_K_X10000} * GREATEST(a.mad, 1)
+                   AS flagged
+        FROM devs d JOIN mad a ON a.event_type = d.event_type
+        ORDER BY d.event_type, d.day_idx
+    """
+
+
+def events_anomaly_mad_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD daily anomaly flags — see _mad_body. Rides a
+    checkpointed per-(type, day) rollup; both median rank windows and
+    the joins run on that types×days-bounded relation."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    def build():
+        return load_table(spark, sf_dir, "events").selectExpr(
+            "event_type",
+            "CAST(floor(unix_micros(CAST(ts AS TIMESTAMP)) / 86400000000)"
+            " AS BIGINT) AS day_idx",
+        ).groupBy("event_type", "day_idx").agg(
+            F.count("*").cast("bigint").alias("x")
+        )
+
+    cached_barrier_view(
+        spark, sf_dir, "typed_daily", build, tables=("events",)
+    )
+    return spark.sql(_mad_body("typed_daily").replace("{intdiv}", "DIV"))
+
+
+EVENTS_ANOMALY_MAD_DAILY_SQL = _mad_body(
+    """(
+        SELECT event_type,
+               CAST(floor(CAST(epoch_us(ts) AS BIGINT) / 86400000000)
+                    AS BIGINT) AS day_idx,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    )"""
+).replace("{intdiv}", "//")
+
+
 QUERIES: dict[str, tuple] = {
+    "agg_wilson_interval": (agg_wilson_interval, AGG_WILSON_INTERVAL_SQL),
+    "events_anomaly_mad_daily": (
+        events_anomaly_mad_daily,
+        EVENTS_ANOMALY_MAD_DAILY_SQL,
+    ),
     "agg_ttest_welch": (agg_ttest_welch, AGG_TTEST_WELCH_SQL),
     "events_top_paths": (events_top_paths, EVENTS_TOP_PATHS_SQL),
     "events_resample_interpolate": (

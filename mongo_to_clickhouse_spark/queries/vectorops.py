@@ -3340,7 +3340,90 @@ EMB_RESIDUAL_QUANTIZE_SQL = (
 )
 
 
+def _isotropy_tail_sql(pts_rel: str) -> str:
+    """Shared tail over (i, v) milli-coordinate rows: per-dimension
+    variances (n²-scaled exact central sums), then the isotropy profile
+    — min/max variance ratio and the entropy of the normalized
+    variance spectrum with its effective-dimension count exp(H). An
+    isotropic embedding space spreads variance evenly (eff_dims ≈ d);
+    anisotropy collapse (the common failure of contrastive encoders —
+    Ethayarajh 2019) shows as a low ratio and few effective dims. The
+    spectrum here is the per-AXIS variance profile (the cheap
+    eigenvalue-free diagnostic; the PCA tier measures the rotated
+    spectrum when needed)."""
+    return f"""
+        WITH dims AS (
+            SELECT i,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) AS s,
+                   CAST(SUM(v * v) AS BIGINT) AS s2
+            FROM {pts_rel}
+            GROUP BY i
+        ),
+        vars_rel AS (
+            SELECT i, CAST(n * s2 - s * s AS BIGINT) AS v2n
+            FROM dims
+        ),
+        terms AS (
+            SELECT i, v2n,
+                   CAST(round((v2n / CAST(tot AS DOUBLE))
+                              * (-ln(v2n / CAST(tot AS DOUBLE))) * 1e6)
+                        AS BIGINT) AS term_micro
+            FROM vars_rel
+            CROSS JOIN (SELECT CAST(SUM(v2n) AS BIGINT) AS tot
+                        FROM vars_rel) t
+            WHERE v2n > 0
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+               CAST(MIN(v2n) * 1000000 {{intdiv}} MAX(v2n) AS BIGINT)
+                   AS min_max_ratio_ppm,
+               CAST(SUM(term_micro) AS BIGINT) AS spectrum_entropy_micro,
+               CAST(round(exp(SUM(term_micro) / 1e6) * 1e6) AS BIGINT)
+                   AS eff_dims_micro
+        FROM terms
+    """
+
+
+def emb_isotropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding isotropy diagnostic — see _isotropy_tail_sql. One
+    dimension explode (milli-quantized so the n·v² BIGINT envelope
+    holds to ~1e9 vectors) landed on a checkpoint barrier; everything
+    downstream runs on the d-row per-dimension aggregate."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    def build():
+        load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+            "iso_emb_src"
+        )
+        return spark.sql("""
+            SELECT i,
+                   CAST(round(CAST(element_at(embedding, CAST(i AS INT))
+                                   AS DOUBLE) * 1e3) AS BIGINT) AS v
+            FROM iso_emb_src
+            LATERAL VIEW explode(sequence(1, size(embedding))) AS i
+        """)
+
+    cached_barrier_view(
+        spark, sf_dir, "iso_points", build, tables=("embeddings",)
+    )
+    return spark.sql(
+        _isotropy_tail_sql("iso_points").replace("{intdiv}", "DIV")
+    )
+
+
+EMB_ISOTROPY_PROFILE_SQL = _isotropy_tail_sql(
+    """(
+        SELECT i, CAST(round(CAST(embedding[i] AS DOUBLE) * 1000.0)
+                       AS BIGINT) AS v
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    )"""
+).replace("{intdiv}", "//")
+
+
 QUERIES: dict[str, tuple] = {
+    "emb_isotropy_profile": (emb_isotropy_profile, EMB_ISOTROPY_PROFILE_SQL),
     "sim_greedy_graph_search": (
         sim_greedy_graph_search,
         SIM_GREEDY_GRAPH_SEARCH_SQL,

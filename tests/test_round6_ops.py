@@ -1645,3 +1645,142 @@ def test_ocr_filter_reason_bits(spark, tmp_path):
     assert got[1][0] & 1            # digit storm
     assert got[2][0] & 2            # symbol storm
     assert got[1][1] and got[2][1]
+
+
+# ---------------------------------------------------------------------------
+# profile_dataset_diff
+# ---------------------------------------------------------------------------
+
+
+def test_dataset_diff_classes(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.queries.sampleops import (
+        profile_dataset_diff,
+    )
+
+    clear_scan_cache()
+    # ids 1..100: %17==0 dropped (17,34,51,68,85 -> 5 removed);
+    # %13==0 and not dropped changed (13,26,39,52,65,78,91 -> 7);
+    # %19==0 spawn new ids (19,38,57,76,95 -> 5 added)
+    rows = [(i, f"text number {i}", "en", 10) for i in range(1, 101)]
+    got = {
+        r["class"]: r["n_docs"]
+        for r in profile_dataset_diff(
+            spark, _write_docs(tmp_path, rows)
+        ).collect()
+    }
+    assert got == {"added": 5, "removed": 5, "changed": 7,
+                   "unchanged": 100 - 5 - 7}
+
+
+# ---------------------------------------------------------------------------
+# window_skyline_pareto
+# ---------------------------------------------------------------------------
+
+
+def test_skyline_dominance(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.queries.relational_ext import (
+        window_skyline_pareto,
+    )
+
+    clear_scan_cache()
+    # one group; points (price, day): (100, 5) dominates (90, 3) and
+    # (100, 4); (50, 9) survives on recency; (120, 1) survives on price
+    pts = [(1, 100.0, 5), (2, 90.0, 3), (3, 100.0, 4),
+           (4, 50.0, 9), (5, 120.0, 1)]
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([k for k, _, _ in pts], pa.int64()),
+            "o_custkey": pa.array([1] * 5, pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 5, pa.string()),
+            "o_totalprice": pa.array([p for _, p, _ in pts], pa.float64()),
+            "o_orderdate": pa.array(
+                [_T0 + dt.timedelta(days=d) for _, _, d in pts],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(["P"] * 5, pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "orders.parquet"))
+    keys = [r["o_orderkey"]
+            for r in window_skyline_pareto(spark, str(tmp_path)).collect()]
+    assert sorted(keys) == [1, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# emb_isotropy_profile
+# ---------------------------------------------------------------------------
+
+
+def test_isotropy_uniform_vs_collapsed(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.vectorops import (
+        emb_isotropy_profile,
+    )
+
+    import numpy as np
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # perfectly isotropic 4-dim: identical variance per axis ->
+    # ratio 1e6, eff_dims = 4
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal((40, 1))
+    vecs = [tuple(float(base[(i + k) % 40, 0]) for k in range(4))
+            for i in range(40)]
+    (r,) = emb_isotropy_profile(
+        spark, _write_embeddings(tmp_path, vecs, [0] * 40)
+    ).collect()
+    assert r["n_dims"] == 4
+    assert r["min_max_ratio_ppm"] == 1_000_000
+    assert abs(r["eff_dims_micro"] - 4_000_000) < 100
+
+
+# ---------------------------------------------------------------------------
+# agg_wilson_interval / events_anomaly_mad_daily
+# ---------------------------------------------------------------------------
+
+
+def test_wilson_brackets_rate(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.queries.statsops import (
+        agg_wilson_interval,
+    )
+
+    clear_scan_cache()
+    # 100 events, 30 above the cut -> rate 0.3; Wilson 95% approx
+    # [0.218, 0.397]
+    values = [9.0 if i < 30 else 1.0 for i in range(100)]
+    (r,) = agg_wilson_interval(
+        spark, _write_events(tmp_path, values)
+    ).collect()
+    assert r["n"] == 100 and r["k"] == 30 and r["rate_ppm"] == 300_000
+    assert r["wilson_lo_ppm"] < 300_000 < r["wilson_hi_ppm"]
+    assert 210_000 < r["wilson_lo_ppm"] < 230_000
+    assert 390_000 < r["wilson_hi_ppm"] < 410_000
+
+
+def test_mad_flags_only_the_spike(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.statsops import (
+        events_anomaly_mad_daily,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # 15 days of counts 10/11 alternating with one 300-event spike:
+    # median 10-11, MAD 0-1... use counts 10,12 alternating so MAD=1
+    counts = [10 if d % 2 == 0 else 12 for d in range(15)]
+    counts[7] = 300
+    rows = events_anomaly_mad_daily(
+        spark, _write_daily_events(tmp_path, counts)
+    ).collect()
+    flagged = [r for r in rows if r["flagged"]]
+    assert len(flagged) == 1 and flagged[0]["x"] == 300
