@@ -1482,7 +1482,197 @@ EVENTS_ANOMALY_MAD_DAILY_SQL = _mad_body(
 ).replace("{intdiv}", "//")
 
 
+# ---------------------------------------------------------------------------
+# events_concurrency_peak — peak simultaneous sessions per hour
+# ---------------------------------------------------------------------------
+
+CONC_SPAN_US = 300_000_000   # each event holds a session open 5 minutes
+
+
+def _concurrency_tail_sql(deltas_rel: str) -> str:
+    """Shared tail over (t, delta, running) boundary rows where
+    ``running`` is the INCLUSIVE running sum of ±1 deltas under the
+    (t, delta, event_id) total order: per-hour peak and closing
+    concurrency — the capacity-planning curve (how many sessions were
+    open at once). The sweep-line classic, made distributed by
+    computing the running sum with the two-pass range-partitioned
+    prefix sum instead of a global window."""
+    return f"""
+        SELECT CAST(t {{intdiv}} 3600000000 AS BIGINT) AS hour_idx,
+               CAST(MAX(running) AS BIGINT) AS peak_concurrency,
+               CAST(SUM(delta) AS BIGINT) AS net_change,
+               CAST(COUNT(*) AS BIGINT) AS n_boundaries
+        FROM {deltas_rel}
+        GROUP BY t {{intdiv}} 3600000000
+        ORDER BY hour_idx
+    """
+
+
+def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly peak concurrency of 5-minute event sessions — see
+    _concurrency_tail_sql.
+
+    Scale posture: the boundary relation is a constant 2× fan-out of
+    the event scan; the global running sum rides the two-pass
+    distributed prefix sum (operators/rank.py) under the total order
+    (t, delta asc — ends before starts at the same instant is the
+    half-open [t, t+span) convention — event_id): never a no-partition
+    window; the hourly rollup is a uniform-key aggregate."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+    from mongo_to_clickhouse_spark.operators.rank import (
+        distributed_prefix_sum,
+    )
+
+    def build():
+        ev = load_table(spark, sf_dir, "events").selectExpr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS t0", "event_id"
+        )
+        deltas = ev.selectExpr(
+            "t0 AS t", "CAST(1 AS BIGINT) AS delta", "event_id"
+        ).unionAll(ev.selectExpr(
+            f"t0 + {CONC_SPAN_US} AS t", "CAST(-1 AS BIGINT) AS delta",
+            "event_id",
+        ))
+        return distributed_prefix_sum(
+            deltas,
+            [F.col("t"), F.col("delta"), F.col("event_id")],
+            value_col="delta",
+            out_col="running",
+            exclusive=False,
+        )
+
+    cached_barrier_view(
+        spark, sf_dir, "conc_deltas", build, tables=("events",)
+    )
+    return spark.sql(
+        _concurrency_tail_sql("conc_deltas").replace("{intdiv}", "DIV")
+    )
+
+
+EVENTS_CONCURRENCY_PEAK_SQL = _concurrency_tail_sql(
+    f"""(
+        SELECT t, delta, event_id,
+               SUM(delta) OVER (ORDER BY t, delta, event_id
+                                ROWS UNBOUNDED PRECEDING) AS running
+        FROM (
+            SELECT CAST(epoch_us(ts) AS BIGINT) AS t,
+                   CAST(1 AS BIGINT) AS delta, event_id
+            FROM events
+            UNION ALL
+            SELECT CAST(epoch_us(ts) AS BIGINT) + {CONC_SPAN_US},
+                   CAST(-1 AS BIGINT), event_id
+            FROM events
+        ) d
+    )"""
+).replace("{intdiv}", "//")
+
+
+# ---------------------------------------------------------------------------
+# events_survival_km — Kaplan–Meier time-to-second-event curve
+# ---------------------------------------------------------------------------
+
+
+def _km_body(engine: str) -> str:
+    """Engine-shared Kaplan–Meier estimator of time-to-return (first →
+    second event per user), right-censored at the observation end (the
+    corpus max timestamp) — the survival curve behind churn/retention
+    models, with the censoring handled properly instead of dropped.
+    Durations bucket to hours; at each bucket: d = returns, c =
+    censored, n = at-risk (reverse cumulative); S(t) accumulates in
+    log space as an exact running BIGINT sum of per-bucket micro-nats
+    ln(1 − d/n) (each ONE double ln on exact integers), exponentiated
+    once per row. Windows run over the duration-bucket AGGREGATE
+    (hours-bounded)."""
+    if engine == "spark":
+        epoch = "unix_micros(CAST(ts AS TIMESTAMP))"
+        intdiv = "DIV"
+    else:
+        epoch = "CAST(epoch_us(ts) AS BIGINT)"
+        intdiv = "//"
+    return f"""
+        WITH ev AS (
+            SELECT user_id, {epoch} AS t, event_id FROM events
+        ),
+        firsts AS (
+            SELECT user_id, t AS t1 FROM (
+                SELECT user_id, t,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY t, event_id) AS rk
+                FROM ev
+            ) r WHERE rk = 1
+        ),
+        seconds AS (
+            SELECT user_id, t AS t2 FROM (
+                SELECT user_id, t,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY t, event_id) AS rk
+                FROM ev
+            ) r WHERE rk = 2
+        ),
+        horizon AS (SELECT MAX(t) AS tmax FROM ev),
+        spells AS (
+            SELECT f.user_id,
+                   CASE WHEN s.t2 IS NULL
+                        THEN (h.tmax - f.t1) {intdiv} 3600000000
+                        ELSE (s.t2 - f.t1) {intdiv} 3600000000
+                   END AS dur_h,
+                   CASE WHEN s.t2 IS NULL THEN 0 ELSE 1 END AS returned
+            FROM firsts f
+            LEFT JOIN seconds s ON s.user_id = f.user_id
+            CROSS JOIN horizon h
+        ),
+        buckets AS (
+            SELECT dur_h,
+                   CAST(SUM(returned) AS BIGINT) AS d,
+                   CAST(SUM(1 - returned) AS BIGINT) AS c
+            FROM spells GROUP BY dur_h
+        ),
+        at_risk AS (
+            SELECT dur_h, d, c,
+                   CAST(SUM(d + c) OVER (ORDER BY dur_h DESC)
+                        AS BIGINT) AS n_risk
+            FROM buckets
+        ),
+        lnterms AS (
+            -- d = n_risk (everyone remaining returns in this bucket)
+            -- drives S(t) to exactly 0: a -100-nat sentinel makes
+            -- exp() round to 0 micro in both engines without ln(0)
+            SELECT dur_h, d, c, n_risk,
+                   CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+                        WHEN d >= n_risk THEN CAST(-100000000 AS BIGINT)
+                        ELSE CAST(round(ln((n_risk - d)
+                                           / CAST(n_risk AS DOUBLE))
+                                        * 1e6) AS BIGINT) END AS lnm
+            FROM at_risk
+        )
+        SELECT dur_h, d AS n_returned, c AS n_censored, n_risk,
+               CAST(round(exp(SUM(lnm) OVER (ORDER BY dur_h) / 1e6)
+                          * 1e6) AS BIGINT) AS survival_micro
+        FROM lnterms
+        WHERE d > 0 OR c > 0
+        ORDER BY dur_h
+    """
+
+
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-return curve — see _km_body. The per-user
+    rank windows are the one corpus-sized pass (uniform user keys);
+    the KM machinery runs on the hours-bounded duration buckets."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_km_body("spark"))
+
+
+EVENTS_SURVIVAL_KM_SQL = _km_body("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "events_concurrency_peak": (
+        events_concurrency_peak,
+        EVENTS_CONCURRENCY_PEAK_SQL,
+    ),
+    "events_survival_km": (events_survival_km, EVENTS_SURVIVAL_KM_SQL),
     "agg_wilson_interval": (agg_wilson_interval, AGG_WILSON_INTERVAL_SQL),
     "events_anomaly_mad_daily": (
         events_anomaly_mad_daily,

@@ -74,6 +74,9 @@ _BOUNDED_WINDOW_WHITELIST = {
     # the pi-normalization window runs over the stationary-distribution
     # relation: |event types| rows
     "events_entropy_rate",
+    # the at-risk reverse-cumulative and the KM log-product windows run
+    # over the duration-bucket AGGREGATE: observation-window hours
+    "events_survival_km",
 }
 
 

@@ -1784,3 +1784,83 @@ def test_mad_flags_only_the_spike(spark, tmp_path):
     ).collect()
     flagged = [r for r in rows if r["flagged"]]
     assert len(flagged) == 1 and flagged[0]["x"] == 300
+
+
+# ---------------------------------------------------------------------------
+# events_concurrency_peak
+# ---------------------------------------------------------------------------
+
+
+def test_concurrency_peak_counts_overlaps(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.statsops import (
+        events_concurrency_peak,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # hour-aligned start; 3 events within one 5-min span -> peak 3;
+    # a lone event 2 hours later -> peak 1 in its hour
+    t0 = dt.datetime(2024, 6, 2)
+    rows = [t0, t0 + dt.timedelta(seconds=60), t0 + dt.timedelta(seconds=120),
+            t0 + dt.timedelta(hours=2)]
+    n = len(rows)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(rows, pa.timestamp("us")),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(["view"] * n, pa.string()),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "events.parquet"))
+    got = {r["hour_idx"] % 24: r["peak_concurrency"]
+           for r in events_concurrency_peak(spark, str(tmp_path)).collect()}
+    assert got[0] == 3
+    assert got[2] == 1
+
+
+# ---------------------------------------------------------------------------
+# events_survival_km
+# ---------------------------------------------------------------------------
+
+
+def test_km_no_censoring_hand_computed(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.queries.statsops import (
+        events_survival_km,
+    )
+
+    clear_scan_cache()
+    # 4 users return after 1h, 1h, 2h, 3h; a 5th user never returns
+    # (censored at the horizon). KM: S(1)= (5-2)/5 = .6 (n=5, d=2),
+    # S(2)= .6*(3-1)/3 = .4, S(3)= .4*(2-1)/2 = .2
+    seq = []
+    returns = {1: 1, 2: 1, 3: 2, 4: 3}
+    horizon = 10
+    for u in (1, 2, 3, 4, 5):
+        seq.append((u, 0, "view"))
+        if u in returns:
+            seq.append((u, returns[u] * 3600, "view"))
+    seq.append((99, horizon * 3600, "view"))   # pins the horizon; user
+    # 99's own spell is censored at duration 0
+    rows = events_survival_km(
+        spark, _write_typed_events(tmp_path, seq)
+    ).collect()
+    got = {r["dur_h"]: (r["n_returned"], r["n_censored"], r["n_risk"],
+                        r["survival_micro"]) for r in rows}
+    assert got[1][:2] == (2, 0)
+    assert got[2][:2] == (1, 0)
+    assert got[3][:2] == (1, 0)
+    # user 5 censored at 10h, user 99 censored at 0h
+    assert got[10][:2] == (0, 1) and got[0][:2] == (0, 1)
+    # n_risk at t=1h excludes the duration-0 censored spell
+    assert got[1][2] == 6 - 1
+    assert got[1][3] == 600_000
+    assert got[2][3] == 400_000
+    assert got[3][3] == 200_000
