@@ -714,7 +714,141 @@ def _quant_recall_oracle() -> str:
 EVAL_QUANTIZATION_RECALL_SQL = _quant_recall_oracle()
 
 
+# ---------------------------------------------------------------------------
+# eval_cluster_ari — do the LSH clusters agree with the exact clusters?
+# ---------------------------------------------------------------------------
+
+
+def _ari_tail_sql(universe_rel: str, lsh_rel: str, exact_rel: str,
+                  intdiv: str) -> str:
+    """Shared tail: Adjusted Rand Index (Hubert & Arabie 1985) between
+    the LSH-derived near-dup clustering and the exact-Jaccard ground
+    truth — THE clustering-agreement score (chance-corrected pair
+    counting), and the cluster-level companion to eval_lsh_recall's
+    pair-level precision/recall (pairs can score well while the
+    transitive closures diverge badly; ARI sees that). Unlabeled docs
+    count as singletons (own id). All pair counts C(x,2) = x(x−1)/2
+    are exact BIGINTs; ARI is one double expression floored to ppm."""
+    return f"""
+        WITH labeled AS (
+            SELECT u.node_id,
+                   COALESCE(l.component_id, u.node_id) AS la,
+                   COALESCE(x.component_id, u.node_id) AS lb
+            FROM {universe_rel} u
+            LEFT JOIN {lsh_rel} l ON l.node_id = u.node_id
+            LEFT JOIN {exact_rel} x ON x.node_id = u.node_id
+        ),
+        cells AS (
+            SELECT la, lb, CAST(COUNT(*) AS BIGINT) AS nij
+            FROM labeled GROUP BY la, lb
+        ),
+        sums AS (
+            SELECT CAST(SUM(nij * (nij - 1) {intdiv} 2) AS BIGINT)
+                       AS s_cells,
+                   CAST(SUM(nij) AS BIGINT) AS n
+            FROM cells
+        ),
+        rowsum AS (
+            SELECT CAST(SUM(ai * (ai - 1) {intdiv} 2) AS BIGINT) AS s_a,
+                   CAST(COUNT(*) AS BIGINT) AS n_clusters_lsh
+            FROM (SELECT la, SUM(nij) AS ai FROM cells GROUP BY la) r
+        ),
+        colsum AS (
+            SELECT CAST(SUM(bj * (bj - 1) {intdiv} 2) AS BIGINT) AS s_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_clusters_exact
+            FROM (SELECT lb, SUM(nij) AS bj FROM cells GROUP BY lb) c2
+        )
+        SELECT n AS n_docs, n_clusters_lsh, n_clusters_exact,
+               s_cells AS pair_agreements,
+               CAST(floor(
+                   (s_cells - (1e0 * s_a * s_b)
+                              / (n * (n - 1) {intdiv} 2))
+                   / ((s_a + s_b) / 2e0
+                      - (1e0 * s_a * s_b) / (n * (n - 1) {intdiv} 2))
+                   * 1000000) AS BIGINT) AS ari_ppm
+        FROM sums CROSS JOIN rowsum CROSS JOIN colsum
+    """
+
+
+def eval_cluster_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index: LSH near-dup clusters vs the exact-Jaccard
+    clustering — see _ari_tail_sql.
+
+    Scale posture: both clusterings are the iterative hash-min CC
+    operator (checkpoint-barriered rounds) over their respective
+    candidate edge sets (banding equi-join / blocked Jaccard — never
+    all-pairs); the contingency is one (la, lb)-keyed aggregate over
+    the doc universe; everything after runs on cluster-count-bounded
+    relations."""
+    from mongo_to_clickhouse_spark.operators.graph import (
+        connected_components,
+    )
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+    from mongo_to_clickhouse_spark.queries.dedupops import (
+        _cc_labels,
+        _planted_corpus,
+        dedup_ngram_jaccard,
+    )
+
+    _cc_labels(spark, sf_dir).createOrReplaceTempView("ari_lsh_labels")
+    cached_barrier_view(
+        spark, sf_dir, "ari_exact_labels",
+        lambda: connected_components(
+            dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+        ),
+    )
+    spark.sql(
+        f"SELECT doc_id AS node_id FROM ({_planted_corpus('spark')}) pc"
+    ).createOrReplaceTempView("ari_universe")
+    return spark.sql("WITH " + _ari_tail_sql(
+        "ari_universe", "ari_lsh_labels", "ari_exact_labels", "DIV"
+    ).strip()[len("WITH"):].lstrip())
+
+
+def _ari_oracle() -> str:
+    from mongo_to_clickhouse_spark.queries.dedupops import (
+        DEDUP_MINHASH_LSH_PAIRS_SQL,
+        DEDUP_NGRAM_JACCARD_SQL,
+        _planted_corpus,
+    )
+
+    def cc(pairs_sql: str, name: str) -> str:
+        return f"""{name} AS (
+            WITH RECURSIVE
+            edges AS (SELECT a_id, b_id FROM ({pairs_sql})),
+            sym AS (
+                SELECT a_id AS u, b_id AS v FROM edges
+                UNION
+                SELECT b_id AS u, a_id AS v FROM edges
+            ),
+            reach(node_id, lbl) AS (
+                SELECT u, u FROM sym
+                UNION
+                SELECT s.u, r.lbl FROM sym s JOIN reach r ON s.v = r.node_id
+            )
+            SELECT node_id, MIN(lbl) AS component_id
+            FROM reach GROUP BY node_id
+        )"""
+
+    return (
+        "WITH "
+        + cc(DEDUP_MINHASH_LSH_PAIRS_SQL, "ari_lsh_labels") + ", "
+        + cc(DEDUP_NGRAM_JACCARD_SQL, "ari_exact_labels") + ", "
+        + f"ari_universe AS (SELECT doc_id AS node_id FROM"
+          f" ({_planted_corpus('duck')}) pc), "
+        + _ari_tail_sql(
+            "ari_universe", "ari_lsh_labels", "ari_exact_labels", "//"
+        ).strip()[len("WITH"):].lstrip()
+    )
+
+
+EVAL_CLUSTER_ARI_SQL = _ari_oracle()
+
+
 QUERIES: dict[str, tuple] = {
+    "eval_cluster_ari": (eval_cluster_ari, EVAL_CLUSTER_ARI_SQL),
     "eval_quantization_recall": (
         eval_quantization_recall,
         EVAL_QUANTIZATION_RECALL_SQL,

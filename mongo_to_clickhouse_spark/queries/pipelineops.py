@@ -890,7 +890,82 @@ PIPELINE_BUDGET_PREFIX_SELECT_SQL = (
 )
 
 
+LENGTH_BUCKET_EDGES = (16, 32, 64, 128, 256)   # token-length bucket tops
+SEQ_PACK_LEN = 256                             # padded batch length
+
+
+def _length_bucketing_sql(engine: str) -> str:
+    """Engine-shared length-bucketed batching audit: docs grouped into
+    token-length buckets (each padded to ITS bucket top) vs one global
+    pad-to-max batcher — the padding-waste accounting behind bucketed
+    batching / sorted batching in every training loop (padding tokens
+    are pure compute waste; bucketing recovers most of it). Exact
+    integer token counts; waste in tokens and ppm of the padded mass.
+    One scan → one |buckets|-key aggregate + a 1-row global
+    comparison row."""
+    toks = (
+        "size(split(text, ' '))" if engine == "spark"
+        else "len(string_split(text, ' '))"
+    )
+    intdiv = "DIV" if engine == "spark" else "//"
+    edge_case = " ".join(
+        f"WHEN n_toks <= {e} THEN {e}" for e in LENGTH_BUCKET_EDGES
+    )
+    return f"""
+        WITH sized AS (
+            SELECT CAST({toks} AS BIGINT) AS n_toks
+            FROM documents
+        ),
+        bucketed AS (
+            SELECT CASE {edge_case} ELSE {SEQ_PACK_LEN} END AS bucket_top,
+                   n_toks
+            FROM sized
+        ),
+        per_bucket AS (
+            SELECT bucket_top,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_toks) AS BIGINT) AS real_tokens,
+                   CAST(SUM(bucket_top - LEAST(n_toks, bucket_top))
+                        AS BIGINT) AS pad_tokens
+            FROM bucketed GROUP BY bucket_top
+        )
+        SELECT CAST(bucket_top AS BIGINT) AS bucket_top, n_docs,
+               real_tokens, pad_tokens,
+               CAST(pad_tokens * 1000000
+                    {intdiv} (real_tokens + pad_tokens) AS BIGINT)
+                   AS waste_ppm
+        FROM per_bucket
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT),
+               CAST(SUM(n_docs) AS BIGINT),
+               CAST(SUM(real_tokens) AS BIGINT),
+               CAST(SUM(n_docs) * {SEQ_PACK_LEN} - SUM(real_tokens)
+                    AS BIGINT),
+               CAST((SUM(n_docs) * {SEQ_PACK_LEN} - SUM(real_tokens))
+                    * 1000000 {intdiv} (SUM(n_docs) * {SEQ_PACK_LEN})
+                    AS BIGINT)
+        FROM per_bucket
+        ORDER BY bucket_top
+    """
+
+
+def pipeline_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching waste audit — see _length_bucketing_sql.
+    The -1 row is the pad-to-max baseline the buckets are beating."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_length_bucketing_sql("spark"))
+
+
+PIPELINE_LENGTH_BUCKETING_SQL = _length_bucketing_sql("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "pipeline_length_bucketing": (
+        pipeline_length_bucketing,
+        PIPELINE_LENGTH_BUCKETING_SQL,
+    ),
     "pipeline_budget_prefix_select": (
         pipeline_budget_prefix_select,
         PIPELINE_BUDGET_PREFIX_SELECT_SQL,

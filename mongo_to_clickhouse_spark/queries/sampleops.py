@@ -1116,7 +1116,63 @@ def profile_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROFILE_DATASET_DIFF_SQL = _dataset_diff_sql("duck")
 
 
+def _fk_integrity_sql() -> str:
+    """Engine-shared referential-integrity audit across the star
+    schema's FK edges (lineitem→orders, lineitem→supplier,
+    orders→customer, customer→nation, supplier→nation,
+    embeddings→documents): per edge the child rowcount, orphan count
+    (children whose parent key is missing) and orphan ppm — the
+    data-quality gate a warehouse runs after every load (the
+    reference's at-least-once delivery makes dangling keys a real
+    failure mode, not a hypothetical). Each edge is one LEFT ANTI
+    aggregate on the join key; identical SQL in both engines."""
+    edges = [
+        ("lineitem->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier->nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+        ("embeddings->documents", "embeddings", "vec_id",
+         "documents", "doc_id"),
+    ]
+    selects = []
+    for name, child, ck, parent, pk in edges:
+        selects.append(f"""
+            SELECT '{name}' AS fk_edge,
+                   CAST(COUNT(*) AS BIGINT) AS n_children,
+                   CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_orphans,
+                   CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END)
+                        * 1000000 {{intdiv}} COUNT(*) AS BIGINT)
+                       AS orphan_ppm
+            FROM {child} c
+            LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+              ON p.{pk} = c.{ck}
+        """)
+    return " UNION ALL ".join(selects) + " ORDER BY fk_edge"
+
+
+def profile_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema FK orphan audit — see _fk_integrity_sql. Six
+    co-partitionable key joins (parents distinct-projected first —
+    broadcast-sized dims at any scale except orders, which shares the
+    fact's own key distribution)."""
+    for t in ("lineitem", "orders", "supplier", "customer", "nation",
+              "documents", "embeddings"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_fk_integrity_sql().replace("{intdiv}", "DIV"))
+
+
+PROFILE_FK_INTEGRITY_SQL = _fk_integrity_sql().replace("{intdiv}", "//")
+
+
 QUERIES: dict[str, tuple] = {
+    "profile_fk_integrity": (profile_fk_integrity, PROFILE_FK_INTEGRITY_SQL),
     "profile_dataset_diff": (profile_dataset_diff, PROFILE_DATASET_DIFF_SQL),
     "sample_horvitz_thompson": (
         sample_horvitz_thompson,

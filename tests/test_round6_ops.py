@@ -1864,3 +1864,130 @@ def test_km_no_censoring_hand_computed(spark, tmp_path):
     assert got[1][3] == 600_000
     assert got[2][3] == 400_000
     assert got[3][3] == 200_000
+
+
+# ---------------------------------------------------------------------------
+# pipeline_length_bucketing / profile_fk_integrity
+# ---------------------------------------------------------------------------
+
+
+def test_length_bucketing_waste_arithmetic(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.queries.pipelineops import (
+        pipeline_length_bucketing,
+    )
+
+    clear_scan_cache()
+    # 10 docs of 10 tokens (bucket 16: pad 6 each) and 5 docs of 20
+    # tokens (bucket 32: pad 12 each); baseline pads everyone to 256
+    short = " ".join(f"s{i}" for i in range(10))
+    mid = " ".join(f"m{i}" for i in range(20))
+    rows = [(i, short, "en", 30) for i in range(10)]
+    rows += [(100 + i, mid, "en", 60) for i in range(5)]
+    got = {
+        r["bucket_top"]: (r["n_docs"], r["real_tokens"], r["pad_tokens"])
+        for r in pipeline_length_bucketing(
+            spark, _write_docs(tmp_path, rows)
+        ).collect()
+    }
+    assert got[16] == (10, 100, 60)
+    assert got[32] == (5, 100, 60)
+    assert got[-1] == (15, 200, 15 * 256 - 200)
+
+
+def test_fk_integrity_counts_orphans(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.queries.sampleops import (
+        profile_fk_integrity,
+    )
+
+    clear_scan_cache()
+    sf = str(tmp_path)
+    # minimal star: 2 nations; customer 3 points to a MISSING nation;
+    # all other edges clean
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_name": pa.array(["a", "b"], pa.string()),
+        "n_regionkey": pa.array([0, 0], pa.int64()),
+    }), os.path.join(sf, "nation.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_name": pa.array(["x", "y", "z"], pa.string()),
+        "c_nationkey": pa.array([0, 1, 99], pa.int64()),
+        "c_acctbal": pa.array([1.0] * 3, pa.float64()),
+        "c_mktsegment": pa.array(["m"] * 3, pa.string()),
+    }), os.path.join(sf, "customer.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1], pa.int64()),
+        "s_name": pa.array(["s"], pa.string()),
+        "s_nationkey": pa.array([0], pa.int64()),
+        "s_acctbal": pa.array([1.0], pa.float64()),
+    }), os.path.join(sf, "supplier.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11], pa.int64()),
+        "o_custkey": pa.array([1, 2], pa.int64()),
+        "o_orderstatus": pa.array(["O", "O"], pa.string()),
+        "o_totalprice": pa.array([1.0, 2.0], pa.float64()),
+        "o_orderdate": pa.array([_T0, _T0], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["P", "P"], pa.string()),
+    }), os.path.join(sf, "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 11, 999], pa.int64()),
+        "l_suppkey": pa.array([1, 1, 1], pa.int64()),
+    }), os.path.join(sf, "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["t", "t"], pa.string()),
+        "lang": pa.array(["en", "en"], pa.string()),
+        "source": pa.array(["s", "s"], pa.string()),
+        "n_chars": pa.array([1, 1], pa.int64()),
+    }), os.path.join(sf, "documents.parquet"))
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1, 7], pa.int64()),
+        "embedding": pa.array([[1.0], [1.0], [1.0]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 0], pa.int32()),
+    }), os.path.join(sf, "embeddings.parquet"))
+    got = {
+        r["fk_edge"]: (r["n_children"], r["n_orphans"])
+        for r in profile_fk_integrity(spark, sf).collect()
+    }
+    assert got["customer->nation"] == (3, 1)
+    assert got["lineitem->orders"] == (3, 1)     # orderkey 999 dangles
+    assert got["embeddings->documents"] == (3, 1)  # vec 7 dangles
+    assert got["orders->customer"] == (2, 0)
+    assert got["supplier->nation"] == (1, 0)
+
+
+# ---------------------------------------------------------------------------
+# eval_cluster_ari
+# ---------------------------------------------------------------------------
+
+
+def test_ari_perfect_agreement_on_exact_dups(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.dedupops import _CC_LABELS_CACHE
+    from mongo_to_clickhouse_spark.queries.evalops import eval_cluster_ari
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    _CC_LABELS_CACHE.clear()
+    # two pairs of verbatim duplicates + two singletons: LSH banding
+    # and exact Jaccard both cluster exactly the duplicate pairs, so
+    # the two labelings are identical -> ARI = 1.0. ids avoid %50==0
+    # so the planted-corpus mutation adds no extra twins.
+    a = " ".join(f"alpha{i}" for i in range(30))
+    b = " ".join(f"beta{i}" for i in range(30))
+    c = " ".join(f"solo{i}" for i in range(30))
+    d = " ".join(f"gamma{i}" for i in range(30))
+    rows = [(1, a, "en", 9), (2, a, "en", 9),
+            (3, b, "en", 9), (4, b, "en", 9),
+            (5, c, "en", 9), (6, d, "en", 9)]
+    (r,) = eval_cluster_ari(spark, _write_docs(tmp_path, rows)).collect()
+    assert r["n_docs"] == 6
+    assert r["n_clusters_lsh"] == r["n_clusters_exact"] == 4
+    assert r["pair_agreements"] == 2      # the two duplicate pairs
+    assert r["ari_ppm"] == 1_000_000
