@@ -847,7 +847,103 @@ def _ari_oracle() -> str:
 EVAL_CLUSTER_ARI_SQL = _ari_oracle()
 
 
+# ---------------------------------------------------------------------------
+# eval_label_silhouette — are the embedding labels cohesive clusters?
+# ---------------------------------------------------------------------------
+
+
+def _silhouette_tail_sql(pts_rel: str) -> str:
+    """Shared tail over (vec_id, label, i, v) milli-coordinate rows:
+    SIMPLIFIED silhouette (the linear centroid-based variant sklearn
+    documents — the pairwise form is O(n²) and adds nothing at scale):
+    a(i) = distance to own-label centroid, b(i) = distance to the
+    nearest other centroid, s(i) = (b−a)/max(a,b). Reported per label
+    (mean silhouette in ppm + counts) — the does-my-taxonomy-cluster
+    check next to eval_centroid_classifier's confusion view.
+
+    Exactness: centroids floor from exact milli sums; squared
+    distances are exact BIGINTs; per-point s uses one double sqrt pair
+    rounded to ppm before the label mean (exact integer division)."""
+    return f"""
+        WITH pts AS (SELECT vec_id, label, i, v FROM {pts_rel}),
+        cents AS (
+            SELECT label AS c_label, i,
+                   CAST(floor(SUM(v) / (1e0 * COUNT(*))) AS BIGINT) AS c
+            FROM pts GROUP BY label, i
+        ),
+        d2 AS (
+            SELECT p.vec_id, p.label, c.c_label,
+                   CAST(SUM((p.v - c.c) * (p.v - c.c)) AS BIGINT) AS d2
+            FROM pts p JOIN cents c ON c.i = p.i
+            GROUP BY p.vec_id, p.label, c.c_label
+        ),
+        ab AS (
+            SELECT vec_id, label,
+                   MIN(CASE WHEN c_label = label THEN d2 END) AS a2,
+                   MIN(CASE WHEN c_label != label THEN d2 END) AS b2
+            FROM d2 GROUP BY vec_id, label
+        ),
+        s AS (
+            SELECT vec_id, label,
+                   CAST(round((sqrt(1e0 * b2) - sqrt(1e0 * a2))
+                              / sqrt(1e0 * GREATEST(a2, b2)) * 1000000)
+                        AS BIGINT) AS s_ppm
+            FROM ab WHERE b2 IS NOT NULL AND GREATEST(a2, b2) > 0
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(s_ppm) {{intdiv}} COUNT(*) AS BIGINT)
+                   AS mean_silhouette_ppm
+        FROM s
+        GROUP BY label
+        ORDER BY label
+    """
+
+
+def eval_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label simplified silhouette — see _silhouette_tail_sql.
+    Rides the same milli-coordinate explode barrier family as the
+    centroid classifier; the distance join is points × |labels|
+    centroids (broadcast), never pairwise."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    def build():
+        load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+            "sil_emb_src"
+        )
+        return spark.sql("""
+            SELECT vec_id, label, i,
+                   CAST(round(CAST(element_at(embedding, CAST(i AS INT))
+                                   AS DOUBLE) * 1e3) AS BIGINT) AS v
+            FROM sil_emb_src
+            LATERAL VIEW explode(sequence(1, size(embedding))) AS i
+        """)
+
+    cached_barrier_view(
+        spark, sf_dir, "sil_points", build, tables=("embeddings",)
+    )
+    return spark.sql(
+        _silhouette_tail_sql("sil_points").replace("{intdiv}", "DIV")
+    )
+
+
+EVAL_LABEL_SILHOUETTE_SQL = _silhouette_tail_sql(
+    """(
+        SELECT vec_id, label, i,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000.0)
+                    AS BIGINT) AS v
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    )"""
+).replace("{intdiv}", "//")
+
+
 QUERIES: dict[str, tuple] = {
+    "eval_label_silhouette": (
+        eval_label_silhouette,
+        EVAL_LABEL_SILHOUETTE_SQL,
+    ),
     "eval_cluster_ari": (eval_cluster_ari, EVAL_CLUSTER_ARI_SQL),
     "eval_quantization_recall": (
         eval_quantization_recall,

@@ -1667,7 +1667,83 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_SURVIVAL_KM_SQL = _km_body("duck")
 
 
+# ---------------------------------------------------------------------------
+# events_rolling_slope — trailing-window OLS trend per event type
+# ---------------------------------------------------------------------------
+
+ROLL_WINDOW_DAYS = 7
+
+
+def _rolling_slope_body(daily_rel: str) -> str:
+    """Engine-shared rolling {ROLL_WINDOW_DAYS}-day OLS slope of the
+    per-type daily counts — the short-horizon trend a monitoring
+    dashboard overlays on the long-horizon Theil–Sen line (OLS inside
+    a trailing frame reacts in days; the robust global line doesn't).
+    Every frame statistic (n, Σx, Σy, Σxy, Σx²) accumulates as exact
+    BIGINT frame sums over the daily rollup; the slope closed form is
+    ONE double division floored to micro per row. Frames partition by
+    event type over the types×days-bounded relation."""
+    frame = (f"PARTITION BY event_type ORDER BY day_idx "
+             f"ROWS BETWEEN {ROLL_WINDOW_DAYS - 1} PRECEDING"
+             f" AND CURRENT ROW")
+    return f"""
+        WITH daily AS (SELECT event_type, day_idx, x FROM {daily_rel}),
+        framed AS (
+            SELECT event_type, day_idx, x,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                   CAST(SUM(day_idx) OVER w AS BIGINT) AS sx,
+                   CAST(SUM(x) OVER w AS BIGINT) AS sy,
+                   CAST(SUM(day_idx * x) OVER w AS BIGINT) AS sxy,
+                   CAST(SUM(day_idx * day_idx) OVER w AS BIGINT) AS sxx
+            FROM daily
+            WINDOW w AS ({frame})
+        )
+        SELECT event_type, day_idx, x, n,
+               CASE WHEN n < 2 OR n * sxx = sx * sx THEN NULL
+                    ELSE CAST(floor((n * sxy - sx * sy) * 1000000.0
+                                    / (1e0 * (n * sxx - sx * sx)))
+                              AS BIGINT) END AS slope_micro_per_day
+        FROM framed
+        ORDER BY event_type, day_idx
+    """
+
+
+def events_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling per-type OLS trend — see _rolling_slope_body. Rides the
+    checkpointed per-(type, day) rollup shared with the MAD monitor."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    def build():
+        return load_table(spark, sf_dir, "events").selectExpr(
+            "event_type",
+            "CAST(floor(unix_micros(CAST(ts AS TIMESTAMP)) / 86400000000)"
+            " AS BIGINT) AS day_idx",
+        ).groupBy("event_type", "day_idx").agg(
+            F.count("*").cast("bigint").alias("x")
+        )
+
+    cached_barrier_view(
+        spark, sf_dir, "typed_daily", build, tables=("events",)
+    )
+    return spark.sql(_rolling_slope_body("typed_daily"))
+
+
+EVENTS_ROLLING_SLOPE_SQL = _rolling_slope_body(
+    """(
+        SELECT event_type,
+               CAST(floor(CAST(epoch_us(ts) AS BIGINT) / 86400000000)
+                    AS BIGINT) AS day_idx,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    )"""
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "events_rolling_slope": (events_rolling_slope,
+                             EVENTS_ROLLING_SLOPE_SQL),
     "events_concurrency_peak": (
         events_concurrency_peak,
         EVENTS_CONCURRENCY_PEAK_SQL,

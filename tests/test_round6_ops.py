@@ -1991,3 +1991,76 @@ def test_ari_perfect_agreement_on_exact_dups(spark, tmp_path):
     assert r["n_clusters_lsh"] == r["n_clusters_exact"] == 4
     assert r["pair_agreements"] == 2      # the two duplicate pairs
     assert r["ari_ppm"] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# eval_label_silhouette / events_rolling_slope
+# ---------------------------------------------------------------------------
+
+
+def test_silhouette_separated_vs_mixed(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.evalops import (
+        eval_label_silhouette,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # label 0 tight around (10, 0); label 1 tight around (0, 10):
+    # silhouettes near 1. label 2 sits ON label 0's centroid: near -1
+    # or low
+    import numpy as np
+
+    rng = np.random.RandomState(2)
+    vecs, labels = [], []
+    for k in range(12):
+        vecs.append(tuple(np.array([10.0, 0.0])
+                          + rng.standard_normal(2) * 0.01))
+        labels.append(0)
+        vecs.append(tuple(np.array([0.0, 10.0])
+                          + rng.standard_normal(2) * 0.01))
+        labels.append(1)
+    # label 2 SPREADS around label 0's centroid (own centroid matches,
+    # but each point is ~2 away from it while label-0's centroid sits
+    # ~0 away -> a >> b -> strongly negative silhouette)
+    for p in [(12.0, 0.0), (8.0, 0.0), (10.0, 2.0), (10.0, -2.0)]:
+        vecs.append(p)
+        labels.append(2)
+    got = {
+        r["label"]: r["mean_silhouette_ppm"]
+        for r in eval_label_silhouette(
+            spark, _write_embeddings(tmp_path, vecs, labels)
+        ).collect()
+    }
+    # label 1 is far from both other centroids -> s near 1; label 0's
+    # nearest FOREIGN centroid is coincident (label 2's) -> s near 0;
+    # label 2's own points sit far from their own centroid but right
+    # next to label 0's -> s near -1
+    assert got[1] > 900_000
+    assert got[0] < 500_000
+    assert got[2] < -500_000
+
+
+def test_rolling_slope_linear_ramp(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.statsops import (
+        events_rolling_slope,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # counts 10, 13, 16, ... (+3/day): every full frame's OLS slope is
+    # exactly 3
+    counts = [10 + 3 * d for d in range(12)]
+    rows = events_rolling_slope(
+        spark, _write_daily_events(tmp_path, counts)
+    ).collect()
+    assert rows[0]["slope_micro_per_day"] is None   # 1-point frame
+    full = [r for r in rows if r["n"] >= 2]
+    assert all(r["slope_micro_per_day"] == 3_000_000 for r in full)
