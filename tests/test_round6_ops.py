@@ -2023,10 +2023,10 @@ def test_silhouette_separated_vs_mixed(spark, tmp_path):
         vecs.append(tuple(np.array([0.0, 10.0])
                           + rng.standard_normal(2) * 0.01))
         labels.append(1)
-    # label 2 SPREADS around label 0's centroid (own centroid matches,
-    # but each point is ~2 away from it while label-0's centroid sits
-    # ~0 away -> a >> b -> strongly negative silhouette)
-    for p in [(12.0, 0.0), (8.0, 0.0), (10.0, 2.0), (10.0, -2.0)]:
+    # label 2: three points parked next to label 0's centroid plus one
+    # far outlier that drags label-2's OWN centroid away -> for the
+    # three, a (own) >> b (label 0) -> strongly negative mean
+    for p in [(10.2, 0.0), (10.2, 0.0), (10.2, 0.0), (30.0, 0.0)]:
         vecs.append(p)
         labels.append(2)
     got = {
@@ -2035,13 +2035,12 @@ def test_silhouette_separated_vs_mixed(spark, tmp_path):
             spark, _write_embeddings(tmp_path, vecs, labels)
         ).collect()
     }
-    # label 1 is far from both other centroids -> s near 1; label 0's
-    # nearest FOREIGN centroid is coincident (label 2's) -> s near 0;
-    # label 2's own points sit far from their own centroid but right
-    # next to label 0's -> s near -1
+    # labels 0 and 1 are tight and far from every foreign centroid ->
+    # s near 1; label 2's majority sits on label 0's centroid while its
+    # own centroid is dragged away by the outlier -> strongly negative
+    assert got[0] > 700_000
     assert got[1] > 900_000
-    assert got[0] < 500_000
-    assert got[2] < -500_000
+    assert got[2] < -400_000
 
 
 def test_rolling_slope_linear_ramp(spark, tmp_path):
