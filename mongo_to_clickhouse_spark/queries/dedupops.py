@@ -1233,6 +1233,81 @@ DEDUP_SUBSTRING_SPANS_SQL = _substring_spans_body(
 
 
 # ---------------------------------------------------------------------------
+# dedup_rate_by_source — which providers ship the duplicates
+# ---------------------------------------------------------------------------
+
+
+def _rate_by_source_tail(corpus_rel: str, labels_rel: str,
+                         intdiv: str) -> str:
+    """Shared tail: per-source duplicate-removal accounting under the
+    min-id-keeps policy over the near-dup components — the
+    which-provider-ships-the-duplicates report a crawl team reads
+    before renegotiating a feed (a domain with a high removal rate is
+    re-crawling or mirroring). Unlabeled docs are singletons (kept)."""
+    return f"""
+        WITH attributed AS (
+            SELECT c.source,
+                   CASE WHEN l.component_id IS NULL THEN 1
+                        WHEN c.doc_id = l.component_id THEN 1
+                        ELSE 0 END AS kept
+            FROM {corpus_rel} c
+            LEFT JOIN {labels_rel} l ON l.node_id = c.doc_id
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(1 - kept) AS BIGINT) AS n_removed,
+               CAST(SUM(1 - kept) * 1000000 {intdiv} COUNT(*) AS BIGINT)
+                   AS removal_ppm
+        FROM attributed
+        GROUP BY source
+        ORDER BY removal_ppm DESC, source
+    """
+
+
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup removal rates — see _rate_by_source_tail.
+    Composes the memoized CC labels (LSH + hash-min iteration, one run
+    per session) with one source-keyed aggregate."""
+    _register_docs(spark, sf_dir)
+    _cc_labels(spark, sf_dir).createOrReplaceTempView("rate_cc_labels")
+    spark.sql(
+        f"SELECT doc_id, source FROM ({_planted_corpus('spark')}) pc"
+    ).createOrReplaceTempView("rate_corpus")
+    return spark.sql(
+        _rate_by_source_tail("rate_corpus", "rate_cc_labels", "DIV")
+    )
+
+
+def _rate_by_source_oracle() -> str:
+    labels = f"""
+        WITH RECURSIVE
+        edges AS (SELECT a_id, b_id FROM ({DEDUP_MINHASH_LSH_PAIRS_SQL})),
+        sym AS (
+            SELECT a_id AS u, b_id AS v FROM edges
+            UNION
+            SELECT b_id AS u, a_id AS v FROM edges
+        ),
+        reach(node_id, lbl) AS (
+            SELECT u, u FROM sym
+            UNION
+            SELECT s.u, r.lbl FROM sym s JOIN reach r ON s.v = r.node_id
+        )
+        SELECT node_id, MIN(lbl) AS component_id FROM reach GROUP BY node_id
+    """
+    return (
+        f"WITH cc_labels AS MATERIALIZED ({labels}), "
+        f"rate_corpus AS (SELECT doc_id, source FROM"
+        f" ({_planted_corpus('duck')}) pc), "
+        + _rate_by_source_tail(
+            "rate_corpus", "cc_labels", "//"
+        ).strip()[len("WITH"):]
+    )
+
+
+DEDUP_RATE_BY_SOURCE_SQL = _rate_by_source_oracle()
+
+
+# ---------------------------------------------------------------------------
 # dedup_substring_apply — ExactSubstr REMOVAL (the apply half of spans)
 # ---------------------------------------------------------------------------
 
@@ -1464,6 +1539,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_url_canonical": (dedup_url_canonical, DEDUP_URL_CANONICAL_SQL),
     "dedup_substring_spans": (dedup_substring_spans, DEDUP_SUBSTRING_SPANS_SQL),
     "dedup_substring_apply": (dedup_substring_apply, DEDUP_SUBSTRING_APPLY_SQL),
+    "dedup_rate_by_source": (dedup_rate_by_source, DEDUP_RATE_BY_SOURCE_SQL),
     "pipeline_dedup_lsh_apply": (
         pipeline_dedup_lsh_apply,
         PIPELINE_DEDUP_LSH_APPLY_SQL,

@@ -939,7 +939,102 @@ EVAL_LABEL_SILHOUETTE_SQL = _silhouette_tail_sql(
 ).replace("{intdiv}", "//")
 
 
+# ---------------------------------------------------------------------------
+# eval_minhash_estimate_error — how good is 16-hash MinHash at Jaccard?
+# ---------------------------------------------------------------------------
+
+
+def _mh_err_tail_sql(pairs_rel: str, sigs_rel: str, n_hashes: int,
+                     intdiv: str) -> str:
+    """Shared tail: per verified LSH pair, the MinHash-estimated
+    Jaccard (matching signature positions / {n_hashes}) against the
+    exact shingle Jaccard the pipeline already computes — the
+    estimator-quality report behind choosing the signature length
+    (E[matches/k] = J; the error envelope is √(J(1−J)/k)). Reported as
+    one summary row: pair count, mean/max absolute error in ppm."""
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(n_hashes)
+    )
+    return f"""
+        WITH errs AS (
+            SELECT p.a_id, p.b_id,
+                   ABS(({matches}) * 1000000 {intdiv} {n_hashes}
+                       - CAST(round(p.jaccard * 1000000) AS BIGINT))
+                       AS abs_err
+            FROM {pairs_rel} p
+            JOIN {sigs_rel} sa ON sa.doc_id = p.a_id
+            JOIN {sigs_rel} sb ON sb.doc_id = p.b_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(SUM(abs_err) {intdiv} COUNT(*), 0)
+                    AS BIGINT) AS mean_abs_err_ppm,
+               CAST(COALESCE(MAX(abs_err), 0) AS BIGINT)
+                   AS max_abs_err_ppm
+        FROM errs
+    """
+
+
+def eval_minhash_estimate_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash Jaccard-estimation error over the verified pair set —
+    see _mh_err_tail_sql. Composes the memoized signature and pair
+    relations (both checkpoint barriers, the eval_lsh_recall
+    discipline); the error join keys on doc ids (uniform)."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+    from mongo_to_clickhouse_spark.queries.dedupops import (
+        N_HASHES,
+        dedup_minhash_approx,
+        dedup_minhash_lsh_pairs,
+    )
+
+    cached_barrier_view(
+        spark, sf_dir, "mh_sigs",
+        lambda: dedup_minhash_approx(spark, sf_dir),
+    )
+    # NOT the eval_lsh_recall barrier name: that one memoizes a
+    # 2-column (a_id, b_id) projection and a cache hit would lose
+    # the jaccard column
+    cached_barrier_view(
+        spark, sf_dir, "mh_err_pairs",
+        lambda: dedup_minhash_lsh_pairs(spark, sf_dir).select(
+            "a_id", "b_id", "jaccard"
+        ),
+    )
+    return spark.sql(
+        _mh_err_tail_sql("mh_err_pairs", "mh_sigs", N_HASHES, "DIV")
+    )
+
+
+def _mh_err_oracle() -> str:
+    from mongo_to_clickhouse_spark.queries.dedupops import (
+        DEDUP_MINHASH_APPROX_SQL,
+        DEDUP_MINHASH_LSH_PAIRS_SQL,
+        N_HASHES,
+    )
+
+    return (
+        f"WITH mh_sigs AS MATERIALIZED ({DEDUP_MINHASH_APPROX_SQL}), "
+        f"mh_pairs AS MATERIALIZED ("
+        f"SELECT a_id, b_id, jaccard FROM ({DEDUP_MINHASH_LSH_PAIRS_SQL})"
+        f" p0), "
+        + _mh_err_tail_sql(
+            "mh_pairs", "mh_sigs", N_HASHES, "//"
+        ).strip()[len("WITH"):]
+    )
+
+
+EVAL_MINHASH_ESTIMATE_ERROR_SQL = _mh_err_oracle()
+
+
 QUERIES: dict[str, tuple] = {
+    "eval_minhash_estimate_error": (
+        eval_minhash_estimate_error,
+        EVAL_MINHASH_ESTIMATE_ERROR_SQL,
+    ),
     "eval_label_silhouette": (
         eval_label_silhouette,
         EVAL_LABEL_SILHOUETTE_SQL,

@@ -2063,3 +2063,73 @@ def test_rolling_slope_linear_ramp(spark, tmp_path):
     assert rows[0]["slope_micro_per_day"] is None   # 1-point frame
     full = [r for r in rows if r["n"] >= 2]
     assert all(r["slope_micro_per_day"] == 3_000_000 for r in full)
+
+
+# ---------------------------------------------------------------------------
+# eval_minhash_estimate_error / dedup_rate_by_source
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_error_zero_on_identical_docs(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.dedupops import _CC_LABELS_CACHE
+    from mongo_to_clickhouse_spark.queries.evalops import (
+        eval_minhash_estimate_error,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    _CC_LABELS_CACHE.clear()
+    # identical docs: exact J = 1 and ALL signature positions match ->
+    # estimate exactly 1 -> zero error
+    a = " ".join(f"tok{i}" for i in range(25))
+    rows = [(1, a, "en", 9), (2, a, "en", 9),
+            (3, " ".join(f"zzz{i}" for i in range(25)), "en", 9)]
+    (r,) = eval_minhash_estimate_error(
+        spark, _write_docs(tmp_path, rows)
+    ).collect()
+    assert r["n_pairs"] == 1
+    assert r["mean_abs_err_ppm"] == 0 and r["max_abs_err_ppm"] == 0
+
+
+def test_dedup_rate_attributes_removals_to_source(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.dedupops import (
+        _CC_LABELS_CACHE,
+        dedup_rate_by_source,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    _CC_LABELS_CACHE.clear()
+    # source 'mirror': 3 verbatim copies -> 2 removed; source 'clean':
+    # 2 distinct docs -> 0 removed
+    dup = " ".join(f"dup{i}" for i in range(25))
+    rows = [(1, dup, "en", 9), (2, dup, "en", 9), (3, dup, "en", 9),
+            (4, " ".join(f"aaa{i}" for i in range(25)), "en", 9),
+            (5, " ".join(f"bbb{i}" for i in range(25)), "en", 9)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _, _, _ in rows], pa.int64()),
+            "text": pa.array([t for _, t, _, _ in rows], pa.string()),
+            "lang": pa.array(["en"] * 5, pa.string()),
+            "source": pa.array(
+                ["mirror", "mirror", "mirror", "clean", "clean"],
+                pa.string(),
+            ),
+            "n_chars": pa.array([9] * 5, pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "documents.parquet"))
+    got = {
+        r["source"]: (r["n_docs"], r["n_removed"], r["removal_ppm"])
+        for r in dedup_rate_by_source(spark, str(tmp_path)).collect()
+    }
+    assert got["mirror"] == (3, 2, 666_666)
+    assert got["clean"] == (2, 0, 0)
