@@ -13,19 +13,27 @@ import pytest
 
 from mongo_to_clickhouse_spark.plans.meta import plan_counters
 from mongo_to_clickhouse_spark.queries.dedupops import dedup_cluster_components
+from mongo_to_clickhouse_spark.queries.evalops import eval_cluster_ari
 from mongo_to_clickhouse_spark.queries.graphops import (
+    graph_closeness_sampled,
+    graph_hits_scores,
+    graph_kcore_onion,
     graph_label_propagation,
     graph_pagerank,
 )
 from mongo_to_clickhouse_spark.queries.textops import text_bm25_topk
 from mongo_to_clickhouse_spark.queries.tokenizerops import (
     tokenizer_bpe_merge_rounds,
+    tokenizer_unigram_viterbi,
 )
 from mongo_to_clickhouse_spark.queries.vectorops import (
     emb_kmeans_lloyd,
     emb_pca_power_iteration,
     emb_pca_power_matfree,
+    emb_residual_quantize,
     sample_coreset_kcenter,
+    sim_greedy_graph_search,
+    sim_mmr_diversify,
 )
 
 # generous headroom above the current linear-plan shuffle counts, far
@@ -45,6 +53,18 @@ BUDGETS = [
     (text_bm25_topk, 10),
     (graph_label_propagation, 20),  # 4 shuffles/round × 4 LPA rounds
     (sample_coreset_kcenter, 22),   # ~3 shuffles/round × 6 greedy rounds
+    # round-6 iterative tier (current linear counts 2-17; the budgets
+    # sit ~2× above them and far under the exponential mode)
+    (graph_kcore_onion, 8),         # currently 3: peel rounds barriered
+    (graph_hits_scores, 10),        # currently 4: 2 normalize/round
+    (graph_closeness_sampled, 10),  # currently 4: 1 relax/round
+    (sim_mmr_diversify, 14),        # currently 8: pool+pp barriered
+    (sim_greedy_graph_search, 14),  # currently 8: graph+pairs barriered
+    (emb_residual_quantize, 24),    # currently 16: 2 argmin levels
+    (tokenizer_unigram_viterbi, 8),  # currently 2: 20 DP stages, each
+    #                                  a barrier leaf — the count stays
+    #                                  tiny precisely because of them
+    (eval_cluster_ari, 24),         # currently 17: two CC labelings
 ]
 
 
