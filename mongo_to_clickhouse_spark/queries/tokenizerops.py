@@ -938,6 +938,355 @@ TOKENIZER_UNIGRAM_VITERBI_SQL = _unigram_duck_sql()
 
 
 # ---------------------------------------------------------------------------
+# tokenizer_unigram_em_soft — forward-backward (soft-EM) expected counts
+# ---------------------------------------------------------------------------
+
+
+def _em_legs(edges_rel: str, prefix: str, idxs: list[int],
+             edge_pos: str, state_col: str,
+             alias: str = "q") -> tuple[str, str]:
+    """≤{UNI_PIECE_MAX} LEFT-JOIN legs against the individual stage
+    relations instead of a UNION of them: checkpointing a plan that
+    UNIONs checkpointed leaves trips a Spark attribute-rebinding bug
+    (NoSuchElementException: key not found) — separate join legs with
+    a COALESCE pick (exactly one matches per edge, selected by the
+    edge's own position) express the same message sum union-free."""
+    legs, picks = [], []
+    for n, i in enumerate(idxs):
+        legs.append(
+            f"LEFT JOIN {prefix}{i} {alias}{n}"
+            f" ON {alias}{n}.w = e.w AND e.{edge_pos} = {i}"
+        )
+        picks.append(f"{alias}{n}.{state_col}")
+    return " ".join(legs), f"COALESCE({', '.join(picks)})"
+
+
+# block-floating-point message representation: value = m · 2^(20·(x−1))
+# with mantissa m normalized into [2^20, 2^40). Base-2 shifts are EXACT
+# integer ops in both engines, so the dynamic range of a joint
+# word-probability (p^10 underflows any fixed-point scale) costs no
+# determinism — the engineered alternative to floats whose shuffle-order
+# partial sums don't reproduce.
+_EM_LO = 1 << 20
+_EM_HI = 1 << 40
+
+
+def _shr(engine: str, v: str, n: str) -> str:
+    if engine == "spark":
+        return f"shiftright(CAST({v} AS BIGINT), CAST({n} AS INT))"
+    return f"(({v}) >> ({n}))"
+
+
+def _em_msg_sql(engine: str, edges_rel: str, prefix: str,
+                edge_pos: str, other_pos: str, j: int,
+                idxs: list[int]) -> str:
+    """One message stage (shared by α and β): per edge, the incoming
+    state (m, x) times the edge weight p2 (base-2 micro), renormalized;
+    terms aligned to the group's max exponent by exact truncating
+    shifts; integer sum; one final renormalize. The incoming states
+    join as per-index legs (see _em_legs)."""
+    shr = lambda v, n: _shr(engine, v, n)  # noqa: E731
+    legs, m_pick = _em_legs(edges_rel, prefix, idxs, edge_pos, "m")
+    _, x_pick = _em_legs(edges_rel, prefix, idxs, edge_pos, "x")
+    return f"""
+        SELECT w, CAST({j} AS INTEGER) AS j,
+               CASE WHEN msum >= {_EM_HI}
+                    THEN CAST({shr("msum", "20")} AS BIGINT)
+                    ELSE msum END AS m,
+               CAST(CASE WHEN msum >= {_EM_HI} THEN xg + 1
+                         ELSE xg END AS INTEGER) AS x
+        FROM (
+            SELECT w, CAST(SUM({shr("tm",
+                                    "LEAST(20 * (xmax - tx), 62)")})
+                           AS BIGINT) AS msum,
+                   MAX(xmax) AS xg
+            FROM (
+                SELECT w, tm, tx, MAX(tx) OVER (PARTITION BY w) AS xmax
+                FROM (
+                    SELECT w,
+                           CASE WHEN raw >= {_EM_HI}
+                                THEN CAST({shr("raw", "20")} AS BIGINT)
+                                ELSE raw END AS tm,
+                           CASE WHEN raw >= {_EM_HI} THEN px
+                                ELSE px - 1 END AS tx
+                    FROM (
+                        SELECT e.w, ({m_pick}) * e.p2 AS raw,
+                               ({x_pick}) AS px
+                        FROM {edges_rel} e
+                        {legs}
+                        WHERE e.{other_pos} = {j}
+                          AND ({m_pick}) IS NOT NULL
+                    ) t0
+                ) t1
+            ) t2
+            GROUP BY w
+        ) t3
+    """
+
+
+def _em_alpha_sql(engine: str, edges_rel: str, prefix: str,
+                  j: int) -> str:
+    """Forward message: α_j = Σ over in-edges α_i · p(piece)."""
+    idxs = list(range(max(0, j - UNI_PIECE_MAX), j))
+    return _em_msg_sql(engine, edges_rel, prefix, "i", "j", j, idxs)
+
+
+def _em_beta_sql(engine: str, edges_rel: str, prefix: str,
+                 wlen_rel: str, j: int) -> str:
+    """Backward message: β_j = Σ over out-edges p(piece) · β_{i+l};
+    the word's own final position initializes at exactly 1.0 (m = 2^20,
+    x = 0). The init rides the word-length base with the aggregate
+    LEFT-joined — never a UNION (see _em_legs) — and a word of length
+    {j} has no out-edges from {j}, so the CASE branches are disjoint."""
+    idxs = list(range(j + 1, min(j + UNI_PIECE_MAX, UNI_MAXLEN) + 1))
+    inner = _em_msg_sql(engine, edges_rel, prefix, "j", "i", j, idxs)
+    return f"""
+        SELECT l.w, CAST({j} AS INTEGER) AS j,
+               CASE WHEN l.wl = {j} THEN CAST({_EM_LO} AS BIGINT)
+                    ELSE s.m END AS m,
+               CAST(CASE WHEN l.wl = {j} THEN 0 ELSE s.x END
+                    AS INTEGER) AS x
+        FROM {wlen_rel} l
+        LEFT JOIN ({inner}) s ON s.w = l.w
+        WHERE l.wl = {j} OR s.m IS NOT NULL
+    """
+
+
+def _em_posterior_sql(engine: str, edges_rel: str, alpha_prefix: str,
+                      beta_prefix: str, wlen_rel: str,
+                      words_rel: str) -> str:
+    """Edge posterior γ = α_i·p·β_j / α_L (the expected number of times
+    the piece is used in the word under the current model), assembled
+    from the block-float messages: the mantissa ratio is one double
+    expression over exact integers and the exponent re-enters through
+    pow(2, 20k) — EXACT powers of two in IEEE doubles, so the scale
+    factor costs no rounding at all. The stage relations join as
+    per-index legs, not a union view — the final plan would otherwise
+    re-trip the union-of-checkpoints bug at collect time."""
+    shr = lambda v, n: _shr(engine, v, n)  # noqa: E731
+    a_legs, am_pick = _em_legs(edges_rel, alpha_prefix,
+                               list(range(0, UNI_MAXLEN)), "i", "m",
+                               alias="pa")
+    _, ax_pick = _em_legs(edges_rel, alpha_prefix,
+                          list(range(0, UNI_MAXLEN)), "i", "x",
+                          alias="pa")
+    b_legs, bm_pick = _em_legs(edges_rel, beta_prefix,
+                               list(range(1, UNI_MAXLEN + 1)), "j", "m",
+                               alias="pb")
+    _, bx_pick = _em_legs(edges_rel, beta_prefix,
+                          list(range(1, UNI_MAXLEN + 1)), "j", "x",
+                          alias="pb")
+    al_legs, alm_pick, alx_pick = [], [], []
+    for i in range(1, UNI_MAXLEN + 1):
+        al_legs.append(
+            f"LEFT JOIN {alpha_prefix}{i} r{i}"
+            f" ON r{i}.w = l.w AND l.wl = {i}"
+        )
+        alm_pick.append(f"r{i}.m")
+        alx_pick.append(f"r{i}.x")
+    return f"""
+        alpha_l AS (
+            SELECT l.w, COALESCE({", ".join(alm_pick)}) AS alm,
+                   COALESCE({", ".join(alx_pick)}) AS alx
+            FROM {wlen_rel} l
+            {" ".join(al_legs)}
+            WHERE COALESCE({", ".join(alm_pick)}) > 0
+        ),
+        posterior AS (
+            SELECT e.w, e.piece,
+                   CAST(round(
+                       CAST({shr(f"(({am_pick}) * e.p2)", "20")}
+                            AS DOUBLE)
+                       * ({bm_pick}) / (1e0 * al.alm)
+                       * pow(CAST(2 AS DOUBLE),
+                             CAST(20 * (({ax_pick}) + ({bx_pick})
+                                        - al.alx) - 20 AS DOUBLE))
+                       * 1e6) AS BIGINT) AS e_micro
+            FROM {edges_rel} e
+            {a_legs}
+            {b_legs}
+            JOIN alpha_l al ON al.w = e.w
+            WHERE ({am_pick}) IS NOT NULL AND ({bm_pick}) IS NOT NULL
+        ),
+        ecounts AS (
+            SELECT p.piece,
+                   CAST(SUM(wd.cnt * p.e_micro) AS BIGINT)
+                       AS e_count_micro
+            FROM posterior p JOIN {words_rel} wd ON wd.w = p.w
+            GROUP BY p.piece
+            HAVING SUM(wd.cnt * p.e_micro) > 0
+        )
+        SELECT piece, e_count_micro,
+               CAST(round(ln(e_count_micro / tot) * 1e6) AS BIGINT)
+                   AS m_step_score_micro
+        FROM ecounts
+        CROSS JOIN (SELECT CAST(SUM(e_count_micro) AS DOUBLE) AS tot
+                    FROM ecounts) t
+        ORDER BY e_count_micro DESC, piece
+        LIMIT {UNI_TOPK}
+    """
+
+
+def tokenizer_unigram_em_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM SOFT EM round (full forward-backward, Kudo 2018 §3.2
+    proper): expected piece counts marginalize over ALL segmentations
+    of every word — the E-step SentencePiece actually trains with,
+    next to ``tokenizer_unigram_viterbi``'s argmax-path variant. The
+    lattice messages α (prefix mass) and β (suffix mass) propagate in
+    MICRO-PROBABILITY INTEGERS with a truncating rescale per stage:
+    integer addition commutes exactly, so the notorious
+    non-reproducibility of distributed forward-backward (float partial
+    sums in shuffle order) is engineered out, and the DuckDB oracle
+    replays the identical {UNI_MAXLEN}+{UNI_MAXLEN} message stages.
+    Edge probabilities quantize once (exp of the micro-nat seed score,
+    floored at 1 micro so coverage paths never vanish).
+
+    Scale posture: identical to the Viterbi op — everything on the
+    distinct-word table; per stage one bounded-fanin equi-join + a
+    word-keyed SUM on a checkpoint barrier; the posterior is three
+    keyed joins over the edge relation."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        barrier,
+        cached_barrier_view,
+    )
+
+    view = _toks_view(spark, sf_dir)
+
+    def build_words():
+        return spark.sql(f"""
+            SELECT substring(word, 1, {UNI_MAXLEN}) AS w,
+                   CAST(SUM(cnt) AS BIGINT) AS cnt
+            FROM (SELECT word, COUNT(*) AS cnt
+                  FROM (SELECT explode(toks) AS word FROM {view})
+                  WHERE word != '' GROUP BY word) full_words
+            GROUP BY substring(word, 1, {UNI_MAXLEN})
+        """)
+
+    cached_barrier_view(spark, sf_dir, "uni_words", build_words)
+
+    def build_edges_p():
+        spark.sql(f"""
+            SELECT w, cnt, i, i + l AS j, substring(w, i + 1, l) AS piece
+            FROM uni_words
+            LATERAL VIEW explode(sequence(0, {UNI_MAXLEN - 1})) AS i
+            LATERAL VIEW explode(sequence(1, {UNI_PIECE_MAX})) AS l
+            WHERE i + l <= length(w)
+        """).createOrReplaceTempView("uni_subs")
+        spark.sql(_uni_vocab_sql("uni_subs")).createOrReplaceTempView(
+            "uni_vocab"
+        )
+        return spark.sql("""
+            SELECT /*+ BROADCAST(v) */ s.w, s.i, s.j, s.piece,
+                   GREATEST(CAST(round(exp(v.score / 1e6) * 1048576.0)
+                                 AS BIGINT), 1) AS p2
+            FROM uni_subs s JOIN uni_vocab v ON v.piece = s.piece
+        """)
+
+    cached_barrier_view(spark, sf_dir, "uni_edges_p", build_edges_p)
+    spark.sql(
+        f"SELECT w, CAST(LEAST(length(w), {UNI_MAXLEN}) AS INTEGER) AS wl"
+        " FROM uni_words"
+    ).createOrReplaceTempView("em_wlen")
+
+    # a0 derives from uni_words, NOT uni_edges_p: the stage-2 plan
+    # joins the edge checkpoint leaf anyway, and a second reference to
+    # the SAME leaf through the union branch trips a Spark checkpoint
+    # attribute-rebinding bug (NoSuchElementException: key not found)
+    # a0 derives from uni_words, NOT uni_edges_p: the stage plans join
+    # the edge checkpoint leaf anyway, and every stage must stay
+    # union-free (see _em_legs)
+    spark.sql(
+        f"SELECT w, CAST(0 AS INTEGER) AS j,"
+        f" CAST({_EM_LO} AS BIGINT) AS m, CAST(0 AS INTEGER) AS x"
+        f" FROM uni_words"
+    ).createOrReplaceTempView("em_a0")
+    for j in range(1, UNI_MAXLEN + 1):
+        aj = barrier(spark.sql(
+            _em_alpha_sql("spark", "uni_edges_p", "em_a", j)
+        ))
+        aj.createOrReplaceTempView(f"em_a{j}")
+
+    # β at the top position is init-only (no out-edges reach past L);
+    # it must exist before the backward loop's join legs reference it
+    spark.sql(
+        f"SELECT w, CAST({UNI_MAXLEN} AS INTEGER) AS j,"
+        f" CAST({_EM_LO} AS BIGINT) AS m, CAST(0 AS INTEGER) AS x"
+        f" FROM em_wlen WHERE wl = {UNI_MAXLEN}"
+    ).createOrReplaceTempView(f"em_b{UNI_MAXLEN}")
+    for j in range(UNI_MAXLEN - 1, -1, -1):
+        bj = barrier(spark.sql(
+            _em_beta_sql("spark", "uni_edges_p", "em_b", "em_wlen", j)
+        ))
+        bj.createOrReplaceTempView(f"em_b{j}")
+    return spark.sql("WITH " + _em_posterior_sql(
+        "spark", "uni_edges_p", "em_a", "em_b", "em_wlen", "uni_words"
+    ))
+
+
+def _unigram_em_duck_sql() -> str:
+    parts = [
+        f"""uni_words AS MATERIALIZED (
+            SELECT substring(word, 1, {UNI_MAXLEN}) AS w,
+                   CAST(SUM(cnt) AS BIGINT) AS cnt
+            FROM (SELECT word, COUNT(*) AS cnt
+                  FROM (SELECT unnest(string_split(text, ' ')) AS word
+                        FROM documents) uw
+                  WHERE word != '' GROUP BY word) full_words
+            GROUP BY substring(word, 1, {UNI_MAXLEN})
+        )""",
+        f"""uni_subs AS MATERIALIZED (
+            SELECT w, cnt, i, i + l AS j, substring(w, i + 1, l) AS piece
+            FROM uni_words,
+                 unnest(range(0, {UNI_MAXLEN})) AS ti(i),
+                 unnest(range(1, {UNI_PIECE_MAX + 1})) AS tl(l)
+            WHERE i + l <= length(w)
+        )""",
+        f"uni_vocab AS MATERIALIZED ({_uni_vocab_sql('uni_subs')})",
+        """uni_edges_p AS MATERIALIZED (
+            SELECT s.w, s.i, s.j, s.piece,
+                   GREATEST(CAST(round(exp(v.score / 1e6) * 1048576.0)
+                                 AS BIGINT), 1) AS p2
+            FROM uni_subs s JOIN uni_vocab v ON v.piece = s.piece
+        )""",
+        f"""em_wlen AS MATERIALIZED (
+            SELECT w, CAST(LEAST(length(w), {UNI_MAXLEN}) AS INTEGER)
+                       AS wl
+            FROM uni_words
+        )""",
+        """em_a0 AS MATERIALIZED (
+            SELECT w, CAST(0 AS INTEGER) AS j,
+                   CAST(1048576 AS BIGINT) AS m,
+                   CAST(0 AS INTEGER) AS x FROM uni_words
+        )""",
+    ]
+    for j in range(1, UNI_MAXLEN + 1):
+        parts.append(
+            f"em_a{j} AS MATERIALIZED "
+            f"({_em_alpha_sql('duck', 'uni_edges_p', 'em_a', j)})"
+        )
+    parts.append(f"""em_b{UNI_MAXLEN} AS MATERIALIZED (
+        SELECT w, CAST({UNI_MAXLEN} AS INTEGER) AS j,
+               CAST({_EM_LO} AS BIGINT) AS m,
+               CAST(0 AS INTEGER) AS x FROM em_wlen
+        WHERE wl = {UNI_MAXLEN}
+    )""")
+    for j in range(UNI_MAXLEN - 1, -1, -1):
+        parts.append(
+            f"em_b{j} AS MATERIALIZED "
+            f"({_em_beta_sql('duck', 'uni_edges_p', 'em_b', 'em_wlen', j)})"
+        )
+    return (
+        f"WITH {', '.join(parts)}, "
+        + _em_posterior_sql(
+            "duck", "uni_edges_p", "em_a", "em_b", "em_wlen", "uni_words"
+        )
+    )
+
+
+TOKENIZER_UNIGRAM_EM_SOFT_SQL = _unigram_em_duck_sql()
+
+
+# ---------------------------------------------------------------------------
 # tokenizer_vocab_coverage_curve — occurrence coverage vs vocab size
 # ---------------------------------------------------------------------------
 
@@ -1027,6 +1376,10 @@ TOKENIZER_VOCAB_COVERAGE_CURVE_SQL = _vocab_curve_tail_sql(
 
 
 QUERIES = {
+    "tokenizer_unigram_em_soft": (
+        tokenizer_unigram_em_soft,
+        TOKENIZER_UNIGRAM_EM_SOFT_SQL,
+    ),
     "tokenizer_unigram_viterbi": (
         tokenizer_unigram_viterbi,
         TOKENIZER_UNIGRAM_VITERBI_SQL,

@@ -24,6 +24,7 @@ from mongo_to_clickhouse_spark.queries.graphops import (
 from mongo_to_clickhouse_spark.queries.textops import text_bm25_topk
 from mongo_to_clickhouse_spark.queries.tokenizerops import (
     tokenizer_bpe_merge_rounds,
+    tokenizer_unigram_em_soft,
     tokenizer_unigram_viterbi,
 )
 from mongo_to_clickhouse_spark.queries.vectorops import (
@@ -64,6 +65,11 @@ BUDGETS = [
     (tokenizer_unigram_viterbi, 8),  # currently 2: 20 DP stages, each
     #                                  a barrier leaf — the count stays
     #                                  tiny precisely because of them
+    (tokenizer_unigram_em_soft, 70),  # currently 63: the posterior
+    #   joins all 21 stage relations as per-index legs (union views
+    #   re-trip the Spark checkpoint bug), ~2 exchanges per tiny state
+    #   relation on the shared w key — linear in stages, not
+    #   exponential; the message stages themselves are barrier leaves
     (eval_cluster_ari, 24),         # currently 17: two CC labelings
 ]
 

@@ -2133,3 +2133,65 @@ def test_dedup_rate_attributes_removals_to_source(spark, tmp_path):
     }
     assert got["mirror"] == (3, 2, 666_666)
     assert got["clean"] == (2, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_unigram_em_soft
+# ---------------------------------------------------------------------------
+
+
+def test_em_soft_marginalizes_over_paths(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.tokenizerops import (
+        tokenizer_unigram_em_soft,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # corpus "ab" x12: pieces {a, b, ab} all get seed p = 1/3. The two
+    # segmentations are [ab] (mass 1/3) and [a][b] (mass 1/9), so the
+    # posterior path split is 3:1 - soft EM counts BOTH (Viterbi would
+    # count only [ab]). Expected counts: ab = 12*(3/4) = 9, a = b = 3.
+    rows = [(i, "ab", "en", 2) for i in range(12)]
+    got = {
+        r["piece"]: r["e_count_micro"]
+        for r in tokenizer_unigram_em_soft(
+            spark, _write_docs(tmp_path, rows)
+        ).collect()
+    }
+    assert set(got) == {"a", "b", "ab"}
+    assert abs(got["ab"] - 9_000_000) < 30_000
+    assert abs(got["a"] - 3_000_000) < 30_000
+    # per-stage truncating rescales hit the two paths asymmetrically
+    assert abs(got["a"] - got["b"]) < 100
+
+
+def test_em_soft_character_mass_conserved(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.tokenizerops import (
+        UNI_MAXLEN,
+        tokenizer_unigram_em_soft,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # every segmentation covers all characters, so expected piece
+    # lengths sum to the (truncated) corpus character mass up to the
+    # deterministic per-stage truncation loss
+    texts = ["hello world", "hello there", "a b hello", "worldly words"]
+    rows = [(i, texts[i % len(texts)], "en", 20) for i in range(8)]
+    out = tokenizer_unigram_em_soft(
+        spark, _write_docs(tmp_path, rows)
+    ).collect()
+    covered = sum(len(r["piece"]) * r["e_count_micro"] for r in out)
+    expect = 0
+    for i in range(8):
+        for w in texts[i % len(texts)].split(" "):
+            expect += min(len(w), UNI_MAXLEN) * 1_000_000
+    assert abs(covered - expect) / expect < 0.02
