@@ -675,20 +675,36 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types|²-row transition relation — driver-free, broadcast-sized.
     Truncation loses ≤1 micro per (state, round): deterministic,
     identical in both engines, and irrelevant to the ranking."""
-    events = load_table(spark, sf_dir, "events")
-    events.createOrReplaceTempView("mk_events_src")
-    spark.sql(
-        _MK_TRANS_SQL.replace("{EV}", "mk_events_src")
-    ).createOrReplaceTempView("mk_trans")
-    pi = (
-        f"(SELECT from_type AS event_type, CAST({_MK_INIT} AS BIGINT) AS pi"
-        f" FROM mk_trans GROUP BY from_type)"
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        barrier,
+        cached_barrier_view,
     )
-    for _ in range(MARKOV_ROUNDS):
-        pi = f"({_markov_round_sql(pi)})"
-    return spark.sql(f"""
+
+    def build():
+        load_table(spark, sf_dir, "events").createOrReplaceTempView(
+            "mk_events_src"
+        )
+        return spark.sql(_MK_TRANS_SQL.replace("{EV}", "mk_events_src"))
+
+    # barriered: each nested round referenced the un-checkpointed
+    # transition view and re-ran the corpus lead() per round (19
+    # exchanges, audited down to single digits — the entropy-rate op
+    # shares the same memoized relation)
+    cached_barrier_view(
+        spark, sf_dir, "mk_trans", build, tables=("events",)
+    )
+    pi_df = spark.sql(
+        f"SELECT from_type AS event_type, CAST({_MK_INIT} AS BIGINT)"
+        f" AS pi FROM mk_trans GROUP BY from_type"
+    )
+    for r in range(MARKOV_ROUNDS):
+        pi_df = barrier(pi_df)
+        pi_df.createOrReplaceTempView(f"mk_pi{r}")
+        pi_df = spark.sql(_markov_round_sql(f"mk_pi{r}"))
+    pi_df.createOrReplaceTempView("mk_pi_final")
+    return spark.sql("""
         SELECT event_type, pi AS pi_micro
-        FROM {pi} final
+        FROM mk_pi_final
         ORDER BY pi_micro DESC, event_type
     """)
 
@@ -776,20 +792,38 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same {MARKOV_ROUNDS}-round integer power iteration as
     ``events_markov_stationary``; everything after the one corpus lead()
     shuffle runs on the |types|²-row relation. The pi-sum window runs
-    over |types| rows (bounded)."""
-    events = load_table(spark, sf_dir, "events")
-    events.createOrReplaceTempView("mk_events_src")
-    spark.sql(
-        _MK_TRANS_SQL.replace("{EV}", "mk_events_src")
-    ).createOrReplaceTempView("mk_trans")
-    pi = (
-        f"(SELECT from_type AS event_type, CAST({_MK_INIT} AS BIGINT) AS pi"
-        f" FROM mk_trans GROUP BY from_type)"
+    over |types| rows (bounded).
+
+    The transition relation lands on a checkpoint barrier: the nested
+    pi rounds and the conditional-entropy aggregate reference it
+    {MARKOV_ROUNDS}+2 times, and the un-barriered form re-ran the
+    corpus lead() per reference (44 exchanges, audited down to
+    single digits)."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        barrier,
+        cached_barrier_view,
     )
-    for _ in range(MARKOV_ROUNDS):
-        pi = f"({_markov_round_sql(pi)})"
+
+    def build():
+        load_table(spark, sf_dir, "events").createOrReplaceTempView(
+            "mk_events_src"
+        )
+        return spark.sql(_MK_TRANS_SQL.replace("{EV}", "mk_events_src"))
+
+    cached_barrier_view(
+        spark, sf_dir, "mk_trans", build, tables=("events",)
+    )
+    pi_df = spark.sql(
+        f"SELECT from_type AS event_type, CAST({_MK_INIT} AS BIGINT)"
+        f" AS pi FROM mk_trans GROUP BY from_type"
+    )
+    for r in range(MARKOV_ROUNDS):
+        pi_df = barrier(pi_df)
+        pi_df.createOrReplaceTempView(f"ent_pi{r}")
+        pi_df = spark.sql(_markov_round_sql(f"ent_pi{r}"))
+    pi_df.createOrReplaceTempView("ent_pi_final")
     return spark.sql(
-        "WITH " + _entropy_rate_tail_sql(pi)
+        "WITH " + _entropy_rate_tail_sql("ent_pi_final")
     )
 
 
