@@ -80,6 +80,14 @@ HEADLINE = [
     "sample_coreset_kcenter",      # greedy k-center coreset (round 5b)
     "tokenizer_wordpiece_apply",   # greedy WordPiece encode (round 5b)
     "events_sequence_match",       # ClickHouse sequenceMatch/Count (round 5b)
+    "tokenizer_unigram_viterbi",   # unigram hard-EM Viterbi DP (round 6)
+    "tokenizer_unigram_em_soft",   # block-float forward-backward (round 6)
+    "graph_kcore_onion",           # onion decomposition peeling (round 6)
+    "sim_mmr_diversify",           # MMR diversity re-ranking (round 6)
+    "dedup_substring_apply",       # ExactSubstr removal + rebuild (round 6)
+    "eval_cluster_ari",            # double-CC cluster agreement (round 6)
+    "events_concurrency_peak",     # sweep-line via distributed prefix sum (round 6)
+    "agg_bitmap_rollup_merge",     # day->week->total bitmap re-merge (round 6)
 ]
 
 
