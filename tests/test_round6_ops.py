@@ -2195,3 +2195,92 @@ def test_em_soft_character_mass_conserved(spark, tmp_path):
         for w in texts[i % len(texts)].split(" "):
             expect += min(len(w), UNI_MAXLEN) * 1_000_000
     assert abs(covered - expect) / expect < 0.02
+
+
+def test_em_soft_matches_float_forward_backward(spark, tmp_path):
+    """The block-float engine must track a plain float forward-backward
+    reference within the truncation tolerance on a random corpus."""
+    import math
+    from collections import Counter, defaultdict
+
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.tokenizerops import (
+        UNI_MAXLEN,
+        UNI_MIN_FREQ,
+        UNI_PIECE_MAX,
+        tokenizer_unigram_em_soft,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    alphabet = "abcd"
+    texts = []
+    for _ in range(9):
+        words = ["".join(rng.choice(list(alphabet))
+                         for _ in range(rng.randint(1, 9)))
+                 for _ in range(6)]
+        texts.append(" ".join(words))
+    rows = [(i, texts[i], "en", 20) for i in range(len(texts))]
+
+    # ---- float reference mirroring the operator's seed model ----
+    wfreq = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wfreq[w[:UNI_MAXLEN]] += 1
+    pf = Counter()
+    for w, c in wfreq.items():
+        for i in range(len(w)):
+            for l in range(1, UNI_PIECE_MAX + 1):
+                if i + l <= len(w):
+                    pf[w[i:i + l]] += c
+    kept = {p: c for p, c in pf.items()
+            if c >= UNI_MIN_FREQ or len(p) == 1}
+    tot = sum(kept.values())
+    # mirror the operator's double quantization chain: score ->
+    # micro-nats -> p2 (base-2 micro), then use p2/2^20 as the float p
+    def p_of(piece):
+        score = round(math.log(kept[piece] / tot) * 1e6)
+        p2 = max(round(math.exp(score / 1e6) * 1048576.0), 1)
+        return p2 / 1048576.0
+
+    expect = defaultdict(float)
+    for w, c in wfreq.items():
+        L = len(w)
+        alpha = [0.0] * (L + 1)
+        alpha[0] = 1.0
+        for j in range(1, L + 1):
+            for l in range(1, UNI_PIECE_MAX + 1):
+                i = j - l
+                if i >= 0 and w[i:j] in kept:
+                    alpha[j] += alpha[i] * p_of(w[i:j])
+        beta = [0.0] * (L + 1)
+        beta[L] = 1.0
+        for i in range(L - 1, -1, -1):
+            for l in range(1, UNI_PIECE_MAX + 1):
+                j = i + l
+                if j <= L and w[i:j] in kept:
+                    beta[i] += p_of(w[i:j]) * beta[j]
+        for i in range(L):
+            for l in range(1, UNI_PIECE_MAX + 1):
+                j = i + l
+                if j <= L and w[i:j] in kept:
+                    g = alpha[i] * p_of(w[i:j]) * beta[j] / alpha[L]
+                    expect[w[i:j]] += c * g
+
+    got = {
+        r["piece"]: r["e_count_micro"] / 1e6
+        for r in tokenizer_unigram_em_soft(
+            spark, _write_docs(tmp_path, rows)
+        ).collect()
+    }
+    # compare the top pieces the operator reports (top-30 limit)
+    for piece, v in got.items():
+        ref = expect[piece]
+        assert abs(v - ref) <= max(0.02 * ref, 0.01), (piece, v, ref)
