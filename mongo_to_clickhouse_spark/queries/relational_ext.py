@@ -829,7 +829,80 @@ def window_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINDOW_SKYLINE_PARETO_SQL = _skyline_sql("duck")
 
 
+GLOBAL_PCTS = (50, 90, 95, 99)
+
+
+def agg_exact_global_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT global percentiles of the event values by the lower-rank
+    (type-1) definition — value at rank ⌈p·n/100⌉ under the total order
+    (value, event_id). ``agg_percentile`` covers grouped interpolated
+    quantiles, where group partitions bound each window; the GLOBAL
+    exact quantile is the case every engine approximates instead
+    (a global ORDER BY window serializes the corpus through one task)
+    — here the rank comes from the two-pass range-partitioned
+    distributed sort-rank, so the plan stays shuffle-parallel and the
+    answer is exact, not a sketch. Values compare in exact cents.
+
+    Scale posture: one rank pass (range partitioner + per-partition
+    row_numbers + 32-row triangular offsets) + one 1-row count
+    broadcast + a 4-row target join."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+    from mongo_to_clickhouse_spark.operators.rank import (
+        distributed_global_rank,
+    )
+
+    def build():
+        ev = load_table(spark, sf_dir, "events").selectExpr(
+            "CAST(floor(value * 100) AS BIGINT) AS cents", "event_id"
+        ).where("value IS NOT NULL")
+        return distributed_global_rank(
+            ev, [F.col("cents"), F.col("event_id")], rank_col="rk"
+        ).select("cents", "rk")
+
+    cached_barrier_view(spark, sf_dir, "gpct_ranked", build,
+                        tables=("events",))
+    targets = ", ".join(f"({p})" for p in GLOBAL_PCTS)
+    return spark.sql(f"""
+        SELECT t.p,
+               CAST(MIN(r.cents) AS BIGINT) AS value_cents
+        FROM (SELECT * FROM (VALUES {targets}) v(p)) t
+        CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n
+                    FROM gpct_ranked) c
+        JOIN gpct_ranked r
+          ON r.rk = CAST(ceil(t.p * c.n / 100.0) AS BIGINT)
+        GROUP BY t.p
+        ORDER BY t.p
+    """)
+
+
+AGG_EXACT_GLOBAL_PERCENTILES_SQL = f"""
+    WITH ranked AS (
+        SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (
+                   ORDER BY CAST(floor(value * 100) AS BIGINT),
+                            event_id) AS rk
+        FROM events WHERE value IS NOT NULL
+    ),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked)
+    SELECT t.p, CAST(MIN(r.cents) AS BIGINT) AS value_cents
+    FROM (SELECT * FROM (VALUES {", ".join(f"({p})" for p in GLOBAL_PCTS)})
+          v(p)) t
+    CROSS JOIN c
+    JOIN ranked r ON r.rk = CAST(ceil(t.p * c.n / 100.0) AS BIGINT)
+    GROUP BY t.p
+    ORDER BY t.p
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "agg_exact_global_percentiles": (
+        agg_exact_global_percentiles,
+        AGG_EXACT_GLOBAL_PERCENTILES_SQL,
+    ),
     "window_skyline_pareto": (window_skyline_pareto,
                               WINDOW_SKYLINE_PARETO_SQL),
     "window_interval_coalesce": (

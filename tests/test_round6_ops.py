@@ -2284,3 +2284,31 @@ def test_em_soft_matches_float_forward_backward(spark, tmp_path):
     for piece, v in got.items():
         ref = expect[piece]
         assert abs(v - ref) <= max(0.02 * ref, 0.01), (piece, v, ref)
+
+
+# ---------------------------------------------------------------------------
+# agg_exact_global_percentiles
+# ---------------------------------------------------------------------------
+
+
+def test_global_percentiles_exact_ranks(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.relational_ext import (
+        agg_exact_global_percentiles,
+    )
+
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    # values 1..200 dollars: rank-k value is exactly k dollars, so
+    # p50 = 100.00, p90 = 180.00, p95 = 190.00, p99 = 198.00
+    values = [float(i + 1) for i in range(200)]
+    got = {
+        r["p"]: r["value_cents"]
+        for r in agg_exact_global_percentiles(
+            spark, _write_events(tmp_path, values)
+        ).collect()
+    }
+    assert got == {50: 10000, 90: 18000, 95: 19000, 99: 19800}
