@@ -901,8 +901,13 @@ def _length_bucketing_sql(engine: str) -> str:
     batching / sorted batching in every training loop (padding tokens
     are pure compute waste; bucketing recovers most of it). Exact
     integer token counts; waste in tokens and ppm of the padded mass.
-    One scan → one |buckets|-key aggregate + a 1-row global
-    comparison row."""
+    Docs longer than their bucket top (only possible in the terminal
+    SEQ_PACK_LEN bucket) are modeled as TRUNCATED to it — the packing
+    model every fixed-length trainer uses — so pad_tokens and waste_ppm
+    are computed over fit_tokens = LEAST(n_toks, bucket_top) and the
+    padded mass n_docs*bucket_top; real_tokens still reports the true
+    untruncated count per bucket. One scan → one |buckets|-key
+    aggregate + a 1-row global comparison row."""
     toks = (
         "size(split(text, ' '))" if engine == "spark"
         else "len(string_split(text, ' '))"
@@ -925,6 +930,8 @@ def _length_bucketing_sql(engine: str) -> str:
             SELECT bucket_top,
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(n_toks) AS BIGINT) AS real_tokens,
+                   CAST(SUM(LEAST(n_toks, bucket_top)) AS BIGINT)
+                       AS fit_tokens,
                    CAST(SUM(bucket_top - LEAST(n_toks, bucket_top))
                         AS BIGINT) AS pad_tokens
             FROM bucketed GROUP BY bucket_top
@@ -932,16 +939,16 @@ def _length_bucketing_sql(engine: str) -> str:
         SELECT CAST(bucket_top AS BIGINT) AS bucket_top, n_docs,
                real_tokens, pad_tokens,
                CAST(pad_tokens * 1000000
-                    {intdiv} (real_tokens + pad_tokens) AS BIGINT)
+                    {intdiv} (n_docs * bucket_top) AS BIGINT)
                    AS waste_ppm
         FROM per_bucket
         UNION ALL
         SELECT CAST(-1 AS BIGINT),
                CAST(SUM(n_docs) AS BIGINT),
                CAST(SUM(real_tokens) AS BIGINT),
-               CAST(SUM(n_docs) * {SEQ_PACK_LEN} - SUM(real_tokens)
+               CAST(SUM(n_docs) * {SEQ_PACK_LEN} - SUM(fit_tokens)
                     AS BIGINT),
-               CAST((SUM(n_docs) * {SEQ_PACK_LEN} - SUM(real_tokens))
+               CAST((SUM(n_docs) * {SEQ_PACK_LEN} - SUM(fit_tokens))
                     * 1000000 {intdiv} (SUM(n_docs) * {SEQ_PACK_LEN})
                     AS BIGINT)
         FROM per_bucket

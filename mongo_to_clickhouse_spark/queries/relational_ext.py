@@ -776,15 +776,22 @@ def _skyline_sql(engine: str) -> str:
     """Engine-shared 2-D skyline (Pareto frontier) per order priority:
     the orders not dominated by any other on (maximize total price,
     maximize recency) — the classic skyline operator (Börzsönyi 2001)
-    via the sort-scan reduction: order by price DESC within the group,
-    keep rows whose date strictly exceeds the running date-max of all
-    higher-priced rows (ties on price resolved by the same scan). One
-    group-partitioned window, no pair join — the O(n log n) plan, not
-    the O(n²) dominance join.
+    via the sort-scan reduction: order by price DESC within the group;
+    a row survives iff (a) its date strictly exceeds the date-max of
+    all STRICTLY higher-priced rows (a RANGE ... 1 PRECEDING frame on
+    integer cents, so price peers are excluded from the scan max), and
+    (b) its date equals the date-max among its equal-price peers (the
+    RANGE CURRENT ROW frame spans exactly the peer group). Two frames
+    over ONE sort/shuffle, no pair join — the O(n log n) plan, not the
+    O(n²) dominance join.
 
     Exactness: price compares in exact cents, dates in exact epoch
-    days; the running max is frame-exclusive so equal-price rows don't
-    shadow each other (both survive unless genuinely dominated)."""
+    days. Dominance is the standard non-strict form (≥ in both dims,
+    > in at least one): equal-price-older rows are dominated, and rows
+    IDENTICAL on (cents, day) are mutually non-dominating — all of
+    them survive, which the old single-running-max scan got wrong
+    (round-6 ADVICE: the second duplicate saw its own day as the
+    running max and was dropped)."""
     epoch = (
         "CAST(floor(unix_micros(CAST(o_orderdate AS TIMESTAMP))"
         " / 86400000000) AS BIGINT)"
@@ -802,15 +809,19 @@ def _skyline_sql(engine: str) -> str:
         scanned AS (
             SELECT grp, o_orderkey, cents, day,
                    MAX(day) OVER (
-                       PARTITION BY grp
-                       ORDER BY cents DESC, day DESC, o_orderkey
-                       ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND 1 PRECEDING) AS best_day_above
+                       PARTITION BY grp ORDER BY cents DESC
+                       RANGE BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS best_day_above,
+                   MAX(day) OVER (
+                       PARTITION BY grp ORDER BY cents DESC
+                       RANGE BETWEEN CURRENT ROW
+                                 AND CURRENT ROW) AS peer_day_max
             FROM pts
         )
         SELECT grp, o_orderkey, cents, day
         FROM scanned
-        WHERE best_day_above IS NULL OR day > best_day_above
+        WHERE (best_day_above IS NULL OR day > best_day_above)
+          AND day = peer_day_max
         ORDER BY grp, cents DESC, o_orderkey
     """
 

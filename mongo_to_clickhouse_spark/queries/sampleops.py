@@ -686,9 +686,17 @@ def _neyman_sql(engine: str) -> str:
     """Neyman-optimal stratified allocation + the draw itself.
 
     n_h ∝ N_h·S_h (the variance-minimizing allocation for a fixed total
-    sample size — Neyman 1934), with the fractional allocation resolved
-    to integers by the LARGEST-REMAINDER method so Σn_h equals the
-    budget exactly.
+    sample size — Neyman 1934), subject to n_h ≤ N_h. The cap makes the
+    naive proportional rule lossy (a small high-variance stratum can
+    saturate, stranding budget), so the allocation is solved EXACTLY as
+    a water-fill: sort strata by capacity/weight ratio N_h/w_h, find the
+    saturation frontier by integer cross-multiplication
+    ((B − ΣN_below)·w_h < N_h·w_tail), take saturated strata whole, and
+    split the remaining budget over the unsaturated tail proportional
+    to w_h with LARGEST-REMAINDER rounding — so Σn_h equals the budget
+    exactly whenever B ≤ ΣN_h (here B is 10% of the population, so
+    always). floor(θ·w_h) < N_h on the unsaturated side guarantees the
+    +1 remainder bump never overshoots a cap.
 
     Exactness: values are floored to hecto-dollars so the per-stratum
     power sums stay exact BIGINTs far below 2^63 (n·Σx² ≤ ~6e17 at
@@ -732,24 +740,81 @@ def _neyman_sql(engine: str) -> str:
             FROM sized
         ),
         weighted AS (
+            -- allocation weight in MILLI (s_micro DIV 1000): the
+            -- frontier cross-multiplications below are big_n*w_tail
+            -- sized, and micro-scaled weights overflow BIGINT near
+            -- sf0.5 (1.5e5 * 1e15); milli keeps them < ~1e18 at sf1
+            -- with 7 significant digits of S_h, far beyond what an
+            -- integer allocation can resolve
             SELECT stratum, big_n, s_micro,
-                   big_n * s_micro AS w,
-                   SUM(big_n * s_micro) OVER () AS tw
+                   big_n * (s_micro {intdiv} 1000) AS w
             FROM sized
         ),
+        ratio_ord AS (
+            -- capacity/weight ratio ascending = water-fill saturation
+            -- order; w = 0 strata (S_h = 0) sort LAST via an explicit
+            -- key (Spark yields NULL and DuckDB inf for x/0e0, which
+            -- sort on opposite ends — never order by the raw ratio)
+            SELECT stratum, big_n, s_micro, w,
+                   ROW_NUMBER() OVER (
+                       ORDER BY w = 0,
+                                CASE WHEN w = 0 THEN 0e0
+                                     ELSE CAST(big_n AS DOUBLE) / w END,
+                                stratum) AS i
+            FROM weighted
+        ),
+        frontier_scan AS (
+            SELECT stratum, big_n, s_micro, w, i,
+                   CAST(COALESCE(SUM(big_n) OVER (ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS cum_n_below,
+                   CAST(SUM(w) OVER (ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                        AS BIGINT) AS w_tail
+            FROM ratio_ord
+        ),
+        seg AS (
+            -- first stratum the water level does NOT saturate:
+            -- (B - ΣN_below)·w_i < N_i·w_tail, exact integer cross-mult
+            SELECT i AS i0, cum_n_below AS sat_n, w_tail AS w_rem
+            FROM frontier_scan CROSS JOIN budget
+            WHERE (n_total - cum_n_below) * w < big_n * w_tail
+            ORDER BY i LIMIT 1
+        ),
+        pick AS (
+            -- seg is empty iff the budget covers every positive-weight
+            -- stratum whole (only reachable when zero-weight strata
+            -- dominate the population); the fallback row saturates all
+            -- of them and allocates nothing further. ORDER BY i0 keeps
+            -- the genuine frontier when it exists.
+            SELECT i0, sat_n, w_rem FROM (
+                SELECT * FROM seg
+                UNION ALL
+                SELECT CAST(MAX(i) + 1 AS BIGINT),
+                       CAST(SUM(CASE WHEN w > 0 THEN big_n
+                                     ELSE 0 END) AS BIGINT),
+                       CAST(1 AS BIGINT)
+                FROM frontier_scan
+            ) cand ORDER BY i0 LIMIT 1
+        ),
         base AS (
-            SELECT stratum, big_n, s_micro, w, tw, n_total,
-                   (n_total * w) {intdiv} tw AS n_base,
-                   (n_total * w) % tw AS rem
-            FROM weighted CROSS JOIN budget
+            SELECT f.stratum, f.big_n, f.s_micro, b.n_total,
+                   CASE WHEN f.w = 0 THEN CAST(0 AS BIGINT)
+                        WHEN f.i < s.i0 THEN f.big_n
+                        ELSE ((b.n_total - s.sat_n) * f.w) {intdiv} s.w_rem
+                   END AS n_base,
+                   CASE WHEN f.w = 0 OR f.i < s.i0 THEN CAST(-1 AS BIGINT)
+                        ELSE ((b.n_total - s.sat_n) * f.w) % s.w_rem
+                   END AS rem
+            FROM frontier_scan f CROSS JOIN pick s CROSS JOIN budget b
         ),
         alloc AS (
             SELECT stratum, big_n, s_micro,
-                   LEAST(big_n,
-                         n_base + CASE WHEN ROW_NUMBER() OVER (
-                                 ORDER BY rem DESC, stratum)
-                             <= n_total - SUM(n_base) OVER ()
-                             THEN 1 ELSE 0 END) AS n_alloc
+                   n_base + CASE WHEN rem >= 0 AND ROW_NUMBER() OVER (
+                           PARTITION BY CASE WHEN rem >= 0 THEN 1 ELSE 0 END
+                           ORDER BY rem DESC, stratum)
+                       <= n_total - SUM(n_base) OVER ()
+                       THEN 1 ELSE 0 END AS n_alloc
             FROM base
         ),
         ranked AS (

@@ -911,19 +911,20 @@ def _psi_body(events_rel: str) -> str:
             FROM contrib
         ),
         total AS (
-            SELECT CAST(-999 AS BIGINT) AS bin,
+            SELECT CAST(NULL AS BIGINT) AS bin,
                    CAST(floor(SUM(raw) / 1000000.0) AS BIGINT) AS psi_micro,
                    na, nb
             FROM per_bin CROSS JOIN totals
             GROUP BY na, nb
         )
-        SELECT bin, psi_micro,
+        SELECT '__total__' AS tier, bin, psi_micro,
                psi_micro > {_PSI_WARN_MICRO} AS warn,
                psi_micro > {_PSI_ALERT_MICRO} AS alert,
                na AS n_a, nb AS n_b
         FROM total
         UNION ALL
-        SELECT bin, psi_micro, NULL AS warn, NULL AS alert,
+        SELECT 'bin' AS tier, bin, psi_micro,
+               NULL AS warn, NULL AS alert,
                NULL AS n_a, NULL AS n_b
         FROM (
             SELECT bin,
@@ -932,7 +933,7 @@ def _psi_body(events_rel: str) -> str:
             ORDER BY ABS(raw) DESC, bin
             LIMIT {PSI_TOP_BINS}
         ) top_bins
-        ORDER BY bin
+        ORDER BY tier, bin
     """
 
 
@@ -940,9 +941,11 @@ def sample_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between the A/B halves of the event
     stream — the model-monitoring twin of ``sample_ks_drift`` (PSI is
     the industry's feature-drift scalar; KS is the distribution test).
-    Emits the total (bin = -999 sentinel, with warn/alert flags at
-    0.1 / 0.2) plus the top-{PSI_TOP_BINS} contributing bins, so an
-    alert is immediately attributable to the value range that moved.
+    Emits the total (tier = '__total__', bin NULL — a label row, not an
+    in-domain sentinel that could collide with a genuine bin; round-6
+    ADVICE) with warn/alert flags at 0.1 / 0.2, plus the
+    top-{PSI_TOP_BINS} contributing bins (tier = 'bin'), so an alert is
+    immediately attributable to the value range that moved.
 
     Scale posture: one scan + one bounded-key bin groupBy; everything
     after the bin aggregate runs on a ≤ range·{PSI_BIN_INV}-row
@@ -1266,7 +1269,13 @@ def _welch_body(events_rel: str) -> str:
     KS for shape, PSI for binned mass, Welch for the MEAN under unequal
     variances). Sample variances use the Bessel n−1 form from exact
     cent power sums; t and the Welch–Satterthwaite df are each ONE
-    fixed double expression over exact BIGINTs, reported in milli."""
+    fixed double expression over exact BIGINTs, reported in milli.
+
+    Degenerate halves (a side with n < 2, where the Bessel denominator
+    vanishes, or an absent side) yield an EXPLICIT well-defined row:
+    n/mean columns report what exists and t/df/significant are NULL by
+    a deliberate n-guard — never a division-by-zero artifact (round-6
+    ADVICE)."""
     return f"""
         WITH sides AS (
             SELECT CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,
@@ -1295,21 +1304,29 @@ def _welch_body(events_rel: str) -> str:
             SELECT na, nb,
                    sa / (1e2 * na) AS ma,
                    sb / (1e2 * nb) AS mb,
-                   (na * sa2 - sa * sa) / (1e4 * na * (na - 1)) AS va,
-                   (nb * sb2 - sb * sb) / (1e4 * nb * (nb - 1)) AS vb
+                   CASE WHEN na >= 2 THEN
+                       (na * sa2 - sa * sa) / (1e4 * na * (na - 1)) END
+                       AS va,
+                   CASE WHEN nb >= 2 THEN
+                       (nb * sb2 - sb * sb) / (1e4 * nb * (nb - 1)) END
+                       AS vb
             FROM wide
         )
         SELECT na AS n_a, nb AS n_b,
                CAST(round(ma * 1e6) AS BIGINT) AS mean_a_micro,
                CAST(round(mb * 1e6) AS BIGINT) AS mean_b_micro,
-               CAST(round((ma - mb) / sqrt(va / na + vb / nb) * 1000)
-                    AS BIGINT) AS t_milli,
-               CAST(round((va / na + vb / nb) * (va / na + vb / nb)
-                          / ((va / na) * (va / na) / (na - 1)
-                             + (vb / nb) * (vb / nb) / (nb - 1)) * 1000)
-                    AS BIGINT) AS df_milli,
-               abs(CAST(round((ma - mb) / sqrt(va / na + vb / nb) * 1000)
-                        AS BIGINT)) > {_T_CRIT_MILLI} AS significant
+               CASE WHEN COALESCE(na, 0) >= 2 AND COALESCE(nb, 0) >= 2 THEN
+                   CAST(round((ma - mb) / sqrt(va / na + vb / nb) * 1000)
+                        AS BIGINT) END AS t_milli,
+               CASE WHEN COALESCE(na, 0) >= 2 AND COALESCE(nb, 0) >= 2 THEN
+                   CAST(round((va / na + vb / nb) * (va / na + vb / nb)
+                              / ((va / na) * (va / na) / (na - 1)
+                                 + (vb / nb) * (vb / nb) / (nb - 1)) * 1000)
+                        AS BIGINT) END AS df_milli,
+               CASE WHEN COALESCE(na, 0) >= 2 AND COALESCE(nb, 0) >= 2 THEN
+                   abs(CAST(round((ma - mb) / sqrt(va / na + vb / nb)
+                                  * 1000)
+                            AS BIGINT)) > {_T_CRIT_MILLI} END AS significant
         FROM stats
     """
 

@@ -148,7 +148,8 @@ def test_psi_disjoint_supports_alert(spark, tmp_path):
         for i in range(400)
     ]
     rows = sample_psi_drift(spark, _write_events(tmp_path, values)).collect()
-    (total,) = [r for r in rows if r["bin"] == -999]
+    (total,) = [r for r in rows if r["tier"] == "__total__"]
+    assert total["bin"] is None
     assert total["n_a"] == 200 and total["n_b"] == 200
     assert total["psi_micro"] > 1_000_000  # PSI >> 1 on disjoint supports
     assert total["warn"] and total["alert"]
@@ -161,7 +162,8 @@ def test_psi_identical_halves_zero(spark, tmp_path):
     # identical and na == nb, so every log-ratio is exactly ln(1) = 0.
     values = [float((i // 2) % 50) for i in range(800)]
     rows = sample_psi_drift(spark, _write_events(tmp_path, values)).collect()
-    (total,) = [r for r in rows if r["bin"] == -999]
+    (total,) = [r for r in rows if r["tier"] == "__total__"]
+    assert total["bin"] is None
     assert total["psi_micro"] == 0
     assert not total["warn"] and not total["alert"]
 
