@@ -28,7 +28,9 @@ import tempfile
 from pyspark.sql import DataFrame
 
 
-def reliable_checkpoint(df: DataFrame) -> DataFrame:
+def reliable_checkpoint(
+    df: DataFrame, preserve_partitioning: bool = False
+) -> DataFrame:
     """Eagerly materialize ``df`` to reliable storage and truncate lineage.
 
     Partitioning is deliberately left as-is: repartitioning before the
@@ -36,11 +38,33 @@ def reliable_checkpoint(df: DataFrame) -> DataFrame:
     single parquet split) was measured NET-SLOWER at sf0.1 — the extra
     full-relation shuffle ahead of the checkpoint write costs more than
     the serial explode it saves. At real input sizes the source splits
-    provide the parallelism anyway."""
-    sc = df.sparkSession.sparkContext
+    provide the parallelism anyway.
+
+    ``preserve_partitioning=True`` is for the opposite regime — iterative
+    DP stages whose downstream plan joins MANY checkpointed leaves on one
+    key (the unigram soft-EM posterior: ~40 legs). ``Dataset.checkpoint``
+    records the physical plan's outputPartitioning in the LogicalRDD it
+    leaves behind, but ONLY when the physical plan is not adaptive:
+    under AQE the plan is an AdaptiveSparkPlanExec whose partitioning is
+    reported unknown, so every downstream join re-exchanges each leaf
+    (measured: 63 exchanges in the soft-EM posterior). The flag disables
+    AQE just for this materialization, so an explicit
+    ``repartition(n, key)`` upstream survives the checkpoint and the
+    downstream joins plan with ZERO exchanges — verified by the probe in
+    tests/test_plan_budget.py. The caller must pair it with a numbered
+    repartition on the join key; AQE is restored immediately after."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
     if sc._jsc.sc().getCheckpointDir().isEmpty():
         sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark-graft-ckpt-"))
-    return df.checkpoint(eager=True)
+    if not preserve_partitioning:
+        return df.checkpoint(eager=True)
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.checkpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 # the materialization barrier used before every explode-heavy consumer
@@ -67,7 +91,8 @@ def barrier_view(df: DataFrame, name: str) -> str:
 _BARRIER_VIEW_CACHE: dict[tuple, tuple] = {}
 
 
-def cached_barrier(spark, sf_dir, name, build, tables=("documents",)):
+def cached_barrier(spark, sf_dir, name, build, tables=("documents",),
+                   preserve_partitioning=False):
     """Memoized ``barrier``: ``build()`` → checkpointed DataFrame,
     rebuilt only when a source table in ``tables`` changes on disk."""
     import os
@@ -82,17 +107,20 @@ def cached_barrier(spark, sf_dir, name, build, tables=("documents",)):
     key = (id(spark), sf_dir, name)
     hit = _BARRIER_VIEW_CACHE.get(key)
     if hit is None or hit[0] != stats:
-        hit = (stats, spark, barrier(build()))
+        hit = (stats, spark,
+               barrier(build(), preserve_partitioning=preserve_partitioning))
         _BARRIER_VIEW_CACHE[key] = hit
     return hit[2]
 
 
-def cached_barrier_view(spark, sf_dir, name, build, tables=("documents",)):
+def cached_barrier_view(spark, sf_dir, name, build, tables=("documents",),
+                        preserve_partitioning=False):
     """``cached_barrier`` + temp view registration on every call (so
     interleaved sf_dirs in one session always see their own data)."""
-    cached_barrier(spark, sf_dir, name, build, tables).createOrReplaceTempView(
-        name
-    )
+    cached_barrier(
+        spark, sf_dir, name, build, tables,
+        preserve_partitioning=preserve_partitioning,
+    ).createOrReplaceTempView(name)
     return name
 
 

@@ -1127,100 +1127,215 @@ def _em_posterior_sql(engine: str, edges_rel: str, alpha_prefix: str,
     """
 
 
+def _em_soft_kernel(batches):
+    """Arrow-batched forward-backward over one w-hash partition: a
+    bit-exact numpy replica of the staged block-floating-point message
+    SQL (``_em_msg_sql`` / ``_em_beta_sql`` / ``_em_posterior_sql``),
+    vectorized across every word in the partition at once. Integer
+    shifts/sums replicate exactly; the single per-edge double
+    expression evaluates in the oracle's operation order, so the result
+    hash-matches the DuckDB stage unroll. Emits per-piece PARTIAL
+    expected counts (map-side combine) for the downstream global
+    aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    frames = list(batches)
+    if not frames:
+        return
+    df = pd.concat(frames, ignore_index=True)
+    codes, uniq = pd.factorize(df["w"])
+    nw = len(uniq)
+    wlen = np.fromiter((len(s) for s in uniq), dtype=np.int64, count=nw)
+    ei = df["i"].to_numpy().astype(np.int64)
+    ej = df["j"].to_numpy().astype(np.int64)
+    p2 = df["p2"].to_numpy().astype(np.int64)
+    cnt = df["cnt"].to_numpy().astype(np.int64)
+
+    neg = np.iinfo(np.int64).min
+
+    def message_stage(sel_pos, state_pos, st_m, st_x, st_v, j):
+        """One α/β message stage: edges at ``sel_pos == j`` pull the
+        incoming state at their ``state_pos`` index, multiply by p2,
+        renormalize per term, align to the per-word max exponent by
+        exact truncating shifts, integer-sum, renormalize the sum —
+        mechanically the _em_msg_sql pipeline."""
+        mask = (sel_pos == j) & st_v[codes, state_pos]
+        if not mask.any():
+            return None
+        c = codes[mask]
+        sp = state_pos[mask]
+        raw = st_m[c, sp] * p2[mask]
+        px = st_x[c, sp]
+        hi = raw >= _EM_HI
+        tm = np.where(hi, raw >> 20, raw)
+        tx = np.where(hi, px, px - 1)
+        xmax = np.full(nw, neg)
+        np.maximum.at(xmax, c, tx)
+        shift = np.minimum(20 * (xmax[c] - tx), 62)
+        msum = np.zeros(nw, np.int64)
+        np.add.at(msum, c, tm >> shift)
+        has = xmax > neg
+        big = msum >= _EM_HI
+        m = np.where(big, msum >> 20, msum)
+        x = np.where(big, xmax + 1, xmax)
+        return has, m, x
+
+    # forward: α_0 = (2^20, 0) for every word
+    a_m = np.zeros((nw, UNI_MAXLEN + 1), np.int64)
+    a_x = np.zeros((nw, UNI_MAXLEN + 1), np.int64)
+    a_v = np.zeros((nw, UNI_MAXLEN + 1), bool)
+    a_m[:, 0] = _EM_LO
+    a_v[:, 0] = True
+    for j in range(1, UNI_MAXLEN + 1):
+        got = message_stage(ej, ei, a_m, a_x, a_v, j)
+        if got is None:
+            continue
+        has, m, x = got
+        a_m[:, j] = m
+        a_x[:, j] = x
+        a_v[:, j] = has
+
+    # backward: β at the word's own final position initializes to
+    # exactly 1.0 (m = 2^20, x = 0); no out-edges start there, so the
+    # init rows and computed rows are disjoint (see _em_beta_sql)
+    b_m = np.zeros((nw, UNI_MAXLEN + 1), np.int64)
+    b_x = np.zeros((nw, UNI_MAXLEN + 1), np.int64)
+    b_v = np.zeros((nw, UNI_MAXLEN + 1), bool)
+    rows = np.arange(nw)
+    b_m[rows, wlen] = _EM_LO
+    b_v[rows, wlen] = True
+    for j in range(UNI_MAXLEN - 1, -1, -1):
+        got = message_stage(ei, ej, b_m, b_x, b_v, j)
+        if got is None:
+            continue
+        has, m, x = got
+        idx = np.nonzero(has)[0]
+        b_m[idx, j] = m[idx]
+        b_x[idx, j] = x[idx]
+        b_v[idx, j] = True
+
+    # posterior γ per edge = α_i·p·β_j / α_L in the oracle's exact
+    # double-expression order (mantissa ratio × an exact power of two)
+    al_m = a_m[rows, wlen]
+    al_x = a_x[rows, wlen]
+    al_v = a_v[rows, wlen] & (al_m > 0)
+    pm = a_v[codes, ei] & b_v[codes, ej] & al_v[codes]
+    if not pm.any():
+        return
+    c = codes[pm]
+    am = a_m[c, ei[pm]]
+    ax = a_x[c, ei[pm]]
+    bm = b_m[c, ej[pm]]
+    bx = b_x[c, ej[pm]]
+    num = ((am * p2[pm]) >> 20).astype(np.float64)
+    val = (num * bm.astype(np.float64)
+           / (1.0 * al_m[c].astype(np.float64))
+           * np.power(2.0, (20 * (ax + bx - al_x[c]) - 20)
+                      .astype(np.float64))
+           * 1e6)
+    e_micro = np.floor(val + 0.5).astype(np.int64)
+    part = pd.DataFrame(
+        {"piece": df["piece"].to_numpy()[pm],
+         "part": cnt[pm] * e_micro}
+    ).groupby("piece", sort=False, as_index=False)["part"].sum()
+    yield part
+
+
 def tokenizer_unigram_em_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM SOFT EM round (full forward-backward, Kudo 2018 §3.2
     proper): expected piece counts marginalize over ALL segmentations
     of every word — the E-step SentencePiece actually trains with,
     next to ``tokenizer_unigram_viterbi``'s argmax-path variant. The
     lattice messages α (prefix mass) and β (suffix mass) propagate in
-    MICRO-PROBABILITY INTEGERS with a truncating rescale per stage:
-    integer addition commutes exactly, so the notorious
-    non-reproducibility of distributed forward-backward (float partial
-    sums in shuffle order) is engineered out, and the DuckDB oracle
-    replays the identical {UNI_MAXLEN}+{UNI_MAXLEN} message stages.
-    Edge probabilities quantize once (exp of the micro-nat seed score,
-    floored at 1 micro so coverage paths never vanish).
+    MICRO-PROBABILITY INTEGERS (block floating point, base-2 shifts)
+    with a truncating rescale per stage: integer addition commutes
+    exactly, so the notorious non-reproducibility of distributed
+    forward-backward (float partial sums in shuffle order) is
+    engineered out, and the DuckDB oracle replays the identical
+    {UNI_MAXLEN}+{UNI_MAXLEN} message stages. Edge probabilities
+    quantize once (exp of the micro-nat seed score, floored at 1 micro
+    so coverage paths never vanish).
 
-    Scale posture: identical to the Viterbi op — everything on the
-    distinct-word table; per stage one bounded-fanin equi-join + a
-    word-keyed SUM on a checkpoint barrier; the posterior is three
-    keyed joins over the edge relation."""
+    Scale posture (round-7 redesign): the lattice DP is PER-WORD LOCAL
+    — each word's forward-backward touches only its own ≤{UNI_MAXLEN}·
+    {UNI_PIECE_MAX} edges — so distributing it as 2·{UNI_MAXLEN}
+    cluster-wide join stages (the round-6 shape: 63 shuffles, 58 SMJs
+    in the posterior alone, ~8 s at sf0.1) was pure overhead. The edge
+    relation is built once, hash-partitioned by word, and checkpointed;
+    ONE ``mapInPandas`` pass runs the whole vectorized DP per partition
+    (``_em_soft_kernel`` — the numpy replica of the oracle's stage SQL,
+    bit-exact in its integer shifts and double expression), emitting
+    per-piece partial expected counts; one piece-keyed aggregate
+    finishes. Total: 2 data shuffles (edge build + piece aggregate) and
+    a top-k — the plan shape survives 100×: per-partition memory is
+    bounded by the edge-relation partition size, which the explicit
+    repartition count controls. The staged join formulation remains,
+    verbatim, as the DuckDB oracle (engine='duck' branches of
+    _em_msg_sql/_em_beta_sql/_em_posterior_sql)."""
     from mongo_to_clickhouse_spark.operators.materialize import (
-        barrier,
         cached_barrier_view,
     )
 
     view = _toks_view(spark, sf_dir)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    def build_words():
-        return spark.sql(f"""
+    def build_edges_pc():
+        spark.sql(f"""
             SELECT substring(word, 1, {UNI_MAXLEN}) AS w,
                    CAST(SUM(cnt) AS BIGINT) AS cnt
             FROM (SELECT word, COUNT(*) AS cnt
                   FROM (SELECT explode(toks) AS word FROM {view})
                   WHERE word != '' GROUP BY word) full_words
             GROUP BY substring(word, 1, {UNI_MAXLEN})
-        """)
-
-    cached_barrier_view(spark, sf_dir, "uni_words", build_words)
-
-    def build_edges_p():
+        """).createOrReplaceTempView("uni_words_c")
         spark.sql(f"""
             SELECT w, cnt, i, i + l AS j, substring(w, i + 1, l) AS piece
-            FROM uni_words
+            FROM uni_words_c
             LATERAL VIEW explode(sequence(0, {UNI_MAXLEN - 1})) AS i
             LATERAL VIEW explode(sequence(1, {UNI_PIECE_MAX})) AS l
             WHERE i + l <= length(w)
-        """).createOrReplaceTempView("uni_subs")
-        spark.sql(_uni_vocab_sql("uni_subs")).createOrReplaceTempView(
-            "uni_vocab"
+        """).createOrReplaceTempView("uni_subs_c")
+        spark.sql(_uni_vocab_sql("uni_subs_c")).createOrReplaceTempView(
+            "uni_vocab_c"
         )
+        # cnt rides along so the expected-count weighting needs no
+        # second join against the word table downstream
         return spark.sql("""
-            SELECT /*+ BROADCAST(v) */ s.w, s.i, s.j, s.piece,
+            SELECT /*+ BROADCAST(v) */ s.w, s.cnt, s.i, s.j, s.piece,
                    GREATEST(CAST(round(exp(v.score / 1e6) * 1048576.0)
                                  AS BIGINT), 1) AS p2
-            FROM uni_subs s JOIN uni_vocab v ON v.piece = s.piece
-        """)
+            FROM uni_subs_c s JOIN uni_vocab_c v ON v.piece = s.piece
+        """).repartition(n_part, "w")
 
-    cached_barrier_view(spark, sf_dir, "uni_edges_p", build_edges_p)
-    spark.sql(
-        f"SELECT w, CAST(LEAST(length(w), {UNI_MAXLEN}) AS INTEGER) AS wl"
-        " FROM uni_words"
-    ).createOrReplaceTempView("em_wlen")
-
-    # a0 derives from uni_words, NOT uni_edges_p: the stage-2 plan
-    # joins the edge checkpoint leaf anyway, and a second reference to
-    # the SAME leaf through the union branch trips a Spark checkpoint
-    # attribute-rebinding bug (NoSuchElementException: key not found)
-    # a0 derives from uni_words, NOT uni_edges_p: the stage plans join
-    # the edge checkpoint leaf anyway, and every stage must stay
-    # union-free (see _em_legs)
-    spark.sql(
-        f"SELECT w, CAST(0 AS INTEGER) AS j,"
-        f" CAST({_EM_LO} AS BIGINT) AS m, CAST(0 AS INTEGER) AS x"
-        f" FROM uni_words"
-    ).createOrReplaceTempView("em_a0")
-    for j in range(1, UNI_MAXLEN + 1):
-        aj = barrier(spark.sql(
-            _em_alpha_sql("spark", "uni_edges_p", "em_a", j)
-        ))
-        aj.createOrReplaceTempView(f"em_a{j}")
-
-    # β at the top position is init-only (no out-edges reach past L);
-    # it must exist before the backward loop's join legs reference it
-    spark.sql(
-        f"SELECT w, CAST({UNI_MAXLEN} AS INTEGER) AS j,"
-        f" CAST({_EM_LO} AS BIGINT) AS m, CAST(0 AS INTEGER) AS x"
-        f" FROM em_wlen WHERE wl = {UNI_MAXLEN}"
-    ).createOrReplaceTempView(f"em_b{UNI_MAXLEN}")
-    for j in range(UNI_MAXLEN - 1, -1, -1):
-        bj = barrier(spark.sql(
-            _em_beta_sql("spark", "uni_edges_p", "em_b", "em_wlen", j)
-        ))
-        bj.createOrReplaceTempView(f"em_b{j}")
-    return spark.sql("WITH " + _em_posterior_sql(
-        "spark", "uni_edges_p", "em_a", "em_b", "em_wlen", "uni_words"
-    ))
+    edges = cached_barrier_view(
+        spark, sf_dir, "uni_edges_pc", build_edges_pc
+    )
+    parts = spark.table(edges).mapInPandas(
+        _em_soft_kernel, schema="piece string, part long"
+    )
+    parts.createOrReplaceTempView("em_piece_parts")
+    return spark.sql(f"""
+        SELECT piece, e_count_micro,
+               CAST(round(ln(e_count_micro / tot) * 1e6) AS BIGINT)
+                   AS m_step_score_micro
+        FROM (
+            SELECT piece, CAST(SUM(part) AS BIGINT) AS e_count_micro
+            FROM em_piece_parts
+            GROUP BY piece
+            HAVING SUM(part) > 0
+        ) ecounts
+        CROSS JOIN (
+            SELECT CAST(SUM(part) AS DOUBLE) AS tot
+            FROM (
+                SELECT CAST(SUM(part) AS BIGINT) AS part
+                FROM em_piece_parts GROUP BY piece
+                HAVING SUM(part) > 0
+            )
+        ) t
+        ORDER BY e_count_micro DESC, piece
+        LIMIT {UNI_TOPK}
+    """)
 
 
 def _unigram_em_duck_sql() -> str:

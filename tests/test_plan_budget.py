@@ -65,11 +65,12 @@ BUDGETS = [
     (tokenizer_unigram_viterbi, 8),  # currently 2: 20 DP stages, each
     #                                  a barrier leaf — the count stays
     #                                  tiny precisely because of them
-    (tokenizer_unigram_em_soft, 70),  # currently 63: the posterior
-    #   joins all 21 stage relations as per-index legs (union views
-    #   re-trip the Spark checkpoint bug), ~2 exchanges per tiny state
-    #   relation on the shared w key — linear in stages, not
-    #   exponential; the message stages themselves are barrier leaves
+    (tokenizer_unigram_em_soft, 6),  # currently 3 after the round-7
+    #   redesign: the whole forward-backward runs per-word-local inside
+    #   ONE mapInPandas over the w-partitioned edge checkpoint, so the
+    #   only shuffles left are the edge build, the piece aggregate, and
+    #   the top-k — a regression here means the staged-join shape crept
+    #   back
     (eval_cluster_ari, 24),         # currently 17: two CC labelings
 ]
 
