@@ -195,6 +195,25 @@ def _stage_stream_source(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return stage_events_source(sf_dir, parts=1, prefix="stream")
 
 
+def _stage_sorted_stream_source(sf_dir: str) -> tuple[str, str]:
+    """Stage the events fixture SORTED by (ts, event_id) into a single
+    file, so arrival order into a first-wins stateful operator is the
+    event-time order — the determinism stream_dedup_by_key's oracle
+    needs (see its docstring)."""
+    import pyarrow.parquet as pq
+
+    from mongo_to_clickhouse_spark.io import table_path
+    from mongo_to_clickhouse_spark.streaming.util import normalize_events_ts
+
+    work = tempfile.mkdtemp(prefix=f"dd-{uuid.uuid4().hex[:8]}-")
+    src = os.path.join(work, "source")
+    os.makedirs(src)
+    table = normalize_events_ts(pq.read_table(table_path(sf_dir, "events")))
+    table = table.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    pq.write_table(table, os.path.join(src, "p0.parquet"))
+    return src, work
+
+
 def stream_pipeline_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full streaming CDC pipeline end-to-end: readStream → anonymize →
     foreachBatch dual-write → read the main sink back."""
@@ -249,10 +268,19 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once-per-key via ``dropDuplicates`` with watermark
-    state expiry — first event per (user_id, event_type)."""
+    state expiry — first event per (user_id, event_type).
+
+    Oracle (round 7): streaming ``dropDuplicates`` keeps the FIRST
+    ARRIVAL per key, which is only SQL-expressible when arrival order is
+    pinned — so the staging here sorts the source by (ts, event_id) into
+    one file (one micro-batch, one input split, deterministic row order
+    into the state store). First-arrival then equals earliest-event, and
+    the oracle states it as the ROW_NUMBER()=1 row per key. In a
+    production deployment the operator's contract stays first-arrival;
+    the sort is a property of the test harness, not the operator."""
     from mongo_to_clickhouse_spark.streaming.pipeline import EVENTS_SCHEMA
 
-    src, _ = _stage_stream_source(spark, sf_dir)
+    src, _ = _stage_sorted_stream_source(sf_dir)
     name = f"dd_{uuid.uuid4().hex[:8]}"
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -270,6 +298,18 @@ def stream_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     await_drained(q)
     return spark.table(name)
+
+
+# first-arrival == earliest (ts, event_id) under the sorted single-file
+# staging — see stream_dedup_by_key's docstring
+STREAM_DEDUP_BY_KEY_SQL = """
+    SELECT event_id, user_id, event_type FROM (
+        SELECT event_id, user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ) ranked WHERE rn = 1
+"""
 
 
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,6 +422,6 @@ QUERIES: dict[str, tuple] = {
     ),
     "stream_pipeline_cdc": (stream_pipeline_cdc, None),
     "stream_watermark_late_drop": (stream_watermark_late_drop, None),
-    "stream_dedup_by_key": (stream_dedup_by_key, None),
+    "stream_dedup_by_key": (stream_dedup_by_key, STREAM_DEDUP_BY_KEY_SQL),
     "stream_dedup_within_watermark": (stream_dedup_within_watermark, None),
 }

@@ -342,7 +342,15 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     each 'purchase' event joined to the same user's 'click' events within
     the preceding hour. Both sides buffer state bounded by watermark +
     range (Spark evicts rows once they can no longer match) — the
-    streaming feature class the reference has no analogue for."""
+    streaming feature class the reference has no analogue for.
+
+    Oracle (round 7): an INNER stream-stream join emits every matching
+    pair eagerly — the watermark governs only state eviction, never
+    emission — and the staged source is a single file, so the drain is
+    one micro-batch whose initial watermark is the epoch and no row is
+    ever late-dropped. The memory-sink contents therefore equal the
+    batch inner join exactly, which is what STREAM_STREAM_JOIN_SQL
+    states."""
     from mongo_to_clickhouse_spark.streaming.pipeline import EVENTS_SCHEMA
 
     src, _work = stage_events_source(sf_dir, prefix="ssj")
@@ -391,7 +399,11 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching click can arrive. This null-emission-on-watermark-close is
     the semantics that separates outer from inner stream joins (state for
     an unmatched left row is held until the right side's watermark passes
-    its join window, then flushed as a null match).
+    its join window, then flushed as a null match). Because the sentinel
+    provably flushes EVERY real purchase's state before the drain ends,
+    the sink contents equal the batch LEFT JOIN exactly — the oracle
+    (STREAM_STREAM_OUTER_JOIN_SQL, round 7) states that equivalence
+    over the same window constants.
 
     Determinism at drain time: a far-future sentinel row (filtered out of
     both sides AFTER the watermark operator, so it advances the event
@@ -745,14 +757,43 @@ STREAM_CHAINED_WINDOWS_SQL = """
 """
 
 
+# Inner stream-stream join == batch inner join: single-file staging =
+# one micro-batch, initial watermark at the epoch, inner joins emit on
+# match (see the operator docstring).
+STREAM_STREAM_JOIN_SQL = """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+      AND c.event_type IN ('click', 'view', 'signup', 'error')
+"""
+
+# Outer stream-stream join == batch LEFT JOIN: the far-future sentinel
+# pushes the final watermark past every real purchase's join window, so
+# all unmatched state flushes as null matches before the drain ends.
+STREAM_STREAM_OUTER_JOIN_SQL = f"""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL {OUTER_JOIN_WINDOW_HOURS} HOUR
+     AND c.ts <= p.ts
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "stream_chained_windows": (
         stream_chained_windows,
         STREAM_CHAINED_WINDOWS_SQL,
     ),
     "source_changestream": (source_changestream, None),
-    "stream_stream_join": (stream_stream_join, None),
-    "stream_stream_outer_join": (stream_stream_outer_join, None),
+    "stream_stream_join": (stream_stream_join, STREAM_STREAM_JOIN_SQL),
+    "stream_stream_outer_join": (
+        stream_stream_outer_join,
+        STREAM_STREAM_OUTER_JOIN_SQL,
+    ),
     "checkpoint_resume_token": (checkpoint_resume_token, None),
     "sink_dlq_log": (sink_dlq_log, None),
     "metric_throughput": (metric_throughput, None),
