@@ -1040,7 +1040,14 @@ def emb_covariance_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("i", "j")
 
 
-EMB_COVARIANCE_SQL = f"""
+def _emb_covariance_oracle_sql(acc: str) -> str:
+    """DuckDB oracle for emb_covariance with the accumulator type as a
+    parameter, so the planted 2^63-overflow test can drive BOTH the
+    BIGINT form (DuckDB sums in HUGEINT, then the CAST back to BIGINT
+    raises out-of-range — fail-loud, matching Spark's ANSI error /
+    non-ANSI wrap) and the DECIMAL(38,0) form (exact at its design
+    point) without flipping process-wide tuning."""
+    return f"""
     WITH l1 AS (
         SELECT vec_id, embedding,
                unnest(range(len(embedding))) AS i
@@ -1049,18 +1056,18 @@ EMB_COVARIANCE_SQL = f"""
     l2 AS (
         SELECT vec_id, i,
                CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0)
-                    AS {_ACC}) AS mi,
+                    AS {acc}) AS mi,
                embedding,
                unnest(range(len(embedding))) AS j
         FROM l1
     ),
     cells AS (
         SELECT i, j, COUNT(*) AS n,
-               CAST(SUM(mi) AS {_ACC}) AS si,
+               CAST(SUM(mi) AS {acc}) AS si,
                CAST(SUM(CAST(round(CAST(embedding[j + 1] AS DOUBLE)
-                                   * 1000000.0) AS BIGINT)) AS {_ACC}) AS sj,
+                                   * 1000000.0) AS BIGINT)) AS {acc}) AS sj,
                CAST(SUM(mi * CAST(round(CAST(embedding[j + 1] AS DOUBLE)
-                                        * 1000000.0) AS BIGINT)) AS {_ACC})
+                                        * 1000000.0) AS BIGINT)) AS {acc})
                    AS sij
         FROM l2
         WHERE j >= i
@@ -1073,6 +1080,9 @@ EMB_COVARIANCE_SQL = f"""
     FROM cells
     ORDER BY i, j
 """
+
+
+EMB_COVARIANCE_SQL = _emb_covariance_oracle_sql(_ACC)
 
 
 PCA_POWER_ROUNDS = TUNING.pca_power_rounds

@@ -163,6 +163,35 @@ def test_exact_sum_decimal_survives_planted_overflow(spark, tmp_path, monkeypatc
         assert wrapped != rows, "BIGINT path should not survive 2^63"
 
 
+def test_exact_sum_decimal_overflow_duckdb_side(tmp_path):
+    # The oracle engine at the widening switch's design point: DuckDB
+    # sums BIGINTs in HUGEINT, so the BIGINT form fails LOUD at the
+    # CAST back (out-of-range), while the DECIMAL(38,0) form returns
+    # the exact covariance — the same planted 385e18 > 2^63 case as the
+    # Spark-side test above, proving the toggle in BOTH engines.
+    import duckdb
+    import pytest
+
+    from mongo_to_clickhouse_spark.queries.vectorops import (
+        _emb_covariance_oracle_sql,
+    )
+
+    sf = _write_embeddings(
+        tmp_path / "ovfd", [[1000.0 * k, 1000.0 * k] for k in range(1, 11)]
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    rows = con.execute(_emb_covariance_oracle_sql("DECIMAL(38,0)")).fetchall()
+    assert {(i, j): c for i, j, c in rows} == {
+        (0, 0): 8250000.0, (0, 1): 8250000.0, (1, 1): 8250000.0
+    }
+    with pytest.raises(Exception, match="(?i)range|overflow|conversion"):
+        con.execute(_emb_covariance_oracle_sql("BIGINT")).fetchall()
+
+
 def test_exact_sum_decimal_leaves_fixture_results_unchanged(
     spark, smoke_sf_dir, monkeypatch
 ):
