@@ -174,7 +174,49 @@ def main() -> None:
     with open(os.path.join(repo_dir, "BENCH_PLANS.json"), "w") as f:
         json.dump({"sf": sf, "plan_fp": plan_fps, "plan_ops": plan_ops},
                   f, indent=1, sort_keys=True)
-    with open(os.path.join(repo_dir, "BENCH_QUERIES.json"), "w") as f:
+    # automatic run-over-run regression table (BENCH_DIFF.md): compare
+    # against the PREVIOUS committed BENCH_QUERIES.json before
+    # overwriting it, flagging >1.3x shared-query regressions — so the
+    # cross-round comparison is a generated artifact, not prose.
+    bq_path = os.path.join(repo_dir, "BENCH_QUERIES.json")
+    prev = None
+    if os.path.exists(bq_path):
+        try:
+            with open(bq_path) as f:
+                prev = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            prev = None
+    if prev and prev.get("sf") == sf:
+        old_q = prev.get("queries", {})
+        lines = [
+            "# BENCH_DIFF (generated by bench.py)",
+            "",
+            f"sf={sf}: previous total {prev.get('total_sec')}s -> "
+            f"{total}s over {len(timings)} queries "
+            f"({len(set(timings) & set(old_q))} shared).",
+            "",
+            "| query | prev s | now s | ratio | flag |",
+            "|---|---|---|---|---|",
+        ]
+        flagged = 0
+        rows = []
+        for qid in sorted(set(timings) & set(old_q)):
+            o, n2 = old_q[qid], timings[qid]
+            ratio = n2 / o if o > 0 else float("inf")
+            flag = "REGRESSED" if ratio > 1.3 and n2 - o > 0.1 else ""
+            flagged += bool(flag)
+            rows.append((ratio, f"| {qid} | {o:.3f} | {n2:.3f} | "
+                                f"{ratio:.2f} | {flag} |"))
+        for _, line in sorted(rows, key=lambda t: -t[0]):
+            lines.append(line)
+        new_ids = sorted(set(timings) - set(old_q))
+        if new_ids:
+            lines += ["", "New queries: " + ", ".join(
+                f"{q} ({timings[q]:.3f}s)" for q in new_ids)]
+        lines += ["", f"Flagged >1.3x (and >0.1s absolute): {flagged}"]
+        with open(os.path.join(repo_dir, "BENCH_DIFF.md"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    with open(bq_path, "w") as f:
         json.dump({"sf": sf, "total_sec": total,
                    "flagship_docs_per_sec": docs_per_sec,
                    "queries": timings},

@@ -1,0 +1,105 @@
+"""Scale rehearsal: time a query set at sf0.1 vs the synthesized sf0.5.
+
+VERDICT r6 item 4: the Σ|bucket|² / Σ|cluster|² bounds and the
+fixed-round iterative trainers had only ever been measured at ~600k
+rows. This runs the N most expensive headline queries plus the
+dedup/ANN tier at both scales (5x rows; see gen_scale_fixture.py for
+why duplicate RATES are held scale-invariant) and prints a markdown
+ratio table for the PARITY record. A time ratio well under rows-ratio²
+(25x) — ideally near the 5x data ratio on a fixed-core machine —
+is the empirical check that nothing in the plan is quadratic.
+
+Usage:
+  python scripts/gen_scale_fixture.py            # once, ~1 min
+  python scripts/scale_rehearsal.py [--reps 3] [--ids id1,id2,...]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01 = "/root/testdata/sf0.1"
+SF05 = "/root/repo/.localdata/sf0.5"
+
+# the dedup / ANN / embedding scale tier — the ids whose 100 TB story
+# depends on candidate-space bounds rather than plain shuffles
+SCALE_TIER = [
+    "dedup_exact_hash",
+    "dedup_minhash_lsh_pairs",
+    "dedup_cluster_components",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_semdedup_matmul",
+    "dedup_substring_apply",
+    "pipeline_dedup_cascade",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_ann_pq",
+    "sim_knn_graph_lsh",
+    "text_bm25_topk",
+    "multimodal_phash_dedup",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--top", type=int, default=15)
+    ap.add_argument("--ids", default="")
+    args = ap.parse_args()
+
+    from __spark_entry__ import queries
+    from mongo_to_clickhouse_spark.session import get_spark
+
+    reg = queries()
+    if args.ids:
+        ids = [i for i in args.ids.split(",") if i]
+    else:
+        with open(os.path.join(os.path.dirname(__file__), "..",
+                               "BENCH_QUERIES.json")) as f:
+            bq = json.load(f)["queries"]
+        top = sorted(bq, key=bq.get, reverse=True)[: args.top]
+        ids = list(dict.fromkeys(top + SCALE_TIER))
+    unknown = [i for i in ids if i not in reg]
+    if unknown:
+        raise SystemExit(f"unknown ids: {unknown}")
+    if not os.path.exists(os.path.join(SF05, "lineitem.parquet")):
+        raise SystemExit("run scripts/gen_scale_fixture.py first")
+
+    spark = get_spark()
+    spark.range(1).count()  # absorb session startup
+
+    def run(qid: str, sf_dir: str) -> float:
+        fn = reg[qid][0] if isinstance(reg[qid], tuple) else reg[qid]
+        samples = []
+        for _ in range(args.reps):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        return sorted(samples)[args.reps // 2]
+
+    rows = []
+    for qid in ids:
+        t1 = run(qid, SF01)
+        t5 = run(qid, SF05)
+        rows.append((qid, t1, t5, t5 / max(t1, 1e-9)))
+        print(f"  {qid}: sf0.1 {t1:.2f}s  sf0.5 {t5:.2f}s  "
+              f"x{t5 / max(t1, 1e-9):.2f}", file=sys.stderr)
+
+    print("| query | sf0.1 s | sf0.5 s | time ratio (5x rows) |")
+    print("|---|---|---|---|")
+    for qid, t1, t5, r in sorted(rows, key=lambda t: -t[3]):
+        print(f"| {qid} | {t1:.2f} | {t5:.2f} | {r:.2f} |")
+    sup = [q for q, _, _, r in rows if r > 7.5]
+    print()
+    print(f"Queries over 1.5x the 5x data ratio: {sup or 'none'}")
+
+
+if __name__ == "__main__":
+    main()
