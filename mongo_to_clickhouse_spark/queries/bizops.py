@@ -1,0 +1,487 @@
+"""Business-analytics / monitoring extensions (round 7): RFM
+segmentation, max drawdown, Mann-Whitney U drift, Cramér's V
+association, Nelson-Aalen cumulative hazard, and the Benford
+first-digit audit.
+
+The reference (isankadn/mongo-to-clickhouse) feeds BI dashboards from
+ClickHouse (src/main.rs:890-913 dual-table insert is its terminal
+stage); these are the queries such a dashboard tier actually runs on
+the landed events, re-expressed Spark-first. None exist in the
+reference itself — they extend the engine's analytics surface the same
+way statsops/analytics_ext do.
+
+Exactness: every cross-engine result reduces to integer arithmetic
+(cents, micro-floored terms) before any aggregation whose order could
+differ between engines; doubles only appear inside ONE per-row
+expression evaluated identically on both sides (the KM/ACF recipe).
+
+Scale: corpus-sized relations are touched once per query (a groupBy or
+a user-partitioned window); every unpartitioned window runs over a
+value-grid- or calendar-bounded aggregate, and the RFM quintiles use
+operators/rank.py's two-pass distributed rank instead of a global
+NTILE window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongo_to_clickhouse_spark.io import load_table
+
+# ---------------------------------------------------------------------------
+# shared event prelude: epoch micros + exact cents
+# ---------------------------------------------------------------------------
+
+
+def _ev(engine: str) -> str:
+    ep = ("unix_micros(CAST(ts AS TIMESTAMP))" if engine == "spark"
+          else "CAST(epoch_us(ts) AS BIGINT)")
+    return f"""SELECT user_id, event_type, event_id,
+                      {ep} AS t_us,
+                      CAST(floor({ep} / 86400000000) AS BIGINT) AS day_idx,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events"""
+
+
+# ---------------------------------------------------------------------------
+# events_rfm_segments — recency/frequency/monetary quintile cube
+# ---------------------------------------------------------------------------
+
+RFM_Q = 5
+
+
+def _rfm_bucket(rk: str, n: str) -> str:
+    """Rank-quantile bucket 1..Q (floor((rk-1)*Q/n)+1, capped). NOT SQL
+    NTILE (whose remainder goes to the FIRST buckets); this closed form
+    needs only (rank, n), so the Spark side can use the two-pass
+    distributed rank with no global window. floor() is explicit:
+    DuckDB CAST(double AS BIGINT) ROUNDS where Spark truncates."""
+    return (f"LEAST({RFM_Q}, CAST(floor(({rk} - 1) * {RFM_Q} * 1.0 / {n})"
+            f" AS BIGINT) + 1)")
+
+
+EVENTS_RFM_SEGMENTS_SQL = f"""
+    WITH ev AS ({_ev("duck")}),
+    per_user AS (
+        SELECT user_id, MAX(day_idx) AS last_day,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               SUM(cents) AS mon_cents
+        FROM ev GROUP BY user_id
+    ),
+    scored AS (
+        SELECT u.user_id, h.h - u.last_day AS rec_days, u.freq, u.mon_cents
+        FROM per_user u
+        CROSS JOIN (SELECT MAX(last_day) AS h FROM per_user) h
+    ),
+    ranked AS (
+        SELECT user_id, rec_days, freq, mon_cents,
+               ROW_NUMBER() OVER (ORDER BY rec_days, user_id) AS r_rk,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, user_id) AS f_rk,
+               ROW_NUMBER() OVER (ORDER BY mon_cents DESC, user_id) AS m_rk,
+               COUNT(*) OVER () AS n
+        FROM scored
+    )
+    SELECT {_rfm_bucket("r_rk", "n")} AS r_q,
+           {_rfm_bucket("f_rk", "n")} AS f_q,
+           {_rfm_bucket("m_rk", "n")} AS m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(freq) AS BIGINT) AS n_events,
+           CAST(SUM(mon_cents) AS BIGINT) AS mon_cents
+    FROM ranked
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+"""
+
+
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile cube over events (recency days / event count /
+    value cents), ≤ {RFM_Q}³ output cells.
+
+    Scale posture: ONE corpus scan collapses to the per-user aggregate;
+    the three quantile ranks use ``distributed_global_rank`` (range
+    partition → local rank → broadcast offsets), so no global-order
+    window ever sees the |users| relation in one task. The bucket
+    closed form then needs only (rank, n)."""
+    from mongo_to_clickhouse_spark.operators.rank import (
+        distributed_global_rank,
+    )
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    per_user = spark.sql(f"""
+        WITH ev AS ({_ev("spark")})
+        SELECT user_id, MAX(day_idx) AS last_day,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               SUM(cents) AS mon_cents
+        FROM ev GROUP BY user_id
+    """)
+    horizon = per_user.agg(F.max("last_day").alias("h"))
+    scored = per_user.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        (F.col("h") - F.col("last_day")).alias("rec_days"),
+        "freq", "mon_cents",
+    )
+    ranked = distributed_global_rank(
+        scored, [F.col("rec_days"), F.col("user_id")], "r_rk")
+    ranked = distributed_global_rank(
+        ranked, [F.col("freq").desc(), F.col("user_id")], "f_rk")
+    ranked = distributed_global_rank(
+        ranked, [F.col("mon_cents").desc(), F.col("user_id")], "m_rk")
+    n = ranked.agg(F.count("*").cast("bigint").alias("n"))
+    ranked.crossJoin(F.broadcast(n)).createOrReplaceTempView("rfm_ranked")
+    return spark.sql(f"""
+        SELECT {_rfm_bucket("r_rk", "n")} AS r_q,
+               {_rfm_bucket("f_rk", "n")} AS f_q,
+               {_rfm_bucket("m_rk", "n")} AS m_q,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(freq) AS BIGINT) AS n_events,
+               CAST(SUM(mon_cents) AS BIGINT) AS mon_cents
+        FROM rfm_ranked
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """)
+
+
+# ---------------------------------------------------------------------------
+# window_max_drawdown — per-user peak-to-trough of the running value sum
+# ---------------------------------------------------------------------------
+
+DRAWDOWN_TOP = 100
+
+
+def _drawdown_body(engine: str) -> str:
+    return f"""
+        WITH ev AS ({_ev(engine)}),
+        cum AS (
+            SELECT user_id, t_us, event_id, cents,
+                   SUM(cents) OVER w AS bal
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        dd AS (
+            SELECT user_id,
+                   (MAX(bal) OVER w2) - bal AS draw
+            FROM cum
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY t_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, CAST(MAX(draw) AS BIGINT) AS max_drawdown_cents
+        FROM dd GROUP BY user_id
+        ORDER BY max_drawdown_cents DESC, user_id
+        LIMIT {DRAWDOWN_TOP}
+    """
+
+
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user maximum drawdown of the running event-value balance
+    (peak minus current, both as exact cents), top {DRAWDOWN_TOP}.
+
+    Scale posture: both windows partition by user_id (one shuffle,
+    reused by Spark for both frames); the final global order is an
+    ORDER/LIMIT → TakeOrderedAndProject, never a full sort."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_drawdown_body("spark"))
+
+
+WINDOW_MAX_DRAWDOWN_SQL = _drawdown_body("duck")
+
+
+# ---------------------------------------------------------------------------
+# agg_mann_whitney_u — rank-sum drift test between two event populations
+# ---------------------------------------------------------------------------
+
+MWU_A, MWU_B = "click", "error"
+
+
+def _mwu_body(engine: str) -> str:
+    """Engine-shared Mann-Whitney U with tie-averaged ranks and the
+    tie-corrected normal approximation. All rank machinery runs on the
+    per-cents tie-group aggregate (value-grid-bounded): doubled rank
+    sums (2R = Σ n_a·(min_rn+max_rn)) and the tie term Σ(t³-t) are
+    exact BIGINTs; z is ONE double expression over those integers,
+    floored to micro."""
+    return f"""
+        WITH ev AS ({_ev(engine)}),
+        ties AS (
+            SELECT cents,
+                   CAST(SUM(CASE WHEN event_type = '{MWU_A}'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS na_c,
+                   CAST(SUM(CASE WHEN event_type = '{MWU_B}'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS nb_c
+            FROM ev WHERE event_type IN ('{MWU_A}', '{MWU_B}')
+            GROUP BY cents
+        ),
+        spans AS (
+            SELECT cents, na_c, nb_c, na_c + nb_c AS t,
+                   SUM(na_c + nb_c) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM ties
+        ),
+        stats AS (
+            SELECT SUM(na_c) AS n1, SUM(nb_c) AS n2,
+                   SUM(na_c * (2 * (cum - t) + 1 + t)) AS r1_x2,
+                   SUM(t * t * t - t) AS tie3
+            FROM spans
+        )
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+               -- degenerate guard (the agg_ttest_welch ADVICE class):
+               -- an empty side, n<2, or an all-tied sample zeroes the
+               -- variance — report NULL, not a div-by-zero artifact
+               CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2
+                         OR (n1 + n2 + 1)
+                            - tie3 / (1e0 * (n1 + n2) * (n1 + n2 - 1))
+                            <= 0
+                    THEN NULL
+                    ELSE CAST(floor(
+                   ((r1_x2 - n1 * (n1 + 1)) - n1 * n2) / 2.0
+                   / sqrt(n1 * n2 / 12.0
+                          * ((n1 + n2 + 1)
+                             - tie3 / (1e0 * (n1 + n2) * (n1 + n2 - 1))))
+                   * 1000000) AS BIGINT) END AS z_micro
+        FROM stats
+    """
+
+
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U ('{MWU_A}' vs '{MWU_B}' value populations) — see
+    _mwu_body. The nonparametric sibling of agg_ttest_welch
+    (statsops.py): detects distribution drift with no normality
+    assumption, the standard A/B gate when values are heavy-tailed.
+
+    Scale posture: one corpus scan → per-cents tie groups (map-side
+    combined, value-grid-bounded); the single unpartitioned running sum
+    walks that bounded grid, never corpus rows (the eval_score_auc /
+    sample_ks_drift precedent in tests/test_plan_hygiene.py)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_mwu_body("spark"))
+
+
+AGG_MANN_WHITNEY_U_SQL = _mwu_body("duck")
+
+
+# ---------------------------------------------------------------------------
+# agg_cramers_v — association strength between two categoricals
+# ---------------------------------------------------------------------------
+
+
+def _cramers_body(engine: str) -> str:
+    """Cramér's V over the c_mktsegment × c_nationkey contingency.
+    Per-cell chi² terms floor to micro BIGINT first (deterministic
+    integer total regardless of either engine's summation order); V is
+    one double expression over the exact total."""
+    return """
+        WITH cells AS (
+            SELECT c_mktsegment AS seg, c_nationkey AS nat,
+                   CAST(COUNT(*) AS BIGINT) AS o
+            FROM customer GROUP BY 1, 2
+        ),
+        -- full margin grid (row-totals × col-totals), LEFT-joined to the
+        -- observed cells: EMPTY cells still contribute (0-e)²/e = e to
+        -- chi², so they cannot be dropped by the GROUP BY
+        margins AS (
+            SELECT r.seg, k.nat, COALESCE(c.o, 0) AS o,
+                   r.rt, k.ct, t.n
+            FROM (SELECT seg, SUM(o) AS rt FROM cells GROUP BY seg) r
+            CROSS JOIN (SELECT nat, SUM(o) AS ct FROM cells GROUP BY nat) k
+            LEFT JOIN cells c ON c.seg = r.seg AND c.nat = k.nat
+            CROSS JOIN (SELECT SUM(o) AS n FROM cells) t
+        ),
+        terms AS (
+            SELECT n,
+                   CAST(floor(
+                       (o - rt * ct / (1e0 * n))
+                       * (o - rt * ct / (1e0 * n))
+                       / (rt * ct / (1e0 * n)) * 1000000) AS BIGINT)
+                       AS term_micro,
+                   rt, ct
+            FROM margins
+        ),
+        dims AS (
+            SELECT COUNT(DISTINCT seg) AS r, COUNT(DISTINCT nat) AS c
+            FROM cells
+        )
+        SELECT CAST(MAX(t.n) AS BIGINT) AS n,
+               CAST(MAX(d.r) AS BIGINT) AS n_rows,
+               CAST(MAX(d.c) AS BIGINT) AS n_cols,
+               CAST(SUM(t.term_micro) AS BIGINT) AS chi2_micro,
+               CAST(floor(sqrt(SUM(t.term_micro) / 1e6
+                               / (MAX(t.n)
+                                  * (LEAST(MAX(d.r), MAX(d.c)) - 1)))
+                          * 1000000) AS BIGINT) AS cramers_v_micro
+        FROM terms t CROSS JOIN dims d
+    """
+
+
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V (bias-uncorrected) for market segment × nation —
+    see _cramers_body. Completes the association toolkit next to
+    profile_chi2_independence (sampleops.py), which tests the SAME
+    hypothesis but does not report effect size.
+
+    Scale posture: one scan → |segments|·|nations| contingency cells
+    (map-side combined); margins join on the bounded cell relation;
+    no windows at all."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_cramers_body("spark"))
+
+
+AGG_CRAMERS_V_SQL = _cramers_body("duck")
+
+
+# ---------------------------------------------------------------------------
+# events_hazard_nelson_aalen — cumulative hazard of time-to-purchase
+# ---------------------------------------------------------------------------
+
+
+def _na_body(engine: str) -> str:
+    """Nelson-Aalen estimator over a KM-style duration construction:
+    per user, hours from FIRST event to FIRST subsequent 'purchase';
+    censored at the user's last event if none. H(t) = Σ d_i/n_i and
+    its variance Σ d_i/n_i² accumulate as micro-rounded integer terms
+    (exact cumulative sums in both engines)."""
+    return f"""
+        WITH ev AS ({_ev(engine)}),
+        first_ev AS (
+            SELECT user_id, MIN(t_us) AS t0, MAX(t_us) AS t_last
+            FROM ev GROUP BY user_id
+        ),
+        conv AS (
+            SELECT e.user_id, MIN(e.t_us) AS t_conv
+            FROM ev e JOIN first_ev f ON e.user_id = f.user_id
+            WHERE e.event_type = 'purchase' AND e.t_us > f.t0
+            GROUP BY e.user_id
+        ),
+        durations AS (
+            SELECT f.user_id,
+                   CAST(floor((COALESCE(c.t_conv, f.t_last) - f.t0)
+                              / 3600000000.0) AS BIGINT) AS dur_h,
+                   CASE WHEN c.t_conv IS NULL THEN 0 ELSE 1 END AS ev_flag
+            FROM first_ev f LEFT JOIN conv c ON f.user_id = c.user_id
+        ),
+        buckets AS (
+            SELECT dur_h,
+                   CAST(SUM(ev_flag) AS BIGINT) AS d,
+                   CAST(SUM(1 - ev_flag) AS BIGINT) AS c
+            FROM durations GROUP BY dur_h
+        ),
+        at_risk AS (
+            SELECT dur_h, d, c,
+                   CAST(SUM(d + c) OVER (ORDER BY dur_h DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS n_risk
+            FROM buckets
+        ),
+        terms AS (
+            SELECT dur_h, d, n_risk,
+                   CAST(round(d * 1000000.0 / n_risk) AS BIGINT) AS h_t,
+                   CAST(round(d * 1000000000000.0 / n_risk / n_risk)
+                        AS BIGINT) AS v_t
+            FROM at_risk
+        )
+        SELECT dur_h, d AS n_converted, n_risk,
+               CAST(SUM(h_t) OVER (ORDER BY dur_h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS hazard_micro,
+               CAST(SUM(v_t) OVER (ORDER BY dur_h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS hazard_var_pico
+        FROM terms
+        WHERE d > 0
+        ORDER BY dur_h
+    """
+
+
+def events_hazard_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of first-event → first-purchase —
+    see _na_body. Reads alongside events_survival_km: H(t) is the
+    KM curve's additive dual (S ≈ exp(-H)) with a simpler variance,
+    the standard monitoring overlay for conversion-latency drift.
+
+    Scale posture: corpus rows collapse to per-user firsts in one
+    map-side-combined pass; every window thereafter walks the
+    observation-window-hours duration-bucket aggregate (same bound as
+    events_survival_km's whitelist entry)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_na_body("spark"))
+
+
+EVENTS_HAZARD_NELSON_AALEN_SQL = _na_body("duck")
+
+
+# ---------------------------------------------------------------------------
+# profile_benford_deviation — first-digit fraud/audit screen
+# ---------------------------------------------------------------------------
+
+
+def _benford_body(engine: str) -> str:
+    """First significant digit of l_extendedprice (exact: leading char
+    of the cents integer rendered as text — no log10 float boundary)
+    vs the Benford expectation log10(1+1/d). Per-digit chi² terms
+    floor to micro; the total rides a broadcast 1-row aggregate, not a
+    window."""
+    cents_str = ("CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
+                 " AS STRING)" if engine == "spark" else
+                 "CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
+                 " AS VARCHAR)")
+    return f"""
+        WITH digits AS (
+            SELECT CAST(substr({cents_str}, 1, 1) AS BIGINT) AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS o
+            FROM lineitem
+            WHERE l_extendedprice > 0
+            GROUP BY 1
+        ),
+        scored AS (
+            SELECT d.digit, d.o, t.n,
+                   CAST(floor(t.n * log10(1 + 1.0 / d.digit) * 1000000)
+                        AS BIGINT) AS expected_micro,
+                   CAST(floor(
+                       (d.o - t.n * log10(1 + 1.0 / d.digit))
+                       * (d.o - t.n * log10(1 + 1.0 / d.digit))
+                       / (t.n * log10(1 + 1.0 / d.digit))
+                       * 1000000) AS BIGINT) AS term_micro
+            FROM digits d
+            CROSS JOIN (SELECT SUM(o) AS n FROM digits) t
+        )
+        SELECT s.digit, s.o AS observed, s.expected_micro, s.term_micro,
+               tot.chi2_micro
+        FROM scored s
+        CROSS JOIN (SELECT CAST(SUM(term_micro) AS BIGINT) AS chi2_micro
+                    FROM scored) tot
+        ORDER BY s.digit
+    """
+
+
+def profile_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over l_extendedprice — see
+    _benford_body. The classic data-forensics screen (fabricated or
+    truncated monetary columns drift from log10(1+1/d)); belongs to
+    the profile_* data-quality tier (sampleops.py).
+
+    Scale posture: one scan → 9-row digit aggregate (map-side
+    combined); everything downstream is on ≤9 rows via broadcast
+    1-row totals — no windows, no second scan."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_benford_body("spark"))
+
+
+PROFILE_BENFORD_DEVIATION_SQL = _benford_body("duck")
+
+
+QUERIES: dict[str, tuple] = {
+    "events_rfm_segments": (events_rfm_segments, EVENTS_RFM_SEGMENTS_SQL),
+    "window_max_drawdown": (window_max_drawdown, WINDOW_MAX_DRAWDOWN_SQL),
+    "agg_mann_whitney_u": (agg_mann_whitney_u, AGG_MANN_WHITNEY_U_SQL),
+    "agg_cramers_v": (agg_cramers_v, AGG_CRAMERS_V_SQL),
+    "events_hazard_nelson_aalen": (
+        events_hazard_nelson_aalen,
+        EVENTS_HAZARD_NELSON_AALEN_SQL,
+    ),
+    "profile_benford_deviation": (
+        profile_benford_deviation,
+        PROFILE_BENFORD_DEVIATION_SQL,
+    ),
+}

