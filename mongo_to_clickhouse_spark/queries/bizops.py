@@ -1,7 +1,9 @@
 """Business-analytics / monitoring extensions (round 7): RFM
 segmentation, max drawdown, Mann-Whitney U drift, Cramér's V
-association, Nelson-Aalen cumulative hazard, and the Benford
-first-digit audit.
+association, Nelson-Aalen cumulative hazard, the Benford first-digit
+audit, EWMA/Bollinger daily smoothing, Kendall/Spearman rank
+correlation, Kruskal-Wallis k-group drift, and the Gini revenue
+concentration index.
 
 The reference (isankadn/mongo-to-clickhouse) feeds BI dashboards from
 ClickHouse (src/main.rs:890-913 dual-table insert is its terminal
@@ -471,6 +473,445 @@ def profile_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROFILE_BENFORD_DEVIATION_SQL = _benford_body("duck")
 
 
+# ---------------------------------------------------------------------------
+# shared daily barrier: per-type daily cents totals (calendar-bounded)
+# ---------------------------------------------------------------------------
+
+
+def _daily(engine: str) -> str:
+    """|types| x |days| relation of nonnegative daily cents totals.
+    The cents >= 0 filter is load-bearing for the EWMA/Bollinger exact
+    integer divisions below: both engines' integer div/mod agree only
+    for nonnegative numerators (Spark `div` truncates, DuckDB `//`
+    floors)."""
+    return f"""SELECT event_type, day_idx,
+                      CAST(SUM(cents) AS BIGINT) AS cents
+               FROM ({_ev(engine)}) WHERE cents >= 0
+               GROUP BY event_type, day_idx"""
+
+
+# ---------------------------------------------------------------------------
+# events_ewma_smooth — truncated EWMA of the daily value series
+# ---------------------------------------------------------------------------
+
+EWMA_TERMS = 12          # alpha = 1/4, lags 0..11, zero-padded warmup
+_EWMA_DEN = 4 ** EWMA_TERMS  # 16,777,216 = 2^24
+
+
+def _ewma_num(engine: str) -> str:
+    """Sigma_k 3^k * 4^(11-k) * lag_k(cents): the alpha(1-alpha)^k
+    weights over the common denominator 4^12, as ONE exact BIGINT.
+    lag defaults to 0 (zero-padded truncated EWMA — documented; the
+    first 11 days under-weight exactly like adjust=False warmup)."""
+    terms = " + ".join(
+        f"{3 ** k * 4 ** (EWMA_TERMS - 1 - k)} * "
+        f"COALESCE(lag(cents, {k}) OVER w, CAST(0 AS BIGINT))"
+        for k in range(EWMA_TERMS)
+    )
+    del engine  # identical on both sides
+    return terms
+
+
+def _ewma_body(engine: str) -> str:
+    return f"""
+        WITH daily AS ({_daily(engine)}),
+        num AS (
+            SELECT event_type, day_idx, cents,
+                   CAST({_ewma_num(engine)} AS BIGINT) AS n4
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day_idx)
+        )
+        SELECT event_type, day_idx, cents,
+               -- exact micro-cents: (n4 / 4^12) * 1e6 in BIGINT via
+               -- quotient/remainder split (n4 >= 0 by the daily filter,
+               -- so div and // agree); no double ever touches the value
+               CAST((n4 {'div' if engine == 'spark' else '//'} {_EWMA_DEN})
+                    * 1000000
+                    + ((n4 % {_EWMA_DEN}) * 1000000)
+                      {'div' if engine == 'spark' else '//'} {_EWMA_DEN}
+                    AS BIGINT) AS ewma_cents_micro
+        FROM num
+        ORDER BY event_type, day_idx
+    """
+
+
+def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=1/4) of each event
+    type's daily cents total, truncated at {EWMA_TERMS} lags — see
+    _ewma_body. The monitoring smoother that events_daily_ma_residual's
+    boxcar cannot replace (EWMA reacts in O(1/alpha) days with no
+    cliff when an outlier exits the window).
+
+    Scale posture: corpus rows collapse to the calendar-bounded daily
+    barrier in one map-side-combined pass; the lag window partitions
+    by event_type over that aggregate. The weighted sum is ONE exact
+    BIGINT per row — bit-identical across engines and shuffle orders."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ewma_body("spark"))
+
+
+EVENTS_EWMA_SMOOTH_SQL = _ewma_body("duck")
+
+
+# ---------------------------------------------------------------------------
+# events_bollinger_bands — trailing mean +/- 2 sigma with exact breach test
+# ---------------------------------------------------------------------------
+
+BOLL_WINDOW = 20  # trailing days per band
+
+
+def _boll_body(engine: str) -> str:
+    """Bollinger bands over the daily barrier: trailing {BOLL_WINDOW}-day
+    (n, Sigma x, Sigma x^2) as exact BIGINT frame sums; bands are ONE
+    double expression per row; the breach FLAG is decided in exact
+    integer arithmetic — cents > mean + 2*sigma iff
+    (cents*n - s1) > 0 AND (cents*n - s1)^2 > 4*(n*s2 - s1^2) — so the
+    flag can never wobble on a float boundary. BIGINT headroom: daily
+    cents <= ~3e8 keeps n*s2 under 2^63 through sf1; beyond that the
+    EngineTuning.exact_sum_decimal widening applies (config.py)."""
+    return f"""
+        WITH daily AS ({_daily(engine)}),
+        frames AS (
+            SELECT event_type, day_idx, cents,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                   CAST(SUM(cents) OVER w AS BIGINT) AS s1,
+                   CAST(SUM(cents * cents) OVER w AS BIGINT) AS s2
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+                         ROWS BETWEEN {BOLL_WINDOW - 1} PRECEDING
+                         AND CURRENT ROW)
+        )
+        SELECT event_type, day_idx, cents,
+               CAST((s1 * 1000000)
+                    {'div' if engine == 'spark' else '//'} n
+                    AS BIGINT) AS mean_cents_micro,
+               CAST(floor((s1 * 1e0 / n
+                           + 2 * sqrt(GREATEST(n * s2 - s1 * s1, 0)) / n)
+                          * 1000000) AS BIGINT) AS upper_cents_micro,
+               CAST(floor((s1 * 1e0 / n
+                           - 2 * sqrt(GREATEST(n * s2 - s1 * s1, 0)) / n)
+                          * 1000000) AS BIGINT) AS lower_cents_micro,
+               CASE WHEN (cents * n - s1) > 0
+                         AND (cents * n - s1) * (cents * n - s1)
+                             > 4 * (n * s2 - s1 * s1)
+                    THEN 1
+                    WHEN (cents * n - s1) < 0
+                         AND (cents * n - s1) * (cents * n - s1)
+                             > 4 * (n * s2 - s1 * s1)
+                    THEN -1
+                    ELSE 0 END AS breach
+        FROM frames
+        ORDER BY event_type, day_idx
+    """
+
+
+def events_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {BOLL_WINDOW}-day Bollinger bands (mean +/- 2 sigma) per
+    event type with an exact-integer breach flag — see _boll_body. The
+    volatility-aware anomaly overlay next to events_anomaly_zscore
+    (global z) and events_anomaly_mad_daily (robust): bands ADAPT to
+    local variance, the dashboard staple.
+
+    Scale posture: one corpus scan to the daily barrier; bounded-frame
+    window partitioned by event_type; GREATEST(...) guards the
+    single-row frame (variance 0)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_boll_body("spark"))
+
+
+EVENTS_BOLLINGER_BANDS_SQL = _boll_body("duck")
+
+
+# ---------------------------------------------------------------------------
+# agg_kendall_tau_daily — concordance between two daily metric series
+# ---------------------------------------------------------------------------
+
+KT_A, KT_B = "click", "purchase"
+
+
+def _kendall_body(engine: str) -> str:
+    """Kendall tau-b between the {KT_A} and {KT_B} daily cents series:
+    the day-pair join is |calendar|^2-bounded; concordant/discordant/
+    tie counts are exact BIGINTs; tau_b is ONE double expression over
+    them (micro-floored)."""
+    return f"""
+        WITH daily AS ({_daily(engine)}),
+        wide AS (
+            SELECT day_idx,
+                   CAST(SUM(CASE WHEN event_type = '{KT_A}'
+                                 THEN cents ELSE 0 END) AS BIGINT) AS a,
+                   CAST(SUM(CASE WHEN event_type = '{KT_B}'
+                                 THEN cents ELSE 0 END) AS BIGINT) AS b
+            FROM daily WHERE event_type IN ('{KT_A}', '{KT_B}')
+            GROUP BY day_idx
+        ),
+        pairs AS (
+            SELECT CASE WHEN (x.a - y.a) * (x.b - y.b) > 0
+                        THEN 1 ELSE 0 END AS conc,
+                   CASE WHEN (x.a - y.a) * (x.b - y.b) < 0
+                        THEN 1 ELSE 0 END AS disc,
+                   CASE WHEN x.a = y.a AND x.b <> y.b
+                        THEN 1 ELSE 0 END AS tie_a,
+                   CASE WHEN x.b = y.b AND x.a <> y.a
+                        THEN 1 ELSE 0 END AS tie_b,
+                   CASE WHEN x.a = y.a AND x.b = y.b
+                        THEN 1 ELSE 0 END AS tie_ab
+            FROM wide x JOIN wide y ON x.day_idx < y.day_idx
+        ),
+        counts AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+                   CAST(SUM(conc) AS BIGINT) AS c,
+                   CAST(SUM(disc) AS BIGINT) AS d,
+                   CAST(SUM(tie_a) + SUM(tie_ab) AS BIGINT) AS ta,
+                   CAST(SUM(tie_b) + SUM(tie_ab) AS BIGINT) AS tb
+            FROM pairs
+        )
+        SELECT n0 AS n_pairs, c AS concordant, d AS discordant,
+               ta AS ties_a, tb AS ties_b,
+               CASE WHEN n0 = ta OR n0 = tb THEN NULL
+                    ELSE CAST(floor((c - d) * 1e0
+                              / sqrt((n0 - ta) * 1e0 * (n0 - tb))
+                              * 1000000) AS BIGINT) END AS tau_b_micro
+        FROM counts
+    """
+
+
+def agg_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b concordance between the daily {KT_A} and {KT_B}
+    revenue series — see _kendall_body. The robust do-they-move-
+    together check next to agg_regr_ols (linear) and
+    events_theil_sen_trend (median slope): tau survives monotone
+    transformations and outlier days.
+
+    Scale posture: corpus rows collapse to the calendar-bounded wide
+    daily relation; the pair join is |calendar|^2 <= a few 10^4 cells
+    regardless of corpus size; no windows at all."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_kendall_body("spark"))
+
+
+AGG_KENDALL_TAU_DAILY_SQL = _kendall_body("duck")
+
+
+# ---------------------------------------------------------------------------
+# agg_spearman_rho_daily — rank correlation between the same two series
+# ---------------------------------------------------------------------------
+
+
+def _spearman_body(engine: str) -> str:
+    """Spearman rho via Pearson on DOUBLED tie-averaged ranks (2r =
+    2*min_rank + t - 1, an exact integer even for .5 average ranks).
+    All five power sums are exact BIGINTs over the calendar-bounded
+    daily relation; rho is ONE double expression (micro-floored)."""
+    return f"""
+        WITH daily AS ({_daily(engine)}),
+        wide AS (
+            SELECT day_idx,
+                   CAST(SUM(CASE WHEN event_type = '{KT_A}'
+                                 THEN cents ELSE 0 END) AS BIGINT) AS a,
+                   CAST(SUM(CASE WHEN event_type = '{KT_B}'
+                                 THEN cents ELSE 0 END) AS BIGINT) AS b
+            FROM daily WHERE event_type IN ('{KT_A}', '{KT_B}')
+            GROUP BY day_idx
+        ),
+        ranked AS (
+            SELECT day_idx,
+                   2 * RANK() OVER (ORDER BY a)
+                     + COUNT(*) OVER (PARTITION BY a) - 1 AS ra2,
+                   2 * RANK() OVER (ORDER BY b)
+                     + COUNT(*) OVER (PARTITION BY b) - 1 AS rb2
+            FROM wide
+        ),
+        sums AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(ra2) AS BIGINT) AS sx,
+                   CAST(SUM(rb2) AS BIGINT) AS sy,
+                   CAST(SUM(ra2 * rb2) AS BIGINT) AS sxy,
+                   CAST(SUM(ra2 * ra2) AS BIGINT) AS sxx,
+                   CAST(SUM(rb2 * rb2) AS BIGINT) AS syy
+            FROM ranked
+        )
+        SELECT n AS n_days,
+               CASE WHEN n * sxx = sx * sx OR n * syy = sy * sy
+                    THEN NULL
+                    ELSE CAST(floor((n * sxy - sx * sy) * 1e0
+                              / sqrt((n * sxx - sx * sx) * 1e0
+                                     * (n * syy - sy * sy))
+                              * 1000000) AS BIGINT) END AS rho_micro
+        FROM sums
+    """
+
+
+def agg_spearman_rho_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the daily {KT_A} and {KT_B}
+    revenue series — see _spearman_body. Kendall's O(n^2)-free sibling
+    (rank-Pearson): the pair for cross-checking monotone association,
+    standard in metric-health dashboards.
+
+    Scale posture: the rank windows run over the calendar-bounded
+    daily relation (<= |days| rows), never corpus rows — whitelisted in
+    tests/test_plan_hygiene.py with that bound; everything else is one
+    map-side-combined scan plus 1-row aggregates."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_spearman_body("spark"))
+
+
+AGG_SPEARMAN_RHO_DAILY_SQL = _spearman_body("duck")
+
+
+# ---------------------------------------------------------------------------
+# agg_kruskal_wallis — k-group rank drift across ALL event types
+# ---------------------------------------------------------------------------
+
+
+def _kw_body(engine: str) -> str:
+    """Kruskal-Wallis H across all event types' value populations, on
+    the per-cents tie-group aggregate (the agg_mann_whitney_u spans
+    technique generalized to k groups). Doubled rank sums R2_j are
+    exact BIGINTs; each group's R2_j^2/(4 n_j) term is floored to a
+    unit BIGINT before the k-row sum (order-free); H and the
+    tie-corrected H' are single double expressions."""
+    return f"""
+        WITH ev AS ({_ev(engine)}),
+        ties AS (
+            SELECT cents, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ev GROUP BY cents, event_type
+        ),
+        spans AS (
+            SELECT cents,
+                   CAST(SUM(cnt) AS BIGINT) AS t,
+                   CAST(SUM(SUM(cnt)) OVER (ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum
+            FROM ties GROUP BY cents
+        ),
+        group_r AS (
+            SELECT ti.event_type,
+                   CAST(SUM(ti.cnt) AS BIGINT) AS n_j,
+                   CAST(SUM(ti.cnt * (2 * (s.cum - s.t) + 1 + s.t))
+                        AS BIGINT) AS r2_j
+            FROM ties ti JOIN spans s ON ti.cents = s.cents
+            GROUP BY ti.event_type
+        ),
+        terms AS (
+            SELECT event_type, n_j, r2_j,
+                   CAST(floor(r2_j * 1e0 * r2_j / (4e0 * n_j))
+                        AS BIGINT) AS term
+            FROM group_r
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_j) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(term) AS BIGINT) AS sum_terms
+            FROM terms
+        ),
+        tiesum AS (
+            SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie3 FROM spans
+        )
+        SELECT t.event_type, t.n_j, t.r2_j,
+               g.h_micro,
+               CASE WHEN g.corr <= 0 THEN NULL
+                    ELSE CAST(floor(g.h_micro / g.corr) AS BIGINT)
+                    END AS h_tie_corr_micro
+        FROM terms t
+        CROSS JOIN (
+            SELECT CAST(floor((12e0 * tot.sum_terms
+                               / (tot.n * 1e0 * (tot.n + 1))
+                               - 3e0 * (tot.n + 1)) * 1000000)
+                        AS BIGINT) AS h_micro,
+                   1e0 - tiesum.tie3
+                       / (tot.n * 1e0 * tot.n * tot.n - tot.n) AS corr
+            FROM tot CROSS JOIN tiesum
+        ) g
+        ORDER BY t.event_type
+    """
+
+
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across ALL event types' value distributions —
+    see _kw_body. Completes the drift-test ladder: KS (2-sample
+    shape), Mann-Whitney (2-sample location), Welch t (2-sample mean),
+    Kruskal-Wallis (k-sample location) — the omnibus gate before
+    pairwise drill-down.
+
+    Scale posture: one corpus scan to (cents, type) tie groups
+    (map-side combined, value-grid-bounded); the single unpartitioned
+    running sum walks the per-cents grid (the agg_mann_whitney_u
+    whitelist class); everything downstream is k+1 rows."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_kw_body("spark"))
+
+
+AGG_KRUSKAL_WALLIS_SQL = _kw_body("duck")
+
+
+# ---------------------------------------------------------------------------
+# profile_gini_coefficient — revenue concentration across customers
+# ---------------------------------------------------------------------------
+
+
+def _gini_select(engine: str) -> str:
+    """Final Gini selection over the ranked per-customer relation
+    (columns: rk, cents). G = (2*Sigma r*x - (n+1)*Sigma x)/(n*Sigma x)
+    — exact BIGINT power sums (headroom: n*Sigma r*x < 2^63 through
+    sf1; the DECIMAL widening switch covers beyond), ONE double
+    division, micro-floored."""
+    del engine
+    return """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               CAST(floor((2e0 * SUM(rk * cents)
+                           - (COUNT(*) + 1e0) * SUM(cents))
+                          / (COUNT(*) * 1e0 * SUM(cents))
+                          * 1000000) AS BIGINT) AS gini_micro
+    """
+
+
+PROFILE_GINI_COEFFICIENT_SQL = f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rk
+        FROM per_cust
+    )
+    {_gini_select("duck")}
+    FROM ranked
+"""
+
+
+def profile_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers —
+    see _gini_select. The single-number summary of
+    profile_pareto_revenue's curve (relational_ext.py): 0 = uniform,
+    1 = one-customer monopoly; the standard concentration KPI.
+
+    Scale posture: one orders scan to the per-customer aggregate; the
+    global rank uses ``distributed_global_rank`` (range partition +
+    broadcast offsets) instead of a one-task ROW_NUMBER window; the
+    closing aggregate is map-side combined."""
+    from mongo_to_clickhouse_spark.operators.rank import (
+        distributed_global_rank,
+    )
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    per_cust = spark.sql("""
+        SELECT o_custkey,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    """)
+    ranked = distributed_global_rank(
+        per_cust, [F.col("cents"), F.col("o_custkey")], "rk")
+    ranked.createOrReplaceTempView("gini_ranked")
+    return spark.sql(f"{_gini_select('spark')} FROM gini_ranked")
+
+
 QUERIES: dict[str, tuple] = {
     "events_rfm_segments": (events_rfm_segments, EVENTS_RFM_SEGMENTS_SQL),
     "window_max_drawdown": (window_max_drawdown, WINDOW_MAX_DRAWDOWN_SQL),
@@ -483,5 +924,23 @@ QUERIES: dict[str, tuple] = {
     "profile_benford_deviation": (
         profile_benford_deviation,
         PROFILE_BENFORD_DEVIATION_SQL,
+    ),
+    "events_ewma_smooth": (events_ewma_smooth, EVENTS_EWMA_SMOOTH_SQL),
+    "events_bollinger_bands": (
+        events_bollinger_bands,
+        EVENTS_BOLLINGER_BANDS_SQL,
+    ),
+    "agg_kendall_tau_daily": (
+        agg_kendall_tau_daily,
+        AGG_KENDALL_TAU_DAILY_SQL,
+    ),
+    "agg_spearman_rho_daily": (
+        agg_spearman_rho_daily,
+        AGG_SPEARMAN_RHO_DAILY_SQL,
+    ),
+    "agg_kruskal_wallis": (agg_kruskal_wallis, AGG_KRUSKAL_WALLIS_SQL),
+    "profile_gini_coefficient": (
+        profile_gini_coefficient,
+        PROFILE_GINI_COEFFICIENT_SQL,
     ),
 }

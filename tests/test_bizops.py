@@ -14,10 +14,16 @@ import pyarrow.parquet as pq
 
 from mongo_to_clickhouse_spark.queries.bizops import (
     agg_cramers_v,
+    agg_kendall_tau_daily,
+    agg_kruskal_wallis,
     agg_mann_whitney_u,
+    agg_spearman_rho_daily,
+    events_bollinger_bands,
+    events_ewma_smooth,
     events_hazard_nelson_aalen,
     events_rfm_segments,
     profile_benford_deviation,
+    profile_gini_coefficient,
     window_max_drawdown,
 )
 
@@ -181,3 +187,97 @@ def test_benford_expected_and_total(spark, tmp_path):
         terms.append(math.floor((1 - 9 * p) ** 2 / (9 * p) * 1e6))
         assert r.term_micro == terms[-1]
     assert {r.chi2_micro for r in rows} == {sum(terms)}
+
+
+def test_ewma_impulse_decay(spark, tmp_path):
+    # one 400-cent day then silence: s_t = 400 * (1/4)(3/4)^t exactly
+    # (zero-padded truncation never bites within 3 days)
+    rows = [
+        (0, _T0, 1, "click", 4.00),
+        (1, _T0 + dt.timedelta(days=1), 1, "click", 0.0),
+        (2, _T0 + dt.timedelta(days=2), 1, "click", 0.0),
+    ]
+    _events(rows, str(tmp_path))
+    got = [
+        r.ewma_cents_micro
+        for r in events_ewma_smooth(spark, str(tmp_path)).collect()
+    ]
+    assert got == [100_000_000, 75_000_000, 56_250_000]
+
+
+def test_bollinger_spike_breach(spark, tmp_path):
+    # five flat 100-cent days then a 200-cent spike: only the spike
+    # breaches (upper band at day 5 ~ 191 cents); flat days sit AT the
+    # mean (breach 0), and the day-0 single-row frame has sigma 0
+    rows = [
+        (i, _T0 + dt.timedelta(days=i), 1, "click", 1.00) for i in range(5)
+    ] + [(5, _T0 + dt.timedelta(days=5), 1, "click", 2.00)]
+    _events(rows, str(tmp_path))
+    out = events_bollinger_bands(spark, str(tmp_path)).collect()
+    assert [r.breach for r in out] == [0, 0, 0, 0, 0, 1]
+    assert out[0].mean_cents_micro == 100_000_000
+    assert out[0].upper_cents_micro == 100_000_000  # sigma 0 frame
+    # day-5 frame: n=6, s1=700, var=(6*140000-490000)/36
+    n, s1, s2 = 6, 700, 5 * 100 * 100 + 200 * 200
+    upper = s1 / n + 2 * math.sqrt(n * s2 - s1 * s1) / n
+    assert out[5].upper_cents_micro == math.floor(upper * 1e6)
+
+
+def test_kendall_perfect_and_spearman_inverse(spark, tmp_path):
+    # clicks strictly increasing by day; purchases strictly DECREASING:
+    # every pair discordant -> tau_b = -1; spearman rho = -1
+    rows = []
+    eid = 0
+    for d in range(4):
+        rows.append((eid, _T0 + dt.timedelta(days=d), 1, "click",
+                     float(d + 1)))
+        eid += 1
+        rows.append((eid, _T0 + dt.timedelta(days=d), 2, "purchase",
+                     float(10 - d)))
+        eid += 1
+    _events(rows, str(tmp_path))
+    kt = agg_kendall_tau_daily(spark, str(tmp_path)).collect()[0]
+    assert (kt.n_pairs, kt.concordant, kt.discordant) == (6, 0, 6)
+    assert kt.tau_b_micro == -1_000_000
+    sp = agg_spearman_rho_daily(spark, str(tmp_path)).collect()[0]
+    assert sp.n_days == 4
+    assert sp.rho_micro == -1_000_000
+
+
+def test_kruskal_wallis_separated_groups(spark, tmp_path):
+    # clicks at 1,2,3 cents; errors at 4,5,6: doubled rank sums 12/30,
+    # H = 12/(6*7)*(36/3+225/3) - 21 = 27/7; no ties -> corr term = 1
+    rows = [
+        (0, _T0, 1, "click", 0.01),
+        (1, _T0, 1, "click", 0.02),
+        (2, _T0, 1, "click", 0.03),
+        (3, _T0, 1, "error", 0.04),
+        (4, _T0, 1, "error", 0.05),
+        (5, _T0, 1, "error", 0.06),
+    ]
+    _events(rows, str(tmp_path))
+    got = {
+        r.event_type: (r.n_j, r.r2_j, r.h_micro, r.h_tie_corr_micro)
+        for r in agg_kruskal_wallis(spark, str(tmp_path)).collect()
+    }
+    h = math.floor((12.0 * (12 + 75) / (6 * 7) - 3 * 7) * 1e6)
+    assert got == {
+        "click": (3, 12, h, h),
+        "error": (3, 30, h, h),
+    }
+
+
+def test_gini_two_customer_concentration(spark, tmp_path):
+    # revenues 100 and 300 cents: G = (2*(1*100+2*300) - 3*400)/(2*400)
+    # = 0.25 exactly
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([1, 2], pa.int64()),
+            "o_totalprice": pa.array([1.00, 3.00], pa.float64()),
+        }
+    )
+    pq.write_table(orders, os.path.join(str(tmp_path), "orders.parquet"))
+    r = profile_gini_coefficient(spark, str(tmp_path)).collect()[0]
+    assert (r.n_customers, r.total_cents) == (2, 400)
+    assert r.gini_micro == 250_000

@@ -83,6 +83,11 @@ _BOUNDED_WINDOW_WHITELIST = {
     # the rank-span running sum walks the per-cents TIE-GROUP aggregate:
     # value-grid-bounded (the eval_score_auc / sample_ks_drift class)
     "agg_mann_whitney_u",
+    # same per-cents tie-group running sum, generalized to k groups
+    "agg_kruskal_wallis",
+    # rank windows over the |days|-row daily wide relation
+    # (calendar-bounded)
+    "agg_spearman_rho_daily",
 }
 
 
