@@ -88,6 +88,12 @@ HEADLINE = [
     "eval_cluster_ari",            # double-CC cluster agreement (round 6)
     "events_concurrency_peak",     # sweep-line via distributed prefix sum (round 6)
     "agg_bitmap_rollup_merge",     # day->week->total bitmap re-merge (round 6)
+    "sim_knn_graph_lsh",           # capped-bucket k-NN graph build (round 7)
+    "events_rfm_segments",         # RFM cube on distributed ranks (round 7)
+    "agg_kruskal_wallis",          # k-group rank drift omnibus (round 7)
+    "graph_modularity",            # LPA partition quality Q (round 7)
+    "pipeline_curriculum_order",   # curriculum stage manifest (round 7)
+    "source_orc_scan",             # ORC staging round-trip (round 7)
 ]
 
 

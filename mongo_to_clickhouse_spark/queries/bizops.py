@@ -847,6 +847,71 @@ AGG_KRUSKAL_WALLIS_SQL = _kw_body("duck")
 
 
 # ---------------------------------------------------------------------------
+# agg_daily_corr_matrix — Pearson correlation matrix of the daily metrics
+# ---------------------------------------------------------------------------
+
+
+def _corr_matrix_body(engine: str) -> str:
+    """Pearson correlation between every PAIR of event types' daily
+    DOLLAR series (cents floored to dollars keeps all five power sums
+    exact BIGINT with headroom through sf10; nonnegative by the daily
+    filter, so Spark div and DuckDB // agree). The day-equi-join pair
+    space is |types|^2 x |days| — bounded by the calendar regardless of
+    corpus size; r is ONE double expression per pair (micro-floored)."""
+    intdiv = "div" if engine == "spark" else "//"
+    return f"""
+        WITH daily AS ({_daily(engine)}),
+        dollars AS (
+            SELECT event_type, day_idx,
+                   CAST(cents {intdiv} 100 AS BIGINT) AS v
+            FROM daily
+        ),
+        pairs AS (
+            SELECT x.event_type AS type_a, y.event_type AS type_b,
+                   x.v AS a, y.v AS b
+            FROM dollars x JOIN dollars y
+              ON x.day_idx = y.day_idx AND x.event_type < y.event_type
+        ),
+        sums AS (
+            SELECT type_a, type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(a) AS BIGINT) AS sx,
+                   CAST(SUM(b) AS BIGINT) AS sy,
+                   CAST(SUM(a * b) AS BIGINT) AS sxy,
+                   CAST(SUM(a * a) AS BIGINT) AS sxx,
+                   CAST(SUM(b * b) AS BIGINT) AS syy
+            FROM pairs GROUP BY type_a, type_b
+        )
+        SELECT type_a, type_b, n AS n_days,
+               CASE WHEN n * sxx = sx * sx OR n * syy = sy * sy
+                    THEN NULL
+                    ELSE CAST(floor((n * sxy - sx * sy) * 1e0
+                              / sqrt((n * sxx - sx * sx) * 1e0
+                                     * (n * syy - sy * sy))
+                              * 1000000) AS BIGINT) END AS corr_micro
+        FROM sums
+        ORDER BY type_a, type_b
+    """
+
+
+def agg_daily_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix across ALL event types'
+    daily revenue series — see _corr_matrix_body. The metric-health
+    heatmap feed: which KPIs co-move (clicks vs purchases) and which
+    decouple (errors) — the k-series generalization of the two-series
+    Kendall/Spearman pair above.
+
+    Scale posture: one corpus scan to the calendar-bounded daily
+    barrier; the pair join and all power sums live on |types| x |days|
+    rows; no windows at all."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_corr_matrix_body("spark"))
+
+
+AGG_DAILY_CORR_MATRIX_SQL = _corr_matrix_body("duck")
+
+
+# ---------------------------------------------------------------------------
 # profile_gini_coefficient — revenue concentration across customers
 # ---------------------------------------------------------------------------
 
@@ -939,6 +1004,10 @@ QUERIES: dict[str, tuple] = {
         AGG_SPEARMAN_RHO_DAILY_SQL,
     ),
     "agg_kruskal_wallis": (agg_kruskal_wallis, AGG_KRUSKAL_WALLIS_SQL),
+    "agg_daily_corr_matrix": (
+        agg_daily_corr_matrix,
+        AGG_DAILY_CORR_MATRIX_SQL,
+    ),
     "profile_gini_coefficient": (
         profile_gini_coefficient,
         PROFILE_GINI_COEFFICIENT_SQL,

@@ -492,8 +492,58 @@ def scalar_ipv4_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCALAR_IPV4_OPS_SQL = _ipv4_sql("duck")
 
 
+TOPK_WEIGHTED_K = 5
+
+
+def _topk_weighted_sql(engine: str) -> str:
+    """ClickHouse ``topKWeighted(K)(user_id, weight)`` re-expressed
+    exactly: per event_type, the K users with the largest summed value
+    weight (exact cents), deterministic tie-break by user_id. The
+    approximate space-saving sketch ClickHouse uses is an ACCURACY
+    trade its docs warn about; on an engine with a real shuffle the
+    exact two-level aggregate is the same one pass, so exact is the
+    default here (agg_heavy_hitters carries the sketch pattern when the
+    key space itself cannot be shuffled)."""
+    del engine
+    return f"""
+        WITH weights AS (
+            SELECT event_type, user_id,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS weight_cents
+            FROM events GROUP BY event_type, user_id
+        )
+        SELECT event_type, rk, user_id, weight_cents
+        FROM (
+            SELECT event_type, user_id, weight_cents,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY weight_cents DESC, user_id)
+                        AS BIGINT) AS rk
+            FROM weights
+        ) ranked
+        WHERE rk <= {TOPK_WEIGHTED_K}
+        ORDER BY event_type, rk
+    """
+
+
+def agg_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse topKWeighted: top {TOPK_WEIGHTED_K} users per event
+    type by total event value — see _topk_weighted_sql.
+
+    Scale posture: one corpus scan to the (type, user) weight aggregate
+    (map-side combined); the rank window partitions by event_type over
+    that aggregate and the filter truncates to K rows per partition —
+    the window_rank_topk_per_group plan shape."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_topk_weighted_sql("spark"))
+
+
+AGG_TOPK_WEIGHTED_SQL = _topk_weighted_sql("duck")
+
+
 QUERIES: dict[str, tuple] = {
     "scalar_ipv4_ops": (scalar_ipv4_ops, SCALAR_IPV4_OPS_SQL),
+    "agg_topk_weighted": (agg_topk_weighted, AGG_TOPK_WEIGHTED_SQL),
     "events_sequence_match": (events_sequence_match, EVENTS_SEQUENCE_MATCH_SQL),
     "events_retention_conditions": (
         events_retention_conditions,

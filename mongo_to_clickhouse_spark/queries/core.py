@@ -697,6 +697,48 @@ SCALAR_DATE_PARTS_SQL = """
 """
 
 
+def source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingestion — the third columnar interchange format after
+    parquet and the row formats (CSV/JSONL): ORC arrives from Hive/Trino
+    estates and Spark reads it natively (no extra jars). The documents
+    table is staged as ORC once per (session, sf_dir), read back with an
+    EXPLICIT schema, and verified by the same per-source content
+    signature as source_jsonl_scan — a stripe-boundary or encoding bug
+    hash-mismatches against the oracle computed from the original
+    parquet.
+
+    Scale posture: identical to the parquet path — columnar scan with
+    column pruning; the aggregate is map-side combined. The staging
+    write is memoized per (session, sf_dir)."""
+    from mongo_to_clickhouse_spark.io import cached_work_dir
+
+    def build(root):
+        load_table(spark, sf_dir, "documents").coalesce(4).write.mode(
+            "overwrite"
+        ).orc(os.path.join(root, "docs"))
+
+    root = cached_work_dir("orc-scan", sf_dir, ("documents",), build)
+    docs = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).orc(os.path.join(root, "docs"))
+    sig = (
+        F.expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
+        % 1_000_000_000_000
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+            F.sum(sig).cast("bigint").alias("text_sig"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
 def source_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV ingestion — the interchange format where quoting/escaping
     bugs actually live (embedded commas, quotes, newlines). The
@@ -959,6 +1001,7 @@ QUERIES: dict[str, tuple] = {
     # same accounting contract as jsonl: the oracle reads the ORIGINAL
     # table, so the CSV round-trip must be byte-lossless to match
     "source_csv_scan": (source_csv_scan, SOURCE_JSONL_SCAN_SQL),
+    "source_orc_scan": (source_orc_scan, SOURCE_JSONL_SCAN_SQL),
     "source_schema_merge": (source_schema_merge, SOURCE_SCHEMA_MERGE_SQL),
     "sink_clickhouse_insert": (sink_clickhouse_insert, SINK_CLICKHOUSE_INSERT_SQL),
     "sink_dual_table_split": (sink_dual_table_split, SINK_DUAL_TABLE_SPLIT_SQL),

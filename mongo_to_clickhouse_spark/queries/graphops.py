@@ -339,6 +339,105 @@ def _lpa_duck_sql() -> str:
 GRAPH_LABEL_PROPAGATION_SQL = _lpa_duck_sql()
 
 
+def _modularity_tail(labels_rel: str, adj_rel: str) -> str:
+    """Newman modularity of a node→label partition over the
+    both-directions adjacency: with m2 = |adj rows| = 2m,
+    Q = Σ_c (L_c·m2 − D_c²)/m2² where L_c counts adjacency rows with
+    BOTH endpoints in c and D_c sums member degrees. Per-community
+    numerators are exact BIGINTs; Q is ONE double expression over their
+    exact sum (micro-floored). Engine-shared."""
+    return f"""
+        lab AS (SELECT node_id, label FROM {labels_rel}),
+        deg AS (SELECT a AS node_id, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM {adj_rel} GROUP BY a),
+        twom AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM {adj_rel}),
+        internal AS (
+            SELECT la.label AS community_id,
+                   CAST(COUNT(*) AS BIGINT) AS l_c
+            FROM {adj_rel} e
+            JOIN lab la ON la.node_id = e.a
+            JOIN lab lb ON lb.node_id = e.b
+            WHERE la.label = lb.label
+            GROUP BY la.label
+        ),
+        comm AS (
+            SELECT l.label AS community_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(SUM(d.deg) AS BIGINT) AS deg_sum
+            FROM lab l JOIN deg d ON d.node_id = l.node_id
+            GROUP BY l.label
+        ),
+        qglobal AS (
+            SELECT CAST(floor(
+                       SUM(COALESCE(i.l_c, 0) * t.m2
+                           - c.deg_sum * c.deg_sum) * 1e0
+                       / (MAX(t.m2) * 1e0 * MAX(t.m2))
+                       * 1000000) AS BIGINT) AS q_micro
+            FROM comm c
+            LEFT JOIN internal i ON i.community_id = c.community_id
+            CROSS JOIN twom t
+        )
+        SELECT c.community_id, c.n_members,
+               CAST(COALESCE(i.l_c, 0) AS BIGINT) AS internal_rows,
+               c.deg_sum, g.q_micro
+        FROM comm c
+        LEFT JOIN internal i ON i.community_id = c.community_id
+        CROSS JOIN qglobal g
+        ORDER BY c.community_id
+    """
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the LPA communities on the mutual-kNN
+    supplier graph — see _modularity_tail. The quality score FOR
+    graph_label_propagation's output: Q near 0 means the partition is
+    no better than random given the degree sequence; this is the
+    number a production community pipeline alerts on.
+
+    Scale posture: reuses the SAME tri_adj barrier and fixed LPA
+    rounds; the only additions are two label equi-joins against the
+    degree-bounded adjacency (≤ n·K rows) and bounded per-community
+    aggregates — no new iteration, no windows."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    adj = cached_barrier_view(
+        spark,
+        sf_dir,
+        "tri_adj",
+        lambda: spark.sql(_triangle_adj_sql(
+            "(SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)"
+        )),
+        tables=("lineitem",),
+    )
+    labels = f"(SELECT DISTINCT a AS node_id, CAST(a AS BIGINT) AS label FROM {adj})"
+    for _ in range(LPA_ROUNDS):
+        labels = f"({_lpa_round_sql(labels, adj)})"
+    return spark.sql(f"WITH {_modularity_tail(labels, adj)}")
+
+
+def _modularity_duck_sql() -> str:
+    adj_body = _triangle_adj_sql(
+        "(SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)"
+    )
+    parts = [
+        f"tri_adj AS MATERIALIZED ({adj_body})",
+        "l0 AS (SELECT DISTINCT a AS node_id, CAST(a AS BIGINT) AS label"
+        " FROM tri_adj)",
+    ]
+    for i in range(1, LPA_ROUNDS + 1):
+        parts.append(f"l{i} AS ({_lpa_round_sql(f'l{i - 1}', 'tri_adj')})")
+    return (
+        f"WITH {', '.join(parts)},"
+        f" {_modularity_tail(f'l{LPA_ROUNDS}', 'tri_adj')}"
+    )
+
+
+GRAPH_MODULARITY_SQL = _modularity_duck_sql()
+
+
 _JACC_TOPK = 20
 
 
@@ -996,4 +1095,5 @@ QUERIES: dict[str, tuple] = {
         graph_label_propagation,
         GRAPH_LABEL_PROPAGATION_SQL,
     ),
+    "graph_modularity": (graph_modularity, GRAPH_MODULARITY_SQL),
 }

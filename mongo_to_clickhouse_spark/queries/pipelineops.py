@@ -996,7 +996,109 @@ def pipeline_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
 PIPELINE_LENGTH_BUCKETING_SQL = _length_bucketing_sql("duck")
 
 
+CURRICULUM_STAGES = 4
+
+
+def _difficulty_expr(engine: str) -> str:
+    """Per-doc difficulty: mean alphanumeric-token length in exact
+    milli (floor(total_token_chars*1000/n_tokens)); longer mean words =
+    later curriculum stage. Token recipe matches text_token_count's
+    re_tokens ([a-z0-9]+)."""
+    if engine == "spark":
+        return ("CAST(floor(length(array_join(regexp_extract_all(text,"
+                " '[a-z0-9]+', 0), '')) * 1000"
+                " / GREATEST(size(regexp_extract_all(text, '[a-z0-9]+',"
+                " 0)), 1)) AS BIGINT)")
+    return ("CAST(floor(length(array_to_string(regexp_extract_all(text,"
+            " '[a-z0-9]+'), '')) * 1000"
+            " / GREATEST(len(regexp_extract_all(text, '[a-z0-9]+')), 1))"
+            " AS BIGINT)")
+
+
+def _curriculum_stage_expr() -> str:
+    """Closed-form stage 1..{CURRICULUM_STAGES} from (rank, n) — the
+    events_rfm_segments bucket rule, so the Spark side needs only the
+    two-pass distributed rank, never a global NTILE window."""
+    return (f"LEAST({CURRICULUM_STAGES}, CAST(floor((rk - 1)"
+            f" * {CURRICULUM_STAGES} * 1.0 / n) AS BIGINT) + 1)")
+
+
+def _curriculum_tail() -> str:
+    """Shared final rollup over the ranked relation (columns: rk, n,
+    difficulty_milli, re_tokens)."""
+    return f"""
+        SELECT {_curriculum_stage_expr()} AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(re_tokens) AS BIGINT) AS sum_tokens,
+               MIN(difficulty_milli) AS min_difficulty_milli,
+               MAX(difficulty_milli) AS max_difficulty_milli
+        GROUP BY 1
+        ORDER BY 1
+    """
+
+
+PIPELINE_CURRICULUM_ORDER_SQL = f"""
+    WITH scored AS (
+        SELECT doc_id, {_difficulty_expr('duck')} AS difficulty_milli,
+               CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+                   AS re_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT difficulty_milli, re_tokens,
+               ROW_NUMBER() OVER (ORDER BY difficulty_milli, doc_id)
+                   AS rk,
+               COUNT(*) OVER () AS n
+        FROM scored
+    )
+    {_curriculum_tail().replace("GROUP BY 1", "FROM ranked GROUP BY 1")}
+"""
+
+
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning stage assignment: every document ranked by a
+    cheap difficulty proxy (mean alphanumeric token length, exact
+    milli) and cut into {CURRICULUM_STAGES} equal stages, easy->hard —
+    the per-stage manifest (doc counts, token budgets, difficulty
+    range) a staged pretraining run feeds its sampler. Complements
+    pipeline_epoch_reshuffle (ORDER within a stage) and
+    pipeline_budget_prefix_select (SELECTION under budget).
+
+    Scale posture: one documents scan computes the per-doc score; the
+    global order uses ``distributed_global_rank`` (range partition +
+    broadcast offsets, no one-task window); stages fall out of the
+    closed-form (rank, n) bucket; the rollup is map-side combined."""
+    from mongo_to_clickhouse_spark.operators.rank import (
+        distributed_global_rank,
+    )
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    scored = spark.sql(f"""
+        SELECT doc_id, {_difficulty_expr('spark')} AS difficulty_milli,
+               CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0))
+                    AS BIGINT) AS re_tokens
+        FROM documents
+    """)
+    ranked = distributed_global_rank(
+        scored, [F.col("difficulty_milli"), F.col("doc_id")], "rk")
+    n = ranked.agg(F.count("*").cast("bigint").alias("n"))
+    ranked.crossJoin(F.broadcast(n)).createOrReplaceTempView(
+        "curriculum_ranked"
+    )
+    return spark.sql(
+        _curriculum_tail().replace(
+            "GROUP BY 1", "FROM curriculum_ranked GROUP BY 1"
+        )
+    )
+
+
 QUERIES: dict[str, tuple] = {
+    "pipeline_curriculum_order": (
+        pipeline_curriculum_order,
+        PIPELINE_CURRICULUM_ORDER_SQL,
+    ),
     "pipeline_length_bucketing": (
         pipeline_length_bucketing,
         PIPELINE_LENGTH_BUCKETING_SQL,
