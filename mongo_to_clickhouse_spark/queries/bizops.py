@@ -847,6 +847,164 @@ AGG_KRUSKAL_WALLIS_SQL = _kw_body("duck")
 
 
 # ---------------------------------------------------------------------------
+# events_attribution_touch — first/last-touch purchase attribution
+# ---------------------------------------------------------------------------
+
+ATTR_LOOKBACK_US = 7 * 86_400_000_000  # 7-day attribution window
+
+
+def _attribution_body(engine: str) -> str:
+    """Marketing attribution per purchase: the user's most recent
+    preceding click (last-touch, ROWS frame ordered by (t, event_id))
+    and the earliest click inside the {ATTR_LOOKBACK_US}-µs lookback
+    (first-touch, RANGE frame on t). Both frames partition by user —
+    one shuffle, exact µs arithmetic; the daily rollup is bounded."""
+    del engine
+    return f"""
+        WITH ev AS ({_ev("spark")}),
+        tp AS (
+            SELECT user_id, event_type, t_us, event_id, day_idx
+            FROM ev WHERE event_type IN ('click', 'purchase')
+        ),
+        marked AS (
+            SELECT user_id, event_type, t_us, day_idx,
+                   MAX(CASE WHEN event_type = 'click' THEN t_us END)
+                       OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS last_click_us,
+                   MIN(CASE WHEN event_type = 'click' THEN t_us END)
+                       OVER (PARTITION BY user_id ORDER BY t_us
+                             RANGE BETWEEN {ATTR_LOOKBACK_US} PRECEDING
+                             AND CURRENT ROW) AS first_click_us
+            FROM tp
+        )
+        SELECT day_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(CASE WHEN last_click_us IS NOT NULL
+                              AND t_us - last_click_us
+                                  <= {ATTR_LOOKBACK_US}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_attributed,
+               CAST(SUM(CASE WHEN first_click_us IS NOT NULL
+                              AND last_click_us IS NOT NULL
+                              AND first_click_us < last_click_us
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_multi_touch,
+               CAST(SUM(CASE WHEN last_click_us IS NOT NULL
+                              AND t_us - last_click_us
+                                  <= {ATTR_LOOKBACK_US}
+                             THEN t_us - last_click_us
+                             ELSE 0 END) AS BIGINT) AS sum_latency_us
+        FROM marked
+        WHERE event_type = 'purchase'
+        GROUP BY day_idx
+        ORDER BY day_idx
+    """
+
+
+def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch click→purchase attribution with a 7-day
+    lookback — see _attribution_body. The standard marketing-analytics
+    report over the landed CDC events: what share of purchases a click
+    can claim (last-touch), how often the journey had MULTIPLE clicks
+    (first-touch differs), and the click→purchase latency mass.
+
+    Scale posture: one shuffle keyed by user_id serves both window
+    frames; the daily rollup is map-side combined over the calendar."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_attribution_body("spark"))
+
+
+# the two engines share the body verbatim except the epoch helper
+EVENTS_ATTRIBUTION_TOUCH_SQL = _attribution_body("duck").replace(
+    _ev("spark"), _ev("duck")
+)
+
+
+# ---------------------------------------------------------------------------
+# events_active_users_rolling — exact DAU / WAU / MAU via bitmap merges
+# ---------------------------------------------------------------------------
+
+WAU_DAYS, MAU_DAYS = 7, 28
+
+
+def _active_users_body(engine: str) -> str:
+    """Exact rolling active users: per-day user bitmaps (62-bit words,
+    the agg_bitmap_distinct layout) OR-merged over the trailing
+    {WAU_DAYS}/{MAU_DAYS}-day calendar windows, counted by bit_count.
+    Distinct users are NEVER re-shuffled per window — the window merge
+    touches only (day, word) bitmap rows, |days| x |users|/62 of them,
+    and merging is associative (the same merge that unions shards)."""
+    if engine == "spark":
+        one = "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))"
+        intdiv = "DIV"
+    else:
+        one = "(CAST(1 AS BIGINT) << CAST(user_id % 62 AS INTEGER))"
+        intdiv = "//"
+    return f"""
+        WITH ev AS ({_ev(engine)}),
+        du AS (SELECT DISTINCT user_id, day_idx FROM ev),
+        daybits AS (
+            SELECT day_idx, user_id {intdiv} 62 AS w,
+                   BIT_OR({one}) AS word
+            FROM du GROUP BY day_idx, user_id {intdiv} 62
+        ),
+        cal AS (SELECT DISTINCT day_idx FROM du),
+        dau AS (
+            SELECT day_idx, CAST(COUNT(*) AS BIGINT) AS dau
+            FROM du GROUP BY day_idx
+        ),
+        wau AS (
+            SELECT c.day_idx,
+                   CAST(SUM(bit_count(word)) AS BIGINT) AS wau
+            FROM (
+                SELECT c.day_idx, b.w, BIT_OR(b.word) AS word
+                FROM cal c JOIN daybits b
+                  ON b.day_idx BETWEEN c.day_idx - {WAU_DAYS - 1}
+                     AND c.day_idx
+                GROUP BY c.day_idx, b.w
+            ) c GROUP BY c.day_idx
+        ),
+        mau AS (
+            SELECT c.day_idx,
+                   CAST(SUM(bit_count(word)) AS BIGINT) AS mau
+            FROM (
+                SELECT c.day_idx, b.w, BIT_OR(b.word) AS word
+                FROM cal c JOIN daybits b
+                  ON b.day_idx BETWEEN c.day_idx - {MAU_DAYS - 1}
+                     AND c.day_idx
+                GROUP BY c.day_idx, b.w
+            ) c GROUP BY c.day_idx
+        )
+        SELECT d.day_idx, d.dau, w.wau, m.mau,
+               CAST(floor(d.dau * 1e0 / m.mau * 1000000) AS BIGINT)
+                   AS stickiness_ppm
+        FROM dau d
+        JOIN wau w ON w.day_idx = d.day_idx
+        JOIN mau m ON m.day_idx = d.day_idx
+        ORDER BY d.day_idx
+    """
+
+
+def events_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU/WAU/MAU per day plus the DAU/MAU stickiness ratio —
+    see _active_users_body. The top-line dashboard triple, computed
+    EXACTLY at any scale because the per-day state is a mergeable
+    bitmap, not a user list (the agg_bitmap_distinct /
+    agg_bitmap_rollup_merge layout applied to rolling windows).
+
+    Scale posture: one corpus scan to the (user, day) distinct (one
+    uniform shuffle); the rolling merges join bitmap WORDS against the
+    bounded calendar — |days| x |users|/62 rows, associative BIT_OR;
+    no per-user re-shuffle per window and no windows at all."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_active_users_body("spark"))
+
+
+EVENTS_ACTIVE_USERS_ROLLING_SQL = _active_users_body("duck")
+
+
+# ---------------------------------------------------------------------------
 # agg_daily_corr_matrix — Pearson correlation matrix of the daily metrics
 # ---------------------------------------------------------------------------
 
@@ -1007,6 +1165,14 @@ QUERIES: dict[str, tuple] = {
     "agg_daily_corr_matrix": (
         agg_daily_corr_matrix,
         AGG_DAILY_CORR_MATRIX_SQL,
+    ),
+    "events_attribution_touch": (
+        events_attribution_touch,
+        EVENTS_ATTRIBUTION_TOUCH_SQL,
+    ),
+    "events_active_users_rolling": (
+        events_active_users_rolling,
+        EVENTS_ACTIVE_USERS_ROLLING_SQL,
     ),
     "profile_gini_coefficient": (
         profile_gini_coefficient,

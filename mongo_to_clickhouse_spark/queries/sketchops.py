@@ -744,7 +744,98 @@ def agg_moments_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_MOMENTS_ROLLUP_MERGE_SQL = _moments_rollup_sql("duck")
 
 
+HDR_SUB_BITS = 4        # mantissa bits per power-of-two band
+_HDR_QS = (500_000, 950_000, 990_000)  # quantiles, ppm
+
+
+def _hdr_sql(engine: str) -> str:
+    """HDR-histogram quantile sketch over l_extendedprice cents: bucket
+    index = 16*floor(log2(v)) + top-4 mantissa bits, computed with PURE
+    INTEGER bit arithmetic (binary-string length + shifts — no libm
+    log whose last-ulp could differ between JVM and C runtimes). The
+    bucket table is mergeable (counts sum) and bounded at ~16*63 rows;
+    each requested quantile reports the smallest bucket whose
+    cumulative count covers it, with the bucket's exact integer lower
+    bound as the estimate — relative error <= 2^-4 by construction.
+    The log-bucket family (HDR / DDSketch) is the production quantile
+    sketch when t-digest's centroid merges are too order-sensitive to
+    reproduce."""
+    if engine == "spark":
+        exp = "length(bin(cents)) - 1"
+        shr = "shiftright(cents, CAST(e - {b} AS INT))"
+        shl = "shiftleft(CAST(16 + idx % 16 AS BIGINT), CAST(idx DIV 16 - {b} AS INT))"
+        intdiv = "DIV"
+    else:
+        exp = "length(format('{:b}', cents)) - 1"
+        shr = "(cents >> CAST(e - {b} AS INTEGER))"
+        shl = "(CAST(16 + idx % 16 AS BIGINT) << CAST(idx // 16 - {b} AS INTEGER))"
+        intdiv = "//"
+    b = HDR_SUB_BITS
+    grid = ", ".join(f"({q})" for q in _HDR_QS)
+    return f"""
+        WITH vals AS (
+            SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem WHERE l_extendedprice > 0
+        ),
+        exps AS (SELECT cents, CAST({exp} AS BIGINT) AS e FROM vals),
+        buckets AS (
+            SELECT CASE WHEN cents < 16 THEN cents
+                        ELSE e * 16 + ({shr.format(b=b)} - 16)
+                   END AS idx,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM exps GROUP BY 1
+        ),
+        cum AS (
+            SELECT idx, cnt,
+                   CAST(SUM(cnt) OVER (ORDER BY idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS c
+            FROM buckets
+        ),
+        tot AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_buckets
+            FROM buckets
+        ),
+        sel AS (
+            SELECT g.q_ppm, MIN(cu.idx) AS idx
+            FROM (VALUES {grid}) AS g(q_ppm)
+            CROSS JOIN tot t
+            JOIN cum cu ON cu.c * 1000000 >= g.q_ppm * t.n
+            GROUP BY g.q_ppm
+        )
+        SELECT s.q_ppm, s.idx AS bucket_idx,
+               CAST(CASE WHEN s.idx < 16 THEN s.idx
+                         ELSE {shl.format(b=b)}
+                    END AS BIGINT) AS est_cents_lower,
+               t.n AS n_values, t.n_buckets,
+               CAST(1000000 {intdiv} 16 AS BIGINT) AS max_rel_err_ppm
+        FROM sel s CROSS JOIN tot t
+        ORDER BY s.q_ppm
+    """
+
+
+def agg_hdr_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-bucket (HDR/DDSketch-family) quantile estimates
+    for p50/p95/p99 of l_extendedprice — see _hdr_sql.
+
+    Scale posture: one scan to a <=~1000-row bucket aggregate
+    (map-side combined); the cumulative walk and quantile probes run on
+    that bounded grid. Merging shards/days = summing bucket counts —
+    the property approx_percentile's internal digest has but cannot
+    expose relationally."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_hdr_sql("spark"))
+
+
+AGG_HDR_HISTOGRAM_QUANTILE_SQL = _hdr_sql("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "agg_hdr_histogram_quantile": (
+        agg_hdr_histogram_quantile,
+        AGG_HDR_HISTOGRAM_QUANTILE_SQL,
+    ),
     "agg_moments_rollup_merge": (
         agg_moments_rollup_merge,
         AGG_MOMENTS_ROLLUP_MERGE_SQL,

@@ -88,6 +88,8 @@ _BOUNDED_WINDOW_WHITELIST = {
     # rank windows over the |days|-row daily wide relation
     # (calendar-bounded)
     "agg_spearman_rho_daily",
+    # the cumulative walk runs over the ~16*63-row log-bucket grid
+    "agg_hdr_histogram_quantile",
 }
 
 

@@ -153,3 +153,88 @@ def test_curriculum_stages_easy_to_hard(spark, tmp_path):
     assert got == sorted(got)
     # doc k has mean token length exactly (k+1) -> milli = (k+1)*1000
     assert got[0][3] == 1000 and got[3][4] == 8000
+
+
+def test_hdr_quantile_small_and_log_buckets(spark, tmp_path):
+    from mongo_to_clickhouse_spark.queries.sketchops import (
+        agg_hdr_histogram_quantile,
+    )
+
+    # cents 1..10 land in the exact small-value buckets (idx == value):
+    # p50 -> first bucket with cum >= 5 -> est 5; p95/p99 -> 10
+    li = pa.table(
+        {"l_extendedprice": pa.array([d / 100 for d in range(1, 11)],
+                                     pa.float64())}
+    )
+    pq.write_table(li, os.path.join(str(tmp_path), "lineitem.parquet"))
+    clear_scan_cache()
+    got = {r.q_ppm: (r.bucket_idx, r.est_cents_lower, r.n_values)
+           for r in agg_hdr_histogram_quantile(spark, str(tmp_path)).collect()}
+    assert got == {500000: (5, 5, 10), 950000: (10, 10, 10),
+                   990000: (10, 10, 10)}
+
+
+def test_hdr_quantile_log_bucket_lower_bound(spark, tmp_path):
+    from mongo_to_clickhouse_spark.queries.sketchops import (
+        agg_hdr_histogram_quantile,
+    )
+
+    # single value 1000 cents: e=9, mantissa bits (1000>>5)=31 -> idx
+    # 9*16+15=159, lower bound (16+15)<<5 = 992 — within the 1/16
+    # relative-error contract of the true 1000
+    li = pa.table({"l_extendedprice": pa.array([10.00], pa.float64())})
+    pq.write_table(li, os.path.join(str(tmp_path), "lineitem.parquet"))
+    clear_scan_cache()
+    rows = agg_hdr_histogram_quantile(spark, str(tmp_path)).collect()
+    assert all((r.bucket_idx, r.est_cents_lower) == (159, 992)
+               for r in rows)
+    assert all(1000 - r.est_cents_lower <= 1000 / 16 for r in rows)
+
+
+def test_attribution_window_and_multi_touch(spark, tmp_path):
+    from mongo_to_clickhouse_spark.queries.bizops import (
+        events_attribution_touch,
+    )
+
+    # u1: click then purchase 1h later -> attributed, latency 3600s
+    # u2: click 8 DAYS before purchase -> outside the 7-day lookback
+    # u3: two clicks then purchase -> attributed AND multi-touch
+    rows = [
+        (0, _T0, 1, "click", 1.0),
+        (1, _T0 + dt.timedelta(hours=1), 1, "purchase", 1.0),
+        (2, _T0, 2, "click", 1.0),
+        (3, _T0 + dt.timedelta(days=8), 2, "purchase", 1.0),
+        (4, _T0, 3, "click", 1.0),
+        (5, _T0 + dt.timedelta(hours=1), 3, "click", 1.0),
+        (6, _T0 + dt.timedelta(hours=2), 3, "purchase", 1.0),
+    ]
+    _events(rows, str(tmp_path))
+    got = {r.day_idx: (r.n_purchases, r.n_attributed, r.n_multi_touch,
+                       r.sum_latency_us)
+           for r in events_attribution_touch(spark, str(tmp_path)).collect()}
+    d0 = next(iter(sorted(got)))
+    assert got[d0] == (2, 2, 1, 3_600_000_000 + 3_600_000_000)
+    assert got[d0 + 8] == (1, 0, 0, 0)
+
+
+def test_active_users_rolling_bitmap_merge(spark, tmp_path):
+    from mongo_to_clickhouse_spark.queries.bizops import (
+        events_active_users_rolling,
+    )
+
+    # day0 users {1,2}, day1 users {2,3}: DAU 2/2, WAU(7d) 2/3,
+    # stickiness day1 = floor(2/3 * 1e6); user 63 on day1 exercises the
+    # second bitmap word (63 % 62 wraps into word 1)
+    rows = [
+        (0, _T0, 1, "click", 1.0),
+        (1, _T0, 2, "click", 1.0),
+        (2, _T0 + dt.timedelta(days=1), 2, "click", 1.0),
+        (3, _T0 + dt.timedelta(days=1), 3, "click", 1.0),
+        (4, _T0 + dt.timedelta(days=1), 63, "click", 1.0),
+    ]
+    _events(rows, str(tmp_path))
+    got = {r.day_idx: (r.dau, r.wau, r.mau, r.stickiness_ppm)
+           for r in events_active_users_rolling(spark, str(tmp_path)).collect()}
+    d0 = next(iter(sorted(got)))
+    assert got[d0] == (2, 2, 2, 1_000_000)
+    assert got[d0 + 1] == (3, 4, 4, 750_000)
