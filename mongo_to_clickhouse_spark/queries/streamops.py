@@ -266,6 +266,42 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# Horizon oracle (round 7): with the whole fixture staged as ONE
+# micro-batch, the final watermark is max(event time, ms-floored) minus
+# the 10-minute delay, and append mode emits exactly the hourly windows
+# whose END is at or below it. The oracle states that closed-prefix
+# relation; the (≤ vs <) boundary can only matter if max(ts) lands
+# exactly on an hour+10min edge, which the fixture generator never
+# produces.
+STREAM_WATERMARK_LATE_DROP_SQL = """
+    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type
+                FROM events),
+    wm AS (SELECT to_timestamp(floor(
+               epoch_ms(MAX(ts) - INTERVAL 10 MINUTE) / 1000.0))
+               AS wm FROM ev),
+    win AS (SELECT date_trunc('hour', ts) AS w_start, event_type
+            FROM ev)
+    SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n
+    FROM win, wm
+    WHERE w_start + INTERVAL 1 HOUR <= wm
+    GROUP BY w_start, event_type
+"""
+
+
+# Horizon oracle (round 7): the single-file staging makes availableNow
+# run ONE micro-batch, so the update-mode memory sink holds exactly one
+# final row per user — the plain per-user aggregate. total_value is a
+# double sum rounded to cents on both sides: inputs are exact
+# two-decimal values, so the true sum is a cent multiple and both
+# engines' float error (≪ 0.005) rounds to the same cents.
+STREAM_STATEFUL_RUNNING_AGG_SQL = """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(SUM(value), 2) AS total_value
+    FROM events GROUP BY user_id
+"""
+
+
 def stream_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once-per-key via ``dropDuplicates`` with watermark
     state expiry — first event per (user_id, event_type).
@@ -409,10 +445,23 @@ def scalar_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", F.current_timestamp().alias("created_at"))
 
 
+# Horizon oracle (round 7): the streamed CDC pipeline drains the whole
+# fixture (availableNow), so the main sink minus the sink-side
+# created_at/batch_id columns equals the BATCH transform relation — the
+# same SQL that oracles sink_clickhouse_insert. The DLQ variant must
+# converge to the identical relation after replay (at-least-once +
+# idempotent replace), so it shares the oracle.
+from mongo_to_clickhouse_spark.queries.core import (  # noqa: E402
+    SINK_CLICKHOUSE_INSERT_SQL as _PIPELINE_CDC_SQL,
+)
+
 QUERIES: dict[str, tuple] = {
     "stream_tumbling_window_agg": (stream_tumbling_window_agg, STREAM_TUMBLING_SQL),
-    "stream_stateful_running_agg": (stream_stateful_running_agg, None),
-    "stream_dlq_retry_loop": (stream_dlq_retry, None),
+    "stream_stateful_running_agg": (
+        stream_stateful_running_agg,
+        STREAM_STATEFUL_RUNNING_AGG_SQL,
+    ),
+    "stream_dlq_retry_loop": (stream_dlq_retry, _PIPELINE_CDC_SQL),
     "scalar_now": (scalar_now, None),
     "stream_sliding_window_agg": (stream_sliding_window_agg, STREAM_SLIDING_SQL),
     "stream_session_window": (stream_session_window, STREAM_SESSION_SQL),
@@ -420,8 +469,11 @@ QUERIES: dict[str, tuple] = {
         stream_session_window_dynamic_gap,
         STREAM_SESSION_DYNAMIC_SQL,
     ),
-    "stream_pipeline_cdc": (stream_pipeline_cdc, None),
-    "stream_watermark_late_drop": (stream_watermark_late_drop, None),
+    "stream_pipeline_cdc": (stream_pipeline_cdc, _PIPELINE_CDC_SQL),
+    "stream_watermark_late_drop": (
+        stream_watermark_late_drop,
+        STREAM_WATERMARK_LATE_DROP_SQL,
+    ),
     "stream_dedup_by_key": (stream_dedup_by_key, STREAM_DEDUP_BY_KEY_SQL),
     "stream_dedup_within_watermark": (stream_dedup_within_watermark, None),
 }
