@@ -783,6 +783,91 @@ STREAM_STREAM_OUTER_JOIN_SQL = f"""
 """
 
 
+# Horizon oracle (round 7): the stateful CDC fold is commutative and the
+# drain is complete, so the final materialized images equal the batch
+# last-writer-wins reconstruction over the SAME synthesized op log —
+# stated here directly in SQL (n_ops counts every op per doc; a field
+# survives only if assigned at-or-after the last base op, strictly after
+# a delete; final-delete docs vanish).
+def _cdc_state_merge_duck_sql() -> str:
+    from mongo_to_clickhouse_spark.queries.cdcops import _oplog_sql
+
+    return f"""
+        WITH oplog AS ({_oplog_sql("events")}),
+        st AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_ops,
+                   arg_max(op, seq) AS max_op,
+                   COALESCE(MAX(CASE WHEN op IN
+                       ('insert', 'replace', 'delete') THEN seq END), 0)
+                       AS base_seq,
+                   COALESCE(arg_max(op, seq) FILTER
+                       (WHERE op IN ('insert', 'replace', 'delete')), '')
+                       AS base_op,
+                   COALESCE(MAX(seq) FILTER (WHERE field_a IS NOT NULL),
+                            -1) AS a_seq,
+                   arg_max(field_a, seq) FILTER
+                       (WHERE field_a IS NOT NULL) AS a_val,
+                   COALESCE(MAX(seq) FILTER (WHERE field_b IS NOT NULL),
+                            -1) AS b_seq,
+                   arg_max(field_b, seq) FILTER
+                       (WHERE field_b IS NOT NULL) AS b_val
+            FROM oplog GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CASE WHEN (CASE WHEN base_op = 'delete'
+                               THEN a_seq > base_seq
+                               ELSE a_seq >= base_seq END)
+                    THEN a_val END AS field_a,
+               CASE WHEN (CASE WHEN base_op = 'delete'
+                               THEN b_seq > base_seq
+                               ELSE b_seq >= base_seq END)
+                    THEN b_val END AS field_b,
+               n_ops
+        FROM st WHERE max_op <> 'delete'
+        ORDER BY doc_id
+    """
+
+
+STREAM_CDC_STATE_MERGE_SQL = _cdc_state_merge_duck_sql()
+
+
+def _fanout_duck_sql() -> str:
+    # both tenants drain the SAME fixture through the SAME transform, so
+    # each sink's row count is the batch-transform cardinality
+    from mongo_to_clickhouse_spark.queries.core import (
+        SINK_CLICKHOUSE_INSERT_SQL,
+    )
+
+    return f"""
+        WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows
+                   FROM ({SINK_CLICKHOUSE_INSERT_SQL}) t)
+        SELECT t.tenant, n.n_rows
+        FROM (VALUES ('fan_a'), ('fan_b')) AS t(tenant) CROSS JOIN n
+        ORDER BY t.tenant
+    """
+
+
+STREAM_MULTITENANT_FANOUT_SQL = _fanout_duck_sql()
+
+
+def _cache_invalidate_duck_sql() -> str:
+    # 2 staged files x maxFilesPerTrigger=1 => exactly batches 0 and 1,
+    # each observing the full active-dim count from its fresh re-read
+    from mongo_to_clickhouse_spark.queries.core import ACTIVE_DIM_SQL
+
+    return f"""
+        WITH d AS (SELECT CAST(COUNT(*) AS BIGINT) AS dim_rows
+                   FROM ({ACTIVE_DIM_SQL}) a)
+        SELECT CAST(v.batch_id AS BIGINT) AS batch_id, d.dim_rows
+        FROM (VALUES (0), (1)) AS v(batch_id) CROSS JOIN d
+        ORDER BY v.batch_id
+    """
+
+
+STREAM_CACHE_INVALIDATE_SQL = _cache_invalidate_duck_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "stream_chained_windows": (
         stream_chained_windows,
@@ -799,10 +884,19 @@ QUERIES: dict[str, tuple] = {
     "metric_throughput": (metric_throughput, None),
     "stream_microbatch_assembly": (stream_microbatch_assembly, None),
     "stream_retry_backoff": (stream_retry_backoff, None),
-    "stream_cdc_state_merge": (stream_cdc_state_merge, None),
+    "stream_cdc_state_merge": (
+        stream_cdc_state_merge,
+        STREAM_CDC_STATE_MERGE_SQL,
+    ),
     "stream_rate_limited_trigger": (stream_rate_limited_trigger, None),
-    "stream_multitenant_fanout": (stream_multitenant_fanout, None),
-    "stream_cache_invalidate": (stream_cache_invalidate, None),
+    "stream_multitenant_fanout": (
+        stream_multitenant_fanout,
+        STREAM_MULTITENANT_FANOUT_SQL,
+    ),
+    "stream_cache_invalidate": (
+        stream_cache_invalidate,
+        STREAM_CACHE_INVALIDATE_SQL,
+    ),
     "stream_session_timeout_eviction": (stream_session_timeout_eviction, None),
     "stream_transform_with_state": (
         stream_transform_with_state,
