@@ -783,6 +783,73 @@ STREAM_STREAM_OUTER_JOIN_SQL = f"""
 """
 
 
+# Horizon oracles (round 7, second batch): each of these ids runs a real
+# availableNow drain whose OUTPUT RELATION is nevertheless a pure
+# function of the fixture — the oracle states that function.
+def _runtime_horizon_sqls() -> dict[str, str]:
+    from mongo_to_clickhouse_spark.queries.core import (
+        ANON_SQL,
+        SINK_CLICKHOUSE_INSERT_SQL,
+    )
+
+    # positional halves: staging slices the (file-order == event_id
+    # order, asserted 0 inversions at every sf) events table at n//2, so
+    # batch membership is the event_id rank — recovered by joining the
+    # sink relation back through id = printf('%024x', event_id)
+    half_counts = f"""
+        WITH ranked AS (
+            SELECT event_id,
+                   row_number() OVER (ORDER BY event_id) - 1 AS rn,
+                   COUNT(*) OVER () AS n
+            FROM events
+        ),
+        sink AS ({SINK_CLICKHOUSE_INSERT_SQL})
+        SELECT CAST(CASE WHEN r.rn < r.n // 2 THEN 0 ELSE 1 END
+                    AS INTEGER) AS batch_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM sink s JOIN ranked r ON s.id = printf('%024x', r.event_id)
+        GROUP BY 1 ORDER BY 1
+    """
+    return {
+        # the drained pipeline sink IS the batch transform
+        "source_changestream": SINK_CLICKHOUSE_INSERT_SQL,
+        # sink down: the whole (single) batch of PRE-ROUTING anonymized
+        # statements is queued once under (tenant, batch_id=0)
+        "sink_dlq_log": f"""
+            SELECT 'dlqlog' AS tenant, CAST(0 AS INTEGER) AS batch_id,
+                   CAST((SELECT COUNT(*) FROM ({ANON_SQL}) a) AS BIGINT)
+                       AS n_rows
+        """,
+        # 2 failures then success under max_retries=5 => exactly 3
+        # attempts, the full transform lands, the DLQ stays empty
+        "stream_retry_backoff": f"""
+            SELECT CAST(3 AS BIGINT) AS attempts_used,
+                   CAST((SELECT COUNT(*)
+                         FROM ({SINK_CLICKHOUSE_INSERT_SQL}) t)
+                        AS BIGINT) AS rows_written,
+                   CAST(0 AS BIGINT) AS dlq_rows
+        """,
+        # 4 files: cap 2 => 2 batches, cap 1 => 4; intake invariant
+        "stream_rate_limited_trigger": f"""
+            WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_rows
+                       FROM ({SINK_CLICKHOUSE_INSERT_SQL}) t)
+            SELECT CAST(v.r AS BIGINT) AS rate_limit,
+                   CAST(v.b AS BIGINT) AS n_batches, n.total_rows
+            FROM (VALUES (2, 2), (1, 4)) AS v(r, b) CROSS JOIN n
+            ORDER BY v.r DESC
+        """,
+        # 2 positional half-files x maxFilesPerTrigger=1 => per-batch
+        # transform counts over the event_id-rank halves
+        "stream_microbatch_assembly": half_counts,
+        # restart-from-checkpoint: the two drains process exactly the
+        # two halves — same relation as the microbatch split
+        "checkpoint_resume_token": half_counts,
+    }
+
+
+_RUNTIME_HORIZON_SQLS = _runtime_horizon_sqls()
+
+
 # Horizon oracle (round 7): the stateful CDC fold is commutative and the
 # drain is complete, so the final materialized images equal the batch
 # last-writer-wins reconstruction over the SAME synthesized op log —
@@ -873,22 +940,22 @@ QUERIES: dict[str, tuple] = {
         stream_chained_windows,
         STREAM_CHAINED_WINDOWS_SQL,
     ),
-    "source_changestream": (source_changestream, None),
+    "source_changestream": (source_changestream, _RUNTIME_HORIZON_SQLS["source_changestream"]),
     "stream_stream_join": (stream_stream_join, STREAM_STREAM_JOIN_SQL),
     "stream_stream_outer_join": (
         stream_stream_outer_join,
         STREAM_STREAM_OUTER_JOIN_SQL,
     ),
-    "checkpoint_resume_token": (checkpoint_resume_token, None),
-    "sink_dlq_log": (sink_dlq_log, None),
+    "checkpoint_resume_token": (checkpoint_resume_token, _RUNTIME_HORIZON_SQLS["checkpoint_resume_token"]),
+    "sink_dlq_log": (sink_dlq_log, _RUNTIME_HORIZON_SQLS["sink_dlq_log"]),
     "metric_throughput": (metric_throughput, None),
-    "stream_microbatch_assembly": (stream_microbatch_assembly, None),
-    "stream_retry_backoff": (stream_retry_backoff, None),
+    "stream_microbatch_assembly": (stream_microbatch_assembly, _RUNTIME_HORIZON_SQLS["stream_microbatch_assembly"]),
+    "stream_retry_backoff": (stream_retry_backoff, _RUNTIME_HORIZON_SQLS["stream_retry_backoff"]),
     "stream_cdc_state_merge": (
         stream_cdc_state_merge,
         STREAM_CDC_STATE_MERGE_SQL,
     ),
-    "stream_rate_limited_trigger": (stream_rate_limited_trigger, None),
+    "stream_rate_limited_trigger": (stream_rate_limited_trigger, _RUNTIME_HORIZON_SQLS["stream_rate_limited_trigger"]),
     "stream_multitenant_fanout": (
         stream_multitenant_fanout,
         STREAM_MULTITENANT_FANOUT_SQL,
