@@ -1072,15 +1072,20 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         distributed_global_rank,
     )
 
+    from mongo_to_clickhouse_spark.operators.materialize import barrier
+
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "documents"
     )
-    scored = spark.sql(f"""
+    # barrier: the regex scoring pass is the expensive leg and the rank
+    # consumes it through sampling + rank + count subtrees — materialize
+    # once so the documents scan + regex run once
+    scored = barrier(spark.sql(f"""
         SELECT doc_id, {_difficulty_expr('spark')} AS difficulty_milli,
                CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0))
                     AS BIGINT) AS re_tokens
         FROM documents
-    """)
+    """))
     ranked = distributed_global_rank(
         scored, [F.col("difficulty_milli"), F.col("doc_id")], "rk")
     n = ranked.agg(F.count("*").cast("bigint").alias("n"))
