@@ -1099,7 +1099,104 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MANIFEST_SHARDS = 16
+_MAN_MIN_TOKENS = 5          # quality gate: too-short docs
+_MAN_MAX_MEAN_WORD = 14_000  # quality gate: mean word length, milli
+
+
+def _manifest_body(engine: str) -> str:
+    """The END-TO-END pretraining manifest as ONE declarative plan:
+    quality gates → exact dedup (min-doc_id keeps) → deterministic
+    shard assignment → per-shard manifest, with the global attrition
+    funnel (raw/quality/dedup counts) broadcast onto every row. Each
+    kernel is the registry's standard recipe (token counting =
+    text_token_count's regex; dedup = dedup_exact_hash's md5 argmin;
+    shard = pipeline_shard_shuffle's hash bucket), composed so the
+    WHOLE job is one Catalyst plan — no intermediate materialization a
+    production run would have to babysit."""
+    if engine == "spark":
+        toks = "size(regexp_extract_all(text, '[a-z0-9]+', 0))"
+        tchars = ("length(array_join(regexp_extract_all(text,"
+                  " '[a-z0-9]+', 0), ''))")
+        h = "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)"
+        sh = ("pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1,"
+              f" 15), 16, 10) AS BIGINT), {MANIFEST_SHARDS})")
+    else:
+        toks = "len(regexp_extract_all(text, '[a-z0-9]+'))"
+        tchars = ("length(array_to_string(regexp_extract_all(text,"
+                  " '[a-z0-9]+'), ''))")
+        h = "CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)"
+        sh = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1,"
+              f" 15)) AS BIGINT) % {MANIFEST_SHARDS}")
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   CAST({toks} AS BIGINT) AS n_toks,
+                   CAST({tchars} AS BIGINT) AS t_chars,
+                   {h} AS content_hash
+            FROM documents
+        ),
+        quality AS (
+            SELECT * FROM scored
+            WHERE n_toks >= {_MAN_MIN_TOKENS}
+              AND t_chars * 1000 <= n_toks * {_MAN_MAX_MEAN_WORD}
+        ),
+        deduped AS (
+            SELECT doc_id, source, n_toks FROM (
+                SELECT doc_id, source, n_toks,
+                       MIN(doc_id) OVER (PARTITION BY content_hash)
+                           AS keeper
+                FROM quality
+            ) k WHERE doc_id = keeper
+        ),
+        funnel AS (
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM scored)
+                       AS n_raw,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM quality)
+                       AS n_quality,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM deduped)
+                       AS n_deduped
+        )
+        SELECT CAST({sh} AS BIGINT) AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               f.n_raw, f.n_quality, f.n_deduped
+        FROM deduped CROSS JOIN funnel f
+        GROUP BY 1, f.n_raw, f.n_quality, f.n_deduped
+        ORDER BY 1
+    """
+
+
+def pipeline_pretraining_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-plan pretraining data job: quality gates → exact dedup →
+    {MANIFEST_SHARDS} deterministic shards → the per-shard manifest a
+    training launcher consumes, with the attrition funnel in-band —
+    see _manifest_body. This is the composition flagship: every stage
+    is an already-oracle-checked kernel, and chaining them in one
+    declarative plan is exactly what Catalyst is for (stage fusion,
+    one scan, shared token counts).
+
+    Scale posture: one documents scan; the dedup window partitions by
+    content_hash (uniform); the funnel is three 1-row aggregates
+    broadcast onto {MANIFEST_SHARDS} output rows; shard assignment is
+    a pure hash map."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_manifest_body("spark"))
+
+
+PIPELINE_PRETRAINING_MANIFEST_SQL = _manifest_body("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "pipeline_pretraining_manifest": (
+        pipeline_pretraining_manifest,
+        PIPELINE_PRETRAINING_MANIFEST_SQL,
+    ),
     "pipeline_curriculum_order": (
         pipeline_curriculum_order,
         PIPELINE_CURRICULUM_ORDER_SQL,

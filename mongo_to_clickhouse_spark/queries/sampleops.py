@@ -1236,7 +1236,77 @@ def profile_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROFILE_FK_INTEGRITY_SQL = _fk_integrity_sql().replace("{intdiv}", "//")
 
 
+KFOLD_K = 5
+
+
+def _group_kfold_body(engine: str) -> str:
+    """Leakage-safe k-fold assignment: the fold is a deterministic hash
+    of the GROUP key (source), so every doc of a source lands in the
+    same fold — near-duplicates within a provider can never straddle a
+    train/validation boundary (the group-k-fold rule sklearn users
+    expect, here as one aggregate). The report carries the in-band
+    leak proof (max folds touched by any source == 1) and the
+    imbalance vs the ideal 1/k split in exact ppm."""
+    if engine == "spark":
+        h = ("pmod(CAST(conv(substring(md5(source), 1, 15), 16, 10)"
+             f" AS BIGINT), {KFOLD_K})")
+        toks = "size(regexp_extract_all(text, '[a-z0-9]+', 0))"
+    else:
+        h = ("CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT)"
+             f" % {KFOLD_K}")
+        toks = "len(regexp_extract_all(text, '[a-z0-9]+'))"
+    return f"""
+        WITH assigned AS (
+            SELECT doc_id, source, CAST({h} AS BIGINT) AS fold,
+                   CAST({toks} AS BIGINT) AS n_toks
+            FROM documents
+        ),
+        src_spread AS (
+            SELECT source, CAST(COUNT(DISTINCT fold) AS BIGINT) AS nf
+            FROM assigned GROUP BY source
+        ),
+        leak AS (
+            SELECT CAST(MAX(nf) AS BIGINT) AS max_folds_per_source
+            FROM src_spread
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM assigned
+        )
+        SELECT a.fold,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(a.n_toks) AS BIGINT) AS sum_tokens,
+               CAST(COUNT(DISTINCT a.source) AS BIGINT) AS n_sources,
+               -- floor() is explicit: DuckDB CAST(double AS BIGINT)
+               -- rounds where Spark truncates
+               CAST(floor(COUNT(*) * {KFOLD_K} * 1000000e0 / t.n)
+                    AS BIGINT) - 1000000 AS imbalance_ppm,
+               l.max_folds_per_source
+        FROM assigned a CROSS JOIN tot t CROSS JOIN leak l
+        GROUP BY a.fold, t.n, l.max_folds_per_source
+        ORDER BY a.fold
+    """
+
+
+def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped {KFOLD_K}-fold split by source with the in-band leakage
+    proof — see _group_kfold_body. Completes the split tier:
+    sample_split_summary (row-hash folds) leaks near-duplicates across
+    folds when a provider ships them; grouping by source is the
+    standard fix.
+
+    Scale posture: one documents scan (map-side combined aggregates);
+    the source-spread audit runs on the |sources| relation; no windows."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_group_kfold_body("spark"))
+
+
+SAMPLE_GROUP_KFOLD_SQL = _group_kfold_body("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "sample_group_kfold": (sample_group_kfold, SAMPLE_GROUP_KFOLD_SQL),
     "profile_fk_integrity": (profile_fk_integrity, PROFILE_FK_INTEGRITY_SQL),
     "profile_dataset_diff": (profile_dataset_diff, PROFILE_DATASET_DIFF_SQL),
     "sample_horvitz_thompson": (

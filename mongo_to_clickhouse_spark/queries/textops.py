@@ -760,7 +760,75 @@ def text_ocr_noise_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_OCR_NOISE_FILTER_SQL = _ocr_noise_sql("duck").replace("{intdiv}", "//")
 
 
+def _html_extract_body(engine: str) -> str:
+    """HTML → text extraction (the WARC→WET step of a web-crawl
+    pipeline): strip <script>/<style> blocks (dotall), then all tags,
+    then decode entities (&amp; LAST, so &amp;lt; survives as &lt; —
+    the classic double-decode bug). The fixture's documents are plain
+    text, so the page is synthesized in-band by the inverse transform
+    (entity-encode + wrap in markup with a hostile script body
+    containing < > &&); the round trip must restore the original text
+    byte-for-byte — counted in-band as n_roundtrip_ok."""
+    rr = (lambda s, p, r: f"regexp_replace({s}, '{p}', '{r}')") \
+        if engine == "spark" else \
+        (lambda s, p, r: f"regexp_replace({s}, '{p}', '{r}', 'g')")
+    enc = ("replace(replace(replace(text, '&', '&amp;'),"
+           " '<', '&lt;'), '>', '&gt;')")
+    page = ("'<html><head><title></title>"
+            "<script>if (a < b && c > 0) { x = \"&amp;\"; }</script>"
+            "<style>p { margin: 0; }</style></head><body><p>'"
+            f" || {enc} || '</p></body></html>'")
+    stripped = rr(rr(rr("page", r"(?s)<script.*?</script>", ""),
+                     r"(?s)<style.*?</style>", ""),
+                  "<[^>]+>", "")
+    decoded = ("replace(replace(replace(" + stripped +
+               ", '&lt;', '<'), '&gt;', '>'), '&amp;', '&')")
+    return f"""
+        WITH pages AS (
+            SELECT doc_id, source, text, {page} AS page
+            FROM documents
+        ),
+        cleaned AS (
+            SELECT doc_id, source, text, page, {decoded} AS clean
+            FROM pages
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN clean = text THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_roundtrip_ok,
+               CAST(SUM(length(page)) AS BIGINT) AS sum_page_chars,
+               CAST(SUM(length(clean)) AS BIGINT) AS sum_clean_chars,
+               CAST(floor(SUM(length(page) - length(clean)) * 1000000e0
+                          / SUM(length(page))) AS BIGINT)
+                   AS markup_overhead_ppm
+        FROM cleaned
+        GROUP BY source
+        ORDER BY source
+    """
+
+
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping with an in-band round-trip proof —
+    see _html_extract_body. The extraction kernel (script/style
+    removal, tag strip, entity decode in the only safe order) is what
+    a crawl-ingest pipeline runs before every text operator in this
+    registry; the synthesized page makes its correctness checkable
+    against the known plain text.
+
+    Scale posture: pure narrow maps over one documents scan (regex in
+    JVM codegen, no Python); the rollup is map-side combined per
+    source."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_html_extract_body("spark"))
+
+
+TEXT_HTML_EXTRACT_SQL = _html_extract_body("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "text_html_extract": (text_html_extract, TEXT_HTML_EXTRACT_SQL),
     "text_ocr_noise_filter": (text_ocr_noise_filter,
                               TEXT_OCR_NOISE_FILTER_SQL),
     "text_cdc_chunking": (text_cdc_chunking, TEXT_CDC_CHUNKING_SQL),

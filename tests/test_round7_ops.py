@@ -238,3 +238,74 @@ def test_active_users_rolling_bitmap_merge(spark, tmp_path):
     d0 = next(iter(sorted(got)))
     assert got[d0] == (2, 2, 2, 1_000_000)
     assert got[d0 + 1] == (3, 4, 4, 750_000)
+
+
+def test_pretraining_manifest_funnel(spark, tmp_path):
+    from mongo_to_clickhouse_spark.queries.pipelineops import (
+        pipeline_pretraining_manifest,
+    )
+
+    # 5 raw docs: one too short (<5 tokens), one with mean word length
+    # over 14 (quality kills 2), one exact duplicate pair (dedup kills
+    # 1) -> funnel 5 / 3 / 2
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon zeta",   # exact dup
+        "tiny",                                   # < 5 tokens
+        "a " + "x" * 100 + " b c d e",            # mean word len > 14
+        "one two three four five six seven",
+    ]
+    _docs(texts, str(tmp_path))
+    clear_scan_cache()
+    rows = pipeline_pretraining_manifest(spark, str(tmp_path)).collect()
+    assert rows, "manifest must emit at least one shard row"
+    assert all((r.n_raw, r.n_quality, r.n_deduped) == (5, 3, 2)
+               for r in rows)
+    assert sum(r.n_docs for r in rows) == 2
+    assert all(0 <= r.shard_id < 16 for r in rows)
+
+
+def test_group_kfold_no_leakage(spark, tmp_path):
+    from mongo_to_clickhouse_spark.queries.sampleops import (
+        sample_group_kfold,
+    )
+
+    # 12 docs across 6 sources, 2 docs each: every source must land in
+    # exactly ONE fold and doc counts must add up
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(12)), pa.int64()),
+            "text": pa.array(["alpha beta gamma delta epsilon"] * 12),
+            "lang": pa.array(["en"] * 12),
+            "source": pa.array([f"s{i // 2}" for i in range(12)]),
+            "n_chars": pa.array([30] * 12, pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    clear_scan_cache()
+    rows = sample_group_kfold(spark, str(tmp_path)).collect()
+    assert all(r.max_folds_per_source == 1 for r in rows)
+    assert sum(r.n_docs for r in rows) == 12
+    assert sum(r.n_sources for r in rows) == 6
+    assert all(r.n_docs == 2 * r.n_sources for r in rows)
+
+
+def test_html_extract_roundtrip_hostile_text(spark, tmp_path):
+    from mongo_to_clickhouse_spark.queries.textops import text_html_extract
+
+    # text containing raw & < > AND the literal string '&amp;lt;' — a
+    # decoder that decodes &amp; before &lt; turns it into '<' (the
+    # double-decode bug); the round trip must restore every byte
+    texts = [
+        "a < b && c > d",
+        "literal entity: &amp;lt; stays literal",
+        "plain text",
+    ]
+    _docs(texts, str(tmp_path))
+    clear_scan_cache()
+    rows = text_html_extract(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_docs, r.n_roundtrip_ok) == (3, 3)
+    assert r.sum_page_chars > r.sum_clean_chars
+    assert 0 < r.markup_overhead_ppm < 1_000_000
