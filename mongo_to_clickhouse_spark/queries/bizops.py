@@ -853,6 +853,148 @@ AGG_KRUSKAL_WALLIS_SQL = _kw_body("duck")
 
 
 # ---------------------------------------------------------------------------
+# agg_sprt_sequential — Wald sequential A/B test, fully integer
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+SPRT_P0, SPRT_P1 = 0.15, 0.25   # H0/H1 conversion rates (purchase share)
+SPRT_ALPHA = 0.05               # = beta
+# constant per-observation log-likelihood increments, micro-nats —
+# computed ONCE here and embedded as identical integer literals in both
+# engines, so the whole test is exact BIGINT arithmetic (no runtime ln)
+_SPRT_L1 = round(_math.log(SPRT_P1 / SPRT_P0) * 1e6)            # success
+_SPRT_L0 = round(_math.log((1 - SPRT_P1) / (1 - SPRT_P0)) * 1e6)  # failure
+_SPRT_A = round(_math.log((1 - SPRT_ALPHA) / SPRT_ALPHA) * 1e6)   # accept H1
+_SPRT_B = -_SPRT_A                                                # accept H0
+
+
+def _sprt_body(engine: str) -> str:
+    """Wald SPRT on the daily purchase-conversion stream, one test per
+    user-parity arm: day t adds x_t*L1 + (n_t - x_t)*L0 micro-nats
+    (constant integer factors), the cumulative walk crosses ±ln(19) to
+    decide. Every value is exact BIGINT; the only window walks the
+    calendar per arm."""
+    return f"""
+        WITH ev AS ({_ev(engine)}),
+        daily AS (
+            SELECT user_id % 2 AS arm, day_idx,
+                   CAST(COUNT(*) AS BIGINT) AS trials,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS conv
+            FROM ev GROUP BY user_id % 2, day_idx
+        ),
+        walk AS (
+            SELECT arm, day_idx, trials, conv,
+                   CAST(SUM(conv * {_SPRT_L1}
+                            + (trials - conv) * {_SPRT_L0})
+                        OVER (PARTITION BY arm ORDER BY day_idx
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS llr_micro
+            FROM daily
+        )
+        SELECT arm, day_idx, trials, conv, llr_micro,
+               CASE WHEN llr_micro >= {_SPRT_A} THEN 'accept_h1'
+                    WHEN llr_micro <= {_SPRT_B} THEN 'accept_h0'
+                    ELSE 'continue' END AS state,
+               MIN(CASE WHEN llr_micro >= {_SPRT_A}
+                         OR llr_micro <= {_SPRT_B}
+                        THEN day_idx END)
+                   OVER (PARTITION BY arm) AS first_decision_day
+        FROM walk
+        ORDER BY arm, day_idx
+    """
+
+
+def agg_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability-ratio test (H0 p={SPRT_P0} vs H1
+    p={SPRT_P1}, alpha=beta={SPRT_ALPHA}) on each arm's daily purchase
+    conversions — see _sprt_body. The ALWAYS-VALID monitoring gate the
+    fixed-horizon tests (Welch/MWU/KW) cannot give: peeking at the
+    cumulative walk any day keeps the error guarantees, so dashboards
+    can stop experiments early.
+
+    Scale posture: one corpus scan to the (arm, day) aggregate; the
+    cumulative walk and the decision-day window run over the
+    calendar-bounded relation, partitioned by arm."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_sprt_body("spark"))
+
+
+AGG_SPRT_SEQUENTIAL_SQL = _sprt_body("duck")
+
+
+# ---------------------------------------------------------------------------
+# events_forecast_ewma_backtest — next-day forecast + MAPE backtest
+# ---------------------------------------------------------------------------
+
+
+def _forecast_body(engine: str) -> str:
+    """Next-day revenue forecast = yesterday's truncated EWMA (the
+    events_ewma_smooth kernel), backtested in-sample: per backtest day,
+    APE compares actual*4^12 against the lagged EWMA numerator in
+    exact integers; MAPE is the integer mean of the per-day ppm
+    values. next_forecast is the final day's EWMA via the same
+    quotient/remainder micro split."""
+    intdiv = "div" if engine == "spark" else "//"
+    return f"""
+        WITH daily AS ({_daily(engine)}),
+        num AS (
+            SELECT event_type, day_idx, cents,
+                   CAST({_ewma_num(engine)} AS BIGINT) AS n4
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day_idx)
+        ),
+        shifted AS (
+            SELECT event_type, day_idx, cents, n4,
+                   lag(n4) OVER (PARTITION BY event_type
+                                 ORDER BY day_idx) AS n4_prev
+            FROM num
+        ),
+        scored AS (
+            SELECT event_type, day_idx, n4,
+                   CASE WHEN n4_prev IS NOT NULL AND cents > 0
+                        THEN CAST(floor(
+                            abs(cents * CAST({_EWMA_DEN} AS BIGINT)
+                                - n4_prev) * 1000000e0
+                            / (cents * CAST({_EWMA_DEN} AS BIGINT)))
+                            AS BIGINT)
+                        END AS ape_ppm
+            FROM shifted
+        )
+        SELECT event_type,
+               CAST(COUNT(ape_ppm) AS BIGINT) AS n_backtest,
+               CAST(SUM(ape_ppm) {intdiv} COUNT(ape_ppm) AS BIGINT)
+                   AS mape_ppm,
+               CAST((max_by(n4, day_idx) {intdiv} {_EWMA_DEN}) * 1000000
+                    + ((max_by(n4, day_idx) % {_EWMA_DEN}) * 1000000)
+                      {intdiv} {_EWMA_DEN}
+                    AS BIGINT) AS next_forecast_cents_micro
+        FROM scored
+        GROUP BY event_type
+        ORDER BY event_type
+    """
+
+
+def events_forecast_ewma_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-type next-day forecast with its in-sample MAPE backtest —
+    see _forecast_body. Closes the smoothing loop: events_ewma_smooth
+    produces the estimate, this op quantifies how good that estimate
+    IS as a one-step forecast — the number a capacity-planning
+    dashboard actually shows.
+
+    Scale posture: same calendar-bounded daily barrier and
+    type-partitioned windows as the EWMA; the rollup is |types| rows."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_forecast_body("spark"))
+
+
+EVENTS_FORECAST_EWMA_BACKTEST_SQL = _forecast_body("duck")
+
+
+# ---------------------------------------------------------------------------
 # events_attribution_touch — first/last-touch purchase attribution
 # ---------------------------------------------------------------------------
 
@@ -1179,6 +1321,11 @@ QUERIES: dict[str, tuple] = {
     "events_attribution_touch": (
         events_attribution_touch,
         EVENTS_ATTRIBUTION_TOUCH_SQL,
+    ),
+    "agg_sprt_sequential": (agg_sprt_sequential, AGG_SPRT_SEQUENTIAL_SQL),
+    "events_forecast_ewma_backtest": (
+        events_forecast_ewma_backtest,
+        EVENTS_FORECAST_EWMA_BACKTEST_SQL,
     ),
     "events_active_users_rolling": (
         events_active_users_rolling,

@@ -492,6 +492,45 @@ def scalar_ipv4_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCALAR_IPV4_OPS_SQL = _ipv4_sql("duck")
 
 
+def _summing_merge_sql(engine: str) -> str:
+    """ClickHouse SummingMergeTree FINAL semantics: rows sharing the
+    ORDER BY key ((user_id, event_type)) collapse with numeric columns
+    SUMMED; ClickHouse leaves non-summed columns as "any value from the
+    set" — pinned here to MIN(event_id) so both engines (and any
+    shuffle order) agree. Zero-sum groups SURVIVE —
+    unlike CollapsingMergeTree, Summing keeps the key row (the
+    documented difference cdc_collapsing_merge pins from the other
+    side)."""
+    del engine
+    return """
+        SELECT user_id, event_type,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_merged,
+               MIN(event_id) AS any_event_id
+        FROM events
+        GROUP BY user_id, event_type
+        ORDER BY user_id, event_type
+    """
+
+
+def cdc_summing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SummingMergeTree FINAL — see _summing_merge_sql. Completes the
+    MergeTree-family trio: Replacing (dedup_latest_version),
+    Collapsing (cdc_collapsing_merge), Summing (here) — the three
+    background-merge semantics a ClickHouse sink user actually relies
+    on.
+
+    Scale posture: one map-side-combined aggregate keyed by the table's
+    ORDER BY — exactly the merge ClickHouse amortizes in the
+    background, expressed as the equivalent one-shuffle groupBy."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_summing_merge_sql("spark"))
+
+
+CDC_SUMMING_MERGE_SQL = _summing_merge_sql("duck")
+
+
 TOPK_WEIGHTED_K = 5
 
 
@@ -544,6 +583,7 @@ AGG_TOPK_WEIGHTED_SQL = _topk_weighted_sql("duck")
 QUERIES: dict[str, tuple] = {
     "scalar_ipv4_ops": (scalar_ipv4_ops, SCALAR_IPV4_OPS_SQL),
     "agg_topk_weighted": (agg_topk_weighted, AGG_TOPK_WEIGHTED_SQL),
+    "cdc_summing_merge": (cdc_summing_merge, CDC_SUMMING_MERGE_SQL),
     "events_sequence_match": (events_sequence_match, EVENTS_SEQUENCE_MATCH_SQL),
     "events_retention_conditions": (
         events_retention_conditions,

@@ -281,3 +281,71 @@ def test_gini_two_customer_concentration(spark, tmp_path):
     r = profile_gini_coefficient(spark, str(tmp_path)).collect()[0]
     assert (r.n_customers, r.total_cents) == (2, 400)
     assert r.gini_micro == 250_000
+
+
+def test_sprt_decides_both_ways(spark, tmp_path):
+    from mongo_to_clickhouse_spark.queries.bizops import (
+        _SPRT_L0,
+        _SPRT_L1,
+        agg_sprt_sequential,
+    )
+
+    # arm 0 (even users): 6 purchases on day 0 -> 6*L1 crosses +ln(19)
+    # immediately; arm 1 (odd users): all views, 6 on day 0 (continue)
+    # then 20 more on day 1 -> 26*L0 crosses -ln(19)
+    rows = []
+    eid = 0
+    for _ in range(6):
+        rows.append((eid, _T0, 2, "purchase", 1.0)); eid += 1
+        rows.append((eid, _T0, 1, "view", 1.0)); eid += 1
+    for _ in range(20):
+        rows.append((eid, _T0 + dt.timedelta(days=1), 1, "view", 1.0))
+        eid += 1
+    _events(rows, str(tmp_path))
+    got = {
+        (r.arm, r.day_idx): (r.llr_micro, r.state, r.first_decision_day)
+        for r in agg_sprt_sequential(spark, str(tmp_path)).collect()
+    }
+    d0 = min(d for (_, d) in got)
+    assert got[(0, d0)] == (6 * _SPRT_L1, "accept_h1", d0)
+    assert got[(1, d0)] == (6 * _SPRT_L0, "continue", d0 + 1)
+    assert got[(1, d0 + 1)] == (26 * _SPRT_L0, "accept_h0", d0 + 1)
+
+
+def test_forecast_backtest_exact_mape(spark, tmp_path):
+    from mongo_to_clickhouse_spark.queries.bizops import (
+        events_forecast_ewma_backtest,
+    )
+
+    # day0 400 cents, day1 300 cents: day-1 forecast = EWMA(day0) = 100
+    # -> APE = 2/3; next forecast = 300/4 + 400*3/16 = 150 cents
+    rows = [
+        (0, _T0, 1, "click", 4.00),
+        (1, _T0 + dt.timedelta(days=1), 1, "click", 3.00),
+    ]
+    _events(rows, str(tmp_path))
+    r = events_forecast_ewma_backtest(spark, str(tmp_path)).collect()[0]
+    assert (r.event_type, r.n_backtest) == ("click", 1)
+    assert r.mape_ppm == 666666
+    assert r.next_forecast_cents_micro == 150_000_000
+
+
+def test_summing_merge_zero_sum_survives(spark, tmp_path):
+    from mongo_to_clickhouse_spark.queries.clickhouseops import (
+        cdc_summing_merge,
+    )
+
+    # +5.00 and -5.00 for the same key collapse to a SURVIVING zero row
+    # (the Summing-vs-Collapsing difference); non-summed column pinned
+    # to MIN(event_id)
+    rows = [
+        (7, _T0, 1, "click", 5.00),
+        (8, _T0 + dt.timedelta(minutes=1), 1, "click", -5.00),
+        (9, _T0, 2, "view", 1.00),
+    ]
+    _events(rows, str(tmp_path))
+    got = {
+        (r.user_id, r.event_type): (r.sum_cents, r.n_merged, r.any_event_id)
+        for r in cdc_summing_merge(spark, str(tmp_path)).collect()
+    }
+    assert got == {(1, "click"): (0, 2, 7), (2, "view"): (100, 1, 9)}
