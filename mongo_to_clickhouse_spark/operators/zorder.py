@@ -62,3 +62,44 @@ def interleave_bits_sql(x: str, y: str, bits: int = ZBITS) -> str:
         terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
         terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def hilbert_stages_sql(rel: str, keep: str, bits: int = ZBITS) -> str:
+    """Hilbert curve distance d(x, y) on the 2^bits lattice as ``bits``
+    unrolled CTE stages over ``rel`` (which must expose bigint columns
+    ``hx``/``hy`` in [0, 2^bits) plus the ``keep`` passthrough columns).
+    Returns the WITH-clause fragment; the final stage is ``h{bits}``
+    with column ``hd``.
+
+    Hilbert beats Morton for range locality (no quadrant jumps: every
+    curve step is distance 1, so per-file bounding boxes stay tighter —
+    measured by profile_layout_locality). The classic xy→d loop has
+    data-dependent reflect/swap per round; each round here is a narrow
+    projection with ENGINE-SHARED arithmetic: bit tests are spelled
+    ``v % 2s >= s`` and the quadrant code ``(3·rx) XOR ry`` as
+    ``rx·(3-ry) + (1-rx)·ry`` — no shift/xor operators, so the same
+    string parses in Spark SQL and DuckDB and the key is exact BIGINT
+    in both."""
+    n = 1 << bits  # lattice size; the rotate step reflects against n-1
+    parts = [
+        f"h0 AS (SELECT {keep}, CAST(hx AS BIGINT) AS x,"
+        f" CAST(hy AS BIGINT) AS y, CAST(0 AS BIGINT) AS hd FROM {rel})"
+    ]
+    for i in range(bits):
+        s = 1 << (bits - 1 - i)
+        rx = f"(CASE WHEN x % {2 * s} >= {s} THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN y % {2 * s} >= {s} THEN 1 ELSE 0 END)"
+        parts.append(f"""h{i + 1} AS (
+            SELECT {keep},
+                   CASE WHEN {ry} = 0
+                        THEN CASE WHEN {rx} = 1 THEN {n - 1} - y
+                                  ELSE y END
+                        ELSE x END AS x,
+                   CASE WHEN {ry} = 0
+                        THEN CASE WHEN {rx} = 1 THEN {n - 1} - x
+                                  ELSE x END
+                        ELSE y END AS y,
+                   hd + {s * s} * ({rx} * (3 - {ry})
+                                   + (1 - {rx}) * {ry}) AS hd
+            FROM h{i})""")
+    return ", ".join(parts)

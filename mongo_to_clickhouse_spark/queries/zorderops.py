@@ -170,7 +170,181 @@ SINK_COMPACTION_BINPACK_SQL = """
 """
 
 
+from mongo_to_clickhouse_spark.operators.zorder import hilbert_stages_sql
+
+LOCALITY_BUCKET = 64  # rows per simulated file in the locality report
+
+
+def _hilbert_keys_view(spark: SparkSession, sf_dir: str) -> None:
+    """Register ``hilbert_pts`` = events + (hx, hy) dense buckets + zkey
+    (Spark Column spellings; the Hilbert stages themselves are
+    engine-shared SQL run on top)."""
+    ev = load_table(spark, sf_dir, "events")
+    v100 = F.floor(F.col("value") * 100).cast("bigint")
+    ev = ev.select("event_id", "user_id", v100.alias("v100"))
+    bounds = ev.agg(
+        F.min("user_id").alias("mu"), F.max("user_id").alias("xu"),
+        F.min("v100").alias("mv"), F.max("v100").alias("xv"),
+    )
+    hx = dense_bucket(F.col("user_id"), F.col("mu"), F.col("xu"))
+    hy = dense_bucket(F.col("v100"), F.col("mv"), F.col("xv"))
+    ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id", "user_id", "v100",
+        hx.alias("hx"), hy.alias("hy"),
+        interleave_bits(hx, hy).alias("zkey"),
+    ).createOrReplaceTempView("hilbert_pts")
+
+
+def sink_hilbert_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-clustered parquet layout — sink_zorder_cluster's sibling
+    on the better curve (every Hilbert step is distance 1, so per-file
+    bounding boxes stay tighter than Morton's quadrant jumps; measured
+    by profile_layout_locality). Writes the range-partitioned layout,
+    reads it back, returns the per-row key assignment; the unrolled
+    8-round xy→d ladder is exact BIGINT and engine-shared
+    (operators/zorder.py:hilbert_stages_sql, validated exhaustively
+    against a pure-Python reference on the full 256x256 lattice).
+
+    Scale posture: bounds are one broadcast 1-row agg; the ladder is 8
+    narrow projections; the clustered write is one range exchange —
+    identical plan shape to the Morton sink."""
+    def _build(root: str) -> None:
+        _hilbert_keys_view(spark, sf_dir)
+        keyed = spark.sql(
+            f"WITH {hilbert_stages_sql('hilbert_pts', 'event_id')}"
+            " SELECT event_id, hd AS hkey FROM h8"
+        )
+        (
+            keyed.repartitionByRange(ZORDER_FILES, "hkey")
+            .sortWithinPartitions("hkey")
+            .write.parquet(os.path.join(root, "events_h"))
+        )
+
+    out = os.path.join(
+        cached_work_dir("hsink", sf_dir, ("events",), _build), "events_h"
+    )
+    return (
+        spark.read.parquet(out)
+        .select("event_id", "hkey")
+        .orderBy("event_id")
+    )
+
+
+_DUCK_PTS = f"""
+    ev AS (
+        SELECT event_id, user_id,
+               CAST(floor(value * 100) AS BIGINT) AS v100
+        FROM events
+    ),
+    bounds AS (
+        SELECT MIN(user_id) AS mu, MAX(user_id) AS xu,
+               MIN(v100) AS mv, MAX(v100) AS xv
+        FROM ev
+    ),
+    pts AS (
+        SELECT event_id, user_id, v100,
+               ({dense_bucket_sql("user_id", "mu", "xu")}) AS hx,
+               ({dense_bucket_sql("v100", "mv", "xv")}) AS hy,
+               {interleave_bits_sql(
+                   f"({dense_bucket_sql('user_id', 'mu', 'xu')})",
+                   f"({dense_bucket_sql('v100', 'mv', 'xv')})",
+                   ZBITS)} AS zkey
+        FROM ev, bounds
+    )
+"""
+
+SINK_HILBERT_CLUSTER_SQL = f"""
+    WITH {_DUCK_PTS},
+    {hilbert_stages_sql("pts", "event_id")}
+    SELECT event_id, hd AS hkey FROM h8 ORDER BY event_id
+"""
+
+
+def _locality_tail(ranked_rel: str) -> str:
+    """Shared tail over (rk_nat, rk_z, rk_h, user_id, v100): bucket the
+    three orderings into {LOCALITY_BUCKET}-row simulated files and
+    report each ordering's mean per-file span on BOTH dimensions —
+    smaller = better min/max pruning."""
+    b = LOCALITY_BUCKET
+    return f"""
+        unioned AS (
+            SELECT 'a_natural' AS ordering,
+                   CAST(floor((rk_nat - 1) / {b}e0) AS BIGINT) AS bucket,
+                   user_id, v100 FROM {ranked_rel}
+            UNION ALL
+            SELECT 'b_zorder',
+                   CAST(floor((rk_z - 1) / {b}e0) AS BIGINT),
+                   user_id, v100 FROM {ranked_rel}
+            UNION ALL
+            SELECT 'c_hilbert',
+                   CAST(floor((rk_h - 1) / {b}e0) AS BIGINT),
+                   user_id, v100 FROM {ranked_rel}
+        ),
+        per AS (
+            SELECT ordering, bucket,
+                   MAX(user_id) - MIN(user_id) AS su,
+                   MAX(v100) - MIN(v100) AS sv
+            FROM unioned GROUP BY ordering, bucket
+        )
+        SELECT ordering,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(floor(SUM(su) * 1000e0 / COUNT(*)) AS BIGINT)
+                   AS avg_user_span_milli,
+               CAST(floor(SUM(sv) * 1000e0 / COUNT(*)) AS BIGINT)
+                   AS avg_value_span_milli
+        FROM per GROUP BY ordering ORDER BY ordering
+    """
+
+
+def profile_layout_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-quality report: mean per-file (min,max) span of BOTH
+    filter dimensions under natural, Morton, and Hilbert orderings —
+    see _locality_tail. This is the number that justifies paying for a
+    clustered rewrite: the clustered curves cut both spans by orders
+    of magnitude vs arrival order, and Hilbert ≤ Morton.
+
+    Scale posture: keys are narrow projections; the three global ranks
+    use ``distributed_global_rank`` over ONE barriered key relation;
+    span aggregation is map-side combined on (ordering, bucket)."""
+    from mongo_to_clickhouse_spark.operators.materialize import barrier
+    from mongo_to_clickhouse_spark.operators.rank import (
+        distributed_global_rank,
+    )
+
+    _hilbert_keys_view(spark, sf_dir)
+    keyed = barrier(spark.sql(
+        f"WITH {hilbert_stages_sql('hilbert_pts', 'event_id, user_id, v100, zkey')}"
+        " SELECT event_id, user_id, v100, zkey, hd FROM h8"
+    ))
+    r = distributed_global_rank(keyed, [F.col("event_id")], "rk_nat")
+    r = distributed_global_rank(
+        r, [F.col("zkey"), F.col("event_id")], "rk_z")
+    r = distributed_global_rank(
+        r, [F.col("hd"), F.col("event_id")], "rk_h")
+    r.createOrReplaceTempView("locality_ranked")
+    return spark.sql(f"WITH {_locality_tail('locality_ranked')}")
+
+
+PROFILE_LAYOUT_LOCALITY_SQL = f"""
+    WITH {_DUCK_PTS},
+    {hilbert_stages_sql("pts", "event_id, user_id, v100, zkey")},
+    ranked AS (
+        SELECT user_id, v100,
+               ROW_NUMBER() OVER (ORDER BY event_id) AS rk_nat,
+               ROW_NUMBER() OVER (ORDER BY zkey, event_id) AS rk_z,
+               ROW_NUMBER() OVER (ORDER BY hd, event_id) AS rk_h
+        FROM h8
+    ),
+    {_locality_tail("ranked")}
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "sink_hilbert_cluster": (sink_hilbert_cluster, SINK_HILBERT_CLUSTER_SQL),
+    "profile_layout_locality": (
+        profile_layout_locality,
+        PROFILE_LAYOUT_LOCALITY_SQL,
+    ),
     "sink_zorder_cluster": (sink_zorder_cluster, SINK_ZORDER_CLUSTER_SQL),
     "sink_compaction_binpack": (
         sink_compaction_binpack,
