@@ -995,6 +995,170 @@ EVENTS_FORECAST_EWMA_BACKTEST_SQL = _forecast_body("duck")
 
 
 # ---------------------------------------------------------------------------
+# events_cuped_adjustment — pre-period covariate variance reduction
+# ---------------------------------------------------------------------------
+
+CUPED_SPLIT_DAY = 15  # pre-period: day_idx < anchor+15; post: the rest
+
+
+def _cuped_body(engine: str) -> str:
+    """CUPED (Deng et al. 2013): adjust each user's post-period revenue
+    by theta * (pre - mean(pre)) with theta = cov(pre,post)/var(pre)
+    estimated on the POOLED population. Per-user dollar totals keep all
+    five pooled power sums exact BIGINT; theta, the adjusted means and
+    the variance-reduction ratio are single double expressions over
+    those integers. Variance identity used per arm:
+    var(adj) = var(y) - 2*theta*cov(x,y) + theta^2*var(x)."""
+    intdiv = "div" if engine == "spark" else "//"
+    return f"""
+        WITH ev AS ({_ev(engine)}),
+        anchor AS (SELECT MIN(day_idx) AS d0 FROM ev),
+        per_user AS (
+            SELECT user_id, user_id % 2 AS arm,
+                   CAST(SUM(CASE WHEN day_idx < d0 + {CUPED_SPLIT_DAY}
+                                 THEN cents ELSE 0 END)
+                        {intdiv} 100 AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN day_idx >= d0 + {CUPED_SPLIT_DAY}
+                                 THEN cents ELSE 0 END)
+                        {intdiv} 100 AS BIGINT) AS y
+            FROM ev CROSS JOIN anchor
+            WHERE cents >= 0
+            GROUP BY user_id
+        ),
+        pooled AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM per_user
+        ),
+        arms AS (
+            SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_a,
+                   CAST(SUM(x) AS BIGINT) AS ax,
+                   CAST(SUM(y) AS BIGINT) AS ay,
+                   CAST(SUM(x * x) AS BIGINT) AS axx,
+                   CAST(SUM(x * y) AS BIGINT) AS axy,
+                   CAST(SUM(y * y) AS BIGINT) AS ayy
+            FROM per_user GROUP BY arm
+        ),
+        theta AS (
+            SELECT CASE WHEN p.n * p.sxx = p.sx * p.sx THEN 0e0
+                        ELSE (p.n * p.sxy - p.sx * p.sy) * 1e0
+                             / (p.n * p.sxx - p.sx * p.sx) END AS th,
+                   p.sx * 1e0 / p.n AS xbar
+            FROM pooled p
+        )
+        SELECT a.arm, a.n_a,
+               CAST(floor(a.ay * 1e0 / a.n_a * 1000000) AS BIGINT)
+                   AS mean_post_micro,
+               CAST(floor((a.ay * 1e0 / a.n_a
+                           - t.th * (a.ax * 1e0 / a.n_a - t.xbar))
+                          * 1000000) AS BIGINT) AS mean_adj_micro,
+               CAST(floor(t.th * 1000000) AS BIGINT) AS theta_micro,
+               CASE WHEN a.n_a * a.ayy = a.ay * a.ay THEN NULL
+                    ELSE CAST(floor(
+                        (2e0 * t.th * (a.n_a * a.axy - a.ax * a.ay)
+                         - t.th * t.th * (a.n_a * a.axx - a.ax * a.ax))
+                        / (a.n_a * a.ayy - a.ay * a.ay) * 1000000)
+                        AS BIGINT) END AS var_reduction_ppm
+        FROM arms a CROSS JOIN theta t
+        ORDER BY a.arm
+    """
+
+
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED pre-period adjustment of post-period revenue per A/B arm —
+    see _cuped_body. The industry-standard variance-reduction step that
+    makes agg_ttest_welch/agg_sprt_sequential decisions faster at the
+    same error rates: users' pre-experiment behavior explains away
+    between-user noise.
+
+    Scale posture: one corpus scan to per-user (pre, post) dollar
+    totals (map-side combined); pooled theta is a 1-row broadcast; the
+    per-arm report is 2 rows of closed forms over exact power sums."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_cuped_body("spark"))
+
+
+EVENTS_CUPED_ADJUSTMENT_SQL = _cuped_body("duck")
+
+
+# ---------------------------------------------------------------------------
+# agg_ratio_metric_delta — delta-method CI for a ratio metric
+# ---------------------------------------------------------------------------
+
+
+def _ratio_delta_body(engine: str) -> str:
+    """Revenue-per-event ratio metric per arm with the delta-method
+    standard error: R = sum(c)/sum(k) over USERS (the randomization
+    unit), se^2 = sum((c_i - R*k_i)^2) * n/(n-1) / (sum k)^2 — the
+    linearization that fixes the classic ratio-metric mistake of
+    treating events as independent. Per-user dollar/count sums are
+    exact BIGINT; R, se and the 95% CI are single double expressions
+    (micro-floored)."""
+    intdiv = "div" if engine == "spark" else "//"
+    return f"""
+        WITH ev AS ({_ev(engine)}),
+        per_user AS (
+            SELECT user_id, user_id % 2 AS arm,
+                   CAST(SUM(cents) {intdiv} 100 AS BIGINT) AS c,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM ev WHERE cents >= 0 GROUP BY user_id
+        ),
+        arms AS (
+            SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS BIGINT) AS sc,
+                   CAST(SUM(k) AS BIGINT) AS sk,
+                   CAST(SUM(c * c) AS BIGINT) AS scc,
+                   CAST(SUM(c * k) AS BIGINT) AS sck,
+                   CAST(SUM(k * k) AS BIGINT) AS skk
+            FROM per_user GROUP BY arm
+        )
+        SELECT arm, n, sc AS sum_dollars, sk AS sum_events,
+               CAST(floor(sc * 1e0 / sk * 1000000) AS BIGINT)
+                   AS ratio_micro,
+               CAST(floor(sqrt(GREATEST(
+                        (scc - 2e0 * (sc * 1e0 / sk) * sck
+                         + (sc * 1e0 / sk) * (sc * 1e0 / sk) * skk)
+                        * (n * 1e0 / (n - 1)), 0e0))
+                    / sk * 1000000) AS BIGINT) AS se_micro,
+               CAST(floor((sc * 1e0 / sk
+                           - 1.959964e0 * sqrt(GREATEST(
+                               (scc - 2e0 * (sc * 1e0 / sk) * sck
+                                + (sc * 1e0 / sk) * (sc * 1e0 / sk)
+                                  * skk) * (n * 1e0 / (n - 1)), 0e0))
+                             / sk) * 1000000) AS BIGINT) AS ci_lo_micro,
+               CAST(floor((sc * 1e0 / sk
+                           + 1.959964e0 * sqrt(GREATEST(
+                               (scc - 2e0 * (sc * 1e0 / sk) * sck
+                                + (sc * 1e0 / sk) * (sc * 1e0 / sk)
+                                  * skk) * (n * 1e0 / (n - 1)), 0e0))
+                             / sk) * 1000000) AS BIGINT) AS ci_hi_micro
+        FROM arms
+        ORDER BY arm
+    """
+
+
+def agg_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method CI for the revenue-per-event ratio metric per arm —
+    see _ratio_delta_body. The experimentation tool the mean tests
+    can't replace: ratio metrics' numerator and denominator are
+    correlated WITHIN users, so naive per-event variance understates
+    the CI; the delta linearization over the randomization unit is the
+    standard correction.
+
+    Scale posture: one corpus scan to per-user (dollars, events)
+    pairs; everything after is 2 rows of closed forms over exact
+    BIGINT power sums."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ratio_delta_body("spark"))
+
+
+AGG_RATIO_METRIC_DELTA_SQL = _ratio_delta_body("duck")
+
+
+# ---------------------------------------------------------------------------
 # events_attribution_touch — first/last-touch purchase attribution
 # ---------------------------------------------------------------------------
 
@@ -1323,6 +1487,14 @@ QUERIES: dict[str, tuple] = {
         EVENTS_ATTRIBUTION_TOUCH_SQL,
     ),
     "agg_sprt_sequential": (agg_sprt_sequential, AGG_SPRT_SEQUENTIAL_SQL),
+    "events_cuped_adjustment": (
+        events_cuped_adjustment,
+        EVENTS_CUPED_ADJUSTMENT_SQL,
+    ),
+    "agg_ratio_metric_delta": (
+        agg_ratio_metric_delta,
+        AGG_RATIO_METRIC_DELTA_SQL,
+    ),
     "events_forecast_ewma_backtest": (
         events_forecast_ewma_backtest,
         EVENTS_FORECAST_EWMA_BACKTEST_SQL,

@@ -349,3 +349,56 @@ def test_summing_merge_zero_sum_survives(spark, tmp_path):
         for r in cdc_summing_merge(spark, str(tmp_path)).collect()
     }
     assert got == {(1, "click"): (0, 2, 7), (2, "view"): (100, 1, 9)}
+
+
+def test_cuped_perfect_covariate(spark, tmp_path):
+    from mongo_to_clickhouse_spark.queries.bizops import (
+        events_cuped_adjustment,
+    )
+
+    # post = 2*pre exactly for users 1..4: pooled theta = 2, BOTH arms'
+    # adjusted means collapse to the pooled post mean (5.0 dollars) and
+    # the variance reduction is exactly 100%
+    rows, eid = [], 0
+    for u in range(1, 5):
+        rows.append((eid, _T0, u, "click", float(u))); eid += 1          # pre
+        rows.append((eid, _T0 + dt.timedelta(days=20), u, "click",
+                     float(2 * u))); eid += 1                            # post
+    _events(rows, str(tmp_path))
+    got = {r.arm: (r.n_a, r.mean_post_micro, r.mean_adj_micro,
+                   r.theta_micro, r.var_reduction_ppm)
+           for r in events_cuped_adjustment(spark, str(tmp_path)).collect()}
+    assert got[0] == (2, 6_000_000, 5_000_000, 2_000_000, 1_000_000)
+    assert got[1] == (2, 4_000_000, 5_000_000, 2_000_000, 1_000_000)
+
+
+def test_ratio_delta_zero_and_nonzero_se(spark, tmp_path):
+    import math
+
+    from mongo_to_clickhouse_spark.queries.bizops import (
+        agg_ratio_metric_delta,
+    )
+
+    # arm 0 (even users): dollars exactly 2 per event for every user ->
+    # residuals 0, se 0, CI degenerate at the ratio. arm 1: residuals
+    # +-2 -> se = 1 dollar/event, CI = 1 -/+ 1.959964
+    rows, eid = [], 0
+    def user(u, dollars, k):
+        nonlocal eid
+        rows.append((eid, _T0, u, "click", float(dollars))); eid += 1
+        for _ in range(k - 1):
+            rows.append((eid, _T0, u, "view", 0.0)); eid += 1
+    user(2, 4, 2); user(4, 8, 4)     # arm 0: c = 2k
+    user(1, 3, 1); user(3, 1, 3)     # arm 1: R = 1, residuals +-2
+    _events(rows, str(tmp_path))
+    got = {r.arm: r for r in
+           agg_ratio_metric_delta(spark, str(tmp_path)).collect()}
+    a0 = got[0]
+    assert (a0.sum_dollars, a0.sum_events) == (12, 6)
+    assert (a0.ratio_micro, a0.se_micro) == (2_000_000, 0)
+    assert a0.ci_lo_micro == a0.ci_hi_micro == 2_000_000
+    a1 = got[1]
+    assert (a1.sum_dollars, a1.sum_events) == (4, 4)
+    assert (a1.ratio_micro, a1.se_micro) == (1_000_000, 1_000_000)
+    assert a1.ci_lo_micro == math.floor((1 - 1.959964) * 1e6)
+    assert a1.ci_hi_micro == math.floor((1 + 1.959964) * 1e6)
