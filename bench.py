@@ -94,6 +94,8 @@ HEADLINE = [
     "graph_modularity",            # LPA partition quality Q (round 7)
     "pipeline_curriculum_order",   # curriculum stage manifest (round 7)
     "source_orc_scan",             # ORC staging round-trip (round 7)
+    "pipeline_pretraining_manifest",  # one-plan quality->dedup->shards (round 7)
+    "profile_layout_locality",     # natural/Morton/Hilbert span report (round 7)
 ]
 
 
