@@ -1001,6 +1001,157 @@ def _closeness_duck_sql() -> str:
 GRAPH_CLOSENESS_SAMPLED_SQL = _closeness_duck_sql()
 
 
+BET_SOURCES = 4   # sampled Brandes sources (smallest node ids)
+BET_ROUNDS = 4    # BFS hop budget, matches closeness/bfs_depth
+_BET_TOPK = 20
+
+
+def _bet_fwd_round_sql(state_rel: str, adj_rel: str, r: int) -> str:
+    """One STRICT BFS expansion with shortest-path counting: only the
+    exact frontier (d = r-1) expands, only unvisited nodes enter, and
+    sigma(w) sums the frontier parents' sigmas — the forward half of
+    Brandes. (The closeness-style relax-everything step would
+    double-count sigma, so this one anti-joins the visited set.)"""
+    return f"""
+        SELECT src, node_id, d, sig FROM {state_rel}
+        UNION ALL
+        SELECT s.src, e.b AS node_id, CAST({r} AS INTEGER) AS d,
+               CAST(SUM(s.sig) AS BIGINT) AS sig
+        FROM {state_rel} s
+        JOIN {adj_rel} e ON e.a = s.node_id
+        LEFT JOIN {state_rel} v
+          ON v.src = s.src AND v.node_id = e.b
+        WHERE s.d = {r - 1} AND v.node_id IS NULL
+        GROUP BY s.src, e.b
+    """
+
+
+def _bet_bwd_round_sql(state_rel: str, adj_rel: str, lvl: int) -> str:
+    """One backward dependency-accumulation level: nodes at depth
+    lvl-1 collect sigma_v * (1 + delta_w) / sigma_w from their
+    depth-lvl successors. delta is carried in micro (1e6 = 1.0) and
+    every contribution is ONE nonnegative BIGINT division — truncation
+    identical in both engines, so the accumulation is bit-exact."""
+    return f"""
+        SELECT s.src, s.node_id, s.d, s.sig,
+               CAST(s.delta + COALESCE(u.add_d, 0) AS BIGINT) AS delta
+        FROM {state_rel} s
+        LEFT JOIN (
+            SELECT v.src, v.node_id,
+                   SUM((v.sig * (1000000 + w.delta)) {{intdiv}} w.sig)
+                       AS add_d
+            FROM {state_rel} v
+            JOIN {adj_rel} e ON e.a = v.node_id
+            JOIN {state_rel} w
+              ON w.src = v.src AND w.node_id = e.b AND w.d = {lvl}
+            WHERE v.d = {lvl - 1}
+            GROUP BY v.src, v.node_id
+        ) u ON u.src = s.src AND u.node_id = s.node_id
+    """
+
+
+def _bet_tail_sql(state_rel: str) -> str:
+    return f"""
+        SELECT node_id,
+               CAST(COUNT(*) AS BIGINT) AS n_sources_reached,
+               CAST(SUM(delta) AS BIGINT) AS betweenness_micro
+        FROM {state_rel}
+        WHERE node_id <> src
+        GROUP BY node_id
+        ORDER BY betweenness_micro DESC, node_id
+        LIMIT {_BET_TOPK}
+    """
+
+
+_BET_SEED = f"""
+    SELECT node_id AS src, node_id, CAST(0 AS INTEGER) AS d,
+           CAST(1 AS BIGINT) AS sig
+    FROM (SELECT DISTINCT a AS node_id FROM {{adj}}
+          ORDER BY node_id LIMIT {BET_SOURCES}) srcs
+"""
+
+
+def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled Brandes betweenness centrality on the mutual-kNN
+    supplier graph: strict BFS with shortest-path counts from the
+    {BET_SOURCES} smallest nodes ({BET_ROUNDS} hops), then the backward
+    dependency accumulation delta_v = sum sigma_v(1+delta_w)/sigma_w over
+    depth levels — the who-do-shortest-paths-flow-through centrality
+    PageRank and closeness cannot express. Top {_BET_TOPK} brokers
+    reported as the sampled estimate sum_s delta_s(v).
+
+    Exactness: sigma counts are exact BIGINTs; delta accumulates in
+    micro with one truncating nonnegative integer division per
+    (edge, level) — bit-identical across engines and shuffle orders.
+
+    Scale posture: state is |sources| x |reached| keyed (src, node);
+    each of the 2x{BET_ROUNDS} stages is an equi-join against the
+    degree-bounded adjacency barrier (<= n*K rows), checkpointed per
+    round (the closeness/kcore discipline)."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        barrier,
+        cached_barrier_view,
+    )
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    adj = cached_barrier_view(
+        spark,
+        sf_dir,
+        "tri_adj",
+        lambda: spark.sql(_triangle_adj_sql(
+            "(SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)"
+        )),
+        tables=("lineitem",),
+    )
+    state = spark.sql(_BET_SEED.format(adj=adj))
+    for r in range(1, BET_ROUNDS + 1):
+        state = barrier(state)
+        state.createOrReplaceTempView(f"bet_f{r - 1}")
+        state = spark.sql(_bet_fwd_round_sql(f"bet_f{r - 1}", adj, r))
+    state = barrier(
+        state.selectExpr("src", "node_id", "d", "sig",
+                         "CAST(0 AS BIGINT) AS delta")
+    )
+    for lvl in range(BET_ROUNDS, 0, -1):
+        state.createOrReplaceTempView(f"bet_b{lvl}")
+        state = barrier(spark.sql(
+            _bet_bwd_round_sql(f"bet_b{lvl}", adj, lvl)
+            .replace("{intdiv}", "DIV")
+        ))
+    state.createOrReplaceTempView("bet_final")
+    return spark.sql(_bet_tail_sql("bet_final"))
+
+
+def _betweenness_duck_sql() -> str:
+    adj_body = _triangle_adj_sql(
+        "(SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)"
+    )
+    parts = [
+        f"tri_adj AS MATERIALIZED ({adj_body})",
+        "f0 AS MATERIALIZED (" + _BET_SEED.format(adj="tri_adj") + ")",
+    ]
+    for r in range(1, BET_ROUNDS + 1):
+        parts.append(
+            f"f{r} AS MATERIALIZED "
+            f"({_bet_fwd_round_sql(f'f{r - 1}', 'tri_adj', r)})"
+        )
+    parts.append(
+        f"b{BET_ROUNDS} AS MATERIALIZED (SELECT src, node_id, d, sig,"
+        f" CAST(0 AS BIGINT) AS delta FROM f{BET_ROUNDS})"
+    )
+    for lvl in range(BET_ROUNDS, 0, -1):
+        parts.append(
+            f"b{lvl - 1} AS MATERIALIZED ("
+            + _bet_bwd_round_sql(f"b{lvl}", "tri_adj", lvl)
+              .replace("{intdiv}", "//")
+            + ")"
+        )
+    return f"WITH {', '.join(parts)} " + _bet_tail_sql("b0")
+
+
+GRAPH_BETWEENNESS_SAMPLED_SQL = _betweenness_duck_sql()
+
+
 def _assortativity_tail_sql(adj_rel: str) -> str:
     """Shared tail: Pearson degree assortativity r over the directed
     edge list (Newman 2002) — do high-degree nodes link to high-degree
@@ -1096,4 +1247,8 @@ QUERIES: dict[str, tuple] = {
         GRAPH_LABEL_PROPAGATION_SQL,
     ),
     "graph_modularity": (graph_modularity, GRAPH_MODULARITY_SQL),
+    "graph_betweenness_sampled": (
+        graph_betweenness_sampled,
+        GRAPH_BETWEENNESS_SAMPLED_SQL,
+    ),
 }

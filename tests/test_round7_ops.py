@@ -309,3 +309,33 @@ def test_html_extract_roundtrip_hostile_text(spark, tmp_path):
     assert (r.n_docs, r.n_roundtrip_ok) == (3, 3)
     assert r.sum_page_chars > r.sum_clean_chars
     assert 0 < r.markup_overhead_ppm < 1_000_000
+
+
+def test_betweenness_path_graph_exact(spark, tmp_path):
+    from mongo_to_clickhouse_spark.queries.graphops import (
+        graph_betweenness_sampled,
+    )
+
+    # path 1-2-3-4 with all 4 nodes as sources: ordered Brandes
+    # dependencies sum to 4.0 on each inner node, 0 on the endpoints
+    pairs = []
+    oid = 0
+    for a, b in [(1, 2), (2, 3), (3, 4)]:
+        pairs.append((oid, a))
+        pairs.append((oid, b))
+        oid += 1
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array([o for o, _ in pairs], pa.int64()),
+            "l_suppkey": pa.array([s for _, s in pairs], pa.int64()),
+        }
+    )
+    pq.write_table(lineitem, os.path.join(str(tmp_path), "lineitem.parquet"))
+    got = {
+        r.node_id: (r.n_sources_reached, r.betweenness_micro)
+        for r in graph_betweenness_sampled(spark, str(tmp_path)).collect()
+    }
+    assert got[2] == (3, 4_000_000)
+    assert got[3] == (3, 4_000_000)
+    assert got[1] == (3, 0)
+    assert got[4] == (3, 0)
