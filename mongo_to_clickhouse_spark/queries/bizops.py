@@ -995,6 +995,85 @@ EVENTS_FORECAST_EWMA_BACKTEST_SQL = _forecast_body("duck")
 
 
 # ---------------------------------------------------------------------------
+# events_error_budget_burn — SRE multi-window burn-rate alerts
+# ---------------------------------------------------------------------------
+
+SLO_ERR_PPM = 50_000          # SLO: error share of events <= 5%
+BURN_FAST_X = 6               # fast page: burn >= 6x over 1h AND 6h
+BURN_SLOW_X = 3               # slow ticket: burn >= 3x over 6h AND 24h
+
+
+def _burn_body(engine: str) -> str:
+    """Google-SRE multi-window multi-burn-rate alerting over the hourly
+    event stream: burn(W) = (errors_W/events_W)/SLO; 'page' needs the
+    fast threshold exceeded in BOTH the 1h and 6h windows (long window
+    for significance, short for reset time), 'ticket' the slow pair
+    (6h, 24h). Every comparison is the cross-multiplied integer form
+    err*1e12 >= thr*slo_ppm*total — no division decides an alert. The
+    trailing frames run over the |hours| grid (calendar-bounded)."""
+    return f"""
+        WITH ev AS ({_ev(engine)}),
+        hourly AS (
+            SELECT CAST(t_us {'div' if engine == 'spark' else '//'}
+                        3600000000 AS BIGINT) AS hour_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN event_type = 'error'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS err
+            FROM ev GROUP BY 1
+        ),
+        frames AS (
+            SELECT hour_idx, n, err,
+                   CAST(SUM(n) OVER w6 AS BIGINT) AS n6,
+                   CAST(SUM(err) OVER w6 AS BIGINT) AS err6,
+                   CAST(SUM(n) OVER w24 AS BIGINT) AS n24,
+                   CAST(SUM(err) OVER w24 AS BIGINT) AS err24
+            FROM hourly
+            WINDOW w6 AS (ORDER BY hour_idx
+                          ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+                   w24 AS (ORDER BY hour_idx
+                           ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        )
+        SELECT hour_idx, n, err, n6, err6, n24, err24,
+               CAST(floor(err * 1000000e0 / n * 1000000 / {SLO_ERR_PPM})
+                    AS BIGINT) AS burn_1h_ppm,
+               CAST(floor(err6 * 1000000e0 / n6 * 1000000
+                          / {SLO_ERR_PPM}) AS BIGINT) AS burn_6h_ppm,
+               CASE WHEN err * 1000000 >=
+                         {BURN_FAST_X * SLO_ERR_PPM} * n
+                     AND err6 * 1000000 >=
+                         {BURN_FAST_X * SLO_ERR_PPM} * n6
+                    THEN 'page'
+                    WHEN err6 * 1000000 >=
+                         {BURN_SLOW_X * SLO_ERR_PPM} * n6
+                     AND err24 * 1000000 >=
+                         {BURN_SLOW_X * SLO_ERR_PPM} * n24
+                    THEN 'ticket'
+                    ELSE 'ok' END AS alert
+        FROM frames
+        ORDER BY hour_idx
+    """
+
+
+def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget burn-rate alerts (SLO {SLO_ERR_PPM} ppm error
+    share; fast {BURN_FAST_X}x over 1h+6h pages, slow {BURN_SLOW_X}x
+    over 6h+24h tickets) — see _burn_body. The operational alerting
+    layer over the landed CDC stream: multi-window rules give both
+    fast detection and fast reset without flapping, and the
+    cross-multiplied integer comparisons mean an alert can never flip
+    on a float boundary.
+
+    Scale posture: one corpus scan to the hourly aggregate (map-side
+    combined); the trailing frames walk the calendar-bounded hour
+    grid — whitelisted with that bound in tests/test_plan_hygiene.py."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_burn_body("spark"))
+
+
+EVENTS_ERROR_BUDGET_BURN_SQL = _burn_body("duck")
+
+
+# ---------------------------------------------------------------------------
 # events_cuped_adjustment — pre-period covariate variance reduction
 # ---------------------------------------------------------------------------
 
@@ -1487,6 +1566,10 @@ QUERIES: dict[str, tuple] = {
         EVENTS_ATTRIBUTION_TOUCH_SQL,
     ),
     "agg_sprt_sequential": (agg_sprt_sequential, AGG_SPRT_SEQUENTIAL_SQL),
+    "events_error_budget_burn": (
+        events_error_budget_burn,
+        EVENTS_ERROR_BUDGET_BURN_SQL,
+    ),
     "events_cuped_adjustment": (
         events_cuped_adjustment,
         EVENTS_CUPED_ADJUSTMENT_SQL,

@@ -402,3 +402,25 @@ def test_ratio_delta_zero_and_nonzero_se(spark, tmp_path):
     assert (a1.ratio_micro, a1.se_micro) == (1_000_000, 1_000_000)
     assert a1.ci_lo_micro == math.floor((1 - 1.959964) * 1e6)
     assert a1.ci_hi_micro == math.floor((1 + 1.959964) * 1e6)
+
+
+def test_error_budget_burn_alert_ladder(spark, tmp_path):
+    from mongo_to_clickhouse_spark.queries.bizops import (
+        events_error_budget_burn,
+    )
+
+    # hour 0: 1 error in 100 events (burn 0.2x) -> ok
+    # hour 1: 80 errors in 100 -> 1h burn 16x, 6h burn 8.1x -> page
+    rows, eid = [], 0
+    for k in range(100):
+        rows.append((eid, _T0 + dt.timedelta(seconds=k),
+                     1, "error" if k == 0 else "click", 1.0)); eid += 1
+    for k in range(100):
+        rows.append((eid, _T0 + dt.timedelta(hours=1, seconds=k),
+                     1, "error" if k < 80 else "click", 1.0)); eid += 1
+    _events(rows, str(tmp_path))
+    out = events_error_budget_burn(spark, str(tmp_path)).collect()
+    h0 = min(r.hour_idx for r in out)
+    got = {r.hour_idx - h0: (r.burn_1h_ppm, r.alert) for r in out}
+    assert got[0] == (200_000, "ok")         # burn 0.2x
+    assert got[1] == (16_000_000, "page")    # 16x fast, 8.1x long

@@ -90,6 +90,8 @@ _BOUNDED_WINDOW_WHITELIST = {
     "agg_spearman_rho_daily",
     # the cumulative walk runs over the ~16*63-row log-bucket grid
     "agg_hdr_histogram_quantile",
+    # trailing 6h/24h frames walk the calendar-bounded hour grid
+    "events_error_budget_burn",
 }
 
 
