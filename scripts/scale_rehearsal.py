@@ -52,7 +52,13 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--top", type=int, default=15)
     ap.add_argument("--ids", default="")
+    ap.add_argument("--target", default=SF05,
+                    help="comparison fixture dir (e.g. .localdata/sf1)")
+    ap.add_argument("--ratio-limit", type=float, default=7.5,
+                    help="flag queries whose time ratio exceeds this")
     args = ap.parse_args()
+    target = args.target
+    tname = os.path.basename(target.rstrip("/"))
 
     from __spark_entry__ import queries
     from mongo_to_clickhouse_spark.session import get_spark
@@ -69,7 +75,7 @@ def main() -> None:
     unknown = [i for i in ids if i not in reg]
     if unknown:
         raise SystemExit(f"unknown ids: {unknown}")
-    if not os.path.exists(os.path.join(SF05, "lineitem.parquet")):
+    if not os.path.exists(os.path.join(target, "lineitem.parquet")):
         raise SystemExit("run scripts/gen_scale_fixture.py first")
 
     spark = get_spark()
@@ -87,18 +93,19 @@ def main() -> None:
     rows = []
     for qid in ids:
         t1 = run(qid, SF01)
-        t5 = run(qid, SF05)
+        t5 = run(qid, target)
         rows.append((qid, t1, t5, t5 / max(t1, 1e-9)))
-        print(f"  {qid}: sf0.1 {t1:.2f}s  sf0.5 {t5:.2f}s  "
+        print(f"  {qid}: sf0.1 {t1:.2f}s  {tname} {t5:.2f}s  "
               f"x{t5 / max(t1, 1e-9):.2f}", file=sys.stderr)
 
-    print("| query | sf0.1 s | sf0.5 s | time ratio (5x rows) |")
+    print(f"| query | sf0.1 s | {tname} s | time ratio |")
     print("|---|---|---|---|")
     for qid, t1, t5, r in sorted(rows, key=lambda t: -t[3]):
         print(f"| {qid} | {t1:.2f} | {t5:.2f} | {r:.2f} |")
-    sup = [q for q, _, _, r in rows if r > 7.5]
+    sup = [q for q, _, _, r in rows if r > args.ratio_limit]
     print()
-    print(f"Queries over 1.5x the 5x data ratio: {sup or 'none'}")
+    print(f"Queries over the ratio limit ({args.ratio_limit}): "
+          f"{sup or 'none'}")
 
 
 if __name__ == "__main__":
