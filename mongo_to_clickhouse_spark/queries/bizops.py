@@ -995,6 +995,145 @@ EVENTS_FORECAST_EWMA_BACKTEST_SQL = _forecast_body("duck")
 
 
 # ---------------------------------------------------------------------------
+# agg_winsorized_mean — robust mean via value-grid clamping
+# ---------------------------------------------------------------------------
+
+WINSOR_PPM = 50_000  # clamp the bottom/top 5% of observations
+
+
+def _winsor_body(engine: str) -> str:
+    """Per-type winsorized mean: the 5th/95th percentile clamp bounds
+    are the smallest cents whose cumulative count reaches ceil(q*n) on
+    the per-(type, cents) tie-group grid; the winsorized sum then
+    clamps each GRID ROW's value — one pass over the value grid, no
+    per-row second scan. All counts/sums exact BIGINT; the two means
+    are exact integer divisions (nonnegative by the cents filter)."""
+    intdiv = "div" if engine == "spark" else "//"
+    return f"""
+        WITH ev AS ({_ev(engine)}),
+        grid AS (
+            SELECT event_type, cents,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ev WHERE cents >= 0
+            GROUP BY event_type, cents
+        ),
+        cum AS (
+            SELECT event_type, cents, cnt,
+                   CAST(SUM(cnt) OVER (PARTITION BY event_type
+                        ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS c,
+                   CAST(SUM(cnt) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n
+            FROM grid
+        ),
+        bounds AS (
+            SELECT event_type, MAX(n) AS n,
+                   MIN(CASE WHEN c * 1000000 >= n * {WINSOR_PPM}
+                            THEN cents END) AS lo,
+                   MIN(CASE WHEN c * 1000000 >= n * {1_000_000 - WINSOR_PPM}
+                            THEN cents END) AS hi
+            FROM cum GROUP BY event_type
+        )
+        SELECT g.event_type, b.n, b.lo AS lo_cents, b.hi AS hi_cents,
+               CAST((SUM(g.cnt * g.cents) * 1000000) {intdiv} b.n
+                    AS BIGINT) AS raw_mean_micro,
+               CAST((SUM(g.cnt * GREATEST(b.lo, LEAST(b.hi, g.cents)))
+                     * 1000000) {intdiv} b.n AS BIGINT)
+                   AS winsorized_mean_micro
+        FROM grid g JOIN bounds b ON b.event_type = g.event_type
+        GROUP BY g.event_type, b.n, b.lo, b.hi
+        ORDER BY g.event_type
+    """
+
+
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-winsorized mean of event value per type next to the raw mean
+    — see _winsor_body. The robust location estimate experimentation
+    teams use when heavy tails make plain means (and Welch on them)
+    whale-dominated; clamping beats trimming when sample sizes differ
+    per arm.
+
+    Scale posture: one corpus scan to the (type, cents) tie-group grid
+    (value-grid-bounded); the cumulative windows partition by type
+    over that grid; the clamp is applied per GRID ROW, never per
+    event."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_winsor_body("spark"))
+
+
+AGG_WINSORIZED_MEAN_SQL = _winsor_body("duck")
+
+
+# ---------------------------------------------------------------------------
+# events_contribution_wow — which segment drove the week-over-week move
+# ---------------------------------------------------------------------------
+
+
+def _wow_body(engine: str) -> str:
+    """Metric-tree root-cause view: revenue delta of the LAST complete
+    week vs the week before, decomposed by event_type. Per-segment
+    deltas are exact cents; each segment's share of the total move is
+    a floored signed ppm; segments ordered by |delta| so the top row
+    IS the headline explanation."""
+    intdiv = "div" if engine == "spark" else "//"
+    return f"""
+        WITH ev AS ({_ev(engine)}),
+        anchor AS (SELECT MIN(day_idx) AS d0 FROM ev),
+        weekly AS (
+            SELECT event_type,
+                   CAST((day_idx - d0) {intdiv} 7 AS BIGINT) AS week,
+                   CAST(SUM(cents) AS BIGINT) AS cents
+            FROM ev CROSS JOIN anchor
+            GROUP BY event_type, (day_idx - d0) {intdiv} 7
+        ),
+        last_full AS (
+            -- the last week with a FULL 7 days of data range
+            SELECT MAX(week) - 1 AS w1 FROM weekly
+        ),
+        pair AS (
+            SELECT w.event_type,
+                   CAST(SUM(CASE WHEN w.week = l.w1
+                                 THEN w.cents ELSE 0 END) AS BIGINT)
+                       AS cur_cents,
+                   CAST(SUM(CASE WHEN w.week = l.w1 - 1
+                                 THEN w.cents ELSE 0 END) AS BIGINT)
+                       AS prev_cents
+            FROM weekly w CROSS JOIN last_full l
+            GROUP BY w.event_type
+        ),
+        tot AS (
+            SELECT CAST(SUM(cur_cents - prev_cents) AS BIGINT) AS tdelta
+            FROM pair
+        )
+        SELECT p.event_type, p.prev_cents, p.cur_cents,
+               CAST(p.cur_cents - p.prev_cents AS BIGINT) AS delta_cents,
+               CASE WHEN t.tdelta = 0 THEN NULL
+                    ELSE CAST(floor((p.cur_cents - p.prev_cents)
+                              * 1000000e0 / t.tdelta) AS BIGINT)
+                    END AS share_of_move_ppm
+        FROM pair p CROSS JOIN tot t
+        ORDER BY abs(p.cur_cents - p.prev_cents) DESC, p.event_type
+    """
+
+
+def events_contribution_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue-move decomposition by event type — see
+    _wow_body. The "why did the metric move" drill-down every metric
+    tree/dashboard offers: segment deltas sum exactly to the total
+    move, and the share column attributes it in signed ppm.
+
+    Scale posture: one corpus scan to the (type, week) aggregate
+    (calendar-bounded); everything after is |types| rows with 1-row
+    broadcasts."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_wow_body("spark"))
+
+
+EVENTS_CONTRIBUTION_WOW_SQL = _wow_body("duck")
+
+
+# ---------------------------------------------------------------------------
 # events_error_budget_burn — SRE multi-window burn-rate alerts
 # ---------------------------------------------------------------------------
 
@@ -1566,6 +1705,11 @@ QUERIES: dict[str, tuple] = {
         EVENTS_ATTRIBUTION_TOUCH_SQL,
     ),
     "agg_sprt_sequential": (agg_sprt_sequential, AGG_SPRT_SEQUENTIAL_SQL),
+    "agg_winsorized_mean": (agg_winsorized_mean, AGG_WINSORIZED_MEAN_SQL),
+    "events_contribution_wow": (
+        events_contribution_wow,
+        EVENTS_CONTRIBUTION_WOW_SQL,
+    ),
     "events_error_budget_burn": (
         events_error_budget_burn,
         EVENTS_ERROR_BUDGET_BURN_SQL,

@@ -424,3 +424,43 @@ def test_error_budget_burn_alert_ladder(spark, tmp_path):
     got = {r.hour_idx - h0: (r.burn_1h_ppm, r.alert) for r in out}
     assert got[0] == (200_000, "ok")         # burn 0.2x
     assert got[1] == (16_000_000, "page")    # 16x fast, 8.1x long
+
+
+def test_winsorized_mean_clamps_whale(spark, tmp_path):
+    from mongo_to_clickhouse_spark.queries.bizops import agg_winsorized_mean
+
+    # 99 events at 1.00 and one 10000.00 whale: 5% winsorization clamps
+    # the whale to the 95th-percentile value (100 cents), so the
+    # winsorized mean is exactly 1.00 while the raw mean is ~101
+    rows = [(k, _T0, 1, "click", 1.00) for k in range(99)]
+    rows.append((99, _T0, 1, "click", 10_000.00))
+    _events(rows, str(tmp_path))
+    r = agg_winsorized_mean(spark, str(tmp_path)).collect()[0]
+    assert (r.n, r.lo_cents, r.hi_cents) == (100, 100, 100)
+    assert r.winsorized_mean_micro == 100_000_000
+    assert r.raw_mean_micro == ((99 * 100 + 1_000_000) * 1_000_000) // 100
+
+
+def test_contribution_wow_sums_to_total_move(spark, tmp_path):
+    from mongo_to_clickhouse_spark.queries.bizops import (
+        events_contribution_wow,
+    )
+
+    # weeks 0/1/2: clicks 10->30 dollars (delta +2000 cents), errors
+    # 20->10 (delta -1000); week 2 exists only to mark week 1 as the
+    # last FULL week. total move +1000 -> shares +2e6 / -1e6 ppm
+    rows = [
+        (0, _T0, 1, "click", 10.0),
+        (1, _T0 + dt.timedelta(days=7), 1, "click", 30.0),
+        (2, _T0, 1, "error", 20.0),
+        (3, _T0 + dt.timedelta(days=7), 1, "error", 10.0),
+        (4, _T0 + dt.timedelta(days=14), 1, "view", 1.0),
+    ]
+    _events(rows, str(tmp_path))
+    got = {r.event_type: (r.prev_cents, r.cur_cents, r.delta_cents,
+                          r.share_of_move_ppm)
+           for r in events_contribution_wow(spark, str(tmp_path)).collect()}
+    assert got["click"] == (1000, 3000, 2000, 2_000_000)
+    assert got["error"] == (2000, 1000, -1000, -1_000_000)
+    assert got["view"] == (0, 0, 0, 0)
+    assert sum(v[2] for v in got.values()) == 1000
