@@ -1,9 +1,13 @@
-"""Business-analytics / monitoring extensions (round 7): RFM
-segmentation, max drawdown, Mann-Whitney U drift, Cramér's V
-association, Nelson-Aalen cumulative hazard, the Benford first-digit
-audit, EWMA/Bollinger daily smoothing, Kendall/Spearman rank
-correlation, Kruskal-Wallis k-group drift, and the Gini revenue
-concentration index.
+"""Business-analytics / monitoring / experimentation extensions
+(round 7): RFM segmentation, max drawdown, Mann-Whitney U /
+Kruskal-Wallis rank drift, Cramér's V association, Nelson-Aalen
+cumulative hazard, the Benford first-digit audit, EWMA/Bollinger
+smoothing with the forecast backtest, Kendall/Spearman rank
+correlation and the daily correlation matrix, the Gini concentration
+index, first/last-touch attribution, exact rolling DAU/WAU/MAU,
+Wald-SPRT sequential testing, CUPED variance reduction, delta-method
+ratio-metric CIs, SRE burn-rate alerts, winsorized means, and
+week-over-week contribution decomposition.
 
 The reference (isankadn/mongo-to-clickhouse) feeds BI dashboards from
 ClickHouse (src/main.rs:890-913 dual-table insert is its terminal
