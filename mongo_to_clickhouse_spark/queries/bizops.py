@@ -999,6 +999,153 @@ EVENTS_FORECAST_EWMA_BACKTEST_SQL = _forecast_body("duck")
 
 
 # ---------------------------------------------------------------------------
+# events_seasonal_decomposition — additive trend/seasonal/residual split
+# ---------------------------------------------------------------------------
+
+
+def _decomp_body(engine: str) -> str:
+    """Classical additive decomposition of the daily cents series per
+    type: trend = centered 7-day MA (exact: 7-day sum kept as BIGINT,
+    division deferred), seasonal = day-of-week mean of the detrended
+    series, residual = value - trend - seasonal. To stay exact, every
+    component is carried at scale x7xDOW_COUNT: detrended7 =
+    7*cents - sum7 (BIGINT), seasonal7 = avg over the DOW group of
+    detrended7 (kept as the exact pair sum/count and applied
+    cross-multiplied), residual exported in micro-cents via ONE double
+    expression per row over exact integers."""
+    return f"""
+        WITH daily AS ({_daily(engine)}),
+        ma AS (
+            SELECT event_type, day_idx, cents,
+                   CAST(SUM(cents) OVER w AS BIGINT) AS sum7,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n7,
+                   CAST(day_idx % 7 AS BIGINT) AS dow
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        inner7 AS (
+            -- full 7-day windows only: edge days have no defined trend
+            SELECT event_type, day_idx, cents, sum7, dow,
+                   7 * cents - sum7 AS det7
+            FROM ma WHERE n7 = 7
+        ),
+        season AS (
+            SELECT event_type, dow,
+                   CAST(SUM(det7) AS BIGINT) AS s_sum,
+                   CAST(COUNT(*) AS BIGINT) AS s_n
+            FROM inner7 GROUP BY event_type, dow
+        )
+        SELECT i.event_type, i.day_idx, i.cents,
+               CAST(floor(i.sum7 / 7e0 * 1000000) AS BIGINT)
+                   AS trend_micro,
+               CAST(floor(s.s_sum / (7e0 * s.s_n) * 1000000) AS BIGINT)
+                   AS seasonal_micro,
+               CAST(floor((i.det7 / 7e0 - s.s_sum / (7e0 * s.s_n))
+                          * 1000000) AS BIGINT) AS residual_micro
+        FROM inner7 i
+        JOIN season s ON s.event_type = i.event_type AND s.dow = i.dow
+        ORDER BY i.event_type, i.day_idx
+    """
+
+
+def events_seasonal_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical additive trend/seasonal/residual decomposition of each
+    type's daily revenue — see _decomp_body. Composes the two existing
+    views (events_daily_ma_residual's trend, events_seasonality_weekly's
+    day-of-week profile) into the full decomposition whose RESIDUAL is
+    the right anomaly-detection input: a spike is only a spike after
+    both trend and weekday effect are removed.
+
+    Scale posture: the bounded 7-day frame partitions by type over the
+    calendar-bounded daily barrier; the seasonal profile is a
+    |types| x 7 aggregate joined back; exact integers everywhere until
+    the per-row micro exports."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_decomp_body("spark"))
+
+
+EVENTS_SEASONAL_DECOMPOSITION_SQL = _decomp_body("duck")
+
+
+# ---------------------------------------------------------------------------
+# agg_power_mde — experiment sizing: minimum detectable effect
+# ---------------------------------------------------------------------------
+
+_Z_ALPHA = 1.959964  # two-sided alpha = 0.05
+_Z_BETA = 0.841621   # power = 0.80
+
+
+def _mde_body(engine: str) -> str:
+    """Fixed-horizon two-sample power analysis from the CURRENT data:
+    per arm n and variance from exact per-user dollar power sums, then
+    MDE = (z_a + z_b) * sqrt(s0^2/n0 + s1^2/n1) both absolute (micro
+    dollars) and relative to the pooled mean (ppm). The z constants
+    are literals, so the only doubles are the final expressions over
+    exact integers."""
+    intdiv = "div" if engine == "spark" else "//"
+    z = _Z_ALPHA + _Z_BETA
+    return f"""
+        WITH ev AS ({_ev(engine)}),
+        per_user AS (
+            SELECT user_id, user_id % 2 AS arm,
+                   CAST(SUM(cents) {intdiv} 100 AS BIGINT) AS y
+            FROM ev WHERE cents >= 0 GROUP BY user_id
+        ),
+        arms AS (
+            SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(y * y) AS BIGINT) AS syy
+            FROM per_user GROUP BY arm
+        ),
+        wide AS (
+            SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+                   MAX(CASE WHEN arm = 0 THEN sy END) AS sy0,
+                   MAX(CASE WHEN arm = 0 THEN syy END) AS syy0,
+                   MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+                   MAX(CASE WHEN arm = 1 THEN sy END) AS sy1,
+                   MAX(CASE WHEN arm = 1 THEN syy END) AS syy1
+            FROM arms
+        )
+        SELECT n0, n1,
+               CAST(floor((sy0 + sy1) * 1e0 / (n0 + n1) * 1000000)
+                    AS BIGINT) AS pooled_mean_micro,
+               CAST(floor({z}e0 * sqrt(
+                        (syy0 * 1e0 / n0 - (sy0 * 1e0 / n0)
+                                            * (sy0 * 1e0 / n0)) / n0
+                        + (syy1 * 1e0 / n1 - (sy1 * 1e0 / n1)
+                                              * (sy1 * 1e0 / n1)) / n1)
+                    * 1000000) AS BIGINT) AS mde_abs_micro,
+               CAST(floor({z}e0 * sqrt(
+                        (syy0 * 1e0 / n0 - (sy0 * 1e0 / n0)
+                                            * (sy0 * 1e0 / n0)) / n0
+                        + (syy1 * 1e0 / n1 - (sy1 * 1e0 / n1)
+                                              * (sy1 * 1e0 / n1)) / n1)
+                    / ((sy0 + sy1) * 1e0 / (n0 + n1)) * 1000000)
+                    AS BIGINT) AS mde_rel_ppm
+        FROM wide
+    """
+
+
+def agg_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect (alpha=0.05 two-sided, power 0.80) of
+    the revenue-per-user metric at the CURRENT arm sizes — see
+    _mde_body. The experiment-planning number that belongs in front of
+    agg_ttest_welch / agg_sprt_sequential: if the MDE is larger than
+    any plausible effect, don't run the test.
+
+    Scale posture: one corpus scan to per-user totals; 2-row arm
+    aggregate; closed forms over exact power sums."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_mde_body("spark"))
+
+
+AGG_POWER_MDE_SQL = _mde_body("duck")
+
+
+# ---------------------------------------------------------------------------
 # agg_winsorized_mean — robust mean via value-grid clamping
 # ---------------------------------------------------------------------------
 
@@ -1710,6 +1857,11 @@ QUERIES: dict[str, tuple] = {
     ),
     "agg_sprt_sequential": (agg_sprt_sequential, AGG_SPRT_SEQUENTIAL_SQL),
     "agg_winsorized_mean": (agg_winsorized_mean, AGG_WINSORIZED_MEAN_SQL),
+    "events_seasonal_decomposition": (
+        events_seasonal_decomposition,
+        EVENTS_SEASONAL_DECOMPOSITION_SQL,
+    ),
+    "agg_power_mde": (agg_power_mde, AGG_POWER_MDE_SQL),
     "events_contribution_wow": (
         events_contribution_wow,
         EVENTS_CONTRIBUTION_WOW_SQL,

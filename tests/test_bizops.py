@@ -464,3 +464,47 @@ def test_contribution_wow_sums_to_total_move(spark, tmp_path):
     assert got["error"] == (2000, 1000, -1000, -1_000_000)
     assert got["view"] == (0, 0, 0, 0)
     assert sum(v[2] for v in got.values()) == 1000
+
+
+def test_seasonal_decomposition_components_add_up(spark, tmp_path):
+    from mongo_to_clickhouse_spark.queries.bizops import (
+        events_seasonal_decomposition,
+    )
+
+    # 14 days of pure weekday pattern (dow d -> (d+1) dollars): the
+    # 7-day MA is flat at 4.00, seasonal absorbs the full dow offset,
+    # residuals are exactly 0 on every interior day
+    rows = [
+        (d, _T0 + dt.timedelta(days=d), 1, "click", float((d % 7) + 1))
+        for d in range(14)
+    ]
+    _events(rows, str(tmp_path))
+    out = events_seasonal_decomposition(spark, str(tmp_path)).collect()
+    assert len(out) == 8  # days 3..10 have full centered windows
+    assert all(r.trend_micro == 400_000_000 for r in out)  # 4.00 dollars
+    assert all(r.residual_micro == 0 for r in out)
+    # components reconstruct the series: cents = trend + seasonal
+    assert all(r.trend_micro + r.seasonal_micro == r.cents * 1_000_000
+               for r in out)
+
+
+def test_power_mde_known_variance(spark, tmp_path):
+    import math
+
+    from mongo_to_clickhouse_spark.queries.bizops import agg_power_mde
+
+    # arm 0 users at 1 and 3 dollars (var 1), arm 1 users at 2 and 6
+    # (var 4): MDE = 2.801585 * sqrt(1/2 + 4/2)
+    rows = [
+        (0, _T0, 2, "click", 1.0),
+        (1, _T0, 4, "click", 3.0),
+        (2, _T0, 1, "click", 2.0),
+        (3, _T0, 3, "click", 6.0),
+    ]
+    _events(rows, str(tmp_path))
+    r = agg_power_mde(spark, str(tmp_path)).collect()[0]
+    assert (r.n0, r.n1) == (2, 2)
+    assert r.pooled_mean_micro == 3_000_000
+    mde = (1.959964 + 0.841621) * math.sqrt(1 / 2 + 4 / 2)
+    assert r.mde_abs_micro == math.floor(mde * 1e6)
+    assert r.mde_rel_ppm == math.floor(mde / 3.0 * 1e6)
