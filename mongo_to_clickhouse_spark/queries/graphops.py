@@ -272,19 +272,23 @@ def _lpa_round_sql(labels_rel: str, adj_rel: str) -> str:
     """
 
 
-def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community detection by synchronous label propagation over the
-    mutual-kNN supplier co-purchase graph (same sparsified adjacency the
-    triangle count materializes — shared barrier). ``LPA_ROUNDS`` fixed
-    rounds from label(v)=v, then a per-community roll-up.
+def _lpa_labels_view(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the final synchronous-LPA label relation ONCE behind
+    the session barrier cache and return its view name.
 
-    Scale posture: the adjacency is degree-bounded (≤ TRIANGLE_KNN_K per
-    node) and built once behind the session barrier; each round is one
-    equi-join of the label relation against the edges (keyed by node —
-    uniform) plus two partial-aggregated groupBys; rounds are a fixed
-    constant, so the plan depth is linear (the pagerank precedent).
-    The mode-argmax is the house integer-encode trick, so the oracle
-    unrolls the SAME rounds as CTE stages."""
+    Why a barrier and not just SQL nesting: the unrolled
+    ``LPA_ROUNDS``-deep label chain is a plain subquery string, so every
+    textual reference to it in a downstream query makes Catalyst
+    re-expand — and re-execute — the whole chain.  ``graph_modularity``
+    references the labels three times (two equi-joins in ``internal``
+    plus the ``comm`` roll-up), which planned 99 shuffles (~6× the LPA
+    chain itself) before this barrier existed.  Checkpointing the final
+    labels truncates the lineage so every consumer scans one
+    node-keyed leaf instead (the betweenness/k-core discipline).
+
+    Shared by ``graph_label_propagation`` and ``graph_modularity`` —
+    the labels are a pure function of ``lineitem``, so the memo key
+    semantics of ``cached_barrier_view`` apply unchanged."""
     from mongo_to_clickhouse_spark.operators.materialize import (
         cached_barrier_view,
     )
@@ -299,15 +303,41 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )),
         tables=("lineitem",),
     )
-    labels = f"(SELECT DISTINCT a AS node_id, CAST(a AS BIGINT) AS label FROM {adj})"
-    for _ in range(LPA_ROUNDS):
-        labels = f"({_lpa_round_sql(labels, adj)})"
+
+    def build():
+        labels = (
+            f"(SELECT DISTINCT a AS node_id, CAST(a AS BIGINT) AS label"
+            f" FROM {adj})"
+        )
+        for _ in range(LPA_ROUNDS):
+            labels = f"({_lpa_round_sql(labels, adj)})"
+        return spark.sql(f"SELECT node_id, label FROM {labels} final")
+
+    return cached_barrier_view(
+        spark, sf_dir, "lpa_labels", build, tables=("lineitem",)
+    )
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    mutual-kNN supplier co-purchase graph (same sparsified adjacency the
+    triangle count materializes — shared barrier). ``LPA_ROUNDS`` fixed
+    rounds from label(v)=v, then a per-community roll-up.
+
+    Scale posture: the adjacency is degree-bounded (≤ TRIANGLE_KNN_K per
+    node) and built once behind the session barrier; each round is one
+    equi-join of the label relation against the edges (keyed by node —
+    uniform) plus two partial-aggregated groupBys; rounds are a fixed
+    constant, so the plan depth is linear (the pagerank precedent).
+    The mode-argmax is the house integer-encode trick, so the oracle
+    unrolls the SAME rounds as CTE stages."""
+    labels = _lpa_labels_view(spark, sf_dir)
     return spark.sql(f"""
         SELECT label AS community_id,
                CAST(COUNT(*) AS BIGINT) AS n_members,
                MIN(node_id) AS min_member,
                MAX(node_id) AS max_member
-        FROM {labels} final
+        FROM {labels}
         GROUP BY label
         ORDER BY community_id
     """)
@@ -395,27 +425,17 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     number a production community pipeline alerts on.
 
     Scale posture: reuses the SAME tri_adj barrier and fixed LPA
-    rounds; the only additions are two label equi-joins against the
-    degree-bounded adjacency (≤ n·K rows) and bounded per-community
-    aggregates — no new iteration, no windows."""
-    from mongo_to_clickhouse_spark.operators.materialize import (
-        cached_barrier_view,
-    )
-
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    adj = cached_barrier_view(
-        spark,
-        sf_dir,
-        "tri_adj",
-        lambda: spark.sql(_triangle_adj_sql(
-            "(SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)"
-        )),
-        tables=("lineitem",),
-    )
-    labels = f"(SELECT DISTINCT a AS node_id, CAST(a AS BIGINT) AS label FROM {adj})"
-    for _ in range(LPA_ROUNDS):
-        labels = f"({_lpa_round_sql(labels, adj)})"
-    return spark.sql(f"WITH {_modularity_tail(labels, adj)}")
+    rounds, and — critically — the final label relation is checkpointed
+    ONCE via ``_lpa_labels_view`` before the tail references it three
+    times (two equi-joins in ``internal`` + the ``comm`` roll-up).
+    Without the barrier Catalyst re-expanded the unrolled label chain
+    per reference: 99 planned shuffles; with it the tail sees one
+    node-keyed leaf.  The additions beyond LPA are two label equi-joins
+    against the degree-bounded adjacency (≤ n·K rows) and bounded
+    per-community aggregates — no new iteration, no windows."""
+    labels = _lpa_labels_view(spark, sf_dir)
+    # tri_adj view is (re-)registered by _lpa_labels_view
+    return spark.sql(f"WITH {_modularity_tail(labels, 'tri_adj')}")
 
 
 def _modularity_duck_sql() -> str:

@@ -19,6 +19,7 @@ from mongo_to_clickhouse_spark.queries.graphops import (
     graph_hits_scores,
     graph_kcore_onion,
     graph_label_propagation,
+    graph_modularity,
     graph_pagerank,
 )
 from mongo_to_clickhouse_spark.queries.textops import text_bm25_topk
@@ -52,7 +53,12 @@ BUDGETS = [
     # dl/df/qterms/stats all derive from the single checkpointed tf
     # relation; a new pass over the token barrier shows up here first
     (text_bm25_topk, 10),
-    (graph_label_propagation, 20),  # 4 shuffles/round × 4 LPA rounds
+    (graph_label_propagation, 8),   # currently 2: the final labels are
+    #   one checkpointed leaf (shared with graph_modularity); a jump
+    #   back toward 16 means the chain barrier was dropped
+    (graph_modularity, 30),         # currently 19: the modularity tail
+    #   references the LPA labels 3× — without the label barrier the
+    #   chain re-expands per reference (99 shuffles, round-7 verdict)
     (sample_coreset_kcenter, 22),   # ~3 shuffles/round × 6 greedy rounds
     # round-6 iterative tier (current linear counts 2-17; the budgets
     # sit ~2× above them and far under the exponential mode)
