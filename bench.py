@@ -107,8 +107,10 @@ def headline_line(total: float, sf: str, docs_per_sec: int,
     4 and 6 both shipped unparseable BENCH files because the line carried
     a per-query dict that grows ~30 chars per headline query. The line
     therefore carries NO payload that scales with the query count: just
-    the totals plus a fixed-cardinality slowest-5 teaser. A hard assert
-    (<1,500 chars) makes the failure class impossible to reintroduce.
+    the totals plus a fixed-cardinality slowest-5 teaser. A hard size
+    guard (<1,500 chars) makes the failure class impossible to
+    reintroduce — raised as RuntimeError, not assert, so `python -O`
+    can't strip it.
     """
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     line = json.dumps(
@@ -122,7 +124,8 @@ def headline_line(total: float, sf: str, docs_per_sec: int,
             "slowest5": slowest,
         }
     )
-    assert len(line) < 1500, f"headline line {len(line)} chars >= 1500"
+    if len(line) >= 1500:
+        raise RuntimeError(f"headline line {len(line)} chars >= 1500")
     return line
 
 

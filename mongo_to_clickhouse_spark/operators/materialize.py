@@ -52,7 +52,16 @@ def reliable_checkpoint(
     ``repartition(n, key)`` upstream survives the checkpoint and the
     downstream joins plan with ZERO exchanges — verified by the probe in
     tests/test_plan_budget.py. The caller must pair it with a numbered
-    repartition on the join key; AQE is restored immediately after."""
+    repartition on the join key; AQE is restored immediately after.
+
+    Concurrency: the flag toggles the session-global
+    ``spark.sql.adaptive.enabled`` conf for the duration of the
+    checkpoint write, so it assumes no other query is being PLANNED on
+    the same SparkSession concurrently (executing jobs are unaffected —
+    the conf is read at planning time). The query registry is driven
+    single-threaded by the harness; a multi-threaded caller must
+    serialize preserve_partitioning barriers or use a separate
+    session."""
     spark = df.sparkSession
     sc = spark.sparkContext
     if sc._jsc.sc().getCheckpointDir().isEmpty():
@@ -104,7 +113,7 @@ def cached_barrier(spark, sf_dir, name, build, tables=("documents",),
          os.stat(table_path(sf_dir, t)).st_size)
         for t in tables
     )
-    key = (id(spark), sf_dir, name)
+    key = (id(spark), sf_dir, name, preserve_partitioning)
     hit = _BARRIER_VIEW_CACHE.get(key)
     if hit is None or hit[0] != stats:
         hit = (stats, spark,

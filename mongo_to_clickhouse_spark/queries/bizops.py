@@ -1304,8 +1304,7 @@ def _burn_body(engine: str) -> str:
     return f"""
         WITH ev AS ({_ev(engine)}),
         hourly AS (
-            SELECT CAST(t_us {'div' if engine == 'spark' else '//'}
-                        3600000000 AS BIGINT) AS hour_idx,
+            SELECT CAST(floor(t_us / 3600000000) AS BIGINT) AS hour_idx,
                    CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(CASE WHEN event_type = 'error'
                                  THEN 1 ELSE 0 END) AS BIGINT) AS err

@@ -210,7 +210,10 @@ def _stage_sorted_stream_source(sf_dir: str) -> tuple[str, str]:
     os.makedirs(src)
     table = normalize_events_ts(pq.read_table(table_path(sf_dir, "events")))
     table = table.sort_by([("ts", "ascending"), ("event_id", "ascending")])
-    pq.write_table(table, os.path.join(src, "p0.parquet"))
+    # one row group: pyarrow's default ~1Mi-row groups would let Spark
+    # split the file at larger fixtures, breaking the arrival-order pin
+    pq.write_table(table, os.path.join(src, "p0.parquet"),
+                   row_group_size=max(table.num_rows, 1))
     return src, work
 
 
