@@ -96,6 +96,8 @@ HEADLINE = [
     "source_orc_scan",             # ORC staging round-trip (round 7)
     "pipeline_pretraining_manifest",  # one-plan quality->dedup->shards (round 7)
     "profile_layout_locality",     # natural/Morton/Hilbert span report (round 7)
+    "graph_betweenness_sampled",   # sampled Brandes betweenness (round 8:
+    #   heaviest id previously unwatched — ~8 s at sf0.1 under contention)
 ]
 
 

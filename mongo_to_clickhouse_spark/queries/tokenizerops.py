@@ -109,9 +109,15 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one explode of the corpus into chunk hashes (60-bit
     BIGINT keys like the gram operators), ONE shuffle keyed by the
-    uniform chunk hash for the global argmin, then a same-key join back
-    (no pair enumeration anywhere). First-occurrence is an integer
-    argmin over pos = doc_id * 2^20 + chunk_idx, exact in both engines."""
+    uniform chunk hash where a partitioned window computes the global
+    argmin in place (no pair enumeration, no join back — the
+    CTE-join formulation inlined the explode into BOTH consumers, so
+    the corpus explode+md5 ran twice; the round-7 bench diff flagged
+    the 1.5× as a regression when it was this shape all along). The
+    window partitions by the uniform high-cardinality chunk hash, so
+    no task ever sees more than one hash's duplicates.
+    First-occurrence is an integer argmin over
+    pos = doc_id * 2^20 + chunk_idx, exact in both engines."""
     view = _toks_view(spark, sf_dir)
     w = PARA_TOKENS
     return spark.sql(f"""
@@ -127,9 +133,11 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                           CAST(ceil(size(toks) / {w}.0) AS INT) - 1)
                      ELSE array() END) AS c
         ),
-        firsts AS (
-            SELECT chunk_h, MIN(doc_id * {_POS_BASE} + c) AS first_pos
-            FROM chunks GROUP BY chunk_h
+        flagged AS (
+            SELECT doc_id, c,
+                   MIN(doc_id * {_POS_BASE} + c)
+                       OVER (PARTITION BY chunk_h) AS first_pos
+            FROM chunks
         )
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_chunks,
@@ -138,7 +146,7 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(1.0 - SUM(CASE WHEN doc_id * {_POS_BASE} + c = first_pos
                                     THEN 1 ELSE 0 END)
                          / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
-        FROM chunks JOIN firsts USING (chunk_h)
+        FROM flagged
         GROUP BY doc_id
         ORDER BY doc_id
     """)

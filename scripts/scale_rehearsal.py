@@ -44,6 +44,11 @@ SCALE_TIER = [
     "sim_knn_graph_lsh",
     "text_bm25_topk",
     "multimodal_phash_dedup",
+    # round-8 additions (VERDICT r7 item 4): the iterative graph tier's
+    # constants — betweenness is per-(source, node) keyed BFS rounds,
+    # modularity is the barriered LPA chain + label equi-joins
+    "graph_betweenness_sampled",
+    "graph_modularity",
 ]
 
 
