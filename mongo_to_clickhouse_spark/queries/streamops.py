@@ -359,12 +359,21 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     would need for resume-token replays (duplicates arrive CLOSE to the
     original; suppressing forever, like plain ``dropDuplicates``, grows
     state without bound at 100 TB — here state is evicted with the
-    watermark by construction). Deterministic semantics pinned by
-    tests/test_streaming_modes.py; rows-only here (re-emission count
-    depends on the event-time spread, not expressible in one SQL)."""
+    watermark by construction).
+
+    Oracle (round 8, the dedup_by_key recipe): the sorted single-file
+    staging runs the whole fixture as ONE micro-batch, and state
+    eviction only happens at batch BOUNDARIES (the batch executes
+    against the previous batch's watermark, here the epoch floor), so
+    no key's suppression horizon can expire mid-run — the output is
+    exactly first-arrival per key, which under the (ts, event_id) sort
+    equals the earliest event per key: the ROW_NUMBER()=1 relation.
+    The multi-batch re-emission semantics (the part a closed-horizon
+    SQL cannot state) stay pinned by tests/test_streaming_modes.py's
+    staged two-batch fixture."""
     from mongo_to_clickhouse_spark.streaming.pipeline import EVENTS_SCHEMA
 
-    src, _ = _stage_stream_source(spark, sf_dir)
+    src, _ = _stage_sorted_stream_source(sf_dir)
     name = f"ddw_{uuid.uuid4().hex[:8]}"
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -478,5 +487,9 @@ QUERIES: dict[str, tuple] = {
         STREAM_WATERMARK_LATE_DROP_SQL,
     ),
     "stream_dedup_by_key": (stream_dedup_by_key, STREAM_DEDUP_BY_KEY_SQL),
-    "stream_dedup_within_watermark": (stream_dedup_within_watermark, None),
+    "stream_dedup_within_watermark": (
+        stream_dedup_within_watermark,
+        STREAM_DEDUP_BY_KEY_SQL,  # same first-arrival contract under the
+        # sorted single-batch staging — see the function docstring
+    ),
 }

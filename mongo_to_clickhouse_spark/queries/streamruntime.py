@@ -534,6 +534,15 @@ def stream_session_timeout_eviction(spark: SparkSession, sf_dir: str) -> DataFra
     once. The sentinel's own session stays open and remains in the
     checkpoint (at-least-once hand-off to the next run).
 
+    Oracle (round 8): the gap exceeds the fixture's whole time range,
+    so no real user's deadline (last_event + gap > max_ts) can pass
+    before the sentinel batch — no mid-stream eviction, no split
+    sessions — and the sentinel batch closes every user exactly once
+    with the fully-accumulated state. The update-mode memory sink
+    therefore holds ONE row per real user: the plain per-user
+    (count, min ts, max ts) aggregate, stated as SQL. Multi-session
+    eviction under a small gap stays pinned by tests/test_stateful.py.
+
     Scale posture: staging is fully distributed —
     ``repartitionByRange(3, ts).sortWithinPartitions(ts)`` + a parquet
     write (range partitioner guarantees partition i's timestamps all
@@ -935,6 +944,19 @@ def _cache_invalidate_duck_sql() -> str:
 STREAM_CACHE_INVALIDATE_SQL = _cache_invalidate_duck_sql()
 
 
+# one closed session per real user: gap > fixture time range + sentinel
+# eviction — see stream_session_timeout_eviction's docstring
+STREAM_SESSION_TIMEOUT_EVICTION_SQL = """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us,
+           'idle_timeout' AS closed_by
+    FROM events
+    GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "stream_chained_windows": (
         stream_chained_windows,
@@ -964,7 +986,10 @@ QUERIES: dict[str, tuple] = {
         stream_cache_invalidate,
         STREAM_CACHE_INVALIDATE_SQL,
     ),
-    "stream_session_timeout_eviction": (stream_session_timeout_eviction, None),
+    "stream_session_timeout_eviction": (
+        stream_session_timeout_eviction,
+        STREAM_SESSION_TIMEOUT_EVICTION_SQL,
+    ),
     "stream_transform_with_state": (
         stream_transform_with_state,
         STREAM_TRANSFORM_WITH_STATE_SQL,
