@@ -301,24 +301,16 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_MINHASH_LSH_PAIRS_SQL = _minhash_full_sql("duck", "pairs")
 
 
-def _incremental_minhash_sql(
+def _incremental_chain(
     dialect: str,
     shingled_from: str | None = None,
     bands_from: str | None = None,
 ) -> str:
-    """Incremental MinHash-LSH: the NEW-BATCH near-dup check against a
-    HISTORICAL index — the production form where yesterday's corpus
-    keeps its band-signature table and only the fresh crawl is banded
-    and probed (the incremental twin of dedup_minhash_lsh_pairs, and
-    the approximate twin of dedup_incremental_exact).
-
-    Split on the planted corpus: historical = original docs except the
-    %10==3 holdout; new batch = the planted mutated copies (+1e6 ids,
-    true near-dups of their sources) ∪ the %10==3 originals (novel —
-    no near-dup exists in historical). Candidates come from the band
-    equi-join NEW×HIST only (never hist×hist — the index side is
-    pre-built), verified by exact Jaccard, best match per new doc by
-    (jaccard desc, hist_id)."""
+    """Shared WITH-chain for the incremental-LSH family: shingles →
+    signatures → bands → historical/new split → band-probe candidates →
+    Jaccard verification → best match per new doc. Consumed by
+    ``_incremental_minhash_sql`` (the probe report) and
+    ``_minhash_upsert_sql`` (the index-maintenance step)."""
     shingled_src = shingled_from or f"({_shingles(dialect)})"
     if bands_from is not None:
         prefix = f"""
@@ -359,7 +351,28 @@ def _incremental_minhash_sql(
                            ORDER BY jac DESC, hist_id) AS rn
                 FROM verified WHERE jac >= {JACCARD_THRESHOLD}
             ) r WHERE rn = 1
-        )
+        )"""
+
+
+def _incremental_minhash_sql(
+    dialect: str,
+    shingled_from: str | None = None,
+    bands_from: str | None = None,
+) -> str:
+    """Incremental MinHash-LSH: the NEW-BATCH near-dup check against a
+    HISTORICAL index — the production form where yesterday's corpus
+    keeps its band-signature table and only the fresh crawl is banded
+    and probed (the incremental twin of dedup_minhash_lsh_pairs, and
+    the approximate twin of dedup_incremental_exact).
+
+    Split on the planted corpus: historical = original docs except the
+    %10==3 holdout; new batch = the planted mutated copies (+1e6 ids,
+    true near-dups of their sources) ∪ the %10==3 originals (novel —
+    no near-dup exists in historical). Candidates come from the band
+    equi-join NEW×HIST only (never hist×hist — the index side is
+    pre-built), verified by exact Jaccard, best match per new doc by
+    (jaccard desc, hist_id)."""
+    return f"""{_incremental_chain(dialect, shingled_from, bands_from)}
         SELECT nd.doc_id,
                b.hist_id AS best_match,
                b.jac AS best_jaccard,
@@ -390,6 +403,92 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_INCREMENTAL_MINHASH_SQL = _incremental_minhash_sql("duck")
+
+
+def _minhash_upsert_sql(
+    dialect: str,
+    shingled_from: str | None = None,
+    bands_from: str | None = None,
+) -> str:
+    """MinHash index MAINTENANCE — the write path dedup_incremental_minhash
+    stops short of: new docs that verified as near-dups of the historical
+    index are REJECTED (their band rows never enter the index; the
+    canonical doc is already indexed), accepted (novel) docs' band rows
+    are INSERTED, and the report is the per-band index-health audit a
+    production ingest alerts on: row/bucket counts before vs after, the
+    hottest bucket, and Σ|bucket|² — the exact candidate-work bound the
+    scale rehearsal watches (a super-linear jump here predicts probe-join
+    blowup BEFORE it happens).
+
+    Engine-shared body over the same incremental chain; everything is
+    exact integer counts."""
+    return f"""{_incremental_chain(dialect, shingled_from, bands_from)},
+        accepted AS (
+            SELECT nd.doc_id
+            FROM (SELECT DISTINCT doc_id FROM new_bands) nd
+            LEFT JOIN best b ON b.new_id = nd.doc_id
+            WHERE b.new_id IS NULL
+        ),
+        ins AS (
+            SELECT nb.band_idx, nb.band_sig
+            FROM new_bands nb JOIN accepted a ON a.doc_id = nb.doc_id
+        ),
+        aft AS (
+            SELECT band_idx, band_sig FROM hist_bands
+            UNION ALL SELECT band_idx, band_sig FROM ins
+        ),
+        occ AS (
+            SELECT band_idx, band_sig, CAST(COUNT(*) AS BIGINT) AS c
+            FROM aft GROUP BY band_idx, band_sig
+        ),
+        stats_after AS (
+            SELECT band_idx,
+                   CAST(SUM(c) AS BIGINT) AS rows_after,
+                   CAST(COUNT(*) AS BIGINT) AS buckets_after,
+                   CAST(MAX(c) AS BIGINT) AS max_bucket_after,
+                   CAST(SUM(c * c) AS BIGINT) AS pair_work_after
+            FROM occ GROUP BY band_idx
+        ),
+        stats_before AS (
+            SELECT band_idx,
+                   CAST(COUNT(*) AS BIGINT) AS rows_before,
+                   CAST(COUNT(DISTINCT band_sig) AS BIGINT) AS buckets_before
+            FROM hist_bands GROUP BY band_idx
+        ),
+        stats_ins AS (
+            SELECT band_idx, CAST(COUNT(*) AS BIGINT) AS rows_inserted
+            FROM ins GROUP BY band_idx
+        )
+        SELECT bf.band_idx, bf.rows_before, bf.buckets_before,
+               CAST(COALESCE(i.rows_inserted, 0) AS BIGINT) AS rows_inserted,
+               a.rows_after, a.buckets_after,
+               a.max_bucket_after, a.pair_work_after
+        FROM stats_before bf
+        JOIN stats_after a ON a.band_idx = bf.band_idx
+        LEFT JOIN stats_ins i ON i.band_idx = bf.band_idx
+        ORDER BY bf.band_idx
+    """
+
+
+def dedup_minhash_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash index upsert + health audit — see
+    _minhash_upsert_sql. Closes the maintenance gap next to
+    dedup_incremental_minhash (the read path): this is the batch form of
+    the streaming index-update a 100 TB ingest runs per micro-batch.
+
+    Scale posture: rides the SAME memoized shingle/band barriers as the
+    whole LSH family (the band table IS the persisted index); the insert
+    set is |accepted|·bands rows, the audit is two bounded groupBys keyed
+    by (band_idx, band_sig) — uniform 60-bit keys, map-side combined.
+    Σ|bucket|² is reported, never enumerated."""
+    view = _shingled_view(spark, sf_dir)
+    bands = _bands_view(spark, sf_dir)
+    return spark.sql(
+        _minhash_upsert_sql("spark", shingled_from=view, bands_from=bands)
+    )
+
+
+DEDUP_MINHASH_INDEX_UPSERT_SQL = _minhash_upsert_sql("duck")
 
 
 # ---------------------------------------------------------------------------
@@ -1547,6 +1646,10 @@ QUERIES: dict[str, tuple] = {
     "dedup_incremental_minhash": (
         dedup_incremental_minhash,
         DEDUP_INCREMENTAL_MINHASH_SQL,
+    ),
+    "dedup_minhash_index_upsert": (
+        dedup_minhash_index_upsert,
+        DEDUP_MINHASH_INDEX_UPSERT_SQL,
     ),
     "dedup_bloom_prefilter": (
         dedup_bloom_prefilter,

@@ -553,6 +553,122 @@ EVAL_RETRIEVAL_MRR_SQL = _mrr_oracle()
 
 
 # ---------------------------------------------------------------------------
+# eval_retrieval_ndcg — graded ranking quality of the LSH index
+# ---------------------------------------------------------------------------
+
+
+def _ndcg_weights(topk: int) -> list[tuple[int, int]]:
+    """(rank, round(1e6/log2(rank+1))) literals — the standard DCG
+    discount, pre-rounded in Python so BOTH engines consume identical
+    integer constants and no libm log ever runs inside a query (the
+    JVM-vs-C last-ulp divergence class the HDR sketch also avoids)."""
+    import math
+
+    return [(r, round(1_000_000 / math.log2(r + 1)))
+            for r in range(1, topk + 1)]
+
+
+def _ndcg_body(topk_rel: str, cand_rel: str, intdiv: str, topk: int) -> str:
+    """Engine-shared NDCG@{topk} of the LSH index's exact-sim-ranked
+    candidate list against graded exact-cosine truth: relevance of a
+    neighbor = topk+1-exact_rank (top neighbor graded highest, non-top-k
+    graded 0) — the graded companion to ``_mrr_body`` (MRR only scores
+    WHERE the single true NN lands; NDCG scores how much of the whole
+    graded top-k the index surfaces, in order). DCG sums rel·w over the
+    candidate ranking's first {topk} positions with the literal ppm
+    discount table; IDCG is the exact Python-computed constant; per-probe
+    NDCG and the mean are truncating BIGINT divisions."""
+    wts = _ndcg_weights(topk)
+    wt_rows = ", ".join(f"({r}, {w})" for r, w in wts)
+    idcg = sum((topk + 1 - r) * w for r, w in wts)
+    return f"""
+        WITH wt AS (SELECT * FROM (VALUES {wt_rows}) AS w(rk, w_ppm)),
+        truth AS (
+            SELECT probe_id, neighbor_id,
+                   CAST({topk} + 1 - rank AS BIGINT) AS rel
+            FROM {topk_rel}
+        ),
+        probes AS (SELECT DISTINCT probe_id FROM truth),
+        rankedc AS (
+            SELECT probe_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY sim DESC, neighbor_id) AS rk
+            FROM {cand_rel}
+        ),
+        hits AS (
+            SELECT r.probe_id, CAST(w.w_ppm * t.rel AS BIGINT) AS gain
+            FROM rankedc r
+            JOIN wt w ON w.rk = r.rk
+            JOIN truth t ON t.probe_id = r.probe_id
+                        AND t.neighbor_id = r.neighbor_id
+        ),
+        dcg AS (
+            SELECT p.probe_id, CAST(COALESCE(SUM(h.gain), 0) AS BIGINT) AS d
+            FROM probes p LEFT JOIN hits h ON h.probe_id = p.probe_id
+            GROUP BY p.probe_id
+        ),
+        nd AS (
+            SELECT probe_id,
+                   CAST(d * 1000000 {intdiv} {idcg} AS BIGINT) AS ndcg_ppm
+            FROM dcg
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(SUM(ndcg_ppm) {intdiv} COUNT(*) AS BIGINT)
+                   AS mean_ndcg_ppm,
+               CAST(SUM(CASE WHEN ndcg_ppm = 1000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_perfect,
+               CAST(MIN(ndcg_ppm) AS BIGINT) AS min_ndcg_ppm
+        FROM nd
+    """
+
+
+def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k of the LSH index against graded exact-cosine truth — see
+    _ndcg_body.
+
+    Scale posture: identical to eval_retrieval_mrr — the same two
+    memoized barrier relations (exact top-k, LSH candidates), a
+    probe-partitioned ranking window over bucket-bounded candidate
+    lists, a {TOPK}-row literal weight join, and a |probes|-row final
+    aggregate."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+    from mongo_to_clickhouse_spark.queries.vectorops import (
+        TOPK,
+        lsh_cands_view,
+        sim_cosine_topk,
+    )
+
+    cached_barrier_view(
+        spark, sf_dir, "mrr_truth",
+        lambda: sim_cosine_topk(spark, sf_dir),
+        tables=("embeddings",),
+    )
+    cands = lsh_cands_view(spark, sf_dir)
+    return spark.sql(_ndcg_body("mrr_truth", cands, "DIV", TOPK))
+
+
+def _ndcg_oracle() -> str:
+    from mongo_to_clickhouse_spark.queries.vectorops import (
+        SIM_ANN_LSH_SQL,
+        SIM_COSINE_TOPK_SQL,
+        TOPK,
+    )
+
+    return (
+        f"WITH mrr_truth AS MATERIALIZED ({SIM_COSINE_TOPK_SQL}), "
+        f"mrr_cands AS MATERIALIZED ({SIM_ANN_LSH_SQL}), "
+        + _ndcg_body("mrr_truth", "mrr_cands", "//", TOPK).strip()[
+            len("WITH"):
+        ]
+    )
+
+
+EVAL_RETRIEVAL_NDCG_SQL = _ndcg_oracle()
+
+
+# ---------------------------------------------------------------------------
 # eval_quantization_recall — does int8 storage change who you retrieve?
 # ---------------------------------------------------------------------------
 
@@ -1049,6 +1165,7 @@ QUERIES: dict[str, tuple] = {
         EVAL_CENTROID_CLASSIFIER_SQL,
     ),
     "eval_retrieval_mrr": (eval_retrieval_mrr, EVAL_RETRIEVAL_MRR_SQL),
+    "eval_retrieval_ndcg": (eval_retrieval_ndcg, EVAL_RETRIEVAL_NDCG_SQL),
     "eval_score_auc": (eval_score_auc, EVAL_SCORE_AUC_SQL),
     "eval_lsh_banding_curve": (
         eval_lsh_banding_curve,
