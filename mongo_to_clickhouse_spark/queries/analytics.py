@@ -314,12 +314,111 @@ def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_COHORT_LTV_CURVE_SQL = _ltv_curve_sql("duck")
 
 
+# ---------------------------------------------------------------------------
+# funnel_time_to_convert — exact delay percentiles for the converting users
+# ---------------------------------------------------------------------------
+
+TTC_PCTS = (50, 90, 99)
+
+
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 of signup→first-purchase delay over converting
+    users — the distribution behind funnel_signup_purchase's per-user
+    conversion flags (the funnel says WHO converts; this says how long
+    conversion takes, the number an activation dashboard tracks).
+
+    Scale posture: the delay relation is one groupBy per step plus one
+    same-user-keyed join; the global exact percentile uses the house
+    two-pass range-partitioned distributed rank
+    (agg_exact_global_percentiles' discipline — no corpus-sized global
+    ORDER BY window ever serializes through one task), then a 3-row
+    literal probe join against the rank leaf."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+    from mongo_to_clickhouse_spark.operators.rank import (
+        distributed_global_rank,
+    )
+
+    def build():
+        load_table(spark, sf_dir, "events").createOrReplaceTempView(
+            "ttc_events_src"
+        )
+        delays = spark.sql("""
+            WITH signup AS (
+                SELECT user_id, MIN(ts) AS s FROM ttc_events_src
+                WHERE event_type = 'signup' GROUP BY user_id
+            )
+            SELECT s.user_id,
+                   CAST(unix_micros(CAST(MIN(p.ts) AS TIMESTAMP))
+                        - unix_micros(CAST(s.s AS TIMESTAMP))
+                        AS BIGINT) AS delay_us
+            FROM signup s JOIN ttc_events_src p
+              ON p.user_id = s.user_id AND p.event_type = 'purchase'
+             AND p.ts >= s.s
+            GROUP BY s.user_id, s.s
+        """)
+        return distributed_global_rank(
+            delays, [F.col("delay_us"), F.col("user_id")], rank_col="rk"
+        ).select("delay_us", "rk")
+
+    cached_barrier_view(spark, sf_dir, "ttc_ranked", build,
+                        tables=("events",))
+    targets = ", ".join(f"({p})" for p in TTC_PCTS)
+    return spark.sql(f"""
+        SELECT t.p, CAST(MIN(r.delay_us) AS BIGINT) AS delay_us,
+               c.n AS n_converted
+        FROM (SELECT * FROM (VALUES {targets}) v(p)) t
+        CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n
+                    FROM ttc_ranked) c
+        JOIN ttc_ranked r
+          ON r.rk = CAST(ceil(t.p * c.n / 100.0) AS BIGINT)
+        GROUP BY t.p, c.n
+        ORDER BY t.p
+    """)
+
+
+FUNNEL_TIME_TO_CONVERT_SQL = f"""
+    WITH signup AS (
+        SELECT user_id, MIN(ts) AS s FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+        SELECT s.user_id,
+               CAST(epoch_us(MIN(p.ts)) - epoch_us(s.s) AS BIGINT)
+                   AS delay_us
+        FROM signup s JOIN events p
+          ON p.user_id = s.user_id AND p.event_type = 'purchase'
+         AND p.ts >= s.s
+        GROUP BY s.user_id, s.s
+    ),
+    ranked AS (
+        SELECT delay_us,
+               row_number() OVER (ORDER BY delay_us, user_id) AS rk
+        FROM conv
+    ),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked)
+    SELECT t.p, CAST(MIN(r.delay_us) AS BIGINT) AS delay_us,
+           c.n AS n_converted
+    FROM (SELECT * FROM (VALUES {", ".join(f"({p})" for p in TTC_PCTS)})
+          v(p)) t
+    CROSS JOIN c
+    JOIN ranked r ON r.rk = CAST(ceil(t.p * c.n / 100.0) AS BIGINT)
+    GROUP BY t.p, c.n
+    ORDER BY t.p
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "events_cohort_ltv_curve": (
         events_cohort_ltv_curve,
         EVENTS_COHORT_LTV_CURVE_SQL,
     ),
     "funnel_signup_purchase": (funnel_signup_purchase, FUNNEL_SQL),
+    "funnel_time_to_convert": (
+        funnel_time_to_convert,
+        FUNNEL_TIME_TO_CONVERT_SQL,
+    ),
     "events_windowed_funnel": (
         events_windowed_funnel,
         EVENTS_WINDOWED_FUNNEL_SQL,

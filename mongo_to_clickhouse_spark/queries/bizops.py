@@ -1819,8 +1819,158 @@ def profile_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"{_gini_select('spark')} FROM gini_ranked")
 
 
+# ---------------------------------------------------------------------------
+# events_anomaly_seasonal_residual — MAD flags on the DESEASONALIZED series
+# ---------------------------------------------------------------------------
+
+
+def _seasonal_anomaly_sql(engine: str) -> str:
+    """Seasonal-aware anomaly detection: the median/MAD rule of
+    events_anomaly_mad_daily applied to events_seasonal_decomposition's
+    RESIDUAL instead of the raw daily series — a Friday-shaped spike on
+    a Friday is normal; the same spike on a Tuesday pages. Raw-series
+    MAD (statsops) flags every strong weekday; this flags only what
+    trend + weekday effect cannot explain — the composition an on-call
+    monitoring stack actually runs.
+
+    Pure composition of two committed engine-shared bodies (residuals in
+    exact micro-cents, medians as exact low-of-middle ranks), so both
+    engines inherit bit-identical flags."""
+    from mongo_to_clickhouse_spark.queries.statsops import _mad_body
+
+    intdiv = "DIV" if engine == "spark" else "//"
+    daily_rel = (
+        f"(SELECT event_type, day_idx, residual_micro AS x "
+        f"FROM ({_decomp_body(engine)}) dc)"
+    )
+    return _seasonal_anomaly_tail(_mad_body(daily_rel)).replace(
+        "{intdiv}", intdiv
+    )
+
+
+def _seasonal_anomaly_tail(mad_body: str) -> str:
+    return f"""
+        SELECT event_type, day_idx, x AS residual_micro,
+               median_x AS median_residual_micro, mad AS mad_micro,
+               flagged
+        FROM ({mad_body}) b
+        ORDER BY event_type, day_idx
+    """
+
+
+def events_anomaly_seasonal_residual(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Median/MAD anomaly flags on the deseasonalized daily revenue —
+    see _seasonal_anomaly_sql.
+
+    Scale posture: _mad_body references its daily input from THREE
+    consumers (median rank, deviation join, MAD rank), so the
+    decomposition is checkpointed once behind the barrier cache first —
+    without it Catalyst re-expanded the whole trend/seasonal subtree per
+    reference (21 shuffles / 8 corpus scans planned; 5 / 0 with it, the
+    graph_modularity lesson). Everything downstream of that one scan is
+    the calendar-bounded (type, day) grid."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+    from mongo_to_clickhouse_spark.queries.statsops import _mad_body
+
+    def build():
+        load_table(spark, sf_dir, "events").createOrReplaceTempView(
+            "events"
+        )
+        return spark.sql(
+            f"SELECT event_type, day_idx, residual_micro AS x "
+            f"FROM ({_decomp_body('spark')}) dc"
+        )
+
+    cached_barrier_view(
+        spark, sf_dir, "seasres_daily", build, tables=("events",)
+    )
+    return spark.sql(
+        _seasonal_anomaly_tail(_mad_body("seasres_daily"))
+        .replace("{intdiv}", "DIV")
+    )
+
+
+EVENTS_ANOMALY_SEASONAL_RESIDUAL_SQL = _seasonal_anomaly_sql("duck")
+
+
+# ---------------------------------------------------------------------------
+# events_topk_sliding — trailing-6h activity leaderboard per observed hour
+# ---------------------------------------------------------------------------
+
+TOPK_SLIDE_K = 10
+_TOPK_SLIDE_HOURS = 6
+
+
+def _topk_sliding_sql(engine: str) -> str:
+    """EXACT rolling top-{TOPK_SLIDE_K} leaderboard: per observed hour,
+    the most active users over the trailing {_TOPK_SLIDE_HOURS}h. The
+    sliding twin of agg_topk_weighted's static ranking, built the
+    mergeable way: hourly per-user counts (one map-side-combined
+    reduction of the corpus), each hourly cell broadcast to the
+    ≤{_TOPK_SLIDE_HOURS} hours it contributes to via a literal lag join
+    (the agg_sliding_window_quantile shape — a RANGE window over the
+    gappy (user, hour) grid would drop users silent in the current
+    hour), then one rank window per hour with the rnk ≤ K predicate
+    Spark pushes down as WindowGroupLimit (a per-partition top-K heap —
+    no hour's full user list ever sorts globally)."""
+    ep = ("unix_micros(CAST(ts AS TIMESTAMP))" if engine == "spark"
+          else "CAST(epoch_us(ts) AS BIGINT)")
+    lags = ", ".join(f"({k})" for k in range(_TOPK_SLIDE_HOURS))
+    return f"""
+        WITH ev AS (
+            SELECT user_id,
+                   CAST(floor({ep} / 3600000000) AS BIGINT) AS hour_idx
+            FROM events
+        ),
+        hourly AS (
+            SELECT hour_idx, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ev GROUP BY 1, 2
+        ),
+        hours AS (SELECT DISTINCT hour_idx FROM hourly),
+        merged AS (
+            SELECT c.tgt AS hour_idx, c.user_id,
+                   CAST(SUM(c.cnt) AS BIGINT) AS n6
+            FROM (
+                SELECT h.hour_idx + k.k AS tgt, h.user_id, h.cnt
+                FROM hourly h CROSS JOIN (VALUES {lags}) AS k(k)
+            ) c
+            JOIN hours ho ON ho.hour_idx = c.tgt
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT hour_idx, user_id, n6,
+                   ROW_NUMBER() OVER (PARTITION BY hour_idx
+                                      ORDER BY n6 DESC, user_id) AS rnk
+            FROM merged
+        )
+        SELECT hour_idx, CAST(rnk AS BIGINT) AS rnk, user_id,
+               n6 AS n_events_6h
+        FROM ranked WHERE rnk <= {TOPK_SLIDE_K}
+        ORDER BY hour_idx, rnk
+    """
+
+
+def events_topk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{_TOPK_SLIDE_HOURS}h top-{TOPK_SLIDE_K} user leaderboard
+    per observed hour — see _topk_sliding_sql."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_topk_sliding_sql("spark"))
+
+
+EVENTS_TOPK_SLIDING_SQL = _topk_sliding_sql("duck")
+
+
 QUERIES: dict[str, tuple] = {
     "events_rfm_segments": (events_rfm_segments, EVENTS_RFM_SEGMENTS_SQL),
+    "events_anomaly_seasonal_residual": (
+        events_anomaly_seasonal_residual,
+        EVENTS_ANOMALY_SEASONAL_RESIDUAL_SQL,
+    ),
+    "events_topk_sliding": (events_topk_sliding, EVENTS_TOPK_SLIDING_SQL),
     "window_max_drawdown": (window_max_drawdown, WINDOW_MAX_DRAWDOWN_SQL),
     "agg_mann_whitney_u": (agg_mann_whitney_u, AGG_MANN_WHITNEY_U_SQL),
     "agg_cramers_v": (agg_cramers_v, AGG_CRAMERS_V_SQL),
