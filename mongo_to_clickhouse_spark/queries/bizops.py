@@ -774,20 +774,29 @@ AGG_SPEARMAN_RHO_DAILY_SQL = _spearman_body("duck")
 # ---------------------------------------------------------------------------
 
 
-def _kw_body(engine: str) -> str:
+def _kw_body(engine: str, ties_from: str | None = None) -> str:
     """Kruskal-Wallis H across all event types' value populations, on
     the per-cents tie-group aggregate (the agg_mann_whitney_u spans
     technique generalized to k groups). Doubled rank sums R2_j are
     exact BIGINTs; each group's R2_j^2/(4 n_j) term is floored to a
     unit BIGINT before the k-row sum (order-free); H and the
-    tie-corrected H' are single double expressions."""
-    return f"""
-        WITH ev AS ({_ev(engine)}),
+    tie-corrected H' are single double expressions.
+
+    ``ties_from``: pre-materialized (cents, event_type, cnt) tie grid
+    (Spark path) — inline, ties/spans/terms are each referenced twice
+    downstream and Catalyst re-expanded the chain into five corpus
+    scans; with the value-grid checkpointed it plans zero."""
+    ties_rel = (
+        f"ties AS (SELECT * FROM {ties_from})" if ties_from else f"""
+        ev AS ({_ev(engine)}),
         ties AS (
             SELECT cents, event_type,
                    CAST(COUNT(*) AS BIGINT) AS cnt
             FROM ev GROUP BY cents, event_type
-        ),
+        )"""
+    )
+    return f"""
+        WITH {ties_rel},
         spans AS (
             SELECT cents,
                    CAST(SUM(cnt) AS BIGINT) AS t,
@@ -845,12 +854,29 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     Kruskal-Wallis (k-sample location) — the omnibus gate before
     pairwise drill-down.
 
-    Scale posture: one corpus scan to (cents, type) tie groups
-    (map-side combined, value-grid-bounded); the single unpartitioned
-    running sum walks the per-cents grid (the agg_mann_whitney_u
-    whitelist class); everything downstream is k+1 rows."""
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_kw_body("spark"))
+    Scale posture: one corpus scan to the CHECKPOINTED (cents, type)
+    tie grid (map-side combined, value-grid-bounded — see _kw_body's
+    ties_from note); the single unpartitioned running sum walks the
+    per-cents grid (the agg_mann_whitney_u whitelist class);
+    everything downstream is k+1 rows."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    def build():
+        load_table(spark, sf_dir, "events").createOrReplaceTempView(
+            "events"
+        )
+        return spark.sql(f"""
+            WITH ev AS ({_ev('spark')})
+            SELECT cents, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ev GROUP BY cents, event_type
+        """)
+
+    ties = cached_barrier_view(
+        spark, sf_dir, "kw_ties", build, tables=("events",)
+    )
+    return spark.sql(_kw_body("spark", ties_from=ties))
 
 
 AGG_KRUSKAL_WALLIS_SQL = _kw_body("duck")
@@ -1221,23 +1247,37 @@ AGG_WINSORIZED_MEAN_SQL = _winsor_body("duck")
 # ---------------------------------------------------------------------------
 
 
-def _wow_body(engine: str) -> str:
+def _wow_weekly_sql(engine: str) -> str:
+    """The (event_type, week, cents) aggregate the WoW decomposition
+    runs on — weeks anchored at the corpus' first day."""
+    intdiv = "div" if engine == "spark" else "//"
+    return f"""
+        WITH ev AS ({_ev(engine)}),
+        anchor AS (SELECT MIN(day_idx) AS d0 FROM ev)
+        SELECT event_type,
+               CAST((day_idx - d0) {intdiv} 7 AS BIGINT) AS week,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM ev CROSS JOIN anchor
+        GROUP BY event_type, (day_idx - d0) {intdiv} 7
+    """
+
+
+def _wow_body(engine: str, weekly_from: str | None = None) -> str:
     """Metric-tree root-cause view: revenue delta of the LAST complete
     week vs the week before, decomposed by event_type. Per-segment
     deltas are exact cents; each segment's share of the total move is
     a floored signed ppm; segments ordered by |delta| so the top row
-    IS the headline explanation."""
-    intdiv = "div" if engine == "spark" else "//"
+    IS the headline explanation.
+
+    ``weekly_from``: pre-materialized weekly relation (Spark path) —
+    inline, the nested multi-reference chain (weekly×2 under pair,
+    pair×2 under the tail, ev×2 under weekly) compounds to EIGHT corpus
+    scans; checkpointing the types×weeks grid leaves zero."""
+    weekly_rel = (f"weekly AS (SELECT * FROM {weekly_from})"
+                  if weekly_from
+                  else f"weekly AS ({_wow_weekly_sql(engine)})")
     return f"""
-        WITH ev AS ({_ev(engine)}),
-        anchor AS (SELECT MIN(day_idx) AS d0 FROM ev),
-        weekly AS (
-            SELECT event_type,
-                   CAST((day_idx - d0) {intdiv} 7 AS BIGINT) AS week,
-                   CAST(SUM(cents) AS BIGINT) AS cents
-            FROM ev CROSS JOIN anchor
-            GROUP BY event_type, (day_idx - d0) {intdiv} 7
-        ),
+        WITH {weekly_rel},
         last_full AS (
             -- the last week with a FULL 7 days of data range
             SELECT MAX(week) - 1 AS w1 FROM weekly
@@ -1274,11 +1314,23 @@ def events_contribution_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
     tree/dashboard offers: segment deltas sum exactly to the total
     move, and the share column attributes it in signed ppm.
 
-    Scale posture: one corpus scan to the (type, week) aggregate
-    (calendar-bounded); everything after is |types| rows with 1-row
-    broadcasts."""
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_wow_body("spark"))
+    Scale posture: one corpus scan to the CHECKPOINTED (type, week)
+    aggregate (calendar-bounded — see _wow_body's weekly_from note);
+    everything after is |types| rows with 1-row broadcasts."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    def build():
+        load_table(spark, sf_dir, "events").createOrReplaceTempView(
+            "events"
+        )
+        return spark.sql(_wow_weekly_sql("spark"))
+
+    weekly = cached_barrier_view(
+        spark, sf_dir, "wow_weekly", build, tables=("events",)
+    )
+    return spark.sql(_wow_body("spark", weekly_from=weekly))
 
 
 EVENTS_CONTRIBUTION_WOW_SQL = _wow_body("duck")

@@ -495,9 +495,14 @@ DEDUP_MINHASH_INDEX_UPSERT_SQL = _minhash_upsert_sql("duck")
 # SimHash
 # ---------------------------------------------------------------------------
 
-def _simhash_sql(dialect: str, what: str, toks_from: str | None = None) -> str:
+def _simhash_sql(dialect: str, what: str, toks_from: str | None = None,
+                 hashes_from: str | None = None) -> str:
     # 64 independent bits from two 32-bit md5 slices (a single 60-bit slice
     # would leave the top band underpopulated).
+    # hashes_from (Spark pairs path): the banded UNION ALL references
+    # `hashes` from 8 places (4 bands x 2 join sides) — inline, Catalyst
+    # re-runs the token explode + 64-bit sign aggregation per reference;
+    # the pre-materialized (doc_id, simhash) view makes each a leaf scan.
     if dialect == "spark":
         x_lo = "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"
         x_hi = "CAST(conv(substring(md5(tok), 9, 8), 16, 10) AS BIGINT)"
@@ -533,7 +538,12 @@ def _simhash_sql(dialect: str, what: str, toks_from: str | None = None) -> str:
         + " AS BIGINT) ELSE 0 END)"
         for j in range(SIMHASH_BITS)
     )
-    sql = f"""
+    if hashes_from is not None:
+        sql = f"""
+        WITH hashes AS (SELECT * FROM {hashes_from})
+    """
+    else:
+        sql = f"""
         WITH corpus AS ({_planted_corpus(dialect)}),
         bits AS (
             SELECT doc_id, {sums}
@@ -599,9 +609,15 @@ DEDUP_SIMHASH_SQL = _simhash_sql("duck", "hashes")
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 4×16-bit band blocking (pigeonhole: hamming
     ≤ 3 leaves one band untouched, so recall is guaranteed at the
-    threshold) + exact hamming verify."""
+    threshold) + exact hamming verify. The (doc_id, simhash) relation is
+    checkpointed once (see _simhash_sql's hashes_from note) so the eight
+    banded references scan a leaf instead of re-running the explode."""
     view = _toks_view(spark, sf_dir)
-    return spark.sql(_simhash_sql("spark", "pairs", toks_from=view))
+    hashes = cached_barrier_view(
+        spark, sf_dir, "simhash_hashes",
+        lambda: spark.sql(_simhash_sql("spark", "hashes", toks_from=view)),
+    )
+    return spark.sql(_simhash_sql("spark", "pairs", hashes_from=hashes))
 
 
 DEDUP_SIMHASH_PAIRS_SQL = _simhash_sql("duck", "pairs")
@@ -1520,7 +1536,15 @@ def _cascade_body(sha_expr: str, labels_rel: str) -> str:
     among tier-2 survivors — each doc attributed to the FIRST tier that
     removes it (min-doc_id keeps at every tier). The which-tier-does-
     the-work report a dedup pipeline reviews before paying for the next,
-    more expensive tier (the cheap tiers should eat most duplicates)."""
+    more expensive tier (the cheap tiers should eat most duplicates).
+
+    Plan shape (round 8): the survivor chain is carried as FLAGS on one
+    relation (kept1/kept2/kept3 via conditional MIN-windows) instead of
+    filtered sub-relations, and the 4-tier report unpivots the single
+    counts row against a literal tier table — the earlier
+    subquery-per-tier accounting referenced the chain from four scalar
+    subqueries and Catalyst re-expanded it into SEVEN corpus scans;
+    this form plans exactly one."""
     canonical = """
         regexp_replace(
             regexp_replace(
@@ -1547,41 +1571,50 @@ def _cascade_body(sha_expr: str, labels_rel: str) -> str:
                              AS no_junk
                   FROM documents)
         ),
-        m1 AS (
+        f1 AS (
             SELECT doc_id, canonical_url,
-                   MIN(doc_id) OVER (PARTITION BY h) AS k1
+                   CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY h)
+                        THEN 1 ELSE 0 END AS kept1
             FROM base
         ),
-        s1 AS (SELECT doc_id, canonical_url FROM m1 WHERE doc_id = k1),
-        m2 AS (
-            SELECT doc_id,
-                   MIN(doc_id) OVER (PARTITION BY canonical_url) AS k2
-            FROM s1
+        f2 AS (
+            SELECT doc_id, kept1,
+                   CASE WHEN kept1 = 1 AND doc_id =
+                            MIN(CASE WHEN kept1 = 1 THEN doc_id END)
+                                OVER (PARTITION BY canonical_url)
+                        THEN 1 ELSE 0 END AS kept2
+            FROM f1
         ),
-        s2 AS (SELECT doc_id FROM m2 WHERE doc_id = k2),
-        m3 AS (
-            SELECT s2.doc_id,
-                   MIN(s2.doc_id) OVER (
-                       PARTITION BY COALESCE(l.component_id, s2.doc_id))
-                       AS k3
-            FROM s2 LEFT JOIN {labels_rel} l ON l.node_id = s2.doc_id
+        f3 AS (
+            SELECT f2.doc_id, kept1, kept2,
+                   CASE WHEN kept2 = 1 AND f2.doc_id =
+                            MIN(CASE WHEN kept2 = 1 THEN f2.doc_id END)
+                                OVER (PARTITION BY
+                                      COALESCE(l.component_id, f2.doc_id))
+                        THEN 1 ELSE 0 END AS kept3
+            FROM f2 LEFT JOIN {labels_rel} l ON l.node_id = f2.doc_id
         ),
-        s3 AS (SELECT doc_id FROM m3 WHERE doc_id = k3),
         counts AS (
-            SELECT CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n0,
-                   CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n1,
-                   CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n2,
-                   CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n3
+            SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+                   CAST(SUM(kept1) AS BIGINT) AS n1,
+                   CAST(SUM(kept2) AS BIGINT) AS n2,
+                   CAST(SUM(kept3) AS BIGINT) AS n3
+            FROM f3
         )
-        SELECT 0 AS tier, 'input' AS tier_name,
-               CAST(0 AS BIGINT) AS n_removed, n0 AS n_remaining FROM counts
-        UNION ALL
-        SELECT 1, 'exact_content', n0 - n1, n1 FROM counts
-        UNION ALL
-        SELECT 2, 'canonical_url', n1 - n2, n2 FROM counts
-        UNION ALL
-        SELECT 3, 'near_dup_component', n2 - n3, n3 FROM counts
-        ORDER BY tier
+        SELECT t.tier, t.tier_name,
+               CASE t.tier WHEN 0 THEN CAST(0 AS BIGINT)
+                           WHEN 1 THEN n0 - n1
+                           WHEN 2 THEN n1 - n2
+                           ELSE n2 - n3 END AS n_removed,
+               CASE t.tier WHEN 0 THEN n0
+                           WHEN 1 THEN n1
+                           WHEN 2 THEN n2
+                           ELSE n3 END AS n_remaining
+        FROM counts
+        CROSS JOIN (VALUES (0, 'input'), (1, 'exact_content'),
+                           (2, 'canonical_url'), (3, 'near_dup_component'))
+                   AS t(tier, tier_name)
+        ORDER BY t.tier
     """
 
 

@@ -836,7 +836,7 @@ EVAL_QUANTIZATION_RECALL_SQL = _quant_recall_oracle()
 
 
 def _ari_tail_sql(universe_rel: str, lsh_rel: str, exact_rel: str,
-                  intdiv: str) -> str:
+                  intdiv: str, cells_from: str | None = None) -> str:
     """Shared tail: Adjusted Rand Index (Hubert & Arabie 1985) between
     the LSH-derived near-dup clustering and the exact-Jaccard ground
     truth — THE clustering-agreement score (chance-corrected pair
@@ -844,9 +844,16 @@ def _ari_tail_sql(universe_rel: str, lsh_rel: str, exact_rel: str,
     pair-level precision/recall (pairs can score well while the
     transitive closures diverge badly; ARI sees that). Unlabeled docs
     count as singletons (own id). All pair counts C(x,2) = x(x−1)/2
-    are exact BIGINTs; ARI is one double expression floored to ppm."""
-    return f"""
-        WITH labeled AS (
+    are exact BIGINTs; ARI is one double expression floored to ppm.
+
+    ``cells_from``: pre-materialized contingency (Spark path) — the
+    cells relation is referenced by THREE consumers (cell sums, row
+    sums, column sums), and inline that re-expands the universe scan +
+    both label joins per reference (six corpus scans planned; zero with
+    the cluster-bounded contingency checkpointed)."""
+    cells_rel = (
+        f"cells AS (SELECT * FROM {cells_from})" if cells_from else f"""
+        labeled AS (
             SELECT u.node_id,
                    COALESCE(l.component_id, u.node_id) AS la,
                    COALESCE(x.component_id, u.node_id) AS lb
@@ -857,7 +864,10 @@ def _ari_tail_sql(universe_rel: str, lsh_rel: str, exact_rel: str,
         cells AS (
             SELECT la, lb, CAST(COUNT(*) AS BIGINT) AS nij
             FROM labeled GROUP BY la, lb
-        ),
+        )"""
+    )
+    return f"""
+        WITH {cells_rel},
         sums AS (
             SELECT CAST(SUM(nij * (nij - 1) {intdiv} 2) AS BIGINT)
                        AS s_cells,
@@ -918,8 +928,24 @@ def eval_cluster_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(
         f"SELECT doc_id AS node_id FROM ({_planted_corpus('spark')}) pc"
     ).createOrReplaceTempView("ari_universe")
+
+    def build_cells():
+        return spark.sql("""
+            SELECT la, lb, CAST(COUNT(*) AS BIGINT) AS nij FROM (
+                SELECT COALESCE(l.component_id, u.node_id) AS la,
+                       COALESCE(x.component_id, u.node_id) AS lb
+                FROM ari_universe u
+                LEFT JOIN ari_lsh_labels l ON l.node_id = u.node_id
+                LEFT JOIN ari_exact_labels x ON x.node_id = u.node_id
+            ) labeled GROUP BY la, lb
+        """)
+
+    cells = cached_barrier_view(
+        spark, sf_dir, "ari_cells", build_cells
+    )
     return spark.sql("WITH " + _ari_tail_sql(
-        "ari_universe", "ari_lsh_labels", "ari_exact_labels", "DIV"
+        "ari_universe", "ari_lsh_labels", "ari_exact_labels", "DIV",
+        cells_from=cells,
     ).strip()[len("WITH"):].lstrip())
 
 

@@ -106,12 +106,13 @@ def _bootstrap_body(events_rel: str, gen_b: str) -> str:
             FROM resamples
         ),
         ranked AS (
-            SELECT a.b, a.m,
-                   1 + CAST(COUNT(CASE WHEN o.m < a.m
-                                  OR (o.m = a.m AND o.b < a.b)
-                                  THEN 1 END) AS BIGINT) AS r
-            FROM means a CROSS JOIN means o
-            GROUP BY a.b, a.m
+            -- ROW_NUMBER over the {BOOT_B}-row means relation (bounded,
+            -- whitelisted): the earlier triangular self-join referenced
+            -- means twice, and Spark re-expanded the whole resample
+            -- pipeline (corpus scan + x{BOOT_B} explode) per side
+            SELECT b, m,
+                   CAST(ROW_NUMBER() OVER (ORDER BY m, b) AS BIGINT) AS r
+            FROM means
         ),
         point AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -119,14 +120,25 @@ def _bootstrap_body(events_rel: str, gen_b: str) -> str:
                               / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
                        AS point_mean_micro
             FROM pts
+        ),
+        ci AS (
+            -- conditional aggregation, NOT scalar subqueries: each
+            -- scalar subquery reference re-expanded the whole
+            -- resample pipeline (corpus scan + x{BOOT_B} explode) in
+            -- Spark's plan — 9 scans / 8 generates planned; this form
+            -- reads ranked once (ranks are unique by construction, so
+            -- MIN(CASE) picks the same single value)
+            SELECT CAST(MIN(CASE WHEN r = 2 THEN m END) AS BIGINT)
+                       AS p05,
+                   CAST(MIN(CASE WHEN r = {BOOT_B - 1} THEN m END)
+                        AS BIGINT) AS p95
+            FROM ranked
         )
         SELECT p.n_rows, p.point_mean_micro,
-               (SELECT m FROM ranked WHERE r = 2) AS boot_p05_micro,
-               (SELECT m FROM ranked WHERE r = {BOOT_B - 1})
-                   AS boot_p95_micro,
-               (SELECT m FROM ranked WHERE r = {BOOT_B - 1})
-               - (SELECT m FROM ranked WHERE r = 2) AS ci_width_micro
-        FROM point p
+               c.p05 AS boot_p05_micro,
+               c.p95 AS boot_p95_micro,
+               c.p95 - c.p05 AS ci_width_micro
+        FROM point p CROSS JOIN ci c
     """
 
 
@@ -682,7 +694,7 @@ DOMAIN_BUDGET_WATERFILL_SQL = _waterfill_sql("duck")
 NEYMAN_BUDGET_PCT = 10   # total sample = 10% of the order population
 
 
-def _neyman_sql(engine: str) -> str:
+def _neyman_sql(engine: str, sized_from: str | None = None) -> str:
     """Neyman-optimal stratified allocation + the draw itself.
 
     n_h ∝ N_h·S_h (the variance-minimizing allocation for a fixed total
@@ -705,7 +717,16 @@ def _neyman_sql(engine: str) -> str:
     allocation arithmetic is exact integer cross-multiplication (all
     operands non-negative, so Spark's trunc-DIV and DuckDB's floor-//
     agree). The draw is the house md5-rank: deterministic on any
-    cluster size, identically computable by DuckDB."""
+    cluster size, identically computable by DuckDB.
+
+    ``sized_from``: name of a pre-materialized |strata|-row (stratum,
+    big_n, s_micro) relation (Spark path). The allocation tail
+    references the frontier chain from FOUR consumers (budget, seg, the
+    pick fallback, base); as inline CTEs Catalyst re-expands the whole
+    subtree — including the orders scan under strat — per reference
+    (24 shuffles / 11 corpus scans planned). With the tiny relation
+    checkpointed, re-expansion is grid-sized and the corpus is scanned
+    exactly twice: the allocation aggregate and the draw."""
     intdiv = "DIV" if engine == "spark" else "//"
     h = (
         "CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))"
@@ -714,12 +735,14 @@ def _neyman_sql(engine: str) -> str:
         else "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 15),"
         " 16, 10) AS BIGINT)"
     )
-    return f"""
-        WITH vals AS (
+    vals_cte = """vals AS (
             SELECT o_orderpriority AS stratum, o_orderkey,
                    CAST(floor(o_totalprice / 100.0) AS BIGINT) AS x
             FROM orders
-        ),
+        )"""
+    if sized_from is None:
+        sized = "sized"
+        prefix = f"""{vals_cte},
         strat AS (
             SELECT stratum,
                    CAST(COUNT(*) AS BIGINT) AS big_n,
@@ -733,11 +756,16 @@ def _neyman_sql(engine: str) -> str:
                               / CAST(big_n * (big_n - 1) AS DOUBLE)) * 1e6)
                         AS BIGINT) AS s_micro
             FROM strat
-        ),
+        )"""
+    else:
+        sized = sized_from
+        prefix = vals_cte
+    return f"""
+        WITH {prefix},
         budget AS (
             SELECT (SUM(big_n) * {NEYMAN_BUDGET_PCT}) {intdiv} 100
                        AS n_total
-            FROM sized
+            FROM {sized}
         ),
         weighted AS (
             -- allocation weight in MILLI (s_micro DIV 1000): the
@@ -748,7 +776,7 @@ def _neyman_sql(engine: str) -> str:
             -- integer allocation can resolve
             SELECT stratum, big_n, s_micro,
                    big_n * (s_micro {intdiv} 1000) AS w
-            FROM sized
+            FROM {sized}
         ),
         ratio_ord AS (
             -- capacity/weight ratio ascending = water-fill saturation
@@ -851,14 +879,43 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sample_stratified`` (fixed rates) and ``sample_weighted_pps``
     (size-proportional inclusion).
 
-    Scale posture: one scan → |strata| rows; all allocation math is
-    window arithmetic over that tiny relation; the draw is one
-    per-stratum rank window (partitions bounded by stratum sizes — for
-    heavy strata the rank could ride ``distributed_global_rank``, not
-    needed at priority-cardinality strata) + a broadcast join against
-    the 5-row allocation."""
+    Scale posture: one scan → the checkpointed |strata|-row moment
+    relation (see _neyman_sql's sized_from note: inline, the allocation
+    tail re-expanded the scan 11×); all allocation math is window
+    arithmetic over that tiny leaf; the draw is one per-stratum rank
+    window (partitions bounded by stratum sizes — for heavy strata the
+    rank could ride ``distributed_global_rank``, not needed at
+    priority-cardinality strata) + a broadcast join against the 5-row
+    allocation."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_neyman_sql("spark"))
+
+    def build():
+        return spark.sql("""
+            WITH strat AS (
+                SELECT o_orderpriority AS stratum,
+                       CAST(COUNT(*) AS BIGINT) AS big_n,
+                       CAST(SUM(CAST(floor(o_totalprice / 100.0) AS BIGINT))
+                            AS BIGINT) AS sx,
+                       CAST(SUM(CAST(floor(o_totalprice / 100.0) AS BIGINT)
+                                * CAST(floor(o_totalprice / 100.0) AS BIGINT))
+                            AS BIGINT) AS sx2
+                FROM orders GROUP BY 1
+            )
+            SELECT stratum, big_n,
+                   CAST(round(sqrt((big_n * sx2 - sx * sx)
+                              / CAST(big_n * (big_n - 1) AS DOUBLE)) * 1e6)
+                        AS BIGINT) AS s_micro
+            FROM strat
+        """)
+
+    sized = cached_barrier_view(
+        spark, sf_dir, "neyman_sized", build, tables=("orders",)
+    )
+    return spark.sql(_neyman_sql("spark", sized_from=sized))
 
 
 SAMPLE_NEYMAN_ALLOCATION_SQL = _neyman_sql("duck")
@@ -977,7 +1034,7 @@ SAMPLE_SYSTEMATIC_INTERVAL_SQL = f"""
 CHI2_TOP_CELLS = 5
 
 
-def _chi2_body(docs_rel: str) -> str:
+def _chi2_body(docs_rel: str, cells_from: str | None = None) -> str:
     """Engine-shared chi-square test of independence between document
     language and source (the does-my-mix-drift-by-provider audit):
 
@@ -992,13 +1049,22 @@ def _chi2_body(docs_rel: str) -> str:
     and the total is a pure BIGINT sum.
     Emits the total (sentinel '__total__' row, with dof = (r−1)(c−1))
     plus the top-{CHI2_TOP_CELLS} contributing cells so a significant
-    statistic is immediately attributable."""
-    return f"""
-        WITH cells AS (
+    statistic is immediately attributable.
+
+    ``cells_from``: pre-materialized contingency cells (Spark path) —
+    inline, cells is referenced twice (marginals + totals) and contrib
+    twice (total row + ranked cells): four corpus scans planned; the
+    checkpointed |langs|·|sources| grid leaves zero."""
+    cells_rel = (
+        f"cells AS (SELECT * FROM {cells_from})" if cells_from else f"""
+        cells AS (
             SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
             FROM {docs_rel}
             GROUP BY lang, source
-        ),
+        )"""
+    )
+    return f"""
+        WITH {cells_rel},
         marg AS (
             SELECT lang, source, o,
                    CAST(SUM(o) OVER (PARTITION BY lang) AS BIGINT) AS r,
@@ -1044,15 +1110,29 @@ def _chi2_body(docs_rel: str) -> str:
 def profile_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence of lang × source — see _chi2_body.
 
-    Scale posture: one scan → one (lang, source) cell aggregate
-    (map-side combined, |langs|·|sources|-bounded); the marginal
-    windows, 1-row total broadcast, the ranking window and the final
-    sum all run over that bounded contingency relation — the same
-    boundedness class as the PSI/KS monitors."""
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "chi2_docs_src"
+    Scale posture: one scan → the CHECKPOINTED (lang, source) cell
+    aggregate (map-side combined, |langs|·|sources|-bounded — see
+    _chi2_body's cells_from note); the marginal windows, 1-row total
+    broadcast, the ranking window and the final sum all run over that
+    bounded contingency relation — the same boundedness class as the
+    PSI/KS monitors."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
     )
-    return spark.sql(_chi2_body("chi2_docs_src"))
+
+    def build():
+        load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+            "chi2_docs_src"
+        )
+        return spark.sql("""
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+            FROM chi2_docs_src GROUP BY lang, source
+        """)
+
+    cells = cached_barrier_view(
+        spark, sf_dir, "chi2_cells", build, tables=("documents",)
+    )
+    return spark.sql(_chi2_body("chi2_docs_src", cells_from=cells))
 
 
 PROFILE_CHI2_INDEPENDENCE_SQL = _chi2_body("documents")

@@ -92,6 +92,9 @@ _BOUNDED_WINDOW_WHITELIST = {
     "agg_hdr_histogram_quantile",
     # trailing 6h/24h frames walk the calendar-bounded hour grid
     "events_error_budget_burn",
+    # the CI rank window runs over the BOOT_B(=32)-row resample-means
+    # relation — constant-bounded by construction
+    "sample_bootstrap_ci",
 }
 
 
