@@ -627,7 +627,9 @@ DEDUP_SIMHASH_PAIRS_SQL = _simhash_sql("duck", "pairs")
 # n-gram Jaccard (blocked exact pairwise)
 # ---------------------------------------------------------------------------
 
-def _ngram_jaccard_sql(dialect: str, shingled_from: str | None = None) -> str:
+def _ngram_jaccard_sql(dialect: str, shingled_from: str | None = None,
+                       pruned_from: str | None = None,
+                       sizes_from: str | None = None) -> str:
     """Join-based set-similarity: explode shingles, equi-join on
     (source, shingle), count shared shingles per pair, then
     |A∩B| / (|A| + |B| - |A∩B|). Pairs sharing zero shingles never
@@ -645,13 +647,26 @@ def _ngram_jaccard_sql(dialect: str, shingled_from: str | None = None) -> str:
     fixture df (7 at sf0.1), so fixture results are bit-identical with
     or without the guard — tests/test_dedup_guards.py plants a hot gram
     to prove the guard actually prunes.
+
+    ``pruned_from``/``sizes_from`` (Spark path): the pruned relation
+    feeds BOTH sides of the self-join and the eligible df-filter also
+    re-reads the explode — inline, Catalyst re-ran the shingle explode
+    four times and the corpus join twelve (plan: 4 generates /
+    12 scans; 0/0 with the two relations checkpointed). Persisting the
+    pruned token list before a set-similarity self-join is also the
+    production shape at corpus scale.
     """
     shingled_src = shingled_from or f"({_shingles(dialect)})"
     unnest = (
         "explode(shingles)" if dialect == "spark" else "unnest(shingles)"
     )
     size_fn = "size" if dialect == "spark" else "len"
-    return f"""
+    if pruned_from is not None and sizes_from is not None:
+        prefix = f"""
+        WITH pruned AS (SELECT * FROM {pruned_from}),
+        sizes0 AS (SELECT * FROM {sizes_from}),"""
+    else:
+        prefix = f"""
         WITH corpus AS ({_planted_corpus(dialect)}),
         shingled AS (
             SELECT s.doc_id, s.shingles, c.source
@@ -668,13 +683,15 @@ def _ngram_jaccard_sql(dialect: str, shingled_from: str | None = None) -> str:
             FROM exploded e JOIN eligible g
               ON e.source = g.source AND e.sh = g.sh
         ),
+        sizes0 AS (SELECT doc_id, {size_fn}(shingles) AS n FROM shingled),"""
+    return f"""{prefix}
         inter AS (
             SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
             FROM pruned a JOIN pruned b
               ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         ),
-        sizes AS (SELECT doc_id, {size_fn}(shingles) AS n FROM shingled)
+        sizes AS (SELECT doc_id, n FROM sizes0)
         SELECT a_id, b_id, round(jac, 6) AS jaccard FROM (
             SELECT a_id, b_id,
                    n_shared / CAST(sa.n + sb.n - n_shared AS DOUBLE) AS jac
@@ -687,9 +704,43 @@ def _ngram_jaccard_sql(dialect: str, shingled_from: str | None = None) -> str:
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-Jaccard near-dup pairs, blocked by source (a real
-    pipeline always blocks before pairwise comparison)."""
+    pipeline always blocks before pairwise comparison). The df-capped
+    token list and the size relation are checkpointed once — see
+    _ngram_jaccard_sql's pruned_from note."""
     view = _shingled_view(spark, sf_dir)
-    return spark.sql(_ngram_jaccard_sql("spark", shingled_from=view))
+
+    def build_pruned():
+        return spark.sql(f"""
+            WITH corpus AS ({_planted_corpus('spark')}),
+            exploded AS (
+                SELECT s.doc_id, c.source, explode(s.shingles) AS sh
+                FROM {view} s JOIN corpus c ON s.doc_id = c.doc_id
+            ),
+            eligible AS (
+                SELECT source, sh FROM exploded
+                GROUP BY source, sh
+                HAVING COUNT(*) <= {JACCARD_SHINGLE_DF_CAP}
+            )
+            SELECT e.doc_id, e.source, e.sh
+            FROM exploded e JOIN eligible g
+              ON e.source = g.source AND e.sh = g.sh
+        """)
+
+    # the cap is part of the relation's identity: key the memoized view
+    # on it so a re-tuned (or test-monkeypatched) cap can never alias a
+    # stale materialization
+    pruned = cached_barrier_view(
+        spark, sf_dir, f"jacc_pruned_{JACCARD_SHINGLE_DF_CAP}", build_pruned
+    )
+    sizes = cached_barrier_view(
+        spark, sf_dir, "jacc_sizes",
+        lambda: spark.sql(
+            f"SELECT doc_id, size(shingles) AS n FROM {view}"
+        ),
+    )
+    return spark.sql(_ngram_jaccard_sql(
+        "spark", pruned_from=pruned, sizes_from=sizes
+    ))
 
 
 DEDUP_NGRAM_JACCARD_SQL = _ngram_jaccard_sql("duck")

@@ -163,7 +163,7 @@ _HLL_W_BITS = 54                    # key bits left after the bucket index
 _HLL_MAXM = 62                      # 2^(MAXM - M) keeps every term integral
 
 
-def _hll_sql(engine: str) -> str:
+def _hll_sql(engine: str, groups_from: str | None = None) -> str:
     """Explicit HyperLogLog per event_type + a register-wise-MAX merged
     '__ALL__' row — exactly mirrorable in both engines:
 
@@ -217,7 +217,7 @@ def _hll_sql(engine: str) -> str:
                  THEN {HLL_M} * ln({HLL_M}.0 / zeros)
                  ELSE {alpha} * {HLL_M * HLL_M} * {two_maxm}.0
                       / CAST(s AS DOUBLE) END"""
-    return f"""
+    groups_body = f"""
         WITH ev AS (SELECT event_type, user_id, {k} AS kk FROM events),
         regs AS (
             SELECT event_type, kk % {HLL_M} AS j,
@@ -226,13 +226,20 @@ def _hll_sql(engine: str) -> str:
         ),
         grid AS (
             SELECT event_type, j
-            FROM (SELECT DISTINCT event_type FROM events) {jexp}
-        ),
-        groups_full AS (
-            SELECT g.event_type, g.j, COALESCE(r.m_reg, 0) AS m_reg
-            FROM grid g LEFT JOIN regs r
-              ON g.event_type = r.event_type AND g.j = r.j
-        ),
+            FROM (SELECT DISTINCT event_type FROM regs) {jexp}
+        )
+        SELECT g.event_type, g.j, COALESCE(r.m_reg, 0) AS m_reg
+        FROM grid g LEFT JOIN regs r
+          ON g.event_type = r.event_type AND g.j = r.j
+    """
+    if groups_from == "__BODY__":
+        return groups_body
+    groups_rel = (
+        f"groups_full AS (SELECT * FROM {groups_from})" if groups_from
+        else f"groups_full AS ({groups_body})"
+    )
+    return f"""
+        WITH {groups_rel},
         merged AS (
             SELECT '__ALL__' AS event_type, j, MAX(m_reg) AS m_reg
             FROM groups_full GROUP BY j
@@ -247,10 +254,13 @@ def _hll_sql(engine: str) -> str:
             FROM allregs GROUP BY event_type
         ),
         exact AS (
-            SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
-            FROM events GROUP BY event_type
-            UNION ALL
-            SELECT '__ALL__', COUNT(DISTINCT user_id) FROM events
+            -- one rollup scan instead of the per-type + __ALL__ UNION
+            -- (which scanned events twice); GROUPING() marks the total
+            -- row so a hypothetical NULL type could never collide
+            SELECT CASE WHEN GROUPING(event_type) = 1 THEN '__ALL__'
+                        ELSE event_type END AS event_type,
+                   COUNT(DISTINCT user_id) AS exact_distinct
+            FROM events GROUP BY ROLLUP(event_type)
         )
         SELECT e.event_type,
                CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
@@ -280,9 +290,24 @@ def agg_hll_sketch_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine exactness: deterministic 60-bit md5 key, rho from the
     minimal bin() string, and an integer-scaled harmonic sum (see
     _hll_sql) — the only floats are one division, one optional ln, and
-    the 4-dp round."""
+    the 4-dp round.
+
+    Plan shape (round 8): the full register grid is checkpointed once —
+    groups_full feeds BOTH the per-type rows and the register-wise-MAX
+    merge, and inline that re-expanded the (event, bucket) aggregate
+    subtree per reference; with the rollup-based exact pass the whole
+    report is one corpus scan + one m·|types| leaf."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_hll_sql("spark"))
+    groups = cached_barrier_view(
+        spark, sf_dir, "hll_groups",
+        lambda: spark.sql(_hll_sql("spark", groups_from="__BODY__")),
+        tables=("events",),
+    )
+    return spark.sql(_hll_sql("spark", groups_from=groups))
 
 
 AGG_HLL_SKETCH_EXPLICIT_SQL = _hll_sql("duck")
