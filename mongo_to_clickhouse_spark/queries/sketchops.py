@@ -313,6 +313,134 @@ def agg_hll_sketch_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_HLL_SKETCH_EXPLICIT_SQL = _hll_sql("duck")
 
 
+_HLL_SLIDE_DAYS = 7   # trailing window: current day + 6 preceding
+
+
+def _hll_sliding_sql(engine: str, daily_from: str | None = None) -> str:
+    """Rolling {_HLL_SLIDE_DAYS}-day distinct users per observed day via
+    HLL register-wise-MAX merge — the SKETCH twin of
+    events_active_users_rolling's exact bitmaps: the exact version
+    carries |users| bits per day, this carries a constant {HLL_M}
+    registers per day, which is what serves rolling MAU when the user
+    space is billions. The merge IS the union (register-wise MAX), the
+    same mergeability agg_hll_sketch_explicit demonstrates across
+    groups, applied across a trailing calendar window via the literal
+    lag join (the agg_sliding_window_quantile shape — a RANGE frame
+    over the gappy (day, register) grid would drop registers silent on
+    the current day).
+
+    Numerics are the _hll_sql discipline verbatim: integer bit-shift
+    harmonic terms summed as DECIMAL(38,0), one double division, one
+    optional ln, nearest-integer e4 export.
+
+    ``daily_from``: pre-materialized (day_idx, j, m_reg) daily register
+    table (Spark path) — it feeds both the observed-day list and the
+    lag-join contributions."""
+    if engine == "spark":
+        k = ("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),"
+             " 16, 10) AS BIGINT)")
+        jexp = f"LATERAL VIEW explode(sequence(0, {HLL_M - 1})) AS j"
+        intdiv = "DIV"
+        ep = "unix_micros(CAST(ts AS TIMESTAMP))"
+        shift = f"shiftleft(CAST(1 AS BIGINT), {_HLL_MAXM} - m_reg)"
+    else:
+        k = ("CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))"
+             " AS BIGINT)")
+        jexp = f", unnest(range(0, {HLL_M})) AS t(j)"
+        intdiv = "//"
+        ep = "CAST(epoch_us(ts) AS BIGINT)"
+        shift = f"(CAST(1 AS BIGINT) << ({_HLL_MAXM} - m_reg))"
+    rho = (
+        f"CASE WHEN w = 0 THEN {_HLL_W_BITS + 1} "
+        f"ELSE {_HLL_W_BITS + 1} - length(bin(w)) END"
+    )
+    daily_body = f"""
+        WITH ev AS (
+            SELECT CAST(floor({ep} / 86400000000) AS BIGINT) AS day_idx,
+                   {k} AS kk
+            FROM events
+        )
+        SELECT day_idx, kk % {HLL_M} AS j,
+               MAX({rho.replace('w', f'(kk {intdiv} {HLL_M})')}) AS m_reg
+        FROM ev GROUP BY 1, 2
+    """
+    if daily_from == "__BODY__":
+        return daily_body
+    daily_rel = (
+        f"daily AS (SELECT * FROM {daily_from})" if daily_from
+        else f"daily AS ({daily_body})"
+    )
+    alpha = (
+        f"(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        f" + CAST(1.079 AS DOUBLE) / {HLL_M}.0))"
+    )
+    two_maxm = str(1 << _HLL_MAXM)
+    est = f"""
+            CASE WHEN {alpha} * {HLL_M * HLL_M} * {two_maxm}.0
+                      / CAST(s AS DOUBLE) <= 2.5 * {HLL_M}
+                      AND zeros > 0
+                 THEN {HLL_M} * ln({HLL_M}.0 / zeros)
+                 ELSE {alpha} * {HLL_M * HLL_M} * {two_maxm}.0
+                      / CAST(s AS DOUBLE) END"""
+    lags = ", ".join(f"({d})" for d in range(_HLL_SLIDE_DAYS))
+    return f"""
+        WITH {daily_rel},
+        days AS (SELECT DISTINCT day_idx FROM daily),
+        merged AS (
+            SELECT c.tgt AS day_idx, c.j, MAX(c.m_reg) AS m_reg
+            FROM (
+                SELECT d.day_idx + l.d AS tgt, d.j, d.m_reg
+                FROM daily d CROSS JOIN (VALUES {lags}) AS l(d)
+            ) c
+            JOIN days dd ON dd.day_idx = c.tgt
+            GROUP BY 1, 2
+        ),
+        grid AS (SELECT dd.day_idx, j FROM days dd {jexp}),
+        regs_full AS (
+            SELECT g.day_idx, g.j, COALESCE(m.m_reg, 0) AS m_reg
+            FROM grid g LEFT JOIN merged m
+              ON m.day_idx = g.day_idx AND m.j = g.j
+        ),
+        stats AS (
+            SELECT day_idx,
+                   SUM(CAST({shift} AS DECIMAL(38,0))) AS s,
+                   SUM(CASE WHEN m_reg = 0 THEN 1 ELSE 0 END) AS zeros
+            FROM regs_full GROUP BY day_idx
+        )
+        SELECT day_idx,
+               CAST(round(({est}) * 10000) AS BIGINT) AS hll_mau7_e4,
+               (zeros > 0) AS has_empty_registers
+        FROM stats
+        ORDER BY day_idx
+    """
+
+
+def agg_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {_HLL_SLIDE_DAYS}-day HLL distinct-user estimate per
+    observed day — see _hll_sliding_sql.
+
+    Scale posture: one corpus scan to the CHECKPOINTED daily register
+    table (≤ |days|·{HLL_M} rows — constant per day regardless of
+    users); the lag join fans each register to ≤{_HLL_SLIDE_DAYS}
+    target days; everything downstream is register-grid-sized. This is
+    the constant-state rolling-MAU plan the exact bitmap version
+    cannot give when the user space outgrows the bitmap."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    daily = cached_barrier_view(
+        spark, sf_dir, "hll_slide_daily",
+        lambda: spark.sql(_hll_sliding_sql("spark", daily_from="__BODY__")),
+        tables=("events",),
+    )
+    return spark.sql(_hll_sliding_sql("spark", daily_from=daily))
+
+
+AGG_HLL_SLIDING_DISTINCT_SQL = _hll_sliding_sql("duck")
+
+
 KMV_K = TUNING.kmv_k
 _KMV_SPACE = 1 << 40      # 40-bit hash space: (K-1)·SPACE stays far from
 #                           BIGINT overflow (31·2^40 ≈ 3.4e13), collisions
@@ -959,6 +1087,10 @@ QUERIES: dict[str, tuple] = {
     "agg_sliding_window_quantile": (
         agg_sliding_window_quantile,
         AGG_SLIDING_WINDOW_QUANTILE_SQL,
+    ),
+    "agg_hll_sliding_distinct": (
+        agg_hll_sliding_distinct,
+        AGG_HLL_SLIDING_DISTINCT_SQL,
     ),
     "agg_moments_rollup_merge": (
         agg_moments_rollup_merge,

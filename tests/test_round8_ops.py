@@ -308,3 +308,49 @@ def test_time_to_convert_exact_ranks(spark, tmp_path):
     assert got[90].delay_us == 9 * hour_us
     assert got[99].delay_us == 10 * hour_us
     assert all(r.n_converted == 10 for r in got.values())
+
+
+# ---------------------------------------------------------------------------
+# agg_hll_sliding_distinct
+# ---------------------------------------------------------------------------
+
+
+def test_hll_sliding_window_semantics_and_accuracy(spark, tmp_path):
+    """200 users active on day 0 only, 100 different users on day 10:
+    day 6 still carries the day-0 cohort (trailing 7 incl. current),
+    day 10 must NOT — and every estimate lands within the ~13% HLL
+    envelope (1.04/sqrt(64)) of the exact trailing distinct."""
+    import datetime as dt
+
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.queries.sketchops import (
+        agg_hll_sliding_distinct,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for u in range(1, 201):
+        rows.append((eid, t0, u, "view", 1.0)); eid += 1
+    # keep days 1..6 observed so the day-0 cohort's trailing window is
+    # actually reported on day 6 (only observed days emit rows)
+    for d in range(1, 7):
+        rows.append((eid, t0 + dt.timedelta(days=d), 9999, "view", 1.0))
+        eid += 1
+    for u in range(10001, 10101):
+        rows.append((eid, t0 + dt.timedelta(days=10), u, "view", 1.0))
+        eid += 1
+    _plant_events(rows, str(tmp_path))
+    clear_scan_cache()
+    out = {r.day_idx: r.hll_mau7_e4 / 10000.0
+           for r in agg_hll_sliding_distinct(spark, str(tmp_path)).collect()}
+    days = sorted(out)
+    base = days[0]
+    exact = {base: 200, base + 6: 201, base + 10: 100}
+    for day, true in exact.items():
+        est = out[day]
+        assert abs(est - true) / true < 0.30, (day, est, true)
+    # the day-0 cohort must be GONE from day 10's window: the estimate
+    # must track 100, not 301
+    assert out[base + 10] < 200
+    # monotone merge sanity: day 6's union is at least day 1's
+    assert out[base + 6] >= out[base + 1] * 0.8
