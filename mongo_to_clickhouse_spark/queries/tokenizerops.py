@@ -778,6 +778,90 @@ _UNI_RESULT_SQL = """
 """
 
 
+def _viterbi_kernel(batches):
+    """Arrow-batched Viterbi DP over one w-hash partition: a bit-exact
+    replica of the staged forward/backtrack SQL (``_uni_fwd_sql`` /
+    ``_uni_hop_sql``), vectorized across every word in the partition.
+    Scores are exact BIGINT micro-nat sums, the per-stage argmax uses
+    the SQL's (s DESC, piece-length DESC, piece ASC, i ASC) tie-break
+    via a stable pandas sort (UTF-8 byte order == code-point order, so
+    string comparison agrees with both engines' binary collation), and
+    the backtrack emits (piece, word-count) exactly like the hop
+    stages. Emits per-piece PARTIAL counts for the global aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    frames = list(batches)
+    if not frames:
+        return
+    df = pd.concat(frames, ignore_index=True)
+    codes, uniq = pd.factorize(df["w"])
+    nw = len(uniq)
+    wlen = np.minimum(
+        np.fromiter((len(s) for s in uniq), dtype=np.int64, count=nw),
+        UNI_MAXLEN,
+    )
+    cnt_by_word = np.zeros(nw, np.int64)
+    cnt_by_word[codes] = df["cnt"].to_numpy()
+    ei = df["i"].to_numpy(np.int64)
+    ej = df["j"].to_numpy(np.int64)
+    sc = df["score"].to_numpy(np.int64)
+    plen = df["piece"].str.len().to_numpy(np.int64)
+    piece = df["piece"].to_numpy()
+
+    best = np.zeros((nw, UNI_MAXLEN + 1), np.int64)
+    valid = np.zeros((nw, UNI_MAXLEN + 1), bool)
+    from_i = np.zeros((nw, UNI_MAXLEN + 1), np.int64)
+    best_piece = np.empty((nw, UNI_MAXLEN + 1), object)
+    valid[:, 0] = True
+    for j in range(1, UNI_MAXLEN + 1):
+        mask = (ej == j) & valid[codes, ei]
+        if not mask.any():
+            continue
+        c = codes[mask]
+        cand = pd.DataFrame({
+            "c": c,
+            "s": best[c, ei[mask]] + sc[mask],
+            "pl": plen[mask],
+            "p": piece[mask],
+            "i": ei[mask],
+        })
+        cand.sort_values(
+            ["c", "s", "pl", "p", "i"],
+            ascending=[True, False, False, True, True],
+            inplace=True, kind="mergesort",
+        )
+        top = cand.drop_duplicates("c", keep="first")
+        cc = top["c"].to_numpy()
+        best[cc, j] = top["s"].to_numpy()
+        valid[cc, j] = True
+        from_i[cc, j] = top["i"].to_numpy()
+        best_piece[cc, j] = top["p"].to_numpy()
+
+    # backtrack: emit the argmax piece at each hop, inner-join
+    # semantics (a word whose state is missing drops out, matching
+    # _uni_hop_sql)
+    out_pieces, out_cnts = [], []
+    cur = wlen.copy()
+    idx = np.nonzero(cur > 0)[0]
+    while idx.size:
+        v = valid[idx, cur[idx]]
+        idx = idx[v]
+        if not idx.size:
+            break
+        out_pieces.append(best_piece[idx, cur[idx]])
+        out_cnts.append(cnt_by_word[idx])
+        cur[idx] = from_i[idx, cur[idx]]
+        idx = idx[cur[idx] > 0]
+    if not out_pieces:
+        return
+    emitted = pd.DataFrame({
+        "piece": np.concatenate(out_pieces),
+        "part": np.concatenate(out_cnts),
+    })
+    yield emitted.groupby("piece", as_index=False)["part"].sum()
+
+
 def tokenizer_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SentencePiece-style unigram-LM tokenizer, one hard-EM round
     (Kudo 2018, Viterbi variant): seed piece probabilities from
@@ -796,82 +880,59 @@ def tokenizer_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical paths and the DuckDB oracle unrolls the same
     {UNI_MAXLEN} forward + {UNI_MAXLEN} backtrack stages.
 
-    Scale posture: everything runs on the DISTINCT-WORD frequency
-    table (one corpus shuffle via the shared token barrier — the BPE
-    tier's trainability property); per forward stage one equi-join of
-    the ≤{UNI_PIECE_MAX}-fanin edge relation against the previous
-    state + a word-partitioned argmax window; stages are fixed
-    constants, each on a checkpoint barrier."""
+    Scale posture (round-8 redesign, the soft-EM lesson applied to the
+    hard-EM path): the Viterbi DP is PER-WORD LOCAL — each word's
+    lattice touches only its own ≤{UNI_MAXLEN}·{UNI_PIECE_MAX} edges —
+    so the earlier 10 forward + 10 backtrack cluster-wide stages (each
+    a reliable checkpoint: ~4 s of pure barrier-write fixed cost at
+    ANY scale) were overhead. The scored edge relation is built once
+    off the shared token barrier, hash-partitioned by word, and
+    checkpointed; ONE ``mapInPandas`` pass (``_viterbi_kernel``, the
+    bit-exact numpy/pandas replica of the stage SQL) runs the whole DP
+    and backtrack per partition, emitting per-piece partial counts;
+    one piece-keyed aggregate + top-k finishes. The 2×{UNI_MAXLEN}
+    stage unroll remains, verbatim, as the DuckDB oracle."""
     from mongo_to_clickhouse_spark.operators.materialize import (
-        barrier,
         cached_barrier_view,
     )
 
     view = _toks_view(spark, sf_dir)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    def build_words():
-        return spark.sql(f"""
+    def build_edges():
+        spark.sql(f"""
             SELECT substring(word, 1, {UNI_MAXLEN}) AS w,
                    CAST(SUM(cnt) AS BIGINT) AS cnt
             FROM (SELECT word, COUNT(*) AS cnt
                   FROM (SELECT explode(toks) AS word FROM {view})
                   WHERE word != '' GROUP BY word) full_words
             GROUP BY substring(word, 1, {UNI_MAXLEN})
-        """)
-
-    cached_barrier_view(spark, sf_dir, "uni_words", build_words)
-
-    def build_edges():
+        """).createOrReplaceTempView("uni_words_v")
         spark.sql(f"""
             SELECT w, cnt, i, i + l AS j, substring(w, i + 1, l) AS piece
-            FROM uni_words
+            FROM uni_words_v
             LATERAL VIEW explode(sequence(0, {UNI_MAXLEN - 1})) AS i
             LATERAL VIEW explode(sequence(1, {UNI_PIECE_MAX})) AS l
             WHERE i + l <= length(w)
-        """).createOrReplaceTempView("uni_subs")
-        spark.sql(_uni_vocab_sql("uni_subs")).createOrReplaceTempView(
-            "uni_vocab"
+        """).createOrReplaceTempView("uni_subs_v")
+        spark.sql(_uni_vocab_sql("uni_subs_v")).createOrReplaceTempView(
+            "uni_vocab_v"
         )
+        # cnt rides along so the backtrack emission needs no second
+        # join against the word table (the soft-EM edge shape)
         return spark.sql("""
-            SELECT /*+ BROADCAST(v) */ s.w, s.i, s.j, s.piece, v.score
-            FROM uni_subs s JOIN uni_vocab v ON v.piece = s.piece
-        """)
+            SELECT /*+ BROADCAST(v) */ s.w, s.cnt, s.i, s.j, s.piece,
+                   v.score
+            FROM uni_subs_v s JOIN uni_vocab_v v ON v.piece = s.piece
+        """).repartition(n_part, "w")
 
-    cached_barrier_view(spark, sf_dir, "uni_edges", build_edges)
-
-    spark.sql(
-        "SELECT DISTINCT w, CAST(0 AS INTEGER) AS j,"
-        " CAST(0 AS BIGINT) AS s, CAST(0 AS INTEGER) AS from_i,"
-        " '' AS piece FROM uni_edges"
-    ).createOrReplaceTempView("uni_f0")
-    for j in range(1, UNI_MAXLEN + 1):
-        prev = " UNION ALL ".join(
-            f"SELECT w, j, s FROM uni_f{i}"
-            for i in range(max(0, j - UNI_PIECE_MAX), j)
-        )
-        fj = barrier(spark.sql(_uni_fwd_sql("uni_edges", f"({prev})", j)))
-        fj.createOrReplaceTempView(f"uni_f{j}")
-    states = " UNION ALL ".join(
-        f"SELECT w, j, from_i, piece FROM uni_f{j}"
-        for j in range(1, UNI_MAXLEN + 1)
-    )
-    spark.sql(states).createOrReplaceTempView("uni_states")
-    spark.sql(f"""
-        SELECT w, cnt, CAST(LEAST(length(w), {UNI_MAXLEN}) AS INTEGER)
-                   AS cur
-        FROM uni_words
-    """).createOrReplaceTempView("uni_cur0")
-    emits = []
-    for r in range(1, UNI_MAXLEN + 1):
-        hop = barrier(spark.sql(_uni_hop_sql(f"uni_cur{r - 1}",
-                                             "uni_states")))
-        hop.createOrReplaceTempView(f"uni_hop{r}")
-        emits.append(f"SELECT piece, cnt FROM uni_hop{r}")
-        spark.sql(
-            f"SELECT w, cnt, cur FROM uni_hop{r}"
-        ).createOrReplaceTempView(f"uni_cur{r}")
+    edges = cached_barrier_view(spark, sf_dir, "uni_edges_v", build_edges)
+    spark.table(edges).mapInPandas(
+        _viterbi_kernel, schema="piece string, part long"
+    ).createOrReplaceTempView("vit_piece_parts")
     return spark.sql(_UNI_RESULT_SQL.format(
-        pieces="(" + " UNION ALL ".join(emits) + ")", topk=UNI_TOPK
+        pieces="(SELECT piece, part AS cnt FROM vit_piece_parts)",
+        topk=UNI_TOPK,
     ))
 
 

@@ -68,9 +68,12 @@ BUDGETS = [
     (sim_mmr_diversify, 14),        # currently 8: pool+pp barriered
     (sim_greedy_graph_search, 14),  # currently 8: graph+pairs barriered
     (emb_residual_quantize, 24),    # currently 16: 2 argmin levels
-    (tokenizer_unigram_viterbi, 8),  # currently 2: 20 DP stages, each
-    #                                  a barrier leaf — the count stays
-    #                                  tiny precisely because of them
+    (tokenizer_unigram_viterbi, 6),  # currently 2 after the round-8
+    #   redesign: the whole Viterbi DP + backtrack runs per-word-local
+    #   inside ONE mapInPandas over the w-partitioned edge checkpoint
+    #   (the soft-EM discipline) — only the edge build and the piece
+    #   aggregate shuffle; a jump back means the 20-stage unroll crept
+    #   back
     (tokenizer_unigram_em_soft, 6),  # currently 3 after the round-7
     #   redesign: the whole forward-backward runs per-word-local inside
     #   ONE mapInPandas over the w-partitioned edge checkpoint, so the
