@@ -785,15 +785,19 @@ def _kw_body(engine: str, ties_from: str | None = None) -> str:
     ``ties_from``: pre-materialized (cents, event_type, cnt) tie grid
     (Spark path) — inline, ties/spans/terms are each referenced twice
     downstream and Catalyst re-expanded the chain into five corpus
-    scans; with the value-grid checkpointed it plans zero."""
+    scans; with the value-grid checkpointed it plans zero. The
+    '__BODY__' sentinel returns the tie-grid SQL itself so the barrier
+    build and this body can never drift apart."""
+    ties_body = f"""
+        WITH ev AS ({_ev(engine)})
+        SELECT cents, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ev GROUP BY cents, event_type
+    """
+    if ties_from == "__BODY__":
+        return ties_body
     ties_rel = (
-        f"ties AS (SELECT * FROM {ties_from})" if ties_from else f"""
-        ev AS ({_ev(engine)}),
-        ties AS (
-            SELECT cents, event_type,
-                   CAST(COUNT(*) AS BIGINT) AS cnt
-            FROM ev GROUP BY cents, event_type
-        )"""
+        f"ties AS (SELECT * FROM {ties_from})" if ties_from
+        else f"ties AS ({ties_body})"
     )
     return f"""
         WITH {ties_rel},
@@ -867,11 +871,7 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events").createOrReplaceTempView(
             "events"
         )
-        return spark.sql(f"""
-            WITH ev AS ({_ev('spark')})
-            SELECT cents, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
-            FROM ev GROUP BY cents, event_type
-        """)
+        return spark.sql(_kw_body("spark", ties_from="__BODY__"))
 
     ties = cached_barrier_view(
         spark, sf_dir, "kw_ties", build, tables=("events",)
@@ -1957,7 +1957,7 @@ TOPK_SLIDE_K = 10
 _TOPK_SLIDE_HOURS = 6
 
 
-def _topk_sliding_sql(engine: str) -> str:
+def _topk_sliding_sql(engine: str, hourly_from: str | None = None) -> str:
     """EXACT rolling top-{TOPK_SLIDE_K} leaderboard: per observed hour,
     the most active users over the trailing {_TOPK_SLIDE_HOURS}h. The
     sliding twin of agg_topk_weighted's static ranking, built the
@@ -1972,16 +1972,25 @@ def _topk_sliding_sql(engine: str) -> str:
     ep = ("unix_micros(CAST(ts AS TIMESTAMP))" if engine == "spark"
           else "CAST(epoch_us(ts) AS BIGINT)")
     lags = ", ".join(f"({k})" for k in range(_TOPK_SLIDE_HOURS))
-    return f"""
+    hourly_body = f"""
         WITH ev AS (
             SELECT user_id,
                    CAST(floor({ep} / 3600000000) AS BIGINT) AS hour_idx
             FROM events
-        ),
-        hourly AS (
-            SELECT hour_idx, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
-            FROM ev GROUP BY 1, 2
-        ),
+        )
+        SELECT hour_idx, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ev GROUP BY 1, 2
+    """
+    if hourly_from == "__BODY__":
+        return hourly_body
+    # hourly feeds BOTH the observed-hour list and the lag join — the
+    # Spark path checkpoints it so the corpus aggregates once
+    hourly_rel = (
+        f"hourly AS (SELECT * FROM {hourly_from})" if hourly_from
+        else f"hourly AS ({hourly_body})"
+    )
+    return f"""
+        WITH {hourly_rel},
         hours AS (SELECT DISTINCT hour_idx FROM hourly),
         merged AS (
             SELECT c.tgt AS hour_idx, c.user_id,
@@ -2008,9 +2017,19 @@ def _topk_sliding_sql(engine: str) -> str:
 
 def events_topk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-{_TOPK_SLIDE_HOURS}h top-{TOPK_SLIDE_K} user leaderboard
-    per observed hour — see _topk_sliding_sql."""
+    per observed hour — see _topk_sliding_sql. The (hour, user) count
+    grid is checkpointed so its two consumers share ONE corpus scan."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_topk_sliding_sql("spark"))
+    hourly = cached_barrier_view(
+        spark, sf_dir, "topk_slide_hourly",
+        lambda: spark.sql(_topk_sliding_sql("spark", hourly_from="__BODY__")),
+        tables=("events",),
+    )
+    return spark.sql(_topk_sliding_sql("spark", hourly_from=hourly))
 
 
 EVENTS_TOPK_SLIDING_SQL = _topk_sliding_sql("duck")

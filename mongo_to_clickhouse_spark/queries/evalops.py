@@ -851,20 +851,20 @@ def _ari_tail_sql(universe_rel: str, lsh_rel: str, exact_rel: str,
     sums, column sums), and inline that re-expands the universe scan +
     both label joins per reference (six corpus scans planned; zero with
     the cluster-bounded contingency checkpointed)."""
-    cells_rel = (
-        f"cells AS (SELECT * FROM {cells_from})" if cells_from else f"""
-        labeled AS (
-            SELECT u.node_id,
-                   COALESCE(l.component_id, u.node_id) AS la,
+    cells_body = f"""
+        SELECT la, lb, CAST(COUNT(*) AS BIGINT) AS nij FROM (
+            SELECT COALESCE(l.component_id, u.node_id) AS la,
                    COALESCE(x.component_id, u.node_id) AS lb
             FROM {universe_rel} u
             LEFT JOIN {lsh_rel} l ON l.node_id = u.node_id
             LEFT JOIN {exact_rel} x ON x.node_id = u.node_id
-        ),
-        cells AS (
-            SELECT la, lb, CAST(COUNT(*) AS BIGINT) AS nij
-            FROM labeled GROUP BY la, lb
-        )"""
+        ) labeled GROUP BY la, lb
+    """
+    if cells_from == "__BODY__":
+        return cells_body
+    cells_rel = (
+        f"cells AS (SELECT * FROM {cells_from})" if cells_from
+        else f"cells AS ({cells_body})"
     )
     return f"""
         WITH {cells_rel},
@@ -930,15 +930,10 @@ def eval_cluster_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).createOrReplaceTempView("ari_universe")
 
     def build_cells():
-        return spark.sql("""
-            SELECT la, lb, CAST(COUNT(*) AS BIGINT) AS nij FROM (
-                SELECT COALESCE(l.component_id, u.node_id) AS la,
-                       COALESCE(x.component_id, u.node_id) AS lb
-                FROM ari_universe u
-                LEFT JOIN ari_lsh_labels l ON l.node_id = u.node_id
-                LEFT JOIN ari_exact_labels x ON x.node_id = u.node_id
-            ) labeled GROUP BY la, lb
-        """)
+        return spark.sql(_ari_tail_sql(
+            "ari_universe", "ari_lsh_labels", "ari_exact_labels", "DIV",
+            cells_from="__BODY__",
+        ))
 
     cells = cached_barrier_view(
         spark, sf_dir, "ari_cells", build_cells

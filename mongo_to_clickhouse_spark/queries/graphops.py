@@ -272,7 +272,7 @@ def _lpa_round_sql(labels_rel: str, adj_rel: str) -> str:
     """
 
 
-def _lpa_labels_view(spark: SparkSession, sf_dir: str) -> str:
+def _lpa_labels_view(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Materialize the final synchronous-LPA label relation ONCE behind
     the session barrier cache and return its view name.
 
@@ -288,7 +288,11 @@ def _lpa_labels_view(spark: SparkSession, sf_dir: str) -> str:
 
     Shared by ``graph_label_propagation`` and ``graph_modularity`` —
     the labels are a pure function of ``lineitem``, so the memo key
-    semantics of ``cached_barrier_view`` apply unchanged."""
+    semantics of ``cached_barrier_view`` apply unchanged. Returns
+    ``(labels_view, adj_view)`` so consumers that also need the
+    adjacency (modularity's degree/internal-edge aggregates) take the
+    dependency explicitly instead of relying on the registration side
+    effect."""
     from mongo_to_clickhouse_spark.operators.materialize import (
         cached_barrier_view,
     )
@@ -313,9 +317,10 @@ def _lpa_labels_view(spark: SparkSession, sf_dir: str) -> str:
             labels = f"({_lpa_round_sql(labels, adj)})"
         return spark.sql(f"SELECT node_id, label FROM {labels} final")
 
-    return cached_barrier_view(
+    labels_view = cached_barrier_view(
         spark, sf_dir, "lpa_labels", build, tables=("lineitem",)
     )
+    return labels_view, adj
 
 
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,7 +336,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant, so the plan depth is linear (the pagerank precedent).
     The mode-argmax is the house integer-encode trick, so the oracle
     unrolls the SAME rounds as CTE stages."""
-    labels = _lpa_labels_view(spark, sf_dir)
+    labels, _adj = _lpa_labels_view(spark, sf_dir)
     return spark.sql(f"""
         SELECT label AS community_id,
                CAST(COUNT(*) AS BIGINT) AS n_members,
@@ -433,9 +438,8 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-keyed leaf.  The additions beyond LPA are two label equi-joins
     against the degree-bounded adjacency (≤ n·K rows) and bounded
     per-community aggregates — no new iteration, no windows."""
-    labels = _lpa_labels_view(spark, sf_dir)
-    # tri_adj view is (re-)registered by _lpa_labels_view
-    return spark.sql(f"WITH {_modularity_tail(labels, 'tri_adj')}")
+    labels, adj = _lpa_labels_view(spark, sf_dir)
+    return spark.sql(f"WITH {_modularity_tail(labels, adj)}")
 
 
 def _modularity_duck_sql() -> str:

@@ -740,23 +740,30 @@ def _neyman_sql(engine: str, sized_from: str | None = None) -> str:
                    CAST(floor(o_totalprice / 100.0) AS BIGINT) AS x
             FROM orders
         )"""
+    # standalone: distinct inner CTE names so inlining it under the
+    # full query's WITH (which also defines vals) never shadows
+    sized_body = """
+        WITH strat AS (
+            SELECT o_orderpriority AS stratum,
+                   CAST(COUNT(*) AS BIGINT) AS big_n,
+                   CAST(SUM(CAST(floor(o_totalprice / 100.0) AS BIGINT))
+                        AS BIGINT) AS sx,
+                   CAST(SUM(CAST(floor(o_totalprice / 100.0) AS BIGINT)
+                            * CAST(floor(o_totalprice / 100.0) AS BIGINT))
+                        AS BIGINT) AS sx2
+            FROM orders GROUP BY 1
+        )
+        SELECT stratum, big_n,
+               CAST(round(sqrt((big_n * sx2 - sx * sx)
+                          / CAST(big_n * (big_n - 1) AS DOUBLE)) * 1e6)
+                    AS BIGINT) AS s_micro
+        FROM strat
+    """
+    if sized_from == "__BODY__":
+        return sized_body
     if sized_from is None:
         sized = "sized"
-        prefix = f"""{vals_cte},
-        strat AS (
-            SELECT stratum,
-                   CAST(COUNT(*) AS BIGINT) AS big_n,
-                   CAST(SUM(x) AS BIGINT) AS sx,
-                   CAST(SUM(x * x) AS BIGINT) AS sx2
-            FROM vals GROUP BY stratum
-        ),
-        sized AS (
-            SELECT stratum, big_n,
-                   CAST(round(sqrt((big_n * sx2 - sx * sx)
-                              / CAST(big_n * (big_n - 1) AS DOUBLE)) * 1e6)
-                        AS BIGINT) AS s_micro
-            FROM strat
-        )"""
+        prefix = f"{vals_cte},\n        sized AS ({sized_body})"
     else:
         sized = sized_from
         prefix = vals_cte
@@ -894,23 +901,7 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
 
     def build():
-        return spark.sql("""
-            WITH strat AS (
-                SELECT o_orderpriority AS stratum,
-                       CAST(COUNT(*) AS BIGINT) AS big_n,
-                       CAST(SUM(CAST(floor(o_totalprice / 100.0) AS BIGINT))
-                            AS BIGINT) AS sx,
-                       CAST(SUM(CAST(floor(o_totalprice / 100.0) AS BIGINT)
-                                * CAST(floor(o_totalprice / 100.0) AS BIGINT))
-                            AS BIGINT) AS sx2
-                FROM orders GROUP BY 1
-            )
-            SELECT stratum, big_n,
-                   CAST(round(sqrt((big_n * sx2 - sx * sx)
-                              / CAST(big_n * (big_n - 1) AS DOUBLE)) * 1e6)
-                        AS BIGINT) AS s_micro
-            FROM strat
-        """)
+        return spark.sql(_neyman_sql("spark", sized_from="__BODY__"))
 
     sized = cached_barrier_view(
         spark, sf_dir, "neyman_sized", build, tables=("orders",)
@@ -1054,14 +1045,19 @@ def _chi2_body(docs_rel: str, cells_from: str | None = None) -> str:
     ``cells_from``: pre-materialized contingency cells (Spark path) —
     inline, cells is referenced twice (marginals + totals) and contrib
     twice (total row + ranked cells): four corpus scans planned; the
-    checkpointed |langs|·|sources| grid leaves zero."""
+    checkpointed |langs|·|sources| grid leaves zero. The '__BODY__'
+    sentinel returns the cell SQL itself so the barrier build shares
+    this body."""
+    cells_body = f"""
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        FROM {docs_rel}
+        GROUP BY lang, source
+    """
+    if cells_from == "__BODY__":
+        return cells_body
     cells_rel = (
-        f"cells AS (SELECT * FROM {cells_from})" if cells_from else f"""
-        cells AS (
-            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
-            FROM {docs_rel}
-            GROUP BY lang, source
-        )"""
+        f"cells AS (SELECT * FROM {cells_from})" if cells_from
+        else f"cells AS ({cells_body})"
     )
     return f"""
         WITH {cells_rel},
@@ -1124,10 +1120,9 @@ def profile_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").createOrReplaceTempView(
             "chi2_docs_src"
         )
-        return spark.sql("""
-            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
-            FROM chi2_docs_src GROUP BY lang, source
-        """)
+        return spark.sql(
+            _chi2_body("chi2_docs_src", cells_from="__BODY__")
+        )
 
     cells = cached_barrier_view(
         spark, sf_dir, "chi2_cells", build, tables=("documents",)

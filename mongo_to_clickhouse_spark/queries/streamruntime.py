@@ -567,8 +567,19 @@ def stream_session_timeout_eviction(spark: SparkSession, sf_dir: str) -> DataFra
         # exact under the session's pinned UTC timezone (session.py).
         .select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
     )
-    # control-plane: single-row min/max agg (not a table materialization)
-    lo_us, hi_us = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    # control-plane: single-row min/max agg (not a table materialization).
+    # min(user_id) also rides along to guard the sentinel key: a real
+    # user_id = -1 row would be absorbed into the sentinel's
+    # never-closing session and silently vanish from the output while
+    # the oracle still counts it — fail loudly instead.
+    lo_us, hi_us, lo_user = ev.agg(
+        F.min("ts_us"), F.max("ts_us"), F.min("user_id")
+    ).first()
+    if lo_user is not None and lo_user <= -1:
+        raise ValueError(
+            f"events.user_id reaches {lo_user}: the -1 sentinel key "
+            "would collide — pick a disjoint sentinel for this fixture"
+        )
     # gap > the whole table's time range → exactly one session per user;
     # sentinel event time > max + gap + watermark delay → final watermark
     # passes every real user's deadline

@@ -897,7 +897,9 @@ def tokenizer_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     view = _toks_view(spark, sf_dir)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    from mongo_to_clickhouse_spark.session import shuffle_partition_count
+
+    n_part = shuffle_partition_count(spark)
 
     def build_edges():
         spark.sql(f"""
@@ -1347,7 +1349,9 @@ def tokenizer_unigram_em_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     view = _toks_view(spark, sf_dir)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    from mongo_to_clickhouse_spark.session import shuffle_partition_count
+
+    n_part = shuffle_partition_count(spark)
 
     def build_edges_pc():
         spark.sql(f"""

@@ -37,6 +37,19 @@ _REQUIRED_RUNTIME_CONFS = {
 }
 
 
+def shuffle_partition_count(spark: SparkSession, default: int = 32) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, tolerating the
+    non-numeric values some platforms set (e.g. 'auto' under
+    auto-optimized shuffle) — callers use it only to size explicit
+    repartition() calls ahead of checkpoints, where any sane positive
+    number works."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions",
+                                  str(default)))
+    except ValueError:
+        return default
+
+
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     """Verify-and-repair the required confs on EVERY call: a caller that
     mutates one mid-session (e.g. flips the session timezone) would
