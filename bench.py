@@ -89,6 +89,10 @@ HEADLINE = [
     "events_concurrency_peak",     # sweep-line via distributed prefix sum (round 6)
     "agg_bitmap_rollup_merge",     # day->week->total bitmap re-merge (round 6)
     "sim_knn_graph_lsh",           # capped-bucket k-NN graph build (round 7)
+    "sim_knn_graph_matmul",        # per-bucket int64-gram kernel twin (round 8)
+    "multimodal_phash_kernel",     # cogroup phash verify kernel twin (round 8)
+    "sim_ann_ivf_kernel",          # sharded-assignment IVF kernel twin (round 8)
+    "events_holt_winters",         # bit-exact dyadic HW forecast (round 8)
     "events_rfm_segments",         # RFM cube on distributed ranks (round 7)
     "agg_kruskal_wallis",          # k-group rank drift omnibus (round 7)
     "graph_modularity",            # LPA partition quality Q (round 7)

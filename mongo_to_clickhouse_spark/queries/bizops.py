@@ -2035,7 +2035,180 @@ def events_topk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_TOPK_SLIDING_SQL = _topk_sliding_sql("duck")
 
 
+# ---------------------------------------------------------------------------
+# events_holt_winters — additive Holt-Winters forecast (weekly season)
+# ---------------------------------------------------------------------------
+
+_HW_HORIZON = 7
+# α=1/2, β=1/4, γ=1/4: DYADIC smoothing constants — every recurrence
+# step is add/sub/multiply-by-a-binary-fraction over integer-seeded
+# doubles, so both engines execute the identical IEEE op sequence and
+# the state matches bit-for-bit at every step (the only rounding that
+# ever happens is the same correctly-rounded op on the same operands).
+
+
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing, weekly
+    season) over each type's daily event counts, forecasting the next
+    {_HW_HORIZON} days — the capacity-planning upgrade of
+    events_forecast_ewma_backtest (level + trend + day-of-week in one
+    recurrence instead of a flat EWMA).
+
+    Semantics (both engines, bit-exact): the daily series is the
+    GLOBAL zero-filled calendar [min_day, max_day]; init lvl = y_0,
+    trd = 0, season = zeros (the day-0 update then fixes lvl = y_0
+    exactly, so init-vs-after-day-0 is the same state); per day k
+        lvl' = 0.5·(y_k − s[k%7]) + 0.5·(lvl + trd)
+        trd' = 0.25·(lvl' − lvl) + 0.75·trd
+        s[k%7] = 0.25·(y_k − lvl') + 0.75·s[k%7]
+    forecast_h = (lvl + h·trd) + s[(nd+h−1)%7], emitted as half-away
+    micro BIGINTs. The oracle replays the identical recurrence as a
+    DuckDB recursive CTE carrying the 7-slot season list.
+
+    Scale posture: the corpus collapses to the checkpointed
+    (type, day) rollup shared with events_rolling_slope; the kernel is
+    ONE applyInPandas over the calendar-grid relation (|types|·|days|
+    rows — KiB at any corpus size). The recurrence is inherently
+    sequential per type, which is why it runs on the GRID, never the
+    events."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    def build():
+        return load_table(spark, sf_dir, "events").selectExpr(
+            "event_type",
+            "CAST(floor(unix_micros(CAST(ts AS TIMESTAMP)) / 86400000000)"
+            " AS BIGINT) AS day_idx",
+        ).groupBy("event_type", "day_idx").agg(
+            F.count("*").cast("bigint").alias("x")
+        )
+
+    cached_barrier_view(
+        spark, sf_dir, "typed_daily", build, tables=("events",)
+    )
+    grid = spark.sql(
+        """
+        WITH span AS (SELECT MIN(day_idx) AS lo, MAX(day_idx) AS hi
+                      FROM typed_daily),
+        types AS (SELECT DISTINCT event_type FROM typed_daily),
+        spine AS (
+            SELECT t.event_type, s.lo, g.idx
+            FROM types t CROSS JOIN span s
+            LATERAL VIEW explode(sequence(0, CAST(s.hi - s.lo AS INT)))
+                g AS idx
+        )
+        SELECT sp.event_type, sp.idx,
+               COALESCE(d.x, CAST(0 AS BIGINT)) AS y
+        FROM spine sp
+        LEFT JOIN typed_daily d
+          ON d.event_type = sp.event_type AND d.day_idx = sp.lo + sp.idx
+        """
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("horizon", T.LongType()),
+            T.StructField("forecast_micro", T.LongType()),
+        ]
+    )
+
+    def kernel(key, pdf):
+        pdf = pdf.sort_values("idx")
+        ys = pdf["y"].tolist()
+        lvl, trd = float(ys[0]), 0.0
+        s = [0.0] * 7
+        for k, yk in enumerate(ys):
+            y = float(yk)
+            s_old = s[k % 7]
+            lvl_new = 0.5 * (y - s_old) + 0.5 * (lvl + trd)
+            trd = 0.25 * (lvl_new - lvl) + 0.75 * trd
+            s[k % 7] = 0.25 * (y - lvl_new) + 0.75 * s_old
+            lvl = lvl_new
+        nd = len(ys)
+        rows = []
+        for h in range(1, _HW_HORIZON + 1):
+            f = lvl + h * trd + s[(nd + h - 1) % 7]
+            fm = f * 1000000.0
+            micro = int(math.floor(abs(fm) + 0.5))
+            rows.append([key[0], h, -micro if fm < 0 else micro])
+        return pd.DataFrame(
+            rows, columns=["event_type", "horizon", "forecast_micro"]
+        )
+
+    return (
+        grid.groupBy("event_type")
+        .applyInPandas(kernel, out_schema)
+        .orderBy("event_type", "horizon")
+    )
+
+
+EVENTS_HOLT_WINTERS_SQL = f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               CAST(floor(CAST(epoch_us(ts) AS BIGINT) / 86400000000.0)
+                    AS BIGINT) AS day_idx,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT MIN(day_idx) AS lo, MAX(day_idx) AS hi FROM daily),
+    grid AS (
+        SELECT t.event_type, g.k AS idx, COALESCE(d.y, 0) AS y
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN span s
+        CROSS JOIN UNNEST(range(0, s.hi - s.lo + 1)) AS g(k)
+        LEFT JOIN daily d
+          ON d.event_type = t.event_type AND d.day_idx = s.lo + g.k
+    ),
+    nd AS (SELECT CAST(hi - lo + 1 AS BIGINT) AS nd FROM span),
+    rec AS (
+        SELECT event_type, CAST(1 AS BIGINT) AS k,
+               CAST(y AS DOUBLE) AS lvl, CAST(0 AS DOUBLE) AS trd,
+               -- CAST: a bare [0.0, …] literal types as DECIMAL(2,1)[]
+               -- and would round every season update to one decimal
+               CAST([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS DOUBLE[]) AS s
+        FROM grid WHERE idx = 0
+        UNION ALL
+        SELECT event_type, k + 1,
+               lvl_new,
+               0.25 * (lvl_new - lvl) + 0.75 * trd,
+               list_transform([1, 2, 3, 4, 5, 6, 7],
+                   j -> CASE WHEN j = slot
+                             THEN 0.25 * (y - lvl_new) + 0.75 * s_old
+                             ELSE s[j] END)
+        FROM (
+            SELECT r.event_type, r.k, r.lvl, r.trd, r.s,
+                   CAST(g.y AS DOUBLE) AS y,
+                   r.s[CAST(r.k % 7 AS BIGINT) + 1] AS s_old,
+                   CAST(r.k % 7 AS BIGINT) + 1 AS slot,
+                   0.5 * (CAST(g.y AS DOUBLE)
+                          - r.s[CAST(r.k % 7 AS BIGINT) + 1])
+                   + 0.5 * (r.lvl + r.trd) AS lvl_new
+            FROM rec r
+            JOIN grid g ON g.event_type = r.event_type AND g.idx = r.k
+        ) t
+    ),
+    last AS (SELECT r.* FROM rec r, nd WHERE r.k = nd.nd)
+    SELECT l.event_type,
+           CAST(hh.h AS BIGINT) AS horizon,
+           CAST(round((l.lvl + hh.h * l.trd
+                       + l.s[CAST((n.nd + hh.h - 1) % 7 AS BIGINT) + 1])
+                      * 1000000) AS BIGINT) AS forecast_micro
+    FROM last l
+    CROSS JOIN nd n
+    CROSS JOIN UNNEST([1, 2, 3, 4, 5, 6, 7]) AS hh(h)
+    ORDER BY event_type, horizon
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "events_holt_winters": (events_holt_winters, EVENTS_HOLT_WINTERS_SQL),
     "events_rfm_segments": (events_rfm_segments, EVENTS_RFM_SEGMENTS_SQL),
     "events_anomaly_seasonal_residual": (
         events_anomaly_seasonal_residual,

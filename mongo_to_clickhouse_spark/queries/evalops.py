@@ -1167,7 +1167,80 @@ def _mh_err_oracle() -> str:
 EVAL_MINHASH_ESTIMATE_ERROR_SQL = _mh_err_oracle()
 
 
+# ---------------------------------------------------------------------------
+# eval_calibration_ece — expected calibration error of a scored classifier
+# ---------------------------------------------------------------------------
+
+ECE_BINS = 10
+_ECE_CONF_CAP = 2000  # n_chars saturating to confidence 1.0
+
+
+def _ece_body(docs_rel: str) -> str:
+    """Reliability diagram + expected calibration error (Guo et al.
+    2017's ECE) of the document-length signal read as an
+    is-English confidence: conf = min(n_chars, {_ECE_CONF_CAP}) /
+    {_ECE_CONF_CAP} — the same signal eval_score_auc ranks, now asked
+    the harder question "is the SCORE itself a probability?". This is
+    the eval a curation team runs on any quality/langid classifier
+    before thresholding on its scores.
+
+    Exactness: conf_ppm = n_chars·{1000000 // _ECE_CONF_CAP} is pure
+    integer; per-bin accuracy/confidence gaps are the integer
+    numerator |pos·1e6 − Σconf_ppm| (no division until the final
+    report columns), so ECE = Σ|…| / (N·1e6) is ONE double division
+    of exact BIGINTs. Bin ids floor a non-negative ratio — no DIV//
+    divergence.
+
+    Scale posture: one scan → one {ECE_BINS}-row bin aggregate;
+    everything after (including the ECE total window) runs over those
+    {ECE_BINS} rows."""
+    unit = 1_000_000 // _ECE_CONF_CAP
+    return f"""
+        WITH scored AS (
+            SELECT CASE WHEN n_chars < {_ECE_CONF_CAP}
+                        THEN n_chars ELSE {_ECE_CONF_CAP} END * {unit}
+                       AS conf_ppm,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+            FROM {docs_rel}
+        ),
+        bins AS (
+            SELECT CASE WHEN conf_ppm = 1000000 THEN {ECE_BINS - 1}
+                        ELSE CAST(floor(conf_ppm * {ECE_BINS} / 1000000.0)
+                                  AS BIGINT) END AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(conf_ppm) AS BIGINT) AS conf_sum_ppm
+            FROM scored GROUP BY 1
+        )
+        SELECT bin, n_docs, n_pos,
+               CAST(floor(n_pos * 1000000.0 / n_docs) AS BIGINT)
+                   AS acc_ppm,
+               CAST(floor(conf_sum_ppm * 1.0 / n_docs) AS BIGINT)
+                   AS conf_avg_ppm,
+               CAST(abs(n_pos * 1000000 - conf_sum_ppm) AS BIGINT)
+                   AS gap_mass_ppm,
+               CAST(floor(SUM(abs(n_pos * 1000000 - conf_sum_ppm)) OVER ()
+                          * 1.0 / SUM(n_docs) OVER ()) AS BIGINT)
+                   AS ece_ppm
+        FROM bins
+        ORDER BY bin
+    """
+
+
+def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE — see _ece_body. The ECE-total window
+    runs over the {ECE_BINS}-row bin aggregate (whitelisted bound)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "ece_docs_src"
+    )
+    return spark.sql(_ece_body("ece_docs_src"))
+
+
+EVAL_CALIBRATION_ECE_SQL = _ece_body("documents")
+
+
 QUERIES: dict[str, tuple] = {
+    "eval_calibration_ece": (eval_calibration_ece, EVAL_CALIBRATION_ECE_SQL),
     "eval_minhash_estimate_error": (
         eval_minhash_estimate_error,
         EVAL_MINHASH_ESTIMATE_ERROR_SQL,

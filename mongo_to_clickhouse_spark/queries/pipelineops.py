@@ -628,6 +628,37 @@ _PHASH_TOPK = 50
 PHASH_BUCKET_CAP = TUNING.phash_bucket_cap
 
 
+def _phash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized (doc_id, features, sig) relation: one Arrow
+    feature-extraction pass + the mean-centered sign signature, behind
+    a reliable checkpoint so every consumer (the relational probe/build
+    self-join AND the cogroup kernel twin) reads the kernel output
+    once."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier,
+    )
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        feats = extract_features(media_table(docs))
+        return feats.selectExpr(
+            "doc_id",
+            "features",
+            f"aggregate(features, 0D, (a, x) -> a + x) / {FEATURE_DIM}.0D"
+            " AS m",
+        ).selectExpr(
+            "doc_id",
+            "features",
+            f"""aggregate(sequence(0, {FEATURE_DIM - 1}), 0,
+                 (acc, k) -> acc + IF(element_at(features, k + 1) > m,
+                                      shiftleft(1, k), 0)) AS sig""",
+        )
+
+    return cached_barrier(
+        spark, sf_dir, "phash_sigs", build, tables=("documents",)
+    )
+
+
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image dedup — the aHash/pHash pipeline shape over
     the multimodal feature tier: per payload, a mean-centered sign
@@ -647,24 +678,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     width (64-bit pHash) exactly like LSH raises bands. The verify is
     exact because features are 6-dp rounded: ×1e6 round-trips to
     integers identically in both engines."""
-    from mongo_to_clickhouse_spark.operators.materialize import barrier
-
-    docs = load_table(spark, sf_dir, "documents")
-    feats = extract_features(media_table(docs))
-    sigs = barrier(
-        feats.selectExpr(
-            "doc_id",
-            "features",
-            f"aggregate(features, 0D, (a, x) -> a + x) / {FEATURE_DIM}.0D"
-            " AS m",
-        ).selectExpr(
-            "doc_id",
-            "features",
-            f"""aggregate(sequence(0, {FEATURE_DIM - 1}), 0,
-                 (acc, k) -> acc + IF(element_at(features, k + 1) > m,
-                                      shiftleft(1, k), 0)) AS sig""",
-        )
-    )
+    sigs = _phash_sigs(spark, sf_dir)
     probes = sigs.selectExpr(
         "doc_id AS a_doc",
         "features AS fa",
@@ -764,6 +778,102 @@ def _phash_duck_sql() -> str:
 
 
 MULTIMODAL_PHASH_DEDUP_SQL = _phash_duck_sql()
+
+
+def multimodal_phash_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The phash dedup with the PRODUCTION per-bucket kernel: the
+    probe→build candidate generation becomes a cogroup on the signature
+    bucket and ONE Arrow kernel per bucket computes every Hamming + L1
+    verify as vectorized numpy (int64 |Δ| sums, 256-entry popcount
+    table), emitting only the bucket's top-{_PHASH_TOPK} — so the final
+    global TakeOrdered sees buckets·{_PHASH_TOPK} rows instead of every
+    candidate pair materialized through a join. Registered alongside
+    the relational form the way sim_knn_graph_matmul sits beside
+    sim_knn_graph_lsh; results are bit-identical (hamming/L1 are pure
+    integers; per-bucket top-K under the total (l1, a, b) order
+    preserves the global top-K), so it shares the relational twin's
+    oracle.
+
+    Scale posture: a signature bucket must fit one executor — the same
+    contract the relational twin's cap guards (production widens the
+    hash). Same memoized sigs barrier; same deterministic spread-rank
+    cap, applied inside the kernel."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sigs = _phash_sigs(spark, sf_dir)
+    probes = sigs.selectExpr(
+        "doc_id AS a_doc",
+        "features AS fa",
+        "sig AS sa",
+        f"""explode(concat(array(sig),
+             transform(sequence(0, {FEATURE_DIM - 1}),
+                       k -> sig ^ shiftleft(1, k)))) AS probe""",
+    )
+    build = sigs.selectExpr("doc_id AS b_doc", "features AS fb",
+                            "sig AS sb")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("a_doc", T.LongType()),
+            T.StructField("b_doc", T.LongType()),
+            T.StructField("hamming", T.IntegerType()),
+            T.StructField("l1_micro", T.LongType()),
+        ]
+    )
+    popcnt = np.array([bin(i).count("1") for i in range(256)],
+                      dtype=np.int32)
+
+    def kernel(key, pdf_a, pdf_b):  # noqa: ARG001
+        empty = pd.DataFrame(
+            {"a_doc": pd.Series(dtype="int64"),
+             "b_doc": pd.Series(dtype="int64"),
+             "hamming": pd.Series(dtype="int32"),
+             "l1_micro": pd.Series(dtype="int64")}
+        )
+        if len(pdf_a) == 0 or len(pdf_b) == 0:
+            return empty
+        b_ids = pdf_b["b_doc"].to_numpy().astype(np.int64)
+        spread = (b_ids * 2654435761) % 1000000007
+        cap = np.lexsort((b_ids, spread))[:PHASH_BUCKET_CAP]
+        b_ids = b_ids[cap]
+        fb = np.stack(pdf_b["fb"].to_numpy()[cap]).astype(np.float64)
+        sb = pdf_b["sb"].to_numpy()[cap].astype(np.int64)
+        a_ids = pdf_a["a_doc"].to_numpy().astype(np.int64)
+        fa = np.stack(pdf_a["fa"].to_numpy()).astype(np.float64)
+        sa = pdf_a["sa"].to_numpy().astype(np.int64)
+        d = (fa[:, None, :] - fb[None, :, :]) * 1e6
+        # SQL round() is half-away-from-zero; np.rint is half-even
+        l1 = np.abs(
+            (np.sign(d) * np.floor(np.abs(d) + 0.5)).astype(np.int64)
+        ).sum(axis=2)
+        ham = popcnt[np.bitwise_xor(sa[:, None], sb[None, :])]
+        keep = a_ids[:, None] < b_ids[None, :]
+        ai, bi = np.nonzero(keep)
+        if len(ai) == 0:
+            return empty
+        lv = l1[ai, bi]
+        order = np.lexsort((b_ids[bi], a_ids[ai], lv))[:_PHASH_TOPK]
+        return pd.DataFrame(
+            {
+                "a_doc": a_ids[ai][order],
+                "b_doc": b_ids[bi][order],
+                "hamming": ham[ai, bi][order],
+                "l1_micro": lv[order],
+            }
+        )
+
+    pairs = (
+        probes.groupBy("probe")
+        .cogroup(build.groupBy("sb"))
+        .applyInPandas(kernel, out_schema)
+    )
+    return (
+        pairs.withColumn("confirmed", F.col("l1_micro") <= PHASH_L1_MICRO)
+        .orderBy("l1_micro", "a_doc", "b_doc")
+        .limit(_PHASH_TOPK)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1212,6 +1322,12 @@ QUERIES: dict[str, tuple] = {
     "pipeline_filter_overlap_matrix": (
         pipeline_filter_overlap_matrix,
         PIPELINE_FILTER_OVERLAP_MATRIX_SQL,
+    ),
+    # bit-identical integer hamming/L1 + order-preserving per-bucket
+    # top-K => shares the relational form's oracle
+    "multimodal_phash_kernel": (
+        multimodal_phash_kernel,
+        MULTIMODAL_PHASH_DEDUP_SQL,
     ),
     "multimodal_phash_dedup": (
         multimodal_phash_dedup,

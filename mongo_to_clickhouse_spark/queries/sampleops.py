@@ -1380,7 +1380,98 @@ def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_GROUP_KFOLD_SQL = _group_kfold_body("duck")
 
 
+# ---------------------------------------------------------------------------
+# profile_mutual_information — MI / NMI between two categorical columns
+# ---------------------------------------------------------------------------
+
+
+def _mi_body() -> str:
+    """Mutual information and normalized MI (NMI = MI / min(H_a, H_b))
+    between market segment and nation over customers — the
+    dependence-strength profiler that, unlike chi²/Cramér's V
+    (profile_chi2_independence / agg_cramers_v), is comparable across
+    tables and feeds feature-selection pipelines directly.
+
+    Exactness: MI = Σ_ij (c_ij/N)·ln(c_ij·N / (r_i·c_j)); each ln() is
+    evaluated ONCE per contingency cell on an exact integer ratio and
+    immediately rounded to micro-nats (the corpusops ln-ppm
+    discipline: correctly-rounded libm on both engines, then exact
+    BIGINT weighted sums — shuffle order never matters). Entropies use
+    the same per-margin lnppm, counted once per margin via a
+    row_number guard. Empty cells never appear (GROUP BY emits only
+    observed pairs; 0·ln0 = 0 by convention).
+
+    Scale posture: one scan → the |segments|×|nations| contingency
+    aggregate; margins/N come from windows OVER that ≤125-row relation
+    (whitelisted bound), then one final 1-row aggregate.
+
+    Engine-shared body: valid verbatim in Spark SQL and DuckDB."""
+    return """
+        WITH cells AS (
+            SELECT c_mktsegment AS a, c_nationkey AS b,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM customer
+            GROUP BY 1, 2
+        ),
+        enriched AS (
+            SELECT a, b, c,
+                   SUM(c) OVER (PARTITION BY a) AS ra,
+                   SUM(c) OVER (PARTITION BY b) AS cb,
+                   SUM(c) OVER () AS n,
+                   ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) AS rn_a,
+                   ROW_NUMBER() OVER (PARTITION BY b ORDER BY a) AS rn_b
+            FROM cells
+        ),
+        terms AS (
+            SELECT n,
+                   c * CAST(round(ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+                                     / (CAST(ra AS DOUBLE)
+                                        * CAST(cb AS DOUBLE))) * 1000000)
+                            AS BIGINT) AS mi_w,
+                   CASE WHEN rn_a = 1 THEN
+                       ra * CAST(round(ln(CAST(ra AS DOUBLE)
+                                          / CAST(n AS DOUBLE)) * 1000000)
+                                 AS BIGINT) ELSE 0 END AS ha_w,
+                   CASE WHEN rn_b = 1 THEN
+                       cb * CAST(round(ln(CAST(cb AS DOUBLE)
+                                          / CAST(n AS DOUBLE)) * 1000000)
+                                 AS BIGINT) ELSE 0 END AS hb_w
+            FROM enriched
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+               CAST(floor(SUM(mi_w) * 1.0 / MAX(n)) AS BIGINT)
+                   AS mi_micro_nats,
+               CAST(floor(-SUM(ha_w) * 1.0 / MAX(n)) AS BIGINT)
+                   AS h_segment_micro,
+               CAST(floor(-SUM(hb_w) * 1.0 / MAX(n)) AS BIGINT)
+                   AS h_nation_micro,
+               CASE WHEN -SUM(ha_w) <= 0 OR -SUM(hb_w) <= 0 THEN NULL
+                    ELSE CAST(floor(SUM(mi_w) * 1000000.0 /
+                              (CASE WHEN -SUM(ha_w) < -SUM(hb_w)
+                                    THEN -SUM(ha_w) ELSE -SUM(hb_w) END))
+                         AS BIGINT) END AS nmi_ppm
+        FROM terms
+    """
+
+
+def profile_mutual_information(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MI / NMI dependence profile — see _mi_body."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer"
+    )
+    return spark.sql(_mi_body())
+
+
+PROFILE_MUTUAL_INFORMATION_SQL = _mi_body()
+
+
 QUERIES: dict[str, tuple] = {
+    "profile_mutual_information": (
+        profile_mutual_information,
+        PROFILE_MUTUAL_INFORMATION_SQL,
+    ),
     "sample_group_kfold": (sample_group_kfold, SAMPLE_GROUP_KFOLD_SQL),
     "profile_fk_integrity": (profile_fk_integrity, PROFILE_FK_INTEGRITY_SQL),
     "profile_dataset_diff": (profile_dataset_diff, PROFILE_DATASET_DIFF_SQL),

@@ -1792,7 +1792,236 @@ EVENTS_ROLLING_SLOPE_SQL = _rolling_slope_body(
 )
 
 
+# ---------------------------------------------------------------------------
+# window_ohlc_bars — hourly OHLC candlestick resample per event type
+# ---------------------------------------------------------------------------
+
+
+def _ohlc_body(engine: str) -> str:
+    """Hourly OHLC (open/high/low/close) candlestick bars of the event
+    value stream per type — the resample every monitoring / financial
+    dashboard draws first. Open/close are pinned by the total
+    (t_us, event_id) order so ties can never wobble; money is exact
+    integer cents; hour bucketing uses explicit floor() (Spark DIV
+    truncates toward zero where DuckDB // floors — the round-7 advice
+    class).
+
+    Scale posture: both ROW_NUMBER windows ride ONE (type, hour)
+    partitioned shuffle (bounded per-partition rows = events/hour/type),
+    then a (type, hour) groupBy — never an unpartitioned window."""
+    ep = ("unix_micros(CAST(ts AS TIMESTAMP))" if engine == "spark"
+          else "CAST(epoch_us(ts) AS BIGINT)")
+    return f"""
+        WITH ev AS (
+            SELECT event_type, event_id,
+                   {ep} AS t_us,
+                   CAST(floor({ep} / 3600000000.0) AS BIGINT) AS hour_idx,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        seq AS (
+            SELECT event_type, hour_idx, cents,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, hour_idx
+                                      ORDER BY t_us, event_id) AS rn_a,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, hour_idx
+                                      ORDER BY t_us DESC, event_id DESC)
+                       AS rn_d
+            FROM ev
+        )
+        SELECT event_type, hour_idx,
+               CAST(MAX(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT)
+                   AS open_cents,
+               CAST(MAX(cents) AS BIGINT) AS high_cents,
+               CAST(MIN(cents) AS BIGINT) AS low_cents,
+               CAST(MAX(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT)
+                   AS close_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM seq
+        GROUP BY event_type, hour_idx
+        ORDER BY event_type, hour_idx
+    """
+
+
+def window_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars — see _ohlc_body."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ohlc_body("spark"))
+
+
+WINDOW_OHLC_BARS_SQL = _ohlc_body("duck")
+
+
+# ---------------------------------------------------------------------------
+# events_burstiness_fano — Fano factor / burstiness index per type
+# ---------------------------------------------------------------------------
+
+
+def _fano_body(hourly_rel: str) -> str:
+    """Fano factor (variance-to-mean ratio of hourly arrival counts —
+    1.0 for a Poisson process, >1 bursty, <1 regular) and the
+    Goh–Barabási burstiness index B = (σ−μ)/(σ+μ) per event type, over
+    the GLOBAL hourly calendar (zero hours count: Σc and Σc² are over
+    observed hours only, which is exact because zeros contribute
+    nothing; the denominator N is the global span).
+
+    ``hourly_rel`` provides (event_type, hour_idx, c) rows. Population
+    moments come from exact BIGINT sums; σ/μ are single double
+    expressions in identical order both engines, then round(…, 6).
+
+    Scale posture: one (type, hour) partial aggregate, then everything
+    runs over the |types|-row relation — the global-span window is over
+    that bounded relation (whitelisted with the bound)."""
+    return f"""
+        WITH agg AS (
+            SELECT event_type,
+                   CAST(SUM(c) AS BIGINT) AS s1,
+                   CAST(SUM(c * c) AS BIGINT) AS s2,
+                   MIN(hour_idx) AS mn,
+                   MAX(hour_idx) AS mx
+            FROM {hourly_rel}
+            GROUP BY event_type
+        ),
+        spanned AS (
+            SELECT event_type, s1, s2,
+                   MAX(mx) OVER () - MIN(mn) OVER () + 1 AS nh
+            FROM agg
+        )
+        SELECT event_type,
+               CAST(nh AS BIGINT) AS n_hours,
+               s1 AS n_events,
+               round((CAST(nh AS DOUBLE) * CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                     / (CAST(nh AS DOUBLE) * CAST(s1 AS DOUBLE)), 6)
+                   AS fano,
+               round((sqrt(CAST(nh AS DOUBLE) * CAST(s2 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / nh
+                      - CAST(s1 AS DOUBLE) / nh)
+                     / (sqrt(CAST(nh AS DOUBLE) * CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / nh
+                        + CAST(s1 AS DOUBLE) / nh), 6) AS burstiness
+        FROM spanned
+        ORDER BY event_type
+    """
+
+
+def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor + burstiness — see _fano_body. One corpus scan into
+    the (type, hour) partial aggregate; the span window runs over the
+    |event_types|-row aggregate."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    hourly = """(
+        SELECT event_type,
+               CAST(floor(unix_micros(CAST(ts AS TIMESTAMP)) / 3600000000.0)
+                    AS BIGINT) AS hour_idx,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    )"""
+    return spark.sql(_fano_body(hourly))
+
+
+EVENTS_BURSTINESS_FANO_SQL = _fano_body(
+    """(
+        SELECT event_type,
+               CAST(floor(CAST(epoch_us(ts) AS BIGINT) / 3600000000.0)
+                    AS BIGINT) AS hour_idx,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    )"""
+)
+
+
+# ---------------------------------------------------------------------------
+# agg_regr_ridge_normal — 2-feature ridge regression via normal equations
+# ---------------------------------------------------------------------------
+
+RIDGE_LAMBDA = 1000  # L2 penalty on the slope terms (intercept unpenalized)
+
+
+def _ridge_body() -> str:
+    """Multivariate ridge regression (extendedprice_cents ~ quantity +
+    discount_centi) solved in CLOSED FORM from the normal equations —
+    the distributed-ML pattern where ONE partial-aggregated pass
+    produces the (X'X, X'y) moments and the 3×3 solve is a constant
+    expression (Cramer's rule), so fitting at 100 TB costs exactly one
+    map-side-combined shuffle and no iteration.
+
+    Exactness: all 9 moments are exact BIGINT power sums (max |S_xy| ≈
+    3e15 at sf1 — within both BIGINT and the 2^53 double-exact range;
+    beyond that the DECIMAL(38,0) widening switch applies, the
+    emb_covariance precedent). Every moment is cast to DOUBLE before
+    any product, and the determinant expressions are written once and
+    rendered identically in both engines, so each IEEE rounding
+    happens in the same order. Ridge λ = {RIDGE_LAMBDA} on the slope
+    diagonal only (the standard unpenalized-intercept convention).
+
+    Engine-shared body: valid verbatim in Spark SQL and DuckDB."""
+    lam = RIDGE_LAMBDA
+    # double-cast moment aliases
+    m = {k: f"CAST({k} AS DOUBLE)" for k in
+         ("n", "s1", "s2", "s11", "s22", "s12", "sy", "s1y", "s2y")}
+    a11, a22 = f"({m['s11']} + {lam})", f"({m['s22']} + {lam})"
+    det = (f"({m['n']} * ({a11} * {a22} - {m['s12']} * {m['s12']})"
+           f" - {m['s1']} * ({m['s1']} * {a22} - {m['s12']} * {m['s2']})"
+           f" + {m['s2']} * ({m['s1']} * {m['s12']} - {a11} * {m['s2']}))")
+    det0 = (f"({m['sy']} * ({a11} * {a22} - {m['s12']} * {m['s12']})"
+            f" - {m['s1']} * ({m['s1y']} * {a22} - {m['s12']} * {m['s2y']})"
+            f" + {m['s2']} * ({m['s1y']} * {m['s12']} - {a11} * {m['s2y']}))")
+    det1 = (f"({m['n']} * ({m['s1y']} * {a22} - {m['s12']} * {m['s2y']})"
+            f" - {m['sy']} * ({m['s1']} * {a22} - {m['s12']} * {m['s2']})"
+            f" + {m['s2']} * ({m['s1']} * {m['s2y']} - {m['s1y']} * {m['s2']}))")
+    det2 = (f"({m['n']} * ({a11} * {m['s2y']} - {m['s1y']} * {m['s12']})"
+            f" - {m['s1']} * ({m['s1']} * {m['s2y']} - {m['s1y']} * {m['s2']})"
+            f" + {m['sy']} * ({m['s1']} * {m['s12']} - {a11} * {m['s2']}))")
+    return f"""
+        WITH obs AS (
+            SELECT CAST(l_quantity AS BIGINT) AS x1,
+                   CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem
+        ),
+        moments AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x1) AS BIGINT) AS s1,
+                   CAST(SUM(x2) AS BIGINT) AS s2,
+                   CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+                   CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+                   CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+                   CAST(SUM(x2 * y) AS BIGINT) AS s2y
+            FROM obs
+        )
+        SELECT n,
+               CAST({lam} AS BIGINT) AS ridge_lambda,
+               round({det0} / {det}, 6) AS beta0_cents,
+               round({det1} / {det}, 6) AS beta_qty,
+               round({det2} / {det}, 6) AS beta_discount_centi
+        FROM moments
+    """
+
+
+def agg_regr_ridge_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form 2-feature ridge regression — see _ridge_body."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(_ridge_body())
+
+
+AGG_REGR_RIDGE_NORMAL_SQL = _ridge_body()
+
+
 QUERIES: dict[str, tuple] = {
+    "window_ohlc_bars": (window_ohlc_bars, WINDOW_OHLC_BARS_SQL),
+    "events_burstiness_fano": (
+        events_burstiness_fano,
+        EVENTS_BURSTINESS_FANO_SQL,
+    ),
+    "agg_regr_ridge_normal": (
+        agg_regr_ridge_normal,
+        AGG_REGR_RIDGE_NORMAL_SQL,
+    ),
     "events_rolling_slope": (events_rolling_slope,
                              EVENTS_ROLLING_SLOPE_SQL),
     "events_concurrency_peak": (

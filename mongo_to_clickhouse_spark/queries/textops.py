@@ -827,7 +827,86 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_HTML_EXTRACT_SQL = _html_extract_body("duck")
 
 
+# ---------------------------------------------------------------------------
+# text_code_detect — heuristic code-vs-prose classifier per document
+# ---------------------------------------------------------------------------
+
+CODE_SYMBOL_PPM = 5_000   # ≥0.5% of chars are code punctuation
+CODE_KW_MIN = 3           # or ≥3 programming keywords
+_CODE_KW_RE = (
+    r"\b(def|return|import|class|function|var|const|void|int|float|"
+    r"public|private|static|struct|enum|typedef|lambda|elif|endif)\b"
+)
+
+
+def _code_detect_body(engine: str) -> str:
+    """Heuristic code-detection filter (the pretraining-corpus router
+    that decides prose-pipeline vs code-pipeline — the first gate The
+    Stack / StarCoder-style curation runs): per document, count code
+    punctuation ({{}};=()<>[]) by length-difference (JVM/codegen-safe,
+    no per-row Python) and programming keywords by regex, then flag
+    is_code when the symbol density or keyword count crosses the
+    thresholds. Output is the per-(source, lang) routing report.
+
+    Exactness: counts and ppm ratios are pure integers (ppm floors a
+    non-negative exact ratio). Keyword counting is regexp_count on the
+    Spark side and len(regexp_extract_all) in DuckDB — same RE2-safe
+    pattern, word boundaries included.
+
+    Scale posture: narrow maps over one documents scan; the report is
+    a |sources|×|langs| map-side-combined aggregate."""
+    if engine == "spark":
+        kw = f"CAST(regexp_count(text, '{_CODE_KW_RE}') AS BIGINT)"
+    else:
+        kw = f"CAST(len(regexp_extract_all(text, '{_CODE_KW_RE}')) AS BIGINT)"
+    sym_chars = ["{", "}", ";", "=", "(", ")", "<", ">", "[", "]"]
+    sym = " + ".join(
+        f"(length(text) - length(replace(text, '{c}', '')))"
+        for c in sym_chars
+    )
+    return f"""
+        WITH feats AS (
+            SELECT source, lang,
+                   CAST({sym} AS BIGINT) AS sym_ct,
+                   {kw} AS kw_ct,
+                   CAST(length(text) AS BIGINT) AS n
+            FROM documents
+        ),
+        flagged AS (
+            SELECT source, lang, sym_ct, kw_ct,
+                   CASE WHEN n = 0 THEN 0
+                        WHEN CAST(floor(sym_ct * 1000000.0 / n) AS BIGINT)
+                             >= {CODE_SYMBOL_PPM} THEN 1
+                        WHEN kw_ct >= {CODE_KW_MIN} THEN 1
+                        ELSE 0 END AS is_code
+            FROM feats
+        )
+        SELECT source, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(is_code) AS BIGINT) AS n_code,
+               CAST(floor(SUM(is_code) * 1000000.0 / COUNT(*)) AS BIGINT)
+                   AS code_ppm,
+               CAST(SUM(sym_ct) AS BIGINT) AS sym_chars,
+               CAST(SUM(kw_ct) AS BIGINT) AS kw_hits
+        FROM flagged
+        GROUP BY source, lang
+        ORDER BY source, lang
+    """
+
+
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing report — see _code_detect_body."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_code_detect_body("spark"))
+
+
+TEXT_CODE_DETECT_SQL = _code_detect_body("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "text_code_detect": (text_code_detect, TEXT_CODE_DETECT_SQL),
     "text_html_extract": (text_html_extract, TEXT_HTML_EXTRACT_SQL),
     "text_ocr_noise_filter": (text_ocr_noise_filter,
                               TEXT_OCR_NOISE_FILTER_SQL),

@@ -394,6 +394,189 @@ SIM_ANN_IVF_SQL = f"""
 """
 
 
+_IVF_ASSIGN_BUCKETS = 32  # parallelism of the kernel assignment cogroup
+
+
+def sim_ann_ivf_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat with PRODUCTION kernels for both phases: assignment is
+    a cogroup of vector shards against the (replicated, broadcast-class)
+    centroid set — one int64 numpy gram per shard instead of n·K
+    higher-order-lambda cosines through a rank-1 window — and the
+    search is one kernel per inverted list computing the probes'
+    exact top-{TOPK} in-memory. Registered alongside the relational
+    form (sim_ann_ivf) the way sim_knn_graph_matmul sits beside
+    sim_knn_graph_lsh; completes the kernel-twin family for the four
+    cap-guarded rehearsal ids.
+
+    Similarity is the MICRO-QUANTIZED cosine (the semdedup_matmul
+    discipline) — its own oracle mirrors the quantization, so the
+    check is exact.
+
+    Scale posture: assignment work is n·K at memory bandwidth, sharded
+    {_IVF_ASSIGN_BUCKETS} ways (production reshards by input split); an
+    inverted list must fit one executor — the same contract FAISS
+    IVFFlat's per-list arrays carry, controlled by K."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = emb.filter(
+        (F.col("vec_id") % CENTROID_MODULUS == 0)
+        & (F.col("vec_id") < CENTROID_MODULUS * IVF_MAX_CENTROIDS)
+    ).select(F.col("vec_id").alias("cent_id"),
+             F.col("embedding").alias("cent_emb"))
+    buckets = spark.range(_IVF_ASSIGN_BUCKETS).select(
+        F.col("id").cast("long").alias("b")
+    )
+    cents_x = cents.crossJoin(F.broadcast(buckets))
+    sharded = emb.withColumn(
+        "b", (F.col("vec_id") % _IVF_ASSIGN_BUCKETS).cast("long")
+    )
+
+    def _micro(col):
+        x = np.stack(col.to_numpy()).astype(np.float64) * 1e6
+        # SQL round() is half-away-from-zero; np.rint is half-even
+        return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cent_id", T.LongType()),
+        ]
+    )
+
+    def assign_kernel(key, pdf_v, pdf_c):  # noqa: ARG001
+        if len(pdf_v) == 0 or len(pdf_c) == 0:
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype="int64"),
+                 "cent_id": pd.Series(dtype="int64")}
+            )
+        v = _micro(pdf_v["embedding"])
+        c = _micro(pdf_c["cent_emb"])
+        cid = pdf_c["cent_id"].to_numpy().astype(np.int64)
+        nv = np.sqrt((v * v).sum(axis=1).astype(np.float64))
+        nc = np.sqrt((c * c).sum(axis=1).astype(np.float64))
+        g = v @ c.T
+        sim = np.round(g.astype(np.float64) / np.outer(nv, nc), 6)
+        # argmax under (sim DESC, cent_id ASC)
+        best = np.lexsort(
+            (np.broadcast_to(cid, sim.shape), -sim), axis=-1
+        )[:, 0]
+        return pd.DataFrame(
+            {
+                "vec_id": pdf_v["vec_id"].to_numpy().astype(np.int64),
+                "cent_id": cid[best],
+            }
+        )
+
+    assigned = (
+        sharded.groupBy("b")
+        .cogroup(cents_x.groupBy("b"))
+        .applyInPandas(assign_kernel, assign_schema)
+    )
+    listed = emb.join(assigned, "vec_id")
+
+    search_schema = T.StructType(
+        [
+            T.StructField("probe_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+
+    def search_kernel(key, pdf):  # noqa: ARG001 — one inverted list
+        ids = pdf["vec_id"].to_numpy().astype(np.int64)
+        pmask = ids < N_PROBES
+        if not pmask.any() or len(pdf) < 2:
+            return pd.DataFrame(
+                {"probe_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64"),
+                 "rank": pd.Series(dtype="int32")}
+            )
+        v = _micro(pdf["embedding"])
+        nrm = np.sqrt((v * v).sum(axis=1).astype(np.float64))
+        p = np.nonzero(pmask)[0]
+        g = v[p] @ v.T
+        sim = np.round(
+            g.astype(np.float64) / np.outer(nrm[p], nrm), 6
+        )
+        sim[ids[p][:, None] == ids[None, :]] = -np.inf  # mask self
+        order = np.lexsort(
+            (np.broadcast_to(ids, sim.shape), -sim), axis=-1
+        )[:, :TOPK]
+        top_sim = np.take_along_axis(sim, order, axis=1)
+        keep = np.isfinite(top_sim)
+        k = order.shape[1]
+        probe_ids = np.repeat(ids[p], k).reshape(order.shape)
+        ranks = np.broadcast_to(
+            np.arange(1, k + 1, dtype=np.int32), order.shape
+        )
+        return pd.DataFrame(
+            {
+                "probe_id": probe_ids[keep],
+                "neighbor_id": ids[order][keep],
+                "sim": top_sim[keep],
+                "rank": ranks[keep],
+            }
+        )
+
+    return (
+        listed.groupBy("cent_id")
+        .applyInPandas(search_kernel, search_schema)
+        .select("probe_id", "neighbor_id", "sim", "rank")
+    )
+
+
+_IVF_K_MV = (
+    "list_transform(embedding, u -> CAST(round(CAST(u AS DOUBLE) * 1000000)"
+    " AS BIGINT))"
+)
+
+SIM_ANN_IVF_KERNEL_SQL = f"""
+    WITH mn AS (
+        SELECT vec_id, mv,
+               sqrt(CAST(list_dot_product(mv, mv) AS DOUBLE)) AS nrm
+        FROM (SELECT vec_id, {_IVF_K_MV} AS mv FROM embeddings)
+    ),
+    cents AS (
+        SELECT vec_id AS cent_id, mv AS cmv, nrm AS cnrm
+        FROM mn WHERE vec_id % {CENTROID_MODULUS} = 0
+          AND vec_id < {CENTROID_MODULUS * IVF_MAX_CENTROIDS}
+    ),
+    assigned AS (
+        SELECT vec_id, mv, nrm, cent_id FROM (
+            SELECT e.vec_id, e.mv, e.nrm, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(CAST(list_dot_product(e.mv, c.cmv)
+                                           AS DOUBLE)
+                                      / (e.nrm * c.cnrm), 6) DESC,
+                                c.cent_id) AS __rn
+            FROM mn e CROSS JOIN cents c
+        ) WHERE __rn = 1
+    )
+    SELECT probe_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+               round(CAST(list_dot_product(p.mv, c.mv) AS DOUBLE)
+                     / (p.nrm * c.nrm), 6) AS sim,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY round(CAST(list_dot_product(p.mv, c.mv)
+                                       AS DOUBLE)
+                                  / (p.nrm * c.nrm), 6) DESC,
+                            c.vec_id) AS rank
+        FROM assigned p
+        JOIN assigned c ON p.cent_id = c.cent_id AND p.vec_id <> c.vec_id
+        WHERE p.vec_id < {N_PROBES}
+    ) WHERE rank <= {TOPK}
+"""
+
+
 def sim_ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a COARSE-QUANTIZED assignment (the FAISS IMI / IVF-on-IVF
     shape the round-4 verdict asked for): instead of sim_ann_ivf's O(K)
@@ -2290,6 +2473,141 @@ SIM_KNN_GRAPH_LSH_SQL = f"""
 """
 
 
+def sim_knn_graph_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph with the production per-bucket kernel: ONE
+    ``applyInPandas`` per LSH bucket computing all candidate similarities
+    as an int64 numpy matmul (micro-scaled vectors, exact — the
+    dedup_semdedup_matmul discipline) and emitting only each vector's
+    per-bucket top-{KNN_GRAPH_K}. Registered alongside the relational
+    pair-join form (sim_knn_graph_lsh) the way semdedup_matmul sits
+    beside semdedup.
+
+    The kernel changes the SHUFFLED volume, not just the arithmetic:
+    per-vector bucket top-K is exact for the global top-K (any global
+    top-K neighbor is, within its own bucket's candidate set, preceded
+    by < K candidates under the same (sim DESC, id) order), so the
+    cross-band merge sees n·K·bands rows instead of the SQL twin's
+    n·cap·bands candidate pairs — a {KNN_BUCKET_CAP}/{KNN_GRAPH_K}×
+    reduction at the caps. Same banded barrier, same deterministic
+    spread-rank candidate cap applied INSIDE the kernel.
+
+    Similarity is the MICRO-QUANTIZED cosine (integer dot over micro
+    vectors, norms from exact integer self-dots) — its own oracle
+    mirrors the quantization, so the check is exact; at 6-dp rounding
+    it agrees with the float form everywhere off a rounding boundary.
+
+    Scale posture: a bucket must fit one executor (~n/2^bits rows — the
+    same contract the SQL twin's cap guards; production raises
+    planes/bands). Nothing touches the driver; the kernel is
+    Arrow-batched."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    banded = _banded_barrier(spark, sf_dir)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def kernel(key, pdf):  # noqa: ARG001 — bucket key unused in output
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "neighbor_id": [], "sim": []}
+            ).astype({"vec_id": "int64", "neighbor_id": "int64",
+                      "sim": "float64"})
+        ids = pdf["vec_id"].to_numpy().astype(np.int64)
+        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1e6
+        # SQL round() is half-away-from-zero; np.rint is half-even
+        v = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        nrm = np.sqrt((v * v).sum(axis=1).astype(np.float64))
+        # candidate side capped under the same multiplicative-spread
+        # rank as the SQL twin (an unbiased bucket sample)
+        spread = (ids * 2654435761) % 1000000007
+        cand = np.lexsort((ids, spread))[:KNN_BUCKET_CAP]
+        g = v @ v[cand].T                        # exact int64, n × c
+        sim = np.round(
+            g.astype(np.float64) / np.outer(nrm, nrm[cand]), 6
+        )
+        cid = ids[cand]
+        sim[ids[:, None] == cid[None, :]] = -np.inf   # mask self-pairs
+        # per-row top-K under (sim DESC, neighbor_id ASC): lexsort keys
+        # are (secondary, primary), sorting along the last axis per row
+        order = np.lexsort(
+            (np.broadcast_to(cid, sim.shape), -sim), axis=-1
+        )[:, :KNN_GRAPH_K]
+        top_sim = np.take_along_axis(sim, order, axis=1)
+        keep = np.isfinite(top_sim)
+        rows = np.repeat(ids, order.shape[1]).reshape(order.shape)
+        return pd.DataFrame(
+            {
+                "vec_id": rows[keep],
+                "neighbor_id": cid[order][keep],
+                "sim": top_sim[keep],
+            }
+        )
+
+    pairs = (
+        banded.groupBy("band_idx", "band_val")
+        .applyInPandas(kernel, out_schema)
+        .distinct()  # a pair sharing both bands must count once
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+    )
+
+
+SIM_KNN_GRAPH_MATMUL_SQL = f"""
+    WITH raw AS (SELECT vec_id, embedding, 0.0 AS nrm FROM embeddings),
+    banded AS ({_band_sql('raw')}),
+    mn AS (
+        SELECT vec_id, mv,
+               sqrt(CAST(list_dot_product(mv, mv) AS DOUBLE)) AS nrm
+        FROM (SELECT vec_id,
+                     list_transform(embedding,
+                         u -> CAST(round(CAST(u AS DOUBLE) * 1000000)
+                                   AS BIGINT)) AS mv
+              FROM embeddings)
+    ),
+    capped AS (
+        SELECT vec_id, band_idx, band_val FROM (
+            SELECT vec_id, band_idx, band_val,
+                   row_number() OVER (
+                       PARTITION BY band_idx, band_val
+                       ORDER BY (vec_id * 2654435761) % 1000000007,
+                                vec_id) AS __bn
+            FROM banded
+        ) WHERE __bn <= {KNN_BUCKET_CAP}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id,
+               round(CAST(list_dot_product(am.mv, bm.mv) AS DOUBLE)
+                     / (am.nrm * bm.nrm), 6) AS sim
+        FROM banded a
+        JOIN capped b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.vec_id <> b.vec_id
+        JOIN mn am ON am.vec_id = a.vec_id
+        JOIN mn bm ON bm.vec_id = b.vec_id
+    )
+    SELECT vec_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT vec_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM pairs
+    ) r WHERE rank <= {KNN_GRAPH_K}
+"""
+
+
 DRIFT_FLAG_MICRO2 = 10_000_000_000   # ‖Δmean‖² (micro²) alert threshold
 
 
@@ -3573,9 +3891,14 @@ QUERIES: dict[str, tuple] = {
     ),
     "sim_ann_lsh": (sim_ann_lsh, SIM_ANN_LSH_SQL),
     "sim_knn_graph_lsh": (sim_knn_graph_lsh, SIM_KNN_GRAPH_LSH_SQL),
+    "sim_knn_graph_matmul": (
+        sim_knn_graph_matmul,
+        SIM_KNN_GRAPH_MATMUL_SQL,
+    ),
     "sim_hamming_binary": (sim_hamming_binary, SIM_HAMMING_BINARY_SQL),
     "emb_drift_detect": (emb_drift_detect, EMB_DRIFT_DETECT_SQL),
     "sim_ann_ivf": (sim_ann_ivf, SIM_ANN_IVF_SQL),
+    "sim_ann_ivf_kernel": (sim_ann_ivf_kernel, SIM_ANN_IVF_KERNEL_SQL),
     "sim_ann_ivf_coarse": (sim_ann_ivf_coarse, SIM_ANN_IVF_COARSE_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "dedup_semdedup": (dedup_semdedup, DEDUP_SEMDEDUP_SQL),

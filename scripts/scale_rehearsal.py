@@ -40,10 +40,13 @@ SCALE_TIER = [
     "sim_cosine_topk",
     "sim_ann_lsh",
     "sim_ann_ivf",
+    "sim_ann_ivf_kernel",
     "sim_ann_pq",
     "sim_knn_graph_lsh",
+    "sim_knn_graph_matmul",
     "text_bm25_topk",
     "multimodal_phash_dedup",
+    "multimodal_phash_kernel",
     # round-8 additions (VERDICT r7 item 4): the iterative graph tier's
     # constants — betweenness is per-(source, node) keyed BFS rounds,
     # modularity is the barriered LPA chain + label equi-joins

@@ -74,6 +74,15 @@ _BOUNDED_WINDOW_WHITELIST = {
     # the pi-normalization window runs over the stationary-distribution
     # relation: |event types| rows
     "events_entropy_rate",
+    # the global-span min/max window runs over the per-type moments
+    # AGGREGATE: |event types| rows, never the hourly grid or the corpus
+    "events_burstiness_fano",
+    # the ECE-total window runs over the confidence-BIN aggregate:
+    # exactly ECE_BINS (10) rows by construction
+    "eval_calibration_ece",
+    # margin/N windows run over the segment×nation CONTINGENCY
+    # aggregate: ≤ |segments|·|nations| (125) rows
+    "profile_mutual_information",
     # the at-risk reverse-cumulative and the KM log-product windows run
     # over the duration-bucket AGGREGATE: observation-window hours
     "events_survival_km",

@@ -1,0 +1,285 @@
+"""Planted-fixture semantics for the round-8 continuation batch:
+OHLC bars (hand-pinned open/close under ties), Holt-Winters (constant
+series must forecast the constant exactly), Fano burstiness (regular
+vs maximally bursty arrivals), ridge regression (vs an independent
+numpy solve), calibration ECE (perfectly calibrated bin contributes
+zero gap), code detect (obvious code vs prose), and mutual information
+(perfect dependence ⇒ NMI = 1)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from mongo_to_clickhouse_spark.queries.bizops import (
+    _HW_HORIZON,
+    events_holt_winters,
+)
+from mongo_to_clickhouse_spark.queries.evalops import eval_calibration_ece
+from mongo_to_clickhouse_spark.queries.sampleops import (
+    profile_mutual_information,
+)
+from mongo_to_clickhouse_spark.queries.statsops import (
+    agg_regr_ridge_normal,
+    events_burstiness_fano,
+    RIDGE_LAMBDA,
+    window_ohlc_bars,
+)
+from mongo_to_clickhouse_spark.queries.textops import text_code_detect
+
+_HOUR_US = 3_600_000_000
+
+
+def _write_events(tmp_path, rows):
+    """rows: list of (event_id, t_us, user_id, event_type, value)."""
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(table, os.path.join(str(tmp_path), "events.parquet"))
+    return str(tmp_path)
+
+
+def _write_documents(tmp_path, texts, langs=None, sources=None):
+    n = len(texts)
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs or ["en"] * n),
+            "source": pa.array(sources or ["src0"] * n),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(tmp_path), "documents.parquet"))
+    return str(tmp_path)
+
+
+# ---------------------------------------------------------------------------
+# window_ohlc_bars
+# ---------------------------------------------------------------------------
+
+
+def test_ohlc_pins_open_close_on_tied_timestamps(spark, tmp_path):
+    # one type, one hour; two events share the SAME timestamp — the
+    # event_id tiebreak must pin open to id 1 and close to id 4
+    t0 = 100 * _HOUR_US
+    rows = [
+        (1, t0 + 5, 1, "click", 10.00),   # open (tied ts, smaller id)
+        (2, t0 + 5, 1, "click", 99.00),   # high
+        (3, t0 + 9, 1, "click", 1.00),    # low
+        (4, t0 + 9, 1, "click", 42.00),   # close (tied ts, larger id)
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = window_ohlc_bars(spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.open_cents, r.high_cents, r.low_cents, r.close_cents) == (
+        1000, 9900, 100, 4200,
+    )
+    assert (r.n_events, r.sum_cents) == (4, 15200)
+
+
+def test_ohlc_buckets_by_hour(spark, tmp_path):
+    rows = [
+        (1, 10 * _HOUR_US + 1, 1, "view", 5.0),
+        (2, 11 * _HOUR_US + 1, 1, "view", 7.0),
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = {r.hour_idx: r for r in window_ohlc_bars(spark, sf).collect()}
+    assert set(got) == {10, 11}
+    assert got[10].open_cents == got[10].close_cents == 500
+    assert got[11].open_cents == got[11].close_cents == 700
+
+
+# ---------------------------------------------------------------------------
+# events_holt_winters
+# ---------------------------------------------------------------------------
+
+
+def test_holt_winters_constant_series_forecasts_constant(spark, tmp_path):
+    # 14 days, exactly 3 events/day for type A and 5/day for type B:
+    # level locks to the constant, trend and season stay zero, so every
+    # forecast horizon is exactly the constant (in micro units)
+    day_us = 86_400_000_000
+    rows = []
+    eid = 0
+    for d in range(14):
+        for k in range(3):
+            eid += 1
+            rows.append((eid, d * day_us + k, 1, "aa", 1.0))
+        for k in range(5):
+            eid += 1
+            rows.append((eid, d * day_us + 1000 + k, 1, "bb", 1.0))
+    sf = _write_events(tmp_path, rows)
+    got = events_holt_winters(spark, sf).collect()
+    assert len(got) == 2 * _HW_HORIZON
+    for r in got:
+        want = 3_000_000 if r.event_type == "aa" else 5_000_000
+        assert r.forecast_micro == want, r
+    assert sorted({r.horizon for r in got}) == list(
+        range(1, _HW_HORIZON + 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_burstiness_fano
+# ---------------------------------------------------------------------------
+
+
+def test_fano_regular_vs_bursty(spark, tmp_path):
+    # regular: 1 event every hour for 10 hours -> variance 0 -> fano 0,
+    # burstiness (0-mu)/(0+mu) = -1. bursty: all 10 events in hour 0 of
+    # the same global 10-hour span.
+    rows = []
+    eid = 0
+    for h in range(10):
+        eid += 1
+        rows.append((eid, h * _HOUR_US + 1, 1, "regular", 1.0))
+    for k in range(10):
+        eid += 1
+        rows.append((eid, k + 2, 1, "bursty", 1.0))
+    sf = _write_events(tmp_path, rows)
+    got = {r.event_type: r for r in events_burstiness_fano(spark, sf).collect()}
+    assert got["regular"].n_hours == 10
+    assert got["regular"].fano == 0.0
+    assert got["regular"].burstiness == -1.0
+    # bursty: s1=10, s2=100, N=10 -> fano = (10*100 - 100)/(10*10) = 9
+    assert got["bursty"].fano == 9.0
+    # sigma = sqrt(900)/10 = 3, mu = 1 -> B = (3-1)/(3+1) = 0.5
+    assert got["bursty"].burstiness == 0.5
+
+
+# ---------------------------------------------------------------------------
+# agg_regr_ridge_normal
+# ---------------------------------------------------------------------------
+
+
+def test_ridge_matches_numpy_normal_equations(spark, sf_dir):
+    rows = agg_regr_ridge_normal(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # independent reference: numpy solve of (X'X + lambda*diag(0,1,1))
+    import duckdb
+
+    con = duckdb.connect()
+    obs = con.sql(
+        f"""SELECT CAST(l_quantity AS BIGINT),
+                   CAST(round(l_discount * 100) AS BIGINT),
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+            FROM '{sf_dir}/lineitem.parquet'"""
+    ).fetchnumpy()
+    x1 = obs[list(obs)[0]].astype(np.float64)
+    x2 = obs[list(obs)[1]].astype(np.float64)
+    y = obs[list(obs)[2]].astype(np.float64)
+    X = np.stack([np.ones_like(x1), x1, x2], axis=1)
+    A = X.T @ X + RIDGE_LAMBDA * np.diag([0.0, 1.0, 1.0])
+    beta = np.linalg.solve(A, X.T @ y)
+    assert abs(r.beta0_cents - beta[0]) < 1e-3
+    assert abs(r.beta_qty - beta[1]) < 1e-3
+    assert abs(r.beta_discount_centi - beta[2]) < 1e-3
+    # quantity positively prices the line item at any sf
+    assert r.beta_qty > 0
+
+
+# ---------------------------------------------------------------------------
+# eval_calibration_ece
+# ---------------------------------------------------------------------------
+
+
+def test_ece_perfectly_calibrated_bin_contributes_zero(spark, tmp_path):
+    # 4 docs at n_chars=500 (conf 0.25, bin 2) with exactly 1 English:
+    # acc == conf -> zero gap. 2 docs at n_chars=2000 (conf 1.0, bin 9)
+    # both non-English: gap mass = 2e6. ECE = floor(2e6 / 6) ppm.
+    texts = ["x" * 500] * 4 + ["y" * 2000] * 2
+    langs = ["en", "de", "fr", "it", "de", "fr"]
+    sf = _write_documents(tmp_path, texts, langs=langs)
+    got = {r.bin: r for r in eval_calibration_ece(spark, sf).collect()}
+    assert set(got) == {2, 9}
+    assert got[2].gap_mass_ppm == 0
+    assert got[2].acc_ppm == got[2].conf_avg_ppm == 250_000
+    assert got[9].gap_mass_ppm == 2_000_000
+    assert got[2].ece_ppm == got[9].ece_ppm == 2_000_000 // 6
+
+
+# ---------------------------------------------------------------------------
+# text_code_detect
+# ---------------------------------------------------------------------------
+
+
+def test_code_detect_flags_code_not_prose(spark, tmp_path):
+    code = (
+        "def main(x):\n    import os\n    return os.path.join(x, 'a');\n"
+        "class Foo:\n    pass\n"
+    )
+    prose = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet morning fields without a single care"
+    )
+    sf = _write_documents(tmp_path, [code, prose])
+    got = text_code_detect(spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_docs, r.n_code) == (2, 1)
+    assert r.code_ppm == 500_000
+
+
+# ---------------------------------------------------------------------------
+# multimodal_phash_kernel
+# ---------------------------------------------------------------------------
+
+
+def test_phash_kernel_twin_is_bit_identical(spark, sf_dir):
+    """The cogroup kernel must reproduce the relational twin's rows
+    EXACTLY (hamming/L1 are integers; per-bucket top-K under the total
+    (l1, a, b) order preserves the global top-K)."""
+    from mongo_to_clickhouse_spark.queries.pipelineops import (
+        multimodal_phash_dedup,
+        multimodal_phash_kernel,
+    )
+
+    rel = [tuple(r) for r in multimodal_phash_dedup(spark, sf_dir).collect()]
+    ker = [tuple(r) for r in multimodal_phash_kernel(spark, sf_dir).collect()]
+    assert rel == ker
+    assert len(rel) > 0
+
+
+# ---------------------------------------------------------------------------
+# profile_mutual_information
+# ---------------------------------------------------------------------------
+
+
+def test_mi_perfect_dependence_gives_nmi_one(spark, tmp_path):
+    # 4 nations in 1-1 correspondence with 4 segments, equal counts:
+    # MI == H_segment == H_nation == ln 4, so NMI == 1.0 exactly
+    n_per = 25
+    seg = {0: "AUTO", 1: "BUILD", 2: "MACH", 3: "HOUSE"}
+    nk, ms = [], []
+    for nation in range(4):
+        nk += [nation] * n_per
+        ms += [seg[nation]] * n_per
+    table = pa.table(
+        {
+            "c_custkey": pa.array(range(len(nk)), pa.int64()),
+            "c_nationkey": pa.array(nk, pa.int64()),
+            "c_mktsegment": pa.array(ms),
+        }
+    )
+    pq.write_table(table, os.path.join(str(tmp_path), "customer.parquet"))
+    got = profile_mutual_information(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_customers == 100
+    assert r.nmi_ppm == 1_000_000
+    # ln(4) in micro-nats
+    assert r.mi_micro_nats == r.h_segment_micro == r.h_nation_micro
+    assert abs(r.mi_micro_nats - 1_386_294) <= 1
