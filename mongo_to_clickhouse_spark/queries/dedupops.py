@@ -22,6 +22,8 @@ Models Better").
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -489,6 +491,222 @@ def dedup_minhash_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_MINHASH_INDEX_UPSERT_SQL = _minhash_upsert_sql("duck")
+
+
+# ---------------------------------------------------------------------------
+# stream_minhash_index_upsert — the upsert as a live Structured Streaming
+# foreachBatch ingest against a persisted index
+# ---------------------------------------------------------------------------
+
+_STREAM_UPSERT_BATCHES = 3
+
+
+def stream_minhash_index_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MinHash index-maintenance write path as an actual STREAMING
+    ingest (the form dedup_minhash_index_upsert is the one-batch
+    equivalent of): new docs arrive in micro-batches (availableNow,
+    one staged file per trigger), and each foreachBatch (1) shingles +
+    bands the batch with the same SQL kernels as the batch family,
+    (2) probes the PERSISTED band index — historical seed plus every
+    earlier batch's inserts — (3) verifies candidates by exact Jaccard
+    against the persisted shingle store, (4) appends the novel docs'
+    band rows and shingles to the index, and (5) appends one exact
+    accounting row. The returned relation is the per-batch accounting
+    — the ingest-health feed a production dedup service alerts on.
+
+    Determinism & oracle: batches are split by ``doc_id % 3`` (staged
+    as one file each, modification-time ordered, so availableNow runs
+    them in that order), and state only advances at batch boundaries —
+    so the closed-horizon semantics are an UNROLLED 3-step SQL chain
+    (batch k probes hist ∪ ins₀..ins_{k-1}; within-batch near-dups of
+    each other are BOTH accepted, the documented at-least-once
+    property both engines state identically).
+
+    Scale posture: identical per-batch plan shape to the batch upsert
+    (band equi-join NEW×INDEX only, Jaccard verify on candidates); the
+    index is an append-only parquet table exactly like a production
+    band store. Driver work is control-plane only (staging + stream
+    wiring); every count is computed and appended engine-side."""
+    import tempfile
+    import uuid
+
+    from mongo_to_clickhouse_spark.streaming.util import await_drained
+
+    work = tempfile.mkdtemp(prefix=f"mhup-{uuid.uuid4().hex[:8]}-")
+    src = os.path.join(work, "source")
+    idx_bands = os.path.join(work, "index_bands")
+    idx_shingles = os.path.join(work, "index_shingles")
+    acct = os.path.join(work, "acct")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(src)
+
+    _register_docs(spark, sf_dir)
+    bands_view = _bands_view(spark, sf_dir)
+    shingled_view = _shingled_view(spark, sf_dir)
+    hist_pred = "doc_id < 1000000 AND doc_id % 10 != 3"
+    spark.table(bands_view).filter(hist_pred).write.parquet(idx_bands)
+    spark.table(shingled_view).filter(hist_pred).write.parquet(
+        idx_shingles
+    )
+
+    # stage the new batch split by doc_id % 3, one file per micro-batch,
+    # strictly increasing mtimes so the file source triggers them in order
+    new_docs = spark.sql(
+        f"WITH corpus AS ({_planted_corpus('spark')}) "
+        "SELECT doc_id, text FROM corpus "
+        "WHERE doc_id >= 1000000 OR doc_id % 10 = 3"
+    )
+    base_t = 1_700_000_000
+    for k in range(_STREAM_UPSERT_BATCHES):
+        tmp = os.path.join(work, f"stage{k}")
+        new_docs.filter(F.col("doc_id") % _STREAM_UPSERT_BATCHES == k
+                        ).coalesce(1).write.parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"b{k}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (base_t + k, base_t + k))
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch hands a DataFrame bound to the micro-batch's own
+        # session — register and query everything through THAT session
+        sess = batch_df.sparkSession
+        tag = uuid.uuid4().hex[:8]
+        bv, bsh, bb = f"mh_b_{tag}", f"mh_sh_{tag}", f"mh_bd_{tag}"
+        hb, hs = f"mh_idx_{tag}", f"mh_ish_{tag}"
+        batch_df.createOrReplaceTempView(bv)
+        sess.read.parquet(idx_bands).createOrReplaceTempView(hb)
+        sess.read.parquet(idx_shingles).createOrReplaceTempView(hs)
+        sess.sql(
+            f"WITH corpus AS (SELECT doc_id, text FROM {bv}) "
+            + _shingles("spark")
+        ).createOrReplaceTempView(bsh)
+        sess.sql(
+            f"WITH shingled AS (SELECT * FROM {bsh}), "
+            f"sigs AS ({_minhash_sig_sql('spark')}), "
+            f"bands AS ({_band_sql('spark')}) SELECT * FROM bands"
+        ).createOrReplaceTempView(bb)
+        novel = f"""
+            WITH cand AS (
+                SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+                FROM {bb} n JOIN {hb} h
+                  ON n.band_idx = h.band_idx AND n.band_sig = h.band_sig
+            ),
+            dup AS (
+                SELECT DISTINCT c.new_id FROM cand c
+                JOIN {bsh} sa ON sa.doc_id = c.new_id
+                JOIN {hs} sb ON sb.doc_id = c.hist_id
+                WHERE round({_jaccard_expr('spark', 'sa', 'sb')}, 6)
+                      >= {JACCARD_THRESHOLD}
+            ),
+            probed AS (SELECT DISTINCT doc_id FROM {bb}),
+            novel AS (
+                SELECT p.doc_id FROM probed p
+                LEFT JOIN dup d ON d.new_id = p.doc_id
+                WHERE d.new_id IS NULL
+            )
+        """
+        # accounting FIRST (it reads the index pre-insert); exact
+        # engine-side counts, no driver materialization
+        sess.sql(
+            novel + f"""
+            SELECT CAST({batch_id} AS BIGINT) AS batch_id,
+                   CAST((SELECT COUNT(*) FROM probed) AS BIGINT)
+                       AS n_probed,
+                   CAST((SELECT COUNT(*) FROM novel) AS BIGINT)
+                       AS n_novel,
+                   CAST((SELECT COUNT(*)
+                         FROM {bb} n JOIN novel v ON v.doc_id = n.doc_id)
+                        AS BIGINT) AS rows_inserted
+            """
+        ).write.mode("append").parquet(acct)
+        # stage the inserts, then append the staged rows (never read and
+        # write the same index dir inside one job)
+        ins_b = os.path.join(work, f"insb_{tag}")
+        ins_s = os.path.join(work, f"inss_{tag}")
+        sess.sql(
+            novel
+            + f"SELECT n.* FROM {bb} n JOIN novel v ON v.doc_id = n.doc_id"
+        ).write.parquet(ins_b)
+        sess.sql(
+            novel
+            + f"SELECT s.* FROM {bsh} s JOIN novel v ON v.doc_id = s.doc_id"
+        ).write.parquet(ins_s)
+        sess.read.parquet(ins_b).write.mode("append").parquet(idx_bands)
+        sess.read.parquet(ins_s).write.mode("append").parquet(
+            idx_shingles
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drained(q)
+    return spark.read.parquet(acct).orderBy("batch_id")
+
+
+def _stream_upsert_oracle() -> str:
+    """Closed-horizon oracle for stream_minhash_index_upsert: the
+    3-step unrolled chain (see its docstring)."""
+    d = "duck"
+    parts = [f"""
+        WITH corpus AS ({_planted_corpus(d)}),
+        shingled AS ({_shingles(d)}),
+        sigs AS ({_minhash_sig_sql(d)}),
+        bands AS ({_band_sql(d)}),
+        hist0 AS (SELECT doc_id, band_idx, band_sig FROM bands
+                  WHERE doc_id < 1000000 AND doc_id % 10 != 3),
+        newb AS (SELECT doc_id, band_idx, band_sig FROM bands
+                 WHERE doc_id >= 1000000 OR doc_id % 10 = 3)"""]
+    for k in range(_STREAM_UPSERT_BATCHES):
+        parts.append(f""",
+        n{k} AS (SELECT * FROM newb
+                 WHERE doc_id % {_STREAM_UPSERT_BATCHES} = {k}),
+        cand{k} AS (
+            SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+            FROM n{k} n JOIN hist{k} h
+              ON n.band_idx = h.band_idx AND n.band_sig = h.band_sig
+        ),
+        dup{k} AS (
+            SELECT DISTINCT c.new_id FROM cand{k} c
+            JOIN shingled sa ON sa.doc_id = c.new_id
+            JOIN shingled sb ON sb.doc_id = c.hist_id
+            WHERE round({_jaccard_expr(d, 'sa', 'sb')}, 6)
+                  >= {JACCARD_THRESHOLD}
+        ),
+        probed{k} AS (SELECT DISTINCT doc_id FROM n{k}),
+        novel{k} AS (
+            SELECT p.doc_id FROM probed{k} p
+            LEFT JOIN dup{k} x ON x.new_id = p.doc_id
+            WHERE x.new_id IS NULL
+        ),
+        ins{k} AS (
+            SELECT n.doc_id, n.band_idx, n.band_sig
+            FROM n{k} n JOIN novel{k} v ON v.doc_id = n.doc_id
+        ),
+        hist{k + 1} AS (SELECT * FROM hist{k}
+                        UNION ALL SELECT * FROM ins{k})""")
+    selects = [
+        f"""SELECT CAST({k} AS BIGINT) AS batch_id,
+               CAST((SELECT COUNT(*) FROM probed{k}) AS BIGINT) AS n_probed,
+               CAST((SELECT COUNT(*) FROM novel{k}) AS BIGINT) AS n_novel,
+               CAST((SELECT COUNT(*) FROM ins{k}) AS BIGINT)
+                   AS rows_inserted"""
+        for k in range(_STREAM_UPSERT_BATCHES)
+    ]
+    return "".join(parts) + " " + " UNION ALL ".join(selects) \
+        + " ORDER BY batch_id"
+
+
+STREAM_MINHASH_INDEX_UPSERT_SQL = _stream_upsert_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -1730,6 +1948,10 @@ QUERIES: dict[str, tuple] = {
     "dedup_incremental_minhash": (
         dedup_incremental_minhash,
         DEDUP_INCREMENTAL_MINHASH_SQL,
+    ),
+    "stream_minhash_index_upsert": (
+        stream_minhash_index_upsert,
+        STREAM_MINHASH_INDEX_UPSERT_SQL,
     ),
     "dedup_minhash_index_upsert": (
         dedup_minhash_index_upsert,

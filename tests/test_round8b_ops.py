@@ -234,6 +234,44 @@ def test_code_detect_flags_code_not_prose(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# stream_minhash_index_upsert
+# ---------------------------------------------------------------------------
+
+
+def test_stream_upsert_consistent_with_batch_family(spark, sf_dir):
+    """Cross-operator invariants against the batch family: the stream
+    probes exactly the batch family's new docs (Σ n_probed = probe
+    report rows); every batch inserts N_BANDS rows per novel doc; and
+    the stream can only accept FEWER docs than the one-shot batch
+    upsert (later batches also probe earlier batches' inserts, so a
+    novel doc that near-dups an earlier-accepted novel doc is rejected
+    here but accepted there)."""
+    from mongo_to_clickhouse_spark.queries.dedupops import (
+        N_BANDS,
+        dedup_incremental_minhash,
+        dedup_minhash_index_upsert,
+        stream_minhash_index_upsert,
+    )
+
+    acct = stream_minhash_index_upsert(spark, sf_dir).collect()
+    assert [r.batch_id for r in acct] == [0, 1, 2]
+    probe = dedup_incremental_minhash(spark, sf_dir).collect()
+    assert sum(r.n_probed for r in acct) == len(probe)
+    for r in acct:
+        assert r.rows_inserted == r.n_novel * N_BANDS
+        assert 0 <= r.n_novel <= r.n_probed
+    # per-band rows_inserted in the batch report = |accepted| docs;
+    # stream acceptance is a SUBSET of batch acceptance (see docstring)
+    batch_accepted = dedup_minhash_index_upsert(spark, sf_dir).collect()[
+        0
+    ].rows_inserted
+    assert sum(r.n_novel for r in acct) <= batch_accepted
+    # the planted corpus has both novels and dups flowing through
+    assert sum(r.n_novel for r in acct) > 0
+    assert sum(r.n_probed - r.n_novel for r in acct) > 0
+
+
+# ---------------------------------------------------------------------------
 # multimodal_phash_kernel
 # ---------------------------------------------------------------------------
 
