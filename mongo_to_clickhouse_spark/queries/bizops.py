@@ -2207,7 +2207,203 @@ EVENTS_HOLT_WINTERS_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# window_rolling_corr_pair — trailing correlation between two KPI series
+# ---------------------------------------------------------------------------
+
+_RCORR_DAYS = 14
+_RCORR_A, _RCORR_B = "click", "purchase"
+
+
+def _rolling_corr_body(engine: str) -> str:
+    """Trailing {_RCORR_DAYS}-day Pearson correlation between the
+    '{_RCORR_A}' and '{_RCORR_B}' daily dollar series — the rolling
+    twin of agg_daily_corr_matrix (a correlation BREAK between two
+    coupled KPIs is the metric-tree alarm; the global coefficient
+    can't see when it happened).
+
+    Exactness: the paired relation is one conditional aggregation over
+    the shared daily rollup (dollars = cents DIV 100, nonnegative so
+    div/floor agree); all five frame sums are exact BIGINTs over ROWS
+    BETWEEN {_RCORR_DAYS - 1} PRECEDING; the coefficient is one double
+    expression in identical order, round(…, 6), NULL under n < 2 or
+    zero variance.
+
+    Scale posture: corpus rows collapse to the calendar-bounded daily
+    rollup in one map-side-combined pass; the frame window runs over
+    the |days| grid (whitelisted bound)."""
+    intdiv = "DIV" if engine == "spark" else "//"
+    frame = (f"ORDER BY day_idx ROWS BETWEEN {_RCORR_DAYS - 1} "
+             "PRECEDING AND CURRENT ROW")
+    return f"""
+        WITH daily AS ({_daily(engine)}),
+        paired AS (
+            SELECT day_idx,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = '{_RCORR_A}'
+                                          THEN cents END), 0)
+                        {intdiv} 100 AS BIGINT) AS a,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = '{_RCORR_B}'
+                                          THEN cents END), 0)
+                        {intdiv} 100 AS BIGINT) AS b
+            FROM daily GROUP BY day_idx
+        ),
+        framed AS (
+            SELECT day_idx, a, b,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                   CAST(SUM(a) OVER w AS BIGINT) AS sa,
+                   CAST(SUM(b) OVER w AS BIGINT) AS sb,
+                   CAST(SUM(a * a) OVER w AS BIGINT) AS saa,
+                   CAST(SUM(b * b) OVER w AS BIGINT) AS sbb,
+                   CAST(SUM(a * b) OVER w AS BIGINT) AS sab
+            FROM paired
+            WINDOW w AS ({frame})
+        )
+        SELECT day_idx, a AS {_RCORR_A}_dollars, b AS {_RCORR_B}_dollars,
+               n AS n_days,
+               CASE WHEN n < 2 OR n * saa = sa * sa OR n * sbb = sb * sb
+                    THEN NULL
+                    ELSE round(CAST(n * sab - sa * sb AS DOUBLE)
+                               / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                                      * CAST(n * sbb - sb * sb AS DOUBLE)),
+                               6)
+               END AS rolling_corr
+        FROM framed
+        ORDER BY day_idx
+    """
+
+
+def window_rolling_corr_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 14-day KPI correlation — see _rolling_corr_body."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_rolling_corr_body("spark"))
+
+
+WINDOW_ROLLING_CORR_PAIR_SQL = _rolling_corr_body("duck")
+
+
+# ---------------------------------------------------------------------------
+# events_new_user_curve — first-seen growth curve
+# ---------------------------------------------------------------------------
+
+
+def _new_user_body(engine: str) -> str:
+    """Daily new-vs-returning decomposition and the cumulative
+    acquired-user curve: a user is NEW on their first-ever active day
+    (one user-keyed MIN aggregate — the first-touch rule), every later
+    active day they count as returning. The top-line growth dashboard
+    (DAU says how many; this says which kind).
+
+    Scale posture: one scan → the (user, day) distinct (uniform
+    shuffle) → a user-keyed MIN and a day-keyed count, all map-side
+    combined; the cumulative window runs over the |days| calendar grid
+    (whitelisted bound)."""
+    return f"""
+        WITH ev AS ({_ev(engine)}),
+        ud AS (SELECT DISTINCT user_id, day_idx FROM ev),
+        fu AS (SELECT user_id, MIN(day_idx) AS first_day
+               FROM ud GROUP BY user_id),
+        newd AS (SELECT first_day AS day_idx,
+                        CAST(COUNT(*) AS BIGINT) AS n_new
+                 FROM fu GROUP BY first_day),
+        act AS (SELECT day_idx, CAST(COUNT(*) AS BIGINT) AS n_active
+                FROM ud GROUP BY day_idx)
+        SELECT a.day_idx,
+               a.n_active,
+               CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+               CAST(a.n_active - COALESCE(n.n_new, 0) AS BIGINT)
+                   AS n_returning,
+               CAST(SUM(COALESCE(n.n_new, 0)) OVER (
+                        ORDER BY a.day_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_users,
+               CAST(floor(COALESCE(n.n_new, 0) * 1000000.0 / a.n_active)
+                    AS BIGINT) AS new_share_ppm
+        FROM act a LEFT JOIN newd n ON n.day_idx = a.day_idx
+        ORDER BY a.day_idx
+    """
+
+
+def events_new_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning growth curve — see _new_user_body."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_new_user_body("spark"))
+
+
+EVENTS_NEW_USER_CURVE_SQL = _new_user_body("duck")
+
+
+# ---------------------------------------------------------------------------
+# agg_bayes_beta_binomial — Bayesian conversion posterior per arm
+# ---------------------------------------------------------------------------
+
+
+def _bayes_bb_body(engine: str) -> str:
+    """Beta-Binomial conversion posterior per experiment arm (the
+    ``user_id % 2`` split the CUPED/SPRT/Welch tier shares): uniform
+    Beta(1,1) prior + per-user converted-or-not (≥1 purchase) gives
+    the exact posterior Beta(1+x, 1+n−x) — the Bayesian companion the
+    frequentist gates lack when arms are small (the posterior mean is
+    the Laplace-smoothed rate; the sd is the stopping signal).
+
+    Exactness: x and n are exact counts; post_mean_ppm is one integer
+    cross-multiplied floor; the posterior sd is one double expression
+    over exact integers in identical order, rounded to ppm.
+
+    Scale posture: one scan → user-keyed conversion flags (map-side
+    combined MAX) → a 2-row arm aggregate; everything after is
+    constant-size."""
+    del engine  # identical on both sides
+    return """
+        WITH conv AS (
+            SELECT user_id, user_id % 2 AS arm,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END) AS converted
+            FROM events GROUP BY user_id
+        ),
+        arms AS (
+            SELECT arm,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(converted) AS BIGINT) AS x
+            FROM conv GROUP BY arm
+        )
+        SELECT arm, n_users, x AS conversions,
+               CAST(1 + x AS BIGINT) AS post_alpha,
+               CAST(1 + n_users - x AS BIGINT) AS post_beta,
+               CAST(floor((1 + x) * 1000000.0 / (2 + n_users)) AS BIGINT)
+                   AS post_mean_ppm,
+               CAST(round(sqrt((CAST(1 + x AS DOUBLE)
+                                * CAST(1 + n_users - x AS DOUBLE))
+                               / (CAST(2 + n_users AS DOUBLE)
+                                  * CAST(2 + n_users AS DOUBLE)
+                                  * CAST(3 + n_users AS DOUBLE)))
+                          * 1000000) AS BIGINT) AS post_sd_ppm
+        FROM arms
+        ORDER BY arm
+    """
+
+
+def agg_bayes_beta_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta-Binomial posterior per arm — see _bayes_bb_body."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_bayes_bb_body("spark"))
+
+
+AGG_BAYES_BETA_BINOMIAL_SQL = _bayes_bb_body("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "events_new_user_curve": (
+        events_new_user_curve,
+        EVENTS_NEW_USER_CURVE_SQL,
+    ),
+    "agg_bayes_beta_binomial": (
+        agg_bayes_beta_binomial,
+        AGG_BAYES_BETA_BINOMIAL_SQL,
+    ),
+    "window_rolling_corr_pair": (
+        window_rolling_corr_pair,
+        WINDOW_ROLLING_CORR_PAIR_SQL,
+    ),
     "events_holt_winters": (events_holt_winters, EVENTS_HOLT_WINTERS_SQL),
     "events_rfm_segments": (events_rfm_segments, EVENTS_RFM_SEGMENTS_SQL),
     "events_anomaly_seasonal_residual": (

@@ -1248,7 +1248,86 @@ GRAPH_DEGREE_ASSORTATIVITY_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# graph_2hop_reach — strict 2-hop neighborhood size per node
+# ---------------------------------------------------------------------------
+
+
+def _two_hop_sql(adj_rel: str) -> str:
+    """Per-node 1-hop degree, STRICT 2-hop count (nodes reachable in
+    exactly two steps: not self, not already a direct neighbor), and
+    the 2-hop reach share of the graph — the neighborhood-growth
+    profile that separates hub-and-spoke from clustered topology
+    (a high 2hop/1hop ratio means neighbors don't overlap — low
+    clustering — which the triangle count measures from the other
+    side).
+
+    Scale posture: the wedge join over the degree-bounded adjacency is
+    ≤ n·K² rows (mutual-top-{TRIANGLE_KNN_K} sparsification bounds K);
+    the distinct + counts are (node)-keyed aggregates; n_nodes joins
+    as a broadcast 1-row relation."""
+    return f"""
+        deg AS (
+            SELECT a AS u, CAST(COUNT(*) AS BIGINT) AS n_1hop
+            FROM {adj_rel} GROUP BY a
+        ),
+        two AS (
+            SELECT DISTINCT e1.a AS u, e2.b AS w
+            FROM {adj_rel} e1
+            JOIN {adj_rel} e2 ON e1.b = e2.a
+            WHERE e2.b <> e1.a
+        ),
+        strict2 AS (
+            SELECT t.u, CAST(COUNT(*) AS BIGINT) AS n_2hop
+            FROM two t
+            LEFT JOIN {adj_rel} d ON d.a = t.u AND d.b = t.w
+            WHERE d.a IS NULL
+            GROUP BY t.u
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+        SELECT g.u AS node_id, g.n_1hop,
+               CAST(COALESCE(s.n_2hop, 0) AS BIGINT) AS n_2hop,
+               CAST(floor((g.n_1hop + COALESCE(s.n_2hop, 0)) * 1000000.0
+                          / (n.n_nodes - 1)) AS BIGINT) AS reach_ppm
+        FROM deg g
+        LEFT JOIN strict2 s ON s.u = g.u
+        CROSS JOIN nn n
+        ORDER BY node_id
+    """
+
+
+def graph_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict 2-hop neighborhood profile — see _two_hop_sql. Rides the
+    session-memoized tri_adj barrier (referenced 4× — each reference is
+    a checkpoint-leaf scan)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    def build():
+        return spark.sql(_triangle_adj_sql(
+            "(SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)"
+        ))
+
+    adj = cached_barrier_view(
+        spark, sf_dir, "tri_adj", build, tables=("lineitem",)
+    )
+    return spark.sql("WITH " + _two_hop_sql(adj))
+
+
+GRAPH_2HOP_REACH_SQL = (
+    "WITH tri_adj AS ("
+    + _triangle_adj_sql("(SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)")
+    + "), "
+    + _two_hop_sql("tri_adj")
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "graph_2hop_reach": (graph_2hop_reach, GRAPH_2HOP_REACH_SQL),
     "graph_degree_assortativity": (
         graph_degree_assortativity,
         GRAPH_DEGREE_ASSORTATIVITY_SQL,

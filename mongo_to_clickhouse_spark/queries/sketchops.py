@@ -1102,7 +1102,122 @@ def agg_hdr_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_HDR_HISTOGRAM_QUANTILE_SQL = _hdr_sql("duck")
 
 
+# ---------------------------------------------------------------------------
+# events_interarrival_hdr — per-type interarrival-time quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def _interarrival_sql(engine: str) -> str:
+    """p50/p95/p99 of the per-type event INTERARRIVAL time (µs) via the
+    HDR log-bucket sketch — the arrival-process profile behind
+    capacity/SLO planning (the quantile companion of the Fano
+    burstiness monitor; a p99 interarrival collapse is a burst).
+
+    The scale-critical piece is the LAG: a per-type global sort puts
+    each type in ONE task. Instead, intra-day deltas ride a
+    (type, day)-partitioned window (tasks bounded by events/type/day)
+    and the day-boundary deltas are stitched from the per-(type, day)
+    first/last aggregate — a calendar-grid window. Exactly one delta
+    per consecutive event pair, all exact BIGINT µs.
+
+    Buckets/estimates are the agg_hdr_histogram_quantile machinery
+    (pure integer bit arithmetic, ≤16·63 buckets per type, 2^-4
+    relative error); equal-timestamp pairs land in bucket 0."""
+    b = HDR_SUB_BITS
+    if engine == "spark":
+        ep = "unix_micros(CAST(ts AS TIMESTAMP))"
+        exp = "length(bin(d)) - 1"
+        shr = f"shiftright(d, CAST(e - {b} AS INT))"
+        shl = (f"shiftleft(CAST(16 + idx % 16 AS BIGINT), "
+               f"CAST(idx DIV 16 - {b} AS INT))")
+    else:
+        ep = "CAST(epoch_us(ts) AS BIGINT)"
+        exp = "length(format('{:b}', d)) - 1"
+        shr = f"(d >> CAST(e - {b} AS INTEGER))"
+        shl = (f"(CAST(16 + idx % 16 AS BIGINT) << "
+               f"CAST(idx // 16 - {b} AS INTEGER))")
+    grid = ", ".join(f"({q})" for q in _HDR_QS)
+    return f"""
+        WITH ev AS (
+            SELECT event_type, event_id, {ep} AS t_us,
+                   CAST(floor({ep} / 86400000000.0) AS BIGINT) AS day_idx
+            FROM events
+        ),
+        intra AS (
+            SELECT event_type,
+                   t_us - lag(t_us) OVER (
+                       PARTITION BY event_type, day_idx
+                       ORDER BY t_us, event_id) AS d
+            FROM ev
+        ),
+        bounds AS (
+            SELECT event_type, day_idx,
+                   MIN(t_us) AS first_t, MAX(t_us) AS last_t
+            FROM ev GROUP BY event_type, day_idx
+        ),
+        border AS (
+            SELECT event_type,
+                   first_t - lag(last_t) OVER (
+                       PARTITION BY event_type ORDER BY day_idx) AS d
+            FROM bounds
+        ),
+        deltas AS (
+            SELECT event_type, d FROM intra WHERE d IS NOT NULL
+            UNION ALL
+            SELECT event_type, d FROM border WHERE d IS NOT NULL
+        ),
+        exps AS (
+            SELECT event_type, d, CAST({exp} AS BIGINT) AS e FROM deltas
+        ),
+        buckets AS (
+            SELECT event_type,
+                   CASE WHEN d < 16 THEN d ELSE e * 16 + ({shr} - 16)
+                   END AS idx,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM exps GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, idx, cnt,
+                   CAST(SUM(cnt) OVER (PARTITION BY event_type
+                        ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS c
+            FROM buckets
+        ),
+        tot AS (
+            SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+            FROM buckets GROUP BY event_type
+        ),
+        sel AS (
+            SELECT t.event_type, g.q_ppm, MIN(cu.idx) AS idx
+            FROM tot t
+            CROSS JOIN (VALUES {grid}) AS g(q_ppm)
+            JOIN cum cu ON cu.event_type = t.event_type
+                       AND cu.c * 1000000 >= g.q_ppm * t.n
+            GROUP BY t.event_type, g.q_ppm
+        )
+        SELECT s.event_type, s.q_ppm, s.idx AS bucket_idx,
+               CAST(CASE WHEN s.idx < 16 THEN s.idx ELSE {shl}
+                    END AS BIGINT) AS est_interarrival_us_lower,
+               t.n AS n_deltas
+        FROM sel s JOIN tot t ON t.event_type = s.event_type
+        ORDER BY s.event_type, s.q_ppm
+    """
+
+
+def events_interarrival_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type interarrival-time HDR quantiles — see _interarrival_sql."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_interarrival_sql("spark"))
+
+
+EVENTS_INTERARRIVAL_HDR_SQL = _interarrival_sql("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "events_interarrival_hdr": (
+        events_interarrival_hdr,
+        EVENTS_INTERARRIVAL_HDR_SQL,
+    ),
     "agg_hdr_histogram_quantile": (
         agg_hdr_histogram_quantile,
         AGG_HDR_HISTOGRAM_QUANTILE_SQL,

@@ -2012,7 +2012,81 @@ def agg_regr_ridge_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_REGR_RIDGE_NORMAL_SQL = _ridge_body()
 
 
+# ---------------------------------------------------------------------------
+# events_power_law_hill — Hill tail-index estimate of user activity
+# ---------------------------------------------------------------------------
+
+HILL_K = 100  # tail order statistics used by the estimator
+
+
+def _hill_body(engine: str) -> str:
+    """Hill estimator of the power-law tail index of per-user activity
+    (Hill 1975): over the top-{HILL_K} most active users,
+    α̂ = k / Σ ln(x_i / x_min) with x_min the (k+1)-th order statistic
+    — the heavy-tail diagnostic behind skew planning (α ≤ 2 means
+    hot-key salting is mandatory, not optional).
+
+    Exactness: per-user counts are exact; each ln() is evaluated once
+    per tail user on an exact integer ratio and rounded to micro-nats
+    (the corpusops ln-ppm discipline), so the sum is an exact BIGINT
+    and α̂ is one integer cross-multiplied floor. Ties at the
+    truncation boundary break on user_id — deterministic in both
+    engines.
+
+    Scale posture: one scan → user-keyed counts (map-side combined) →
+    ORDER BY/LIMIT {HILL_K + 1} plans as TakeOrderedAndProject
+    (per-partition heaps — no global sort); the re-rank window runs
+    over those {HILL_K + 1} rows (whitelisted bound)."""
+    del engine  # identical on both sides
+    return f"""
+        WITH per_user AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY user_id
+        ),
+        tail AS (
+            SELECT user_id, cnt FROM per_user
+            ORDER BY cnt DESC, user_id LIMIT {HILL_K + 1}
+        ),
+        ranked AS (
+            SELECT user_id, cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rk,
+                   CAST(MIN(cnt) OVER () AS BIGINT) AS x_min
+            FROM tail
+        ),
+        terms AS (
+            SELECT x_min,
+                   CAST(round(ln(CAST(cnt AS DOUBLE)
+                                 / CAST(x_min AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS t
+            FROM ranked WHERE rk <= {HILL_K}
+        )
+        SELECT CAST({HILL_K} AS BIGINT) AS k,
+               CAST(MAX(x_min) AS BIGINT) AS x_min,
+               CAST(SUM(t) AS BIGINT) AS sum_log_ratio_micro,
+               -- explicit floor: CAST(double AS BIGINT) truncates in
+               -- Spark but ROUNDS in DuckDB
+               CASE WHEN SUM(t) <= 0 THEN NULL
+                    ELSE CAST(floor({HILL_K} * 1000000000000.0 / SUM(t))
+                              AS BIGINT)
+               END AS hill_alpha_micro
+        FROM terms
+    """
+
+
+def events_power_law_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimate — see _hill_body."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_hill_body("spark"))
+
+
+EVENTS_POWER_LAW_HILL_SQL = _hill_body("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "events_power_law_hill": (
+        events_power_law_hill,
+        EVENTS_POWER_LAW_HILL_SQL,
+    ),
     "window_ohlc_bars": (window_ohlc_bars, WINDOW_OHLC_BARS_SQL),
     "events_burstiness_fano": (
         events_burstiness_fano,

@@ -94,6 +94,76 @@ def test_ivf_kernel_planted_groups(spark, tmp_path):
         assert sorted(r.neighbor_id for r in rs) == want, (pid, rs)
 
 
+def test_knn_graph_matmul_vs_independent_numpy_replica(spark, tmp_path):
+    """Random fixture, full independent recomputation: bands from the
+    module's hyperplanes, the spread-rank cap, micro-quantized cosine,
+    distinct-across-bands, global top-K — all re-derived here with
+    plain numpy/python (no shared helper code paths beyond the plane
+    constants), compared row-for-row."""
+    import numpy as np
+
+    from mongo_to_clickhouse_spark.queries.vectorops import (
+        _PLANES,
+        KNN_BUCKET_CAP,
+        KNN_GRAPH_K,
+        LSH_BANDS,
+        N_PLANES,
+        sim_knn_graph_matmul,
+    )
+
+    rng = np.random.RandomState(1234)
+    n, dim = 120, 64
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(tmp_path), "embeddings.parquet"))
+
+    # independent reference
+    planes = np.array(_PLANES)
+    x = vecs.astype(np.float64)
+    bits = (x @ planes.T >= 0).astype(np.int64)          # n × N_PLANES
+    per_band = N_PLANES // LSH_BANDS
+    v = np.sign(x * 1e6) * np.floor(np.abs(x * 1e6) + 0.5)
+    v = v.astype(np.int64)
+    nrm = np.sqrt((v * v).sum(axis=1).astype(np.float64))
+    pairs = {}
+    for b in range(LSH_BANDS):
+        val = np.zeros(n, dtype=np.int64)
+        for i in range(per_band):
+            val = val * 2 + bits[:, b * per_band + i]
+        for bucket in np.unique(val):
+            members = np.nonzero(val == bucket)[0]
+            spread = (members * 2654435761) % 1000000007
+            cand = members[np.lexsort((members, spread))][:KNN_BUCKET_CAP]
+            for a in members:
+                for c in cand:
+                    if a != c:
+                        s = round(
+                            float(v[a] @ v[c]) / (nrm[a] * nrm[c]), 6
+                        )
+                        pairs[(a, c)] = s
+    expect = set()
+    by_a: dict[int, list] = {}
+    for (a, c), s in pairs.items():
+        by_a.setdefault(a, []).append((-s, c))
+    for a, lst in by_a.items():
+        for rank, (negs, c) in enumerate(sorted(lst)[:KNN_GRAPH_K], 1):
+            expect.add((a, c, -negs, rank))
+
+    got = {
+        (r.vec_id, r.neighbor_id, r.sim, r.rank)
+        for r in sim_knn_graph_matmul(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+
+
 def test_knn_graph_twins_agree_on_planted_groups(spark, tmp_path):
     """The relational twin must produce the same neighbor SETS on the
     planted fixture (its float cosine may round 1.0 vs 0.999999 — sets,

@@ -83,6 +83,15 @@ _BOUNDED_WINDOW_WHITELIST = {
     # margin/N windows run over the segment×nation CONTINGENCY
     # aggregate: ≤ |segments|·|nations| (125) rows
     "profile_mutual_information",
+    # the trailing-frame window runs over the paired DAILY rollup:
+    # |days| rows (calendar-bounded), never event rows
+    "window_rolling_corr_pair",
+    # the cumulative-acquired window runs over the per-day aggregate:
+    # |days| rows (calendar-bounded)
+    "events_new_user_curve",
+    # the re-rank/min windows run over the ORDER/LIMIT tail output:
+    # exactly HILL_K + 1 (101) rows by construction
+    "events_power_law_hill",
     # the at-risk reverse-cumulative and the KM log-product windows run
     # over the duration-bucket AGGREGATE: observation-window hours
     "events_survival_km",

@@ -292,6 +292,168 @@ def test_phash_kernel_twin_is_bit_identical(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# window_rolling_corr_pair
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_corr_perfect_linear_series(spark, tmp_path):
+    # click pays k dollars on day k, purchase pays 2k: perfectly
+    # correlated -> rolling corr exactly 1.0 once n >= 2
+    day_us = 86_400_000_000
+    rows = []
+    eid = 0
+    for d in range(1, 21):
+        eid += 1
+        rows.append((eid, d * day_us + 1, 1, "click", float(d)))
+        eid += 1
+        rows.append((eid, d * day_us + 2, 1, "purchase", float(2 * d)))
+    sf = _write_events(tmp_path, rows)
+    from mongo_to_clickhouse_spark.queries.bizops import (
+        window_rolling_corr_pair,
+    )
+
+    got = sorted(window_rolling_corr_pair(spark, sf).collect(),
+                 key=lambda r: r.day_idx)
+    assert len(got) == 20
+    assert got[0].rolling_corr is None  # n = 1: undefined
+    for r in got[1:]:
+        assert r.rolling_corr == 1.0, r
+        assert r.purchase_dollars == 2 * r.click_dollars
+
+
+# ---------------------------------------------------------------------------
+# events_interarrival_hdr
+# ---------------------------------------------------------------------------
+
+
+def test_interarrival_constant_rate_has_exact_quantiles(spark, tmp_path):
+    # one event every 8 us: every delta is exactly 8 (< 16, exact HDR
+    # bucket), including across the day boundary
+    day_us = 86_400_000_000
+    rows = []
+    for k in range(200):
+        t = day_us - 800 + 8 * k  # straddles the day boundary
+        rows.append((k + 1, t, 1, "steady", 1.0))
+    sf = _write_events(tmp_path, rows)
+    from mongo_to_clickhouse_spark.queries.sketchops import (
+        events_interarrival_hdr,
+    )
+
+    got = events_interarrival_hdr(spark, sf).collect()
+    assert len(got) == 3  # p50/p95/p99
+    for r in got:
+        assert r.event_type == "steady"
+        assert r.est_interarrival_us_lower == 8, r
+        assert r.n_deltas == 199
+
+
+# ---------------------------------------------------------------------------
+# graph_2hop_reach
+# ---------------------------------------------------------------------------
+
+
+def test_two_hop_reach_invariants(spark, sf_dir):
+    from mongo_to_clickhouse_spark.queries.graphops import graph_2hop_reach
+
+    rows = graph_2hop_reach(spark, sf_dir).collect()
+    assert len(rows) > 0
+    n_nodes = len(rows)
+    for r in rows:
+        assert r.n_1hop >= 1  # adjacency only contains connected nodes
+        assert r.n_2hop >= 0
+        # strict 2-hop excludes self and direct neighbors
+        assert r.n_1hop + r.n_2hop <= n_nodes - 1
+        want = (r.n_1hop + r.n_2hop) * 1_000_000 // (n_nodes - 1)
+        assert r.reach_ppm == want
+
+
+# ---------------------------------------------------------------------------
+# events_new_user_curve
+# ---------------------------------------------------------------------------
+
+
+def test_new_user_curve_planted_cohorts(spark, tmp_path):
+    # day 0: users 1,2 appear (both new); day 1: users 1,3 (user 3 new,
+    # user 1 returning); day 2: users 1,2,3 (all returning)
+    day_us = 86_400_000_000
+    rows = [
+        (1, 1, 1, "view", 1.0), (2, 2, 2, "view", 1.0),
+        (3, day_us + 1, 1, "view", 1.0), (4, day_us + 2, 3, "view", 1.0),
+        (5, 2 * day_us + 1, 1, "view", 1.0),
+        (6, 2 * day_us + 2, 2, "view", 1.0),
+        (7, 2 * day_us + 3, 3, "view", 1.0),
+    ]
+    sf = _write_events(tmp_path, rows)
+    from mongo_to_clickhouse_spark.queries.bizops import (
+        events_new_user_curve,
+    )
+
+    got = {r.day_idx: r for r in events_new_user_curve(spark, sf).collect()}
+    assert (got[0].n_new, got[0].n_returning, got[0].cum_users) == (2, 0, 2)
+    assert (got[1].n_new, got[1].n_returning, got[1].cum_users) == (1, 1, 3)
+    assert (got[2].n_new, got[2].n_returning, got[2].cum_users) == (0, 3, 3)
+    assert got[1].new_share_ppm == 500_000
+
+
+# ---------------------------------------------------------------------------
+# agg_bayes_beta_binomial
+# ---------------------------------------------------------------------------
+
+
+def test_bayes_posterior_exact_params(spark, tmp_path):
+    # arm 0: users 2,4 (user 2 converts); arm 1: users 1,3,5 (none
+    # convert) -> posteriors Beta(2,2) and Beta(1,4)
+    rows = [
+        (1, 1, 2, "purchase", 1.0), (2, 2, 2, "view", 1.0),
+        (3, 3, 4, "view", 1.0),
+        (4, 4, 1, "view", 1.0), (5, 5, 3, "view", 1.0),
+        (6, 6, 5, "view", 1.0),
+    ]
+    sf = _write_events(tmp_path, rows)
+    from mongo_to_clickhouse_spark.queries.bizops import (
+        agg_bayes_beta_binomial,
+    )
+
+    got = {r.arm: r for r in agg_bayes_beta_binomial(spark, sf).collect()}
+    assert (got[0].post_alpha, got[0].post_beta) == (2, 2)
+    assert got[0].post_mean_ppm == 500_000
+    assert (got[1].post_alpha, got[1].post_beta) == (1, 4)
+    assert got[1].post_mean_ppm == 200_000
+
+
+# ---------------------------------------------------------------------------
+# events_power_law_hill
+# ---------------------------------------------------------------------------
+
+
+def test_hill_estimator_against_numpy(spark, sf_dir):
+    import duckdb
+
+    from mongo_to_clickhouse_spark.queries.statsops import (
+        HILL_K,
+        events_power_law_hill,
+    )
+
+    r = events_power_law_hill(spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    cnts = [
+        c
+        for (c,) in con.sql(
+            f"""SELECT COUNT(*)::BIGINT AS c
+                FROM '{sf_dir}/events.parquet'
+                GROUP BY user_id ORDER BY c DESC LIMIT {HILL_K + 1}"""
+        ).fetchall()
+    ]
+    x_min = cnts[-1]
+    terms = [round(np.log(c / x_min) * 1e6) for c in cnts[:HILL_K]]
+    assert r.x_min == x_min
+    assert r.sum_log_ratio_micro == sum(terms)
+    assert r.hill_alpha_micro == HILL_K * 10**12 // sum(terms)
+    # per-user event counts are heavy-ish but not infinite-variance
+    assert r.hill_alpha_micro > 0
+
+
+# ---------------------------------------------------------------------------
 # profile_mutual_information
 # ---------------------------------------------------------------------------
 
