@@ -2391,7 +2391,194 @@ def agg_bayes_beta_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_BAYES_BETA_BINOMIAL_SQL = _bayes_bb_body("duck")
 
 
+# ---------------------------------------------------------------------------
+# events_holt_winters_backtest — one-step-ahead in-sample error of the HW fit
+# ---------------------------------------------------------------------------
+
+_HW_WARMUP = 7  # scored days start after one full season
+
+
+def events_holt_winters_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-step-ahead backtest of the Holt-Winters recurrence (see
+    events_holt_winters): each day k ≥ {_HW_WARMUP} is predicted from
+    the state BEFORE consuming y_k (pred = lvl + trd + s[k%7]) and the
+    report is the per-type WAPE (Σ|pred−y| / Σy, in ppm) — the
+    should-we-trust-this-forecast number next to the forecast itself
+    (weighted APE, not MAPE: zero-filled days make per-day percentage
+    errors undefined).
+
+    Exactness: the error accumulator rides INSIDE the same dyadic
+    recurrence (|pred−y| is a dyadic rational, summed in day order in
+    both engines — bit-exact like the state itself); Σy is an exact
+    BIGINT; WAPE is one double division floored to ppm.
+
+    Scale posture: identical to events_holt_winters — corpus collapses
+    to the checkpointed (type, day) rollup; one applyInPandas over the
+    calendar grid vs the DuckDB recursive CTE carrying (state, err_sum,
+    y_sum)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    def build():
+        return load_table(spark, sf_dir, "events").selectExpr(
+            "event_type",
+            "CAST(floor(unix_micros(CAST(ts AS TIMESTAMP)) / 86400000000)"
+            " AS BIGINT) AS day_idx",
+        ).groupBy("event_type", "day_idx").agg(
+            F.count("*").cast("bigint").alias("x")
+        )
+
+    cached_barrier_view(
+        spark, sf_dir, "typed_daily", build, tables=("events",)
+    )
+    grid = spark.sql(
+        """
+        WITH span AS (SELECT MIN(day_idx) AS lo, MAX(day_idx) AS hi
+                      FROM typed_daily),
+        types AS (SELECT DISTINCT event_type FROM typed_daily),
+        spine AS (
+            SELECT t.event_type, s.lo, g.idx
+            FROM types t CROSS JOIN span s
+            LATERAL VIEW explode(sequence(0, CAST(s.hi - s.lo AS INT)))
+                g AS idx
+        )
+        SELECT sp.event_type, sp.idx,
+               COALESCE(d.x, CAST(0 AS BIGINT)) AS y
+        FROM spine sp
+        LEFT JOIN typed_daily d
+          ON d.event_type = sp.event_type AND d.day_idx = sp.lo + sp.idx
+        """
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_scored_days", T.LongType()),
+            T.StructField("y_total", T.LongType()),
+            T.StructField("abs_err_micro", T.LongType()),
+            T.StructField("wape_ppm", T.LongType()),
+        ]
+    )
+
+    def kernel(key, pdf):
+        pdf = pdf.sort_values("idx")
+        ys = pdf["y"].tolist()
+        lvl, trd = float(ys[0]), 0.0
+        s = [0.0] * 7
+        err_sum, y_sum, scored = 0.0, 0, 0
+        for k, yk in enumerate(ys):
+            y = float(yk)
+            if k >= _HW_WARMUP:
+                pred = lvl + trd + s[k % 7]
+                err_sum = err_sum + abs(pred - y)
+                y_sum += int(yk)
+                scored += 1
+            s_old = s[k % 7]
+            lvl_new = 0.5 * (y - s_old) + 0.5 * (lvl + trd)
+            trd = 0.25 * (lvl_new - lvl) + 0.75 * trd
+            s[k % 7] = 0.25 * (y - lvl_new) + 0.75 * s_old
+            lvl = lvl_new
+        em = err_sum * 1000000.0
+        abs_err_micro = int(math.floor(abs(em) + 0.5))
+        wape = (
+            int(math.floor(err_sum * 1000000.0 / y_sum))
+            if y_sum > 0 else None
+        )
+        return pd.DataFrame(
+            [[key[0], scored, y_sum, abs_err_micro, wape]],
+            columns=["event_type", "n_scored_days", "y_total",
+                     "abs_err_micro", "wape_ppm"],
+        )
+
+    return (
+        grid.groupBy("event_type")
+        .applyInPandas(kernel, out_schema)
+        .orderBy("event_type")
+    )
+
+
+EVENTS_HOLT_WINTERS_BACKTEST_SQL = f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               CAST(floor(CAST(epoch_us(ts) AS BIGINT) / 86400000000.0)
+                    AS BIGINT) AS day_idx,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT MIN(day_idx) AS lo, MAX(day_idx) AS hi FROM daily),
+    grid AS (
+        SELECT t.event_type, g.k AS idx, COALESCE(d.y, 0) AS y
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN span s
+        CROSS JOIN UNNEST(range(0, s.hi - s.lo + 1)) AS g(k)
+        LEFT JOIN daily d
+          ON d.event_type = t.event_type AND d.day_idx = s.lo + g.k
+    ),
+    nd AS (SELECT CAST(hi - lo + 1 AS BIGINT) AS nd FROM span),
+    rec AS (
+        SELECT event_type, CAST(1 AS BIGINT) AS k,
+               CAST(y AS DOUBLE) AS lvl, CAST(0 AS DOUBLE) AS trd,
+               CAST([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS DOUBLE[]) AS s,
+               CAST(0 AS DOUBLE) AS err_sum,
+               CAST(0 AS BIGINT) AS y_sum,
+               CAST(0 AS BIGINT) AS scored
+        FROM grid WHERE idx = 0
+        UNION ALL
+        SELECT event_type, k + 1,
+               lvl_new,
+               0.25 * (lvl_new - lvl) + 0.75 * trd,
+               list_transform([1, 2, 3, 4, 5, 6, 7],
+                   j -> CASE WHEN j = slot
+                             THEN 0.25 * (y - lvl_new) + 0.75 * s_old
+                             ELSE s[j] END),
+               err_new, y_new, scored_new
+        FROM (
+            SELECT r.event_type, r.k, r.lvl, r.trd, r.s,
+                   CAST(g.y AS DOUBLE) AS y,
+                   r.s[CAST(r.k % 7 AS BIGINT) + 1] AS s_old,
+                   CAST(r.k % 7 AS BIGINT) + 1 AS slot,
+                   0.5 * (CAST(g.y AS DOUBLE)
+                          - r.s[CAST(r.k % 7 AS BIGINT) + 1])
+                   + 0.5 * (r.lvl + r.trd) AS lvl_new,
+                   CASE WHEN r.k >= {_HW_WARMUP}
+                        THEN r.err_sum + abs((r.lvl + r.trd
+                             + r.s[CAST(r.k % 7 AS BIGINT) + 1])
+                             - CAST(g.y AS DOUBLE))
+                        ELSE r.err_sum END AS err_new,
+                   CASE WHEN r.k >= {_HW_WARMUP} THEN r.y_sum + g.y
+                        ELSE r.y_sum END AS y_new,
+                   CASE WHEN r.k >= {_HW_WARMUP} THEN r.scored + 1
+                        ELSE r.scored END AS scored_new
+            FROM rec r
+            JOIN grid g ON g.event_type = r.event_type AND g.idx = r.k
+        ) t
+    )
+    SELECT r.event_type,
+           CAST(r.scored AS BIGINT) AS n_scored_days,
+           CAST(r.y_sum AS BIGINT) AS y_total,
+           CAST(floor(abs(r.err_sum * 1000000.0) + 0.5) AS BIGINT)
+               AS abs_err_micro,
+           CASE WHEN r.y_sum > 0
+                THEN CAST(floor(r.err_sum * 1000000.0 / r.y_sum) AS BIGINT)
+                ELSE NULL END AS wape_ppm
+    FROM rec r, nd n WHERE r.k = n.nd
+    ORDER BY r.event_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "events_holt_winters_backtest": (
+        events_holt_winters_backtest,
+        EVENTS_HOLT_WINTERS_BACKTEST_SQL,
+    ),
     "events_new_user_curve": (
         events_new_user_curve,
         EVENTS_NEW_USER_CURVE_SQL,

@@ -1467,7 +1467,118 @@ def profile_mutual_information(
 PROFILE_MUTUAL_INFORMATION_SQL = _mi_body()
 
 
+# ---------------------------------------------------------------------------
+# sample_timeseries_cv — rolling-origin (expanding-window) CV splits
+# ---------------------------------------------------------------------------
+
+_TSCV_FOLDS = 4
+
+
+def _tscv_body(engine: str) -> str:
+    """Rolling-origin cross-validation splits over event time (the
+    time-series CV sklearn's TimeSeriesSplit implements — random
+    k-fold leaks the future into training): the day range is cut into
+    {_TSCV_FOLDS + 1} equal spans; fold f trains on everything before
+    cutoff f and tests on the next span. The report carries the
+    leakage accounting a forecasting pipeline audits: per fold, train
+    and test day/event counts plus how many TEST users were already
+    seen in training (user overlap is expected and quantified — the
+    cold-start share is its complement).
+
+    Exactness: cutoffs are pure integer floor divisions of the span;
+    every count is exact (two-level aggregate for the per-user overlap
+    flags).
+
+    Scale posture: the fold table is {_TSCV_FOLDS} literal rows joined
+    broadcast; per-(fold, user) flags aggregate map-side before the
+    {_TSCV_FOLDS}-row report. The operator is inherently multi-pass
+    (a user-level distinct AND an event-level count over different
+    groupings); each pass is one uniform-keyed aggregate."""
+    folds = ", ".join(f"({f})" for f in range(1, _TSCV_FOLDS + 1))
+    if engine == "spark":
+        ev_days = ("SELECT user_id, CAST(floor(unix_micros(CAST(ts AS"
+                   " TIMESTAMP)) / 86400000000.0) AS BIGINT) AS day_idx"
+                   " FROM events")
+    else:
+        ev_days = ("SELECT user_id, CAST(floor(CAST(epoch_us(ts) AS"
+                   " BIGINT) / 86400000000.0) AS BIGINT) AS day_idx"
+                   " FROM events")
+    return f"""
+        WITH ev AS ({ev_days}),
+        ud AS (SELECT DISTINCT user_id, day_idx FROM ev),
+        span AS (SELECT MIN(day_idx) AS lo, MAX(day_idx) AS hi,
+                        MAX(day_idx) - MIN(day_idx) + 1 AS nd
+                 FROM ud),
+        folds AS (
+            -- explicit floor: nd and f are nonnegative, but `/` is
+            -- double division in both engines and CAST(double) rounds
+            -- in DuckDB where Spark truncates
+            SELECT f.f,
+                   CAST(s.lo + floor((s.nd * f.f) * 1.0
+                                     / ({_TSCV_FOLDS} + 1))
+                        AS BIGINT) AS cutoff,
+                   CAST(s.lo + floor((s.nd * (f.f + 1)) * 1.0
+                                     / ({_TSCV_FOLDS} + 1))
+                        AS BIGINT) AS test_end
+            FROM (VALUES {folds}) AS f(f) CROSS JOIN span s
+        ),
+        flags AS (
+            SELECT fo.f, u.user_id,
+                   MAX(CASE WHEN u.day_idx < fo.cutoff THEN 1 ELSE 0
+                       END) AS in_train,
+                   MAX(CASE WHEN u.day_idx >= fo.cutoff
+                             AND u.day_idx < fo.test_end THEN 1 ELSE 0
+                       END) AS in_test
+            FROM ud u CROSS JOIN folds fo
+            GROUP BY fo.f, u.user_id
+        ),
+        users AS (
+            SELECT f,
+                   CAST(SUM(in_train) AS BIGINT) AS n_train_users,
+                   CAST(SUM(in_test) AS BIGINT) AS n_test_users,
+                   CAST(SUM(in_train * in_test) AS BIGINT)
+                       AS n_overlap_users
+            FROM flags GROUP BY f
+        ),
+        ev_counts AS (
+            SELECT fo.f,
+                   CAST(SUM(CASE WHEN e.day_idx < fo.cutoff THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_train_events,
+                   CAST(SUM(CASE WHEN e.day_idx >= fo.cutoff
+                             AND e.day_idx < fo.test_end THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_test_events
+            FROM ev e CROSS JOIN folds fo
+            GROUP BY fo.f
+        )
+        SELECT u.f AS fold,
+               fo.cutoff, fo.test_end,
+               c.n_train_events, c.n_test_events,
+               u.n_train_users, u.n_test_users, u.n_overlap_users,
+               CASE WHEN u.n_test_users = 0 THEN NULL
+                    ELSE CAST(floor(u.n_overlap_users * 1000000.0
+                                    / u.n_test_users) AS BIGINT)
+               END AS warm_start_ppm
+        FROM users u
+        JOIN folds fo ON fo.f = u.f
+        JOIN ev_counts c ON c.f = u.f
+        ORDER BY fold
+    """
+
+
+def sample_timeseries_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin CV splits — see _tscv_body."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_tscv_body("spark"))
+
+
+SAMPLE_TIMESERIES_CV_SQL = _tscv_body("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "sample_timeseries_cv": (
+        sample_timeseries_cv,
+        SAMPLE_TIMESERIES_CV_SQL,
+    ),
     "profile_mutual_information": (
         profile_mutual_information,
         PROFILE_MUTUAL_INFORMATION_SQL,

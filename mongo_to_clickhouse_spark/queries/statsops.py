@@ -2082,7 +2082,143 @@ def events_power_law_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_POWER_LAW_HILL_SQL = _hill_body("duck")
 
 
+# ---------------------------------------------------------------------------
+# events_alert_debounce — hysteresis alerting over the hourly error rate
+# ---------------------------------------------------------------------------
+
+_DEBOUNCE_ON = 3    # consecutive breach hours to raise
+_DEBOUNCE_OFF = 2   # consecutive quiet hours to clear
+
+
+def _alert_debounce_body(engine: str, hourly_from: str | None = None) -> str:
+    """Debounced (hysteresis) alerting over the hourly error rate: the
+    alert RAISES after {_DEBOUNCE_ON} consecutive breach hours
+    (error share ≥ 5%, decided by integer cross-multiplication) and
+    CLEARS after {_DEBOUNCE_OFF} consecutive quiet hours — the
+    flap-suppression every pager pipeline puts in front of
+    events_error_budget_burn's raw thresholds. State is expressed
+    declaratively: raise/clear trigger hours via fixed trailing
+    frames, current state = which trigger fired most recently.
+
+    The hourly spine is DENSE (global min..max hour; empty hours are
+    quiet) so consecutive means wall-clock consecutive, not
+    consecutive-observed.
+
+    Scale posture: one scan → the (hour) aggregate; the spine join and
+    every window run over the |hours| calendar grid (whitelisted
+    bound)."""
+    if engine == "spark":
+        ep = "unix_micros(CAST(ts AS TIMESTAMP))"
+        spine = """
+            SELECT s.lo + g.i AS hour_idx
+            FROM span s
+            LATERAL VIEW explode(sequence(0, CAST(s.hi - s.lo AS INT)))
+                g AS i
+        """
+    else:
+        ep = "CAST(epoch_us(ts) AS BIGINT)"
+        spine = """
+            SELECT s.lo + g.i AS hour_idx
+            FROM span s CROSS JOIN UNNEST(range(0, s.hi - s.lo + 1))
+                AS g(i)
+        """
+    # the hourly aggregate is referenced by span AND grid — the Spark
+    # side passes a checkpointed view so the corpus scans once
+    hourly_rel = hourly_from or f"""(
+            SELECT CAST(floor({ep} / 3600000000.0) AS BIGINT) AS hour_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_errors
+            FROM events GROUP BY 1
+        )"""
+    return f"""
+        WITH hourly AS (SELECT * FROM {hourly_rel}),
+        span AS (SELECT MIN(hour_idx) AS lo, MAX(hour_idx) AS hi
+                 FROM hourly),
+        grid AS (
+            SELECT sp.hour_idx,
+                   CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+                   CAST(COALESCE(h.n_errors, 0) AS BIGINT) AS n_errors
+            FROM ({spine}) sp
+            LEFT JOIN hourly h ON h.hour_idx = sp.hour_idx
+        ),
+        flagged AS (
+            SELECT hour_idx, n_events, n_errors,
+                   CASE WHEN n_events > 0
+                         AND n_errors * 20 >= n_events THEN 1 ELSE 0
+                   END AS breach
+            FROM grid
+        ),
+        trig AS (
+            SELECT hour_idx, n_events, n_errors, breach,
+                   CASE WHEN SUM(breach) OVER (ORDER BY hour_idx
+                            ROWS BETWEEN {_DEBOUNCE_ON - 1} PRECEDING
+                            AND CURRENT ROW) = {_DEBOUNCE_ON}
+                         AND COUNT(*) OVER (ORDER BY hour_idx
+                            ROWS BETWEEN {_DEBOUNCE_ON - 1} PRECEDING
+                            AND CURRENT ROW) = {_DEBOUNCE_ON}
+                        THEN hour_idx END AS on_h,
+                   CASE WHEN SUM(breach) OVER (ORDER BY hour_idx
+                            ROWS BETWEEN {_DEBOUNCE_OFF - 1} PRECEDING
+                            AND CURRENT ROW) = 0
+                         AND COUNT(*) OVER (ORDER BY hour_idx
+                            ROWS BETWEEN {_DEBOUNCE_OFF - 1} PRECEDING
+                            AND CURRENT ROW) = {_DEBOUNCE_OFF}
+                        THEN hour_idx END AS off_h
+            FROM flagged
+        ),
+        state AS (
+            SELECT hour_idx, n_events, n_errors, breach,
+                   MAX(on_h) OVER (ORDER BY hour_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS last_on,
+                   MAX(off_h) OVER (ORDER BY hour_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS last_off
+            FROM trig
+        )
+        SELECT hour_idx, n_events, n_errors,
+               CAST(breach AS BIGINT) AS breach,
+               (last_on IS NOT NULL
+                AND (last_off IS NULL OR last_on > last_off)) AS alert_on
+        FROM state
+        ORDER BY hour_idx
+    """
+
+
+def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hysteresis pager state over hourly error rates — see
+    _alert_debounce_body. The hourly aggregate rides a checkpoint so
+    the span and grid consumers scan the corpus once."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+
+    def build():
+        return spark.sql(
+            "SELECT CAST(floor(unix_micros(CAST(ts AS TIMESTAMP))"
+            " / 3600000000.0) AS BIGINT) AS hour_idx,"
+            " CAST(COUNT(*) AS BIGINT) AS n_events,"
+            " CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_errors FROM events GROUP BY 1"
+        )
+
+    hourly = cached_barrier_view(
+        spark, sf_dir, "hourly_err_grid", build, tables=("events",)
+    )
+    return spark.sql(_alert_debounce_body("spark", hourly_from=hourly))
+
+
+EVENTS_ALERT_DEBOUNCE_SQL = _alert_debounce_body("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "events_alert_debounce": (
+        events_alert_debounce,
+        EVENTS_ALERT_DEBOUNCE_SQL,
+    ),
     "events_power_law_hill": (
         events_power_law_hill,
         EVENTS_POWER_LAW_HILL_SQL,

@@ -92,6 +92,9 @@ _BOUNDED_WINDOW_WHITELIST = {
     # the re-rank/min windows run over the ORDER/LIMIT tail output:
     # exactly HILL_K + 1 (101) rows by construction
     "events_power_law_hill",
+    # trigger/state windows run over the dense HOURLY grid behind the
+    # checkpointed hourly aggregate: |hours| rows (calendar-bounded)
+    "events_alert_debounce",
     # the at-risk reverse-cumulative and the KM log-product windows run
     # over the duration-bucket AGGREGATE: observation-window hours
     "events_survival_km",

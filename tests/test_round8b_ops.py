@@ -454,6 +454,101 @@ def test_hill_estimator_against_numpy(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# events_holt_winters_backtest
+# ---------------------------------------------------------------------------
+
+
+def test_hw_backtest_constant_series_has_zero_error(spark, tmp_path):
+    # constant series: the one-step-ahead prediction is exact, so the
+    # scored error mass and WAPE are exactly zero
+    day_us = 86_400_000_000
+    rows = []
+    eid = 0
+    for d in range(14):
+        for k in range(4):
+            eid += 1
+            rows.append((eid, d * day_us + k, 1, "aa", 1.0))
+    sf = _write_events(tmp_path, rows)
+    from mongo_to_clickhouse_spark.queries.bizops import (
+        _HW_WARMUP,
+        events_holt_winters_backtest,
+    )
+
+    got = events_holt_winters_backtest(spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_scored_days == 14 - _HW_WARMUP
+    assert r.y_total == 4 * (14 - _HW_WARMUP)
+    assert r.abs_err_micro == 0
+    assert r.wape_ppm == 0
+
+
+# ---------------------------------------------------------------------------
+# sample_timeseries_cv
+# ---------------------------------------------------------------------------
+
+
+def test_timeseries_cv_split_invariants(spark, sf_dir):
+    from mongo_to_clickhouse_spark.queries.sampleops import (
+        _TSCV_FOLDS,
+        sample_timeseries_cv,
+    )
+
+    rows = sorted(sample_timeseries_cv(spark, sf_dir).collect(),
+                  key=lambda r: r.fold)
+    assert [r.fold for r in rows] == list(range(1, _TSCV_FOLDS + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        # expanding window: training strictly grows, cutoffs advance
+        assert cur.cutoff > prev.cutoff
+        assert cur.n_train_events >= prev.n_train_events
+        assert cur.n_train_users >= prev.n_train_users
+    for r in rows:
+        assert r.cutoff < r.test_end
+        assert r.n_overlap_users <= min(r.n_train_users, r.n_test_users)
+        assert 0 <= r.warm_start_ppm <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# events_alert_debounce
+# ---------------------------------------------------------------------------
+
+
+def test_alert_debounce_raise_and_clear(spark, tmp_path):
+    # hours 0-1: healthy (20 events, 0 errors); hours 2-4: 3 breach
+    # hours (all errors) -> alert raises AT hour 4; hour 5 breaches on
+    # (alert stays); hours 6-7 quiet -> clears AT hour 7
+    rows = []
+    eid = 0
+
+    def add(hour, n_ok, n_err):
+        nonlocal eid
+        for k in range(n_ok):
+            eid += 1
+            rows.append((eid, hour * _HOUR_US + k, 1, "view", 1.0))
+        for k in range(n_err):
+            eid += 1
+            rows.append((eid, hour * _HOUR_US + 1000 + k, 1, "error", 1.0))
+
+    add(0, 20, 0)
+    add(1, 20, 0)
+    add(2, 0, 5)
+    add(3, 0, 5)
+    add(4, 0, 5)
+    add(5, 0, 5)
+    add(6, 20, 0)
+    add(7, 20, 0)
+    sf = _write_events(tmp_path, rows)
+    from mongo_to_clickhouse_spark.queries.statsops import (
+        events_alert_debounce,
+    )
+
+    got = {r.hour_idx: r for r in events_alert_debounce(spark, sf).collect()}
+    assert [got[h].breach for h in range(8)] == [0, 0, 1, 1, 1, 1, 0, 0]
+    want_alert = [False, False, False, False, True, True, True, False]
+    assert [got[h].alert_on for h in range(8)] == want_alert
+
+
+# ---------------------------------------------------------------------------
 # profile_mutual_information
 # ---------------------------------------------------------------------------
 
