@@ -1239,7 +1239,227 @@ def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVAL_CALIBRATION_ECE_SQL = _ece_body("documents")
 
 
+# ---------------------------------------------------------------------------
+# eval_winrate_bradley_terry — preference-strength ranking via BT MM
+# ---------------------------------------------------------------------------
+
+_BT_ROUNDS = 5
+
+
+def _bt_body(engine: str, pairs_from: str | None = None) -> str:
+    """Bradley-Terry preference model over event types (the model
+    behind every pairwise-preference leaderboard, RLHF reward
+    calibration included), fit with {_BT_ROUNDS} unrolled
+    minorization-maximization rounds: a type "beats" another on a
+    user-day where both appear and it has strictly more events;
+    θ'_i = w_i / Σ_j m_ij/(θ_i+θ_j), renormalized to Σθ = K each
+    round (Hunter 2004's MM — monotone, hyperparameter-free).
+
+    Exactness: comparison counts are exact integers; each MM round
+    rounds the per-pair term to an integer ONCE
+    (T = round(m·10¹²/(θᵢ+θⱼ)) over integer micro-θ), so the
+    denominator is an exact BIGINT sum at any aggregation order; the
+    two divisions per round are identical-order double expressions
+    rounded back to micro ints. Ties (equal counts) are no-contests.
+
+    Scale posture: one scan → the (user, day, type) aggregate → the
+    ≤K² pair matrix; every MM round is arithmetic over ≤K²-row
+    relations (the Spark side passes the matrix through a checkpoint
+    so the unrolled chain re-reads a leaf, not the corpus)."""
+    ep = ("unix_micros(CAST(ts AS TIMESTAMP))" if engine == "spark"
+          else "CAST(epoch_us(ts) AS BIGINT)")
+    pairs_rel = pairs_from or f"""(
+        WITH udt AS (
+            SELECT user_id,
+                   CAST(floor({ep} / 86400000000.0) AS BIGINT) AS day_idx,
+                   event_type, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2, 3
+        )
+        SELECT a.event_type AS i, b.event_type AS j,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM udt a
+        JOIN udt b ON a.user_id = b.user_id AND a.day_idx = b.day_idx
+                  AND a.c > b.c
+        GROUP BY a.event_type, b.event_type
+    )"""
+    # MATERIALIZED: each round references the previous θ relation twice
+    # (θᵢ and θⱼ) — without the hint DuckDB re-inlines the whole chain
+    # per reference and the unrolled plan grows 4^rounds-fold (measured
+    # as a >60 s hang at sf0.01; the Spark twin checkpoints per round
+    # for the same reason)
+    chain = [f"""
+        WITH pairs AS MATERIALIZED (SELECT * FROM {pairs_rel}),
+        sym AS MATERIALIZED (
+            SELECT i, j, CAST(SUM(n) AS BIGINT) AS m FROM (
+                SELECT i, j, n FROM pairs
+                UNION ALL SELECT j AS i, i AS j, n FROM pairs
+            ) b GROUP BY i, j
+        ),
+        wins AS MATERIALIZED (
+            SELECT s.i,
+                   CAST(COALESCE(MAX(w.w), 0) AS BIGINT) AS w,
+                   CAST(SUM(s.m) AS BIGINT) AS games
+            FROM sym s
+            LEFT JOIN (SELECT i, CAST(SUM(n) AS BIGINT) AS w
+                       FROM pairs GROUP BY i) w ON w.i = s.i
+            GROUP BY s.i
+        ),
+        kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM wins),
+        t0 AS MATERIALIZED (
+            SELECT i, CAST(1000000 AS BIGINT) AS th FROM wins)"""]
+    for r in range(1, _BT_ROUNDS + 1):
+        chain.append(f""",
+        d{r} AS (
+            SELECT s.i,
+                   CAST(SUM(CAST(round(CAST(s.m AS DOUBLE) * 1e12
+                                       / (ta.th + tb.th)) AS BIGINT))
+                        AS BIGINT) AS denom
+            FROM sym s
+            JOIN t{r - 1} ta ON ta.i = s.i
+            JOIN t{r - 1} tb ON tb.i = s.j
+            GROUP BY s.i
+        ),
+        u{r} AS MATERIALIZED (
+            SELECT d.i,
+                   CAST(round(CAST(w.w AS DOUBLE) * 1e18
+                              / CASE WHEN d.denom = 0 THEN 1
+                                     ELSE d.denom END) AS BIGINT)
+                       AS th_raw
+            FROM d{r} d JOIN wins w ON w.i = d.i
+        ),
+        t{r} AS MATERIALIZED (
+            SELECT u.i,
+                   CAST(round(CAST(u.th_raw AS DOUBLE)
+                              * (k.k * 1000000.0)
+                              / CASE WHEN s.s = 0 THEN 1 ELSE s.s END)
+                        AS BIGINT) AS th
+            FROM u{r} u
+            CROSS JOIN (SELECT CAST(SUM(th_raw) AS BIGINT) AS s
+                        FROM u{r}) s
+            CROSS JOIN kk k
+        )""")
+    chain.append(f"""
+        SELECT w.i AS event_type, w.w AS wins, w.games,
+               t.th AS theta_micro,
+               CAST(ROW_NUMBER() OVER (ORDER BY t.th DESC, w.i)
+                    AS INTEGER) AS rank
+        FROM wins w JOIN t{_BT_ROUNDS} t ON t.i = w.i
+        ORDER BY rank""")
+    return "".join(chain)
+
+
+def eval_winrate_bradley_terry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bradley-Terry leaderboard — see _bt_body for the shared math.
+    The Spark side runs the MM rounds IMPERATIVELY with a reliable
+    checkpoint per round: each round's θ relation references the
+    previous round TWICE (θᵢ and θⱼ in the same denominator), so an
+    unrolled view chain re-expands 2^rounds-fold in Catalyst (the
+    graph_modularity lesson); barriering the 5-row state each round
+    keeps every round's plan two leaf joins. Same integer rounding as
+    the oracle's unrolled chain — results are bit-identical."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+        reliable_checkpoint,
+    )
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+
+    def build():
+        return spark.sql(
+            """
+            WITH udt AS (
+                SELECT user_id,
+                       CAST(floor(unix_micros(CAST(ts AS TIMESTAMP))
+                                  / 86400000000.0) AS BIGINT) AS day_idx,
+                       event_type, CAST(COUNT(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2, 3
+            )
+            SELECT a.event_type AS i, b.event_type AS j,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM udt a
+            JOIN udt b ON a.user_id = b.user_id AND a.day_idx = b.day_idx
+                      AND a.c > b.c
+            GROUP BY a.event_type, b.event_type
+            """
+        )
+
+    pairs = cached_barrier_view(
+        spark, sf_dir, "bt_pairs", build, tables=("events",)
+    )
+    reliable_checkpoint(spark.sql(
+        f"""SELECT i, j, CAST(SUM(n) AS BIGINT) AS m FROM (
+               SELECT i, j, n FROM {pairs}
+               UNION ALL SELECT j AS i, i AS j, n FROM {pairs}) b
+            GROUP BY i, j"""
+    )).createOrReplaceTempView("bt_sym")
+    reliable_checkpoint(spark.sql(
+        f"""SELECT s.i,
+                   CAST(COALESCE(MAX(w.w), 0) AS BIGINT) AS w,
+                   CAST(SUM(s.m) AS BIGINT) AS games
+            FROM bt_sym s
+            LEFT JOIN (SELECT i, CAST(SUM(n) AS BIGINT) AS w
+                       FROM {pairs} GROUP BY i) w ON w.i = s.i
+            GROUP BY s.i"""
+    )).createOrReplaceTempView("bt_wins")
+    th = spark.sql(
+        "SELECT i, CAST(1000000 AS BIGINT) AS th FROM bt_wins"
+    )
+    for _ in range(_BT_ROUNDS):
+        reliable_checkpoint(th).createOrReplaceTempView("bt_th")
+        th = spark.sql(
+            """
+            WITH d AS (
+                SELECT s.i,
+                       CAST(SUM(CAST(round(CAST(s.m AS DOUBLE) * 1e12
+                                           / (ta.th + tb.th)) AS BIGINT))
+                            AS BIGINT) AS denom
+                FROM bt_sym s
+                JOIN bt_th ta ON ta.i = s.i
+                JOIN bt_th tb ON tb.i = s.j
+                GROUP BY s.i
+            ),
+            u AS (
+                SELECT d.i,
+                       CAST(round(CAST(w.w AS DOUBLE) * 1e18
+                                  / CASE WHEN d.denom = 0 THEN 1
+                                         ELSE d.denom END) AS BIGINT)
+                           AS th_raw
+                FROM d JOIN bt_wins w ON w.i = d.i
+            )
+            SELECT u.i,
+                   CAST(round(CAST(u.th_raw AS DOUBLE)
+                              * (k.k * 1000000.0)
+                              / CASE WHEN s.s = 0 THEN 1 ELSE s.s END)
+                        AS BIGINT) AS th
+            FROM u
+            CROSS JOIN (SELECT CAST(SUM(th_raw) AS BIGINT) AS s FROM u) s
+            CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS k
+                        FROM bt_wins) k
+            """
+        )
+    reliable_checkpoint(th).createOrReplaceTempView("bt_th_final")
+    return spark.sql(
+        """
+        SELECT w.i AS event_type, w.w AS wins, w.games,
+               t.th AS theta_micro,
+               CAST(ROW_NUMBER() OVER (ORDER BY t.th DESC, w.i)
+                    AS INTEGER) AS rank
+        FROM bt_wins w JOIN bt_th_final t ON t.i = w.i
+        ORDER BY rank
+        """
+    )
+
+
+EVAL_WINRATE_BRADLEY_TERRY_SQL = _bt_body("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "eval_winrate_bradley_terry": (
+        eval_winrate_bradley_terry,
+        EVAL_WINRATE_BRADLEY_TERRY_SQL,
+    ),
     "eval_calibration_ece": (eval_calibration_ece, EVAL_CALIBRATION_ECE_SQL),
     "eval_minhash_estimate_error": (
         eval_minhash_estimate_error,

@@ -1574,7 +1574,88 @@ def sample_timeseries_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_TIMESERIES_CV_SQL = _tscv_body("duck")
 
 
+# ---------------------------------------------------------------------------
+# sample_downsample_head_heavy — cap head users at the p95 activity level
+# ---------------------------------------------------------------------------
+
+
+def _head_cap_body(engine: str) -> str:
+    """Head-user downsampling: cap every user's event contribution at
+    the p95 of the per-user activity distribution, keeping a
+    DETERMINISTIC hash-spread sample of the capped users' events (an
+    unbiased within-user subset, not the earliest ids) — the
+    anti-dominance pass a behavioral-training pipeline runs so a few
+    bot-grade users can't own the corpus.
+
+    Exactness: the p95 cap comes from the per-user-count VALUE GRID
+    (smallest count c with cum_users·1e6 ≥ 950000·n_users — integer
+    cross-multiplication); the kept-set is a ROW_NUMBER under the
+    multiplicative-spread rank; the report is exact integers.
+
+    Scale posture: one scan → per-user counts (uniform shuffle); the
+    cap derives from the count-value grid (bounded by max activity,
+    not user count); the keep-rank window is (user)-partitioned; the
+    report is a |types|-row aggregate."""
+    del engine  # identical on both sides
+    return """
+        WITH pu AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY user_id
+        ),
+        grid AS (
+            SELECT cnt, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM pu GROUP BY cnt
+        ),
+        cum AS (
+            SELECT cnt,
+                   CAST(SUM(n_users) OVER (ORDER BY cnt
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cu,
+                   CAST(SUM(n_users) OVER () AS BIGINT) AS nu
+            FROM grid
+        ),
+        cap AS (
+            SELECT CAST(MIN(cnt) AS BIGINT) AS cap
+            FROM cum WHERE cu * 1000000 >= 950000 * nu
+        ),
+        ranked AS (
+            SELECT e.event_type, e.user_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.user_id
+                       ORDER BY (e.event_id * 2654435761) % 1000000007,
+                                e.event_id) AS rn
+            FROM events e
+        )
+        SELECT r.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_before,
+               CAST(SUM(CASE WHEN r.rn <= c.cap THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_after,
+               CAST(floor((COUNT(*) - SUM(CASE WHEN r.rn <= c.cap THEN 1
+                                          ELSE 0 END)) * 1000000.0
+                          / COUNT(*)) AS BIGINT) AS removed_ppm,
+               CAST(MAX(c.cap) AS BIGINT) AS cap_events_per_user
+        FROM ranked r CROSS JOIN cap c
+        GROUP BY r.event_type
+        ORDER BY r.event_type
+    """
+
+
+def sample_downsample_head_heavy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """p95 head-user cap — see _head_cap_body."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_head_cap_body("spark"))
+
+
+SAMPLE_DOWNSAMPLE_HEAD_HEAVY_SQL = _head_cap_body("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "sample_downsample_head_heavy": (
+        sample_downsample_head_heavy,
+        SAMPLE_DOWNSAMPLE_HEAD_HEAVY_SQL,
+    ),
     "sample_timeseries_cv": (
         sample_timeseries_cv,
         SAMPLE_TIMESERIES_CV_SQL,

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mongo_to_clickhouse_spark.config import TUNING
+from mongo_to_clickhouse_spark.io import load_table
 from mongo_to_clickhouse_spark.queries.corpusops import _toks_view
 
 BPE_TOP_K = TUNING.bpe_top_k          # merge candidates returned per round
@@ -1563,7 +1564,90 @@ TOKENIZER_VOCAB_COVERAGE_CURVE_SQL = _vocab_curve_tail_sql(
 )
 
 
+# ---------------------------------------------------------------------------
+# tokenizer_sentencepiece_normalize — pre-tokenization text normalization
+# ---------------------------------------------------------------------------
+
+
+def _sp_normalize_body(engine: str) -> str:
+    """The SentencePiece-style pre-tokenization normalization cascade
+    applied in the only safe order — (1) unicode punctuation folding
+    (curly quotes/dashes → ASCII), (2) whitespace-class folding
+    (tab/newline/CR → space, via chr() codes: Spark's string-literal
+    parser EATS unknown backslash escapes, so a '\\x0b'-style regex
+    class silently becomes the char class [x0b…] — caught by the
+    oracle), (3) lowercase, (4) space collapse + trim — with per-rule
+    changed-document accounting and the corpus char delta: the report
+    that tells a tokenizer team what each rule actually touches before
+    they bake it into the model's normalizer spec.
+
+    Exactness: pure string builtins (replace/regexp_replace/lower/
+    trim); counts and char sums are exact integers.
+
+    Scale posture: narrow maps over one documents scan (JVM codegen,
+    no Python); the report is one |sources|-row aggregate."""
+    rr = (
+        (lambda p, r, s: f"regexp_replace({s}, '{p}', '{r}')")
+        if engine == "spark"
+        else (lambda p, r, s: f"regexp_replace({s}, '{p}', '{r}', 'g')")
+    )
+    quotes = (
+        "replace(replace(replace(replace(replace(text,"
+        " '‘', ''''), '’', ''''), '“', '\"'),"
+        " '”', '\"'), '—', '-')"
+    )
+    ctrl = ("replace(replace(replace(s1, chr(9), ' '), chr(10), ' '),"
+            " chr(13), ' ')")
+    collapse = f"trim({rr(' +', ' ', 'lower(s2)')})"
+    return f"""
+        WITH staged AS (
+            SELECT doc_id, source, text,
+                   {quotes} AS s1
+            FROM documents
+        ),
+        staged2 AS (
+            SELECT doc_id, source, text, s1, {ctrl} AS s2 FROM staged
+        ),
+        normed AS (
+            SELECT doc_id, source, text, s1, s2, {collapse} AS s3
+            FROM staged2
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN s1 <> text THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_punct_folded,
+               CAST(SUM(CASE WHEN s2 <> s1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_ws_folded,
+               CAST(SUM(CASE WHEN s3 <> lower(s2) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS docs_ws_collapsed,
+               CAST(SUM(CASE WHEN s3 <> text THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_changed,
+               CAST(SUM(length(text)) AS BIGINT) AS chars_before,
+               CAST(SUM(length(s3)) AS BIGINT) AS chars_after
+        FROM normed
+        GROUP BY source
+        ORDER BY source
+    """
+
+
+def tokenizer_sentencepiece_normalize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pre-tokenization normalization cascade — see _sp_normalize_body."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_sp_normalize_body("spark"))
+
+
+TOKENIZER_SENTENCEPIECE_NORMALIZE_SQL = _sp_normalize_body("duck")
+
+
 QUERIES = {
+    "tokenizer_sentencepiece_normalize": (
+        tokenizer_sentencepiece_normalize,
+        TOKENIZER_SENTENCEPIECE_NORMALIZE_SQL,
+    ),
     "tokenizer_unigram_em_soft": (
         tokenizer_unigram_em_soft,
         TOKENIZER_UNIGRAM_EM_SOFT_SQL,

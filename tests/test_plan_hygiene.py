@@ -95,6 +95,12 @@ _BOUNDED_WINDOW_WHITELIST = {
     # trigger/state windows run over the dense HOURLY grid behind the
     # checkpointed hourly aggregate: |hours| rows (calendar-bounded)
     "events_alert_debounce",
+    # the cap-derivation windows run over the per-user-count VALUE
+    # GRID: bounded by max per-user activity, not user count
+    "sample_downsample_head_heavy",
+    # the leaderboard rank window runs over the |event types| (≤K)
+    # theta relation
+    "eval_winrate_bradley_terry",
     # the at-risk reverse-cumulative and the KM log-product windows run
     # over the duration-bucket AGGREGATE: observation-window hours
     "events_survival_km",

@@ -549,6 +549,99 @@ def test_alert_debounce_raise_and_clear(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# tokenizer_sentencepiece_normalize
+# ---------------------------------------------------------------------------
+
+
+def test_sp_normalize_rule_accounting(spark, tmp_path):
+    texts = [
+        "“Hello” — WORLD",   # curly quotes + em dash + upper
+        "tab\there",                        # tab -> space
+        "double  space",                    # collapse
+        "already clean",
+    ]
+    sf = _write_documents(tmp_path, texts)
+    from mongo_to_clickhouse_spark.queries.tokenizerops import (
+        tokenizer_sentencepiece_normalize,
+    )
+
+    got = tokenizer_sentencepiece_normalize(spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_docs == 4
+    assert r.docs_punct_folded == 1
+    assert r.docs_ws_folded == 1
+    assert r.docs_ws_collapsed == 1
+    assert r.docs_changed == 3  # "already clean" survives untouched
+    # '“Hello” — WORLD' (15) -> '"hello" - world' (15); others shrink 1
+    assert r.chars_before - r.chars_after == 1
+
+
+# ---------------------------------------------------------------------------
+# sample_downsample_head_heavy
+# ---------------------------------------------------------------------------
+
+
+def test_head_cap_planted_whale(spark, tmp_path):
+    # 20 users with 2 events, one whale with 100: the p95 cap lands at
+    # 2, so the whale keeps exactly 2 hash-chosen events
+    rows = []
+    eid = 0
+    for u in range(1, 21):
+        for k in range(2):
+            eid += 1
+            rows.append((eid, eid, u, "view", 1.0))
+    for k in range(100):
+        eid += 1
+        rows.append((eid, eid, 999, "view", 1.0))
+    sf = _write_events(tmp_path, rows)
+    from mongo_to_clickhouse_spark.queries.sampleops import (
+        sample_downsample_head_heavy,
+    )
+
+    got = sample_downsample_head_heavy(spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.cap_events_per_user == 2
+    assert (r.n_before, r.n_after) == (140, 42)
+    assert r.removed_ppm == (98 * 1_000_000) // 140
+
+
+# ---------------------------------------------------------------------------
+# eval_winrate_bradley_terry
+# ---------------------------------------------------------------------------
+
+
+def test_bradley_terry_total_order(spark, tmp_path):
+    # 10 user-days where click(3) > view(2) > error(1): a strict
+    # dominance order the MM fit must reproduce
+    rows = []
+    eid = 0
+    day_us = 86_400_000_000
+    for u in range(1, 11):
+        t0 = u * day_us
+        for k in range(3):
+            eid += 1
+            rows.append((eid, t0 + k, u, "click", 1.0))
+        for k in range(2):
+            eid += 1
+            rows.append((eid, t0 + 10 + k, u, "view", 1.0))
+        eid += 1
+        rows.append((eid, t0 + 20, u, "error", 1.0))
+    sf = _write_events(tmp_path, rows)
+    from mongo_to_clickhouse_spark.queries.evalops import (
+        eval_winrate_bradley_terry,
+    )
+
+    got = sorted(eval_winrate_bradley_terry(spark, sf).collect(),
+                 key=lambda r: r.rank)
+    assert [r.event_type for r in got] == ["click", "view", "error"]
+    assert [r.wins for r in got] == [20, 10, 0]
+    assert all(r.games == 20 for r in got)
+    assert got[0].theta_micro > got[1].theta_micro > got[2].theta_micro
+
+
+# ---------------------------------------------------------------------------
 # profile_mutual_information
 # ---------------------------------------------------------------------------
 
