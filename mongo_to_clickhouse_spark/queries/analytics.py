@@ -409,7 +409,81 @@ FUNNEL_TIME_TO_CONVERT_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# events_retention_revenue_weighted — dollar-weighted retention triangle
+# ---------------------------------------------------------------------------
+
+
+def _rev_retention_body(engine: str) -> str:
+    """Revenue-weighted retention triangle: the classic cohort × offset
+    triangle (retention_cohorts) with each cell carrying the cohort's
+    EVENT VALUE at that offset and its share of the cohort's day-0
+    revenue — net revenue retention per cohort-day, the SaaS metric
+    user-count retention systematically overstates (light users churn
+    first).
+
+    Exactness: day indexing is pure integer (µs epoch floor-div);
+    money is exact cents; the day-0 anchor comes from a PARTITIONED
+    window over the bounded cohort×offset triangle; the share is one
+    integer cross-multiplied floor, NULL when the cohort had no day-0
+    revenue.
+
+    Scale posture: one scan → the user-keyed first-day MIN, one
+    broadcast-able join back, one (cohort, offset) aggregate; the
+    anchor window and share run over the |days|² triangle."""
+    ep = ("unix_micros(CAST(ts AS TIMESTAMP))" if engine == "spark"
+          else "CAST(epoch_us(ts) AS BIGINT)")
+    return f"""
+        WITH ev AS (
+            SELECT user_id,
+                   CAST(floor({ep} / 86400000000.0) AS BIGINT) AS day_idx,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        fu AS (SELECT user_id, MIN(day_idx) AS cohort_day
+               FROM ev GROUP BY user_id),
+        cells AS (
+            SELECT f.cohort_day,
+                   e.day_idx - f.cohort_day AS day_offset,
+                   CAST(COUNT(DISTINCT e.user_id) AS BIGINT)
+                       AS active_users,
+                   CAST(SUM(e.cents) AS BIGINT) AS revenue_cents
+            FROM ev e JOIN fu f ON f.user_id = e.user_id
+            GROUP BY f.cohort_day, e.day_idx - f.cohort_day
+        ),
+        anchored AS (
+            SELECT cohort_day, day_offset, active_users, revenue_cents,
+                   MAX(CASE WHEN day_offset = 0 THEN revenue_cents END)
+                       OVER (PARTITION BY cohort_day) AS day0_cents
+            FROM cells
+        )
+        SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+               active_users, revenue_cents,
+               CASE WHEN day0_cents IS NULL OR day0_cents <= 0 THEN NULL
+                    ELSE CAST(floor(revenue_cents * 1000000.0
+                                    / day0_cents) AS BIGINT)
+               END AS revenue_retention_ppm
+        FROM anchored
+        ORDER BY cohort_day, day_offset
+    """
+
+
+def events_retention_revenue_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dollar-weighted retention triangle — see _rev_retention_body."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_rev_retention_body("spark"))
+
+
+EVENTS_RETENTION_REVENUE_WEIGHTED_SQL = _rev_retention_body("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "events_retention_revenue_weighted": (
+        events_retention_revenue_weighted,
+        EVENTS_RETENTION_REVENUE_WEIGHTED_SQL,
+    ),
     "events_cohort_ltv_curve": (
         events_cohort_ltv_curve,
         EVENTS_COHORT_LTV_CURVE_SQL,

@@ -1302,7 +1302,107 @@ def pipeline_pretraining_manifest(
 PIPELINE_PRETRAINING_MANIFEST_SQL = _manifest_body("duck")
 
 
+# ---------------------------------------------------------------------------
+# pipeline_data_ablation_slices — leave-one-source-out mixture manifests
+# ---------------------------------------------------------------------------
+
+
+def _ablation_body(counts_rel: str) -> str:
+    """Leave-one-source-out ablation manifests: for each source, the
+    corpus that REMAINS when it is excluded — remaining docs/tokens,
+    the removed token share, and the mix entropy of the remainder —
+    the planning table an ablation study reads before paying for N
+    training runs (a slice whose removal barely moves token mass or
+    entropy is a cheap ablation; one that collapses the mix is not).
+
+    ``counts_rel`` provides (source, n_docs, n_tokens) rows.
+
+    Exactness: the remainder entropy uses the corpusops ln-ppm
+    discipline — ln once per (excluded, remaining) pair on an exact
+    integer ratio, micro-rounded, then exact BIGINT weighted sums; the
+    pair grid is |sources|², corpus-independent.
+
+    Scale posture: one scan to the per-source aggregate (the Spark
+    side checkpoints it — the slice grid references it on BOTH sides
+    of the cross join); everything after is grid-sized."""
+    return f"""
+        WITH cts AS (SELECT * FROM {counts_rel}),
+        tot AS (
+            SELECT CAST(SUM(n_docs) AS BIGINT) AS docs_all,
+                   CAST(SUM(n_tokens) AS BIGINT) AS toks_all,
+                   CAST(COUNT(*) AS BIGINT) AS n_sources
+            FROM cts
+        ),
+        slices AS (
+            SELECT x.source AS excluded,
+                   t.docs_all - x.n_docs AS docs_rem,
+                   t.toks_all - x.n_tokens AS toks_rem,
+                   x.n_tokens AS toks_removed
+            FROM cts x CROSS JOIN tot t
+        ),
+        terms AS (
+            SELECT s.excluded, s.docs_rem, s.toks_rem, s.toks_removed,
+                   r.n_tokens
+                   * CAST(round(ln(CAST(r.n_tokens AS DOUBLE)
+                                   / CAST(s.toks_rem AS DOUBLE))
+                                * 1000000) AS BIGINT) AS hw
+            FROM slices s
+            JOIN cts r ON r.source <> s.excluded
+        )
+        SELECT excluded,
+               CAST(docs_rem AS BIGINT) AS docs_remaining,
+               CAST(toks_rem AS BIGINT) AS tokens_remaining,
+               CAST(floor(toks_removed * 1000000.0
+                          / (toks_rem + toks_removed)) AS BIGINT)
+                   AS token_share_removed_ppm,
+               CAST(floor(-SUM(hw) * 1.0 / toks_rem) AS BIGINT)
+                   AS mix_entropy_remaining_micro
+        FROM terms
+        GROUP BY excluded, docs_rem, toks_rem, toks_removed
+        ORDER BY excluded
+    """
+
+
+def pipeline_data_ablation_slices(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leave-one-source-out manifests — see _ablation_body."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+
+    def build():
+        return spark.sql(
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,"
+            " CAST(SUM(size(split(text, ' '))) AS BIGINT) AS n_tokens"
+            " FROM documents GROUP BY source"
+        )
+
+    counts = cached_barrier_view(
+        spark, sf_dir, "src_tok_counts", build, tables=("documents",)
+    )
+    return spark.sql(_ablation_body(counts))
+
+
+PIPELINE_DATA_ABLATION_SLICES_SQL = _ablation_body(
+    """(
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    )"""
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "pipeline_data_ablation_slices": (
+        pipeline_data_ablation_slices,
+        PIPELINE_DATA_ABLATION_SLICES_SQL,
+    ),
     "pipeline_pretraining_manifest": (
         pipeline_pretraining_manifest,
         PIPELINE_PRETRAINING_MANIFEST_SQL,

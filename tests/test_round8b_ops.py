@@ -642,6 +642,65 @@ def test_bradley_terry_total_order(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# events_retention_revenue_weighted
+# ---------------------------------------------------------------------------
+
+
+def test_revenue_retention_planted_cohort(spark, tmp_path):
+    # one cohort (day 0): $10.00 on day 0, $5.00 on day 1 -> 50% NRR
+    day_us = 86_400_000_000
+    rows = [
+        (1, 1, 1, "purchase", 6.00), (2, 2, 2, "purchase", 4.00),
+        (3, day_us + 1, 1, "purchase", 5.00),
+    ]
+    sf = _write_events(tmp_path, rows)
+    from mongo_to_clickhouse_spark.queries.analytics import (
+        events_retention_revenue_weighted,
+    )
+
+    got = {r.day_offset: r
+           for r in events_retention_revenue_weighted(spark, sf).collect()}
+    assert got[0].revenue_cents == 1000
+    assert got[0].revenue_retention_ppm == 1_000_000
+    assert got[1].revenue_cents == 500
+    assert got[1].revenue_retention_ppm == 500_000
+    assert (got[0].active_users, got[1].active_users) == (2, 1)
+
+
+# ---------------------------------------------------------------------------
+# pipeline_data_ablation_slices
+# ---------------------------------------------------------------------------
+
+
+def test_ablation_slices_hand_computed_entropy(spark, tmp_path):
+    import math
+
+    # sources A=100, B=50, C=50 tokens (one doc each)
+    texts = [" ".join(["w"] * 100), " ".join(["w"] * 50),
+             " ".join(["w"] * 50)]
+    sf = _write_documents(tmp_path, texts,
+                          sources=["srcA", "srcB", "srcC"])
+    from mongo_to_clickhouse_spark.queries.pipelineops import (
+        pipeline_data_ablation_slices,
+    )
+
+    got = {r.excluded: r
+           for r in pipeline_data_ablation_slices(spark, sf).collect()}
+    assert set(got) == {"srcA", "srcB", "srcC"}
+    # exclude A: remainder {50, 50} -> entropy ln 2
+    a = got["srcA"]
+    assert (a.docs_remaining, a.tokens_remaining) == (2, 100)
+    assert a.token_share_removed_ppm == (100 * 1_000_000) // 200
+    assert abs(a.mix_entropy_remaining_micro
+               - math.floor(math.log(2) * 1e6)) <= 1
+    # exclude B: remainder {100, 50} -> hand weighted ln-ppm sum
+    b = got["srcB"]
+    hw = (100 * round(math.log(100 / 150) * 1e6)
+          + 50 * round(math.log(50 / 150) * 1e6))
+    assert b.mix_entropy_remaining_micro == math.floor(-hw / 150)
+
+
+# ---------------------------------------------------------------------------
 # profile_mutual_information
 # ---------------------------------------------------------------------------
 
