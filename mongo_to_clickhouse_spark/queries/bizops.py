@@ -2224,7 +2224,10 @@ def _rolling_corr_body(engine: str) -> str:
 
     Exactness: the paired relation is one conditional aggregation over
     the shared daily rollup (dollars = cents DIV 100, nonnegative so
-    div/floor agree); all five frame sums are exact BIGINTs over ROWS
+    div/floor agree), ZERO-FILLED onto the min..max calendar day spine
+    (the holt_winters/alert_debounce discipline) so the ROWS frame of
+    {_RCORR_DAYS} rows really spans {_RCORR_DAYS} calendar days even
+    across gap days; all five frame sums are exact BIGINTs over ROWS
     BETWEEN {_RCORR_DAYS - 1} PRECEDING; the coefficient is one double
     expression in identical order, round(…, 6), NULL under n < 2 or
     zero variance.
@@ -2233,11 +2236,23 @@ def _rolling_corr_body(engine: str) -> str:
     rollup in one map-side-combined pass; the frame window runs over
     the |days| grid (whitelisted bound)."""
     intdiv = "DIV" if engine == "spark" else "//"
+    if engine == "spark":
+        spine = """
+            SELECT s.lo + g.idx AS day_idx
+            FROM span s
+            LATERAL VIEW explode(sequence(0, CAST(s.hi - s.lo AS INT)))
+                g AS idx
+        """
+    else:
+        spine = """
+            SELECT s.lo + g.k AS day_idx
+            FROM span s CROSS JOIN UNNEST(range(0, s.hi - s.lo + 1)) AS g(k)
+        """
     frame = (f"ORDER BY day_idx ROWS BETWEEN {_RCORR_DAYS - 1} "
              "PRECEDING AND CURRENT ROW")
     return f"""
         WITH daily AS ({_daily(engine)}),
-        paired AS (
+        observed AS (
             SELECT day_idx,
                    CAST(COALESCE(SUM(CASE WHEN event_type = '{_RCORR_A}'
                                           THEN cents END), 0)
@@ -2246,6 +2261,15 @@ def _rolling_corr_body(engine: str) -> str:
                                           THEN cents END), 0)
                         {intdiv} 100 AS BIGINT) AS b
             FROM daily GROUP BY day_idx
+        ),
+        span AS (SELECT MIN(day_idx) AS lo, MAX(day_idx) AS hi
+                 FROM observed),
+        paired AS (
+            SELECT CAST(sp.day_idx AS BIGINT) AS day_idx,
+                   CAST(COALESCE(o.a, 0) AS BIGINT) AS a,
+                   CAST(COALESCE(o.b, 0) AS BIGINT) AS b
+            FROM ({spine}) sp
+            LEFT JOIN observed o ON o.day_idx = sp.day_idx
         ),
         framed AS (
             SELECT day_idx, a, b,

@@ -23,6 +23,7 @@ Models Better").
 from __future__ import annotations
 
 import os
+import shutil
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -650,7 +651,14 @@ def stream_minhash_index_upsert(
         .start()
     )
     await_drained(q)
-    return spark.read.parquet(acct).orderBy("batch_id")
+    # Materialize the (tiny — one row per micro-batch) accounting table
+    # and delete the work dir before returning: the staged batches, band
+    # and shingle indexes, and checkpoint would otherwise leak a tempdir
+    # per invocation (including every benchmark rep).
+    rows = spark.read.parquet(acct).orderBy("batch_id").collect()
+    schema = spark.read.parquet(acct).schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema).orderBy("batch_id")
 
 
 def _stream_upsert_oracle() -> str:

@@ -2060,13 +2060,16 @@ def _hill_body(engine: str) -> str:
                         AS BIGINT) AS t
             FROM ranked WHERE rk <= {HILL_K}
         )
-        SELECT CAST({HILL_K} AS BIGINT) AS k,
+        -- k is the REALIZED tail size COUNT(*), not the nominal
+        -- {HILL_K}: with fewer than {HILL_K}+1 users, terms has fewer
+        -- rows and a fixed-k numerator biases alpha low
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
                CAST(MAX(x_min) AS BIGINT) AS x_min,
                CAST(SUM(t) AS BIGINT) AS sum_log_ratio_micro,
                -- explicit floor: CAST(double AS BIGINT) truncates in
                -- Spark but ROUNDS in DuckDB
                CASE WHEN SUM(t) <= 0 THEN NULL
-                    ELSE CAST(floor({HILL_K} * 1000000000000.0 / SUM(t))
+                    ELSE CAST(floor(COUNT(*) * 1000000000000.0 / SUM(t))
                               AS BIGINT)
                END AS hill_alpha_micro
         FROM terms

@@ -856,7 +856,12 @@ def _code_detect_body(engine: str) -> str:
     Scale posture: narrow maps over one documents scan; the report is
     a |sources|×|langs| map-side-combined aggregate."""
     if engine == "spark":
-        kw = f"CAST(regexp_count(text, '{_CODE_KW_RE}') AS BIGINT)"
+        # Spark's SQL string-literal parser eats single backslashes
+        # (\b in a literal becomes a backspace char), so the word
+        # boundary must be double-escaped on this side only — same
+        # discipline as corpusops._EMAIL_RE usage (corpusops.py:359).
+        kw_re = _CODE_KW_RE.replace("\\b", "\\\\b")
+        kw = f"CAST(regexp_count(text, '{kw_re}') AS BIGINT)"
     else:
         kw = f"CAST(len(regexp_extract_all(text, '{_CODE_KW_RE}')) AS BIGINT)"
     sym_chars = ["{", "}", ";", "=", "(", ")", "<", ">", "[", "]"]

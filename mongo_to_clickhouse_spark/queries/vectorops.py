@@ -50,6 +50,17 @@ _SPREAD = "({id} * 2654435761) % 1000000007"
 _COARSE_CENT_CAP = 32   # sim_ann_ivf_coarse: centroid candidates per bucket
 _DIM = 64
 
+
+def _round6_half_away(x: "np.ndarray") -> "np.ndarray":
+    """6-dp rounding with SQL semantics (ties AWAY from zero).
+
+    np.round is half-to-even; SQL round(x, 6) (both engines) is
+    half-away-from-zero. The kernels already hand-roll half-away for
+    the micro quantization — similarity rounding must match, or an
+    exact .5e-6 tie diverges from the SQL oracle's hash/ordering."""
+    y = x * 1e6
+    return np.sign(y) * np.floor(np.abs(y) + 0.5) / 1e6
+
 # Deterministic hyperplanes, rounded so the identical literals parse to the
 # identical doubles in both engines.
 _PLANES: list[list[float]] = [
@@ -460,7 +471,7 @@ def sim_ann_ivf_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         nv = np.sqrt((v * v).sum(axis=1).astype(np.float64))
         nc = np.sqrt((c * c).sum(axis=1).astype(np.float64))
         g = v @ c.T
-        sim = np.round(g.astype(np.float64) / np.outer(nv, nc), 6)
+        sim = _round6_half_away(g.astype(np.float64) / np.outer(nv, nc))
         # argmax under (sim DESC, cent_id ASC)
         best = np.lexsort(
             (np.broadcast_to(cid, sim.shape), -sim), axis=-1
@@ -502,8 +513,8 @@ def sim_ann_ivf_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         nrm = np.sqrt((v * v).sum(axis=1).astype(np.float64))
         p = np.nonzero(pmask)[0]
         g = v[p] @ v.T
-        sim = np.round(
-            g.astype(np.float64) / np.outer(nrm[p], nrm), 6
+        sim = _round6_half_away(
+            g.astype(np.float64) / np.outer(nrm[p], nrm)
         )
         sim[ids[p][:, None] == ids[None, :]] = -np.inf  # mask self
         order = np.lexsort(
@@ -2531,8 +2542,8 @@ def sim_knn_graph_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread = (ids * 2654435761) % 1000000007
         cand = np.lexsort((ids, spread))[:KNN_BUCKET_CAP]
         g = v @ v[cand].T                        # exact int64, n × c
-        sim = np.round(
-            g.astype(np.float64) / np.outer(nrm, nrm[cand]), 6
+        sim = _round6_half_away(
+            g.astype(np.float64) / np.outer(nrm, nrm[cand])
         )
         cid = ids[cand]
         sim[ids[:, None] == cid[None, :]] = -np.inf   # mask self-pairs
@@ -2729,7 +2740,7 @@ def dedup_semdedup_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
         g = v @ v.T                              # exact int64 gram
         nrm = np.sqrt(np.diag(g).astype(np.float64))
-        sim = np.round(g.astype(np.float64) / np.outer(nrm, nrm), 6)
+        sim = _round6_half_away(g.astype(np.float64) / np.outer(nrm, nrm))
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids, kind="stable")
         sim_sorted = sim[np.ix_(order, order)]
