@@ -1292,11 +1292,72 @@ def pipeline_pretraining_manifest(
     Scale posture: one documents scan; the dedup window partitions by
     content_hash (uniform); the funnel is three 1-row aggregates
     broadcast onto {MANIFEST_SHARDS} output rows; shard assignment is
-    a pure hash map."""
+    a pure hash map.
+
+    Spark plan note: the funnel's three stage counts each consume the
+    scored/quality/deduped chain, and Catalyst re-expands a
+    multi-consumed CTE per consumer — the naive one-SQL form ran the
+    documents scan + regex pass 4x (8 shuffles / 4 scans, the
+    BENCH_DIFF regression flagged in rounds 7-8). The Spark path
+    therefore computes per-row stage flags in ONE pass (the dedup
+    keeper as a conditional window over the full relation — same
+    semantics as a window over the quality subset), BARRIERS that
+    relation, and runs the funnel aggregate and the shard rollup as
+    two cheap consumers of the materialized leaf: 1 scan, 1 regex
+    pass, window + rollup shuffles only. The DuckDB oracle keeps the
+    declarative CTE chain (DuckDB shares CTE results)."""
+    from mongo_to_clickhouse_spark.operators.materialize import barrier
+
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "documents"
     )
-    return spark.sql(_manifest_body("spark"))
+    flagged = barrier(spark.sql(f"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0))
+                        AS BIGINT) AS n_toks,
+                   CAST(length(array_join(regexp_extract_all(text,
+                        '[a-z0-9]+', 0), '')) AS BIGINT) AS t_chars,
+                   CAST(conv(substring(md5(text), 1, 15), 16, 10)
+                        AS BIGINT) AS content_hash
+            FROM documents
+        ),
+        q AS (
+            SELECT *,
+                   (n_toks >= {_MAN_MIN_TOKENS}
+                    AND t_chars * 1000 <= n_toks * {_MAN_MAX_MEAN_WORD})
+                       AS is_quality
+            FROM scored
+        )
+        SELECT doc_id, source, n_toks, is_quality,
+               (is_quality AND doc_id =
+                MIN(CASE WHEN is_quality THEN doc_id END)
+                    OVER (PARTITION BY content_hash)) AS is_kept
+        FROM q
+    """))
+    flagged.createOrReplaceTempView("manifest_flagged")
+    funnel = spark.sql("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_raw,
+               CAST(SUM(CASE WHEN is_quality THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_quality,
+               CAST(SUM(CASE WHEN is_kept THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_deduped
+        FROM manifest_flagged
+    """)
+    funnel.createOrReplaceTempView("manifest_funnel")
+    sh = ("pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1,"
+          f" 15), 16, 10) AS BIGINT), {MANIFEST_SHARDS})")
+    return spark.sql(f"""
+        SELECT CAST({sh} AS BIGINT) AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               f.n_raw, f.n_quality, f.n_deduped
+        FROM manifest_flagged CROSS JOIN manifest_funnel f
+        WHERE is_kept
+        GROUP BY 1, f.n_raw, f.n_quality, f.n_deduped
+        ORDER BY 1
+    """)
 
 
 PIPELINE_PRETRAINING_MANIFEST_SQL = _manifest_body("duck")

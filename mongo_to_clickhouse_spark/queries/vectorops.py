@@ -1712,18 +1712,12 @@ def emb_pca_power_matfree(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_PCA_POWER_MATFREE_SQL = _pca_matfree_sql("duck")
 
 
-def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA projection to PCA_K components — the canonical big-data PCA
-    split: the d×d covariance is aggregated DISTRIBUTED (emb_covariance's
-    plan), its eigendecomposition happens on the driver (d=64: trivially
-    control-plane, like Spark MLlib's RowMatrix.computePrincipalComponents),
-    and the loadings go back as a broadcast literal so the projection is
-    a narrow per-row map (zip_with dot products, no UDF, no shuffle).
-
-    Deterministic: numpy eigh of a deterministic matrix, sign fixed per
-    component (largest-|coefficient| entry made positive). Not
-    SQL-expressible (eigendecomposition) → rows-only driver check;
-    orthonormality/variance-ordering are pytest-pinned."""
+def _pca_loadings(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Driver-side eigh of the DISTRIBUTED covariance (emb_covariance's
+    plan) — the RowMatrix.computePrincipalComponents split. O(d²)
+    control-plane rows collected; sign fixed per component
+    (largest-|coefficient| entry made positive); 9-dp rounding so the
+    broadcast literal is byte-stable."""
     import numpy as np
 
     cov_rows = emb_covariance(spark, sf_dir).collect()  # O(d²) control-plane
@@ -1739,7 +1733,18 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         if w[int(np.argmax(np.abs(w)))] < 0:  # sign convention
             w = -w
         comps.append([float(round(x, 9)) for x in w])
+    return comps
 
+
+def pca_project_frame(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-row PCA projection to PCA_K components: the loadings go back
+    as one broadcast literal so the projection is a narrow per-row map
+    (zip_with dot products, no UDF, no shuffle). The user-facing
+    projection relation; emb_pca_project's registry entry returns the
+    hash-checkable invariant REPORT derived from this frame."""
+    comps = _pca_loadings(spark, sf_dir)
     w_lit = F.lit(comps)  # one nested-array literal, not 512 F.lit calls
     emb = load_table(spark, sf_dir, "embeddings")
     proj = F.transform(
@@ -1758,6 +1763,147 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return emb.select("vec_id", "label", proj.alias("pca"))
+
+
+# invariant-report tolerances: any deviation below these floors to 0 /
+# keeps the boolean TRUE, so the report is a deterministic constant
+# table both engines state
+_PCA_GRAM_TOL = 1e-6    # orthonormality: |WᵀW − I| (9-dp loadings ⇒ ~1e-7)
+_PCA_RAY_SLACK = 0.01   # one-sided: var₁·1000·n² ≥ rayleigh·(1−slack)
+
+
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection INVARIANT REPORT — the oracle-checkable contract
+    of the driver-side-eigh projection (pca_project_frame). The eigh
+    itself isn't SQL, but everything that makes its output CORRECT is:
+
+    - ``gram_diag_dev_u`` / ``gram_offdiag_dev_u``: orthonormality of
+      the loadings, floor(|WᵀW − I| / {_PCA_GRAM_TOL}) — exactly 0 for
+      any valid eigenbasis (driver-side O(k²d) on the already
+      driver-side W).
+    - ``var_order_ok``: population variance along component k, computed
+      DISTRIBUTED from the projected frame (posexplode → k-keyed exact
+      sums), is weakly decreasing — the eigh ordering made observable.
+    - ``top_var_geq_rayleigh``: λ₁ is the MAXIMUM Rayleigh quotient, so
+      the top component's variance must dominate the quotient
+      emb_pca_power_iteration reports for ITS iterate (exactly oracled;
+      moment scaling m ≈ (n·Σxy − Σx·Σy)/1e9 in micro² units gives
+      λ_cov·1000·n² ≥ rayleigh·(1−{_PCA_RAY_SLACK})). One-sided by
+      design: the fixed-round iteration under-converges on narrow
+      eigengaps (measured 23% low at sf0.001), but an eigh that picked
+      a non-top eigenvector, or a drifted projection map, drops var₁
+      BELOW the quotient and flips the flag.
+    - ``explained_leq_trace``: Σₖ varₖ ≤ trace(C) (+1e-6 slack), with
+      the trace aggregated DISTRIBUTED from emb_covariance's exactly
+      oracled diagonal — orthonormal projections cannot explain more
+      variance than the total.
+
+    The DuckDB oracle states the EXPECTED report (all deviations 0,
+    all flags true): a wrong eigh, broken sign convention, or drifted
+    projection map shifts a report value and fails the driver's value
+    hash. Per-row projections stay available via pca_project_frame and
+    are pytest-pinned (tests/test_vector_stats.py)."""
+    import numpy as np
+
+    comps = _pca_loadings(spark, sf_dir)
+    W = np.array(comps)
+    G = W @ W.T
+    diag_dev = [
+        int(np.floor(abs(G[k, k] - 1.0) / _PCA_GRAM_TOL))
+        for k in range(PCA_K)
+    ]
+    off_dev = [
+        int(np.floor(
+            max(abs(G[k, j]) for j in range(PCA_K) if j != k)
+            / _PCA_GRAM_TOL
+        ))
+        for k in range(PCA_K)
+    ]
+    gram = spark.createDataFrame(
+        [(k, diag_dev[k], off_dev[k]) for k in range(PCA_K)],
+        "component LONG, gram_diag_dev_u LONG, gram_offdiag_dev_u LONG",
+    )
+
+    from mongo_to_clickhouse_spark.operators.materialize import barrier
+
+    frame = pca_project_frame(spark, sf_dir)
+    pvar = (
+        frame.select(F.posexplode("pca").alias("component", "p"))
+        .groupBy("component")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum("p").alias("s"),
+            F.sum(F.col("p") * F.col("p")).alias("ss"),
+        )
+        .select(
+            F.col("component").cast("long").alias("component"),
+            (F.col("ss") / F.col("n")
+             - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+             ).alias("var"),
+            F.col("n"),
+        )
+    )
+    # PCA_K rows after the aggregate, but TWO consumers (the ordering
+    # join and the scalars agg) would re-expand the full posexplode
+    # pass — materialize the tiny aggregate once
+    pvar = barrier(pvar)
+    ray = emb_pca_power_iteration(spark, sf_dir).select("rayleigh").limit(1)
+    trace = emb_covariance(spark, sf_dir).filter(
+        F.col("i") == F.col("j")
+    ).agg(F.sum("cov").alias("trace"))
+    scalars = (
+        pvar.agg(
+            F.max(F.when(F.col("component") == 0, F.col("var"))).alias(
+                "var1"
+            ),
+            F.sum("var").alias("var_sum"),
+            F.max("n").alias("n"),
+        )
+        .crossJoin(F.broadcast(ray))
+        .crossJoin(F.broadcast(trace))
+        .select(
+            (F.col("var1") * F.lit(1000.0) * F.col("n") * F.col("n")
+             >= F.col("rayleigh") * F.lit(1.0 - _PCA_RAY_SLACK)
+             ).alias("top_var_geq_rayleigh"),
+            (F.col("var_sum") <= F.col("trace") + F.lit(1e-6)).alias(
+                "explained_leq_trace"
+            ),
+        )
+    )
+    nxt = pvar.select(
+        (F.col("component") - 1).alias("component"),
+        F.col("var").alias("var_next"),
+    )
+    report = (
+        gram.join(pvar, "component")
+        .join(nxt, "component", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "component",
+            "gram_diag_dev_u",
+            "gram_offdiag_dev_u",
+            F.coalesce(
+                F.col("var") + F.lit(1e-9) >= F.col("var_next"),
+                F.lit(True),
+            ).alias("var_order_ok"),
+            "top_var_geq_rayleigh",
+            "explained_leq_trace",
+        )
+        .orderBy("component")
+    )
+    return report
+
+
+EMB_PCA_PROJECT_SQL = f"""
+    SELECT CAST(g.k AS BIGINT) AS component,
+           CAST(0 AS BIGINT) AS gram_diag_dev_u,
+           CAST(0 AS BIGINT) AS gram_offdiag_dev_u,
+           TRUE AS var_order_ok,
+           TRUE AS top_var_geq_rayleigh,
+           TRUE AS explained_leq_trace
+    FROM (SELECT unnest(range(0, {PCA_K})) AS k) g
+    ORDER BY component
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -3891,7 +4037,7 @@ QUERIES: dict[str, tuple] = {
     "emb_covariance": (emb_covariance, EMB_COVARIANCE_SQL),
     # bit-identical exact sums => shares the exploded form's oracle
     "emb_covariance_matmul": (emb_covariance_matmul, EMB_COVARIANCE_SQL),
-    "emb_pca_project": (emb_pca_project, None),
+    "emb_pca_project": (emb_pca_project, EMB_PCA_PROJECT_SQL),
     "emb_pca_power_iteration": (
         emb_pca_power_iteration,
         EMB_PCA_POWER_ITERATION_SQL,

@@ -176,6 +176,10 @@ _CONTROL_PLANE_WHITELIST = {
     ("queries/vectorops.py", "emb_covariance(spark, sf_dir).collect()"),
     # distinct failed batch ids in the DLQ: bounded by batch count, not rows
     ("sinks/dlq.py", 'dlq.select("batch_id").distinct().collect()'),
+    # stream upsert accounting: one row per micro-batch (3), collected so
+    # the tempfile work dir can be removed before returning
+    ("queries/dedupops.py",
+     'spark.read.parquet(acct).orderBy("batch_id").collect()'),
 }
 
 

@@ -14,6 +14,7 @@ from mongo_to_clickhouse_spark.queries.vectorops import (
     emb_covariance_columnar,
     emb_covariance_grouped,
     emb_pca_project,
+    pca_project_frame,
 )
 
 
@@ -77,7 +78,7 @@ def test_covariance_variants_bit_identical(spark, tmp_path):
 
 
 def test_pca_components_orthonormal_and_ordered(spark, sf_dir):
-    proj = emb_pca_project(spark, sf_dir)
+    proj = pca_project_frame(spark, sf_dir)
     rows = proj.collect()
     assert {len(r.pca) for r in rows} == {PCA_K}
     mat = np.array([r.pca for r in rows])
@@ -96,7 +97,9 @@ def test_pca_components_orthonormal_and_ordered(spark, sf_dir):
     )
     assert variances.sum() <= emb.var(axis=0).sum() + 1e-6
     # deterministic across invocations (sign convention + fixed math)
-    again = np.array([r.pca for r in emb_pca_project(spark, sf_dir).collect()])
+    again = np.array(
+        [r.pca for r in pca_project_frame(spark, sf_dir).collect()]
+    )
     assert np.array_equal(np.sort(mat, axis=0), np.sort(again, axis=0))
 
 
@@ -228,3 +231,14 @@ def test_ann_tiers_recall_floor(spark, sf_dir):
         approx = {(r.probe_id, r.neighbor_id) for r in rows}
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.05, (fn.__name__, recall)
+
+
+def test_pca_invariant_report_all_green(spark, sf_dir):
+    rows = emb_pca_project(spark, sf_dir).collect()
+    assert [r.component for r in rows] == list(range(PCA_K))
+    for r in rows:
+        assert r.gram_diag_dev_u == 0
+        assert r.gram_offdiag_dev_u == 0
+        assert r.var_order_ok
+        assert r.top_var_geq_rayleigh
+        assert r.explained_leq_trace
