@@ -599,6 +599,80 @@ _WP_NEXT = """
 """
 
 
+def _wordpiece_kernel(batches):
+    """Arrow-batched greedy WordPiece encode over one w-hash partition:
+    a bit-exact replica of the staged round SQL (``_wp_round_sql`` /
+    ``_WP_EMIT`` / ``_WP_NEXT``), vectorized across every word in the
+    partition. Per round the longest matching candidate at the cursor
+    is taken (sort by length DESC — same piece text implies same
+    length, so the argmax is unique), unmatched active words emit
+    [UNK] and terminate, survivors past {WP_MAX_PIECES} rounds emit
+    [TRUNC] — exactly the SQL chain's semantics. Emits per-piece
+    PARTIAL counts for the global aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    frames = list(batches)
+    if not frames:
+        return
+    df = pd.concat(frames, ignore_index=True)
+    codes, _uniq = pd.factorize(df["w"])
+    nw = len(_uniq)
+    cnt_by_word = np.zeros(nw, np.int64)
+    cnt_by_word[codes] = df["cnt"].to_numpy()
+    wlen = np.zeros(nw, np.int64)
+    wlen[codes] = df["wl"].to_numpy()
+    ep = df["p"].to_numpy().astype(np.int64)
+    el = df["len"].to_numpy().astype(np.int64)
+    piece = df["piece"].to_numpy()
+
+    pos = np.ones(nw, np.int64)      # 1-based cursor into the word
+    alive = np.ones(nw, bool)        # False once [UNK]-terminated
+    out_p: list = []
+    out_c: list = []
+    for _ in range(WP_MAX_PIECES):
+        active = alive & (pos <= wlen)
+        if not active.any():
+            break
+        mask = active[codes] & (ep == pos[codes]) & (ep > 0)
+        matched = np.zeros(nw, bool)
+        cc = np.empty(0, np.int64)
+        if mask.any():
+            cand = pd.DataFrame(
+                {"c": codes[mask], "l": el[mask], "t": piece[mask]}
+            )
+            cand.sort_values(
+                ["c", "l"], ascending=[True, False],
+                inplace=True, kind="mergesort",
+            )
+            top = cand.drop_duplicates("c", keep="first")
+            cc = top["c"].to_numpy()
+            matched[cc] = True
+        unk = active & ~matched
+        if unk.any():
+            u = np.nonzero(unk)[0]
+            out_p.extend(["[UNK]"] * len(u))
+            out_c.extend(cnt_by_word[u].tolist())
+            alive[u] = False
+        if len(cc):
+            lens = top["l"].to_numpy().astype(np.int64)
+            txt = top["t"].to_numpy()
+            starts = pos[cc] == 1
+            out_p.extend(
+                t if s else "##" + t
+                for t, s in zip(txt.tolist(), starts.tolist())
+            )
+            out_c.extend(cnt_by_word[cc].tolist())
+            pos[cc] += lens
+    trunc = alive & (pos <= wlen)
+    if trunc.any():
+        u = np.nonzero(trunc)[0]
+        out_p.extend(["[TRUNC]"] * len(u))
+        out_c.extend(cnt_by_word[u].tolist())
+    part = pd.DataFrame({"piece": out_p, "part": out_c})
+    yield part.groupby("piece", as_index=False, sort=False).sum()
+
+
 def tokenizer_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy longest-match-first WordPiece ENCODE (the BERT tokenizer's
     serving algorithm, Wu et al. 2016): per word, repeatedly take the
@@ -607,58 +681,73 @@ def tokenizer_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     leftovers after WP_MAX_PIECES rounds → [TRUNC]. Returns the
     top-{WP_TOP_K} (piece, corpus-weighted occurrences).
 
-    Distributed shape (same property that makes the BPE tier trainable
-    at 100 TB): everything runs on the DISTINCT-WORD frequency table —
-    one corpus shuffle total via the shared token barrier — so each
-    greedy round is one broadcast join of the ≤2·WP_VOCAB-row vocab
-    against the vocabulary-sized remainder relation + a word-keyed
-    aggregate; rounds are a fixed constant with a per-round checkpoint
-    (the kmeans/pagerank discipline). The longest-match argmax is
-    MAX(len) over the candidate join — no encode arithmetic needed."""
-    from mongo_to_clickhouse_spark.operators.materialize import barrier
+    Distributed shape (round-9 redesign — the r8 Viterbi discipline
+    applied to the greedy encoder): the encode is PER-WORD LOCAL, so
+    the previous {WP_MAX_PIECES} broadcast-join rounds, each behind a
+    reliable checkpoint (~WP_MAX_PIECES barrier writes of pure fixed
+    cost at ANY scale), were overhead. The candidate relation — every
+    (word, position) × matching vocab piece, built once off the
+    distinct-word table with a broadcast vocab join, plus one sentinel
+    row per word so wholly-unmatched words still reach the kernel —
+    is hash-partitioned by word and checkpointed; ONE ``mapInPandas``
+    pass (``_wordpiece_kernel``, bit-exact vs the round SQL) replays
+    the greedy state machine for the whole partition and emits
+    per-piece partial counts; one piece-keyed aggregate + top-k
+    finishes. The staged round chain remains, verbatim, as the DuckDB
+    oracle (``_wordpiece_duck_sql``)."""
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+    from mongo_to_clickhouse_spark.session import shuffle_partition_count
 
     view = _toks_view(spark, sf_dir)
-    words = barrier(spark.sql(f"""
-        SELECT word AS w, COUNT(*) AS cnt
-        FROM (SELECT explode(toks) AS word FROM {view})
-        WHERE word != ''
-        GROUP BY word
-    """))
-    words.createOrReplaceTempView("wp_words")
-    vocab = barrier(spark.sql(
-        _wp_vocab_sql("wp_words").replace(
-            "{POS_EXPLODE}",
-            "LATERAL VIEW explode(sequence(1, length(w))) tp AS p "
-            f"LATERAL VIEW explode(sequence(1, {WP_MAXLEN})) tl AS l",
-        )
-    ))
-    vocab.createOrReplaceTempView("wp_vocab")
-    spark.sql(
-        "SELECT w, cnt, w AS rem, true AS is_start FROM wp_words"
-    ).createOrReplaceTempView("wp_st0")
-    emits = []
-    for r in range(1, WP_MAX_PIECES + 1):
-        m = barrier(spark.sql(_wp_round_sql(
-            f"wp_st{r - 1}", "wp_vocab", hint="/*+ BROADCAST(v) */"
-        )))
-        m.createOrReplaceTempView(f"wp_m{r}")
-        emits.append(spark.sql(_WP_EMIT.format(m=f"wp_m{r}")))
-        spark.sql(_WP_NEXT.format(m=f"wp_m{r}")).createOrReplaceTempView(
-            f"wp_st{r}"
-        )
-    emits.append(spark.sql(f"""
-        SELECT '[TRUNC]' AS piece, cnt FROM wp_st{WP_MAX_PIECES}
-        WHERE rem != ''
-    """))
-    from functools import reduce
+    n_part = shuffle_partition_count(spark)
 
-    allp = reduce(lambda x, y: x.unionByName(y), emits)
-    return (
-        allp.groupBy("piece")
-        .agg(F.sum("cnt").cast("bigint").alias("n_occurrences"))
-        .orderBy(F.desc("n_occurrences"), "piece")
-        .limit(WP_TOP_K)
-    )
+    def build_edges():
+        spark.sql(f"""
+            SELECT word AS w, COUNT(*) AS cnt
+            FROM (SELECT explode(toks) AS word FROM {view})
+            WHERE word != ''
+            GROUP BY word
+        """).createOrReplaceTempView("wp_words_v")
+        spark.sql(
+            _wp_vocab_sql("wp_words_v").replace(
+                "{POS_EXPLODE}",
+                "LATERAL VIEW explode(sequence(1, length(w))) tp AS p "
+                f"LATERAL VIEW explode(sequence(1, {WP_MAXLEN})) tl AS l",
+            )
+        ).createOrReplaceTempView("wp_vocab_v")
+        # start pieces can only ever match at p=1, continuations at
+        # p>=2 (an [UNK] terminates the word), so the join prunes by
+        # flag; the sentinel row keeps words with NO match anywhere
+        # visible to the kernel (they emit [UNK] in round 1)
+        return spark.sql(f"""
+            SELECT /*+ BROADCAST(v) */ s.w, s.cnt, s.wl, s.p,
+                   v.len, v.piece
+            FROM (SELECT w, cnt, length(w) AS wl, p
+                  FROM wp_words_v
+                  LATERAL VIEW explode(sequence(1, length(w))) tp AS p
+                 ) s
+            JOIN wp_vocab_v v
+              ON v.is_start = (s.p = 1)
+             AND v.piece = substring(s.w, s.p, v.len)
+            UNION ALL
+            SELECT w, cnt, length(w) AS wl, 0 AS p, 0 AS len,
+                   '' AS piece
+            FROM wp_words_v
+        """).repartition(n_part, "w")
+
+    edges = cached_barrier_view(spark, sf_dir, "wp_edges_v", build_edges)
+    spark.table(edges).mapInPandas(
+        _wordpiece_kernel, schema="piece string, part long"
+    ).createOrReplaceTempView("wp_piece_parts")
+    return spark.sql(f"""
+        SELECT piece, CAST(SUM(part) AS BIGINT) AS n_occurrences
+        FROM wp_piece_parts
+        GROUP BY piece
+        ORDER BY n_occurrences DESC, piece
+        LIMIT {WP_TOP_K}
+    """)
 
 
 def _wordpiece_duck_sql() -> str:

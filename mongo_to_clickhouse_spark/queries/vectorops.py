@@ -20,6 +20,8 @@ never per pair. Top-k uses rank-limit windows → Spark's WindowGroupLimit
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -408,6 +410,75 @@ SIM_ANN_IVF_SQL = f"""
 _IVF_ASSIGN_BUCKETS = 32  # parallelism of the kernel assignment cogroup
 
 
+def _micro_i64(col) -> "np.ndarray":
+    """Stack an Arrow array-of-arrays column into an int64 micro matrix
+    (round(v·1e6), SQL half-away ties) — the shared quantization every
+    IVF/kNN kernel twin applies before exact integer grams."""
+    x = np.stack(col.to_numpy()).astype(np.float64) * 1e6
+    # SQL round() is half-away-from-zero; np.rint is half-even
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
+def kernel_assign_frame(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment as a sharded cogroup kernel: vectors
+    shard by ``vec_id % {_IVF_ASSIGN_BUCKETS}``, the centroid set is
+    replicated to every shard (broadcast-class, K ≤ IVF_MAX_CENTROIDS),
+    and each shard computes one int64 micro gram + argmax under
+    (sim DESC, cent_id ASC) — identical tie order and 6-dp half-away
+    rounding as the relational/SQL assignment. Returns
+    (vec_id, cent_id). Shared by ``sim_ann_ivf_kernel`` (one-shot) and
+    ``stream_ivf_index_upsert`` (per micro-batch against the persisted
+    centroid store)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = emb.sparkSession
+    buckets = spark.range(_IVF_ASSIGN_BUCKETS).select(
+        F.col("id").cast("long").alias("b")
+    )
+    cents_x = cents.crossJoin(F.broadcast(buckets))
+    sharded = emb.withColumn(
+        "b", (F.col("vec_id") % _IVF_ASSIGN_BUCKETS).cast("long")
+    )
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cent_id", T.LongType()),
+        ]
+    )
+
+    def assign_kernel(key, pdf_v, pdf_c):  # noqa: ARG001
+        if len(pdf_v) == 0 or len(pdf_c) == 0:
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype="int64"),
+                 "cent_id": pd.Series(dtype="int64")}
+            )
+        v = _micro_i64(pdf_v["embedding"])
+        c = _micro_i64(pdf_c["cent_emb"])
+        cid = pdf_c["cent_id"].to_numpy().astype(np.int64)
+        nv = np.sqrt((v * v).sum(axis=1).astype(np.float64))
+        nc = np.sqrt((c * c).sum(axis=1).astype(np.float64))
+        g = v @ c.T
+        sim = _round6_half_away(g.astype(np.float64) / np.outer(nv, nc))
+        # argmax under (sim DESC, cent_id ASC)
+        best = np.lexsort(
+            (np.broadcast_to(cid, sim.shape), -sim), axis=-1
+        )[:, 0]
+        return pd.DataFrame(
+            {
+                "vec_id": pdf_v["vec_id"].to_numpy().astype(np.int64),
+                "cent_id": cid[best],
+            }
+        )
+
+    return (
+        sharded.groupBy("b")
+        .cogroup(cents_x.groupBy("b"))
+        .applyInPandas(assign_kernel, assign_schema)
+    )
+
+
 def sim_ann_ivf_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat with PRODUCTION kernels for both phases: assignment is
     a cogroup of vector shards against the (replicated, broadcast-class)
@@ -439,55 +510,7 @@ def sim_ann_ivf_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("vec_id") < CENTROID_MODULUS * IVF_MAX_CENTROIDS)
     ).select(F.col("vec_id").alias("cent_id"),
              F.col("embedding").alias("cent_emb"))
-    buckets = spark.range(_IVF_ASSIGN_BUCKETS).select(
-        F.col("id").cast("long").alias("b")
-    )
-    cents_x = cents.crossJoin(F.broadcast(buckets))
-    sharded = emb.withColumn(
-        "b", (F.col("vec_id") % _IVF_ASSIGN_BUCKETS).cast("long")
-    )
-
-    def _micro(col):
-        x = np.stack(col.to_numpy()).astype(np.float64) * 1e6
-        # SQL round() is half-away-from-zero; np.rint is half-even
-        return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
-
-    assign_schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("cent_id", T.LongType()),
-        ]
-    )
-
-    def assign_kernel(key, pdf_v, pdf_c):  # noqa: ARG001
-        if len(pdf_v) == 0 or len(pdf_c) == 0:
-            return pd.DataFrame(
-                {"vec_id": pd.Series(dtype="int64"),
-                 "cent_id": pd.Series(dtype="int64")}
-            )
-        v = _micro(pdf_v["embedding"])
-        c = _micro(pdf_c["cent_emb"])
-        cid = pdf_c["cent_id"].to_numpy().astype(np.int64)
-        nv = np.sqrt((v * v).sum(axis=1).astype(np.float64))
-        nc = np.sqrt((c * c).sum(axis=1).astype(np.float64))
-        g = v @ c.T
-        sim = _round6_half_away(g.astype(np.float64) / np.outer(nv, nc))
-        # argmax under (sim DESC, cent_id ASC)
-        best = np.lexsort(
-            (np.broadcast_to(cid, sim.shape), -sim), axis=-1
-        )[:, 0]
-        return pd.DataFrame(
-            {
-                "vec_id": pdf_v["vec_id"].to_numpy().astype(np.int64),
-                "cent_id": cid[best],
-            }
-        )
-
-    assigned = (
-        sharded.groupBy("b")
-        .cogroup(cents_x.groupBy("b"))
-        .applyInPandas(assign_kernel, assign_schema)
-    )
+    assigned = kernel_assign_frame(emb, cents)
     listed = emb.join(assigned, "vec_id")
 
     search_schema = T.StructType(
@@ -509,7 +532,7 @@ def sim_ann_ivf_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "sim": pd.Series(dtype="float64"),
                  "rank": pd.Series(dtype="int32")}
             )
-        v = _micro(pdf["embedding"])
+        v = _micro_i64(pdf["embedding"])
         nrm = np.sqrt((v * v).sum(axis=1).astype(np.float64))
         p = np.nonzero(pmask)[0]
         g = v[p] @ v.T
@@ -586,6 +609,188 @@ SIM_ANN_IVF_KERNEL_SQL = f"""
         WHERE p.vec_id < {N_PROBES}
     ) WHERE rank <= {TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# stream_ivf_index_upsert — the IVF index write path as a real stream
+# ---------------------------------------------------------------------------
+
+_STREAM_IVF_BATCHES = 3
+
+
+def stream_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE as an actual STREAMING ingest — the ANN
+    sibling of ``dedup_minhash``'s ``stream_minhash_index_upsert``
+    (dedupops.py), completing the pair of live indexes a 100 TB
+    pipeline keeps warm (dedup band store + ANN inverted lists): new
+    vectors arrive in micro-batches (availableNow, one staged file per
+    trigger) and each foreachBatch (1) assigns the batch to the
+    PERSISTED centroid store through the same sharded cogroup gram
+    kernel as the one-shot build (``kernel_assign_frame``), (2)
+    appends the assignments to the inverted-list parquet, and (3)
+    appends one exact accounting row computed ENGINE-SIDE from the
+    post-insert index: rows assigned, cumulative index size, and the
+    Σ|list|² / max|list| audit that bounds probe-search cost (the same
+    in-band blow-up guard the MinHash band index carries).
+
+    Determinism & oracle: centroids are FIXED (historical multiples of
+    {CENTROID_MODULUS}, all in the historical split), so assignment is
+    batch-order-independent and the closed-horizon semantics are an
+    unrolled {_STREAM_IVF_BATCHES}-step SQL chain over the cumulative
+    index — hash-MATCHed against DuckDB like every batch id.
+
+    Scale posture: identical per-batch plan to the one-shot kernel
+    assignment (n_batch·K at memory bandwidth, sharded
+    {_IVF_ASSIGN_BUCKETS} ways); the index is an append-only parquet
+    table keyed by cent_id exactly like a production inverted-list
+    store; every count is computed engine-side. Driver work is
+    control-plane only (staging + stream wiring + the
+    {_STREAM_IVF_BATCHES}-row accounting collect before tempdir
+    cleanup)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from mongo_to_clickhouse_spark.streaming.util import await_drained
+
+    work = tempfile.mkdtemp(prefix=f"ivfup-{uuid.uuid4().hex[:8]}-")
+    src = os.path.join(work, "source")
+    cent_path = os.path.join(work, "centroids")
+    lists_path = os.path.join(work, "lists")
+    acct = os.path.join(work, "acct")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(src)
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter(
+        (F.col("vec_id") % CENTROID_MODULUS == 0)
+        & (F.col("vec_id") < CENTROID_MODULUS * IVF_MAX_CENTROIDS)
+    ).select(F.col("vec_id").alias("cent_id"),
+             F.col("embedding").alias("cent_emb"))
+    cents.write.parquet(cent_path)
+
+    # seed the inverted lists with the historical split through the SAME
+    # kernel the stream uses (centroid ids are multiples of
+    # CENTROID_MODULUS, hence % 10 == 0 — always historical)
+    hist = emb.filter(F.col("vec_id") % 10 != 3)
+    kernel_assign_frame(
+        hist, spark.read.parquet(cent_path)
+    ).write.parquet(lists_path)
+
+    new_vecs = emb.filter(F.col("vec_id") % 10 == 3)
+    base_t = 1_700_000_000
+    for k in range(_STREAM_IVF_BATCHES):
+        tmp = os.path.join(work, f"stage{k}")
+        new_vecs.filter(
+            F.col("vec_id") % _STREAM_IVF_BATCHES == k
+        ).coalesce(1).write.parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"b{k}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (base_t + k, base_t + k))
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        tag = uuid.uuid4().hex[:8]
+        assigned = kernel_assign_frame(
+            batch_df.select("vec_id", "embedding"),
+            sess.read.parquet(cent_path),
+        )
+        # stage, then append (never read and write one dir in one job)
+        ins = os.path.join(work, f"ins_{tag}")
+        assigned.write.parquet(ins)
+        sess.read.parquet(ins).write.mode("append").parquet(lists_path)
+        lv, iv = f"ivf_l_{tag}", f"ivf_i_{tag}"
+        sess.read.parquet(lists_path).createOrReplaceTempView(lv)
+        sess.read.parquet(ins).createOrReplaceTempView(iv)
+        sess.sql(f"""
+            WITH per AS (
+                SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS c
+                FROM {lv} GROUP BY cent_id
+            )
+            SELECT CAST({batch_id} AS BIGINT) AS batch_id,
+                   CAST((SELECT COUNT(*) FROM {iv}) AS BIGINT)
+                       AS n_assigned,
+                   CAST((SELECT SUM(c) FROM per) AS BIGINT)
+                       AS n_index_total,
+                   CAST((SELECT SUM(c * c) FROM per) AS BIGINT)
+                       AS sum_list_sq,
+                   CAST((SELECT MAX(c) FROM per) AS BIGINT) AS max_list
+        """).write.mode("append").parquet(acct)
+
+    stream = (
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drained(q)
+    rows = spark.read.parquet(acct).orderBy("batch_id").collect()
+    schema = spark.read.parquet(acct).schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema).orderBy("batch_id")
+
+
+def _stream_ivf_oracle() -> str:
+    """Closed-horizon oracle for stream_ivf_index_upsert: assignment of
+    EVERY vector to its nearest fixed centroid (batch-independent),
+    then the unrolled cumulative-index accounting chain."""
+    parts = [f"""
+        WITH mn AS (
+            SELECT vec_id, mv,
+                   sqrt(CAST(list_dot_product(mv, mv) AS DOUBLE)) AS nrm
+            FROM (SELECT vec_id, {_IVF_K_MV} AS mv FROM embeddings)
+        ),
+        cents AS (
+            SELECT vec_id AS cent_id, mv AS cmv, nrm AS cnrm
+            FROM mn WHERE vec_id % {CENTROID_MODULUS} = 0
+              AND vec_id < {CENTROID_MODULUS * IVF_MAX_CENTROIDS}
+        ),
+        assigned AS (
+            SELECT vec_id, cent_id FROM (
+                SELECT e.vec_id, c.cent_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(CAST(list_dot_product(e.mv, c.cmv)
+                                               AS DOUBLE)
+                                          / (e.nrm * c.cnrm), 6) DESC,
+                                    c.cent_id) AS __rn
+                FROM mn e CROSS JOIN cents c
+            ) WHERE __rn = 1
+        ),
+        cum0h AS (SELECT * FROM assigned WHERE vec_id % 10 != 3),
+        nw AS (SELECT * FROM assigned WHERE vec_id % 10 = 3)"""]
+    prev = "cum0h"
+    for k in range(_STREAM_IVF_BATCHES):
+        parts.append(f""",
+        n{k} AS (SELECT * FROM nw
+                 WHERE vec_id % {_STREAM_IVF_BATCHES} = {k}),
+        cum{k} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM n{k}),
+        per{k} AS (SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM cum{k} GROUP BY cent_id)""")
+        prev = f"cum{k}"
+    selects = [
+        f"""SELECT CAST({k} AS BIGINT) AS batch_id,
+               CAST((SELECT COUNT(*) FROM n{k}) AS BIGINT) AS n_assigned,
+               CAST((SELECT SUM(c) FROM per{k}) AS BIGINT)
+                   AS n_index_total,
+               CAST((SELECT SUM(c * c) FROM per{k}) AS BIGINT)
+                   AS sum_list_sq,
+               CAST((SELECT MAX(c) FROM per{k}) AS BIGINT) AS max_list"""
+        for k in range(_STREAM_IVF_BATCHES)
+    ]
+    return "".join(parts) + " " + " UNION ALL ".join(selects) \
+        + " ORDER BY batch_id"
+
+
+STREAM_IVF_INDEX_UPSERT_SQL = _stream_ivf_oracle()
 
 
 def sim_ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4056,6 +4261,10 @@ QUERIES: dict[str, tuple] = {
     "emb_drift_detect": (emb_drift_detect, EMB_DRIFT_DETECT_SQL),
     "sim_ann_ivf": (sim_ann_ivf, SIM_ANN_IVF_SQL),
     "sim_ann_ivf_kernel": (sim_ann_ivf_kernel, SIM_ANN_IVF_KERNEL_SQL),
+    "stream_ivf_index_upsert": (
+        stream_ivf_index_upsert,
+        STREAM_IVF_INDEX_UPSERT_SQL,
+    ),
     "sim_ann_ivf_coarse": (sim_ann_ivf_coarse, SIM_ANN_IVF_COARSE_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "dedup_semdedup": (dedup_semdedup, DEDUP_SEMDEDUP_SQL),

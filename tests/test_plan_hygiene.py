@@ -180,6 +180,8 @@ _CONTROL_PLANE_WHITELIST = {
     # the tempfile work dir can be removed before returning
     ("queries/dedupops.py",
      'spark.read.parquet(acct).orderBy("batch_id").collect()'),
+    ("queries/vectorops.py",
+     'spark.read.parquet(acct).orderBy("batch_id").collect()'),
 }
 
 
