@@ -141,3 +141,28 @@ def test_wordpiece_kernel_trunc_and_parity(spark, tmp_path):
     )
     assert problems == [], problems
     clear_barrier_view_cache()
+
+
+# ---------------------------------------------------------------------------
+# integration smoke lane: gated, never silently green
+# ---------------------------------------------------------------------------
+
+
+def test_integration_smoke_exits_skipped_without_environment():
+    """The live-connector lane must report SKIPPED (exit 77) — not
+    green — when no servers are declared, so CI can distinguish
+    'not run' from 'passed'."""
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("SPARK_GRAFT_MONGO_URI",
+                        "SPARK_GRAFT_CLICKHOUSE_URL")}
+    proc = subprocess.run(
+        [sys.executable, "scripts/integration_smoke.py"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=60,
+    )
+    assert proc.returncode == 77, proc.stdout + proc.stderr
+    assert "SKIPPED" in proc.stdout
