@@ -479,7 +479,94 @@ def events_retention_revenue_weighted(
 EVENTS_RETENTION_REVENUE_WEIGHTED_SQL = _rev_retention_body("duck")
 
 
+# ---------------------------------------------------------------------------
+# events_funnel_unordered — all steps within a window, ANY order
+# ---------------------------------------------------------------------------
+
+UNORDERED_FUNNEL_HOURS = 1
+_UF_STEPS = ("view", "click", "purchase")
+
+
+def _unordered_funnel_body(engine: str) -> str:
+    """ANY-ORDER funnel (the other half of the funnel family:
+    events_windowed_funnel / events_sequence_match demand step ORDER;
+    real activation metrics often only require that all steps happen
+    CLOSE TOGETHER): a user converts when some length-
+    {UNORDERED_FUNNEL_HOURS}-hour window contains at least one of each of
+    {_UF_STEPS}. Exact sweep: anchor every step event, take each step
+    type's next occurrence at-or-after the anchor via forward-looking
+    conditional MINs in ONE user-keyed window pass (MIN skips the NULLs
+    of other types), and the anchor's completion span is
+    GREATEST(next_view, next_click, next_purchase) − anchor — the
+    optimal window must start AT some step event, so the per-user MIN
+    span over anchors is exact, not a bucketed approximation. Report =
+    per first-active-day cohort: users, converters, exact ppm, fastest
+    completion.
+
+    Exactness: µs BIGINT arithmetic end-to-end (the round-4
+    second-truncation hazard class); anchor order ties break on
+    event_id. Scale posture: one scan → one user-keyed shuffle for the
+    window pass (uniform keys) → user rollup → day rollup, all
+    map-side combined."""
+    us = ("unix_micros(CAST(ts AS TIMESTAMP))" if engine == "spark"
+          else "CAST(epoch_us(ts) AS BIGINT)")
+    intdiv = "DIV" if engine == "spark" else "//"
+    w_us = UNORDERED_FUNNEL_HOURS * 3_600_000_000
+    mins = ", ".join(
+        f"MIN(CASE WHEN event_type = '{s}' THEN us END) OVER w AS n_{s}"
+        for s in _UF_STEPS
+    )
+    greatest = "GREATEST(" + ", ".join(f"n_{s}" for s in _UF_STEPS) + ")"
+    non_null = " AND ".join(f"n_{s} IS NOT NULL" for s in _UF_STEPS)
+    steps_in = ", ".join(f"'{s}'" for s in _UF_STEPS)
+    return f"""
+        WITH ev AS (
+            SELECT user_id, event_id, {us} AS us, event_type
+            FROM events WHERE event_type IN ({steps_in})
+        ),
+        fwd AS (
+            SELECT user_id, us, {mins}
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING)
+        ),
+        per_user AS (
+            SELECT user_id,
+                   CAST(floor(MIN(us) / 86400000000.0) AS BIGINT)
+                       AS day_idx,
+                   MIN(CASE WHEN {non_null}
+                            AND {greatest} - us <= {w_us}
+                            THEN {greatest} - us END) AS span_us
+            FROM fwd GROUP BY user_id
+        )
+        SELECT day_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN span_us IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_converted,
+               CAST(SUM(CASE WHEN span_us IS NOT NULL THEN 1 ELSE 0 END)
+                    * 1000000 {intdiv} COUNT(*) AS BIGINT) AS conv_ppm,
+               CAST(MIN(span_us) AS BIGINT) AS fastest_span_us
+        FROM per_user
+        GROUP BY day_idx
+        ORDER BY day_idx
+    """
+
+
+def events_funnel_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Any-order windowed funnel — see _unordered_funnel_body."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_unordered_funnel_body("spark"))
+
+
+EVENTS_FUNNEL_UNORDERED_SQL = _unordered_funnel_body("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "events_funnel_unordered": (
+        events_funnel_unordered,
+        EVENTS_FUNNEL_UNORDERED_SQL,
+    ),
     "events_retention_revenue_weighted": (
         events_retention_revenue_weighted,
         EVENTS_RETENTION_REVENUE_WEIGHTED_SQL,

@@ -2598,6 +2598,93 @@ EVENTS_HOLT_WINTERS_BACKTEST_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# events_did_estimator — difference-in-differences with a pre-trend check
+# ---------------------------------------------------------------------------
+
+
+def _did_body(engine: str) -> str:
+    """Difference-in-differences effect estimate (Card & Krueger shape)
+    over the event dollar series: treatment group = odd user_ids (the
+    deterministic assignment every experimentation id here uses),
+    treatment period = the second half of the observed day span. The
+    estimate is Δ = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), and
+    the PARALLEL-TRENDS diagnostic quarters the span: drift =
+    (gap in pre-late) − (gap in pre-early), where gap = ȳ_T − ȳ_C — a
+    large |drift| relative to Δ says the identifying assumption is
+    suspect before anyone ships the readout.
+
+    Exactness: cell sums are exact BIGINT cents (cents ≥ 0 so
+    integer-division floors agree); every mean is one
+    floor(sum·1e6/n) micro-dollar integer; Δ and drift are integer
+    differences of those micro means. NULL cells (an empty quarter)
+    propagate to NULL diagnostics rather than fake zeros.
+
+    Scale posture: one scan → 4 (and 4 more quarter) cells, all
+    map-side combined; the span is one 1-row broadcast."""
+    intdiv = "DIV" if engine == "spark" else "//"
+    mean = "CAST(floor(SUM(cents) * 1000000.0 / COUNT(*)) AS BIGINT)"
+    return f"""
+        WITH d AS (
+            SELECT user_id % 2 = 1 AS treated, day_idx, cents
+            FROM ({_ev(engine)}) WHERE cents >= 0
+        ),
+        span AS (SELECT MIN(day_idx) AS lo, MAX(day_idx) AS hi FROM d),
+        halves AS (
+            SELECT treated,
+                   day_idx >= lo + (hi - lo + 1) {intdiv} 2 AS post,
+                   (day_idx - lo) * 4 {intdiv} (hi - lo + 1) AS quarter,
+                   cents
+            FROM d, span
+        ),
+        cells AS (
+            SELECT treated, post, {mean} AS m
+            FROM halves GROUP BY treated, post
+        ),
+        quarters AS (
+            SELECT treated, quarter, {mean} AS m
+            FROM halves WHERE quarter <= 1 GROUP BY treated, quarter
+        ),
+        wide AS (
+            SELECT
+                (SELECT m FROM cells WHERE treated AND NOT post)
+                    AS t_pre,
+                (SELECT m FROM cells WHERE treated AND post) AS t_post,
+                (SELECT m FROM cells WHERE NOT treated AND NOT post)
+                    AS c_pre,
+                (SELECT m FROM cells WHERE NOT treated AND post)
+                    AS c_post,
+                (SELECT m FROM quarters WHERE treated AND quarter = 0)
+                    AS t_q0,
+                (SELECT m FROM quarters WHERE NOT treated AND quarter = 0)
+                    AS c_q0,
+                (SELECT m FROM quarters WHERE treated AND quarter = 1)
+                    AS t_q1,
+                (SELECT m FROM quarters WHERE NOT treated AND quarter = 1)
+                    AS c_q1
+        )
+        SELECT CAST(t_pre AS BIGINT) AS treated_pre_micro,
+               CAST(t_post AS BIGINT) AS treated_post_micro,
+               CAST(c_pre AS BIGINT) AS control_pre_micro,
+               CAST(c_post AS BIGINT) AS control_post_micro,
+               CAST((t_post - t_pre) - (c_post - c_pre) AS BIGINT)
+                   AS did_micro,
+               CAST((t_q1 - c_q1) - (t_q0 - c_q0) AS BIGINT)
+                   AS pretrend_drift_micro
+        FROM wide
+    """
+
+
+def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences + parallel-trends drift — see
+    _did_body."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_did_body("spark"))
+
+
+EVENTS_DID_ESTIMATOR_SQL = _did_body("duck")
+
+
 QUERIES: dict[str, tuple] = {
     "events_holt_winters_backtest": (
         events_holt_winters_backtest,
@@ -2616,6 +2703,10 @@ QUERIES: dict[str, tuple] = {
         WINDOW_ROLLING_CORR_PAIR_SQL,
     ),
     "events_holt_winters": (events_holt_winters, EVENTS_HOLT_WINTERS_SQL),
+    "events_did_estimator": (
+        events_did_estimator,
+        EVENTS_DID_ESTIMATOR_SQL,
+    ),
     "events_rfm_segments": (events_rfm_segments, EVENTS_RFM_SEGMENTS_SQL),
     "events_anomaly_seasonal_residual": (
         events_anomaly_seasonal_residual,

@@ -1459,7 +1459,100 @@ PIPELINE_DATA_ABLATION_SLICES_SQL = _ablation_body(
 )
 
 
+# ---------------------------------------------------------------------------
+# pipeline_chunk_overlap — sliding-window document chunking with overlap
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKS = 32      # tokens per chunk
+CHUNK_STRIDE = 24    # stride; overlap = CHUNK_TOKS - CHUNK_STRIDE = 8
+
+
+def _chunk_overlap_body(engine: str) -> str:
+    """Sliding-window chunker (the RAG-indexing / long-context packing
+    primitive pipeline_pack_sequences sits downstream of): each
+    document yields chunks of {CHUNK_TOKS} tokens at stride
+    {CHUNK_STRIDE} (overlap {CHUNK_TOKS - CHUNK_STRIDE}), the last
+    chunk ragged. The report is the per-source chunking ledger —
+    docs, chunks, token totals before/after, and the exact overlap
+    overhead ppm (the storage/compute tax the overlap buys recall
+    with) — plus chunk-count extremes for shard planning.
+
+    Exactness: n_chunks = 1 + ceil((n_toks − {CHUNK_TOKS}) /
+    {CHUNK_STRIDE}) via integer (a + b − 1) DIV b on nonnegative
+    operands; per-chunk token counts by LEAST(); every sum exact
+    BIGINT, overhead one floor cross-multiplication.
+
+    Scale posture: one documents scan; the chunk explode fans out
+    ≤ n_toks/{CHUNK_STRIDE} rows per doc (bounded by doc length) and
+    collapses immediately into the map-side-combined source rollup —
+    chunk TEXT is never materialized here, only the (start, len)
+    ledger a writer would slice with."""
+    if engine == "spark":
+        toks = "size(regexp_extract_all(text, '[a-z0-9]+', 0))"
+        ex = "LATERAL VIEW explode(sequence(0, n_chunks - 1)) ck AS k"
+        intdiv = "DIV"
+    else:
+        toks = "len(regexp_extract_all(text, '[a-z0-9]+'))"
+        ex = "CROSS JOIN UNNEST(range(0, n_chunks)) AS ck(k)"
+        intdiv = "//"
+    return f"""
+        WITH d AS (
+            SELECT doc_id, source, CAST({toks} AS BIGINT) AS n_toks
+            FROM documents
+        ),
+        sized AS (
+            SELECT doc_id, source, n_toks,
+                   CASE WHEN n_toks <= {CHUNK_TOKS} THEN CAST(1 AS BIGINT)
+                        ELSE 1 + (n_toks - {CHUNK_TOKS}
+                                  + {CHUNK_STRIDE} - 1) {intdiv}
+                             {CHUNK_STRIDE}
+                   END AS n_chunks
+            FROM d WHERE n_toks > 0
+        ),
+        chunks AS (
+            SELECT source, doc_id, n_chunks,
+                   CASE WHEN n_toks - k * {CHUNK_STRIDE} < {CHUNK_TOKS}
+                        THEN n_toks - k * {CHUNK_STRIDE}
+                        ELSE CAST({CHUNK_TOKS} AS BIGINT)
+                   END AS chunk_toks,
+                   -- carry each doc's token total exactly once (k=0)
+                   -- so ONE aggregate serves both sums — no second
+                   -- scan of the sized relation
+                   CASE WHEN k = 0 THEN n_toks ELSE CAST(0 AS BIGINT)
+                   END AS doc_toks_once
+            FROM sized {ex}
+        )
+        SELECT source,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(chunk_toks) AS BIGINT) AS chunk_toks_total,
+               CAST(SUM(doc_toks_once) AS BIGINT) AS doc_toks_total,
+               CAST(MAX(n_chunks) AS BIGINT) AS max_chunks_per_doc,
+               CAST(floor(SUM(chunk_toks) * 1000000.0
+                          / SUM(doc_toks_once)) AS BIGINT)
+                   AS expansion_ppm
+        FROM chunks
+        GROUP BY source
+        ORDER BY source
+    """
+
+
+def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking ledger — see _chunk_overlap_body."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_chunk_overlap_body("spark"))
+
+
+PIPELINE_CHUNK_OVERLAP_SQL = _chunk_overlap_body("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "pipeline_chunk_overlap": (
+        pipeline_chunk_overlap,
+        PIPELINE_CHUNK_OVERLAP_SQL,
+    ),
     "pipeline_data_ablation_slices": (
         pipeline_data_ablation_slices,
         PIPELINE_DATA_ABLATION_SLICES_SQL,

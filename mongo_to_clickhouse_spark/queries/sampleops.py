@@ -1651,7 +1651,89 @@ def sample_downsample_head_heavy(
 SAMPLE_DOWNSAMPLE_HEAD_HEAVY_SQL = _head_cap_body("duck")
 
 
+# ---------------------------------------------------------------------------
+# sample_ess_importance — effective sample size of importance weights
+# ---------------------------------------------------------------------------
+
+ESS_CLIP = 64   # weight cap for the clipped variant (tokens per doc)
+
+
+def _ess_body(engine: str) -> str:
+    """Kish effective-sample-size diagnostic for importance-weighted
+    corpora — the number every reweighting scheme (DSIR, temperature
+    mixing, domain up-sampling) must report before training trusts the
+    weights: ESS = (Σw)²/Σw², and ESS/n ≪ 1 means a few heavy
+    documents dominate the gradient. Weights here are the per-doc token
+    counts (the length-proportional weighting packing pipelines
+    implicitly apply); the CLIPPED twin caps w at {ESS_CLIP} — the
+    standard variance/bias trade — and the report quantifies what the
+    cap buys (ESS recovered) and costs (weight mass truncated), per
+    source and corpus-wide (ROLLUP).
+
+    Exactness: token counts are exact ints, Σw and Σw² exact BIGINTs,
+    every reported ratio one floor(·1e6) cross-multiplication. Scale
+    posture: one documents scan → map-side-combined per-source sums;
+    the rollup adds one tiny re-aggregate."""
+    toks = (
+        "size(regexp_extract_all(text, '[a-z0-9]+', 0))"
+        if engine == "spark"
+        else "len(regexp_extract_all(text, '[a-z0-9]+'))"
+    )
+    return f"""
+        WITH w AS (
+            SELECT source, CAST({toks} AS BIGINT) AS w
+            FROM documents
+        ),
+        c AS (
+            SELECT source, w,
+                   CASE WHEN w > {ESS_CLIP} THEN {ESS_CLIP} ELSE w END
+                       AS wc
+            FROM w WHERE w > 0
+        ),
+        g AS (
+            SELECT COALESCE(source, '__total__') AS source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(w) AS BIGINT) AS sum_w,
+                   CAST(SUM(w * w) AS BIGINT) AS sum_w2,
+                   CAST(SUM(wc) AS BIGINT) AS sum_wc,
+                   CAST(SUM(wc * wc) AS BIGINT) AS sum_wc2,
+                   CAST(SUM(CASE WHEN w > {ESS_CLIP} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clipped
+            FROM c GROUP BY ROLLUP(source)
+        )
+        -- doubles BEFORE the squares: sum_w2 is exact BIGINT, but the
+        -- ppm numerators square corpus-scale sums (overflow at ~3e9
+        -- total tokens); identical double expressions in both engines
+        SELECT source, n_docs, n_clipped,
+               CAST(floor(CAST(sum_w AS DOUBLE) * sum_w * 1000000.0
+                          / (CAST(n_docs AS DOUBLE) * sum_w2))
+                    AS BIGINT) AS ess_frac_ppm,
+               CAST(floor(CAST(sum_wc AS DOUBLE) * sum_wc * 1000000.0
+                          / (CAST(n_docs AS DOUBLE) * sum_wc2))
+                    AS BIGINT) AS ess_clipped_frac_ppm,
+               CAST(floor((sum_w - sum_wc) * 1000000.0 / sum_w)
+                    AS BIGINT) AS mass_truncated_ppm
+        FROM g
+        ORDER BY source
+    """
+
+
+def sample_ess_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weight ESS diagnostic — see _ess_body."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_ess_body("spark"))
+
+
+SAMPLE_ESS_IMPORTANCE_SQL = _ess_body("duck")
+
+
 QUERIES: dict[str, tuple] = {
+    "sample_ess_importance": (
+        sample_ess_importance,
+        SAMPLE_ESS_IMPORTANCE_SQL,
+    ),
     "sample_downsample_head_heavy": (
         sample_downsample_head_heavy,
         SAMPLE_DOWNSAMPLE_HEAD_HEAVY_SQL,

@@ -166,3 +166,166 @@ def test_integration_smoke_exits_skipped_without_environment():
     )
     assert proc.returncode == 77, proc.stdout + proc.stderr
     assert "SKIPPED" in proc.stdout
+
+
+# ---------------------------------------------------------------------------
+# round-9 analytics additions — planted-fixture semantics
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+import pyarrow as _pa
+import pyarrow.parquet as _pq
+
+_T0 = _dt.datetime(2024, 6, 1)
+
+
+def _write_events9(tmp_path, rows):
+    """rows: (event_id, user_id, event_type, value, minute_offset)."""
+    tbl = _pa.table(
+        {
+            "event_id": _pa.array([r[0] for r in rows], _pa.int64()),
+            "ts": _pa.array(
+                [_T0 + _dt.timedelta(minutes=r[4]) for r in rows],
+                _pa.timestamp("us"),
+            ),
+            "user_id": _pa.array([r[1] for r in rows], _pa.int64()),
+            "event_type": _pa.array([r[2] for r in rows], _pa.string()),
+            "value": _pa.array([r[3] for r in rows], _pa.float64()),
+            "props": _pa.array(["{}"] * len(rows), _pa.string()),
+        }
+    )
+    _pq.write_table(tbl, os.path.join(str(tmp_path), "events.parquet"))
+    return str(tmp_path)
+
+
+def _write_docs9(tmp_path, texts, sources=None):
+    tbl = _pa.table(
+        {
+            "doc_id": _pa.array(range(len(texts)), _pa.int64()),
+            "text": _pa.array(texts, _pa.string()),
+            "lang": _pa.array(["en"] * len(texts)),
+            "source": _pa.array(sources or ["web"] * len(texts)),
+            "n_chars": _pa.array([len(t) for t in texts], _pa.int64()),
+        }
+    )
+    _pq.write_table(tbl, os.path.join(str(tmp_path), "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_unordered_funnel_any_order_within_window(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.queries.analytics import (
+        events_funnel_unordered,
+    )
+
+    rows = [
+        # user 1: purchase -> view -> click inside 30 min (ANY order) ✓
+        (1, 1, "purchase", 1.0, 0),
+        (2, 1, "view", 1.0, 10),
+        (3, 1, "click", 1.0, 30),
+        # user 2: view+click close, purchase 2h later — outside 1h ✗
+        (4, 2, "view", 1.0, 0),
+        (5, 2, "click", 1.0, 5),
+        (6, 2, "purchase", 1.0, 125),
+        # user 3: only two of the three steps ✗
+        (7, 3, "view", 1.0, 0),
+        (8, 3, "click", 1.0, 1),
+    ]
+    sf = _write_events9(tmp_path, rows)
+    clear_scan_cache()
+    out = events_funnel_unordered(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_users, r.n_converted) == (3, 1)
+    assert r.conv_ppm == 333_333
+    assert r.fastest_span_us == 30 * 60 * 1_000_000  # user 1's sweep
+
+
+def test_unordered_funnel_window_slides_not_anchored_first(
+    spark, tmp_path
+):
+    # the completing window must NOT need to start at the user's FIRST
+    # event: noise at t=0, then all three steps in minutes 120-140
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.queries.analytics import (
+        events_funnel_unordered,
+    )
+
+    rows = [
+        (1, 1, "view", 1.0, 0),
+        (2, 1, "click", 1.0, 120),
+        (3, 1, "purchase", 1.0, 130),
+        (4, 1, "view", 1.0, 140),
+    ]
+    sf = _write_events9(tmp_path, rows)
+    clear_scan_cache()
+    r = events_funnel_unordered(spark, sf).collect()[0]
+    assert r.n_converted == 1
+    assert r.fastest_span_us == 20 * 60 * 1_000_000
+
+
+def test_did_estimator_planted_cells(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.queries.bizops import (
+        events_did_estimator,
+    )
+
+    # 4 days (0,1 = pre; 2,3 = post), one event per (group, day):
+    # control (uid 2): 10, 10 | 12, 12   -> +2
+    # treated (uid 1): 20, 20 | 27, 27   -> +7   => DiD = +5 dollars
+    day = 24 * 60
+    rows = [
+        (1, 2, "view", 10.0, 0), (2, 2, "view", 10.0, day),
+        (3, 2, "view", 12.0, 2 * day), (4, 2, "view", 12.0, 3 * day),
+        (5, 1, "view", 20.0, 0), (6, 1, "view", 20.0, day),
+        (7, 1, "view", 27.0, 2 * day), (8, 1, "view", 27.0, 3 * day),
+    ]
+    sf = _write_events9(tmp_path, rows)
+    clear_scan_cache()
+    r = events_did_estimator(spark, sf).collect()[0]
+    # micro-CENTS means: value 10.0 -> 1000 cents -> 1e9 micro
+    assert r.control_pre_micro == 1_000_000_000
+    assert r.treated_post_micro == 2_700_000_000
+    assert r.did_micro == 500_000_000  # +5 dollars in micro-cents
+    # pre-trend: gap is 10 dollars in BOTH pre quarters -> drift 0
+    assert r.pretrend_drift_micro == 0
+
+
+def test_ess_importance_uniform_weights_are_full_ess(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.queries.sampleops import (
+        sample_ess_importance,
+    )
+
+    # 4 docs x 10 tokens each: uniform weights -> ESS/n = 1.0 exactly
+    sf = _write_docs9(tmp_path, ["tok " * 10] * 4)
+    clear_scan_cache()
+    rows = {r.source: r for r in
+            sample_ess_importance(spark, sf).collect()}
+    assert rows["__total__"].ess_frac_ppm == 1_000_000
+    assert rows["__total__"].n_clipped == 0
+
+
+def test_chunk_overlap_ragged_last_chunk(spark, tmp_path):
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.queries.pipelineops import (
+        CHUNK_STRIDE,
+        CHUNK_TOKS,
+        pipeline_chunk_overlap,
+    )
+
+    # 33 tokens with CHUNK_TOKS=32 / STRIDE=24: chunk0 = 32 toks,
+    # chunk1 = toks 24..32 = 9 toks; plus a 5-token single-chunk doc
+    sf = _write_docs9(
+        tmp_path, [" ".join(f"w{i}" for i in range(33)),  # 33 tokens
+                   "a b c d e"]
+    )
+    clear_scan_cache()
+    r = pipeline_chunk_overlap(spark, sf).collect()[0]
+    assert (CHUNK_TOKS, CHUNK_STRIDE) == (32, 24)
+    assert r.n_docs == 2
+    assert r.n_chunks == 3
+    assert r.chunk_toks_total == 32 + 9 + 5
+    assert r.doc_toks_total == 33 + 5
+    assert r.max_chunks_per_doc == 2
