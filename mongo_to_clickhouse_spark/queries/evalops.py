@@ -1455,7 +1455,202 @@ def eval_winrate_bradley_terry(
 EVAL_WINRATE_BRADLEY_TERRY_SQL = _bt_body("duck")
 
 
+# ---------------------------------------------------------------------------
+# eval_ann_recall_curve — IVF candidate recall vs probed-list count
+# ---------------------------------------------------------------------------
+
+_ANN_CURVE_LEVELS = (1, 2, 4, 8)
+
+
+def eval_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve (the nprobe knob every FAISS deployment
+    sweeps first): CANDIDATE recall@k of the inverted-file index as a
+    function of how many nearest centroid lists each probe searches
+    ({_ANN_CURVE_LEVELS}). Ground truth = exact brute-force top-k per
+    probe; a truth neighbor is recalled at level np iff its assigned
+    centroid ranks ≤ np among the probe's centroid ordering — so each
+    level's row reads directly as 'search np lists, keep this fraction
+    of the true neighbors'. Completes the ANN eval tier:
+    eval_lsh_recall sweeps banding, this sweeps list fan-out.
+
+    Exactness: same 6-dp half-away cosine quantization and
+    (sim DESC, id ASC) tie order as the sim_ann_ivf family; recall is
+    one integer floor per level. Scale posture: probe-side relations
+    are N_PROBES-bounded (broadcast class); assignment is the one
+    K-bounded window pass the IVF family shares; the curve aggregate
+    is |truth|·|levels| rows — constant."""
+    from pyspark.sql.window import Window
+
+    from mongo_to_clickhouse_spark.functions.vectors import (
+        cosine_with_norms,
+    )
+    from mongo_to_clickhouse_spark.queries.vectorops import (
+        CENTROID_MODULUS,
+        IVF_MAX_CENTROIDS,
+        N_PROBES,
+        TOPK,
+        _emb_with_norm,
+    )
+
+    emb = _emb_with_norm(spark, sf_dir)
+    cents = emb.filter(
+        (F.col("vec_id") % CENTROID_MODULUS == 0)
+        & (F.col("vec_id") < CENTROID_MODULUS * IVF_MAX_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_emb"),
+        F.col("nrm").alias("cent_nrm"),
+    )
+    sim_to_cent = F.round(
+        cosine_with_norms(
+            F.col("embedding"), F.col("cent_emb"),
+            F.col("nrm"), F.col("cent_nrm"),
+        ),
+        6,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_sim").desc(), F.col("cent_id")
+    )
+    ranked = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "embedding", "nrm", "cent_id",
+            sim_to_cent.alias("cent_sim"),
+        )
+        .withColumn("cent_rank", F.row_number().over(w_assign))
+    )
+    assigned = ranked.filter(F.col("cent_rank") == 1).select(
+        "vec_id", F.col("cent_id").alias("own_cent")
+    )
+    probe_ranks = ranked.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("pr_probe_id"), "cent_id", "cent_rank"
+    )
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("nrm").alias("p_nrm"),
+    )
+    sim = F.round(
+        cosine_with_norms(
+            F.col("p_emb"), F.col("embedding"),
+            F.col("p_nrm"), F.col("nrm"),
+        ),
+        6,
+    )
+    w_truth = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    truth = (
+        probes.crossJoin(emb.select("vec_id", "embedding", "nrm"))
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .select("probe_id", "vec_id", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w_truth))
+        .filter(F.col("rk") <= TOPK)
+    )
+    # each truth neighbor's centroid, ranked within ITS probe's ordering
+    truth_r = (
+        truth.join(assigned, "vec_id")
+        .join(
+            probe_ranks,
+            (F.col("probe_id") == F.col("pr_probe_id"))
+            & (F.col("own_cent") == F.col("cent_id")),
+        )
+        .select("probe_id", "cent_rank")
+    )
+    levels = spark.createDataFrame(
+        [(lv,) for lv in _ANN_CURVE_LEVELS], "n_probe INT"
+    )
+    return (
+        truth_r.crossJoin(F.broadcast(levels))
+        .groupBy("n_probe")
+        .agg(
+            F.count("*").cast("bigint").alias("n_truth"),
+            F.sum(
+                (F.col("cent_rank") <= F.col("n_probe")).cast("bigint")
+            ).cast("bigint").alias("n_recalled"),
+        )
+        .select(
+            F.col("n_probe").cast("long").alias("n_probe"),
+            "n_truth",
+            "n_recalled",
+            F.expr("(n_recalled * 1000000) DIV n_truth")
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
+        .orderBy("n_probe")
+    )
+
+
+def _ann_recall_curve_oracle() -> str:
+    from mongo_to_clickhouse_spark.queries.vectorops import (
+        _EMB_NORM_CTE,
+        CENTROID_MODULUS,
+        IVF_MAX_CENTROIDS,
+        N_PROBES,
+        TOPK,
+    )
+
+    levels = ", ".join(str(lv) for lv in _ANN_CURVE_LEVELS)
+    cos = ("round(list_dot_product(CAST({a}.embedding AS DOUBLE[]), "
+           "CAST({b}.embedding AS DOUBLE[])) / ({a}.nrm * {b}.nrm), 6)")
+    return f"""
+        WITH e AS ({_EMB_NORM_CTE}),
+        cents AS (
+            SELECT vec_id AS cent_id, embedding, nrm FROM e
+            WHERE vec_id % {CENTROID_MODULUS} = 0
+              AND vec_id < {CENTROID_MODULUS * IVF_MAX_CENTROIDS}
+        ),
+        ranked AS (
+            SELECT e.vec_id, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {cos.format(a='e', b='c')} DESC,
+                                c.cent_id) AS cent_rank
+            FROM e CROSS JOIN cents c
+        ),
+        assigned AS (
+            SELECT vec_id, cent_id AS own_cent FROM ranked
+            WHERE cent_rank = 1
+        ),
+        truth AS (
+            SELECT probe_id, vec_id FROM (
+                SELECT p.vec_id AS probe_id, n.vec_id AS vec_id,
+                       row_number() OVER (
+                           PARTITION BY p.vec_id
+                           ORDER BY {cos.format(a='p', b='n')} DESC,
+                                    n.vec_id) AS rk
+                FROM e p CROSS JOIN e n
+                WHERE p.vec_id < {N_PROBES} AND p.vec_id <> n.vec_id
+            ) t WHERE rk <= {TOPK}
+        ),
+        truth_r AS (
+            SELECT t.probe_id, pr.cent_rank
+            FROM truth t
+            JOIN assigned a ON a.vec_id = t.vec_id
+            JOIN ranked pr ON pr.vec_id = t.probe_id
+                          AND pr.cent_id = a.own_cent
+        )
+        SELECT CAST(lv.n_probe AS BIGINT) AS n_probe,
+               CAST(COUNT(*) AS BIGINT) AS n_truth,
+               CAST(SUM(CASE WHEN cent_rank <= lv.n_probe
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_recalled,
+               CAST(SUM(CASE WHEN cent_rank <= lv.n_probe
+                             THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                    AS BIGINT) AS recall_ppm
+        FROM truth_r CROSS JOIN UNNEST([{levels}]) AS lv(n_probe)
+        GROUP BY lv.n_probe
+        ORDER BY n_probe
+    """
+
+
+EVAL_ANN_RECALL_CURVE_SQL = _ann_recall_curve_oracle()
+
+
 QUERIES: dict[str, tuple] = {
+    "eval_ann_recall_curve": (
+        eval_ann_recall_curve,
+        EVAL_ANN_RECALL_CURVE_SQL,
+    ),
     "eval_winrate_bradley_terry": (
         eval_winrate_bradley_terry,
         EVAL_WINRATE_BRADLEY_TERRY_SQL,

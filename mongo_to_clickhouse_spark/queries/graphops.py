@@ -529,6 +529,80 @@ GRAPH_JACCARD_SIMILARITY_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# graph_adamic_adar — inverse-log-degree link prediction
+# ---------------------------------------------------------------------------
+
+_AA_TOPK = 20
+
+
+def _graph_adamic_adar_sql(adj_rel: str) -> str:
+    """Adamic–Adar link prediction (Adamic & Adar 2003) over the shared
+    mutual-kNN adjacency — the degree-weighted refinement of
+    graph_jaccard_similarity: AA(a,b) = Σ_{{z∈N(a)∩N(b)}} 1/ln deg(z),
+    so a RARE shared neighbor counts more than a hub. Same wedge join
+    as the Jaccard/triangle tier (candidate space ≤ n·K²/2 by the
+    degree bound); each wedge center contributes an integer
+    micro-weight round(1e6/ln dz) — dz ≥ 2 for any wedge center, so
+    ln dz ≥ ln 2 and the weight is bounded — and the score is the
+    exact BIGINT sum of those weights (identical double→round in both
+    engines; positive operands so HALF_UP == half-away)."""
+    return f"""
+        SELECT a, b, n_common, aa_micro
+        FROM (
+            SELECT w1.b AS a, w2.b AS b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common,
+                   CAST(SUM(CAST(round(1000000.0
+                                       / ln(CAST(d.dz AS DOUBLE)))
+                                 AS BIGINT)) AS BIGINT) AS aa_micro
+            FROM {adj_rel} w1
+            JOIN {adj_rel} w2 ON w1.a = w2.a AND w1.b < w2.b
+            JOIN (SELECT a AS z, CAST(COUNT(*) AS BIGINT) AS dz
+                  FROM {adj_rel} GROUP BY a) d ON d.z = w1.a
+            GROUP BY w1.b, w2.b
+        ) s
+        ORDER BY aa_micro DESC, a, b
+        LIMIT {_AA_TOPK}
+    """
+
+
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction — see _graph_adamic_adar_sql.
+
+    Scale posture: reuses the SAME tri_adj barrier as the
+    triangle/Jaccard/LPA tier (one materialization serves the whole
+    graph family); the wedge join is degree-bounded (≤ n·K²/2 rows at
+    any corpus size), the degree relation is one map-side-combined
+    aggregate broadcast into the wedge aggregate, and the top-k is
+    TakeOrderedAndProject."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
+    adj = cached_barrier_view(
+        spark,
+        sf_dir,
+        "tri_adj",
+        lambda: spark.sql(_triangle_adj_sql(
+            "(SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)"
+        )),
+        tables=("lineitem",),
+    )
+    return spark.sql(_graph_adamic_adar_sql(adj))
+
+
+GRAPH_ADAMIC_ADAR_SQL = (
+    "WITH tri_adj AS ("
+    + _triangle_adj_sql("(SELECT DISTINCT l_orderkey, l_suppkey"
+                        " FROM lineitem)")
+    + ") "
+    + _graph_adamic_adar_sql("tri_adj")
+)
+
+
 BFS_ROUNDS = 4
 
 
@@ -1343,6 +1417,10 @@ QUERIES: dict[str, tuple] = {
     "graph_jaccard_similarity": (
         graph_jaccard_similarity,
         GRAPH_JACCARD_SIMILARITY_SQL,
+    ),
+    "graph_adamic_adar": (
+        graph_adamic_adar,
+        GRAPH_ADAMIC_ADAR_SQL,
     ),
     "graph_triangle_count": (graph_triangle_count, GRAPH_TRIANGLE_COUNT_SQL),
     "graph_label_propagation": (
