@@ -102,6 +102,12 @@ HEADLINE = [
     "profile_layout_locality",     # natural/Morton/Hilbert span report (round 7)
     "graph_betweenness_sampled",   # sampled Brandes betweenness (round 8:
     #   heaviest id previously unwatched — ~8 s at sf0.1 under contention)
+    "events_funnel_unordered",     # any-order windowed funnel (round 9)
+    "events_did_estimator",        # diff-in-diff + pre-trend drift (round 9)
+    "sample_ess_importance",       # importance-weight ESS ledger (round 9)
+    "pipeline_chunk_overlap",      # sliding-window chunking ledger (round 9)
+    "graph_adamic_adar",           # inverse-log-degree link scores (round 9)
+    "eval_ann_recall_curve",       # IVF nprobe candidate-recall sweep (round 9)
 ]
 
 

@@ -1116,7 +1116,92 @@ CORPUS_MIX_ENTROPY_SQL = _mix_entropy_body("documents").replace(
 )
 
 
+# ---------------------------------------------------------------------------
+# decontaminate_ngram_sweep — contamination rate vs n-gram size
+# ---------------------------------------------------------------------------
+
+_SWEEP_NS = (4, 8, 13)  # 13 = the GPT-3 decontamination standard
+
+
+def _sweep_level_sql(exploded_rel: str, n: int) -> str:
+    """One level of the sweep: the base decontamination join (bench
+    distinct grams → broadcast-class equi-join → hub-gram df cap) for
+    gram size ``n``, collapsed to the corpus-level contamination row."""
+    return f"""
+        SELECT CAST({n} AS BIGINT) AS n,
+               CAST((SELECT COUNT(DISTINCT gram_h) FROM {exploded_rel}
+                     WHERE doc_id % {BENCH_MODULUS} = 0) AS BIGINT)
+                   AS n_bench_grams,
+               t.n_train AS n_train_docs,
+               h.n_contaminated,
+               h.n_shared_grams,
+               CAST(CASE WHEN t.n_train > 0
+                         THEN floor(h.n_contaminated * 1000000.0
+                                    / t.n_train)
+                         ELSE 0 END AS BIGINT) AS contam_ppm
+        FROM (
+            SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_train
+            FROM {exploded_rel} WHERE doc_id % {BENCH_MODULUS} != 0
+        ) t CROSS JOIN (
+            SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+                       AS n_contaminated,
+                   CAST(COUNT(DISTINCT gram_h) AS BIGINT)
+                       AS n_shared_grams
+            FROM (
+                SELECT e.doc_id, e.gram_h,
+                       COUNT(*) OVER (PARTITION BY e.gram_h) AS train_df
+                FROM {exploded_rel} e
+                JOIN (SELECT DISTINCT gram_h FROM {exploded_rel}
+                      WHERE doc_id % {BENCH_MODULUS} = 0) b
+                  ON b.gram_h = e.gram_h
+                WHERE e.doc_id % {BENCH_MODULUS} != 0
+            ) cand WHERE train_df <= {DECONTAM_GRAM_DF_CAP}
+        ) h
+    """
+
+
+def decontaminate_ngram_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The decontamination SENSITIVITY curve: the corpus-level
+    contamination rate of decontaminate_ngram_overlap's join, swept
+    across gram sizes {_SWEEP_NS} — short grams over-flag (common
+    phrases), 13-grams are the GPT-3 standard; the curve is what a
+    curation run reads to pick n before committing to a scrub. Same
+    candidate generation at every level (bench-distinct grams,
+    broadcast-class equi-join on the 60-bit gram hash, hub-gram df
+    cap), collapsed to one row per n.
+
+    Scale posture: each level's exploded gram relation is the SAME
+    session-memoized checkpoint the single-n operators read
+    (``_gram_view`` — its multiple consumers here hit a leaf, not a
+    re-explode); the per-level output is one row, the union three."""
+    from functools import reduce
+
+    levels = []
+    for n in _SWEEP_NS:
+        gview = _gram_view(spark, sf_dir, n)
+        levels.append(spark.sql(
+            "WITH exploded AS (SELECT doc_id, gram_h FROM "
+            + gview + ") " + _sweep_level_sql("exploded", n)
+        ))
+    return reduce(lambda a, b: a.unionByName(b), levels).orderBy("n")
+
+
+DECONTAMINATE_NGRAM_SWEEP_SQL = " UNION ALL ".join(
+    f"""SELECT * FROM (
+        WITH exploded AS MATERIALIZED ({_gram_hashes_duck(n)})
+        {_sweep_level_sql('exploded', n)}
+    ) lvl{n}"""
+    for n in _SWEEP_NS
+) + " ORDER BY n"
+
+
 QUERIES: dict[str, tuple] = {
+    "decontaminate_ngram_sweep": (
+        decontaminate_ngram_sweep,
+        DECONTAMINATE_NGRAM_SWEEP_SQL,
+    ),
     "text_ngram_novelty": (text_ngram_novelty, TEXT_NGRAM_NOVELTY_SQL),
     "corpus_mix_entropy": (corpus_mix_entropy, CORPUS_MIX_ENTROPY_SQL),
     "text_collocations_pmi": (text_collocations_pmi, TEXT_COLLOCATIONS_PMI_SQL),

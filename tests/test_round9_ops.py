@@ -329,3 +329,38 @@ def test_chunk_overlap_ragged_last_chunk(spark, tmp_path):
     assert r.chunk_toks_total == 32 + 9 + 5
     assert r.doc_toks_total == 33 + 5
     assert r.max_chunks_per_doc == 2
+
+
+def test_ngram_sweep_monotone_and_planted_hit(spark, tmp_path):
+    """Planted corpus: doc 0 (bench, doc_id % 97 == 0) shares an exact
+    13-gram with train doc 5 -> contaminated at EVERY n <= 13; train
+    doc 6 shares only a 5-gram run -> flagged at n=4 but not n=8/13.
+    Contamination counts must be non-increasing in n."""
+    from mongo_to_clickhouse_spark.io import clear_scan_cache
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        clear_barrier_view_cache,
+    )
+    from mongo_to_clickhouse_spark.queries.corpusops import (
+        decontaminate_ngram_sweep,
+    )
+
+    bench_txt = " ".join(f"b{i}" for i in range(20))
+    full_copy = "intro words " + " ".join(f"b{i}" for i in range(13))
+    short_copy = "other prefix " + " ".join(f"b{i}" for i in range(5)) + \
+        " unrelated tail words here"
+    fillers = [f"filler {i} nothing shared at all {i} {i}" for i in
+               range(4)]
+    texts = [bench_txt, fillers[0], fillers[1], fillers[2], fillers[3],
+             full_copy, short_copy]
+    sf = _write_docs9(tmp_path, texts)
+    clear_scan_cache()
+    clear_barrier_view_cache()
+    rows = {r.n: r for r in
+            decontaminate_ngram_sweep(spark, sf).collect()}
+    assert set(rows) == {4, 8, 13}
+    assert rows[4].n_contaminated >= 2    # both planted docs
+    assert rows[8].n_contaminated == 1    # only the 13-gram copy
+    assert rows[13].n_contaminated == 1
+    assert (rows[4].n_contaminated >= rows[8].n_contaminated
+            >= rows[13].n_contaminated)
+    clear_barrier_view_cache()
