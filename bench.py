@@ -108,6 +108,8 @@ HEADLINE = [
     "pipeline_chunk_overlap",      # sliding-window chunking ledger (round 9)
     "graph_adamic_adar",           # inverse-log-degree link scores (round 9)
     "eval_ann_recall_curve",       # IVF nprobe candidate-recall sweep (round 9)
+    "pipeline_rag_ingest_manifest",  # chunk->embed->LSH index ledger (round 9)
+    "decontaminate_ngram_sweep",   # contamination vs gram size (round 9)
 ]
 
 

@@ -1548,10 +1548,171 @@ def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 PIPELINE_CHUNK_OVERLAP_SQL = _chunk_overlap_body("duck")
 
 
+# ---------------------------------------------------------------------------
+# pipeline_rag_ingest_manifest — chunk → hash-embed → LSH bucket, one plan
+# ---------------------------------------------------------------------------
+
+RAG_EMBED_DIM = 16   # signed-hashing feature space per chunk
+RAG_PLANES = 8       # LSH hyperplanes → 8-bit bucket signature
+
+
+def _rag_manifest_body(engine: str) -> str:
+    """The RAG INGEST manifest as ONE declarative plan — the retrieval
+    sibling of pipeline_pretraining_manifest's composition flagship:
+    sliding-window chunking ({CHUNK_TOKS} tokens, stride
+    {CHUNK_STRIDE} — pipeline_chunk_overlap's geometry) → per-chunk
+    signed feature hashing into {RAG_EMBED_DIM} integer dims
+    (text_feature_hashing's recipe, vocabulary-free) → random-
+    hyperplane LSH bucketing ({RAG_PLANES} md5-derived ±1 planes, the
+    sim_ann_lsh shape) → the per-source INDEX ledger a retrieval
+    service reviews before serving: chunks, distinct buckets,
+    occupancy extremes, the Σ|bucket|² probe-cost audit every ANN tier
+    here carries, and the singleton fraction (buckets that can never
+    return a same-bucket neighbor).
+
+    Exactness: every stage is integer — 60-bit md5 token hashes,
+    signed counts, ±1 plane entries from md5 parity, integer dots
+    (sign bit: dot ≥ 0 → 1); chunks whose sparse weights fully cancel
+    get the all-ones signature ({2 ** RAG_PLANES - 1}) by the same
+    dot = 0 rule. Ratios are single floor cross-multiplications.
+
+    Scale posture: one corpus explode chain (chunk explode fans
+    ≤ n_toks/{CHUNK_STRIDE} per doc, token explode is corpus-linear);
+    the plane join is against a {RAG_PLANES}·{RAG_EMBED_DIM}-row
+    literal grid (broadcast); every aggregate is keyed by
+    (doc, chunk[, plane]) — uniform — then collapses to
+    |sources|·2^{RAG_PLANES} bucket rows; the doc-count side reads a
+    source-pruned second scan rather than re-expanding the chunk
+    chain (the §6j discipline)."""
+    c, s = CHUNK_TOKS, CHUNK_STRIDE
+    d, p = RAG_EMBED_DIM, RAG_PLANES
+    if engine == "spark":
+        toks = "split(text, ' ')"
+        h = ("CAST(conv(substring(md5(tok), 1, 15), 16, 10)"
+             " AS BIGINT)")
+        ph = ("CAST(conv(substring(md5(concat(p, '_', b)), 1, 15),"
+              " 16, 10) AS BIGINT)")
+        intdiv = "DIV"
+        chunk_ex = "LATERAL VIEW explode(sequence(0, n_chunks - 1)) ck AS k"
+        tok_ex = (f"LATERAL VIEW explode(slice(toks, k * {s} + 1, {c}))"
+                  " tt AS tok")
+        grid = (f"SELECT pp.p, bb.b FROM "
+                f"(SELECT explode(sequence(0, {p - 1})) AS p) pp "
+                f"CROSS JOIN (SELECT explode(sequence(0, {d - 1})) AS b) bb")
+        bit = "shiftleft(CAST(1 AS BIGINT), p)"
+    else:
+        toks = "string_split(text, ' ')"
+        h = "CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)"
+        ph = ("CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' ||"
+              " CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)")
+        intdiv = "//"
+        chunk_ex = "CROSS JOIN UNNEST(range(0, n_chunks)) AS ck(k)"
+        tok_ex = (f"CROSS JOIN UNNEST(toks[k * {s} + 1 : "
+                  f"k * {s} + {c}]) AS tt(tok)")
+        grid = (f"SELECT pp.p, bb.b FROM "
+                f"(SELECT unnest(range(0, {p})) AS p) pp "
+                f"CROSS JOIN (SELECT unnest(range(0, {d})) AS b) bb")
+        bit = "(CAST(1 AS BIGINT) << CAST(p AS INTEGER))"
+    sign = f"CASE WHEN (h {intdiv} {d}) % 2 = 0 THEN 1 ELSE -1 END"
+    return f"""
+        WITH sized AS (
+            SELECT doc_id, toks, n_toks,
+                   CASE WHEN n_toks <= {c} THEN CAST(1 AS BIGINT)
+                        ELSE 1 + (n_toks - {c} + {s} - 1) {intdiv} {s}
+                   END AS n_chunks
+            FROM (SELECT doc_id, toks,
+                         CAST({'size' if engine == 'spark' else 'len'}
+                              (toks) AS BIGINT) AS n_toks
+                  FROM (SELECT doc_id, {toks} AS toks
+                        FROM documents) t0) t1
+        ),
+        skel AS (
+            SELECT doc_id, k FROM sized {chunk_ex}
+        ),
+        htoks AS (
+            SELECT doc_id, k, {h} AS h
+            FROM sized {chunk_ex} {tok_ex}
+        ),
+        w AS (
+            SELECT doc_id, k, h % {d} AS bucket,
+                   CAST(SUM({sign}) AS BIGINT) AS wt
+            FROM htoks
+            GROUP BY doc_id, k, h % {d}
+            HAVING SUM({sign}) != 0
+        ),
+        planes AS (
+            SELECT p, b, CASE WHEN {ph} % 2 = 0 THEN 1 ELSE -1 END AS pv
+            FROM ({grid}) g
+        ),
+        dots AS (
+            SELECT w.doc_id, w.k, pl.p,
+                   CAST(SUM(w.wt * pl.pv) AS BIGINT) AS dot
+            FROM w JOIN planes pl ON pl.b = w.bucket
+            GROUP BY w.doc_id, w.k, pl.p
+        ),
+        sigs0 AS (
+            SELECT doc_id, k,
+                   CAST(SUM(CASE WHEN dot >= 0 THEN {bit} ELSE 0 END)
+                        AS BIGINT) AS sig
+            FROM dots GROUP BY doc_id, k
+        ),
+        sigs AS (
+            SELECT sk.doc_id, sk.k,
+                   COALESCE(s0.sig, CAST({2 ** p - 1} AS BIGINT)) AS sig
+            FROM skel sk
+            LEFT JOIN sigs0 s0 ON s0.doc_id = sk.doc_id AND s0.k = sk.k
+        ),
+        buckets AS (
+            SELECT d.source, g.sig, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM sigs g
+            JOIN (SELECT doc_id, source FROM documents) d
+              ON d.doc_id = g.doc_id
+            GROUP BY d.source, g.sig
+        ),
+        per_source AS (
+            SELECT source,
+                   CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+                   CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                   CAST(MAX(cnt) AS BIGINT) AS max_bucket,
+                   CAST(SUM(cnt * cnt) AS BIGINT) AS sum_bucket_sq,
+                   CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_singletons
+            FROM buckets GROUP BY source
+        ),
+        docs AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        )
+        SELECT ps.source, dc.n_docs, ps.n_chunks, ps.n_buckets,
+               ps.max_bucket, ps.sum_bucket_sq,
+               CAST(ps.n_singletons * 1000000 {intdiv} ps.n_buckets
+                    AS BIGINT) AS singleton_ppm
+        FROM per_source ps JOIN docs dc ON dc.source = ps.source
+        ORDER BY ps.source
+    """
+
+
+def pipeline_rag_ingest_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-plan RAG ingest ledger — see _rag_manifest_body."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_rag_manifest_body("spark"))
+
+
+PIPELINE_RAG_INGEST_MANIFEST_SQL = _rag_manifest_body("duck")
+
+
 QUERIES: dict[str, tuple] = {
     "pipeline_chunk_overlap": (
         pipeline_chunk_overlap,
         PIPELINE_CHUNK_OVERLAP_SQL,
+    ),
+    "pipeline_rag_ingest_manifest": (
+        pipeline_rag_ingest_manifest,
+        PIPELINE_RAG_INGEST_MANIFEST_SQL,
     ),
     "pipeline_data_ablation_slices": (
         pipeline_data_ablation_slices,
