@@ -2620,10 +2620,17 @@ def _did_body(engine: str) -> str:
     differences of those micro means. NULL cells (an empty quarter)
     propagate to NULL diagnostics rather than fake zeros.
 
-    Scale posture: one scan → 4 (and 4 more quarter) cells, all
-    map-side combined; the span is one 1-row broadcast."""
+    Scale posture: one scan → the 1-row span broadcast → ONE
+    conditional aggregate producing every cell (8 scalar-subquery cell
+    probes would re-expand the event chain per cell — the §6j
+    discipline says conditional aggregation instead)."""
     intdiv = "DIV" if engine == "spark" else "//"
-    mean = "CAST(floor(SUM(cents) * 1000000.0 / COUNT(*)) AS BIGINT)"
+
+    def cell(cond: str) -> str:
+        return (f"CAST(floor(SUM(CASE WHEN {cond} THEN cents END)"
+                f" * 1000000.0"
+                f" / SUM(CASE WHEN {cond} THEN 1 END)) AS BIGINT)")
+
     return f"""
         WITH d AS (
             SELECT user_id % 2 = 1 AS treated, day_idx, cents
@@ -2637,36 +2644,22 @@ def _did_body(engine: str) -> str:
                    cents
             FROM d, span
         ),
-        cells AS (
-            SELECT treated, post, {mean} AS m
-            FROM halves GROUP BY treated, post
-        ),
-        quarters AS (
-            SELECT treated, quarter, {mean} AS m
-            FROM halves WHERE quarter <= 1 GROUP BY treated, quarter
-        ),
         wide AS (
             SELECT
-                (SELECT m FROM cells WHERE treated AND NOT post)
-                    AS t_pre,
-                (SELECT m FROM cells WHERE treated AND post) AS t_post,
-                (SELECT m FROM cells WHERE NOT treated AND NOT post)
-                    AS c_pre,
-                (SELECT m FROM cells WHERE NOT treated AND post)
-                    AS c_post,
-                (SELECT m FROM quarters WHERE treated AND quarter = 0)
-                    AS t_q0,
-                (SELECT m FROM quarters WHERE NOT treated AND quarter = 0)
-                    AS c_q0,
-                (SELECT m FROM quarters WHERE treated AND quarter = 1)
-                    AS t_q1,
-                (SELECT m FROM quarters WHERE NOT treated AND quarter = 1)
-                    AS c_q1
+                {cell("treated AND NOT post")} AS t_pre,
+                {cell("treated AND post")} AS t_post,
+                {cell("NOT treated AND NOT post")} AS c_pre,
+                {cell("NOT treated AND post")} AS c_post,
+                {cell("treated AND quarter = 0")} AS t_q0,
+                {cell("NOT treated AND quarter = 0")} AS c_q0,
+                {cell("treated AND quarter = 1")} AS t_q1,
+                {cell("NOT treated AND quarter = 1")} AS c_q1
+            FROM halves
         )
-        SELECT CAST(t_pre AS BIGINT) AS treated_pre_micro,
-               CAST(t_post AS BIGINT) AS treated_post_micro,
-               CAST(c_pre AS BIGINT) AS control_pre_micro,
-               CAST(c_post AS BIGINT) AS control_post_micro,
+        SELECT t_pre AS treated_pre_micro,
+               t_post AS treated_post_micro,
+               c_pre AS control_pre_micro,
+               c_post AS control_post_micro,
                CAST((t_post - t_pre) - (c_post - c_pre) AS BIGINT)
                    AS did_micro,
                CAST((t_q1 - c_q1) - (t_q0 - c_q0) AS BIGINT)

@@ -1508,17 +1508,36 @@ def eval_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
+    from mongo_to_clickhouse_spark.operators.materialize import (
+        cached_barrier_view,
+    )
+
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("cent_sim").desc(), F.col("cent_id")
     )
-    ranked = (
-        emb.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "embedding", "nrm", "cent_id",
-            sim_to_cent.alias("cent_sim"),
+
+    def build_ranked():
+        # keep only the rows any consumer needs (rank-1 assignment for
+        # every vector + the full centroid ordering for the N_PROBES
+        # probes: n + probes·K rows) — two consumers below read this
+        # leaf instead of re-expanding the crossJoin+window chain
+        return (
+            emb.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id", "cent_id", sim_to_cent.alias("cent_sim"),
+            )
+            .withColumn("cent_rank", F.row_number().over(w_assign))
+            .filter(
+                (F.col("cent_rank") == 1) | (F.col("vec_id") < N_PROBES)
+            )
+            .select("vec_id", "cent_id", "cent_rank")
         )
-        .withColumn("cent_rank", F.row_number().over(w_assign))
+
+    ranked_v = cached_barrier_view(
+        spark, sf_dir, "ann_curve_ranked", build_ranked,
+        tables=("embeddings",),
     )
+    ranked = spark.table(ranked_v)
     assigned = ranked.filter(F.col("cent_rank") == 1).select(
         "vec_id", F.col("cent_id").alias("own_cent")
     )
@@ -1551,7 +1570,7 @@ def eval_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth_r = (
         truth.join(assigned, "vec_id")
         .join(
-            probe_ranks,
+            F.broadcast(probe_ranks),  # N_PROBES·K rows — dim-class
             (F.col("probe_id") == F.col("pr_probe_id"))
             & (F.col("own_cent") == F.col("cent_id")),
         )

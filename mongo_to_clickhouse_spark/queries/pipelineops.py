@@ -1626,19 +1626,21 @@ def _rag_manifest_body(engine: str) -> str:
                   FROM (SELECT doc_id, {toks} AS toks
                         FROM documents) t0) t1
         ),
-        skel AS (
-            SELECT doc_id, k FROM sized {chunk_ex}
-        ),
         htoks AS (
             SELECT doc_id, k, {h} AS h
             FROM sized {chunk_ex} {tok_ex}
         ),
+        -- NO HAVING here: zero-weight bucket rows keep fully-cancelled
+        -- chunks present (every chunk has >= 1 token by geometry, hence
+        -- >= 1 bucket row), so the all-zero chunk flows through dots as
+        -- dot = 0 per plane and lands on the all-ones signature
+        -- naturally — no chunk skeleton, no second expansion of the
+        -- sized chain
         w AS (
             SELECT doc_id, k, h % {d} AS bucket,
                    CAST(SUM({sign}) AS BIGINT) AS wt
             FROM htoks
             GROUP BY doc_id, k, h % {d}
-            HAVING SUM({sign}) != 0
         ),
         planes AS (
             SELECT p, b, CASE WHEN {ph} % 2 = 0 THEN 1 ELSE -1 END AS pv
@@ -1650,17 +1652,11 @@ def _rag_manifest_body(engine: str) -> str:
             FROM w JOIN planes pl ON pl.b = w.bucket
             GROUP BY w.doc_id, w.k, pl.p
         ),
-        sigs0 AS (
+        sigs AS (
             SELECT doc_id, k,
                    CAST(SUM(CASE WHEN dot >= 0 THEN {bit} ELSE 0 END)
                         AS BIGINT) AS sig
             FROM dots GROUP BY doc_id, k
-        ),
-        sigs AS (
-            SELECT sk.doc_id, sk.k,
-                   COALESCE(s0.sig, CAST({2 ** p - 1} AS BIGINT)) AS sig
-            FROM skel sk
-            LEFT JOIN sigs0 s0 ON s0.doc_id = sk.doc_id AND s0.k = sk.k
         ),
         buckets AS (
             SELECT d.source, g.sig, CAST(COUNT(*) AS BIGINT) AS cnt
