@@ -395,3 +395,34 @@ def test_rag_manifest_geometry_and_cancellation(spark, tmp_path):
     # indirectly: total chunks conserved
     assert r.max_bucket <= 2
     assert RAG_PLANES == 8  # the 2^P - 1 = 255 sentinel rule above
+
+
+def test_tuning_perturbed_oracles_stay_in_lockstep():
+    """The SPARK_GRAFT_TUNING override must shift BOTH dialect builders
+    together: run the public driver contract in a fresh process with
+    non-default knobs (different threshold, banding, top-k, centroid
+    modulus, gram size) on a fast dedup/ANN subset and require hash
+    MATCH — a knob that leaks into only one engine's SQL diverges
+    here long before a production retune would find it."""
+    import json
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_TUNING"] = json.dumps({
+        "jaccard_threshold": 0.4, "minhash_bands": 8, "ann_topk": 7,
+        "ann_probes": 6, "ivf_centroid_modulus": 30, "decontam_n": 6,
+        "bench_modulus": 53,
+    })
+    proc = subprocess.run(
+        [sys.executable, "scripts/driver_sim.py",
+         "/root/testdata/sf0.001",
+         "dedup_minhash_lsh_pairs", "sim_ann_ivf_kernel",
+         "decontaminate_ngram_overlap", "sim_cosine_topk"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert proc.stdout.count("MATCH") >= 4
+    assert "MISMATCH" not in proc.stdout
