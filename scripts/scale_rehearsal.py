@@ -52,6 +52,17 @@ SCALE_TIER = [
     # modularity is the barriered LPA chain + label equi-joins
     "graph_betweenness_sampled",
     "graph_modularity",
+    # round-9 additions: the new pipeline/graph/eval surface
+    "events_funnel_unordered",
+    "events_did_estimator",
+    "sample_ess_importance",
+    "pipeline_chunk_overlap",
+    "pipeline_rag_ingest_manifest",
+    "graph_adamic_adar",
+    "eval_ann_recall_curve",
+    "decontaminate_ngram_sweep",
+    "pipeline_pretraining_manifest",
+    "tokenizer_wordpiece_apply",
 ]
 
 
