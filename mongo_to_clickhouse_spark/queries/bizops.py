@@ -2640,7 +2640,15 @@ def _did_body(engine: str) -> str:
         halves AS (
             SELECT treated,
                    day_idx >= lo + (hi - lo + 1) {intdiv} 2 AS post,
-                   (day_idx - lo) * 4 {intdiv} (hi - lo + 1) AS quarter,
+                   -- drift quarters are halves of the PRE period only:
+                   -- quartering the full span put the pre/post boundary
+                   -- day in BOTH q1 and post on odd-length spans, so the
+                   -- parallel-trends diagnostic absorbed treatment effect
+                   -- (ADVICE r9). pre_len = (hi-lo+1) DIV 2 is exactly
+                   -- where post starts, so quarter<=1 <=> NOT post; the
+                   -- greatest() guards the 1-day span (pre_len = 0).
+                   (day_idx - lo) * 2 {intdiv}
+                       greatest((hi - lo + 1) {intdiv} 2, 1) AS quarter,
                    cents
             FROM d, span
         ),
@@ -2650,10 +2658,10 @@ def _did_body(engine: str) -> str:
                 {cell("treated AND post")} AS t_post,
                 {cell("NOT treated AND NOT post")} AS c_pre,
                 {cell("NOT treated AND post")} AS c_post,
-                {cell("treated AND quarter = 0")} AS t_q0,
-                {cell("NOT treated AND quarter = 0")} AS c_q0,
-                {cell("treated AND quarter = 1")} AS t_q1,
-                {cell("NOT treated AND quarter = 1")} AS c_q1
+                {cell("treated AND NOT post AND quarter = 0")} AS t_q0,
+                {cell("NOT treated AND NOT post AND quarter = 0")} AS c_q0,
+                {cell("treated AND NOT post AND quarter = 1")} AS t_q1,
+                {cell("NOT treated AND NOT post AND quarter = 1")} AS c_q1
             FROM halves
         )
         SELECT t_pre AS treated_pre_micro,

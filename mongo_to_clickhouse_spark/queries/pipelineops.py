@@ -1560,7 +1560,11 @@ def _rag_manifest_body(engine: str) -> str:
     """The RAG INGEST manifest as ONE declarative plan — the retrieval
     sibling of pipeline_pretraining_manifest's composition flagship:
     sliding-window chunking ({CHUNK_TOKS} tokens, stride
-    {CHUNK_STRIDE} — pipeline_chunk_overlap's geometry) → per-chunk
+    {CHUNK_STRIDE} — sharing pipeline_chunk_overlap's CHUNK_TOKS /
+    CHUNK_STRIDE constants only: this ledger tokenizes by whitespace
+    split while chunk_overlap uses [a-z0-9]+ regexp tokens, so the
+    same document can yield different n_toks and hence different
+    chunk counts in the two ledgers) → per-chunk
     signed feature hashing into {RAG_EMBED_DIM} integer dims
     (text_feature_hashing's recipe, vocabulary-free) → random-
     hyperplane LSH bucketing ({RAG_PLANES} md5-derived ±1 planes, the

@@ -738,7 +738,13 @@ def tokenizer_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         """).repartition(n_part, "w")
 
     edges = cached_barrier_view(spark, sf_dir, "wp_edges_v", build_edges)
-    spark.table(edges).mapInPandas(
+    # The kernel REQUIRES every candidate row of a word to land in one
+    # partition. The barrier's parquet round-trip happens to preserve
+    # the pre-barrier repartition(n_part, 'w') 1:1 today, but nothing
+    # guarantees that across AQE/materialization changes — so re-hash
+    # explicitly here. The relation is vocabulary-sized; the guard
+    # shuffle is cheap. (ADVICE r9)
+    spark.table(edges).repartition(n_part, "w").mapInPandas(
         _wordpiece_kernel, schema="piece string, part long"
     ).createOrReplaceTempView("wp_piece_parts")
     return spark.sql(f"""

@@ -719,6 +719,11 @@ def stream_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS sum_list_sq,
                    CAST((SELECT MAX(c) FROM per) AS BIGINT) AS max_list
         """).write.mode("append").parquet(acct)
+        # the per-batch views are uuid-tagged; drop them so a long-lived
+        # session (bench reps, parity sweeps) doesn't accumulate catalog
+        # entries — 2 views per micro-batch otherwise (ADVICE r9)
+        sess.catalog.dropTempView(lv)
+        sess.catalog.dropTempView(iv)
 
     stream = (
         spark.readStream.schema("vec_id LONG, embedding ARRAY<DOUBLE>")

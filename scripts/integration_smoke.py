@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 import uuid
@@ -126,8 +127,15 @@ def main() -> int:
         out = anonymized_statements(
             statements_from_events(events, customer)
         )
-        write_table(out, ch_url, ch_table)
-        rows_seen.append(out.count())
+        # persist so the sink write and the progress count evaluate the
+        # change-stream batch ONCE — a second evaluation could diverge
+        # from what actually landed in ClickHouse (ADVICE r9)
+        out = out.persist()
+        try:
+            write_table(out, ch_url, ch_table)
+            rows_seen.append(out.count())
+        finally:
+            out.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(handle)
@@ -149,14 +157,17 @@ def main() -> int:
         ]
     )
     deadline = time.time() + 60
-    while time.time() < deadline and sum(rows_seen) < n_docs:
-        time.sleep(1)
-    q.stop()
+    try:
+        while time.time() < deadline and sum(rows_seen) < n_docs:
+            time.sleep(1)
+    finally:
+        q.stop()
 
     got = read_query(
         spark, ch_url, f"SELECT COUNT(*) AS n FROM {ch_table}"
     ).collect()[0]["n"]
     client[db][coll].drop()
+    shutil.rmtree(ckpt, ignore_errors=True)  # ADVICE r9: don't leak /tmp
     print(f"change-stream docs: {n_docs}; transformed rows landed: {got}")
     if int(got) != n_docs:
         print("FAIL: row count mismatch")
