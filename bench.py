@@ -70,7 +70,6 @@ HEADLINE = [
     "emb_pca_power_matfree",       # matrix-free PCA power iteration (round 5)
     "emb_covariance_matmul",       # Arrow-batch numpy moment partials (round 5)
     "agg_hll_sketch_explicit",     # explicit mergeable HLL registers (round 5)
-    "dedup_semdedup",              # SemDeDup cluster-then-dedup (round 5)
     "dedup_semdedup_matmul",       # per-cluster int64 matmul kernel (round 5)
     "corpus_importance_dsir",      # DSIR importance weighting (round 5)
     "agg_kmv_theta_sketch",        # KMV theta union/intersection (round 5)
@@ -88,7 +87,6 @@ HEADLINE = [
     "eval_cluster_ari",            # double-CC cluster agreement (round 6)
     "events_concurrency_peak",     # sweep-line via distributed prefix sum (round 6)
     "agg_bitmap_rollup_merge",     # day->week->total bitmap re-merge (round 6)
-    "sim_knn_graph_lsh",           # capped-bucket k-NN graph build (round 7)
     "sim_knn_graph_matmul",        # per-bucket int64-gram kernel twin (round 8)
     "multimodal_phash_kernel",     # cogroup phash verify kernel twin (round 8)
     "sim_ann_ivf_kernel",          # sharded-assignment IVF kernel twin (round 8)
@@ -110,6 +108,20 @@ HEADLINE = [
     "eval_ann_recall_curve",       # IVF nprobe candidate-recall sweep (round 9)
     "pipeline_rag_ingest_manifest",  # chunk->embed->LSH index ledger (round 9)
     "decontaminate_ngram_sweep",   # contamination vs gram size (round 9)
+]
+
+# The relational EXHIBIT forms of the four dedup/ANN pairs: benched and
+# recorded every round (exhibit_queries in BENCH_QUERIES.json) but NOT
+# in the headline total — the headline slots carry the production kernel
+# twins (VERDICT r9 item 6). Round 10 also derived their LSH/IVF/cluster
+# knobs from corpus size (operators/autoscale.py), so these are now
+# scale-safe too — they remain exhibits because the kernel twins are the
+# production path, not because they misbehave.
+EXHIBIT = [
+    "dedup_semdedup",
+    "sim_knn_graph_lsh",
+    "multimodal_phash_dedup",
+    "sim_ann_ivf",
 ]
 
 
@@ -164,11 +176,26 @@ def main() -> None:
     spark.range(1).count()
     plan_fps: dict[str, str] = {}
     plan_ops: dict[str, dict] = {}
-    for qid in HEADLINE:
+    for qid in HEADLINE + EXHIBIT:
         df = reg[qid][0](spark, sf_dir)
         plan_fps[qid] = plan_fingerprint(df)
         plan_ops[qid] = plan_counters(df)
         df.write.format("noop").mode("overwrite").save()
+
+    def _calibrate() -> float:
+        """Fixed-cost contention sentinel (VERDICT r9 item 4): a
+        constant JVM aggregation whose runtime depends only on ambient
+        machine load — never on any query, data, or plan change. Its
+        per-pass drift lets BENCH_DIFF separate real regressions from
+        a hot machine (the r9 driver run carried 5 phantom REGRESSED
+        flags that had to be cleared by hand against plan prints)."""
+        t0 = time.time()
+        spark.range(50_000_000).selectExpr(
+            "sum((id * 2654435761) % 97) AS s"
+        ).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    _calibrate()  # warm the sentinel's codegen path too
 
     # median of 3 timed runs per query in ALTERNATING order — single-run
     # numbers at sub-second scale are noisy (GC, OS scheduling), and
@@ -180,7 +207,10 @@ def main() -> None:
     # additionally runs once per pass-start (absorbing post-pass GC) for
     # 2x the samples behind the headline docs/s figure.
     REPS = 3
-    sample_log: dict[str, list[float]] = {qid: [] for qid in HEADLINE}
+    sample_log: dict[str, list[float]] = {
+        qid: [] for qid in HEADLINE + EXHIBIT
+    }
+    calibration: list[float] = []
 
     def _timed(qid: str) -> None:
         fn, _ = reg[qid]
@@ -189,19 +219,22 @@ def main() -> None:
         sample_log[qid].append(time.time() - t0)
 
     for _ in range(REPS):
+        calibration.append(round(_calibrate(), 3))
         _timed("sink_clickhouse_insert")  # extra flagship sample per pass
-        for qid in HEADLINE:
+        for qid in HEADLINE + EXHIBIT:
             _timed(qid)
 
-    timings: dict[str, float] = {}
+    all_timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for qid, samples in sample_log.items():
         s = sorted(samples)
         med = s[len(s) // 2]
-        timings[qid] = round(med, 3)
+        all_timings[qid] = round(med, 3)
         # relative spread (max-min)/median: the honesty signal BENCH_DIFF
         # readers need to judge whether a 1.3x flag clears the noise floor
         spreads[qid] = round((s[-1] - s[0]) / max(med, 1e-9), 2)
+    timings = {q: t for q, t in all_timings.items() if q in HEADLINE}
+    exhibit = {q: t for q, t in all_timings.items() if q in EXHIBIT}
 
     total = round(sum(timings.values()), 3)
     # Flagship throughput in the reference's own unit (docs/s; its design
@@ -234,16 +267,33 @@ def main() -> None:
                 prev = json.load(f)
         except (OSError, json.JSONDecodeError):
             prev = None
+    cal_med = sorted(calibration)[len(calibration) // 2]
     if prev and prev.get("sf") == sf:
         old_q = prev.get("queries", {})
         old_sp = prev.get("spreads", {})
+        # contention sentinel: if THIS run's fixed-cost calibration ran
+        # >1.3x slower than the previous run's (or drifted >1.3x across
+        # its own reps), the machine was hot — per-query slowdowns then
+        # read "ambient", never REGRESSED (VERDICT r9 item 4)
+        prev_cal = prev.get("calibration_med")
+        cal_ratio = (cal_med / prev_cal) if prev_cal else 1.0
+        cal_intra = (max(calibration) / max(min(calibration), 1e-9))
+        hot = cal_ratio > 1.3 or cal_intra > 1.3
         lines = [
             "# BENCH_DIFF (generated by bench.py)",
             "",
             f"sf={sf}: previous total {prev.get('total_sec')}s -> "
-            f"{total}s over {len(timings)} queries "
+            f"{total}s over {len(timings)} headline queries "
             f"({len(set(timings) & set(old_q))} shared). Medians of "
             f"{REPS} alternating-order reps; spread = (max-min)/median.",
+            "",
+            f"Calibration sentinel (fixed-cost JVM agg): reps "
+            f"{calibration}, median {cal_med:.3f}s vs previous "
+            f"{prev_cal if prev_cal is not None else 'n/a'} "
+            f"(ratio {cal_ratio:.2f}, intra-run {cal_intra:.2f}) -> "
+            + ("AMBIENT CONTENTION: REGRESSED flags suppressed to "
+               "'ambient'." if hot else "machine comparable; flags are "
+               "meaningful."),
             "",
             "| query | prev s | now s | ratio | spread | flag |",
             "|---|---|---|---|---|---|",
@@ -260,7 +310,10 @@ def main() -> None:
             noise = max(spreads.get(qid, 0.0), old_sp.get(qid, 0.0))
             flag = ""
             if ratio > 1.3 and n2 - o > 0.1:
-                flag = "REGRESSED" if ratio - 1.0 > noise else "noisy"
+                if hot:
+                    flag = "ambient"
+                else:
+                    flag = "REGRESSED" if ratio - 1.0 > noise else "noisy"
             flagged += flag == "REGRESSED"
             rows.append((ratio, f"| {qid} | {o:.3f} | {n2:.3f} | "
                                 f"{ratio:.2f} | {spreads.get(qid, 0):.2f}"
@@ -271,8 +324,16 @@ def main() -> None:
         if new_ids:
             lines += ["", "New queries: " + ", ".join(
                 f"{q} ({timings[q]:.3f}s)" for q in new_ids)]
+        moved = sorted(set(old_q) - set(timings) - set(exhibit))
+        if exhibit:
+            lines += ["", "Exhibit (relational twins; benched, not in "
+                          "the headline total): " + ", ".join(
+                              f"{q} ({exhibit[q]:.3f}s)"
+                              for q in sorted(exhibit))]
+        if moved:
+            lines += ["", "Dropped from headline: " + ", ".join(moved)]
         lines += ["", f"Flagged REGRESSED (>1.3x, >0.1s, beyond both "
-                      f"runs' spread): {flagged}"]
+                      f"runs' spread, calibration-clean): {flagged}"]
         with open(os.path.join(repo_dir, "BENCH_DIFF.md"), "w") as f:
             f.write("\n".join(lines) + "\n")
     with open(bq_path, "w") as f:
@@ -280,6 +341,9 @@ def main() -> None:
                    "flagship_docs_per_sec": docs_per_sec,
                    "reps": REPS,
                    "queries": timings, "spreads": spreads,
+                   "exhibit_queries": exhibit,
+                   "calibration": calibration,
+                   "calibration_med": round(cal_med, 3),
                    "samples": {q: [round(v, 3) for v in s]
                                for q, s in sample_log.items()}},
                   f, indent=1, sort_keys=True)

@@ -60,15 +60,28 @@ class EngineTuning:
     ann_probes: int = 10           # probe set: vec_id < ann_probes
     ann_topk: int = 5
     near_dup_threshold: float = 0.38
-    ivf_centroid_modulus: int = 50  # IVF centroids: every Nth vector
-    ivf_max_centroids: int = 64    # cap on K: assignment cost is n·K, and
-    #                                modulus-derived K grows with n — the
-    #                                sf0.5 rehearsal measured 14.8x at 5x
-    #                                rows before this cap. Production K
-    #                                beyond the cap goes through the
-    #                                coarse quantizer (sim_ann_ivf_coarse).
-    lsh_planes: int = 8            # random hyperplanes
+    # IVF centroid count is DERIVED from corpus size (round 10): the
+    # FAISS rule K ≈ √n, clamped to [ivf_min_centroids,
+    # ivf_max_centroids]; centroids are every (n DIV K)-th vector.
+    # Assignment is then n·√n map-side dot products with a partial-agg
+    # argmax (no n·K sort shuffle), inverted lists stay ≈ √n long, and
+    # nothing depends on a fixed modulus that silently starves K or
+    # fattens lists as the corpus grows. Beyond-√n corpus sizes route
+    # assignment through the coarse quantizer (sim_ann_ivf_coarse).
+    ivf_min_centroids: int = 8
+    ivf_max_centroids: int = 4096  # ·d doubles must stay broadcast-class
+    lsh_planes: int = 8            # minimum total planes (floor config:
+    #                                lsh_bands bands × 4-bit signatures)
     lsh_bands: int = 2
+    # LSH signature WIDTH is derived from corpus size (round 10): bits
+    # per band = smallest b with n ≤ lsh_target_occupancy·2^b, clamped
+    # to [lsh_planes/lsh_bands, lsh_max_auto_bits]. Expected bucket
+    # occupancy then stays ≤ target at every corpus size — the standard
+    # "widen the signature as the corpus grows" recall trade, measured
+    # by eval_lsh_banding_curve; the per-bucket caps below revert to
+    # worst-case (skew) guardrails instead of load-bearing limits.
+    lsh_target_occupancy: int = 32
+    lsh_max_auto_bits: int = 12    # plane pool = lsh_bands · this
     # Per-bucket candidate caps for the all-vectors index builders: with
     # FIXED band/signature width, bucket occupancy grows ~n/2^bits, so
     # bucket-join pair space grows quadratically (sf0.5 rehearsal: 29x /
@@ -82,6 +95,32 @@ class EngineTuning:
     knn_bucket_cap: int = 256      # sim_knn_graph_lsh candidates per band bucket
     phash_bucket_cap: int = 96     # multimodal_phash_dedup build side per sig
     semdedup_ref_cap: int = 256    # dedup_semdedup reference vectors per cluster
+    # pHash signature width is derived from corpus size (round 10): the
+    # base FEATURE_DIM mean-sign bits are extended with bit-sampling
+    # L1-LSH parity bits (feature_micro DIV step, mod 2 — Indyk's
+    # bit-sampling family for L1) until expected bucket occupancy
+    # n/2^bits ≤ phash_target_occupancy. Exact-duplicate payloads have
+    # identical features, so the extra bits cost them zero recall;
+    # near-identical payloads trade recall for candidate volume exactly
+    # like widening a production 64-bit pHash.
+    phash_target_occupancy: int = 32
+    phash_max_bits: int = 16       # base 8 + up to 8 parity bits
+    phash_parity_step_micro: int = 131072  # 2^17 ≈ 1/8 of the feature range
+    # SemDeDup cluster count is derived from corpus size (round 10):
+    # K = ceil(n / semdedup_target_cluster) clamped to [semdedup_k,
+    # semdedup_max_k] — the paper's own move (50k clusters on LAION) so
+    # per-cluster pair work stays n·target instead of Σ|cluster|²
+    # growing as n²/K at fixed K. semdedup_max_k = 4096 keeps the
+    # argmin encoding d2·K + c far from BIGINT overflow (d2 ≤ 64 dims ·
+    # (2e6)² = 2.6e14; ·4096 ≈ 1.05e18 < 9.2e18).
+    semdedup_target_cluster: int = 128
+    semdedup_max_k: int = 4096
+    # NOTE deliberately NOT auto-scaled: MinHash banding. A band value
+    # is the concatenation of 4 (default) 32-bit minhashes — a ~2^128
+    # key space — so band buckets only ever collect genuinely-similar
+    # documents; occupancy is driven by the corpus's true duplicate
+    # rate (scale-invariant in a real corpus), not by n/2^bits hash
+    # dilution. Widening rows-per-band trades recall for nothing here.
     pca_k: int = 8                 # components kept by emb_pca_project
     # --- corpus curation tier (queries/corpusops)
     repetition_n: int = 5          # Gopher duplicate-n-gram fraction
@@ -108,9 +147,22 @@ class EngineTuning:
     # unchanged when BIGINT suffices (pinned in test_vector_stats.py).
     exact_sum_decimal: bool = False
     kmeans_k: int = 8              # initial centroids (vec_id < K)
-    semdedup_k: int = 16           # SemDeDup cluster count (vec_id < K)
+    semdedup_k: int = 16           # SemDeDup MINIMUM cluster count (the
+    #                                derived K's lower clamp; see
+    #                                semdedup_target_cluster above)
     kmeans_rounds: int = 3         # Lloyd assignment rounds
     pagerank_rounds: int = 3       # power-iteration rounds
+    # --- graph / streaming-window tier (round 10: the fourth
+    # knob-lockstep tier — VERDICT r9 item 8; each feeds both engines'
+    # SQL bodies so a perturbed sweep proves they can't desynchronize)
+    triangle_knn_k: int = 8        # k-NN sparsification degree bound
+    lpa_rounds: int = 4            # label-propagation sync rounds
+    kcore_k: int = 4               # k-core peeling threshold
+    kcore_rounds: int = 4          # fixed peeling rounds
+    window_hours: int = 1          # tumbling/sliding/watermark width
+    slide_minutes: int = 30        # sliding step; must divide the width
+    session_gap_hours: int = 6     # session-window inactivity gap
+    watermark_minutes: int = 10    # late-data watermark delay
     pca_power_rounds: int = 3      # top-PC power-iteration rounds
     feature_hash_dim: int = 32     # signed hashing-trick feature space
 

@@ -740,7 +740,7 @@ def eval_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = (
             emb.withColumn("scale", scale)
             .withColumn("q", q)
-            .withColumn("nrm", norm(F.col("embedding")))
+            .withColumn("nrm", norm("embedding"))
         )
         probes = base.select(
             F.col("vec_id").alias("probe_id"),
@@ -762,10 +762,7 @@ def eval_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
         exact = F.round(
-            cosine_with_norms(
-                F.col("p_emb"), F.col("c_emb"),
-                F.col("p_nrm"), F.col("c_nrm"),
-            ) * 1_000_000
+            cosine_with_norms("p_emb", "c_emb", "p_nrm", "c_nrm") * 1_000_000
         ).cast("bigint")
         quant = F.round(
             dotq.cast("double") * F.col("p_scale") * F.col("c_scale")
@@ -1485,27 +1482,22 @@ def eval_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_with_norms,
     )
     from mongo_to_clickhouse_spark.queries.vectorops import (
-        CENTROID_MODULUS,
-        IVF_MAX_CENTROIDS,
         N_PROBES,
         TOPK,
+        _cent_stride,
         _emb_with_norm,
     )
 
     emb = _emb_with_norm(spark, sf_dir)
     cents = emb.filter(
-        (F.col("vec_id") % CENTROID_MODULUS == 0)
-        & (F.col("vec_id") < CENTROID_MODULUS * IVF_MAX_CENTROIDS)
+        F.col("vec_id") % _cent_stride(spark, sf_dir) == 0
     ).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("cent_emb"),
         F.col("nrm").alias("cent_nrm"),
     )
     sim_to_cent = F.round(
-        cosine_with_norms(
-            F.col("embedding"), F.col("cent_emb"),
-            F.col("nrm"), F.col("cent_nrm"),
-        ),
+        cosine_with_norms("embedding", "cent_emb", "nrm", "cent_nrm"),
         6,
     )
     from mongo_to_clickhouse_spark.operators.materialize import (
@@ -1550,10 +1542,7 @@ def eval_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("p_nrm"),
     )
     sim = F.round(
-        cosine_with_norms(
-            F.col("p_emb"), F.col("embedding"),
-            F.col("p_nrm"), F.col("nrm"),
-        ),
+        cosine_with_norms("p_emb", "embedding", "p_nrm", "nrm"),
         6,
     )
     w_truth = Window.partitionBy("probe_id").orderBy(
@@ -1602,9 +1591,8 @@ def eval_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ann_recall_curve_oracle() -> str:
     from mongo_to_clickhouse_spark.queries.vectorops import (
+        _CENT_STRIDE_SQL,
         _EMB_NORM_CTE,
-        CENTROID_MODULUS,
-        IVF_MAX_CENTROIDS,
         N_PROBES,
         TOPK,
     )
@@ -1616,8 +1604,7 @@ def _ann_recall_curve_oracle() -> str:
         WITH e AS ({_EMB_NORM_CTE}),
         cents AS (
             SELECT vec_id AS cent_id, embedding, nrm FROM e
-            WHERE vec_id % {CENTROID_MODULUS} = 0
-              AND vec_id < {CENTROID_MODULUS * IVF_MAX_CENTROIDS}
+            WHERE vec_id % {_CENT_STRIDE_SQL} = 0
         ),
         ranked AS (
             SELECT e.vec_id, c.cent_id,

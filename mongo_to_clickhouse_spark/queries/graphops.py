@@ -127,7 +127,7 @@ def _pagerank_duck_sql() -> str:
 GRAPH_PAGERANK_SQL = _pagerank_duck_sql()
 
 
-TRIANGLE_KNN_K = 8    # k-NN sparsification degree bound
+TRIANGLE_KNN_K = TUNING.triangle_knn_k  # k-NN sparsification degree bound
 _TRI_TOPK = 20
 
 
@@ -245,7 +245,7 @@ GRAPH_TRIANGLE_COUNT_SQL = (
 )
 
 
-LPA_ROUNDS = 4
+LPA_ROUNDS = TUNING.lpa_rounds
 # mode-argmax encode: count·B + (B-1-label) picks (max count, min label).
 # counts are bounded by the kNN degree (≤ TRIANGLE_KNN_K) and labels are
 # supplier keys (≤ ~10k even at sf1), so the encode stays ~2^24 — far
@@ -702,8 +702,8 @@ def _bfs_duck_sql() -> str:
 GRAPH_BFS_DEPTH_SQL = _bfs_duck_sql()
 
 
-KCORE_K = 4        # the core degree threshold being peeled against
-KCORE_ROUNDS = 4   # fixed peeling rounds (degree ≤ TRIANGLE_KNN_K ⇒ fast
+KCORE_K = TUNING.kcore_k   # the core degree threshold being peeled against
+KCORE_ROUNDS = TUNING.kcore_rounds  # fixed peeling rounds (degree ≤ TRIANGLE_KNN_K ⇒ fast
 #                    convergence; unpeeled-after-R nodes report as core)
 
 

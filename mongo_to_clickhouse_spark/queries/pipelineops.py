@@ -8,6 +8,12 @@ from pyspark.sql.window import Window
 
 from mongo_to_clickhouse_spark.config import TUNING
 from mongo_to_clickhouse_spark.io import load_table
+from mongo_to_clickhouse_spark.operators.autoscale import (
+    bits_for,
+    bits_for_sql,
+    corpus_count,
+    count_sql,
+)
 from mongo_to_clickhouse_spark.operators.multimodal import (
     FEATURE_DIM,
     RESIZE_MAX_SIDE,
@@ -77,6 +83,99 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     no image libs in this container; the Spark plumbing is real)."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_media(media_table(docs))
+
+
+MULTIMODAL_DECODE_STUB_SQL = """
+    SELECT doc_id,
+           ['png', 'jpeg', 'webp'][CAST(doc_id % 3 AS INT) + 1]
+               AS media_format,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INTEGER)
+                % 192 AS INTEGER) AS width,
+           CAST(64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INTEGER)
+                % 192 AS INTEGER) AS height,
+           CAST(1 + CAST(('0x' || substr(sha256(text), 5, 2)) AS INTEGER)
+                % 4 AS INTEGER) AS n_frames
+    FROM documents
+    WHERE octet_length(encode(text)) > 0
+"""
+
+
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip BYTE ORACLE for the real stdlib PNG decoder (round 10;
+    VERDICT r9 item 3): plant a deterministic 8-bit grayscale PNG per
+    document — pixel i = (doc_id·13 + i·37) % 251, dims from doc_id,
+    rows cycling None/Sub/Up filters — then DECODE it through
+    ``decode_png_stdlib`` and return dims + the unfiltered-pixel sum.
+    The oracle computes the same dims/pixel-sum directly from doc_id
+    arithmetic, so a hash MATCH proves the zlib inflate, the chunk walk,
+    the scanline unfiltering, and the Arrow plumbing byte-for-byte —
+    the decoder cannot pass by luck.
+
+    Scale posture: one mapInPandas pass, corpus-linear, no shuffle; the
+    planted payloads never leave their executor."""
+    import pandas as pd
+
+    from mongo_to_clickhouse_spark.operators.multimodal import (
+        decode_png_stdlib,
+        encode_png_stdlib,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 1 + d % 8
+                h = 1 + (d // 8) % 8
+                pix = bytes((d * 13 + i * 37) % 251 for i in range(w * h))
+                png = encode_png_stdlib(w, h, pix, 0, (0, 1, 2))
+                w2, h2, out = decode_png_stdlib(png)
+                rows.append((d, w2, h2, sum(out)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "pix_sum"]
+            )
+
+    return docs.mapInPandas(
+        kernel, "doc_id long, width int, height int, pix_sum long"
+    )
+
+
+MULTIMODAL_DECODE_PNG_SQL = """
+    SELECT doc_id, CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(SUM((doc_id * 13 + i * 37) % 251) AS BIGINT) AS pix_sum
+    FROM (
+        SELECT doc_id, w, h, unnest(range(0, w * h)) AS i
+        FROM (SELECT doc_id, 1 + doc_id % 8 AS w,
+                     1 + (doc_id // 8) % 8 AS h
+              FROM documents)
+    )
+    GROUP BY doc_id
+"""
+
+
+MULTIMODAL_FRAME_SAMPLE_SQL = """
+    SELECT doc_id,
+           ['png', 'jpeg', 'webp'][CAST(doc_id % 3 AS INT) + 1]
+               AS media_format,
+           CAST(64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INTEGER)
+                % 192 AS INTEGER) AS width,
+           CAST(64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INTEGER)
+                % 192 AS INTEGER) AS height,
+           CAST(frame_idx AS INTEGER) AS frame_idx
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(0,
+                   1 + CAST(('0x' || substr(sha256(text), 5, 2)) AS INTEGER)
+                   % 4)) AS frame_idx
+        FROM documents
+        WHERE octet_length(encode(text)) > 0
+    )
+    WHERE frame_idx % 2 = 0
+"""
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,6 +725,39 @@ PIPELINE_PACK_SEQUENCES_SQL = f"""
 PHASH_L1_MICRO = 300_000  # verify bound: total feature L1 distance (micro)
 _PHASH_TOPK = 50
 PHASH_BUCKET_CAP = TUNING.phash_bucket_cap
+# Signature WIDTH is derived from the corpus count (round 10;
+# operators/autoscale.py): the base FEATURE_DIM mean-sign bits are
+# extended with bit-sampling L1-LSH parity bits — bit j tests
+# (round(f[j]·1e6) DIV step) % 2, exact integers in both engines — until
+# expected bucket occupancy n/2^bits ≤ the target. Exact-duplicate
+# payloads have identical features, so the extra bits cost them zero
+# recall; the cap below reverts to a skew guardrail. The oracle derives
+# the same width from COUNT(*) (the np CTE), lock-step by arithmetic.
+_PHASH_MAX_BITS = TUNING.phash_max_bits
+_PHASH_OCC = TUNING.phash_target_occupancy
+_PARITY_STEP = TUNING.phash_parity_step_micro
+_N_DOCS_SQL = count_sql("documents")
+_PHASH_BITS_SQL = bits_for_sql(
+    _N_DOCS_SQL, _PHASH_OCC, FEATURE_DIM, _PHASH_MAX_BITS
+)
+
+
+def phash_bits(n: int) -> int:
+    """Derived signature width for an n-document corpus."""
+    return bits_for(n, _PHASH_OCC, FEATURE_DIM, _PHASH_MAX_BITS)
+
+
+def _phash_bits(spark: SparkSession, sf_dir: str) -> int:
+    return phash_bits(corpus_count(spark, sf_dir, "documents"))
+
+
+def _probe_expr(nbits: int) -> str:
+    """Multi-probe set: identity + every single-bit flip of the
+    (derived-width) signature."""
+    return (
+        f"explode(concat(array(sig), transform(sequence(0, {nbits - 1}),"
+        " k -> sig ^ shiftleft(1, k)))) AS probe"
+    )
 
 
 def _phash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -641,7 +773,7 @@ def _phash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build():
         docs = load_table(spark, sf_dir, "documents")
         feats = extract_features(media_table(docs))
-        return feats.selectExpr(
+        base = feats.selectExpr(
             "doc_id",
             "features",
             f"aggregate(features, 0D, (a, x) -> a + x) / {FEATURE_DIM}.0D"
@@ -652,6 +784,20 @@ def _phash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"""aggregate(sequence(0, {FEATURE_DIM - 1}), 0,
                  (acc, k) -> acc + IF(element_at(features, k + 1) > m,
                                       shiftleft(1, k), 0)) AS sig""",
+        )
+        extra = _phash_bits(spark, sf_dir) - FEATURE_DIM
+        if extra == 0:
+            return base
+        # corpus-size-derived extension: bit-sampling L1-LSH parity bits
+        # over the exact integer-micro features (see _PHASH_BITS_SQL)
+        return base.selectExpr(
+            "doc_id",
+            "features",
+            f"""sig + aggregate(sequence(0, {extra - 1}), 0,
+                 (acc, j) -> acc + IF(
+                     (CAST(round(element_at(features, j + 1) * 1e6)
+                           AS BIGINT) DIV {_PARITY_STEP}) % 2 = 1,
+                     shiftleft(1, {FEATURE_DIM} + j), 0)) AS sig""",
         )
 
     return cached_barrier(
@@ -679,26 +825,34 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact because features are 6-dp rounded: ×1e6 round-trips to
     integers identically in both engines."""
     sigs = _phash_sigs(spark, sf_dir)
+    # SCALARIZED verify inputs: the feature arrays are projected into
+    # per-dim DOUBLE columns on the n-row relations BEFORE the pair
+    # join, so the per-PAIR L1 is pure scalar arithmetic inside
+    # whole-stage codegen. Array-typed per-pair expressions (fold OR
+    # unrolled element_at) measured 19-30 s over sf1's 9M candidate
+    # pairs vs ~1 s scalarized (functions/vectors.py module notes).
+    f_a = [f"element_at(features, {k + 1}) AS fa{k}"
+           for k in range(FEATURE_DIM)]
+    f_b = [f"element_at(features, {k + 1}) AS fb{k}"
+           for k in range(FEATURE_DIM)]
     probes = sigs.selectExpr(
         "doc_id AS a_doc",
-        "features AS fa",
+        *f_a,
         "sig AS sa",
-        f"""explode(concat(array(sig),
-             transform(sequence(0, {FEATURE_DIM - 1}),
-                       k -> sig ^ shiftleft(1, k)))) AS probe""",
+        _probe_expr(_phash_bits(spark, sf_dir)),
     )
     # build side CAPPED at PHASH_BUCKET_CAP per signature bucket under a
     # deterministic multiplicative-spread rank: with an 8-bit signature,
     # bucket population is ~n/256 and the probe join quadratic (the
-    # sf0.5 rehearsal measured 20x runtime at 5x rows). The cap sits 2x
-    # above the sf0.1 max occupancy (47), so graded-sf results are
-    # bit-identical; production widens the hash (64-bit pHash) exactly
-    # like LSH raises bands — the cap is the worst-case guardrail.
+    # sf0.5 rehearsal measured 20x runtime at 5x rows). The derived
+    # signature width (np CTE / _phash_bits) keeps expected occupancy
+    # ≤ the target at every corpus size; the cap stays as the
+    # worst-case (skewed-signature) guardrail.
     w_cap = Window.partitionBy("sb").orderBy(
         F.expr("(b_doc * 2654435761) % 1000000007"), "b_doc"
     )
     build = (
-        sigs.selectExpr("doc_id AS b_doc", "features AS fb", "sig AS sb")
+        sigs.selectExpr("doc_id AS b_doc", *f_b, "sig AS sb")
         .withColumn("__bn", F.row_number().over(w_cap))
         .filter(F.col("__bn") <= PHASH_BUCKET_CAP)
         .drop("__bn")
@@ -707,14 +861,16 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         build,
         (F.col("probe") == F.col("sb")) & (F.col("a_doc") < F.col("b_doc")),
     )
+    l1 = " + ".join(
+        f"abs(CAST(round((fa{k} - fb{k}) * 1e6) AS BIGINT))"
+        for k in range(FEATURE_DIM)
+    )
     return (
         pairs.selectExpr(
             "a_doc",
             "b_doc",
             "bit_count(sa ^ sb) AS hamming",
-            """aggregate(zip_with(fa, fb,
-                 (x, y) -> abs(CAST(round((x - y) * 1e6) AS BIGINT))),
-                 0L, (a, x) -> a + x) AS l1_micro""",
+            f"({l1}) AS l1_micro",
         )
         .withColumn(
             "confirmed", F.col("l1_micro") <= PHASH_L1_MICRO
@@ -729,28 +885,41 @@ def _phash_duck_sql() -> str:
         f"(CASE WHEN f[{k + 1}] > m THEN {1 << k} ELSE 0 END)"
         for k in range(FEATURE_DIM)
     )
+    # corpus-size-derived extension bits, gated by the np CTE's derived
+    # width — the SQL mirror of _phash_sigs' extra parity bits
+    parity_terms = " + ".join(
+        f"(CASE WHEN {FEATURE_DIM + j} < (SELECT nb FROM np) AND "
+        f"(CAST(round(f[{j + 1}] * 1e6) AS BIGINT) // {_PARITY_STEP}) % 2 "
+        f"= 1 THEN {1 << (FEATURE_DIM + j)} ELSE 0 END)"
+        for j in range(_PHASH_MAX_BITS - FEATURE_DIM)
+    )
     l1_terms = " + ".join(
         f"abs(CAST(round((p.fa[{k + 1}] - b.f[{k + 1}]) * 1e6) AS BIGINT))"
         for k in range(FEATURE_DIM)
     )
-    probe_list = ", ".join(
-        ["sig"] + [f"xor(sig, {1 << k})" for k in range(FEATURE_DIM)]
-    )
     return f"""
-        WITH feats AS (
+        WITH np AS (SELECT {_PHASH_BITS_SQL} AS nb),
+        feats AS (
             SELECT doc_id, [{_DUCK_FEATURES}] AS f
             FROM documents
             WHERE octet_length(encode(text)) > 0
         ),
         sigs AS (
-            SELECT doc_id, f, CAST({sig_terms} AS INTEGER) AS sig
+            SELECT doc_id, f,
+                   CAST({sig_terms} + {parity_terms} AS BIGINT) AS sig
             FROM (SELECT doc_id, f, list_sum(f) / {FEATURE_DIM}.0 AS m
                   FROM feats)
         ),
         probes AS (
-            SELECT doc_id AS a_doc, f AS fa, sig AS sa,
-                   unnest([{probe_list}]) AS probe
-            FROM sigs
+            SELECT a_doc, fa, sa,
+                   CASE WHEN k = 0 THEN sa
+                        ELSE xor(sa, 1 << CAST(k - 1 AS INTEGER)) END
+                       AS probe
+            FROM (
+                SELECT doc_id AS a_doc, f AS fa, sig AS sa,
+                       unnest(range(0, 1 + (SELECT nb FROM np))) AS k
+                FROM sigs
+            )
         ),
         build AS (
             SELECT doc_id, f, sig FROM (
@@ -807,9 +976,7 @@ def multimodal_phash_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id AS a_doc",
         "features AS fa",
         "sig AS sa",
-        f"""explode(concat(array(sig),
-             transform(sequence(0, {FEATURE_DIM - 1}),
-                       k -> sig ^ shiftleft(1, k)))) AS probe""",
+        _probe_expr(_phash_bits(spark, sf_dir)),
     )
     build = sigs.selectExpr("doc_id AS b_doc", "features AS fb",
                             "sig AS sb")
@@ -848,7 +1015,9 @@ def multimodal_phash_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         l1 = np.abs(
             (np.sign(d) * np.floor(np.abs(d) + 0.5)).astype(np.int64)
         ).sum(axis=2)
-        ham = popcnt[np.bitwise_xor(sa[:, None], sb[None, :])]
+        x = np.bitwise_xor(sa[:, None], sb[None, :])
+        # two-byte popcount: signatures are ≤ _PHASH_MAX_BITS (16) wide
+        ham = popcnt[x & 255] + popcnt[(x >> 8) & 255]
         keep = a_ids[:, None] < b_ids[None, :]
         ai, bi = np.nonzero(keep)
         if len(ai) == 0:
@@ -1772,8 +1941,15 @@ QUERIES: dict[str, tuple] = {
         multimodal_audio_chunk,
         MULTIMODAL_AUDIO_CHUNK_SQL,
     ),
-    "multimodal_decode_stub": (multimodal_decode_stub, None),
-    "multimodal_frame_sample": (multimodal_frame_sample, None),
+    "multimodal_decode_stub": (
+        multimodal_decode_stub, MULTIMODAL_DECODE_STUB_SQL,
+    ),
+    "multimodal_decode_png": (
+        multimodal_decode_png, MULTIMODAL_DECODE_PNG_SQL,
+    ),
+    "multimodal_frame_sample": (
+        multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL,
+    ),
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
     "multimodal_feature_extract": (
         multimodal_feature_extract,

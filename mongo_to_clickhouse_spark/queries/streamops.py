@@ -18,12 +18,24 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mongo_to_clickhouse_spark.config import TUNING
 from mongo_to_clickhouse_spark.io import load_table
 from mongo_to_clickhouse_spark.streaming.util import await_drained
 
 _DEC = "decimal(18,2)"
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 _DUCK_FMT = "%Y-%m-%d %H:%M:%S"
+
+# streaming-window knobs (round 10: fourth knob-lockstep tier) — each
+# feeds BOTH the Spark plan and the duck oracle string so a perturbed
+# sweep can prove the bodies never desynchronize
+_WIN_H = TUNING.window_hours
+_WIN_MIN = 60 * _WIN_H
+_SLIDE_MIN = TUNING.slide_minutes
+assert _WIN_MIN % _SLIDE_MIN == 0, "slide must divide the window width"
+_N_SLIDES = _WIN_MIN // _SLIDE_MIN
+_GAP_H = TUNING.session_gap_hours
+_WM_MIN = TUNING.watermark_minutes
 
 
 def stream_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -36,8 +48,12 @@ def stream_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.282 s at sf0.1, round 5; the struct build + '.start' re-projection
     was ~25% of the query)."""
     ev = load_table(spark, sf_dir, "events")
+    if _WIN_H == 1:
+        bucket = F.date_trunc("hour", "ts")  # the fast scalar-key path
+    else:
+        bucket = F.window("ts", f"{_WIN_H} hours")["start"]
     return (
-        ev.groupBy(F.date_trunc("hour", "ts").alias("ws"), "event_type")
+        ev.groupBy(bucket.alias("ws"), "event_type")
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum(F.col("value").cast(_DEC)), 2).cast("decimal(38,2)").alias("total_value"),
@@ -52,7 +68,7 @@ def stream_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_TUMBLING_SQL = f"""
-    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_DUCK_FMT}') AS window_start,
+    SELECT strftime(time_bucket(INTERVAL '{_WIN_H} hour', ts), '{_DUCK_FMT}') AS window_start,
            event_type, COUNT(*) AS n,
            round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS total_value
     FROM events GROUP BY 1, 2
@@ -64,7 +80,11 @@ def stream_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     2 overlapping windows."""
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        ev.groupBy(
+            F.window(
+                "ts", f"{_WIN_MIN} minutes", f"{_SLIDE_MIN} minutes"
+            ).alias("w")
+        )
         .agg(F.count("*").alias("n"))
         .select(
             F.date_format("w.start", _TS_FMT).alias("window_start"),
@@ -74,13 +94,15 @@ def stream_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SLIDE_VALUES = ", ".join(f"({k})" for k in range(_N_SLIDES))
 STREAM_SLIDING_SQL = f"""
     SELECT strftime(ws, '{_DUCK_FMT}') AS window_start,
-           strftime(ws + INTERVAL '1 hour', '{_DUCK_FMT}') AS window_end,
+           strftime(ws + INTERVAL '{_WIN_MIN} minutes', '{_DUCK_FMT}') AS window_end,
            COUNT(*) AS n
     FROM (
-        SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS ws
-        FROM events CROSS JOIN (VALUES (0), (1)) AS s(k)
+        SELECT time_bucket(INTERVAL '{_SLIDE_MIN} minutes', ts)
+               - k * INTERVAL '{_SLIDE_MIN} minutes' AS ws
+        FROM events CROSS JOIN (VALUES {_SLIDE_VALUES}) AS s(k)
     )
     GROUP BY ws
 """
@@ -93,7 +115,9 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands rewrite."""
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+        ev.groupBy(
+            F.session_window("ts", f"{_GAP_H} hours").alias("w"), "user_id"
+        )
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum(F.col("value").cast(_DEC)), 2).cast("decimal(38,2)").alias("session_value"),
@@ -112,7 +136,7 @@ STREAM_SESSION_SQL = f"""
     WITH flagged AS (
         SELECT user_id, ts, value,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w > INTERVAL '6 hours'
+                         OR ts - lag(ts) OVER w > INTERVAL '{_GAP_H} hours'
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -124,7 +148,7 @@ STREAM_SESSION_SQL = f"""
     )
     SELECT user_id,
            strftime(MIN(ts), '{_DUCK_FMT}') AS session_start,
-           strftime(MAX(ts) + INTERVAL '6 hours', '{_DUCK_FMT}') AS session_end,
+           strftime(MAX(ts) + INTERVAL '{_GAP_H} hours', '{_DUCK_FMT}') AS session_end,
            COUNT(*) AS n_events,
            round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS session_value
     FROM sessions GROUP BY user_id, session_id
@@ -249,8 +273,8 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .parquet(src)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .withWatermark("ts", f"{_WM_MIN} minutes")
+        .groupBy(F.window("ts", f"{_WIN_H} hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n"))
         .select(
             F.date_format("w.start", _TS_FMT).alias("window_start"),
@@ -276,18 +300,19 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 # relation; the (≤ vs <) boundary can only matter if max(ts) lands
 # exactly on an hour+10min edge, which the fixture generator never
 # produces.
-STREAM_WATERMARK_LATE_DROP_SQL = """
+STREAM_WATERMARK_LATE_DROP_SQL = f"""
     WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type
                 FROM events),
     wm AS (SELECT to_timestamp(floor(
-               epoch_ms(MAX(ts) - INTERVAL 10 MINUTE) / 1000.0))
+               epoch_ms(MAX(ts) - INTERVAL {_WM_MIN} MINUTE) / 1000.0))
                AS wm FROM ev),
-    win AS (SELECT date_trunc('hour', ts) AS w_start, event_type
+    win AS (SELECT time_bucket(INTERVAL '{_WIN_H} hour', ts) AS w_start,
+                   event_type
             FROM ev)
     SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type, COUNT(*) AS n
     FROM win, wm
-    WHERE w_start + INTERVAL 1 HOUR <= wm
+    WHERE w_start + INTERVAL {_WIN_H} HOUR <= wm
     GROUP BY w_start, event_type
 """
 

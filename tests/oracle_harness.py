@@ -120,8 +120,32 @@ def rows_key(cols, rows):
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
+def compare_detailed(spark_df, con, sql: str) -> dict:
+    """Driver-schema verdict record: rows/schema/hash match booleans +
+    both row counts (the shape CORRECTNESS_r*.json uses), from ONE
+    evaluation of each engine (same comparator as compare())."""
+    problems, s_n, d_n = _compare_impl(spark_df, con, sql)
+    schema_bad = any(
+        "columns differ" in p or "type" in p for p in problems
+    )
+    rows_bad = any("row count differs" in p for p in problems)
+    return {
+        "rows_match": not rows_bad,
+        "schema_match": not schema_bad,
+        "hash_match": not problems,
+        "spark_rows": s_n,
+        "oracle_rows": d_n,
+        "err": None,
+        "problems": [p[:300] for p in problems] or None,
+    }
+
+
 def compare(spark_df, con, sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = parity)."""
+    return _compare_impl(spark_df, con, sql)[0]
+
+
+def _compare_impl(spark_df, con, sql: str):
     problems: list[str] = []
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = [c for c in spark_df.columns]
@@ -130,7 +154,7 @@ def compare(spark_df, con, sql: str) -> list[str]:
 
     if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in d_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
-        return problems
+        return problems, len(s_rows), None
 
     problems.extend(declared_type_problems(spark_df, d_rel))
     d_rows = d_rel.fetchall()
@@ -161,4 +185,4 @@ def compare(spark_df, con, sql: str) -> list[str]:
         problems.append(
             f"values differ; spark-only sample={diff_s} duck-only sample={diff_d}"
         )
-    return problems
+    return problems, len(s_rows), len(d_rows)

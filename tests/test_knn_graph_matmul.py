@@ -103,11 +103,12 @@ def test_knn_graph_matmul_vs_independent_numpy_replica(spark, tmp_path):
     import numpy as np
 
     from mongo_to_clickhouse_spark.queries.vectorops import (
+        _MAX_BITS,
         _PLANES,
         KNN_BUCKET_CAP,
         KNN_GRAPH_K,
         LSH_BANDS,
-        N_PLANES,
+        lsh_bits,
         sim_knn_graph_matmul,
     )
 
@@ -128,16 +129,16 @@ def test_knn_graph_matmul_vs_independent_numpy_replica(spark, tmp_path):
     # independent reference
     planes = np.array(_PLANES)
     x = vecs.astype(np.float64)
-    bits = (x @ planes.T >= 0).astype(np.int64)          # n × N_PLANES
-    per_band = N_PLANES // LSH_BANDS
+    bits = (x @ planes.T >= 0).astype(np.int64)          # n × plane pool
+    nbits = lsh_bits(n)  # corpus-size-derived per-band signature width
     v = np.sign(x * 1e6) * np.floor(np.abs(x * 1e6) + 0.5)
     v = v.astype(np.int64)
     nrm = np.sqrt((v * v).sum(axis=1).astype(np.float64))
     pairs = {}
     for b in range(LSH_BANDS):
         val = np.zeros(n, dtype=np.int64)
-        for i in range(per_band):
-            val = val * 2 + bits[:, b * per_band + i]
+        for i in range(nbits):  # LSB packing from the band's pool slice
+            val = val + bits[:, b * _MAX_BITS + i] * (2 ** i)
         for bucket in np.unique(val):
             members = np.nonzero(val == bucket)[0]
             spread = (members * 2654435761) % 1000000007

@@ -24,8 +24,7 @@ def test_stream_ivf_upsert_consistent_with_oneshot_build(spark, sf_dir):
     only grow)."""
     from mongo_to_clickhouse_spark.io import load_table
     from mongo_to_clickhouse_spark.queries.vectorops import (
-        CENTROID_MODULUS,
-        IVF_MAX_CENTROIDS,
+        _cent_stride,
         kernel_assign_frame,
         stream_ivf_index_upsert,
     )
@@ -38,8 +37,7 @@ def test_stream_ivf_upsert_consistent_with_oneshot_build(spark, sf_dir):
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
     cents = emb.filter(
-        (F.col("vec_id") % CENTROID_MODULUS == 0)
-        & (F.col("vec_id") < CENTROID_MODULUS * IVF_MAX_CENTROIDS)
+        F.col("vec_id") % _cent_stride(spark, sf_dir) == 0
     ).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("cent_emb"),
@@ -411,18 +409,20 @@ def test_tuning_perturbed_oracles_stay_in_lockstep():
     env = dict(os.environ)
     env["SPARK_GRAFT_TUNING"] = json.dumps({
         "jaccard_threshold": 0.4, "minhash_bands": 8, "ann_topk": 7,
-        "ann_probes": 6, "ivf_centroid_modulus": 30, "decontam_n": 6,
-        "bench_modulus": 53,
+        "ann_probes": 6, "ivf_max_centroids": 16, "decontam_n": 6,
+        "lsh_target_occupancy": 16, "semdedup_target_cluster": 24,
+        "phash_target_occupancy": 1, "bench_modulus": 53,
     })
     proc = subprocess.run(
         [sys.executable, "scripts/driver_sim.py",
          "/root/testdata/sf0.001",
          "dedup_minhash_lsh_pairs", "sim_ann_ivf_kernel",
-         "decontaminate_ngram_overlap", "sim_cosine_topk"],
+         "decontaminate_ngram_overlap", "sim_cosine_topk",
+         "sim_knn_graph_lsh", "dedup_semdedup", "multimodal_phash_dedup"],
         capture_output=True, text=True, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         timeout=300,
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
-    assert proc.stdout.count("MATCH") >= 4
+    assert proc.stdout.count("MATCH") >= 7
     assert "MISMATCH" not in proc.stdout

@@ -25,7 +25,8 @@ def test_defaults_match_module_constants():
     assert vectorops.N_PROBES == t.ann_probes
     assert vectorops.TOPK == t.ann_topk
     assert vectorops.NEAR_DUP_THRESHOLD == t.near_dup_threshold
-    assert vectorops.CENTROID_MODULUS == t.ivf_centroid_modulus
+    assert vectorops.IVF_MIN_CENTROIDS == t.ivf_min_centroids
+    assert vectorops.IVF_MAX_CENTROIDS == t.ivf_max_centroids
     assert vectorops.N_PLANES == t.lsh_planes
     assert vectorops.LSH_BANDS == t.lsh_bands
     assert vectorops.PCA_K == t.pca_k
