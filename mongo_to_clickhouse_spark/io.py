@@ -56,6 +56,12 @@ def clear_scan_cache() -> None:
     Tests that stop sessions or rewrite fixture files in place can call
     this; normal pipelines never need to."""
     _SCAN_CACHE.clear()
+    # the autoscale knob derivations memoize corpus counts per
+    # (sf_dir, table); an in-place fixture rewrite must invalidate those
+    # too or a derived knob could be computed from the old row count
+    from mongo_to_clickhouse_spark.operators.autoscale import _COUNT_CACHE
+
+    _COUNT_CACHE.clear()
 
 
 # Materialized-layout cache for the sink/layout-demo queries that stage a

@@ -79,6 +79,8 @@ def bits_for(n: int, occ: int, lo: int, hi: int) -> int:
 def bits_for_sql(n_sql: str, occ: int, lo: int, hi: int) -> str:
     """SQL mirror of bits_for: an unrolled integer CASE — no floating
     log2, so both engines agree at every boundary."""
+    if lo >= hi:  # degenerate clamp (e.g. a tuning override pinning the
+        return str(lo)  # width): CASE with zero WHEN arms is invalid SQL
     whens = " ".join(
         f"WHEN {n_sql} <= {occ << b} THEN {b}" for b in range(lo, hi)
     )

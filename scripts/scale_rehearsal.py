@@ -71,6 +71,11 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--top", type=int, default=15)
     ap.add_argument("--ids", default="")
+    ap.add_argument("--all-batch", action="store_true",
+                    help="measure EVERY batch registry id (round 10: the "
+                         "streaming-runtime ids that stage and run a real "
+                         "stream are excluded; the batch-checkable "
+                         "window aggs stay in)")
     ap.add_argument("--target", default=SF05,
                     help="comparison fixture dir (e.g. .localdata/sf1)")
     ap.add_argument("--ratio-limit", type=float, default=7.5,
@@ -83,7 +88,15 @@ def main() -> None:
     from mongo_to_clickhouse_spark.session import get_spark
 
     reg = queries()
-    if args.ids:
+    if args.all_batch:
+        skip_prefixes = ("stream_", "source_changestream",
+                         "checkpoint_resume_token", "sink_dlq_log",
+                         "metric_throughput")
+        keep = {"stream_tumbling_window_agg", "stream_sliding_window_agg",
+                "stream_session_window", "stream_session_window_dynamic_gap"}
+        ids = sorted(q for q in reg
+                     if q in keep or not q.startswith(skip_prefixes))
+    elif args.ids:
         ids = [i for i in args.ids.split(",") if i]
     else:
         with open(os.path.join(os.path.dirname(__file__), "..",
