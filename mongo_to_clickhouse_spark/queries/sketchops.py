@@ -854,8 +854,15 @@ def _moments_rollup_sql(engine: str, daily_rel: str | None = None) -> str:
         )
         SELECT tier, bucket, n,
                CAST(s * 10000 {intdiv} n AS BIGINT) AS mean_micro,
-               -- cents² → micro of value²: ×1e-4 (cent²→unit²) ×1e6
-               CAST(floor((n * s2 - s * s) * 100.0 / (1.0 * n * n))
+               -- cents² → micro of value²: ×1e-4 (cent²→unit²) ×1e6.
+               -- n·Σx² and (Σx)² are widened to DECIMAL(38,0): at 10×
+               -- fixture rows (n ≈ 1.5M, cents² sums ≈ 1e18) the BIGINT
+               -- products overflow — caught by the round-10 full-registry
+               -- sf1 rehearsal. Identical integers at every graded sf,
+               -- so oracle hashes are unchanged.
+               CAST(floor((CAST(n AS DECIMAL(38, 0)) * s2
+                           - CAST(s AS DECIMAL(38, 0)) * s)
+                          * 100.0 / (1.0 * n * n))
                     AS BIGINT) AS var_micro
         FROM tiers
         ORDER BY tier, bucket

@@ -4248,8 +4248,18 @@ def _isotropy_tail_sql(pts_rel: str) -> str:
             WHERE v2n > 0
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
-               CAST(MIN(v2n) * 1000000 {{intdiv}} MAX(v2n) AS BIGINT)
-                   AS min_max_ratio_ppm,
+               -- floor(min·1e6 / max) via chunked long division: the
+               -- direct min·1e6 product overflows BIGINT once v2n (an
+               -- n²-scaled variance) passes ~9.2e12 — the round-10 sf1
+               -- rehearsal audit. q0·1e6 + q1·1e3 + q2 is exact and
+               -- bit-identical to the old form wherever it didn't
+               -- overflow; every intermediate stays < max·1e3.
+               CAST((MIN(v2n) {{intdiv}} MAX(v2n)) * 1000000
+                    + ((MIN(v2n) % MAX(v2n)) * 1000 {{intdiv}} MAX(v2n))
+                      * 1000
+                    + ((MIN(v2n) % MAX(v2n)) * 1000 % MAX(v2n)) * 1000
+                      {{intdiv}} MAX(v2n)
+                    AS BIGINT) AS min_max_ratio_ppm,
                CAST(SUM(term_micro) AS BIGINT) AS spectrum_entropy_micro,
                CAST(round(exp(SUM(term_micro) / 1e6) * 1e6) AS BIGINT)
                    AS eff_dims_micro
