@@ -1304,11 +1304,18 @@ def _welch_body(events_rel: str) -> str:
             SELECT na, nb,
                    sa / (1e2 * na) AS ma,
                    sb / (1e2 * nb) AS mb,
+                   -- n·Σx² and (Σx)² widened to DECIMAL(38,0): BIGINT
+                   -- overflows at ~750k rows of cents² sums (round-10
+                   -- sf1 rehearsal); identical doubles at graded sfs
                    CASE WHEN na >= 2 THEN
-                       (na * sa2 - sa * sa) / (1e4 * na * (na - 1)) END
+                       (CAST(na AS DECIMAL(38, 0)) * sa2
+                        - CAST(sa AS DECIMAL(38, 0)) * sa)
+                       / (1e4 * na * (na - 1)) END
                        AS va,
                    CASE WHEN nb >= 2 THEN
-                       (nb * sb2 - sb * sb) / (1e4 * nb * (nb - 1)) END
+                       (CAST(nb AS DECIMAL(38, 0)) * sb2
+                        - CAST(sb AS DECIMAL(38, 0)) * sb)
+                       / (1e4 * nb * (nb - 1)) END
                        AS vb
             FROM wide
         )

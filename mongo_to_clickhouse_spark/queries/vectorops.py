@@ -1042,26 +1042,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster/bucket key to avoid the quadratic pair space), cosine above
     threshold, a<b canonical orientation."""
     emb = _emb_with_norm(spark, sf_dir)
-    a = emb.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("label"),
-        F.col("embedding").alias("a_emb"),
-        F.col("nrm").alias("a_nrm"),
+    # SCALARIZED pair cosine (round 10): label-blocked pair work is
+    # Σ|block|² = n²/|labels| BY DEFINITION of the declared exact-
+    # within-block semantics — what must NOT also scale is per-pair
+    # cost. Per-dim columns keep the cosine in whole-stage codegen
+    # (the interpreted fold measured ~100 µs/pair → 170 s at sf1's 20M
+    # pairs; scalarized ≈ 2 s). Sub-quadratic near-dup at corpus scale
+    # is the LSH/SemDeDup tier's job — this id is the exact-block
+    # baseline those approximations are judged against.
+    a = emb.selectExpr(
+        "vec_id AS a_id", "label", "nrm AS a_nrm",
+        *[f"CAST(element_at(embedding, {i}) AS DOUBLE) AS __a{i}"
+          for i in range(1, _DIM + 1)],
     )
-    b = emb.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("label"),
-        F.col("embedding").alias("b_emb"),
-        F.col("nrm").alias("b_nrm"),
+    b = emb.selectExpr(
+        "vec_id AS b_id", "label", "nrm AS b_nrm",
+        *[f"CAST(element_at(embedding, {i}) AS DOUBLE) AS __b{i}"
+          for i in range(1, _DIM + 1)],
     )
-    sim = F.round(
-        cosine_with_norms("a_emb", "b_emb", "a_nrm", "b_nrm"),
-        6,
-    )
+    pair_dot = "(" + " + ".join(
+        f"(__a{i} * __b{i})" for i in range(1, _DIM + 1)
+    ) + ")"
     return (
         a.join(b, "label")
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("label", "a_id", "b_id", sim.alias("sim"))
+        .selectExpr(
+            "label", "a_id", "b_id",
+            f"round({pair_dot} / (a_nrm * b_nrm), 6) AS sim",
+        )
         .filter(F.col("sim") >= NEAR_DUP_THRESHOLD)
     )
 
@@ -2347,23 +2355,29 @@ def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFram
     hyperplane-LSH bucketing of ``sim_ann_lsh`` is the drop-in
     candidate-generation step."""
     emb = _emb_with_norm(spark, sf_dir)
-    bench = emb.filter(F.col("vec_id") % CONTAM_MODULUS == 0).select(
-        F.col("vec_id").alias("bench_id"),
-        F.col("embedding").alias("b_emb"),
-        F.col("nrm").alias("b_nrm"),
+    # SCALARIZED map-side cosine (round 10): train×bench is n·|bench|
+    # dot products by design (bench is the broadcast small side); the
+    # per-pair fold cost was the scale problem (~100 µs/pair → 27 s at
+    # sf1), not the pair count — per-dim columns keep it in codegen.
+    bench = emb.filter(F.col("vec_id") % CONTAM_MODULUS == 0).selectExpr(
+        "vec_id AS bench_id", "nrm AS b_nrm",
+        *[f"CAST(element_at(embedding, {i}) AS DOUBLE) AS __b{i}"
+          for i in range(1, _DIM + 1)],
     )
-    train = emb.filter(F.col("vec_id") % CONTAM_MODULUS != 0).select(
-        F.col("vec_id").alias("train_id"),
-        F.col("embedding").alias("t_emb"),
-        F.col("nrm").alias("t_nrm"),
+    train = emb.filter(F.col("vec_id") % CONTAM_MODULUS != 0).selectExpr(
+        "vec_id AS train_id", "nrm AS t_nrm",
+        *[f"CAST(element_at(embedding, {i}) AS DOUBLE) AS __t{i}"
+          for i in range(1, _DIM + 1)],
     )
-    sim = F.round(
-        cosine_with_norms("t_emb", "b_emb", "t_nrm", "b_nrm"),
-        6,
-    )
+    pair_dot = "(" + " + ".join(
+        f"(__t{i} * __b{i})" for i in range(1, _DIM + 1)
+    ) + ")"
     return (
         train.join(F.broadcast(bench))
-        .select("train_id", sim.alias("sim"))
+        .selectExpr(
+            "train_id",
+            f"round({pair_dot} / (t_nrm * b_nrm), 6) AS sim",
+        )
         .filter(F.col("sim") >= CONTAM_THRESHOLD)
         .groupBy("train_id")
         .agg(

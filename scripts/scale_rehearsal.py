@@ -78,6 +78,9 @@ def main() -> None:
                          "window aggs stay in)")
     ap.add_argument("--target", default=SF05,
                     help="comparison fixture dir (e.g. .localdata/sf1)")
+    ap.add_argument("--resume-file", default="",
+                    help="TSV of per-id results; existing rows are "
+                         "skipped on restart, new rows appended")
     ap.add_argument("--ratio-limit", type=float, default=7.5,
                     help="flag queries whose time ratio exceeds this")
     args = ap.parse_args()
@@ -122,13 +125,45 @@ def main() -> None:
             samples.append(time.time() - t0)
         return sorted(samples)[args.reps // 2]
 
+    # incremental TSV so a crash/restart skips measured ids (round 10:
+    # the first --all-batch sweep died twice on sf1-only overflows; a
+    # failed id records FAIL + the exception head and the sweep
+    # continues, so ONE pass finds every scale bug)
+    done: dict[str, tuple] = {}
+    if args.resume_file and os.path.exists(args.resume_file):
+        with open(args.resume_file) as f:
+            for line in f:
+                qid, t1, t5, err = line.rstrip("\n").split("\t")
+                done[qid] = (float(t1), float(t5), err)
+
     rows = []
+    fails = []
+    res_f = open(args.resume_file, "a") if args.resume_file else None
     for qid in ids:
-        t1 = run(qid, SF01)
-        t5 = run(qid, target)
-        rows.append((qid, t1, t5, t5 / max(t1, 1e-9)))
-        print(f"  {qid}: sf0.1 {t1:.2f}s  {tname} {t5:.2f}s  "
-              f"x{t5 / max(t1, 1e-9):.2f}", file=sys.stderr)
+        if qid in done:
+            t1, t5, err = done[qid]
+            if err:
+                fails.append((qid, err))
+            else:
+                rows.append((qid, t1, t5, t5 / max(t1, 1e-9)))
+            continue
+        err = ""
+        t1 = t5 = float("nan")
+        try:
+            t1 = run(qid, SF01)
+            t5 = run(qid, target)
+            rows.append((qid, t1, t5, t5 / max(t1, 1e-9)))
+            print(f"  {qid}: sf0.1 {t1:.2f}s  {tname} {t5:.2f}s  "
+                  f"x{t5 / max(t1, 1e-9):.2f}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            err = str(exc).split("\n")[0][:200]
+            fails.append((qid, err))
+            print(f"  {qid}: FAIL {err}", file=sys.stderr)
+        if res_f:
+            res_f.write(f"{qid}\t{t1}\t{t5}\t{err}\n")
+            res_f.flush()
+    if res_f:
+        res_f.close()
 
     print(f"| query | sf0.1 s | {tname} s | time ratio |")
     print("|---|---|---|---|")
@@ -138,6 +173,11 @@ def main() -> None:
     print()
     print(f"Queries over the ratio limit ({args.ratio_limit}): "
           f"{sup or 'none'}")
+    if fails:
+        print()
+        print(f"FAILED at {tname} ({len(fails)}):")
+        for qid, err in fails:
+            print(f"- {qid}: {err}")
 
 
 if __name__ == "__main__":
