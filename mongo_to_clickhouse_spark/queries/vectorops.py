@@ -4018,8 +4018,32 @@ SIM_RANGE_SEARCH_RADIUS_SQL = (
 # emb_residual_quantize — two-level residual VQ (RVQ) compression ladder
 # ---------------------------------------------------------------------------
 
-RQ_MOD1 = 50   # level-1 codebook: vec_id % RQ_MOD1 == 0 donor vectors
-RQ_MOD2 = 37   # level-2 codebook: donors' RESIDUALS, vec_id % RQ_MOD2 == 1
+# Codebook size is DERIVED from the corpus count (round 10): the fixed
+# moduli (50 / 37) gave |codebook| = n/50 donors, making assignment
+# n·d·n/50 — the sf1 rehearsal measured 42.6× at 10× rows. K ≈ √n
+# donors (the same isqrt rule and clamps as the IVF tier, so the
+# oracle reuses _IVF_K_SQL), selected every (n DIV K)-th id; level 2
+# uses the same stride offset by 1 so the donor sets are disjoint.
+_RQ_ST_SQL = f"GREATEST({_N_EMB_SQL} // {_IVF_K_SQL}, 1)"
+
+
+def _rq_stride(spark: SparkSession, sf_dir: str) -> int:
+    return cent_stride(corpus_count(spark, sf_dir, "embeddings"))
+
+
+_EMB_DIM_CACHE: dict[str, int] = {}
+
+
+def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
+    """Embedding width for this fixture (a one-row control-plane probe,
+    memoized) — the scalarized kernels unroll per-dim columns."""
+    key = os.path.abspath(sf_dir)
+    if key not in _EMB_DIM_CACHE:
+        _EMB_DIM_CACHE[key] = int(
+            load_table(spark, sf_dir, "embeddings")
+            .selectExpr("size(embedding) AS d").first().d
+        )
+    return _EMB_DIM_CACHE[key]
 
 
 def _rq_body(pts_rel: str) -> str:
@@ -4044,7 +4068,7 @@ def _rq_body(pts_rel: str) -> str:
         WITH pts AS MATERIALIZED (SELECT vec_id, i, v FROM {pts_rel}),
         cb1 AS MATERIALIZED (
             SELECT vec_id AS code, i, v AS c
-            FROM pts WHERE vec_id % {RQ_MOD1} = 0
+            FROM pts WHERE vec_id % {_RQ_ST_SQL} = 0
         ),
         a1 AS MATERIALIZED (
             SELECT vec_id, code FROM (
@@ -4065,7 +4089,7 @@ def _rq_body(pts_rel: str) -> str:
         ),
         cb2 AS MATERIALIZED (
             SELECT vec_id AS code, i, v AS c
-            FROM r1 WHERE vec_id % {RQ_MOD2} = 1
+            FROM r1 WHERE vec_id % {_RQ_ST_SQL} = 1
         ),
         a2 AS MATERIALIZED (
             SELECT vec_id, code FROM (
@@ -4112,109 +4136,86 @@ def _rq_body(pts_rel: str) -> str:
 
 def emb_residual_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level RVQ with the per-level reconstruction report — see
-    _rq_body.
+    _rq_body for the semantics (the oracle keeps the dimension-agnostic
+    (vec, i, v) relational ladder).
 
-    Scale posture: one dimension explode landed on a checkpoint barrier;
-    each level is one broadcast-codebook dimension join + a per-vector
-    argmin window (|codebook| rows per partition) + one residual join —
-    the same per-(vec, code) equi-join family as PQ/IVF, nothing
-    quadratic in the corpus. The level-1 residual relation is barriered
-    (referenced by codebook-2, assignment-2, the residual-2 join AND
-    the error report)."""
-    from mongo_to_clickhouse_spark.operators.materialize import (
-        barrier,
-        cached_barrier_view,
+    Scale posture (round 10, SCALARIZED): milli coordinates live in
+    per-dim BIGINT columns, so each level is ONE
+    crossJoin(broadcast(codebook)) whose n·K integer distances stay in
+    whole-stage codegen and collapse map-side through a MIN((d2, code))
+    struct argmin — no (vec, dim, code) row explosion (the old
+    join-on-dim GROUP BY pushed n·d·K rows through a hash aggregate:
+    512M at sf1 with the fixed-modulus codebook, 42.6× at 10× rows).
+    K ≈ √n donors per level keeps assignment at the IVF n·√n law; the
+    level-1 residual relation lands on a checkpoint barrier (read by
+    codebook-2, assignment-2, residual-2 AND the error report)."""
+    from mongo_to_clickhouse_spark.operators.materialize import barrier
+
+    n = corpus_count(spark, sf_dir, "embeddings")
+    st = _rq_stride(spark, sf_dir)
+    d = _emb_dim(spark, sf_dir)
+    dims = range(1, d + 1)
+
+    pts = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        *[f"CAST(round(CAST(element_at(embedding, {i}) AS DOUBLE)"
+          f" * 1e3) AS BIGINT) AS v{i}" for i in dims],
     )
 
-    def build():
-        load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
-            "rq_emb_src"
+    def level(src: DataFrame, offset: int) -> tuple[DataFrame, DataFrame]:
+        """One RVQ level over per-dim columns: (residual frame, codebook)."""
+        cb = src.filter(F.col("vec_id") % st == offset).selectExpr(
+            "vec_id AS code", *[f"v{i} AS c{i}" for i in dims]
         )
-        return spark.sql("""
-            SELECT vec_id, i,
-                   CAST(round(CAST(element_at(embedding, CAST(i AS INT))
-                                   AS DOUBLE) * 1e3) AS BIGINT) AS v
-            FROM rq_emb_src
-            LATERAL VIEW explode(sequence(1, size(embedding))) AS i
-        """)
+        d2 = " + ".join(f"(v{i} - c{i}) * (v{i} - c{i})" for i in dims)
+        assign = (
+            src.crossJoin(F.broadcast(cb))
+            .selectExpr("vec_id", f"({d2}) AS d2", "code")
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "code")).alias("m"))
+            .select("vec_id", F.col("m.code").alias("code"))
+        )
+        resid = (
+            src.join(assign, "vec_id")
+            .join(F.broadcast(cb), "code")
+            .selectExpr(
+                "vec_id", *[f"v{i} - c{i} AS v{i}" for i in dims]
+            )
+        )
+        return resid, cb
 
-    cached_barrier_view(
-        spark, sf_dir, "rq_points", build, tables=("embeddings",)
+    r1, cb1 = level(pts, 0)
+    r1 = barrier(r1)
+    r2, cb2 = level(r1, 1)
+
+    sq = " + ".join(f"v{i} * v{i}" for i in dims)
+
+    def err(level_no: int, rel: DataFrame, codes: DataFrame) -> DataFrame:
+        return (
+            rel.selectExpr(f"({sq}) AS s")
+            .agg(
+                F.expr("CAST(SUM(s) AS BIGINT)").alias("sse"),
+                (F.count("*") * d).cast("bigint").alias("n_coords"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    codes.agg(F.count("*").cast("bigint").alias("n_codes"))
+                )
+            )
+            .selectExpr(
+                f"CAST({level_no} AS INT) AS level",
+                "n_codes",
+                "CAST(sse DIV n_coords AS BIGINT) AS mse_milli2",
+                "n_coords",
+            )
+        )
+
+    return (
+        err(0, pts, cb1)
+        .unionAll(err(1, r1, cb1))
+        .unionAll(err(2, r2, cb2))
+        .orderBy("level")
     )
-    # split the ladder so r1 lands on a barrier: run the level-1 half,
-    # checkpoint, then run the level-2 half against the checkpoint
-    half1 = spark.sql(f"""
-        WITH pts AS (SELECT vec_id, i, v FROM rq_points),
-        cb1 AS (
-            SELECT vec_id AS code, i, v AS c
-            FROM pts WHERE vec_id % {RQ_MOD1} = 0
-        ),
-        a1 AS (
-            SELECT vec_id, code FROM (
-                SELECT p.vec_id, c.code,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY p.vec_id
-                           ORDER BY SUM((p.v - c.c) * (p.v - c.c)),
-                                    c.code) AS rk
-                FROM pts p JOIN cb1 c ON c.i = p.i
-                GROUP BY p.vec_id, c.code
-            ) d WHERE rk = 1
-        )
-        SELECT p.vec_id, p.i, p.v - c.c AS v
-        FROM pts p
-        JOIN a1 ON a1.vec_id = p.vec_id
-        JOIN cb1 c ON c.code = a1.code AND c.i = p.i
-    """)
-    barrier(half1).createOrReplaceTempView("rq_r1")
-    return spark.sql(f"""
-        WITH r1 AS (SELECT vec_id, i, v FROM rq_r1),
-        cb1n AS (
-            SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n1
-            FROM rq_points
-            WHERE vec_id % {RQ_MOD1} = 0
-        ),
-        cb2 AS (
-            SELECT vec_id AS code, i, v AS c
-            FROM r1 WHERE vec_id % {RQ_MOD2} = 1
-        ),
-        a2 AS (
-            SELECT vec_id, code FROM (
-                SELECT p.vec_id, c.code,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY p.vec_id
-                           ORDER BY SUM((p.v - c.c) * (p.v - c.c)),
-                                    c.code) AS rk
-                FROM r1 p JOIN cb2 c ON c.i = p.i
-                GROUP BY p.vec_id, c.code
-            ) d WHERE rk = 1
-        ),
-        r2 AS (
-            SELECT p.vec_id, p.i, p.v - c.c AS v
-            FROM r1 p
-            JOIN a2 ON a2.vec_id = p.vec_id
-            JOIN cb2 c ON c.code = a2.code AND c.i = p.i
-        ),
-        errs AS (
-            SELECT 0 AS level, (SELECT n1 FROM cb1n) AS n_codes,
-                   CAST(SUM(v * v) AS BIGINT) AS sse,
-                   CAST(COUNT(*) AS BIGINT) AS n_coords
-            FROM rq_points
-            UNION ALL
-            SELECT 1, (SELECT n1 FROM cb1n),
-                   CAST(SUM(v * v) AS BIGINT), CAST(COUNT(*) AS BIGINT)
-            FROM r1
-            UNION ALL
-            SELECT 2,
-                   (SELECT CAST(COUNT(DISTINCT code) AS BIGINT) FROM cb2),
-                   CAST(SUM(v * v) AS BIGINT), CAST(COUNT(*) AS BIGINT)
-            FROM r2
-        )
-        SELECT level, n_codes,
-               CAST(sse DIV n_coords AS BIGINT) AS mse_milli2,
-               n_coords
-        FROM errs
-        ORDER BY level
-    """)
 
 
 EMB_RESIDUAL_QUANTIZE_SQL = (

@@ -913,22 +913,22 @@ def test_rvq_error_ladder_descends(spark, tmp_path):
         clear_barrier_view_cache,
     )
     from mongo_to_clickhouse_spark.queries.vectorops import (
-        RQ_MOD1,
         emb_residual_quantize,
     )
 
     clear_scan_cache()
     clear_barrier_view_cache()
-    # two tight clusters around the two level-1 donors (ids 0 and 50):
-    # level-1 residuals are tiny, so mse must drop by orders of
-    # magnitude at level 1 and not increase at level 2
+    # two tight clusters split at id 50; the derived codebook (round 10:
+    # K = clamp(isqrt(120), 8, 4096) = 10 donors at stride 12) places
+    # donors inside BOTH clusters, so level-1 residuals are tiny and mse
+    # must drop by orders of magnitude at level 1, never rising at 2
     import numpy as np
 
     rng = np.random.RandomState(3)
     base = rng.standard_normal((2, 8)) * 2.0
     vecs, labels = [], []
     for vid in range(120):
-        c = base[0] if vid < RQ_MOD1 else base[1]
+        c = base[0] if vid < 50 else base[1]
         vecs.append(tuple(c + rng.standard_normal(8) * 0.01))
         labels.append(0)
     (l0, l1, l2) = sorted(
@@ -937,7 +937,7 @@ def test_rvq_error_ladder_descends(spark, tmp_path):
         ).collect(),
         key=lambda r: r["level"],
     )
-    assert l0["level"] == 0 and l0["n_codes"] == 3  # ids 0, 50, 100
+    assert l0["level"] == 0 and l0["n_codes"] == 10  # stride-12 donors
     assert l1["mse_milli2"] < l0["mse_milli2"] // 100
     assert l2["mse_milli2"] <= l1["mse_milli2"]
 
