@@ -186,14 +186,22 @@ def main() -> None:
         """Fixed-cost contention sentinel (VERDICT r9 item 4): a
         constant JVM aggregation whose runtime depends only on ambient
         machine load — never on any query, data, or plan change. Its
-        per-pass drift lets BENCH_DIFF separate real regressions from
-        a hot machine (the r9 driver run carried 5 phantom REGRESSED
-        flags that had to be cleared by hand against plan prints)."""
-        t0 = time.time()
-        spark.range(50_000_000).selectExpr(
-            "sum((id * 2654435761) % 97) AS s"
-        ).write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+        drift vs the previous run lets BENCH_DIFF separate real
+        regressions from a hot machine (the r9 driver run carried 5
+        phantom REGRESSED flags that had to be cleared by hand against
+        plan prints). MIN of two back-to-back runs per pass: a single
+        short probe is itself GC/JIT-jittery (first validation run
+        swung 0.08-0.53 s on an idle box); the min of two ~1 s probes
+        is stable on an idle machine and still inflates under real
+        contention, which steals cores from BOTH runs."""
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            spark.range(200_000_000).selectExpr(
+                "sum((id * 2654435761) % 97) AS s"
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return best
 
     _calibrate()  # warm the sentinel's codegen path too
 
@@ -252,6 +260,14 @@ def main() -> None:
     # stdout line is CONSTANT-SIZE (no per-query payload at all);
     # per-query timings live in the committed BENCH_QUERIES.json.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
+    # capture the PREVIOUS run's plan fingerprints before overwriting —
+    # the diff below uses them to separate ambient flags from real ones
+    prev_fp = {}
+    try:
+        with open(os.path.join(repo_dir, "BENCH_PLANS.json")) as f:
+            prev_fp = json.load(f).get("plan_fp", {})
+    except (OSError, json.JSONDecodeError):
+        pass
     with open(os.path.join(repo_dir, "BENCH_PLANS.json"), "w") as f:
         json.dump({"sf": sf, "plan_fp": plan_fps, "plan_ops": plan_ops},
                   f, indent=1, sort_keys=True)
@@ -271,6 +287,11 @@ def main() -> None:
     if prev and prev.get("sf") == sf:
         old_q = prev.get("queries", {})
         old_sp = prev.get("spreads", {})
+        # prev_fp captured above, before the BENCH_PLANS overwrite: a
+        # flagged query whose optimized plan is BYTE-IDENTICAL to the
+        # previous run's is annotated — same code, same plan, same data
+        # means the regression is ambient unless a kernel changed
+        # (round 9's judge cleared 5 phantom flags exactly this way)
         # contention sentinel: if THIS run's fixed-cost calibration ran
         # >1.3x slower than the previous run's (or drifted >1.3x across
         # its own reps), the machine was hot — per-query slowdowns then
@@ -278,7 +299,10 @@ def main() -> None:
         prev_cal = prev.get("calibration_med")
         cal_ratio = (cal_med / prev_cal) if prev_cal else 1.0
         cal_intra = (max(calibration) / max(min(calibration), 1e-9))
-        hot = cal_ratio > 1.3 or cal_intra > 1.3
+        # intra threshold 2.0: each sample is already a min-of-2, so a
+        # 2x swing across passes means a sustained load episode, not a
+        # GC hiccup; cross-run 1.3x matches the REGRESSED line
+        hot = cal_ratio > 1.3 or cal_intra > 2.0
         lines = [
             "# BENCH_DIFF (generated by bench.py)",
             "",
@@ -312,9 +336,13 @@ def main() -> None:
             if ratio > 1.3 and n2 - o > 0.1:
                 if hot:
                     flag = "ambient"
+                elif ratio - 1.0 <= noise:
+                    flag = "noisy"
+                elif prev_fp.get(qid) == plan_fps.get(qid):
+                    flag = "REGRESSED(plan-unchanged)"
                 else:
-                    flag = "REGRESSED" if ratio - 1.0 > noise else "noisy"
-            flagged += flag == "REGRESSED"
+                    flag = "REGRESSED"
+            flagged += flag.startswith("REGRESSED")
             rows.append((ratio, f"| {qid} | {o:.3f} | {n2:.3f} | "
                                 f"{ratio:.2f} | {spreads.get(qid, 0):.2f}"
                                 f" | {flag} |"))
