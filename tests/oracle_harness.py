@@ -129,8 +129,12 @@ def compare_detailed(spark_df, con, sql: str) -> dict:
         "columns differ" in p or "type" in p for p in problems
     )
     rows_bad = any("row count differs" in p for p in problems)
+    # if the column-set mismatch short-circuited _compare_impl before row
+    # counts were ever compared (oracle_rows is None), row parity was NOT
+    # checked — report None rather than a false True (ADVICE r10)
+    short_circuited = d_n is None
     return {
-        "rows_match": not rows_bad,
+        "rows_match": None if short_circuited else not rows_bad,
         "schema_match": not schema_bad,
         "hash_match": not problems,
         "spark_rows": s_n,
