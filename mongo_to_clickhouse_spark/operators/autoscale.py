@@ -34,9 +34,9 @@ import os
 
 from pyspark.sql import SparkSession
 
-# (abspath(sf_dir), table) -> exact row count; fixtures are immutable
-# parquet dirs, so the count never changes under a live session
-_COUNT_CACHE: dict[tuple[str, str], int] = {}
+# (abspath(sf_dir), table[, "distinct:col"]) -> exact count; fixtures
+# are immutable parquet dirs, so counts never change under a live session
+_COUNT_CACHE: dict[tuple, int] = {}
 
 
 def corpus_count(spark: SparkSession, sf_dir: str, table: str) -> int:
@@ -55,6 +55,28 @@ def corpus_count(spark: SparkSession, sf_dir: str, table: str) -> int:
 def count_sql(table: str) -> str:
     """The oracle-side mirror of corpus_count: same relation, same n."""
     return f"(SELECT COUNT(*) FROM {table})"
+
+
+def distinct_count(
+    spark: SparkSession, sf_dir: str, table: str, col: str
+) -> int:
+    """Exact distinct count of a fixture column — the second corpus
+    statistic some derivations need (round 11: dedup_embedding_cosine's
+    sub-block count divides n by |labels|·target). Memoized like
+    corpus_count; same control-plane posture."""
+    key = (os.path.abspath(sf_dir), table, f"distinct:{col}")
+    if key not in _COUNT_CACHE:
+        from mongo_to_clickhouse_spark.io import load_table
+
+        _COUNT_CACHE[key] = (
+            load_table(spark, sf_dir, table).select(col).distinct().count()
+        )
+    return _COUNT_CACHE[key]
+
+
+def distinct_count_sql(table: str, col: str) -> str:
+    """Oracle-side mirror of distinct_count."""
+    return f"(SELECT COUNT(DISTINCT {col}) FROM {table})"
 
 
 def _clamp(v: int, lo: int, hi: int) -> int:

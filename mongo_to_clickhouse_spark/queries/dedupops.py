@@ -503,7 +503,8 @@ _STREAM_UPSERT_BATCHES = 3
 
 
 def stream_minhash_index_upsert(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str,
+    n_batches: int | None = None, work_dir: str | None = None,
 ) -> DataFrame:
     """The MinHash index-maintenance write path as an actual STREAMING
     ingest (the form dedup_minhash_index_upsert is the one-batch
@@ -535,7 +536,13 @@ def stream_minhash_index_upsert(
 
     from mongo_to_clickhouse_spark.streaming.util import await_drained
 
-    work = tempfile.mkdtemp(prefix=f"mhup-{uuid.uuid4().hex[:8]}-")
+    # n_batches / work_dir are test knobs (the round-11 soak gate drives
+    # ~50 micro-batches and inspects the checkpoint before cleanup); the
+    # registry id always runs the default so the unrolled oracle holds
+    nb = n_batches or _STREAM_UPSERT_BATCHES
+    work = work_dir or tempfile.mkdtemp(
+        prefix=f"mhup-{uuid.uuid4().hex[:8]}-"
+    )
     src = os.path.join(work, "source")
     idx_bands = os.path.join(work, "index_bands")
     idx_shingles = os.path.join(work, "index_shingles")
@@ -560,9 +567,9 @@ def stream_minhash_index_upsert(
         "WHERE doc_id >= 1000000 OR doc_id % 10 = 3"
     )
     base_t = 1_700_000_000
-    for k in range(_STREAM_UPSERT_BATCHES):
+    for k in range(nb):
         tmp = os.path.join(work, f"stage{k}")
-        new_docs.filter(F.col("doc_id") % _STREAM_UPSERT_BATCHES == k
+        new_docs.filter(F.col("doc_id") % nb == k
                         ).coalesce(1).write.parquet(tmp)
         part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
         dst = os.path.join(src, f"b{k}.parquet")
@@ -638,6 +645,11 @@ def stream_minhash_index_upsert(
         sess.read.parquet(ins_s).write.mode("append").parquet(
             idx_shingles
         )
+        # the per-batch views are uuid-tagged; drop them or a long-lived
+        # session leaks 5 catalog entries per micro-batch (the ivf twin
+        # got this fix in round 10; the round-11 soak gate asserts it)
+        for v in (bv, bsh, bb, hb, hs):
+            sess.catalog.dropTempView(v)
 
     stream = (
         spark.readStream.schema("doc_id LONG, text STRING")
@@ -657,7 +669,8 @@ def stream_minhash_index_upsert(
     # per invocation (including every benchmark rep).
     rows = spark.read.parquet(acct).orderBy("batch_id").collect()
     schema = spark.read.parquet(acct).schema
-    shutil.rmtree(work, ignore_errors=True)
+    if work_dir is None:
+        shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, schema).orderBy("batch_id")
 
 

@@ -88,7 +88,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--out", default="/root/repo/.localdata/sf0.5")
+    ap.add_argument(
+        "--tables", default="",
+        help="comma list of tables to replicate (others are copied from "
+        "sf0.1 unreplicated) — e.g. documents,embeddings for the "
+        "second-decade embedding-tier fixture, where replicating the "
+        "relational tables 100x would cost GBs for ids that never read "
+        "them",
+    )
     args = ap.parse_args()
+    only = set(t for t in args.tables.split(",") if t)
     os.makedirs(args.out, exist_ok=True)
 
     spans = {}
@@ -105,6 +114,10 @@ def main() -> None:
 
     for tbl, keys in OFFSET_COLS.items():
         t = cache.get(tbl) or pq.read_table(os.path.join(SRC, tbl + ".parquet"))
+        if only and tbl not in only:
+            pq.write_table(t, os.path.join(args.out, tbl + ".parquet"))
+            print(tbl, t.num_rows, "(copied unreplicated, not in --tables)")
+            continue
         reps = []
         for i in range(args.reps):
             cols = {}

@@ -150,6 +150,51 @@ def test_force_fake_pins_stub_for_opaque_payloads():
     assert _kernel_dims(payloads) == [_fake_decode(p) for p in payloads]
 
 
+def test_pair_knob_lockstep_sweep():
+    """Fifth knob-perturbed oracle-lockstep tier (round 11): the three
+    new derived-bound knobs — pair_block_target (sub-block count),
+    pair_ref_cap (reference cap), contam_bench_cap (bench pin) — are
+    moved to values that CHANGE results at sf0.001 (target 32 → nb=2;
+    cap 20 < max block 63; bench cap 2 < the 6 matching vec_ids), and
+    the public driver contract must still hash-MATCH: proof the knobs
+    feed both engines' arithmetic, not just Spark's."""
+    import json
+    import subprocess
+    import sys
+
+    env = dict(__import__("os").environ)
+    env["SPARK_GRAFT_TUNING"] = json.dumps({
+        "pair_block_target": 32,
+        "pair_ref_cap": 20,
+        "contam_bench_cap": 2,
+    })
+    import os
+
+    ids = ["dedup_embedding_cosine", "decontaminate_embedding_cosine"]
+    proc = subprocess.run(
+        [sys.executable, "scripts/driver_sim.py",
+         "/root/testdata/sf0.001", *ids],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert proc.stdout.count("MATCH") >= len(ids)
+    assert "MISMATCH" not in proc.stdout
+
+
+def test_pair_blocks_derivation_steps():
+    """nb must be 1 at every graded sf (hash preservation) and step up
+    across the rehearsal decades."""
+    from mongo_to_clickhouse_spark.queries.vectorops import pair_blocks
+
+    assert pair_blocks(500, 10) == 1      # sf0.001 / sf0.01
+    assert pair_blocks(2000, 10) == 1     # sf0.1
+    assert pair_blocks(20000, 10) == 8    # sf1
+    assert pair_blocks(200000, 10) == 79  # sf10emb
+    assert pair_blocks(10**9, 10) == 4096  # clamp engages
+
+
 def test_emb_dim_cache_cleared_by_clear_scan_cache():
     """ADVICE r10: an in-place fixture rewrite with a different embedding
     dimension must not serve stale per-dim unrolled columns."""
