@@ -405,10 +405,14 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JIT cliff (functions/vectors.py module notes). Same left-
     # associated IEEE order, so the similarity is bit-identical to the
     # oracle's list_dot_product.
-    a_side = emb.selectExpr(
-        "vec_id", "nrm",
-        *[f"CAST(element_at(embedding, {i}) AS DOUBLE) AS __a{i}"
-          for i in range(1, _DIM + 1)],
+    a_side = _fanout_repartition(
+        spark, sf_dir,
+        emb.selectExpr(
+            "vec_id", "nrm",
+            *[f"CAST(element_at(embedding, {i}) AS DOUBLE) AS __a{i}"
+              for i in range(1, _DIM + 1)],
+        ),
+        ivf_k(corpus_count(spark, sf_dir, "embeddings")),
     )
     c_side = cents.selectExpr(
         "cent_id", "cent_nrm",
@@ -2467,10 +2471,14 @@ def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFram
         *[f"CAST(element_at(embedding, {i}) AS DOUBLE) AS __b{i}"
           for i in range(1, _DIM + 1)],
     )
-    train = emb.filter(F.col("vec_id") % CONTAM_MODULUS != 0).selectExpr(
-        "vec_id AS train_id", "nrm AS t_nrm",
-        *[f"CAST(element_at(embedding, {i}) AS DOUBLE) AS __t{i}"
-          for i in range(1, _DIM + 1)],
+    train = _fanout_repartition(
+        spark, sf_dir,
+        emb.filter(F.col("vec_id") % CONTAM_MODULUS != 0).selectExpr(
+            "vec_id AS train_id", "nrm AS t_nrm",
+            *[f"CAST(element_at(embedding, {i}) AS DOUBLE) AS __t{i}"
+              for i in range(1, _DIM + 1)],
+        ),
+        CONTAM_BENCH_CAP,
     )
     pair_dot = "(" + " + ".join(
         f"(__t{i} * __b{i})" for i in range(1, _DIM + 1)
@@ -2555,6 +2563,28 @@ def _km_pts_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached_barrier(spark, sf_dir, "km_pts", build, tables=("embeddings",))
 
 
+_FANOUT_REPARTITION_PAIRS = 2_000_000  # ~1-2 s of single-task pair work
+
+
+def _fanout_repartition(
+    spark: SparkSession, sf_dir: str, vecs: DataFrame, k: int
+) -> DataFrame:
+    """Defensive repartition before an n·K expansion (round 11): Spark
+    splits the input scan by FILE SIZE, so a 50 MB embeddings parquet
+    arrives as ONE partition — and a crossJoin/broadcast-probe fan-out
+    AFTER it then runs its n·K work in one task (the sf10 rehearsal
+    measured the 312M-pair assignment as a single multi-minute
+    straggler). Gated on n·K > {_FANOUT_REPARTITION_PAIRS} so graded-sf
+    physical plans stay byte-identical; the repartition shuffles only n
+    narrow rows — noise next to the expansion it parallelizes."""
+    from mongo_to_clickhouse_spark.operators.autoscale import corpus_count
+
+    n = corpus_count(spark, sf_dir, "embeddings")
+    if n * k > _FANOUT_REPARTITION_PAIRS:
+        return vecs.repartition(spark.sparkContext.defaultParallelism)
+    return vecs
+
+
 def _km_assign_once(
     spark: SparkSession, sf_dir: str, k: int | None = None
 ) -> DataFrame:
@@ -2584,6 +2614,7 @@ def _km_assign_once(
         "vec_id",
         *[micro.format(j=j) + f" AS __p{j}" for j in range(1, _KM_DIM + 1)],
     )
+    v_side = _fanout_repartition(spark, sf_dir, v_side, k)
     c_side = v_side.filter(F.col("vec_id") < k).selectExpr(
         "vec_id AS c",
         *[f"__p{j} AS __c{j}" for j in range(1, _KM_DIM + 1)],
@@ -4279,10 +4310,14 @@ def emb_residual_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _emb_dim(spark, sf_dir)
     dims = range(1, d + 1)
 
-    pts = load_table(spark, sf_dir, "embeddings").selectExpr(
-        "vec_id",
-        *[f"CAST(round(CAST(element_at(embedding, {i}) AS DOUBLE)"
-          f" * 1e3) AS BIGINT) AS v{i}" for i in dims],
+    pts = _fanout_repartition(
+        spark, sf_dir,
+        load_table(spark, sf_dir, "embeddings").selectExpr(
+            "vec_id",
+            *[f"CAST(round(CAST(element_at(embedding, {i}) AS DOUBLE)"
+              f" * 1e3) AS BIGINT) AS v{i}" for i in dims],
+        ),
+        max(n // st, 1),
     )
 
     def level(src: DataFrame, offset: int) -> tuple[DataFrame, DataFrame]:
