@@ -71,7 +71,8 @@ _POIS_CUM_MICRO = (
 )
 
 
-def _bootstrap_body(events_rel: str, gen_b: str, h60) -> str:
+def _bootstrap_body(events_rel: str, gen_b: str, h60,
+                    seed_hint: str = "") -> str:
     """Engine-shared Poisson bootstrap over the event values: each (row,
     resample) pair draws a deterministic hash-uniform, maps it through
     the Poisson(1) inverse CDF to a replication weight (the distributed
@@ -105,7 +106,7 @@ def _bootstrap_body(events_rel: str, gen_b: str, h60) -> str:
             FROM {events_rel} WHERE value IS NOT NULL
         ),
         seeds AS (
-            SELECT cents, {seed[1]} AS s1, {seed[2]} AS s2,
+            SELECT {seed_hint} cents, {seed[1]} AS s1, {seed[2]} AS s2,
                    {seed[3]} AS s3
             FROM pts
         ),
@@ -177,12 +178,25 @@ def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf1 rehearsal); ranking is a bounded ROW_NUMBER over a {BOOT_B}-row
     relation. Exactness: weights and cent sums are exact integers; the
     mean is an explicit floor of a <2^53 double division."""
+    from mongo_to_clickhouse_spark.operators.autoscale import corpus_count
+
     events = load_table(spark, sf_dir, "events")
     events.createOrReplaceTempView("boot_events_src")
+    # defensive repartition before the x{BOOT_B} explode (round 11): the
+    # events scan is file-size-partitioned, so at sf1 the 32M expanded
+    # rows ran in ~1 task (5.8x rehearsal ratio). Spark-only physical
+    # hint, gated so small-fixture plans stay unchanged; the oracle body
+    # is unaffected (hints are not semantics).
+    n = corpus_count(spark, sf_dir, "events")
+    hint = (
+        f"/*+ REPARTITION({spark.sparkContext.defaultParallelism}) */"
+        if n * BOOT_B > 2_000_000 else ""
+    )
     body = _bootstrap_body(
         "boot_events_src",
         f"LATERAL VIEW explode(sequence(1, {BOOT_B})) tb AS b",
         _h60_spark_sql,
+        seed_hint=hint,
     )
     return spark.sql(body)
 
