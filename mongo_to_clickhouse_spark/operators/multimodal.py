@@ -292,14 +292,16 @@ def _category(v: int) -> int:
 
 
 def encode_jpeg_stdlib(
-    w: int, h: int, pixels: bytes, restart_interval: int = 0
+    w: int, h: int, pixels: bytes, restart_interval: int = 0,
+    planes: int = 1,
 ) -> bytes:
-    """Minimal stdlib baseline-JPEG encoder (8-bit grayscale, 4:4:4):
-    REAL float FDCT (numpy 8×8 matmuls) → flat-8 quantization →
-    Annex-K-table Huffman coding, optional DRI/RSTn restart markers.
-    Used to PLANT deterministic payloads for the decode round-trip
-    oracle and tests. w/h must be multiples of 8 (no edge replication —
-    the planted fixtures are block-aligned by construction)."""
+    """Minimal stdlib baseline-JPEG encoder (8-bit, 4:4:4, grayscale or
+    ``planes=3`` color with concatenated component planes): REAL float
+    FDCT (numpy 8×8 matmuls) → flat-8 quantization → Annex-K-table
+    Huffman coding, optional DRI/RSTn restart markers. Used to PLANT
+    deterministic payloads for the decode round-trip oracle and tests.
+    w/h must be multiples of 8 (no edge replication — the planted
+    fixtures are block-aligned by construction)."""
     import numpy as np
 
     if w % 8 or h % 8:
@@ -307,68 +309,80 @@ def encode_jpeg_stdlib(
     m = _dct_m()
     dc_codes = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
     ac_codes = _canonical_codes(_AC_LUM_BITS, _AC_LUM_VALS)
-    img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w).astype(np.float64)
+    imgs = [
+        np.frombuffer(
+            pixels[c * w * h:(c + 1) * w * h], dtype=np.uint8
+        ).reshape(h, w).astype(np.float64)
+        for c in range(planes)
+    ]
     bw = _BitWriter()
-    pred = 0
+    preds = [0] * planes
     mcu = 0
+
+    def put_block(img, ci) -> None:
+        blk = img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+        coef = m.T @ blk @ m
+        q = [
+            _round_half_away(coef[i // 8, i % 8] / _FLAT_Q8[i])
+            for i in range(64)
+        ]
+        zz = [q[_ZIGZAG[i]] for i in range(64)]
+        # DC
+        diff = zz[0] - preds[ci]
+        preds[ci] = zz[0]
+        cat = _category(diff)
+        code, ln = dc_codes[cat]
+        bw.put(code, ln)
+        if cat:
+            bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        # AC
+        run = 0
+        for i in range(1, 64):
+            v = zz[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                bw.put(code, ln)
+                run -= 16
+            cat = _category(v)
+            code, ln = ac_codes[(run << 4) | cat]
+            bw.put(code, ln)
+            bw.put(v if v >= 0 else v + (1 << cat) - 1, cat)
+            run = 0
+        if run:
+            code, ln = ac_codes[0x00]  # EOB
+            bw.put(code, ln)
+
     for by in range(h // 8):
         for bx in range(w // 8):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 bw.flush()
                 bw.out += bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8])
-                pred = 0
+                preds = [0] * planes
             mcu += 1
-            blk = img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
-            coef = m.T @ blk @ m
-            q = [
-                _round_half_away(coef[i // 8, i % 8] / _FLAT_Q8[i])
-                for i in range(64)
-            ]
-            zz = [q[_ZIGZAG[i]] for i in range(64)]
-            # DC
-            diff = zz[0] - pred
-            pred = zz[0]
-            cat = _category(diff)
-            code, ln = dc_codes[cat]
-            bw.put(code, ln)
-            if cat:
-                bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
-            # AC
-            run = 0
-            for i in range(1, 64):
-                v = zz[i]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    bw.put(code, ln)
-                    run -= 16
-                cat = _category(v)
-                code, ln = ac_codes[(run << 4) | cat]
-                bw.put(code, ln)
-                bw.put(v if v >= 0 else v + (1 << cat) - 1, cat)
-                run = 0
-            if run:
-                code, ln = ac_codes[0x00]  # EOB
-                bw.put(code, ln)
+            for ci in range(planes):
+                put_block(imgs[ci], ci)
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
     dqt = seg(0xDB, bytes([0]) + bytes(_FLAT_Q8[_ZIGZAG[i]] for i in range(64)))
+    comp_params = b"".join(bytes([c + 1, 0x11, 0]) for c in range(planes))
     sof = seg(
         0xC0,
         bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-        + bytes([1, 1, 0x11, 0]),
+        + bytes([planes]) + comp_params,
     )
     dht = seg(
         0xC4,
         bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
         + bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS),
     )
-    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    scan_params = b"".join(bytes([c + 1, 0x00]) for c in range(planes))
+    sos = seg(0xDA, bytes([planes]) + scan_params + bytes([0, 63, 0]))
     dri = (
         seg(0xDD, restart_interval.to_bytes(2, "big"))
         if restart_interval else b""

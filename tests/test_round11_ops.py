@@ -68,6 +68,27 @@ def test_jpeg_exercises_zrl_and_dc_diffs():
     assert decode_jpeg_stdlib(jpg)[2] == pix
 
 
+@pytest.mark.parametrize("interval", [0, 1])
+def test_jpeg_three_component_444_roundtrip(interval):
+    # the color path: 3 components, per-component DC predictors, MCU
+    # interleaving (and restart-marker predictor resets when interval=1)
+    def plane(off):
+        w = 16
+        pix = bytearray(w * 8)
+        for bx in range(2):
+            v = 100 + (off + 7 * bx) % 56
+            k = (off + 3 * bx) % 9 - 4
+            for y in range(8):
+                for x in range(8):
+                    pix[y * w + bx * 8 + x] = v + k * _S[x] * _S[y]
+        return bytes(pix)
+
+    pix = plane(0) + plane(17) + plane(31)
+    jpg = encode_jpeg_stdlib(16, 8, pix, planes=3,
+                             restart_interval=interval)
+    assert decode_jpeg_stdlib(jpg) == (16, 8, pix)
+
+
 def test_jpeg_progressive_rejected_loudly():
     jpg = bytearray(encode_jpeg_stdlib(8, 8, bytes(range(64))))
     i = jpg.find(b"\xff\xc0")
