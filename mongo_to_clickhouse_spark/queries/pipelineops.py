@@ -248,6 +248,93 @@ MULTIMODAL_DECODE_JPEG_SQL = """
 """
 
 
+def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip BYTE ORACLE for the real stdlib lossless-WebP (VP8L)
+    decoder (round 11 — completing the decode seam after PNG r10 and
+    JPEG r11): plant a deterministic ARGB image per document — green
+    (x,y) = (doc_id·13 + ((y//2)·w + x)·37) % 251 with every odd row a
+    COPY of the row above (so the encoder emits a real LZ77 backward
+    reference per odd row and the decoder's backref path is exercised),
+    red a per-doc constant (single-symbol 0-bit simple code), blue
+    alternating by x parity (2-symbol 1-bit simple code), alpha 255,
+    dims from doc_id — then ENCODE through the real VP8L writer
+    (canonical code-length-coded green with 17/18 zero runs) and DECODE
+    back through ``decode_webp_stdlib``. The oracle computes the same
+    channel sums directly from doc_id arithmetic, so a hash MATCH
+    proves the RIFF walk, both prefix-code forms, the canonical code
+    construction, the LZ77 length/distance scheme and the Arrow
+    plumbing byte-for-byte — the decoder cannot pass by luck.
+
+    Scale posture: one mapInPandas pass, corpus-linear, no shuffle; the
+    planted payloads never leave their executor."""
+    import pandas as pd
+
+    from mongo_to_clickhouse_spark.operators.multimodal import (
+        decode_webp_stdlib,
+        encode_webp_stdlib,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 4 + d % 13
+                h = 2 * (1 + (d // 13) % 4)
+                r = (d * 7 + 3) % 251
+                argb = bytearray()
+                for y in range(h):
+                    yy = y // 2
+                    for x in range(w):
+                        g = (d * 13 + (yy * w + x) * 37) % 251
+                        b = (d * 5 + (x % 2) * 19) % 251
+                        argb += bytes((255, r, g, b))
+                payload = encode_webp_stdlib(w, h, bytes(argb))
+                w2, h2, out = decode_webp_stdlib(payload)
+                n = w2 * h2
+                g_sum = sum(out[4 * i + 2] for i in range(n))
+                g_sqsum = sum(out[4 * i + 2] ** 2 for i in range(n))
+                b_sum = sum(out[4 * i + 3] for i in range(n))
+                r_val = out[1]
+                a_sum = sum(out[4 * i] for i in range(n))
+                rows.append((d, w2, h2, g_sum, g_sqsum, b_sum, r_val, a_sum))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "g_sum", "g_sqsum",
+                         "b_sum", "r_val", "a_sum"],
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        "doc_id long, width int, height int, g_sum long, g_sqsum long, "
+        "b_sum long, r_val int, a_sum long",
+    )
+
+
+MULTIMODAL_DECODE_WEBP_SQL = """
+    SELECT doc_id, CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(hh) * 2 AS INTEGER) AS height,
+           CAST(2 * SUM(g) AS BIGINT) AS g_sum,
+           CAST(2 * SUM(g * g) AS BIGINT) AS g_sqsum,
+           CAST(2 * SUM(b) AS BIGINT) AS b_sum,
+           CAST(MAX((doc_id * 7 + 3) % 251) AS INTEGER) AS r_val,
+           CAST(2 * SUM(255) AS BIGINT) AS a_sum
+    FROM (
+        SELECT t.doc_id, t.w, t.hh,
+               (t.doc_id * 13 + (ys.yy * t.w + xs.x) * 37) % 251 AS g,
+               (t.doc_id * 5 + (xs.x % 2) * 19) % 251 AS b
+        FROM (SELECT doc_id, 4 + doc_id % 13 AS w,
+                     1 + (doc_id // 13) % 4 AS hh
+              FROM documents) t,
+             LATERAL (SELECT unnest(range(0, t.w)) AS x) xs,
+             LATERAL (SELECT unnest(range(0, t.hh)) AS yy) ys
+    )
+    GROUP BY doc_id
+"""
+
+
 MULTIMODAL_FRAME_SAMPLE_SQL = """
     SELECT doc_id,
            ['png', 'jpeg', 'webp'][CAST(doc_id % 3 AS INT) + 1]
@@ -2042,6 +2129,9 @@ QUERIES: dict[str, tuple] = {
     ),
     "multimodal_decode_jpeg": (
         multimodal_decode_jpeg, MULTIMODAL_DECODE_JPEG_SQL,
+    ),
+    "multimodal_decode_webp": (
+        multimodal_decode_webp, MULTIMODAL_DECODE_WEBP_SQL,
     ),
     "multimodal_frame_sample": (
         multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL,
