@@ -1062,6 +1062,90 @@ def encode_webp_stdlib(w: int, h: int, argb: bytes) -> bytes:
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+# ---------------------------------------------------------------------------
+# WAV (RIFF/WAVE, PCM) — the audio tier's real parser. The chunk-window
+# and feature plumbing already run on opaque payloads; this gives the
+# seam an actual sample decode for the one audio container that needs
+# no codec library at all.
+# ---------------------------------------------------------------------------
+
+
+def decode_wav_stdlib(payload: bytes) -> tuple[int, int, list[int]]:
+    """REAL stdlib-only WAV decode: RIFF/WAVE chunk walk → fmt parse
+    (PCM, 16-bit) → data chunk → little-endian int16 samples
+    (interleaved when multi-channel). Returns (n_channels, sample_rate,
+    samples). Typed rejection of non-PCM (IEEE float/ADPCM/µ-law) and
+    non-16-bit depths so callers can fall back — same contract as the
+    image decoders."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos = 12
+    n_channels = sample_rate = bits = None
+    data = None
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if fourcc == b"fmt ":
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            if fmt_tag != 1:  # 1 = integer PCM
+                raise NotImplementedError(
+                    f"non-PCM WAV format tag {fmt_tag}"
+                )
+            n_channels = int.from_bytes(body[2:4], "little")
+            sample_rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if bits != 16:
+                raise NotImplementedError(f"{bits}-bit WAV not supported")
+        elif fourcc == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if n_channels is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if len(data) % 2:
+        raise ValueError("odd PCM16 data length")
+    import array
+
+    samples = array.array("h")
+    samples.frombytes(data)
+    import sys
+
+    if sys.byteorder == "big":  # pragma: no cover
+        samples.byteswap()
+    return n_channels, sample_rate, samples.tolist()
+
+
+def encode_wav_stdlib(
+    n_channels: int, sample_rate: int, samples: list[int]
+) -> bytes:
+    """Minimal stdlib PCM16 WAV writer — plants payloads for the decode
+    round-trip oracle and tests."""
+    import array
+
+    arr = array.array("h", samples)
+    import sys
+
+    if sys.byteorder == "big":  # pragma: no cover
+        arr.byteswap()
+    data = arr.tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    fmt = (
+        (1).to_bytes(2, "little")
+        + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (n_channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = (
+        b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    body = b"WAVE" + chunks
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in decoder: dims from the content digest.
     Replace with PIL/ffmpeg in a real deployment."""

@@ -335,6 +335,82 @@ MULTIMODAL_DECODE_WEBP_SQL = """
 """
 
 
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip SAMPLE ORACLE for the real stdlib WAV/PCM16 parser
+    (round 11 — the audio tier's analog of the PNG/JPEG/WebP decode
+    oracles): plant a deterministic PCM16 WAV per document — frame
+    count, channel count and sample rate from doc_id; interleaved
+    sample j = ((doc_id·31 + j·97) % 4001) − 2000 — ENCODE through the
+    real RIFF/WAVE writer and DECODE back through
+    ``decode_wav_stdlib``, returning stream geometry plus sample
+    sum/square-sum/peak. The oracle recomputes everything from doc_id
+    arithmetic, so a hash MATCH proves the chunk walk, fmt parse,
+    little-endian int16 handling and the Arrow plumbing exactly.
+
+    Scale posture: one mapInPandas pass, corpus-linear, no shuffle."""
+    import pandas as pd
+
+    from mongo_to_clickhouse_spark.operators.multimodal import (
+        decode_wav_stdlib,
+        encode_wav_stdlib,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 64 + d % 129
+                ch = 1 + d % 2
+                rate = 8000 + (d % 3) * 4000
+                samples = [
+                    ((d * 31 + j * 97) % 4001) - 2000
+                    for j in range(n * ch)
+                ]
+                wav = encode_wav_stdlib(ch, rate, samples)
+                ch2, rate2, out = decode_wav_stdlib(wav)
+                rows.append((
+                    d, ch2, rate2, len(out) // ch2,
+                    n * 1000 // rate2,
+                    sum(out), sum(s * s for s in out),
+                    max(abs(s) for s in out),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_channels", "sample_rate", "n_frames",
+                         "duration_ms", "samp_sum", "samp_sqsum", "peak"],
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        "doc_id long, n_channels int, sample_rate int, n_frames int, "
+        "duration_ms int, samp_sum long, samp_sqsum long, peak int",
+    )
+
+
+MULTIMODAL_DECODE_WAV_SQL = """
+    SELECT doc_id, CAST(MAX(ch) AS INTEGER) AS n_channels,
+           CAST(MAX(rate) AS INTEGER) AS sample_rate,
+           CAST(MAX(n) AS INTEGER) AS n_frames,
+           CAST(MAX(n * 1000 // rate) AS INTEGER) AS duration_ms,
+           CAST(SUM(s) AS BIGINT) AS samp_sum,
+           CAST(SUM(s * s) AS BIGINT) AS samp_sqsum,
+           CAST(MAX(ABS(s)) AS INTEGER) AS peak
+    FROM (
+        SELECT t.doc_id, t.ch, t.rate, t.n,
+               (t.doc_id * 31 + js.j * 97) % 4001 - 2000 AS s
+        FROM (SELECT doc_id, 64 + doc_id % 129 AS n,
+                     1 + doc_id % 2 AS ch,
+                     8000 + (doc_id % 3) * 4000 AS rate
+              FROM documents) t,
+             LATERAL (SELECT unnest(range(0, t.n * t.ch)) AS j) js
+    )
+    GROUP BY doc_id
+"""
+
+
 MULTIMODAL_FRAME_SAMPLE_SQL = """
     SELECT doc_id,
            ['png', 'jpeg', 'webp'][CAST(doc_id % 3 AS INT) + 1]
@@ -2132,6 +2208,9 @@ QUERIES: dict[str, tuple] = {
     ),
     "multimodal_decode_webp": (
         multimodal_decode_webp, MULTIMODAL_DECODE_WEBP_SQL,
+    ),
+    "multimodal_decode_wav": (
+        multimodal_decode_wav, MULTIMODAL_DECODE_WAV_SQL,
     ),
     "multimodal_frame_sample": (
         multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL,

@@ -267,3 +267,61 @@ def test_route_decodes_real_webp_and_falls_back_on_lossy():
     assert (int(out.iloc[0]["width"]), int(out.iloc[0]["height"])) == (w, h)
     fw, fh, _ = _fake_decode(lossy)
     assert (int(out.iloc[1]["width"]), int(out.iloc[1]["height"])) == (fw, fh)
+
+
+# --- WAV/PCM16 (same round, the audio tier's real parser) ---------------
+
+from mongo_to_clickhouse_spark.operators.multimodal import (  # noqa: E402
+    decode_wav_stdlib,
+    encode_wav_stdlib,
+)
+
+
+@pytest.mark.parametrize("d", [0, 1, 2, 7, 64, 12345])
+def test_wav_roundtrip_sample_exact(d):
+    n = 64 + d % 129
+    ch = 1 + d % 2
+    rate = 8000 + (d % 3) * 4000
+    samples = [((d * 31 + j * 97) % 4001) - 2000 for j in range(n * ch)]
+    ch2, rate2, out = decode_wav_stdlib(encode_wav_stdlib(ch, rate, samples))
+    assert (ch2, rate2) == (ch, rate)
+    assert out == samples
+
+
+def test_wav_negative_and_extreme_samples():
+    samples = [-32768, 32767, 0, -1, 1]
+    assert decode_wav_stdlib(encode_wav_stdlib(1, 44100, samples))[2] \
+        == samples
+
+
+def test_wav_odd_data_padding():
+    # RIFF pads odd chunk bodies; PCM16 data is always even, but a
+    # trailing LIST chunk after data must not confuse the walk
+    wav = encode_wav_stdlib(1, 8000, [5, -5])
+    wav += b"LIST" + (3).to_bytes(4, "little") + b"abc\x00"
+    assert decode_wav_stdlib(wav)[2] == [5, -5]
+
+
+def test_wav_out_of_scope_rejected_loudly():
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        decode_wav_stdlib(b"RIFF\x00\x00\x00\x00WEBP")
+    # IEEE-float format tag (3)
+    fmt = (3).to_bytes(2, "little") + (1).to_bytes(2, "little") \
+        + (8000).to_bytes(4, "little") + (32000).to_bytes(4, "little") \
+        + (4).to_bytes(2, "little") + (32).to_bytes(2, "little")
+    wav = b"RIFF" + (20 + len(fmt)).to_bytes(4, "little") + b"WAVE" \
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt \
+        + b"data" + (0).to_bytes(4, "little")
+    with pytest.raises(NotImplementedError, match="non-PCM"):
+        decode_wav_stdlib(wav)
+    # 8-bit PCM
+    fmt8 = (1).to_bytes(2, "little") + (1).to_bytes(2, "little") \
+        + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little") \
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    wav8 = b"RIFF" + (20 + len(fmt8)).to_bytes(4, "little") + b"WAVE" \
+        + b"fmt " + len(fmt8).to_bytes(4, "little") + fmt8 \
+        + b"data" + (0).to_bytes(4, "little")
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_wav_stdlib(wav8)
+    with pytest.raises(ValueError, match="missing fmt/data"):
+        decode_wav_stdlib(b"RIFF" + (4).to_bytes(4, "little") + b"WAVE")
