@@ -109,6 +109,7 @@ HEADLINE = [
     "pipeline_rag_ingest_manifest",  # chunk->embed->LSH index ledger (round 9)
     "decontaminate_ngram_sweep",   # contamination vs gram size (round 9)
     "multimodal_decode_jpeg",      # stdlib baseline-JPEG decode oracle (round 11)
+    "multimodal_decode_webp",      # stdlib VP8L decode oracle (round 11)
     "sample_bootstrap_ci",         # 3-seed field-polynomial Poisson bootstrap (round 11)
 ]
 
