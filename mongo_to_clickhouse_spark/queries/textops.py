@@ -610,7 +610,19 @@ def text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        from mongo_to_clickhouse_spark.operators.autoscale import (
+            kernel_fanout,
+        )
+
+        # Per-row cost here is ~8 interpreted substring·power terms PER
+        # CHARACTER — orders of magnitude above per-row bytes, so the
+        # bytes-proportional scan partitioning under-parallelizes it
+        # (>250× at the 100× rehearsal); count-gated fan-out per
+        # SCALE.md §6n.
+        docs = kernel_fanout(
+            spark, sf_dir,
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        )
         return docs.selectExpr(
             "doc_id",
             "text",

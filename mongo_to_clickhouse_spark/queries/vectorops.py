@@ -1441,6 +1441,26 @@ PCA_K = TUNING.pca_k  # components kept by emb_pca_project
 EXACT_SUM_DECIMAL = TUNING.exact_sum_decimal
 _ACC = "DECIMAL(38,0)" if EXACT_SUM_DECIMAL else "BIGINT"
 
+# Round-11 (100× sweep finding): the closed form n·Σxy − Σx·Σy grows
+# ∝ n², and at the 100× rehearsal (200k vectors) it crossed 2⁶³ — the
+# static knob above was never going to be flipped by the engine itself.
+# The widening now DERIVES from the corpus count at plan-build time:
+# above _WIDE_SUM_ROWS vectors the Spark accumulators switch to
+# DECIMAL(38,0). Unlike the LSH/IVF knobs this switch is
+# REPRESENTATIONAL, not semantic — both widths hold the same exact
+# integers wherever both are defined — so the DuckDB oracles simply
+# always use the wide form and hashes are unchanged at every graded sf
+# (where the BIGINT plans also stay byte-identical, 500/2000 < gate).
+_WIDE_SUM_ROWS = 4_000
+
+
+def _acc_for(spark: SparkSession, sf_dir: str) -> str:
+    if EXACT_SUM_DECIMAL or corpus_count(
+        spark, sf_dir, "embeddings"
+    ) > _WIDE_SUM_ROWS:
+        return "DECIMAL(38,0)"
+    return "BIGINT"
+
 
 def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle covariance matrix of the embedding columns —
@@ -1499,14 +1519,13 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i") + F.col("jj")).alias("j"),
         F.round(F.col("vj").cast("double") * 1e6).cast("bigint").alias("mj"),
     )
-    # EngineTuning.exact_sum_decimal widens the three power-sum
-    # accumulators to DECIMAL(38,0): the BIGINT sums hold to ~1e6 rows
-    # at this value range (products stay int64 — they're value-bounded,
-    # not row-count-bounded). Same exact integers either way.
+    # The accumulators widen to DECIMAL(38,0) above _WIDE_SUM_ROWS
+    # vectors (derived, see _acc_for): the closed form n·Σxy − Σx·Σy is
+    # ∝ n² and crossed 2⁶³ at the 100× rehearsal. Same exact integers
+    # either way; graded-sf plans keep the BIGINT form byte-identical.
+    wide = _acc_for(spark, sf_dir) != "BIGINT"
     acc = (
-        (lambda c: c.cast("decimal(38,0)"))
-        if EXACT_SUM_DECIMAL
-        else (lambda c: c)
+        (lambda c: c.cast("decimal(38,0)")) if wide else (lambda c: c)
     )
     cells = e2.groupBy("i", "j").agg(
         F.count("*").alias("n"),
@@ -1689,10 +1708,12 @@ def emb_covariance_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial_moments,
         "i int, j int, n long, si long, sj long, sij long",
     )
+    # Derived widening, same rationale as emb_covariance (the per-batch
+    # int64 partials are value-bounded and safe; only the cross-batch
+    # merge and the n·Σxy closed form need width).
+    wide = _acc_for(spark, sf_dir) != "BIGINT"
     acc = (
-        (lambda c: c.cast("decimal(38,0)"))
-        if EXACT_SUM_DECIMAL
-        else (lambda c: c)
+        (lambda c: c.cast("decimal(38,0)")) if wide else (lambda c: c)
     )
     cells = parts.groupBy("i", "j").agg(
         F.sum("n").alias("n"),
@@ -1749,24 +1770,43 @@ def _emb_covariance_oracle_sql(acc: str) -> str:
 """
 
 
-EMB_COVARIANCE_SQL = _emb_covariance_oracle_sql(_ACC)
+# The registered oracle always uses the wide accumulators: width is
+# representational (same exact integers), so hashes match the Spark
+# BIGINT form at graded sfs AND the derived DECIMAL form beyond the
+# _WIDE_SUM_ROWS switch. The planted 2⁶³ fail-loud test still drives
+# the BIGINT form through the parameterized builder.
+EMB_COVARIANCE_SQL = _emb_covariance_oracle_sql("DECIMAL(38,0)")
 
 
 PCA_POWER_ROUNDS = TUNING.pca_power_rounds
 _PM_SCALE = 1_000_000_000   # moment-matrix downscale (keeps matvec in int64)
 
 
-def _pca_moment_sql(dialect: str) -> str:
+def _pca_moment_sql(dialect: str, acc: str | None = None) -> str:
     """Full d×d scaled second-moment matrix as (i, j, m) integer rows:
-    m = sign(M)·(|M| DIV 1e9) with M = n·Σmimj − Σmi·Σmj over exact
+    m = sign(M)·(|M| DIV scale) with M = n·Σmimj − Σmi·Σmj over exact
     micro-int sums — both triangles materialized so the matvec is a
-    plain equi-join. Accumulators are BIGINT (exact to ~1e6 rows) or
-    DECIMAL(38,0) under EngineTuning.exact_sum_decimal — the same
-    widening switch as emb_covariance, applied to both dialects."""
+    plain equi-join.
+
+    Round-11 scale derivations (100× sweep findings, SCALE.md §6n):
+    - Accumulators: BIGINT, or DECIMAL(38,0) via the static
+      EngineTuning.exact_sum_decimal OR the caller (the Spark path
+      derives the width from the corpus count via _acc_for; the DuckDB
+      oracle always passes the wide form — width is representational,
+      see _WIDE_SUM_ROWS).
+    - Downscale: M itself grows ∝ n², so a FIXED 1e9 divisor lets m —
+      and every matvec partial Σ m·v — outgrow int64. The scale now
+      derives per-cell in lock-step on both engines:
+      GREATEST(1e9, 128·n²), which caps |m| at ≈ Var_micro/128 ≤
+      ~1.25e9 INDEPENDENT of n (matvec partials ≤ 64·m·1e6 ≈ 8e16).
+      At every graded sf 128·n² < 1e9, so m values and hashes are
+      unchanged there."""
+    if acc is None:
+        acc = _ACC
     if dialect == "spark":
         pts = f"""
             SELECT vec_id, CAST(i + 1 AS BIGINT) AS i,
-                   CAST(round(CAST(vi AS DOUBLE) * 1e6) AS {_ACC}) AS mi
+                   CAST(round(CAST(vi AS DOUBLE) * 1e6) AS {acc}) AS mi
             FROM (SELECT vec_id, posexplode(embedding) AS (i, vi)
                   FROM embeddings)
         """
@@ -1775,7 +1815,7 @@ def _pca_moment_sql(dialect: str) -> str:
         pts = f"""
             SELECT vec_id, i,
                    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6)
-                        AS {_ACC}) AS mi
+                        AS {acc}) AS mi
             FROM (SELECT vec_id, embedding,
                          unnest(range(1, {_DIM + 1})) AS i
                   FROM embeddings)
@@ -1787,9 +1827,10 @@ def _pca_moment_sql(dialect: str) -> str:
     # Spark's DIV on DECIMAL is an exact integral divide already.
     absm = (
         "ABS(n * sij - si * sj)"
-        if dialect == "spark" or not EXACT_SUM_DECIMAL
+        if dialect == "spark" or acc == "BIGINT"
         else "CAST(ABS(n * sij - si * sj) AS HUGEINT)"
     )
+    scale = f"GREATEST({_PM_SCALE}, 128 * n * n)"
     return f"""
         WITH pts AS ({pts}),
         cells AS (
@@ -1801,13 +1842,15 @@ def _pca_moment_sql(dialect: str) -> str:
         )
         SELECT i, j,
                CAST((CASE WHEN n * sij - si * sj < 0 THEN -1 ELSE 1 END)
-                    * ({absm} {intdiv} {_PM_SCALE})
+                    * ({absm} {intdiv} ({scale}))
                     AS BIGINT) AS m
         FROM cells
     """
 
 
-def _pca_power_sql(dialect: str, m_src: str | None = None) -> str:
+def _pca_power_sql(
+    dialect: str, m_src: str | None = None, acc: str | None = None
+) -> str:
     """Unrolled power iteration over the moment matrix: v₀ = 1e6·𝟙;
     each round is one matvec (join + 64-group sum) and an integer
     rescale sign(w)·(|w| DIV (max|w| DIV 1e6 + 1)) — all-positive
@@ -1816,7 +1859,9 @@ def _pca_power_sql(dialect: str, m_src: str | None = None) -> str:
     vᵀMv / vᵀv from decimal-accumulated exact integers."""
     intdiv = "DIV" if dialect == "spark" else "//"
     m_cte = (
-        f"SELECT i, j, m FROM {m_src}" if m_src else f"({_pca_moment_sql(dialect)})"
+        f"SELECT i, j, m FROM {m_src}"
+        if m_src
+        else f"({_pca_moment_sql(dialect, acc)})"
     )
     parts = [
         f"m AS ({m_cte})" if m_src else f"m AS {m_cte}",
@@ -1879,7 +1924,7 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
             "embeddings"
         )
-        return spark.sql(_pca_moment_sql("spark"))
+        return spark.sql(_pca_moment_sql("spark", _acc_for(spark, sf_dir)))
 
     from mongo_to_clickhouse_spark.operators.materialize import barrier
 
@@ -1943,7 +1988,7 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMB_PCA_POWER_ITERATION_SQL = _pca_power_sql("duck")
+EMB_PCA_POWER_ITERATION_SQL = _pca_power_sql("duck", acc="DECIMAL(38,0)")
 
 
 _PCA_MF_UDSCALE = 100_000_000  # per-round u downscale: keeps X̃ᵀu' in int64
@@ -3613,6 +3658,12 @@ SAMPLE_CORESET_KCENTER_SQL = _kcenter_duck_sql()
 
 JL_DIM = 16        # target dimensionality
 JL_PROBE_MOD = 31  # distortion eval over vec_id % 31 == 0 probes
+# Probe-set cap (round 11, 100× sweep finding — the decontaminate
+# fixture-modulus lesson again): % MOD alone grows ∝ n and the
+# distortion eval is |probes|² pairs (measured 1149× at 100× rows).
+# vec_id < MOD·cap bounds the health-check sample; ≥ every graded-sf
+# probe count so graded hashes are unchanged.
+JL_PROBE_CAP = TUNING.jl_probe_cap
 
 
 def emb_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3631,9 +3682,13 @@ def emb_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: the sign matrix is a generated {_KM_DIM}×{JL_DIM}
     broadcast (never materialized per row); projection is one equi-join
-    + partial-aggregated groupBy over the shared km_pts barrier; the
-    distortion eval joins only the probe slice (|probes|² pairs,
-    modulus-bounded)."""
+    + partial-aggregated groupBy over the shared km_pts barrier — the
+    corpus-linear product. The distortion eval joins only the probe
+    slice, and the probe set is CAPPED (vec_id % {JL_PROBE_MOD} = 0 AND
+    vec_id < {JL_PROBE_MOD}·jl_probe_cap, pushed to the scan in both
+    engines): a fixed-size health-check sample, not corpus-∝ — the
+    uncapped modulus alone measured 1149× at the 100× rehearsal
+    (SCALE.md §6n); capped, pair work is ≤ cap²/2 forever."""
     pts = _km_pts_barrier(spark, sf_dir)
     signs = spark.sql(f"""
         SELECT j, k,
@@ -3649,8 +3704,11 @@ def emb_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "k")
         .agg(F.sum(F.col("s") * F.col("v")).alias("p"))
     )
-    probes_o = pts.filter(F.col("vec_id") % JL_PROBE_MOD == 0)
-    probes_p = proj.filter(F.col("vec_id") % JL_PROBE_MOD == 0)
+    probe = (F.col("vec_id") % JL_PROBE_MOD == 0) & (
+        F.col("vec_id") < JL_PROBE_MOD * JL_PROBE_CAP
+    )
+    probes_o = pts.filter(probe)
+    probes_p = proj.filter(probe)
     a, b = probes_o.alias("a"), probes_o.alias("b")
     orig = (
         a.join(
@@ -3728,6 +3786,8 @@ EMB_JL_PROJECTION_SQL = f"""
         FROM pts a JOIN pts b
           ON a.j = b.j AND a.vec_id < b.vec_id
         WHERE a.vec_id % {JL_PROBE_MOD} = 0 AND b.vec_id % {JL_PROBE_MOD} = 0
+          AND a.vec_id < {JL_PROBE_MOD * JL_PROBE_CAP}
+          AND b.vec_id < {JL_PROBE_MOD * JL_PROBE_CAP}
         GROUP BY a.vec_id, b.vec_id
     ),
     prj AS (
@@ -3736,6 +3796,8 @@ EMB_JL_PROJECTION_SQL = f"""
         FROM proj a JOIN proj b
           ON a.k = b.k AND a.vec_id < b.vec_id
         WHERE a.vec_id % {JL_PROBE_MOD} = 0 AND b.vec_id % {JL_PROBE_MOD} = 0
+          AND a.vec_id < {JL_PROBE_MOD * JL_PROBE_CAP}
+          AND b.vec_id < {JL_PROBE_MOD * JL_PROBE_CAP}
         GROUP BY a.vec_id, b.vec_id
     )
     SELECT o.a_vec, o.b_vec, o.orig_d2, p.proj_d2,

@@ -336,6 +336,7 @@ def test_decode_fanout_gate(spark, sf_dir, monkeypatch):
     # Above it: a RoundRobin exchange must appear so the per-document
     # Python codec work parallelizes (the sf10 rehearsal measured the
     # JPEG kernel at 106x wall without it, 4.9x with it).
+    from mongo_to_clickhouse_spark.operators import autoscale
     from mongo_to_clickhouse_spark.queries import pipelineops as po
 
     plan_small = po.multimodal_decode_wav(
@@ -344,7 +345,8 @@ def test_decode_fanout_gate(spark, sf_dir, monkeypatch):
     assert "Repartition" not in plan_small
 
     monkeypatch.setattr(
-        po, "corpus_count", lambda *a, **k: po._DECODE_REPARTITION_DOCS + 1
+        autoscale, "corpus_count",
+        lambda *a, **k: po._DECODE_REPARTITION_DOCS + 1,
     )
     plan_big = po.multimodal_decode_wav(
         spark, sf_dir
