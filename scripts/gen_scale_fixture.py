@@ -44,6 +44,15 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 
+# Write SPLITTABLE parquet (round 11, SCALE.md §6n): pyarrow's default
+# is one row group per table, and Spark cannot split a single row
+# group across tasks — the first sf10emb fixture serialized EVERY
+# scan-rooted plan into one task, inflating the whole text tier's 100×
+# ratios to 50-105× (an artifact of the fixture, not the plans; real
+# 100 TB inputs arrive as thousands of row groups). 16k rows per group
+# gives the 500k-row documents table ~31 splittable groups.
+ROW_GROUP_ROWS = 16_384
+
 # key columns to offset per replica, per table: col -> span source table
 OFFSET_COLS = {
     "customer": ["c_custkey"],
@@ -109,13 +118,15 @@ def main() -> None:
 
     for tbl in ["region", "nation"]:
         t = pq.read_table(os.path.join(SRC, tbl + ".parquet"))
-        pq.write_table(t, os.path.join(args.out, tbl + ".parquet"))
+        pq.write_table(t, os.path.join(args.out, tbl + ".parquet"),
+                       row_group_size=ROW_GROUP_ROWS)
         print(tbl, t.num_rows, "(fixed dim, not replicated)")
 
     for tbl, keys in OFFSET_COLS.items():
         t = cache.get(tbl) or pq.read_table(os.path.join(SRC, tbl + ".parquet"))
         if only and tbl not in only:
-            pq.write_table(t, os.path.join(args.out, tbl + ".parquet"))
+            pq.write_table(t, os.path.join(args.out, tbl + ".parquet"),
+                       row_group_size=ROW_GROUP_ROWS)
             print(tbl, t.num_rows, "(copied unreplicated, not in --tables)")
             continue
         reps = []
@@ -152,7 +163,8 @@ def main() -> None:
             lens = pa.compute.utf8_length(big["text"]).cast(pa.int64())
             big = big.set_column(big.column_names.index("n_chars"),
                                  "n_chars", lens)
-        pq.write_table(big, os.path.join(args.out, tbl + ".parquet"))
+        pq.write_table(big, os.path.join(args.out, tbl + ".parquet"),
+                       row_group_size=ROW_GROUP_ROWS)
         print(tbl, big.num_rows)
 
 

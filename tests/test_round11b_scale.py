@@ -103,9 +103,13 @@ def test_jl_probe_cap_lockstep_sweep():
     under the same subprocess — the public contract must still
     hash-MATCH, proving the knob feeds both engines."""
     env = dict(os.environ)
-    env["SPARK_GRAFT_TUNING"] = json.dumps({"jl_probe_cap": 8})
+    env["SPARK_GRAFT_TUNING"] = json.dumps({
+        "jl_probe_cap": 8,
+        "banding_sample_cap": 100,  # < the 500 sf0.01 docs: restricts
+    })
     ids = [
         "emb_jl_projection",
+        "eval_lsh_banding_curve",
         "emb_covariance",
         "emb_covariance_matmul",
         "emb_pca_power_iteration",
