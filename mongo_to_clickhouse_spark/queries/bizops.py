@@ -127,20 +127,68 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(cents) AS mon_cents
         FROM ev GROUP BY user_id
     """))
-    horizon = per_user.agg(F.max("last_day").alias("h"))
-    scored = per_user.crossJoin(F.broadcast(horizon)).select(
+    # round 11: the three quintile ranks were CHAINED, each pass
+    # checkpointing the previous one (three serial write/read barriers,
+    # each a ~0.5-1 s fixed-latency job before any data cost). They are
+    # independent per-user orderings — run them as narrow branches on
+    # the literal-bounds partitioner and re-attach by user_id equi-join
+    # (guide §2.4: remove shuffles/barriers outright; §2.3: shuffle only
+    # the needed columns). ALL bucket boundaries, the recency horizon
+    # and the user count ride ONE driver aggregate over the checkpointed
+    # per-user relation (bucketing recency by -last_day, which is
+    # monotone in rec_days = h - last_day, so the horizon need not be
+    # known before the bounds pass).
+    from mongo_to_clickhouse_spark.operators.rank import literal_bounds
+    from mongo_to_clickhouse_spark.operators.rank import (
+        _default_partitions,
+    )
+
+    nparts = _default_partitions(spark, per_user)
+    uid = F.col("user_id")
+    bounds = literal_bounds(
+        per_user,
+        {
+            "r": (-F.col("last_day"), uid),
+            "f": (-F.col("freq"), uid),
+            "m": (-F.col("mon_cents"), uid),
+        },
+        nparts,
+        extra_aggs={
+            "h": F.max("last_day"),
+            "n": F.count("*").cast("bigint"),
+        },
+    )
+    h = bounds["__extras__"]["h"]
+    n_users = bounds["__extras__"]["n"]
+    scored = per_user.select(
         "user_id",
-        (F.col("h") - F.col("last_day")).alias("rec_days"),
+        (F.lit(h) - F.col("last_day")).alias("rec_days"),
         "freq", "mon_cents",
     )
-    ranked = distributed_global_rank(
-        scored, [F.col("rec_days"), F.col("user_id")], "r_rk")
-    ranked = distributed_global_rank(
-        ranked, [F.col("freq").desc(), F.col("user_id")], "f_rk")
-    ranked = distributed_global_rank(
-        ranked, [F.col("mon_cents").desc(), F.col("user_id")], "m_rk")
-    n = ranked.agg(F.count("*").cast("bigint").alias("n"))
-    ranked.crossJoin(F.broadcast(n)).createOrReplaceTempView("rfm_ranked")
+
+    def qrank(col: str, rank_col: str, key, bnds) -> DataFrame:
+        desc = rank_col != "r_rk"
+        order = [
+            F.col(col).desc() if desc else F.col(col), F.col("user_id")
+        ]
+        return distributed_global_rank(
+            scored.select("user_id", col), order, rank_col,
+            bucket_key=key, bucket_tiebreak=F.col("user_id"),
+            bounds=bnds,
+        ).select("user_id", rank_col)
+
+    ranked = (
+        scored
+        .join(qrank("rec_days", "r_rk",
+                    F.col("rec_days") - F.lit(h), bounds["r"]), "user_id")
+        .join(qrank("freq", "f_rk", -F.col("freq"), bounds["f"]),
+              "user_id")
+        .join(qrank("mon_cents", "m_rk", -F.col("mon_cents"),
+                    bounds["m"]), "user_id")
+    )
+    ranked.withColumn(
+        "n", F.lit(n_users).cast("bigint")
+    ).createOrReplaceTempView("rfm_ranked")
     return spark.sql(f"""
         SELECT {_rfm_bucket("r_rk", "n")} AS r_q,
                {_rfm_bucket("f_rk", "n")} AS f_q,
@@ -1866,7 +1914,8 @@ def profile_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY o_custkey
     """))
     ranked = distributed_global_rank(
-        per_cust, [F.col("cents"), F.col("o_custkey")], "rk")
+        per_cust, [F.col("cents"), F.col("o_custkey")], "rk",
+        bucket_key=F.col("cents"), bucket_tiebreak=F.col("o_custkey"))
     ranked.createOrReplaceTempView("gini_ranked")
     return spark.sql(f"{_gini_select('spark')} FROM gini_ranked")
 

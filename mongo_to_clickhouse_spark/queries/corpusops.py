@@ -854,7 +854,8 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT doc_id, explode(toks) AS word FROM {view}"
     )))
     ranked = distributed_global_rank(
-        perdoc, [F.col("nll_micro"), F.col("doc_id")], rank_col="r"
+        perdoc, [F.col("nll_micro"), F.col("doc_id")], rank_col="r",
+        bucket_key=F.col("nll_micro"), bucket_tiebreak=F.col("doc_id"),
     )
     tot = perdoc.agg(F.count("*").cast("bigint").alias("n"))
     k = PPL_BUCKETS

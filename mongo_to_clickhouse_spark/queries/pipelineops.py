@@ -848,7 +848,8 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.createOrReplaceTempView("pack_docs")
     bkt_totals = docs.groupBy("bkt").agg(F.sum("n_tok").alias("bkt_tok"))
     distributed_prefix_sum(
-        bkt_totals, [F.col("bkt")], "bkt_tok", "bkt_off", exclusive=True
+        bkt_totals, [F.col("bkt")], "bkt_tok", "bkt_off", exclusive=True,
+        bucket_key=F.col("bkt"),
     ).createOrReplaceTempView("bkt_offsets")
     return spark.sql(f"""
         WITH docs AS (SELECT * FROM pack_docs),
@@ -1640,7 +1641,10 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     """))
     ranked = distributed_global_rank(
-        scored, [F.col("difficulty_milli"), F.col("doc_id")], "rk")
+        scored, [F.col("difficulty_milli"), F.col("doc_id")], "rk",
+        bucket_key=F.col("difficulty_milli"),
+        bucket_tiebreak=F.col("doc_id"),
+    )
     n = ranked.agg(F.count("*").cast("bigint").alias("n"))
     ranked.crossJoin(F.broadcast(n)).createOrReplaceTempView(
         "curriculum_ranked"

@@ -1032,7 +1032,8 @@ def sample_systematic_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         _hash60(F.col("o_orderkey")).alias("h"),
     )
     ranked = distributed_global_rank(
-        orders, [F.col("h"), F.col("o_orderkey")], rank_col="rk"
+        orders, [F.col("h"), F.col("o_orderkey")], rank_col="rk",
+        bucket_key=F.col("h"), bucket_tiebreak=F.col("o_orderkey"),
     )
     return (
         ranked.filter((F.col("rk") % SYSTEMATIC_INTERVAL) == 1)

@@ -3537,66 +3537,75 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads to size its coreset.
 
     EXACT-INTEGER discipline as emb_kmeans_lloyd: micro-scaled values,
-    BIGINT squared distances, argmax as (max distance, then min id) in
-    two 1-row aggregates — no encode needed, so no overflow bound.
+    BIGINT squared distances, argmax as (max distance, then min id) —
+    one ``MAX(STRUCT(d2, -vec_id, coords...))`` reduce per round, so the
+    radius, the next center id AND its coordinates come out of a single
+    1-row aggregate. No encode needed, so no overflow bound.
 
-    Scale posture: the point relation shuffles once (shared km_pts
-    barrier); each round is a 64-row coordinate broadcast + one
-    partial-aggregated pass over the points + two 1-row reduces; the
-    running min-distance relation is checkpointed per round (it is
-    referenced 3× by the next round — the kmeans/pagerank barrier
-    discipline), keeping plan depth linear in the fixed K."""
-    pts = _km_pts_barrier(spark, sf_dir)
-
-    def d2_to(sel: DataFrame) -> DataFrame:
-        coords = pts.join(
-            F.broadcast(sel), pts.vec_id == sel.cid
-        ).select("j", F.col("v").alias("cv"))
-        return (
-            pts.join(F.broadcast(coords), "j")
-            .groupBy("vec_id")
-            .agg(
-                F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv")))
-                .cast("bigint")
-                .alias("d2")
-            )
-        )
-
+    Scale posture (round 11 restructure, guide §2.4/§1.2): the point
+    relation is scalarized to (vec_id, p1..p64), checkpointed ONCE, and
+    each round is ONE single-stage job — a whole-stage-codegen map
+    computing ``least over chosen centers of Σ(pj−cj)²`` with the
+    center coordinates embedded as LITERALS, reduced by
+    ``MAX(STRUCT(d2, -vec_id, coords...))`` so the radius, the next
+    center id and its coordinates come back in one 1-row ``first()``
+    (control-plane; the textbook Gonzalez broadcast-map-reduce round).
+    The previous shape checkpointed the n-row min-distance relation
+    EVERY round and re-joined the (vec_id, j, v) explode relation (a
+    broadcast coordinate join + corpus-wide groupBy shuffle + n-row
+    equi-join per round); now nothing shuffles and nothing
+    corpus-sized is ever written after the one shared materialization."""
     from mongo_to_clickhouse_spark.operators.materialize import barrier
 
-    sel = pts.agg(F.min("vec_id").alias("cid"))
-    dmin = d2_to(sel)
-    rows: list[DataFrame] = []
-    for r in range(1, KCENTER_K):
-        dmin = barrier(dmin)
-        mx = dmin.agg(F.max("d2").alias("mx"))
-        rows.append(
-            sel.crossJoin(F.broadcast(mx)).select(
-                F.lit(r - 1).alias("round"),
-                F.col("cid").alias("center_vec_id"),
-                F.col("mx").alias("radius_after_d2"),
-            )
-        )
-        sel = (
-            dmin.join(F.broadcast(mx), dmin.d2 == mx.mx)
-            .agg(F.min("vec_id").alias("cid"))
-        )
-        dnew = d2_to(sel).withColumnRenamed("d2", "d2n")
-        dmin = dmin.join(dnew, "vec_id").select(
-            "vec_id", F.least(F.col("d2"), F.col("d2n")).alias("d2")
-        )
-    mx_final = barrier(dmin).agg(F.max("d2").alias("mx"))
-    rows.append(
-        sel.crossJoin(F.broadcast(mx_final)).select(
-            F.lit(KCENTER_K - 1).alias("round"),
-            F.col("cid").alias("center_vec_id"),
-            F.col("mx").alias("radius_after_d2"),
-        )
+    micro = (
+        "CAST(round(CAST(element_at(embedding, {j}) AS DOUBLE)"
+        " * 1000000) AS BIGINT)"
     )
-    out = rows[0]
-    for r_df in rows[1:]:
-        out = out.unionAll(r_df)
-    return out.orderBy("round")
+    dims = list(range(1, _KM_DIM + 1))
+    pcols = ", ".join(f"__p{j}" for j in dims)
+    ptsw = barrier(_fanout_repartition(
+        spark, sf_dir,
+        load_table(spark, sf_dir, "embeddings").selectExpr(
+            "vec_id", *[micro.format(j=j) + f" AS __p{j}" for j in dims]
+        ),
+        _KM_DIM,
+    ))
+
+    def center_d2(coords: list[int]) -> str:
+        return "(" + " + ".join(
+            f"(__p{j} - ({coords[j - 1]})) * (__p{j} - ({coords[j - 1]}))"
+            for j in dims
+        ) + ")"
+
+    # seed: smallest vec_id with its coordinates — one 1-row reduce
+    s0 = ptsw.selectExpr(
+        f"min(struct(vec_id, {pcols})) AS s"
+    ).first()["s"]
+    cid = int(s0["vec_id"])
+    d2_terms = [center_d2([int(s0[f"__p{j}"]) for j in dims])]
+    out_rows: list[tuple[int, int, int]] = []
+    for r in range(1, KCENTER_K):
+        dmin = (
+            d2_terms[0] if len(d2_terms) == 1
+            else f"least({', '.join(d2_terms)})"
+        )
+        # one single-stage map+reduce job: radius, argmax id, coords
+        s = ptsw.selectExpr(
+            f"max(struct(CAST({dmin} AS BIGINT) AS d2,"
+            f" -vec_id AS nid, {pcols})) AS s"
+        ).first()["s"]  # control-plane: 1 row
+        out_rows.append((r - 1, cid, int(s["d2"])))
+        cid = int(-s["nid"])
+        d2_terms.append(center_d2([int(s[f"__p{j}"]) for j in dims]))
+    dmin = f"least({', '.join(d2_terms)})"
+    mx = ptsw.selectExpr(
+        f"max(CAST({dmin} AS BIGINT)) AS mx"
+    ).first()["mx"]
+    out_rows.append((KCENTER_K - 1, cid, int(mx)))
+    return spark.createDataFrame(
+        out_rows,
+        "round int, center_vec_id bigint, radius_after_d2 bigint",
+    ).orderBy("round")
 
 
 def _kcenter_duck_sql() -> str:
@@ -3885,7 +3894,14 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe — {MMR_POOL}²·|probes| pairs by construction, never
     corpus². Pool and pair relations land on reliable checkpoint
     barriers (each greedy round references them; rounds are
-    {MMR_SELECT}-fixed with ≤|probes| rows of state)."""
+    {MMR_SELECT}-fixed with ≤|probes| rows of state). Round 11 note:
+    a driver-literal variant of the greedy state (collect each round's
+    argmax, re-plan from literals) was MEASURED SLOWER (1.8 s → 4.8 s
+    at sf0.1): the checkpoint loop only materializes the ≤15-row state
+    eagerly while ALL pool/pair work stays lazy in one final job; the
+    literal variant forces {MMR_SELECT} serial jobs each paying the
+    pool/pair scan+join stages. Kept as-is (guide §1.1: measure, then
+    revert what does not win)."""
     from mongo_to_clickhouse_spark.operators.materialize import (
         barrier,
         cached_barrier_view,

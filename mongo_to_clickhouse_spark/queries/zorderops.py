@@ -260,6 +260,28 @@ SINK_HILBERT_CLUSTER_SQL = f"""
 """
 
 
+def _locality_report_sql(unioned_rel: str) -> str:
+    """Report half of the locality tail: per-(ordering, bucket) spans →
+    per-ordering mean span — shared by the Spark branch plan (which
+    builds ``unioned`` itself from three independent rank branches) and
+    the oracle CTE chain."""
+    return f"""
+        per AS (
+            SELECT ordering, bucket,
+                   MAX(user_id) - MIN(user_id) AS su,
+                   MAX(v100) - MIN(v100) AS sv
+            FROM {unioned_rel} GROUP BY ordering, bucket
+        )
+        SELECT ordering,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(floor(SUM(su) * 1000e0 / COUNT(*)) AS BIGINT)
+                   AS avg_user_span_milli,
+               CAST(floor(SUM(sv) * 1000e0 / COUNT(*)) AS BIGINT)
+                   AS avg_value_span_milli
+        FROM per GROUP BY ordering ORDER BY ordering
+    """
+
+
 def _locality_tail(ranked_rel: str) -> str:
     """Shared tail over (rk_nat, rk_z, rk_h, user_id, v100): bucket the
     three orderings into {LOCALITY_BUCKET}-row simulated files and
@@ -280,19 +302,7 @@ def _locality_tail(ranked_rel: str) -> str:
                    CAST(floor((rk_h - 1) / {b}e0) AS BIGINT),
                    user_id, v100 FROM {ranked_rel}
         ),
-        per AS (
-            SELECT ordering, bucket,
-                   MAX(user_id) - MIN(user_id) AS su,
-                   MAX(v100) - MIN(v100) AS sv
-            FROM unioned GROUP BY ordering, bucket
-        )
-        SELECT ordering,
-               CAST(COUNT(*) AS BIGINT) AS n_buckets,
-               CAST(floor(SUM(su) * 1000e0 / COUNT(*)) AS BIGINT)
-                   AS avg_user_span_milli,
-               CAST(floor(SUM(sv) * 1000e0 / COUNT(*)) AS BIGINT)
-                   AS avg_value_span_milli
-        FROM per GROUP BY ordering ORDER BY ordering
+        {_locality_report_sql("unioned")}
     """
 
 
@@ -304,11 +314,22 @@ def profile_layout_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     of magnitude vs arrival order, and Hilbert ≤ Morton.
 
     Scale posture: keys are narrow projections; the three global ranks
-    use ``distributed_global_rank`` over ONE barriered key relation;
-    span aggregation is map-side combined on (ordering, bucket)."""
+    run as INDEPENDENT ``distributed_global_rank`` branches over ONE
+    barriered key relation (round 11: the ranks were previously CHAINED,
+    so each pass checkpointed the previous pass's output — three serial
+    checkpoint write/read barriers; the branches carry only their own
+    sort key, use the literal-bounds partitioner, and union AFTER the
+    per-bucket span aggregate, so the only materialization left is the
+    shared key relation); span aggregation is map-side combined on
+    (ordering, bucket)."""
     from mongo_to_clickhouse_spark.operators.materialize import barrier
     from mongo_to_clickhouse_spark.operators.rank import (
         distributed_global_rank,
+    )
+
+    from mongo_to_clickhouse_spark.operators.rank import (
+        _default_partitions,
+        literal_bounds,
     )
 
     _hilbert_keys_view(spark, sf_dir)
@@ -316,13 +337,43 @@ def profile_layout_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WITH {hilbert_stages_sql('hilbert_pts', 'event_id, user_id, v100, zkey')}"
         " SELECT event_id, user_id, v100, zkey, hd FROM h8"
     ))
-    r = distributed_global_rank(keyed, [F.col("event_id")], "rk_nat")
-    r = distributed_global_rank(
-        r, [F.col("zkey"), F.col("event_id")], "rk_z")
-    r = distributed_global_rank(
-        r, [F.col("hd"), F.col("event_id")], "rk_h")
-    r.createOrReplaceTempView("locality_ranked")
-    return spark.sql(f"WITH {_locality_tail('locality_ranked')}")
+    b = LOCALITY_BUCKET
+    # all three orderings' bucket boundaries in ONE driver aggregate
+    bounds = literal_bounds(
+        keyed,
+        {
+            k: (F.col(k), F.col("event_id"))
+            for k in ("event_id", "zkey", "hd")
+        },
+        _default_partitions(spark, keyed),
+    )
+
+    def branch(tag: str, key: str) -> DataFrame:
+        cols = ["user_id", "v100", "event_id"]
+        if key != "event_id":
+            cols.append(key)
+        order = [F.col(key)] if key == "event_id" else [
+            F.col(key), F.col("event_id")
+        ]
+        ranked = distributed_global_rank(
+            keyed.select(*cols), order, "rk",
+            bucket_key=F.col(key), bucket_tiebreak=F.col("event_id"),
+            bounds=bounds[key],
+        )
+        return ranked.select(
+            F.lit(tag).alias("ordering"),
+            F.expr(f"CAST(floor((rk - 1) / {b}e0) AS BIGINT)")
+            .alias("bucket"),
+            "user_id", "v100",
+        )
+
+    un = (
+        branch("a_natural", "event_id")
+        .unionByName(branch("b_zorder", "zkey"))
+        .unionByName(branch("c_hilbert", "hd"))
+    )
+    un.createOrReplaceTempView("locality_unioned")
+    return spark.sql(f"WITH {_locality_report_sql('locality_unioned')}")
 
 
 PROFILE_LAYOUT_LOCALITY_SQL = f"""
