@@ -327,28 +327,32 @@ def test_wav_out_of_scope_rejected_loudly():
         decode_wav_stdlib(b"RIFF" + (4).to_bytes(4, "little") + b"WAVE")
 
 
-# --- the decode-kernel fan-out gate (round 11 scale finding #4) ----------
+# --- the decode-kernel fan-out (round 11 scale finding #4; made
+# unconditional and count-derived in optimization round 1) -------------
 
 
-def test_decode_fanout_gate(spark, sf_dir, monkeypatch):
-    # Below the gate (every graded sf): plan must stay repartition-free
-    # so graded physical plans are byte-identical to pre-gate rounds.
-    # Above it: a RoundRobin exchange must appear so the per-document
-    # Python codec work parallelizes (the sf10 rehearsal measured the
-    # JPEG kernel at 106x wall without it, 4.9x with it).
+def test_decode_fanout_scales_with_corpus(spark, sf_dir, monkeypatch):
+    # The fan-out repartition must ALWAYS be present (a compact parquet
+    # gives a ~1 ms/row Python codec near-serial parallelism otherwise
+    # — the jpeg oracle ran 4.4 s on one task at sf0.1), and its
+    # partition count must grow with the corpus: defaultParallelism as
+    # the floor, ceil(n / rows_per_task) once the corpus outgrows it.
+    import re
+
     from mongo_to_clickhouse_spark.operators import autoscale
     from mongo_to_clickhouse_spark.queries import pipelineops as po
 
-    plan_small = po.multimodal_decode_wav(
-        spark, sf_dir
-    )._jdf.queryExecution().optimizedPlan().toString()
-    assert "Repartition" not in plan_small
+    def n_repart(df) -> int:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        m = re.search(r"Repartition (\d+)", plan)
+        assert m, f"no Repartition in plan:\n{plan}"
+        return int(m.group(1))
 
+    par = spark.sparkContext.defaultParallelism
+    assert n_repart(po.multimodal_decode_wav(spark, sf_dir)) == par
+
+    big_n = autoscale.KERNEL_FANOUT_ROWS_PER_TASK * (par + 3)
     monkeypatch.setattr(
-        autoscale, "corpus_count",
-        lambda *a, **k: po._DECODE_REPARTITION_DOCS + 1,
+        autoscale, "corpus_count", lambda *a, **k: big_n,
     )
-    plan_big = po.multimodal_decode_wav(
-        spark, sf_dir
-    )._jdf.queryExecution().optimizedPlan().toString()
-    assert "Repartition" in plan_big
+    assert n_repart(po.multimodal_decode_wav(spark, sf_dir)) == par + 3
