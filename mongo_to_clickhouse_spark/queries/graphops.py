@@ -38,7 +38,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus one partial-aggregated groupBy on dst — the standard
     power-iteration shape that GraphX/Pregel express, here as plain
     relational ops so Catalyst/AQE schedule it. Rounds are a fixed
-    constant; the final top-k is a TakeOrderedAndProject."""
+    constant; the final top-k is a TakeOrderedAndProject.
+
+    Optimization round 1 (guide §2.4 remove shuffles outright): the
+    materialized relation is now the DEGREE-ANNOTATED adjacency
+    (src, dst, degree) instead of the bare pair set — the old plan
+    re-unioned the pair scan and re-aggregated per-src degrees INSIDE
+    EVERY ROUND (an extra Exchange+HashAggregate and two extra
+    checkpoint scans per round, 20 Exchanges total in the 3-round
+    plan), even though degrees are a round-invariant property of the
+    graph. Each round is now exactly: ranks ⨝ adj on src (shuffled
+    hash — the rank side is the nodes relation, small per partition at
+    every scale) → map-side partial agg on dst. Same integer
+    arithmetic, same rank update, bit-identical result."""
     from mongo_to_clickhouse_spark.operators.materialize import (
         cached_barrier,
     )
@@ -50,7 +62,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey"
         )
-        return (
+        pairs = (
             li.join(orders, li.l_orderkey == orders.o_orderkey)
             .select(
                 F.col("o_custkey").alias("cust"),
@@ -58,22 +70,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
+        edges = pairs.selectExpr("cust AS src", "supp AS dst").unionAll(
+            pairs.selectExpr("supp AS src", "cust AS dst")
+        )
+        deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+        return edges.join(deg, "src")
 
-    # the edge relation is referenced twice per round (contribution join
-    # + degree); materialize the distinct pair set once per (session,
-    # sf_dir) instead of re-running the join+distinct per reference
-    pairs = cached_barrier(
-        spark, sf_dir, "pr_pairs", build, tables=("lineitem", "orders")
+    # (src, dst, degree) materialized once per (session, sf_dir): the
+    # degree join happens at build time, not once per round
+    adj = cached_barrier(
+        spark, sf_dir, "pr_adj", build, tables=("lineitem", "orders")
     )
-    edges = pairs.selectExpr("cust AS src", "supp AS dst").unionAll(
-        pairs.selectExpr("supp AS src", "cust AS dst")
+    ranks = (
+        adj.select("src").distinct().select("src", F.lit(_PR_INIT).alias("rank"))
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
-    ranks = deg.select("src", F.lit(_PR_INIT).alias("rank"))
     for _ in range(PAGERANK_ROUNDS):
         contrib = (
-            ranks.join(deg, "src")
-            .join(edges, "src")
+            ranks.hint("shuffle_hash")
+            .join(adj, "src")
             .select(
                 F.col("dst").alias("src"),
                 F.expr("rank DIV degree").alias("c"),
