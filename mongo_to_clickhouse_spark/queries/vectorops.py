@@ -2103,88 +2103,137 @@ def emb_pca_power_matfree(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims (1k-4k) the d² moment matrix is the bottleneck; here the only
     per-round state is the n-row u vector and the d-row w vector.
 
-    Plan shape per round: broadcast the d-row v into an equi-join with
-    ctr, one partial-aggregated shuffle to n vec_id groups (u), one
-    vec_id equi-join + partial-aggregated shuffle to d groups (w), with
-    a d-row reliable checkpoint per round keeping the DAG linear (same
-    discipline as the moment-matrix form / kmeans / pagerank). The
-    direction agrees with emb_pca_power_iteration to ~1e-3 cosine
+    Plan shape per round (optimization round 1 restructure — same
+    driver-literal discipline as ``sample_coreset_kcenter``): the d-row
+    v vector lives as PLAN LITERALS, so the whole matvec w = X̃ᵀ(X̃v)
+    is ONE single-stage whole-stage-codegen pass over the wide
+    (vec_id, x1..x64) projection — u' = sign·(|Σ xⱼvⱼ| DIV 1e8) is
+    computed INLINE per row and the 64 w sums come back through one
+    partial-aggregated global aggregate (a 1-row ``first()``,
+    control-plane). The per-round rescale (max|w|, the DIV-truncated
+    normalization) is exact driver integer arithmetic. The old shape
+    paid, per round, a broadcast build + n-row groupBy shuffle (u), an
+    n-row equi-join + d-row shuffle (w), and a d-row reliable
+    checkpoint; all of that is gone — 5 shuffles + 3 checkpoints →
+    0 shuffles, rounds+2 single-stage jobs. Every sum is int64-exact,
+    so reassociation cannot change any value and the unrolled DuckDB
+    oracle still matches bit-for-bit. At scale this is the textbook
+    distributed power iteration: one map-reduce pass per round, only
+    2·d scalars ever reaching the driver.
+
+    The direction agrees with emb_pca_power_iteration to ~1e-3 cosine
     (pytest-pinned); outputs are not bit-identical because the moment
     form truncates M elementwise by 1e9 while this form truncates u per
     round — each is exactly mirrored by its own unrolled oracle."""
-    from mongo_to_clickhouse_spark.operators.materialize import (
-        barrier,
-        cached_barrier_view,
+    import numpy as np
+    import pyarrow as pa
+
+    dims = list(range(1, _DIM + 1))
+    # elementwise micro-scaling in SQL (identical arithmetic to
+    # _pca_ctr_sql's mi: round half-up then BIGINT), shipped to the
+    # Arrow kernel as one int64 list column
+    xs = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1e6)"
+        " AS BIGINT)) AS xs"
     )
 
-    def build():
-        load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
-            "embeddings"
-        )
-        return spark.sql(_pca_ctr_sql("spark"))
+    def _mat(batch) -> "np.ndarray":
+        col = batch.column(0)
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return np.asarray(flat, dtype=np.int64).reshape(-1, _DIM)
 
-    ctr = spark.table(
-        cached_barrier_view(
-            spark, sf_dir, "pca_ctr", build, tables=("embeddings",)
-        )
-    )
-    v = ctr.select("i").distinct().select(
-        "i", F.lit(1_000_000).cast("bigint").alias("v")
-    )
-    sign_su = F.when(F.col("su") < 0, F.lit(-1)).otherwise(F.lit(1))
-    sign_w = F.when(F.col("w") < 0, F.lit(-1)).otherwise(F.lit(1))
+    def partial_rows(partials: "np.ndarray", extra=None):
+        arrs = [
+            pa.array(range(_DIM), type=pa.int32()),
+            pa.array([int(x) for x in partials], type=pa.int64()),
+        ]
+        names = ["j", "s"]
+        if extra is not None:
+            arrs.append(pa.array([int(extra)] * _DIM, type=pa.int64()))
+            names.append("n")
+        yield pa.RecordBatch.from_arrays(arrs, names=names)
 
-    def matvec(vin):
-        u = (
-            ctr.join(F.broadcast(vin), "i")
-            .groupBy("vec_id")
-            .agg(F.sum(F.col("x") * F.col("v")).alias("su"))
-            .select(
-                "vec_id",
-                (sign_su * F.expr(f"ABS(su) DIV {_PCA_MF_UDSCALE}"))
-                .cast("bigint")
-                .alias("u"),
-            )
-        )
-        return (
-            ctr.join(u, "vec_id")
-            .groupBy("i")
-            .agg(F.sum(F.col("x") * F.col("u")).alias("w"))
-        )
+    # stats pass: per-partition Σmi and row count as 64 (j, s, n)
+    # partial rows — the exact-integer mean inputs, O(d·parts) total
+    def stat_kernel(it):
+        tot = np.zeros(_DIM, dtype=np.int64)
+        n = 0
+        for batch in it:
+            m = _mat(batch)
+            tot += m.sum(axis=0, dtype=np.int64)
+            n += m.shape[0]
+        if n:
+            yield from partial_rows(tot, n)
 
+    stat = xs.mapInArrow(stat_kernel, "j int, s long, n long")
+    srows = stat.groupBy("j").agg(
+        F.sum("s").alias("s"), F.sum("n").alias("n")
+    ).collect()  # O(d) stats rows: d = 64 fixed embedding dim
+    n_rows = int(srows[0]["n"])
+    mu = np.zeros(_DIM, dtype=np.int64)
+    for r in srows:
+        s = int(r["s"])
+        mu[r["j"]] = (-1 if s < 0 else 1) * (abs(s) // n_rows)
+
+    def matvec(v: "np.ndarray") -> "np.ndarray":
+        """w = X̃ᵀ(sign·(|X̃v| DIV UDSCALE)) as ONE pass: the numpy
+        int64 kernel computes u' per row and the per-partition partial
+        wᵀ sums (all exact integer arithmetic — reassociation cannot
+        change any value), and only 64 (j, partial) rows per partition
+        leave the worker. Optimization round 1 (guide §4.2 + §1.2):
+        the previous relational shape paid, per round, a broadcast
+        build + n-row groupBy shuffle (u), an n-row equi-join + d-row
+        shuffle (w) and a d-row checkpoint; wide 64-column relational
+        rewrites of the same pass measured SLOWER than the original
+        (3.7–4.7 s vs 2.5 s) because Catalyst re-plans/re-compiles the
+        64-wide expressions every round — the Arrow kernel keeps the
+        plan narrow and the per-round cost is one job."""
+        vv = v.copy()
+
+        def kernel(it):
+            w = np.zeros(_DIM, dtype=np.int64)
+            seen = False
+            for batch in it:
+                m = _mat(batch)
+                x = m - mu
+                u = x @ vv
+                ua = np.abs(u) // _PCA_MF_UDSCALE
+                up = np.where(u < 0, -ua, ua)
+                w += x.T @ up
+                seen = True
+            if seen:
+                yield from partial_rows(w)
+
+        wrows = (
+            xs.mapInArrow(kernel, "j int, s long")
+            .groupBy("j").agg(F.sum("s").alias("s"))
+            .collect()  # O(d) rows: d = 64 fixed embedding dim
+        )
+        w = np.zeros(_DIM, dtype=np.int64)
+        for r in wrows:
+            w[r["j"]] = int(r["s"])
+        return w
+
+    v = np.full(_DIM, 1_000_000, dtype=np.int64)
     for _ in range(PCA_POWER_ROUNDS):
-        w = barrier(matvec(v))
-        sc = w.agg(F.max(F.abs(F.col("w"))).alias("s"))
-        v = w.crossJoin(F.broadcast(sc)).select(
-            "i",
-            (sign_w * F.expr("ABS(w) DIV (s DIV 1000000 + 1)"))
-            .cast("bigint")
-            .alias("v"),
-        )
-    v = barrier(v)
+        w = matvec(v)
+        s = int(np.max(np.abs(w)))
+        d = s // 1_000_000 + 1
+        va = np.abs(w) // d
+        v = np.where(w < 0, -va, va).astype(np.int64)
     wf = matvec(v)
-    ray = (
-        v.join(wf, "i")
-        .agg(
-            F.round(
-                F.sum(
-                    F.col("v").cast("decimal(38,0)")
-                    * F.col("w").cast("decimal(38,0)")
-                ).cast("double")
-                / F.sum(F.col("v") * F.col("v")).cast("double"),
-                6,
-            ).alias("rayleigh")
-        )
-    )
-    return (
-        v.crossJoin(F.broadcast(ray))
-        .select(
-            F.col("i").cast("bigint").alias("i"),
-            F.col("v").cast("bigint").alias("dir_micro"),
-            "rayleigh",
-        )
-        .orderBy("i")
-    )
+    num = int(sum(int(v[i]) * int(wf[i]) for i in range(_DIM)))
+    den = int(sum(int(v[i]) * int(v[i]) for i in range(_DIM)))
+    # engine-identical rounding: DECIMAL(38,0)→DOUBLE division + ROUND
+    # half-up, evaluated by Spark on the two exact integer sums
+    ray = spark.sql(
+        f"SELECT round(CAST(CAST('{num}' AS DECIMAL(38,0)) AS DOUBLE)"
+        f" / CAST(CAST('{den}' AS DECIMAL(38,0)) AS DOUBLE), 6) AS r"
+    ).first()["r"]
+    return spark.createDataFrame(
+        [(j, int(v[j - 1]), float(ray)) for j in dims],
+        "i bigint, dir_micro bigint, rayleigh double",
+    ).orderBy("i")
 
 
 EMB_PCA_POWER_MATFREE_SQL = _pca_matfree_sql("duck")

@@ -245,6 +245,13 @@ _CONTROL_PLANE_WHITELIST = {
      'spark.read.parquet(acct).orderBy("batch_id").collect()'),
     ("queries/vectorops.py",
      'spark.read.parquet(acct).orderBy("batch_id").collect()'),
+    # matrix-free PCA power iteration: per-round per-dim aggregates —
+    # O(d) rows with d = 64 the fixed embedding dim, independent of
+    # corpus size (the n-row work stays in the Arrow kernel)
+    ("queries/vectorops.py",
+     ".collect()  # O(d) stats rows: d = 64 fixed embedding dim"),
+    ("queries/vectorops.py",
+     ".collect()  # O(d) rows: d = 64 fixed embedding dim"),
 }
 
 
