@@ -2769,74 +2769,129 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical in both engines and the oracle unrolls the SAME
     iterations as plain CTE stages (no recursion, no float drift).
 
-    Scale posture (the MLlib KMeans shape, expressed relationally): the
-    point relation shuffles ONCE to build (vec, dim, value) rows; each
-    round is a broadcast join against the K×D centroid relation (a few
-    KiB at any corpus size) + two partial-aggregated groupBys keyed by
-    the uniform vec_id / (cluster, dim). Nothing quadratic; rounds are
-    a fixed constant. Empty clusters drop out deterministically in both
-    engines."""
-    pts = _km_pts_barrier(spark, sf_dir)
-    cent = (
-        pts.filter(F.col("vec_id") < KMEANS_K)
-        .select(F.col("vec_id").alias("c"), "j", F.col("v").alias("cv"))
-    )
-    dist = assign = None
-    for rnd in range(1, KMEANS_ROUNDS + 1):
-        dist = (
-            pts.join(F.broadcast(cent), "j")
-            .groupBy("vec_id", "c")
-            .agg(
-                F.sum(
-                    (F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))
-                ).alias("d2")
-            )
-        )
-        assign = (
-            dist.groupBy("vec_id")
-            .agg(F.min(F.col("d2") * _KM_BASE + F.col("c")).alias("code"))
-            .select("vec_id", (F.col("code") % _KM_BASE).alias("cluster"))
-        )
-        if rnd < KMEANS_ROUNDS:
-            from mongo_to_clickhouse_spark.operators.materialize import (
-                barrier,
-            )
+    Scale posture (the MLlib KMeans shape — optimization round 1, guide
+    §4.2/§1.2 step 1): each round is ONE ``mapInArrow`` pass whose
+    numpy int64 kernel holds the K×D centroid matrix in its closure,
+    computes the encoded argmin assignment per row (d2·K + c via the
+    exact |x|² + |c|² − 2x·Cᵀ integer matmul expansion) and emits
+    per-partition (cluster, dim, Σv, count) partials — K·D rows per
+    partition, a few KiB at any corpus size. A narrow groupBy reduces
+    them and the driver updates the K·D centroid integers (the
+    offset-DIV mean, exact). The old relational shape joined the
+    exploded point relation against the centroids and shuffled n·K
+    (vec_id, c, d2) rows per round plus an n-row assignment join and a
+    K×D checkpoint; now NOTHING corpus-sized ever crosses the network
+    — per-round traffic is O(K·D·partitions). All arithmetic stays
+    int64-exact (reassociation cannot change any value), so the
+    unrolled oracle is untouched. Empty clusters drop out
+    deterministically in both engines (no partial rows)."""
+    import numpy as np
+    import pyarrow as pa
 
-            # K×D-row reliable checkpoint per update: `cent` feeds both
-            # the next round's distance join and (transitively) every
-            # later round — without the barrier each round inlines the
-            # previous round's whole subtree twice and the plan grows
-            # exponentially in rounds
-            cent = barrier(
-                pts.join(assign, "vec_id")
-                .groupBy("cluster", "j")
-                .agg(
-                    F.expr(
-                        f"CAST(SUM(v + {_KM_OFF}) DIV COUNT(*)"
-                        f" - {_KM_OFF} AS BIGINT)"
-                    ).alias("cv")
-                )
-                .select(F.col("cluster").alias("c"), "j", "cv")
-            )
-    # `assign` derives from `dist`, so a direct column-object join sees
-    # colliding attribute ids (Spark warns "trivially true predicate");
-    # re-alias both sides to force fresh attribute ids
-    a = assign.alias("a")
-    d = dist.alias("d")
-    return (
-        a.join(
-            d,
-            (F.col("a.vec_id") == F.col("d.vec_id"))
-            & (F.col("a.cluster") == F.col("d.c")),
-        )
-        .select(F.col("a.cluster").alias("cluster"), F.col("d.d2").alias("d2"))
-        .groupBy("cluster")
-        .agg(
-            F.count("*").cast("bigint").alias("n_points"),
-            F.sum("d2").cast("bigint").alias("wss"),
-        )
-        .orderBy("cluster")
+    xs = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1e6)"
+        " AS BIGINT)) AS xs",
     )
+
+    def _mats(batch):
+        col = batch.column(batch.schema.get_field_index("xs"))
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return np.asarray(flat, dtype=np.int64).reshape(-1, _KM_DIM)
+
+    # O(K) initial-centroid rows: K = 8 fixed (vec_id < K seed rule)
+    seed = xs.filter(F.col("vec_id") < KMEANS_K).collect()
+    cent = np.zeros((KMEANS_K, _KM_DIM), dtype=np.int64)
+    for r in seed:
+        cent[int(r["vec_id"])] = np.asarray(r["xs"], dtype=np.int64)
+
+    def assign_codes(m: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+        # d2(v, k) = |v|² + |c_k|² − 2 v·c_kᵀ — int64-exact matmul
+        d2 = (
+            (m * m).sum(axis=1, keepdims=True)
+            + (c * c).sum(axis=1)[None, :]
+            - 2 * (m @ c.T)
+        )
+        code = d2 * _KM_BASE + np.arange(c.shape[0], dtype=np.int64)
+        return code.min(axis=1)  # MIN(d2·K + c): same tie-break
+
+    for rnd in range(1, KMEANS_ROUNDS + 1):
+        c_now = cent.copy()
+        last = rnd == KMEANS_ROUNDS
+
+        def kernel(it, c=c_now, final=last):
+            if final:  # (cluster, n, wss) partials
+                cnt = np.zeros(KMEANS_K, dtype=np.int64)
+                wss = np.zeros(KMEANS_K, dtype=np.int64)
+                for batch in it:
+                    m = _mats(batch)
+                    code = assign_codes(m, c)
+                    cl = code % _KM_BASE
+                    d2 = code // _KM_BASE
+                    cnt += np.bincount(cl, minlength=KMEANS_K)
+                    for k in range(KMEANS_K):
+                        sel = d2[cl == k]
+                        if sel.shape[0]:
+                            # int64 partial sum — same overflow envelope
+                            # as the relational SUM(d2) it replaces
+                            wss[k] += sel.sum(dtype=np.int64)
+                ks = np.nonzero(cnt)[0]
+                if len(ks):
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(ks.astype("int64")),
+                         pa.array(cnt[ks]), pa.array(wss[ks])],
+                        names=["cluster", "n", "wss"],
+                    )
+            else:  # (cluster, j, sum_v, n) partials for the mean
+                sums = np.zeros((KMEANS_K, _KM_DIM), dtype=np.int64)
+                cnt = np.zeros(KMEANS_K, dtype=np.int64)
+                for batch in it:
+                    m = _mats(batch)
+                    cl = (assign_codes(m, c) % _KM_BASE).astype(np.int64)
+                    cnt += np.bincount(cl, minlength=KMEANS_K)
+                    for k in range(KMEANS_K):
+                        sel = m[cl == k]
+                        if sel.shape[0]:
+                            sums[k] += sel.sum(axis=0, dtype=np.int64)
+                ks = np.nonzero(cnt)[0]
+                if len(ks):
+                    cc = np.repeat(ks, _KM_DIM).astype("int64")
+                    jj = np.tile(
+                        np.arange(1, _KM_DIM + 1, dtype=np.int64), len(ks)
+                    )
+                    ss = sums[ks].reshape(-1)
+                    nn = np.repeat(cnt[ks], _KM_DIM)
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(cc), pa.array(jj),
+                         pa.array(ss), pa.array(nn)],
+                        names=["c", "j", "s", "n"],
+                    )
+
+        if last:
+            return (
+                xs.mapInArrow(
+                    kernel, "cluster long, n long, wss long"
+                )
+                .groupBy("cluster")
+                .agg(
+                    F.sum("n").cast("bigint").alias("n_points"),
+                    F.sum("wss").cast("bigint").alias("wss"),
+                )
+                .orderBy("cluster")
+            )
+        crows = (
+            xs.mapInArrow(kernel, "c long, j long, s long, n long")
+            .groupBy("c", "j")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()  # O(K·D) rows: K = 8, D = 64, both fixed
+        )
+        cent = np.zeros((KMEANS_K, _KM_DIM), dtype=np.int64)
+        for r in crows:
+            # SUM(v + OFF) DIV COUNT − OFF, exact (Python ints)
+            s = int(r["s"]) + _KM_OFF * int(r["n"])
+            cent[int(r["c"]), int(r["j"]) - 1] = (
+                s // int(r["n"]) - _KM_OFF
+            )
 
 
 def _kmeans_duck_sql() -> str:

@@ -252,6 +252,12 @@ _CONTROL_PLANE_WHITELIST = {
      ".collect()  # O(d) stats rows: d = 64 fixed embedding dim"),
     ("queries/vectorops.py",
      ".collect()  # O(d) rows: d = 64 fixed embedding dim"),
+    # Lloyd's k-means driver state: K=8 seed centroids and K·D=512
+    # per-round mean partials — both fixed by config, never corpus-sized
+    ("queries/vectorops.py",
+     'seed = xs.filter(F.col("vec_id") < KMEANS_K).collect()'),
+    ("queries/vectorops.py",
+     ".collect()  # O(K·D) rows: K = 8, D = 64, both fixed"),
 }
 
 
