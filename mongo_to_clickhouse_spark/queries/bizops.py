@@ -166,27 +166,51 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq", "mon_cents",
     )
 
-    def qrank(col: str, rank_col: str, key, bnds) -> DataFrame:
-        desc = rank_col != "r_rk"
+    # re-attach the three ranks with ONE user_id exchange (union +
+    # pivot aggregate) instead of three sort-merge joins: each branch
+    # emits (user_id, tag, rk); the recency branch additionally carries
+    # freq/mon_cents (2 extra bigints riding its shuffle) so the cube
+    # tail needs NO join back to the per-user relation at all
+    def qbranch(col: str, tag: str, key, bnds) -> DataFrame:
+        desc = tag != "r"
         order = [
             F.col(col).desc() if desc else F.col(col), F.col("user_id")
         ]
-        return distributed_global_rank(
-            scored.select("user_id", col), order, rank_col,
+        carry = ["freq", "mon_cents"] if tag == "r" else []
+        ranked = distributed_global_rank(
+            scored.select("user_id", col, *carry), order, "rk",
             bucket_key=key, bucket_tiebreak=F.col("user_id"),
             bounds=bnds,
-        ).select("user_id", rank_col)
+        )
+        return ranked.select(
+            "user_id",
+            F.lit(tag).alias("t"),
+            "rk",
+            *(
+                [F.col("freq"), F.col("mon_cents")]
+                if carry
+                else [
+                    F.lit(None).cast("bigint").alias("freq"),
+                    F.lit(None).cast("bigint").alias("mon_cents"),
+                ]
+            ),
+        )
 
-    ranked = (
-        scored
-        .join(qrank("rec_days", "r_rk",
-                    F.col("rec_days") - F.lit(h), bounds["r"]), "user_id")
-        .join(qrank("freq", "f_rk", -F.col("freq"), bounds["f"]),
-              "user_id")
-        .join(qrank("mon_cents", "m_rk", -F.col("mon_cents"),
-                    bounds["m"]), "user_id")
+    u = (
+        qbranch("rec_days", "r", F.col("rec_days") - F.lit(h),
+                bounds["r"])
+        .unionByName(qbranch("freq", "f", -F.col("freq"), bounds["f"]))
+        .unionByName(qbranch("mon_cents", "m", -F.col("mon_cents"),
+                             bounds["m"]))
     )
-    ranked.withColumn(
+    piv = u.groupBy("user_id").agg(
+        F.max(F.when(F.col("t") == "r", F.col("rk"))).alias("r_rk"),
+        F.max(F.when(F.col("t") == "f", F.col("rk"))).alias("f_rk"),
+        F.max(F.when(F.col("t") == "m", F.col("rk"))).alias("m_rk"),
+        F.max("freq").alias("freq"),
+        F.max("mon_cents").alias("mon_cents"),
+    )
+    piv.withColumn(
         "n", F.lit(n_users).cast("bigint")
     ).createOrReplaceTempView("rfm_ranked")
     return spark.sql(f"""
