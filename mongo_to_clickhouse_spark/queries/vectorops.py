@@ -3646,66 +3646,89 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     radius, the next center id AND its coordinates come out of a single
     1-row aggregate. No encode needed, so no overflow bound.
 
-    Scale posture (round 11 restructure, guide §2.4/§1.2): the point
-    relation is scalarized to (vec_id, p1..p64), checkpointed ONCE, and
-    each round is ONE single-stage job — a whole-stage-codegen map
-    computing ``least over chosen centers of Σ(pj−cj)²`` with the
-    center coordinates embedded as LITERALS, reduced by
-    ``MAX(STRUCT(d2, -vec_id, coords...))`` so the radius, the next
-    center id and its coordinates come back in one 1-row ``first()``
-    (control-plane; the textbook Gonzalez broadcast-map-reduce round).
-    The previous shape checkpointed the n-row min-distance relation
-    EVERY round and re-joined the (vec_id, j, v) explode relation (a
-    broadcast coordinate join + corpus-wide groupBy shuffle + n-row
-    equi-join per round); now nothing shuffles and nothing
-    corpus-sized is ever written after the one shared materialization."""
-    from mongo_to_clickhouse_spark.operators.materialize import barrier
+    Scale posture (optimization round 1 — guide §4.2, after §1.1's
+    measure-first loop): each round is ONE ``mapInArrow`` pass whose
+    numpy int64 kernel holds the chosen centers in its closure,
+    computes min-over-centers ‖x−c‖² per row (exact integer matmul
+    expansion) and emits ONE partial row per partition — (max d2,
+    −vec_id of the argmax, its coordinates); the driver reduces the
+    ≤|partitions| partials lexicographically, which is exactly the
+    ``MAX(STRUCT(d2, −vec_id, …))`` semantics. The mid-session literal
+    variant of this round (center coordinates embedded as plan
+    LITERALS in a ``least(…)`` chain) was measured and replaced: its
+    generated expression grows O(rounds·d) and Catalyst re-plans and
+    janino re-compiles it EVERY round because the literals change.
+    The original shape checkpointed the n-row min-distance relation
+    every round and re-joined the exploded point relation (broadcast
+    coordinate join + corpus-wide groupBy + n-row equi-join per
+    round). Now nothing shuffles, nothing is checkpointed, and only
+    O(d·partitions) bytes ever reach the driver per round — the
+    textbook Gonzalez broadcast-map-reduce."""
+    import numpy as np
+    import pyarrow as pa
 
-    micro = (
-        "CAST(round(CAST(element_at(embedding, {j}) AS DOUBLE)"
-        " * 1000000) AS BIGINT)"
+    xs = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "transform(embedding, e -> CAST(round(CAST(e AS DOUBLE)"
+        " * 1000000) AS BIGINT)) AS xs",
     )
-    dims = list(range(1, _KM_DIM + 1))
-    pcols = ", ".join(f"__p{j}" for j in dims)
-    ptsw = barrier(_fanout_repartition(
-        spark, sf_dir,
-        load_table(spark, sf_dir, "embeddings").selectExpr(
-            "vec_id", *[micro.format(j=j) + f" AS __p{j}" for j in dims]
-        ),
-        _KM_DIM,
-    ))
 
-    def center_d2(coords: list[int]) -> str:
-        return "(" + " + ".join(
-            f"(__p{j} - ({coords[j - 1]})) * (__p{j} - ({coords[j - 1]}))"
-            for j in dims
-        ) + ")"
+    def _mats(batch):
+        ids = np.asarray(
+            batch.column(batch.schema.get_field_index("vec_id"))
+            .to_numpy(zero_copy_only=False), dtype=np.int64,
+        )
+        col = batch.column(batch.schema.get_field_index("xs"))
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return ids, np.asarray(flat, dtype=np.int64).reshape(
+            -1, _KM_DIM
+        )
 
     # seed: smallest vec_id with its coordinates — one 1-row reduce
-    s0 = ptsw.selectExpr(
-        f"min(struct(vec_id, {pcols})) AS s"
-    ).first()["s"]
+    s0 = xs.selectExpr("min(struct(vec_id, xs)) AS s").first()["s"]
     cid = int(s0["vec_id"])
-    d2_terms = [center_d2([int(s0[f"__p{j}"]) for j in dims])]
+    centers = [np.asarray(s0["xs"], dtype=np.int64)]
     out_rows: list[tuple[int, int, int]] = []
+
+    def far_partials(cent_list):
+        c = np.stack(cent_list)
+
+        def kernel(it):
+            best = None  # (d2, -vec_id, coords)
+            for batch in it:
+                ids, m = _mats(batch)
+                d2 = (
+                    (m * m).sum(axis=1, keepdims=True)
+                    + (c * c).sum(axis=1)[None, :]
+                    - 2 * (m @ c.T)
+                ).min(axis=1)
+                mx = int(d2.max())
+                sel = ids[d2 == mx]
+                nid = -int(sel.min())
+                if best is None or (mx, nid) > (best[0], best[1]):
+                    best = (mx, nid, m[ids == -nid][0])
+            if best is not None:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([best[0]]), pa.array([best[1]]),
+                     pa.array([[int(v) for v in best[2]]],
+                              type=pa.list_(pa.int64()))],
+                    names=["d2", "nid", "coords"],
+                )
+
+        # O(partitions) rows: one (d2, nid, coords) partial per task
+        return xs.mapInArrow(
+            kernel, "d2 long, nid long, coords array<long>"
+        ).collect()  # O(partitions) 1-row argmax partials
+
     for r in range(1, KCENTER_K):
-        dmin = (
-            d2_terms[0] if len(d2_terms) == 1
-            else f"least({', '.join(d2_terms)})"
-        )
-        # one single-stage map+reduce job: radius, argmax id, coords
-        s = ptsw.selectExpr(
-            f"max(struct(CAST({dmin} AS BIGINT) AS d2,"
-            f" -vec_id AS nid, {pcols})) AS s"
-        ).first()["s"]  # control-plane: 1 row
-        out_rows.append((r - 1, cid, int(s["d2"])))
-        cid = int(-s["nid"])
-        d2_terms.append(center_d2([int(s[f"__p{j}"]) for j in dims]))
-    dmin = f"least({', '.join(d2_terms)})"
-    mx = ptsw.selectExpr(
-        f"max(CAST({dmin} AS BIGINT)) AS mx"
-    ).first()["mx"]
-    out_rows.append((KCENTER_K - 1, cid, int(mx)))
+        parts = far_partials(centers)
+        best = max(parts, key=lambda p: (int(p["d2"]), int(p["nid"])))
+        out_rows.append((r - 1, cid, int(best["d2"])))
+        cid = -int(best["nid"])
+        centers.append(np.asarray(best["coords"], dtype=np.int64))
+    parts = far_partials(centers)
+    mx = max(int(p["d2"]) for p in parts)
+    out_rows.append((KCENTER_K - 1, cid, mx))
     return spark.createDataFrame(
         out_rows,
         "round int, center_vec_id bigint, radius_after_d2 bigint",

@@ -258,6 +258,10 @@ _CONTROL_PLANE_WHITELIST = {
      'seed = xs.filter(F.col("vec_id") < KMEANS_K).collect()'),
     ("queries/vectorops.py",
      ".collect()  # O(K·D) rows: K = 8, D = 64, both fixed"),
+    # Gonzalez k-center: one (d2, argmax id, coords) partial row per
+    # scan partition — the classic 1-row-per-task reduce payload
+    ("queries/vectorops.py",
+     ".collect()  # O(partitions) 1-row argmax partials"),
 }
 
 
