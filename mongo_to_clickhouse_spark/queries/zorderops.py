@@ -314,23 +314,25 @@ def profile_layout_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     of magnitude vs arrival order, and Hilbert ≤ Morton.
 
     Scale posture: keys are narrow projections; the three global ranks
-    run as INDEPENDENT ``distributed_global_rank`` branches over ONE
-    barriered key relation (round 11: the ranks were previously CHAINED,
-    so each pass checkpointed the previous pass's output — three serial
-    checkpoint write/read barriers; the branches carry only their own
-    sort key, use the literal-bounds partitioner, and union AFTER the
-    per-bucket span aggregate, so the only materialization left is the
-    shared key relation); span aggregation is map-side combined on
-    (ordering, bucket)."""
+    run as ONE fused rank pass over an exploded (ordering, skey)
+    relation (round 11: previously the ranks were CHAINED through three
+    serial checkpoint barriers, then three INDEPENDENT literal-bounds
+    branches — 3 window exchanges + 3 count aggregates, each scanning
+    the barriered key relation twice. The branches now ``stack`` into
+    one 3n-row relation; the partitioned window keys on
+    (ordering, __pid) where __pid is the per-ordering literal-bounds
+    bucket expression, so the fused pass costs ONE hash exchange of the
+    same total bytes the three branch exchanges moved, scans the
+    barrier twice instead of six times, and keeps every boundary from
+    the single shared driver aggregate); span aggregation is map-side
+    combined on (ordering, bucket)."""
     from mongo_to_clickhouse_spark.operators.materialize import barrier
     from mongo_to_clickhouse_spark.operators.rank import (
-        distributed_global_rank,
-    )
-
-    from mongo_to_clickhouse_spark.operators.rank import (
         _default_partitions,
+        _pid_expr,
         literal_bounds,
     )
+    from pyspark.sql.window import Window
 
     _hilbert_keys_view(spark, sf_dir)
     keyed = barrier(spark.sql(
@@ -348,29 +350,57 @@ def profile_layout_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         _default_partitions(spark, keyed),
     )
 
-    def branch(tag: str, key: str) -> DataFrame:
-        cols = ["user_id", "v100", "event_id"]
-        if key != "event_id":
-            cols.append(key)
-        order = [F.col(key)] if key == "event_id" else [
-            F.col(key), F.col("event_id")
-        ]
-        ranked = distributed_global_rank(
-            keyed.select(*cols), order, "rk",
-            bucket_key=F.col(key), bucket_tiebreak=F.col("event_id"),
-            bounds=bounds[key],
+    ex = keyed.select(
+        "user_id", "v100", "event_id",
+        F.expr(
+            "stack(3, 'a_natural', event_id, 'b_zorder', zkey,"
+            " 'c_hilbert', hd) AS (ordering, skey)"
+        ),
+    )
+    pid = (
+        F.when(F.col("ordering") == "a_natural",
+               _pid_expr(bounds["event_id"], F.col("skey"),
+                         F.col("event_id")))
+        .when(F.col("ordering") == "b_zorder",
+              _pid_expr(bounds["zkey"], F.col("skey"), F.col("event_id")))
+        .otherwise(_pid_expr(bounds["hd"], F.col("skey"),
+                             F.col("event_id")))
+    )
+    parted = ex.withColumn("__pid", pid)
+    order = [F.col("skey"), F.col("event_id")]
+    local = parted.withColumn(
+        "__lrank",
+        F.row_number().over(
+            Window.partitionBy("ordering", "__pid").orderBy(*order)
+        ),
+    )
+    counts = parted.groupBy("ordering", "__pid").agg(
+        F.count("*").alias("__cnt")
+    )
+    prior = counts.select(
+        F.col("ordering").alias("__qord"),
+        F.col("__pid").alias("__qid"),
+        F.col("__cnt").alias("__prior"),
+    )
+    offsets = (
+        counts.join(
+            F.broadcast(prior),
+            (F.col("__qord") == F.col("ordering"))
+            & (F.col("__qid") < F.col("__pid")),
+            "left",
         )
-        return ranked.select(
-            F.lit(tag).alias("ordering"),
-            F.expr(f"CAST(floor((rk - 1) / {b}e0) AS BIGINT)")
-            .alias("bucket"),
+        .groupBy("ordering", "__pid")
+        .agg(F.coalesce(F.sum("__prior"), F.lit(0)).alias("__off"))
+    )
+    un = (
+        local.join(F.broadcast(offsets), ["ordering", "__pid"])
+        .select(
+            "ordering",
+            F.expr(
+                f"CAST(floor((__off + __lrank - 1) / {b}e0) AS BIGINT)"
+            ).alias("bucket"),
             "user_id", "v100",
         )
-
-    un = (
-        branch("a_natural", "event_id")
-        .unionByName(branch("b_zorder", "zkey"))
-        .unionByName(branch("c_hilbert", "hd"))
     )
     un.createOrReplaceTempView("locality_unioned")
     return spark.sql(f"WITH {_locality_report_sql('locality_unioned')}")
