@@ -131,18 +131,33 @@ EXHIBIT = [
 def headline_line(total: float, sf: str, docs_per_sec: int,
                   timings: dict[str, float],
                   spreads: dict[str, float] | None = None) -> str:
-    """Build the driver-parsed final stdout line — CONSTANT-SIZE.
+    """Build the driver-parsed final stdout line — BOUNDED-SIZE.
 
     The driver tail-captures only the last 2,000 chars of stdout; rounds
     4 and 6 both shipped unparseable BENCH files because the line carried
-    a per-query dict that grows ~30 chars per headline query. The line
-    therefore carries NO payload that scales with the query count: just
-    the totals plus a fixed-cardinality slowest-5 teaser. A hard size
-    guard (<1,500 chars) makes the failure class impossible to
-    reintroduce — raised as RuntimeError, not assert, so `python -O`
-    can't strip it.
+    the FULL per-query dict, which grows ~30 chars per headline query and
+    crossed the window between 54 and 62 queries (at 84+ queries it would
+    be ~2,500 chars — unconditionally truncated). Round 12 (VERDICT r11
+    item 1: the driver could not compute a per-query geomean for two
+    rounds) restores per-query visibility under that cap from both ends:
+
+    - ``per_query_file`` names the committed sidecar
+      (BENCH_QUERIES.json) that carries every query's median, samples
+      and spread — declared as part of the bench contract so the driver
+      can ingest it;
+    - ``queries`` carries as many per-query medians as fit a fixed
+      1,800-char budget for the whole line, slowest-first (a
+      deterministic rule, and the slow queries are the ones regression
+      detection needs most); ``queries_omitted`` counts the rest, which
+      are only reachable via the sidecar.
+
+    Entries are only ever ADDED slowest-first up to the budget — never
+    renamed; a query absent from ``queries`` is in the sidecar, not
+    dropped (the full headline set is the HEADLINE list + registry).
+    The hard size guard (<1,900 chars, raised as RuntimeError so
+    `python -O` can't strip it) keeps the rounds-4/6 truncation class
+    impossible to reintroduce.
     """
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     payload = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -150,7 +165,8 @@ def headline_line(total: float, sf: str, docs_per_sec: int,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "flagship_docs_per_sec": docs_per_sec,
         "n_queries": len(timings),
-        "slowest5": slowest,
+        "per_query_file": "BENCH_QUERIES.json",
+        "slowest5": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5]),
     }
     if spreads:
         # constant-size spread summary: median and max relative spread
@@ -159,9 +175,23 @@ def headline_line(total: float, sf: str, docs_per_sec: int,
         sp = sorted(spreads.values())
         payload["spread_p50"] = sp[len(sp) // 2]
         payload["spread_max"] = sp[-1]
+    # fill `queries` slowest-first until the serialized line would cross
+    # the 1,800-char budget (the tail window is 2,000; ~100 chars of
+    # slack absorbs a stray late stderr WARN line)
+    payload["queries"] = {}
+    payload["queries_omitted"] = 0
+    base_len = len(json.dumps(payload))
+    budget = 1800 - base_len
+    for qid, t in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
+        entry = len(json.dumps({qid: t})) + 1  # +1 for the separator
+        if entry <= budget:
+            payload["queries"][qid] = t
+            budget -= entry
+        else:
+            payload["queries_omitted"] += 1
     line = json.dumps(payload)
-    if len(line) >= 1500:
-        raise RuntimeError(f"headline line {len(line)} chars >= 1500")
+    if len(line) >= 1900:
+        raise RuntimeError(f"headline line {len(line)} chars >= 1900")
     return line
 
 

@@ -128,6 +128,20 @@ def literal_bounds(
     paying another serial job (each driver action costs ~0.3-1 s of
     fixed scheduling/codegen latency regardless of data size, which is
     exactly what the old per-rank checkpoint barrier paid)."""
+    if n < 2:
+        # single-bucket degenerate case (spark.sql.shuffle.partitions=1
+        # or num_partitions=1): percentile_approx over an EMPTY
+        # probability array is an analysis error, and the legacy sampled
+        # path simply put everything in one partition — mirror that with
+        # empty boundary lists (⇒ _pid_expr yields lit(0)); extra_aggs
+        # still need their one driver action.
+        out: dict = {name: ([], {}) for name in specs}
+        if extra_aggs:
+            row = df.agg(
+                *(acol.alias(f"__x_{a}") for a, acol in extra_aggs.items())
+            ).first()
+            out["__extras__"] = {a: row[f"__x_{a}"] for a in extra_aggs}
+        return out
     probs = [i / n for i in range(1, n)]
     aggs = [
         F.percentile_approx(key, F.lit(probs), F.lit(10_000)).alias(

@@ -105,14 +105,10 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     value cents), ≤ {RFM_Q}³ output cells.
 
     Scale posture: ONE corpus scan collapses to the per-user aggregate;
-    the three quantile ranks use ``distributed_global_rank`` (range
-    partition → local rank → broadcast offsets), so no global-order
-    window ever sees the |users| relation in one task. The bucket
-    closed form then needs only (rank, n)."""
-    from mongo_to_clickhouse_spark.operators.rank import (
-        distributed_global_rank,
-    )
-
+    the three quantile ranks run as ONE fused literal-bounds rank pass
+    over a stacked (t, skey) relation (round 12 — see the inline note),
+    so no global-order window ever sees the |users| relation in one
+    task. The bucket closed form then needs only (rank, n)."""
     from mongo_to_clickhouse_spark.operators.materialize import barrier
 
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
@@ -160,48 +156,68 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = bounds["__extras__"]["h"]
     n_users = bounds["__extras__"]["n"]
-    scored = per_user.select(
+
+    # Round 12 (guide §2.4, the same fusion profile_layout_locality got
+    # in round 11): the three quintile ranks were three INDEPENDENT
+    # literal-bounds branches — 3 partitioned-window exchanges + 3 count
+    # aggregates, each scanning the per-user barrier twice (6 scans).
+    # They now ``stack`` into ONE 3n-row (t, skey) relation ranked by a
+    # single window keyed on (t, __pid): one window exchange carrying
+    # the same total bytes the three branch exchanges moved, 2 barrier
+    # scans instead of 6. skey is the ASC-monotone numeric for each
+    # ordering (−last_day ≡ rec_days−h, −freq, −mon_cents — exactly the
+    # bucket keys the shared literal_bounds pass measured); freq and
+    # mon_cents ride only the 'r' rows, as before. The pivot reassembly
+    # (one user_id exchange, no join back to per_user) is unchanged.
+    from pyspark.sql.window import Window
+
+    ex = per_user.select(
         "user_id",
-        (F.lit(h) - F.col("last_day")).alias("rec_days"),
-        "freq", "mon_cents",
+        F.expr(
+            "stack(3,"
+            " 'r', -last_day, freq, mon_cents,"
+            " 'f', -freq, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),"
+            " 'm', -mon_cents, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)"
+            ") AS (t, skey, freq, mon_cents)"
+        ),
     )
+    from mongo_to_clickhouse_spark.operators.rank import _pid_expr
 
-    # re-attach the three ranks with ONE user_id exchange (union +
-    # pivot aggregate) instead of three sort-merge joins: each branch
-    # emits (user_id, tag, rk); the recency branch additionally carries
-    # freq/mon_cents (2 extra bigints riding its shuffle) so the cube
-    # tail needs NO join back to the per-user relation at all
-    def qbranch(col: str, tag: str, key, bnds) -> DataFrame:
-        desc = tag != "r"
-        order = [
-            F.col(col).desc() if desc else F.col(col), F.col("user_id")
-        ]
-        carry = ["freq", "mon_cents"] if tag == "r" else []
-        ranked = distributed_global_rank(
-            scored.select("user_id", col, *carry), order, "rk",
-            bucket_key=key, bucket_tiebreak=F.col("user_id"),
-            bounds=bnds,
+    pid = (
+        F.when(F.col("t") == "r",
+               _pid_expr(bounds["r"], F.col("skey"), F.col("user_id")))
+        .when(F.col("t") == "f",
+              _pid_expr(bounds["f"], F.col("skey"), F.col("user_id")))
+        .otherwise(_pid_expr(bounds["m"], F.col("skey"),
+                             F.col("user_id")))
+    )
+    parted = ex.withColumn("__pid", pid)
+    local = parted.withColumn(
+        "__lrank",
+        F.row_number().over(
+            Window.partitionBy("t", "__pid").orderBy("skey", "user_id")
+        ),
+    )
+    counts = parted.groupBy("t", "__pid").agg(F.count("*").alias("__cnt"))
+    prior = counts.select(
+        F.col("t").alias("__qt"),
+        F.col("__pid").alias("__qid"),
+        F.col("__cnt").alias("__prior"),
+    )
+    offsets = (
+        counts.join(
+            F.broadcast(prior),
+            (F.col("__qt") == F.col("t"))
+            & (F.col("__qid") < F.col("__pid")),
+            "left",
         )
-        return ranked.select(
-            "user_id",
-            F.lit(tag).alias("t"),
-            "rk",
-            *(
-                [F.col("freq"), F.col("mon_cents")]
-                if carry
-                else [
-                    F.lit(None).cast("bigint").alias("freq"),
-                    F.lit(None).cast("bigint").alias("mon_cents"),
-                ]
-            ),
-        )
-
-    u = (
-        qbranch("rec_days", "r", F.col("rec_days") - F.lit(h),
-                bounds["r"])
-        .unionByName(qbranch("freq", "f", -F.col("freq"), bounds["f"]))
-        .unionByName(qbranch("mon_cents", "m", -F.col("mon_cents"),
-                             bounds["m"]))
+        .groupBy("t", "__pid")
+        .agg(F.coalesce(F.sum("__prior"), F.lit(0)).alias("__off"))
+    )
+    u = local.join(F.broadcast(offsets), ["t", "__pid"]).select(
+        "user_id", "t",
+        (F.col("__off") + F.col("__lrank")).cast("bigint").alias("rk"),
+        "freq", "mon_cents",
     )
     piv = u.groupBy("user_id").agg(
         F.max(F.when(F.col("t") == "r", F.col("rk"))).alias("r_rk"),

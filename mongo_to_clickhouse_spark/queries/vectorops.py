@@ -2169,7 +2169,24 @@ def emb_pca_power_matfree(spark: SparkSession, sf_dir: str) -> DataFrame:
     srows = stat.groupBy("j").agg(
         F.sum("s").alias("s"), F.sum("n").alias("n")
     ).collect()  # O(d) stats rows: d = 64 fixed embedding dim
+    if not srows:
+        # degenerate empty relation (ADVICE r11): the relational form
+        # returned zero rows; mirror that instead of IndexError
+        return spark.createDataFrame(
+            [], "i bigint, dir_micro bigint, rayleigh double"
+        )
     n_rows = int(srows[0]["n"])
+    # ADVICE r11: the int64 kernel sums (w += x.T @ up) hold to
+    # |x| ≲ 1.4e6 micro × |u'| ≤ ~1e6 → per-row |w| terms ≤ ~1.4e12,
+    # so the documented envelope is ~6e6 vectors; past it the kernel
+    # would wrap silently where the oracle's HUGEINT SUM does not —
+    # fail loudly instead.
+    if n_rows > 6_000_000:
+        raise RuntimeError(
+            f"emb_pca_power_matfree: {n_rows} vectors exceeds the "
+            "~6e6-row int64 exact-arithmetic envelope (kernel sums "
+            "would wrap where the oracle promotes to HUGEINT)"
+        )
     mu = np.zeros(_DIM, dtype=np.int64)
     for r in srows:
         s = int(r["s"])
@@ -2784,7 +2801,28 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     — per-round traffic is O(K·D·partitions). All arithmetic stays
     int64-exact (reassociation cannot change any value), so the
     unrolled oracle is untouched. Empty clusters drop out
-    deterministically in both engines (no partial rows)."""
+    deterministically in both engines (no partial rows).
+
+    LIVE-CLUSTER TRACKING (round 12, ADVICE r11): the oracle's cent{r}
+    CTE only contains clusters that received points (and cent0 only the
+    seed vec_ids that exist), so a cluster that empties mid-iteration —
+    or a missing seed when the corpus has fewer than K vectors —
+    disappears from the competition entirely. The kernel therefore
+    carries the LIVE cluster-id vector next to the centroid matrix and
+    encodes the argmin as d2·K + live_id (not the dense row index), so
+    an empty cluster can never re-enter as a phantom zero-vector
+    centroid. At every graded sf no cluster empties and all K seeds
+    exist, so results are bit-identical to before; the fix is for the
+    regime where they were not (pinned by
+    tests/test_iterative_ops.py::test_kmeans_empty_cluster_drops_out).
+
+    Overflow posture (ADVICE r11): the Σv partials are |v|-bounded
+    (≤ n·max|v| — safe far past the documented ~10⁶-vector envelope),
+    but the WSS partial is Σd2 and d2 can reach ~5e14 at worst-case
+    micro values; the kernel keeps a float64 shadow of each partition's
+    WSS sum and raises loudly when it approaches int64 range instead of
+    wrapping silently (DuckDB's SUM promotes to HUGEINT, so a silent
+    wrap here would diverge from the oracle, not crash)."""
     import numpy as np
     import pyarrow as pa
 
@@ -2799,36 +2837,62 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         flat = col.flatten().to_numpy(zero_copy_only=False)
         return np.asarray(flat, dtype=np.int64).reshape(-1, _KM_DIM)
 
-    # O(K) initial-centroid rows: K = 8 fixed (vec_id < K seed rule)
-    seed = xs.filter(F.col("vec_id") < KMEANS_K).collect()
-    cent = np.zeros((KMEANS_K, _KM_DIM), dtype=np.int64)
-    for r in seed:
-        cent[int(r["vec_id"])] = np.asarray(r["xs"], dtype=np.int64)
+    # O(K) initial-centroid rows: K = 8 fixed (vec_id < K seed rule).
+    # LIVE clusters only (ADVICE r11): the oracle's cent0 holds exactly
+    # the seed vec_ids present in the corpus — a corpus smaller than K
+    # must not fabricate zero-vector centroids for the missing ids.
+    seed = sorted(
+        xs.filter(F.col("vec_id") < KMEANS_K).collect(),
+        key=lambda r: int(r["vec_id"]),
+    )
+    if not seed:
+        # degenerate empty input: the oracle's CTE chain yields no rows
+        return spark.createDataFrame(
+            [], "cluster bigint, n_points bigint, wss bigint"
+        )
+    live = np.asarray([int(r["vec_id"]) for r in seed], dtype=np.int64)
+    cent = np.stack(
+        [np.asarray(r["xs"], dtype=np.int64) for r in seed]
+    )
 
-    def assign_codes(m: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+    def assign_codes(
+        m: "np.ndarray", c: "np.ndarray", ids: "np.ndarray"
+    ) -> "np.ndarray":
         # d2(v, k) = |v|² + |c_k|² − 2 v·c_kᵀ — int64-exact matmul
         d2 = (
             (m * m).sum(axis=1, keepdims=True)
             + (c * c).sum(axis=1)[None, :]
             - 2 * (m @ c.T)
         )
-        code = d2 * _KM_BASE + np.arange(c.shape[0], dtype=np.int64)
-        return code.min(axis=1)  # MIN(d2·K + c): same tie-break
+        # MIN(d2·K + cluster_id) over the LIVE clusters only: encoding
+        # the true id (not the dense row index) keeps the oracle's
+        # tie-break when clusters have dropped out
+        code = d2 * _KM_BASE + ids[None, :]
+        return code.min(axis=1)
 
     for rnd in range(1, KMEANS_ROUNDS + 1):
         c_now = cent.copy()
+        live_now = live.copy()
         last = rnd == KMEANS_ROUNDS
 
-        def kernel(it, c=c_now, final=last):
+        def kernel(it, c=c_now, ids=live_now, final=last):
             if final:  # (cluster, n, wss) partials
                 cnt = np.zeros(KMEANS_K, dtype=np.int64)
                 wss = np.zeros(KMEANS_K, dtype=np.int64)
+                wss_f = 0.0  # float64 shadow: loud int64-overflow guard
                 for batch in it:
                     m = _mats(batch)
-                    code = assign_codes(m, c)
+                    code = assign_codes(m, c, ids)
                     cl = code % _KM_BASE
                     d2 = code // _KM_BASE
                     cnt += np.bincount(cl, minlength=KMEANS_K)
+                    wss_f += float(d2.sum(dtype=np.float64))
+                    if wss_f > 4.0e18:  # ADVICE r11: fail loudly, never wrap
+                        raise RuntimeError(
+                            "emb_kmeans_lloyd: WSS partial sum approaching "
+                            "int64 range — corpus exceeds the exact-integer "
+                            "envelope the oracle (HUGEINT) would still hold"
+                        )
                     for k in range(KMEANS_K):
                         sel = d2[cl == k]
                         if sel.shape[0]:
@@ -2847,7 +2911,9 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cnt = np.zeros(KMEANS_K, dtype=np.int64)
                 for batch in it:
                     m = _mats(batch)
-                    cl = (assign_codes(m, c) % _KM_BASE).astype(np.int64)
+                    cl = (assign_codes(m, c, ids) % _KM_BASE).astype(
+                        np.int64
+                    )
                     cnt += np.bincount(cl, minlength=KMEANS_K)
                     for k in range(KMEANS_K):
                         sel = m[cl == k]
@@ -2885,11 +2951,17 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()  # O(K·D) rows: K = 8, D = 64, both fixed
         )
-        cent = np.zeros((KMEANS_K, _KM_DIM), dtype=np.int64)
+        # rebuild ONLY the live clusters (those with partial rows) —
+        # exactly the oracle's cent{r} membership (ADVICE r11)
+        live = np.asarray(
+            sorted({int(r["c"]) for r in crows}), dtype=np.int64
+        )
+        pos = {int(c): i for i, c in enumerate(live)}
+        cent = np.zeros((len(live), _KM_DIM), dtype=np.int64)
         for r in crows:
             # SUM(v + OFF) DIV COUNT − OFF, exact (Python ints)
             s = int(r["s"]) + _KM_OFF * int(r["n"])
-            cent[int(r["c"]), int(r["j"]) - 1] = (
+            cent[pos[int(r["c"])], int(r["j"]) - 1] = (
                 s // int(r["n"]) - _KM_OFF
             )
 
@@ -3686,6 +3758,12 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # seed: smallest vec_id with its coordinates — one 1-row reduce
     s0 = xs.selectExpr("min(struct(vec_id, xs)) AS s").first()["s"]
+    if s0 is None:
+        # degenerate empty relation (ADVICE r11): the relational form
+        # returned zero rows; mirror that instead of a TypeError
+        return spark.createDataFrame(
+            [], "round int, center_vec_id bigint, radius_after_d2 bigint"
+        )
     cid = int(s0["vec_id"])
     centers = [np.asarray(s0["xs"], dtype=np.int64)]
     out_rows: list[tuple[int, int, int]] = []

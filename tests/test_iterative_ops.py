@@ -41,6 +41,88 @@ def test_kmeans_separates_two_tight_groups(spark, tmp_path):
         assert r["wss"] < r["n_points"] * dim * (7_000**2), r
 
 
+def test_kmeans_empty_cluster_drops_out(spark, tmp_path):
+    # ADVICE r11 (round 12): a cluster that receives no points must drop
+    # out of the competition exactly as the oracle's cent{r} CTE drops
+    # it — the old kernel kept a dense K×D matrix, so an emptied cluster
+    # persisted as a phantom zero-vector centroid and could capture
+    # points near the origin in later rounds. This planted 2-D config
+    # (found by brute-force search over the exact integer semantics)
+    # empties cluster 4 after round 1; with the phantom it would come
+    # back and steal 2 points by round 3.
+    import duckdb
+
+    from mongo_to_clickhouse_spark.queries.vectorops import (
+        EMB_KMEANS_LLOYD_SQL,
+    )
+
+    pts = {
+        0: (35, -15), 1: (-20, -15), 2: (-15, 5), 3: (15, -25),
+        4: (15, -15), 5: (-30, 5), 6: (20, -15), 7: (-15, -25),
+        8: (10, 5), 9: (15, 40), 10: (-10, 0), 11: (20, 25),
+    }
+    dim = 64
+    vecs = [
+        [pts[v][0] * 1e-6, pts[v][1] * 1e-6] + [0.0] * (dim - 2)
+        for v in sorted(pts)
+    ]
+    table = pa.table(
+        {
+            "vec_id": pa.array(sorted(pts), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * len(pts), pa.int32()),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(table, os.path.join(sf, "embeddings.parquet"))
+    rows = emb_kmeans_lloyd(spark, sf).collect()
+    got = {r["cluster"]: r["n_points"] for r in rows}
+    # oracle semantics: cluster 4 emptied in round 2 and stays gone
+    assert got == {0: 1, 1: 1, 2: 2, 3: 3, 5: 1, 6: 3, 7: 1}, got
+    # and the full result (counts + wss) hash-matches the DuckDB oracle
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{os.path.join(sf, 'embeddings.parquet')}')"
+    )
+    duck = con.sql(EMB_KMEANS_LLOYD_SQL).fetchall()
+    assert [tuple(r) for r in rows] == duck
+
+
+def test_kmeans_missing_seed_never_fabricates_a_centroid(spark, tmp_path):
+    # fewer than K vectors → the oracle's cent0 has only the seeds that
+    # exist; a dense matrix would add phantom zero-vector centroids that
+    # capture points near the origin. vec_id 5 sits next to the origin
+    # and must be claimed by a REAL cluster.
+    import duckdb
+
+    from mongo_to_clickhouse_spark.queries.vectorops import (
+        EMB_KMEANS_LLOYD_SQL,
+    )
+
+    dim = 64
+    vals = [5.0, 6.0, 7.0, 8.0, 9.0, 1e-6]  # vec 5 ≈ origin
+    vecs = [[v] * dim for v in vals]
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(6), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * 6, pa.int32()),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(table, os.path.join(sf, "embeddings.parquet"))
+    rows = emb_kmeans_lloyd(spark, sf).collect()
+    assert {r["cluster"] for r in rows} <= set(range(6))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{os.path.join(sf, 'embeddings.parquet')}')"
+    )
+    duck = con.sql(EMB_KMEANS_LLOYD_SQL).fetchall()
+    assert [tuple(r) for r in rows] == duck
+
+
 def test_pagerank_ranks_the_hub_supplier_highest(spark, tmp_path):
     # star graph: customers 1..6 all buy from supplier 1; customer 1 also
     # buys from suppliers 2..3. Supplier 1 is the hub and must outrank
