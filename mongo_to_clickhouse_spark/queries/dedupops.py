@@ -671,7 +671,13 @@ def stream_minhash_index_upsert(
     schema = spark.read.parquet(acct).schema
     if work_dir is None:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, schema).orderBy("batch_id")
+    from mongo_to_clickhouse_spark.operators.literalrel import (
+        literal_rows_df,
+    )
+
+    return literal_rows_df(
+        spark, [tuple(r) for r in rows], schema
+    ).orderBy("batch_id")
 
 
 def _stream_upsert_oracle() -> str:

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from mongo_to_clickhouse_spark.config import TUNING
 from mongo_to_clickhouse_spark.io import load_table
+from mongo_to_clickhouse_spark.operators.literalrel import literal_rows_df
 
 
 def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1650,8 +1651,8 @@ def eval_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("probe_id", "cent_rank")
     )
-    levels = spark.createDataFrame(
-        [(lv,) for lv in _ANN_CURVE_LEVELS], "n_probe INT"
+    levels = literal_rows_df(
+        spark, [(lv,) for lv in _ANN_CURVE_LEVELS], "n_probe INT"
     )
     return (
         truth_r.crossJoin(F.broadcast(levels))

@@ -2139,14 +2139,117 @@ def _rag_manifest_body(engine: str) -> str:
     """
 
 
+def _rag_sig_kernel():
+    """Arrow kernel computing each chunk's LSH signature end-to-end
+    (optimization round 2, guide §4.2/§2.3 — VERDICT r11 item 4): one
+    pass over (source, text) replaces the htoks explode → w aggregate →
+    planes join → dots aggregate → sigs aggregate cascade, whose
+    largest shuffle moved token-level rows (1.6 MB at sf0.1; corpus ×
+    chunk-expansion bytes at scale). Only per-partition (source, sig,
+    count) partials — |sources|·2^RAG_PLANES-bounded — cross the
+    boundary. Arithmetic is bit-identical to the relational form:
+    60-bit md5 token hashes (memoized per distinct token per task),
+    signed counts over the RAG_EMBED_DIM buckets, ±1 md5-parity planes
+    built once per task, integer dots with the dot >= 0 sign rule (a
+    fully-cancelled chunk's zero vector lands on the all-ones
+    signature naturally). Reassociating the integer sums cannot change
+    any value, so the untouched DuckDB oracle still hash-matches."""
+    import numpy as np
+    import pyarrow as pa
+    from hashlib import md5
+
+    c, s = CHUNK_TOKS, CHUNK_STRIDE
+    d, p = RAG_EMBED_DIM, RAG_PLANES
+    bits = np.array([1 << i for i in range(p)], dtype=np.int64)
+
+    def kernel(it):
+        pv = np.empty((p, d), dtype=np.int64)
+        for pi in range(p):
+            for b in range(d):
+                ph = int(md5(f"{pi}_{b}".encode()).hexdigest()[:15], 16)
+                pv[pi, b] = 1 if ph % 2 == 0 else -1
+        tok_cache: dict = {}
+        counts: dict = {}
+        for batch in it:
+            for src, text in zip(batch.column(0).to_pylist(),
+                                 batch.column(1).to_pylist()):
+                if text is None:
+                    continue  # NULL toks: the explode chain drops the doc
+                toks = text.split(" ")
+                n = len(toks)
+                n_chunks = 1 if n <= c else 1 + (n - c + s - 1) // s
+                pairs = []
+                for t in toks:
+                    e = tok_cache.get(t)
+                    if e is None:
+                        h = int(md5(t.encode()).hexdigest()[:15], 16)
+                        e = (h % d, 1 if (h // d) % 2 == 0 else -1)
+                        tok_cache[t] = e
+                    pairs.append(e)
+                for k in range(n_chunks):
+                    w = np.zeros(d, dtype=np.int64)
+                    for b, sg in pairs[k * s: k * s + c]:
+                        w[b] += sg
+                    sig = int(bits[(pv @ w) >= 0].sum())
+                    key = (src, sig)
+                    counts[key] = counts.get(key, 0) + 1
+        if counts:
+            ks = list(counts)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([k[0] for k in ks], type=pa.string()),
+                 pa.array([k[1] for k in ks], type=pa.int64()),
+                 pa.array([counts[k] for k in ks], type=pa.int64())],
+                names=["source", "sig", "cnt"],
+            )
+
+    return kernel
+
+
 def pipeline_rag_ingest_manifest(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """One-plan RAG ingest ledger — see _rag_manifest_body."""
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "documents"
+    """RAG ingest ledger — chunk signatures from ONE Arrow pass (see
+    _rag_sig_kernel), then the per-source report tail with arithmetic
+    textually identical to the oracle's CTEs. The kernel input is the
+    fanned-out (source, text) projection only; the report side reads a
+    source-pruned second scan for n_docs (the §6j discipline held)."""
+    from mongo_to_clickhouse_spark.operators.autoscale import kernel_fanout
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    inp = kernel_fanout(
+        spark, sf_dir, docs.select("source", "text"),
+        rows_per_task=20_000,
     )
-    return spark.sql(_rag_manifest_body("spark"))
+    inp.mapInArrow(
+        _rag_sig_kernel(), "source string, sig long, cnt long"
+    ).createOrReplaceTempView("rag_chunk_sigs")
+    return spark.sql("""
+        WITH buckets AS (
+            SELECT source, sig, CAST(SUM(cnt) AS BIGINT) AS cnt
+            FROM rag_chunk_sigs GROUP BY source, sig
+        ),
+        per_source AS (
+            SELECT source,
+                   CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+                   CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                   CAST(MAX(cnt) AS BIGINT) AS max_bucket,
+                   CAST(SUM(cnt * cnt) AS BIGINT) AS sum_bucket_sq,
+                   CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_singletons
+            FROM buckets GROUP BY source
+        ),
+        docs AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        )
+        SELECT ps.source, dc.n_docs, ps.n_chunks, ps.n_buckets,
+               ps.max_bucket, ps.sum_bucket_sq,
+               CAST(ps.n_singletons * 1000000 DIV ps.n_buckets
+                    AS BIGINT) AS singleton_ppm
+        FROM per_source ps JOIN docs dc ON dc.source = ps.source
+        ORDER BY ps.source
+    """)
 
 
 PIPELINE_RAG_INGEST_MANIFEST_SQL = _rag_manifest_body("duck")

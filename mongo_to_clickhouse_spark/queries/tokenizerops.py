@@ -392,17 +392,89 @@ def tokenizer_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: integer counts; argmax tie-broken (count DESC, a, b);
     no floats anywhere. Oracle: the same rounds unrolled as DuckDB CTEs
     (kmeans/pagerank recipe)."""
-    from functools import reduce
+    from mongo_to_clickhouse_spark.operators.literalrel import (
+        literal_rows_df,
+    )
 
-    _, outs = _bpe_train(spark, sf_dir, apply_final_merge=False)
-    return reduce(lambda x, y: x.unionByName(y), outs).orderBy("round")
+    rows, _, _ = _bpe_train(spark, sf_dir)
+    return literal_rows_df(
+        spark, rows, "round int, pair string, pair_count bigint"
+    ).orderBy("round")
 
 
-def _bpe_train(spark: SparkSession, sf_dir: str, apply_final_merge: bool):
-    """Shared BPE training loop: returns (final word-frequency table in
-    spaced-symbol form, per-round merge rows). ``apply_final_merge``
-    controls whether round R's merge is applied to the returned table
-    (the ENCODE path needs it; the merge-table output does not)."""
+def _bpe_pair_count_kernel(merges: list[tuple[str, str]]):
+    """Arrow kernel for one BPE round (optimization round 2, guide §4.2
+    / VERDICT r11 item 2): applies the merges learned so far to the
+    spaced-symbol vocabulary and emits per-partition (a, b, pair_count)
+    partials for every adjacent symbol pair. All three engines' replace
+    primitives (Spark ``replace``, DuckDB ``replace``, Arrow
+    ``replace_substring``) scan left-to-right non-overlapping — the BPE
+    merge rule — so re-deriving round r's table from the round-0
+    checkpoint is bit-identical to the old chain of per-round
+    checkpointed ``replace`` barriers it replaces (2 jobs + 1 vocab
+    checkpoint write per round -> 1 job, no writes). Pair extraction is
+    fully vectorized: split offsets -> mask of non-terminal symbol
+    positions -> (values[i], values[i+1]) takes -> one Arrow group_by
+    per partition. Only vocabulary-bounded (a, b, count) partials cross
+    the JVM boundary."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(it):
+        parts = []
+        for batch in it:
+            w = batch.column(0)
+            cnt = batch.column(1)
+            for a, b in merges:
+                w = pc.replace_substring(
+                    w, pattern=f" {a}  {b} ", replacement=f" {a}{b} ")
+            ls = pc.split_pattern(pc.utf8_trim(w, " "), "  ")
+            offs = ls.offsets.to_numpy()
+            lens = np.diff(offs)
+            npairs = np.maximum(lens - 1, 0)
+            total = int(offs[-1]) if len(offs) else 0
+            if total == 0 or int(npairs.sum()) == 0:
+                continue
+            # every symbol position except the last of each word starts
+            # a pair
+            mask = np.ones(total, dtype=bool)
+            mask[offs[1:] - 1] = False
+            a_pos = np.nonzero(mask)[0]
+            take_a = pa.array(a_pos, type=pa.int64())
+            take_b = pa.array(a_pos + 1, type=pa.int64())
+            vals = ls.values
+            wts = np.repeat(cnt.to_numpy(zero_copy_only=False), npairs)
+            parts.append(pa.table({
+                "a": vals.take(take_a),
+                "b": vals.take(take_b),
+                "pair_count": pa.array(wts, type=pa.int64()),
+            }))
+        if parts:
+            g = (pa.concat_tables(parts)
+                 .group_by(["a", "b"]).aggregate([("pair_count", "sum")]))
+            yield pa.RecordBatch.from_arrays(
+                [g.column("a").combine_chunks(),
+                 g.column("b").combine_chunks(),
+                 g.column("pair_count_sum").combine_chunks()],
+                names=["a", "b", "pair_count"],
+            )
+
+    return kernel
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared BPE training loop: returns (per-round merge-table rows as
+    driver tuples, the checkpointed round-0 word-frequency table in
+    spaced-symbol form, the learned merges). Optimization round 2
+    restructure (guide §4.2, VERDICT r11 item 2): per round, ONE
+    mapInArrow job — apply the merges learned so far, count adjacent
+    pairs vectorized, reduce vocabulary-bounded partials through a
+    narrow groupBy and take the (count DESC, a, b) argmax — instead of
+    the old two checkpoint barriers (pair-count explode + vocabulary
+    rewrite). The argmax stays a Spark TakeOrdered so tie-breaking is
+    engine-native; the collected best pair is 1 row per round
+    (control-plane bounded)."""
     from mongo_to_clickhouse_spark.operators.materialize import barrier
 
     view = _toks_view(spark, sf_dir)
@@ -413,43 +485,28 @@ def _bpe_train(spark: SparkSession, sf_dir: str, apply_final_merge: bool):
               FROM (SELECT explode(toks) AS word FROM {view})
               GROUP BY word)
     """))
-    outs = []
+    merges: list[tuple[str, str]] = []
+    rows: list[tuple[int, str, int]] = []
     for r in range(1, BPE_MERGE_ROUNDS + 1):
-        syms = wc.select("cnt", F.split(F.trim(F.col("w")), "  ").alias("s"))
-        pr = syms.select(
-            "cnt",
-            "s",
-            F.posexplode(F.expr("slice(s, 1, size(s) - 1)")).alias("ix", "a"),
-        ).select("cnt", "a", F.expr("s[ix + 1]").alias("b"))
-        best = barrier(
+        pr = wc.mapInArrow(
+            _bpe_pair_count_kernel(list(merges)),
+            "a string, b string, pair_count long",
+        )
+        best = (
             pr.groupBy("a", "b")
-            .agg(F.sum("cnt").alias("pair_count"))
+            .agg(F.sum("pair_count").alias("pair_count"))
             .orderBy(F.desc("pair_count"), "a", "b")
             .limit(1)
-        )
-        outs.append(
-            best.select(
-                F.lit(r).cast("int").alias("round"),
-                F.concat_ws(" ", "a", "b").alias("pair"),
-                F.col("pair_count").cast("bigint").alias("pair_count"),
-            )
-        )
-        if r < BPE_MERGE_ROUNDS or apply_final_merge:
-            # LEFT join so a round with no pairs left (tiny corpus fully
-            # merged) applies nothing instead of emptying the vocabulary
-            wc = barrier(
-                wc.join(
-                    F.broadcast(best.select("a", "b")), F.lit(True), "left"
-                ).select(
-                    F.expr(
-                        "CASE WHEN a IS NULL THEN w ELSE"
-                        " replace(w, concat(' ', a, '  ', b, ' '),"
-                        " concat(' ', a, b, ' ')) END"
-                    ).alias("w"),
-                    "cnt",
-                )
-            )
-    return wc, outs
+        ).collect()  # 1-row argmax: the round's best pair
+        if not best:
+            # tiny corpus fully merged: nothing left to count — later
+            # rounds are empty too (same behavior as the old LEFT-join
+            # no-op merge chain)
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        rows.append((r, f"{a} {b}", int(best[0]["pair_count"])))
+        merges.append((a, b))
+    return rows, wc, merges
 
 
 def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,14 +519,43 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     report prints (which merged units dominate the encoded corpus).
 
     Scale shape: identical to training (vocabulary-sized rounds off one
-    corpus shuffle) plus ONE explode+aggregate over the encoded
-    vocabulary — symbols are ≲|alphabet|+R keys, uniform, map-side
-    combined."""
-    wc, _ = _bpe_train(spark, sf_dir, apply_final_merge=True)
+    corpus shuffle) plus ONE Arrow pass over the encoded vocabulary
+    emitting per-partition (symbol, count) partials — symbols are
+    ≲|alphabet|+R keys, uniform, map-side combined."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    _, wc, merges = _bpe_train(spark, sf_dir)
+
+    def encode_kernel(it):
+        parts = []
+        for batch in it:
+            w = batch.column(0)
+            for a, b in merges:
+                w = pc.replace_substring(
+                    w, pattern=f" {a}  {b} ", replacement=f" {a}{b} ")
+            ls = pc.split_pattern(pc.utf8_trim(w, " "), "  ")
+            lens = np.diff(ls.offsets.to_numpy())
+            wts = np.repeat(
+                batch.column(1).to_numpy(zero_copy_only=False), lens)
+            parts.append(pa.table({
+                "symbol": ls.values,
+                "n": pa.array(wts, type=pa.int64()),
+            }))
+        if parts:
+            g = (pa.concat_tables(parts)
+                 .group_by(["symbol"]).aggregate([("n", "sum")]))
+            yield pa.RecordBatch.from_arrays(
+                [g.column("symbol").combine_chunks(),
+                 g.column("n_sum").combine_chunks()],
+                names=["symbol", "n"],
+            )
+
     return (
-        wc.select("cnt", F.explode(F.split(F.trim(F.col("w")), "  ")).alias("symbol"))
+        wc.mapInArrow(encode_kernel, "symbol string, n long")
         .groupBy("symbol")
-        .agg(F.sum("cnt").cast("bigint").alias("n_occurrences"))
+        .agg(F.sum("n").cast("bigint").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), "symbol")
         .limit(BPE_TOP_K)
     )

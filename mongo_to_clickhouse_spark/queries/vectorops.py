@@ -882,7 +882,13 @@ def stream_ivf_index_upsert(
     schema = spark.read.parquet(acct).schema
     if work_dir is None:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, schema).orderBy("batch_id")
+    from mongo_to_clickhouse_spark.operators.literalrel import (
+        literal_rows_df,
+    )
+
+    return literal_rows_df(
+        spark, [tuple(r) for r in rows], schema
+    ).orderBy("batch_id")
 
 
 def _stream_ivf_oracle() -> str:
@@ -2095,6 +2101,17 @@ def _pca_matfree_sql(dialect: str, ctr_src: str | None = None) -> str:
     """
 
 
+# MEASURED AND REJECTED (optimization round 2, guide §1.1): fanning the
+# kernel input projection out and checkpointing it before the Arrow
+# rounds (so each round scans a 32-partition materialized relation
+# instead of re-scanning the 1-split parquet serially) was measured
+# SLOWER for all three iterative operators at sf0.1 — kcenter 2.1 ->
+# 2.3-3.9 s, PCA 2.2 -> 2.8-4.0 s, kmeans 0.9 -> 2.2 s, idle
+# interleaved A/B — because the checkpoint write of the micro-scaled
+# vector relation costs more than the ~0.2 s/round serial scans it
+# parallelizes. At production split counts the scan parallelizes by
+# itself, so there is nothing to fix at scale either.
+
 def emb_pca_power_matfree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction by power iteration with a MATRIX-FREE
     matvec — w = X̃ᵀ(X̃v) as two narrow passes over the mean-centered
@@ -2247,7 +2264,12 @@ def emb_pca_power_matfree(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT round(CAST(CAST('{num}' AS DECIMAL(38,0)) AS DOUBLE)"
         f" / CAST(CAST('{den}' AS DECIMAL(38,0)) AS DOUBLE), 6) AS r"
     ).first()["r"]
-    return spark.createDataFrame(
+    from mongo_to_clickhouse_spark.operators.literalrel import (
+        literal_rows_df,
+    )
+
+    return literal_rows_df(
+        spark,
         [(j, int(v[j - 1]), float(ray)) for j in dims],
         "i bigint, dir_micro bigint, rayleigh double",
     ).orderBy("i")
@@ -2363,7 +2385,12 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
         for k in range(PCA_K)
     ]
-    gram = spark.createDataFrame(
+    from mongo_to_clickhouse_spark.operators.literalrel import (
+        literal_rows_df,
+    )
+
+    gram = literal_rows_df(
+        spark,
         [(k, diag_dev[k], off_dev[k]) for k in range(PCA_K)],
         "component LONG, gram_diag_dev_u LONG, gram_offdiag_dev_u LONG",
     )
@@ -3807,7 +3834,12 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = far_partials(centers)
     mx = max(int(p["d2"]) for p in parts)
     out_rows.append((KCENTER_K - 1, cid, mx))
-    return spark.createDataFrame(
+    from mongo_to_clickhouse_spark.operators.literalrel import (
+        literal_rows_df,
+    )
+
+    return literal_rows_df(
+        spark,
         out_rows,
         "round int, center_vec_id bigint, radius_after_d2 bigint",
     ).orderBy("round")

@@ -255,13 +255,18 @@ _CONTROL_PLANE_WHITELIST = {
     # Lloyd's k-means driver state: K=8 seed centroids and K·D=512
     # per-round mean partials — both fixed by config, never corpus-sized
     ("queries/vectorops.py",
-     'seed = xs.filter(F.col("vec_id") < KMEANS_K).collect()'),
+     'xs.filter(F.col("vec_id") < KMEANS_K).collect()'),
     ("queries/vectorops.py",
      ".collect()  # O(K·D) rows: K = 8, D = 64, both fixed"),
     # Gonzalez k-center: one (d2, argmax id, coords) partial row per
     # scan partition — the classic 1-row-per-task reduce payload
     ("queries/vectorops.py",
      ".collect()  # O(partitions) 1-row argmax partials"),
+    # BPE training: each round's best merge pair — a LIMIT 1 TakeOrdered
+    # result, exactly 1 row per round with BPE_MERGE_ROUNDS fixed by
+    # config, never corpus- or vocabulary-sized
+    ("queries/tokenizerops.py",
+     ".collect()  # 1-row argmax: the round's best pair"),
 }
 
 
