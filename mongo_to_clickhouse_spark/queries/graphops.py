@@ -106,9 +106,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "pr_adj", build, tables=("lineitem", "orders"),
         preserve_partitioning=preserve,
     )
-    ranks = (
-        adj.select("src").distinct().select("src", F.lit(_PR_INIT).alias("rank"))
+    # node list materialized beside the adjacency (round 12): the
+    # ranks-init distinct otherwise re-exchanges the full adjacency by
+    # src on EVERY invocation (a second ~7 MB exchange at sf0.1, over
+    # and above the round-1 join's own); as a sibling cached barrier it
+    # is paid once per session
+    nodes = cached_barrier(
+        spark, sf_dir, "pr_nodes",
+        lambda: adj.select("src").distinct(),
+        tables=("lineitem", "orders"),
     )
+    ranks = nodes.select("src", F.lit(_PR_INIT).alias("rank"))
     for _ in range(PAGERANK_ROUNDS):
         contrib = (
             ranks.hint("shuffle_hash")

@@ -2286,7 +2286,10 @@ def _pca_loadings(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     broadcast literal is byte-stable."""
     import numpy as np
 
-    cov_rows = emb_covariance(spark, sf_dir).collect()  # O(d²) control-plane
+    # optimization round 2: collect from the matmul twin — bit-identical
+    # result (shared oracle), ~28 s less executor time than the exploded
+    # form's d²/2-rows-per-vector Generate at sf0.1
+    cov_rows = emb_covariance_matmul(spark, sf_dir).collect()  # O(d²)
     d = max(r["j"] for r in cov_rows) + 1
     cov = np.zeros((d, d))
     for r in cov_rows:
