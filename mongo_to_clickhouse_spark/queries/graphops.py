@@ -95,11 +95,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ZERO adjacency exchange; below it, keep the old shape so AQE's
     # runtime join re-planning stays available. Edge rows <= 2x the
     # (order, supplier) pair count, itself <= lineitem rows.
+    from mongo_to_clickhouse_spark import config as _cfg
     from mongo_to_clickhouse_spark.operators.autoscale import corpus_count
 
     est_rows = 2 * corpus_count(spark, sf_dir, "lineitem")
-    preserve = est_rows >= 2_000_000
-    parts = max(2, est_rows // 500_000)
+    preserve = est_rows >= _cfg.TUNING.graph_copart_min_rows
+    parts = max(2, est_rows // _cfg.TUNING.graph_copart_rows_per_part)
     # (src, dst, degree) materialized once per (session, sf_dir): the
     # degree join happens at build time, not once per round
     adj = cached_barrier(
@@ -253,15 +254,17 @@ def _tri_adj_view(spark: SparkSession, sf_dir: str) -> str:
     # checkpoint with ZERO adjacency exchange. Floor 2: a 1-partition
     # repartition plans as SinglePartition and the checkpoint does not
     # record it (probed).
+    from mongo_to_clickhouse_spark import config as _cfg
+
     n_supp = distinct_count(spark, sf_dir, "lineitem", "l_suppkey")
     est_rows = 2 * TRIANGLE_KNN_K * n_supp
-    if est_rows < 2_000_000:
+    if est_rows < _cfg.TUNING.graph_copart_min_rows:
         build = lambda: spark.sql(_triangle_adj_sql(  # noqa: E731
             "(SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)"
         ))
         preserve = False
     else:
-        parts = max(2, est_rows // 500_000)
+        parts = max(2, est_rows // _cfg.TUNING.graph_copart_rows_per_part)
         build = lambda: spark.sql(_triangle_adj_sql(  # noqa: E731
             "(SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)"
         )).repartition(parts, "a")
